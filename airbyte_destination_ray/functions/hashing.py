@@ -1,0 +1,36 @@
+"""Stable vectorized hashes for partitioning and dedup.
+
+Partition assignment must be stable across processes and library versions
+(partition files persist on disk and resume depends on re-deriving the same
+``hash(url) % P``), so we use ``pandas.util.hash_array`` — a documented,
+deterministic SipHash with a fixed default key — rather than Python's
+randomized ``hash`` or version-dependent hashers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def stable_hash_array(values) -> np.ndarray:
+    """uint64 stable hash of a string/binary array (numpy, pandas or Arrow)."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_numpy(zero_copy_only=False)
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+def partition_ids(keys, num_partitions: int, *, salt: np.ndarray | None = None) -> np.ndarray:
+    """``stable_hash(key) % P`` (optionally salted for hot-key splitting).
+
+    With ``salt`` (a per-row uint64), the effective key is perturbed so one
+    hot key spreads over several sub-partitions; the caller must follow with
+    a final per-key reduce (safe because LWW max-by-(ver, seq) is
+    associative/commutative — SURVEY.md §4 skew row).
+    """
+    h = stable_hash_array(keys)
+    if salt is not None:
+        h = h ^ (salt * np.uint64(0x9E3779B97F4A7C15))
+    return (h % np.uint64(num_partitions)).astype(np.int64)

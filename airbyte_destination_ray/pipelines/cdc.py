@@ -1,0 +1,204 @@
+"""The flagship CDC pipeline: binlog tail → partitioned LWW-merged Parquet lake.
+
+Engine equivalent of the reference's ``write`` command (SURVEY.md §3.1): per
+epoch (the STATE-barrier analog, destination.go:402-420):
+
+    read_parquet(epoch's binlog segments)            # parallel, column-pruned
+      → map_batches(partitioner)                     # envelope→lake rows, _part
+                                                     #   + per-batch LWW pre-reduce
+      → groupby("_part").map_groups(merger)          # hash shuffle + per-partition
+                                                     #   merge/commit (exactly-once)
+      → stats Dataset (small)                        # per-partition lineage row
+    checkpoint(epoch)                                # only after all commits
+
+Epochs run sequentially (an epoch is a barrier by definition); everything
+within an epoch streams through Ray Data with backpressure.  The heavy data
+never touches the driver — merge tasks write snapshots + manifests directly;
+only the per-partition stats rows (one per partition) come back.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..sources.synth import ENVELOPE_SCHEMA, list_epochs, list_segments
+from ..stages.lww import (
+    DELETED_COLUMN,
+    SEQ_COLUMN,
+    STATS_SCHEMA,
+    make_partition_merger,
+    make_partitioner,
+)
+from ..state.manifest import ManifestStore
+
+PAGES_PAYLOAD = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def run_cdc_sync(
+    lake_root: str,
+    binlog_dir: str,
+    *,
+    table: str = "pages",
+    pk: str = "url",
+    ver: str = "warc_ts",
+    mode: str = "append_dedup",
+    num_partitions: int = 32,
+    payload_columns: list[str] | None = None,
+    epochs: list[int] | None = None,
+    resume: bool = True,
+    compute_digest: bool = True,
+) -> dict:
+    """Run (or resume) a sync of the binlog into the lake table.
+
+    Returns a summary with per-epoch stats. Safe to re-run: committed
+    (epoch, partition) pairs are no-ops; completed epochs are skipped via the
+    checkpoint log.
+    """
+    payload_columns = payload_columns or PAGES_PAYLOAD
+    store = ManifestStore(lake_root, table)
+    store.root.mkdir(parents=True, exist_ok=True)
+    meta = store.init_table(
+        num_partitions=num_partitions, mode=mode, pk=[pk], cursor=ver
+    )
+    num_partitions = meta["num_partitions"]
+    generation = meta["generation"]
+    if mode == "overwrite" and not resume:
+        # A3: overwrite starts a fresh generation — the metadata flip that
+        # replaces the reference's delete-all-rows job (destination.go:198-241)
+        generation = store.bump_generation()
+
+    all_epochs = epochs if epochs is not None else list_epochs(binlog_dir)
+    ckpt = store.last_checkpoint(generation) if resume else None
+    start_after = ckpt["epoch"] if ckpt else -1
+
+    epoch_summaries = []
+    total_changes = 0
+    for e in all_epochs:
+        if e <= start_after:
+            epoch_summaries.append({"epoch": e, "skipped": True})
+            continue
+        segments = list_segments(binlog_dir, e)
+        if not segments:
+            continue
+        ds = ray.data.read_parquet(segments)
+        partitioner = make_partitioner(
+            pk,
+            num_partitions,
+            ver=ver,
+            pre_reduce=(mode == "append_dedup"),
+            payload_columns=payload_columns,
+        )
+        merger = make_partition_merger(
+            lake_root,
+            table,
+            generation=generation,
+            epoch=e,
+            mode=mode,
+            pk=pk,
+            ver=ver,
+            compute_digest=compute_digest,
+        )
+        stats = (
+            ds.map_batches(partitioner, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(merger, batch_format="pyarrow")
+        )
+        batches = list(stats.iter_batches(batch_format="pyarrow"))
+        stats_t = pa.concat_tables(batches) if batches else STATS_SCHEMA.empty_table()
+        changes = int(pc.sum(stats_t.column("changes_in")).as_py() or 0)
+        rows = int(pc.sum(stats_t.column("rows")).as_py() or 0)
+        total_changes += changes
+        # the S6 barrier: checkpoint only after every partition committed
+        store.write_checkpoint(
+            generation,
+            e,
+            {
+                "partitions": stats_t.num_rows,
+                "changes_in": changes,
+                "rows": rows,
+                "segments": [str(Path(s).name) for s in segments],
+            },
+        )
+        epoch_summaries.append(
+            {
+                "epoch": e,
+                "skipped": False,
+                "partitions": stats_t.num_rows,
+                "changes_in": changes,
+                "rows": rows,
+            }
+        )
+
+    return {
+        "table": table,
+        "generation": generation,
+        "mode": mode,
+        "epochs": epoch_summaries,
+        "total_changes": total_changes,
+    }
+
+
+def read_table(
+    lake_root: str,
+    table: str,
+    *,
+    columns: list[str] | None = None,
+    include_deleted: bool = False,
+    include_meta: bool = False,
+):
+    """Dataset over the current committed table state (read view).
+
+    Tombstone rows are filtered out; ``_seq``/``_deleted`` meta columns are
+    dropped unless requested.
+    """
+    store = ManifestStore(lake_root, table)
+    meta = store.table_meta()
+    files = store.committed_files(meta["generation"], mode=meta["mode"])
+    paths = [str(Path(lake_root) / f) for f in files]
+    if not paths:
+        return ray.data.from_arrow(pa.table({}))
+    # partitioning=None: dir names (gen=…/p=…) are physical layout, not columns
+    ds = ray.data.read_parquet(paths, partitioning=None)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        if not include_deleted and DELETED_COLUMN in batch.column_names:
+            batch = batch.filter(
+                pc.fill_null(pc.invert(batch.column(DELETED_COLUMN)), True)
+            )
+        if not include_meta:
+            drop = [c for c in (SEQ_COLUMN, DELETED_COLUMN) if c in batch.column_names]
+            if drop:
+                batch = batch.drop_columns(drop)
+        if columns:
+            batch = batch.select(columns)
+        return batch
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def read_table_arrow(lake_root: str, table: str, **kw) -> pa.Table:
+    """Driver-side full read — tests/small results only."""
+    import pyarrow.parquet as pq
+
+    store = ManifestStore(lake_root, table)
+    meta = store.table_meta()
+    files = store.committed_files(meta["generation"], mode=meta["mode"])
+    if not files:
+        return pa.table({})
+    t = pa.concat_tables(
+        pq.read_table(Path(lake_root) / f) for f in files
+    )
+    include_deleted = kw.get("include_deleted", False)
+    if not include_deleted and DELETED_COLUMN in t.column_names:
+        t = t.filter(pc.fill_null(pc.invert(t.column(DELETED_COLUMN)), True))
+    if not kw.get("include_meta", False):
+        drop = [c for c in (SEQ_COLUMN, DELETED_COLUMN) if c in t.column_names]
+        if drop:
+            t = t.drop_columns(drop)
+    return t

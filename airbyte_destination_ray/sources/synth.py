@@ -1,0 +1,221 @@
+"""Deterministic synthetic binlog/WAL generation (FIXTURES.md §B2).
+
+Produces Parquet segment files of Common-Crawl-style web-page change events
+with the envelope ``(seq, epoch, op, url, warc_ts, html, text, lang)``:
+
+- Zipf-skewed update frequency over a fixed url universe (hot-key stress for
+  salted sub-partitioning),
+- a fixed fraction of out-of-order ``warc_ts`` within an epoch (LWW must pick
+  max version, not last-seen — reference fixture parity:
+  internal/connector/test_files/input_data.txt:54-60),
+- deletes (op="D", null payload) followed by re-inserts,
+- duplicated (re-delivered) events across epoch boundaries to exercise
+  idempotence (reference fixture parity: sample_files/input_data.txt:10,12 —
+  the duplicated id=7 record re-sent after a STATE barrier),
+- ``text`` derived purely from ``(url, warc_ts)`` so byte-identical replay is
+  checkable.
+
+Everything is seeded numpy — no wall clock, no unseeded RNG.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE_TS_US = 1_577_836_800_000_000  # 2020-01-01T00:00:00Z in microseconds
+
+LANGS = np.array(["en", "de", "fr", "es", "zh"])
+
+ENVELOPE_SCHEMA = pa.schema(
+    [
+        pa.field("seq", pa.int64(), nullable=False),
+        pa.field("epoch", pa.int32(), nullable=False),
+        pa.field("op", pa.string(), nullable=False),
+        pa.field("url", pa.string(), nullable=False),
+        pa.field("warc_ts", pa.timestamp("us"), nullable=False),
+        pa.field("html", pa.binary()),
+        pa.field("text", pa.string()),
+        pa.field("lang", pa.string()),
+    ]
+)
+
+
+def urls_for_keys(keys: np.ndarray) -> np.ndarray:
+    hosts = keys % 997
+    return np.char.add(
+        np.char.add("https://site-", hosts.astype("U4")),
+        np.char.add(".example.com/page/", keys.astype("U12")),
+    )
+
+
+def text_for(urls: np.ndarray, warc_ts_us: np.ndarray) -> np.ndarray:
+    """Deterministic page text: a pure function of (url, warc_ts)."""
+    ts = warc_ts_us.astype("U20")
+    body = np.char.add(np.char.add(urls.astype("U100"), " @"), ts)
+    filler = np.char.multiply(" lorem-ipsum", (warc_ts_us % 7 + 3).astype(np.int64))
+    return np.char.add(np.char.add("extracted text of ", body), filler)
+
+
+def synthesize_binlog(
+    out_dir: str | Path,
+    *,
+    n_events: int = 10_000,
+    n_keys: int = 2_000,
+    n_epochs: int = 4,
+    seed: int = 42,
+    zipf_a: float = 1.3,
+    frac_delete: float = 0.05,
+    frac_redelivered: float = 0.02,
+    frac_out_of_order: float = 0.10,
+    rows_per_segment: int = 250_000,
+) -> dict:
+    """Write segment files ``segment-e<E>-<i>.parquet``; return a summary."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    # Zipf-skewed key choice clipped to the universe
+    keys = (rng.zipf(zipf_a, size=n_events) - 1) % n_keys
+    seq = np.arange(n_events, dtype=np.int64)
+    per_epoch = -(-n_events // n_epochs)
+    epoch = (seq // per_epoch).astype(np.int32)
+
+    # version timestamps: mostly increasing with seq; a fraction shuffled
+    # backwards within the epoch so warc_ts order != arrival order
+    warc_ts = BASE_TS_US + seq * 1_000_000 + rng.integers(0, 1_000_000, n_events)
+    ooo = rng.random(n_events) < frac_out_of_order
+    warc_ts[ooo] -= rng.integers(1, per_epoch * 1_000_000, ooo.sum())
+
+    # op: first event of a key is I; later ones U; a fraction D (tombstone)
+    first_occurrence = np.zeros(n_events, dtype=bool)
+    _, first_idx = np.unique(keys, return_index=True)
+    first_occurrence[first_idx] = True
+    op = np.where(first_occurrence, "I", "U").astype(object)
+    deletes = (~first_occurrence) & (rng.random(n_events) < frac_delete)
+    op[deletes] = "D"
+
+    urls = urls_for_keys(keys)
+    text = text_for(urls, warc_ts)
+    html = np.char.add(np.char.add("<html><body>", text), "</body></html>")
+    lang = LANGS[keys % len(LANGS)]
+
+    table = pa.table(
+        {
+            "seq": seq,
+            "epoch": epoch,
+            "op": pa.array(op, type=pa.string()),
+            "url": urls,
+            "warc_ts": pa.array(warc_ts, type=pa.timestamp("us")),
+            "html": pa.array(
+                [None if d else h.encode() for d, h in zip(deletes, html)],
+                type=pa.binary(),
+            ),
+            "text": pa.array(np.where(deletes, None, text), type=pa.string()),
+            "lang": pa.array(np.where(deletes, None, lang), type=pa.string()),
+        },
+        schema=ENVELOPE_SCHEMA,
+    )
+
+    # re-delivered duplicates: a sample of epoch-e events re-sent in epoch e+1
+    # (identical seq + payload, only the delivery epoch differs)
+    dup_mask = (rng.random(n_events) < frac_redelivered) & (epoch < n_epochs - 1)
+    dup = table.filter(pa.array(dup_mask))
+    if dup.num_rows:
+        bumped = pa.compute.add(dup.column("epoch"), 1).cast(pa.int32())
+        dup = dup.set_column(1, ENVELOPE_SCHEMA.field("epoch"), bumped)
+
+    segments: list[str] = []
+    for e in range(n_epochs):
+        mask = pa.compute.equal(table.column("epoch"), e)
+        chunk = table.filter(mask)
+        if dup.num_rows:
+            dmask = pa.compute.equal(dup.column("epoch"), e)
+            dchunk = dup.filter(dmask)
+            if dchunk.num_rows:
+                # duplicates arrive at the epoch head (before fresh events)
+                chunk = pa.concat_tables([dchunk, chunk])
+        n_seg = max(1, -(-chunk.num_rows // rows_per_segment))
+        for i in range(n_seg):
+            part = chunk.slice(i * rows_per_segment, rows_per_segment)
+            name = f"segment-e{e:05d}-{i:04d}.parquet"
+            pq.write_table(part, out / name, compression="zstd")
+            segments.append(name)
+
+    summary = {
+        "n_events": n_events,
+        "n_keys": n_keys,
+        "n_epochs": n_epochs,
+        "seed": seed,
+        "zipf_a": zipf_a,
+        "frac_delete": frac_delete,
+        "frac_redelivered": frac_redelivered,
+        "frac_out_of_order": frac_out_of_order,
+        "rows_per_segment": rows_per_segment,
+        "n_duplicates": int(dup.num_rows),
+        "segments": segments,
+    }
+    with open(out / "_binlog.json", "w") as f:
+        json.dump(summary, f, sort_keys=True)
+    return summary
+
+
+def ensure_binlog(out_dir: str | Path, **params) -> dict:
+    """Synthesize unless an identical-parameter binlog already exists."""
+    out = Path(out_dir)
+    marker = out / "_binlog.json"
+    if marker.exists():
+        with open(marker) as f:
+            existing = json.load(f)
+        if all(existing.get(k) == v for k, v in params.items()):
+            return existing
+    return synthesize_binlog(out, **params)
+
+
+def write_custom_binlog(out_dir: str | Path, rows: list[dict]) -> dict:
+    """Write an explicit list of change events as a binlog (test helper).
+
+    Each row: ``{seq, epoch, op, url, warc_ts (µs int), html, text, lang}``.
+    """
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    epochs = sorted({r["epoch"] for r in rows})
+    segments = []
+    for e in epochs:
+        chunk = [r for r in rows if r["epoch"] == e]
+        t = pa.table(
+            {
+                "seq": pa.array([r["seq"] for r in chunk], pa.int64()),
+                "epoch": pa.array([r["epoch"] for r in chunk], pa.int32()),
+                "op": pa.array([r["op"] for r in chunk], pa.string()),
+                "url": pa.array([r["url"] for r in chunk], pa.string()),
+                "warc_ts": pa.array([r["warc_ts"] for r in chunk], pa.timestamp("us")),
+                "html": pa.array([r.get("html") for r in chunk], pa.binary()),
+                "text": pa.array([r.get("text") for r in chunk], pa.string()),
+                "lang": pa.array([r.get("lang") for r in chunk], pa.string()),
+            },
+            schema=ENVELOPE_SCHEMA,
+        )
+        name = f"segment-e{e:05d}-0000.parquet"
+        pq.write_table(t, out / name, compression="zstd")
+        segments.append(name)
+    summary = {"n_events": len(rows), "n_epochs": max(epochs) + 1, "segments": segments}
+    with open(out / "_binlog.json", "w") as f:
+        json.dump(summary, f, sort_keys=True)
+    return summary
+
+
+def list_epochs(binlog_dir: str | Path) -> list[int]:
+    with open(Path(binlog_dir) / "_binlog.json") as f:
+        return list(range(json.load(f)["n_epochs"]))
+
+
+def list_segments(binlog_dir: str | Path, epoch: int) -> list[str]:
+    prefix = f"segment-e{epoch:05d}-"
+    return sorted(
+        str(p) for p in Path(binlog_dir).glob(f"{prefix}*.parquet")
+    )

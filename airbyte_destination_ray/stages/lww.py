@@ -1,0 +1,289 @@
+"""Last-writer-wins merge operators (reference semantics A1/A2/A3).
+
+The reference *declares* LWW upsert via ClickHouse table settings —
+``ReplacingMergeTree(ver=cursor)`` with ``ORDER BY pk``
+(internal/connector/destination.go:337-351) — and its e2e suite pins the
+semantics: per PK keep the row with the greatest version, later arrival wins
+ties (e2e/main_test.go:86-105).  Here those semantics are explicit Ray Data
+operators:
+
+- :func:`lww_compact` — vectorized Arrow kernel: sort by ``(pk, ver, seq)``,
+  keep the last row per key.  Associative + commutative, so it doubles as the
+  per-batch **pre-reduce** (combiner) that shrinks shuffle volume before the
+  hash partition, and as the hot-key salted sub-partition reducer.
+- :func:`make_partitioner` — ``map_batches`` stage assigning
+  ``_part = stable_hash(pk) % P`` (+ optional in-batch pre-reduce).
+- :func:`make_partition_merger` — the per-partition ``map_groups`` task:
+  merge (previous snapshot ∪ incoming changes), write the new snapshot
+  atomically, commit the manifest (CAS → exactly-once), return a stats row.
+
+Tombstones: a delete is a row that *wins* LWW at its ``(ver, seq)`` and
+suppresses the key from the read view.  Snapshots **retain** tombstone rows
+(``_deleted = true``) so a late-arriving older update cannot resurrect a
+deleted key; readers filter them out (``read_table``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from pathlib import Path
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.hashing import partition_ids
+from ..state.manifest import ManifestStore, PartitionManifest
+
+SEQ_COLUMN = "_seq"
+DELETED_COLUMN = "_deleted"
+
+STATS_SCHEMA = pa.schema(
+    [
+        pa.field("table", pa.string()),
+        pa.field("epoch", pa.int64()),
+        pa.field("partition", pa.int64()),
+        pa.field("rows", pa.int64()),
+        pa.field("bytes", pa.int64()),
+        pa.field("files", pa.int64()),
+        pa.field("changes_in", pa.int64()),
+        pa.field("skipped", pa.bool_()),
+        pa.field("digest", pa.string()),
+    ]
+)
+
+
+def lww_compact(
+    table: pa.Table,
+    pk: str,
+    ver: str,
+    seq: str = SEQ_COLUMN,
+    *,
+    drop_tombstones: bool = False,
+    tombstone_col: str = DELETED_COLUMN,
+) -> pa.Table:
+    """Keep the winning row per key: max ``(ver, seq)``.
+
+    Pure vectorized Arrow/numpy — one multi-key sort + a boundary mask; no
+    Python per-row work.  Output is sorted by ``pk`` (deterministic layout,
+    required for byte-identical replay).
+    """
+    if table.num_rows == 0:
+        return table
+    idx = pc.sort_indices(
+        table,
+        sort_keys=[(pk, "ascending"), (ver, "ascending"), (seq, "ascending")],
+    )
+    t = table.take(idx)
+    keys = t.column(pk).combine_chunks().to_numpy(zero_copy_only=False)
+    last = np.empty(len(keys), dtype=bool)
+    if len(keys) > 1:
+        last[:-1] = keys[:-1] != keys[1:]
+    last[-1] = True
+    t = t.filter(pa.array(last))
+    if drop_tombstones and tombstone_col in t.column_names:
+        t = t.filter(pc.fill_null(pc.invert(t.column(tombstone_col)), True))
+    return t
+
+
+def changes_to_lake_rows(changes: pa.Table, payload_columns: list[str]) -> pa.Table:
+    """Normalize the change envelope ``(seq, epoch, op, payload…)`` to the
+    lake row shape ``(payload…, _seq, _deleted)``."""
+    cols = {name: changes.column(name) for name in payload_columns}
+    cols[SEQ_COLUMN] = changes.column("seq").cast(pa.int64())
+    if "op" in changes.column_names:
+        cols[DELETED_COLUMN] = pc.equal(changes.column("op"), "D")
+    else:
+        cols[DELETED_COLUMN] = pa.array(np.zeros(changes.num_rows, dtype=bool))
+    return pa.table(cols)
+
+
+def make_partitioner(
+    pk: str,
+    num_partitions: int,
+    *,
+    ver: str | None = None,
+    pre_reduce: bool = True,
+    payload_columns: list[str] | None = None,
+) -> Callable[[pa.Table], pa.Table]:
+    """``map_batches`` stage: envelope → lake rows + ``_part`` routing column.
+
+    With ``pre_reduce`` (merge tables), each batch is LWW-compacted before
+    the shuffle — the combiner that collapses hot-key update bursts so the
+    all-to-all exchange moves one row per (key, batch) instead of every
+    change (SURVEY.md §4 skew/pre-aggregation row).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if payload_columns is not None:
+            batch = changes_to_lake_rows(batch, payload_columns)
+        if pre_reduce and ver is not None:
+            batch = lww_compact(batch, pk, ver, SEQ_COLUMN)
+        parts = partition_ids(batch.column(pk), num_partitions)
+        return batch.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    return fn
+
+
+def _table_digest(t: pa.Table) -> str:
+    """Deterministic content digest for replay-equivalence checks."""
+    h = hashlib.sha256()
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    h.update(sink.getvalue())
+    return h.hexdigest()
+
+
+def _atomic_write_parquet(t: pa.Table, path: Path) -> int:
+    """Deterministic parquet bytes via fixed writer settings; tmp + rename so
+    a crashed/retried task never leaves a partial file visible."""
+    path.parent.mkdir(parents=True, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".tmp")
+    os.close(fd)
+    pq.write_table(t, tmp, compression="zstd", write_statistics=True)
+    size = os.path.getsize(tmp)
+    os.replace(tmp, path)
+    return size
+
+
+def _stats_row(
+    table: str,
+    epoch: int,
+    partition: int,
+    *,
+    rows: int,
+    nbytes: int,
+    files: int,
+    changes_in: int,
+    skipped: bool,
+    digest: str,
+) -> pa.Table:
+    return pa.table(
+        {
+            "table": [table],
+            "epoch": [epoch],
+            "partition": [partition],
+            "rows": [rows],
+            "bytes": [nbytes],
+            "files": [files],
+            "changes_in": [changes_in],
+            "skipped": [skipped],
+            "digest": [digest],
+        },
+        schema=STATS_SCHEMA,
+    )
+
+
+def make_partition_merger(
+    lake_root: str,
+    table_name: str,
+    *,
+    generation: int,
+    epoch: int,
+    mode: str,
+    pk: str,
+    ver: str,
+    compute_digest: bool = True,
+) -> Callable[[pa.Table], pa.Table]:
+    """Per-partition merge/commit task for ``groupby('_part').map_groups``.
+
+    Exactly-once: if the (generation, epoch, partition) manifest already
+    exists (resume, Ray task retry, speculative re-execution) the task is a
+    no-op that reports the committed stats.  Otherwise it writes the new
+    snapshot file atomically and commits the manifest via CAS; losing the CAS
+    (a concurrent duplicate task) is also a no-op.
+
+    The task's input is fully determined by (partition id, epoch changes,
+    previous committed snapshot), so re-running it yields byte-identical
+    output — the replay-equivalence invariant.
+    """
+
+    def merge(group: pa.Table) -> pa.Table:
+        part = int(group.column("_part")[0].as_py())
+        store = ManifestStore(lake_root, table_name)
+        existing = store.get(generation, epoch, part)
+        if existing is not None:
+            return _stats_row(
+                table_name, epoch, part,
+                rows=existing.row_count, nbytes=existing.byte_count,
+                files=len(existing.files), changes_in=group.num_rows,
+                skipped=True, digest=existing.digest,
+            )
+
+        changes = group.drop_columns(["_part"])
+        prev = store.latest_snapshot(generation, part, max_epoch=epoch - 1)
+        prev_max_seq = prev.max_seq if prev is not None else -1
+
+        if mode in ("append", "overwrite"):
+            # A2: keep every event; idempotence on re-delivery via the
+            # per-partition seq watermark + in-epoch seq dedup (the raw-id
+            # dedup role of destination.go:329-335, keyed by the replay-
+            # deterministic seq instead of rescanning committed data).
+            changes = changes.filter(
+                pc.greater(changes.column(SEQ_COLUMN), pa.scalar(prev_max_seq))
+            )
+            idx = pc.sort_indices(changes, sort_keys=[(SEQ_COLUMN, "ascending")])
+            changes = changes.take(idx)
+            seqs = changes.column(SEQ_COLUMN).to_numpy(zero_copy_only=False)
+            if len(seqs) > 1:
+                keep = np.empty(len(seqs), dtype=bool)
+                keep[0] = True
+                keep[1:] = seqs[1:] != seqs[:-1]
+                changes = changes.filter(pa.array(keep))
+            merged = changes
+        else:  # append_dedup → LWW merge with the previous snapshot
+            pieces = [changes]
+            if prev is not None and prev.files:
+                prev_t = pa.concat_tables(
+                    pq.read_table(Path(lake_root) / f) for f in prev.files
+                )
+                pieces.append(prev_t.select(changes.column_names))
+            combined = pa.concat_tables(pieces, promote_options="permissive")
+            merged = lww_compact(combined, pk, ver, SEQ_COLUMN)
+
+        files: list[str] = []
+        nbytes = 0
+        max_seq = prev_max_seq
+        if merged.num_rows or mode == "append_dedup":
+            rel = (
+                f"{table_name}/gen={generation:04d}/parts/p={part:05d}/"
+                f"e{epoch:06d}.parquet"
+            )
+            nbytes = _atomic_write_parquet(merged, Path(lake_root) / rel)
+            files.append(rel)
+        if merged.num_rows:
+            max_seq = max(
+                prev_max_seq, int(pc.max(merged.column(SEQ_COLUMN)).as_py())
+            )
+        if mode == "append_dedup":
+            row_count = merged.num_rows
+        else:
+            row_count = (prev.row_count if prev is not None else 0) + merged.num_rows
+            # append manifests are additive: files = only the new file
+        digest = _table_digest(merged) if compute_digest else ""
+
+        m = PartitionManifest(
+            table=table_name,
+            generation=generation,
+            epoch=epoch,
+            partition=part,
+            files=files,
+            row_count=row_count,
+            byte_count=nbytes,
+            max_seq=max_seq,
+            digest=digest,
+            mode=mode,
+        )
+        store.commit(m)  # CAS: losing to a concurrent duplicate is fine
+        return _stats_row(
+            table_name, epoch, part,
+            rows=row_count, nbytes=nbytes, files=len(files),
+            changes_in=group.num_rows, skipped=False, digest=digest,
+        )
+
+    return merge

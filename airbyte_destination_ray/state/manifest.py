@@ -1,0 +1,227 @@
+"""Per-partition commit manifests — the exactly-once mechanism.
+
+The reference achieves at-least-once via HTTP retries with per-event errors
+swallowed (destination.go:485-489) and relies on engine-side dedup/LWW to
+absorb duplicates.  This engine upgrades that to exactly-once with the
+standard lake pattern: a (epoch, partition) is committed by atomically
+renaming a manifest file into place; rename-if-absent is the CAS.  A retried
+or speculative Ray task that re-runs a committed (epoch, partition) finds the
+manifest and becomes a no-op, so replay from any checkpoint is idempotent.
+
+Layout under ``lake_root/<table>/``::
+
+    gen=<G>/parts/p=<P>/e<E>.parquet      data snapshot files
+    _manifests/g<G>-e<E>-p<P>.json        per-(generation, epoch, partition) commit
+    _checkpoints/e<E>.json                epoch checkpoint (all partitions committed)
+    _meta.json                            table metadata (generation, partitioning, mode)
+    _schema/v<V>.json                     schema-registry versions
+
+Snapshot semantics: for merge (append_dedup / overwrite) tables each
+manifest's ``files`` list is the **full** current file set of its partition as
+of that epoch, so "current state of partition p" = the manifest with the
+highest committed epoch for p in the active generation — snapshot isolation
+with no row-level delete scans (this is what makes overwrite A3 a metadata
+flip, matching the semantics of the reference's delete-then-append job,
+destination.go:198-241).  For append tables manifests are additive and the
+current state is the union over committed epochs; ``max_seq`` is the
+re-delivery watermark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+
+
+@dataclass
+class PartitionManifest:
+    table: str
+    generation: int
+    epoch: int
+    partition: int
+    files: list[str] = field(default_factory=list)  # lake-root-relative paths
+    row_count: int = 0
+    byte_count: int = 0
+    max_seq: int = -1  # re-delivery watermark (append tables)
+    digest: str = ""  # deterministic content digest for replay-equivalence checks
+    mode: str = "append_dedup"
+
+    @property
+    def key(self) -> str:
+        return f"g{self.generation:04d}-e{self.epoch:06d}-p{self.partition:05d}"
+
+
+def _atomic_write_json(path: Path, payload: dict) -> bool:
+    """Write-if-absent via tmpfile + ``os.link`` (fails if target exists).
+
+    Returns True when this call created the file (i.e. won the CAS),
+    False when the target already existed — the idempotent no-op path.
+    """
+    if path.exists():
+        return False
+    path.parent.mkdir(parents=True, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f, sort_keys=True)
+        try:
+            os.link(tmp, path)  # atomic create-if-absent on POSIX
+            return True
+        except FileExistsError:
+            return False
+    finally:
+        os.unlink(tmp)
+
+
+class ManifestStore:
+    """File-backed manifest/checkpoint store for one table.
+
+    Cheap to construct (holds only paths) — merge tasks build one per task
+    from ``lake_root``; no driver round-trips, no actor bottleneck. All
+    mutations are atomic renames/links so concurrent tasks (including Ray
+    retries) cannot corrupt state.
+    """
+
+    def __init__(self, lake_root: str | Path, table: str):
+        self.root = Path(lake_root) / table
+        self.manifest_dir = self.root / "_manifests"
+        self.checkpoint_dir = self.root / "_checkpoints"
+
+    # -- table metadata -----------------------------------------------------
+    def init_table(self, *, num_partitions: int, mode: str, pk: list[str],
+                   cursor: str, generation: int = 0) -> dict:
+        meta_path = self.root / "_meta.json"
+        if meta_path.exists():
+            return self.table_meta()
+        payload = {
+            "num_partitions": num_partitions,
+            "mode": mode,
+            "pk": pk,
+            "cursor": cursor,
+            "generation": generation,
+        }
+        _atomic_write_json(meta_path, payload)
+        return self.table_meta()
+
+    def table_meta(self) -> dict:
+        with open(self.root / "_meta.json") as f:
+            return json.load(f)
+
+    def exists(self) -> bool:
+        return (self.root / "_meta.json").exists()
+
+    def bump_generation(self) -> int:
+        """Overwrite (A3): start a new generation; the old snapshot stays
+        readable until the new generation's first checkpoint commits."""
+        meta = self.table_meta()
+        meta["generation"] = int(meta["generation"]) + 1
+        # plain overwrite is fine: single driver mutates generations
+        tmp = self.root / "_meta.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, sort_keys=True)
+        os.replace(tmp, self.root / "_meta.json")
+        return meta["generation"]
+
+    def drop_table(self) -> None:
+        """Full reset (A4; reference deleteAllDataSources destination.go:516-574)."""
+        import shutil
+
+        if self.root.exists():
+            shutil.rmtree(self.root)
+
+    # -- partition data paths ----------------------------------------------
+    def partition_dir(self, generation: int, partition: int) -> Path:
+        return self.root / f"gen={generation:04d}" / "parts" / f"p={partition:05d}"
+
+    # -- manifest CAS -------------------------------------------------------
+    def commit(self, m: PartitionManifest) -> bool:
+        """Atomically commit a partition manifest. True iff this call won."""
+        return _atomic_write_json(self.manifest_dir / f"{m.key}.json", asdict(m))
+
+    def get(self, generation: int, epoch: int, partition: int) -> PartitionManifest | None:
+        p = self.manifest_dir / (
+            f"g{generation:04d}-e{epoch:06d}-p{partition:05d}.json"
+        )
+        if not p.exists():
+            return None
+        with open(p) as f:
+            return PartitionManifest(**json.load(f))
+
+    def is_committed(self, generation: int, epoch: int, partition: int) -> bool:
+        return (
+            self.manifest_dir
+            / f"g{generation:04d}-e{epoch:06d}-p{partition:05d}.json"
+        ).exists()
+
+    def _iter_manifests(self, generation: int) -> list[PartitionManifest]:
+        if not self.manifest_dir.exists():
+            return []
+        prefix = f"g{generation:04d}-"
+        out = []
+        for p in self.manifest_dir.iterdir():
+            if p.name.startswith(prefix) and p.name.endswith(".json"):
+                with open(p) as f:
+                    out.append(PartitionManifest(**json.load(f)))
+        return out
+
+    def latest_snapshot(
+        self, generation: int, partition: int, *, max_epoch: int | None = None
+    ) -> PartitionManifest | None:
+        """Current state of a partition = highest committed epoch ≤ max_epoch."""
+        best: PartitionManifest | None = None
+        for m in self._iter_manifests(generation):
+            if m.partition != partition:
+                continue
+            if max_epoch is not None and m.epoch > max_epoch:
+                continue
+            if best is None or m.epoch > best.epoch:
+                best = m
+        return best
+
+    def committed_files(self, generation: int, *, mode: str) -> list[str]:
+        """All files of the current table state (active generation).
+
+        Snapshot tables: latest manifest per partition. Append tables: union
+        of every committed manifest's files.
+        """
+        manifests = self._iter_manifests(generation)
+        if mode == "append":
+            files: list[str] = []
+            for m in sorted(manifests, key=lambda m: (m.partition, m.epoch)):
+                files.extend(m.files)
+            return files
+        latest: dict[int, PartitionManifest] = {}
+        for m in manifests:
+            cur = latest.get(m.partition)
+            if cur is None or m.epoch > cur.epoch:
+                latest[m.partition] = m
+        out: list[str] = []
+        for p in sorted(latest):
+            out.extend(latest[p].files)
+        return out
+
+    # -- checkpoints ---------------------------------------------------------
+    def write_checkpoint(self, generation: int, epoch: int, payload: dict) -> bool:
+        """Epoch checkpoint: durable only after every partition manifest of
+        the epoch is committed (the STATE-echo barrier, S6)."""
+        payload = dict(payload, generation=generation, epoch=epoch)
+        return _atomic_write_json(
+            self.checkpoint_dir / f"g{generation:04d}-e{epoch:06d}.json", payload
+        )
+
+    def last_checkpoint(self, generation: int) -> dict | None:
+        if not self.checkpoint_dir.exists():
+            return None
+        best: dict | None = None
+        prefix = f"g{generation:04d}-"
+        for p in self.checkpoint_dir.iterdir():
+            if not (p.name.startswith(prefix) and p.name.endswith(".json")):
+                continue
+            with open(p) as f:
+                payload = json.load(f)
+            if best is None or payload["epoch"] > best["epoch"]:
+                best = payload
+        return best

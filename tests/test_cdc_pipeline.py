@@ -1,0 +1,172 @@
+"""End-to-end CDC pipeline tests: oracle equality, replay equivalence,
+resume-from-checkpoint, idempotent re-delivery, sync modes.
+
+Mirrors the engine test plan of SURVEY.md §5: (2) epoch-boundary behavior,
+(3) replay-equivalence — full run vs resume-from-checkpoint run must be
+byte-identical, including byte-identical ``text`` per ``url`` (BASELINE.json
+input_hint invariant).
+"""
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from airbyte_destination_ray.pipelines.cdc import (
+    read_table,
+    read_table_arrow,
+    run_cdc_sync,
+)
+from airbyte_destination_ray.sources.synth import (
+    synthesize_binlog,
+    write_custom_binlog,
+)
+from airbyte_destination_ray.state.manifest import ManifestStore
+
+N_EVENTS, N_KEYS, N_EPOCHS, PARTS = 3000, 500, 3, 8
+
+
+@pytest.fixture(scope="module")
+def binlog(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("binlog")
+    synthesize_binlog(d, n_events=N_EVENTS, n_keys=N_KEYS, n_epochs=N_EPOCHS, seed=42)
+    return str(d)
+
+
+def oracle_lww(binlog_dir: str) -> pa.Table:
+    return duckdb.connect().execute(
+        f"""
+        WITH events AS (SELECT * FROM read_parquet('{binlog_dir}/segment-*.parquet')),
+        dedup AS (SELECT DISTINCT ON (seq) * FROM events ORDER BY seq),
+        win AS (SELECT *, row_number() OVER
+                (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) rn FROM dedup)
+        SELECT url, warc_ts, html, text, lang FROM win
+        WHERE rn = 1 AND op <> 'D' ORDER BY url
+        """
+    ).arrow()
+
+
+def lake_state(lake: str, table: str = "pages") -> pa.Table:
+    t = read_table_arrow(lake, table)
+    return t.select(["url", "warc_ts", "html", "text", "lang"]).sort_by("url")
+
+
+def partition_digests(lake: str, table: str = "pages") -> dict[int, str]:
+    store = ManifestStore(lake, table)
+    meta = store.table_meta()
+    out = {}
+    for p in range(meta["num_partitions"]):
+        m = store.latest_snapshot(meta["generation"], p)
+        if m is not None:
+            out[p] = m.digest
+    return out
+
+
+def test_sync_matches_duckdb_oracle(binlog, tmp_path):
+    lake = str(tmp_path / "lake")
+    res = run_cdc_sync(lake, binlog, num_partitions=PARTS)
+    assert [e["epoch"] for e in res["epochs"]] == list(range(N_EPOCHS))
+    mine = lake_state(lake)
+    orc = oracle_lww(binlog).cast(mine.schema)
+    assert mine.num_rows == orc.num_rows
+    assert mine.equals(orc)  # byte-identical text/html per url
+
+
+def test_rerun_is_noop(binlog, tmp_path):
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, binlog, num_partitions=PARTS)
+    d1 = partition_digests(lake)
+    res2 = run_cdc_sync(lake, binlog, num_partitions=PARTS)
+    assert all(e["skipped"] for e in res2["epochs"])
+    assert partition_digests(lake) == d1
+
+
+def test_resume_from_every_checkpoint_is_byte_identical(binlog, tmp_path):
+    full = str(tmp_path / "full")
+    run_cdc_sync(full, binlog, num_partitions=PARTS)
+    want_digests = partition_digests(full)
+    want_state = lake_state(full)
+    for stop_after in range(N_EPOCHS - 1):
+        lake = str(tmp_path / f"resume{stop_after}")
+        run_cdc_sync(lake, binlog, num_partitions=PARTS,
+                     epochs=list(range(stop_after + 1)))
+        res = run_cdc_sync(lake, binlog, num_partitions=PARTS)  # resume
+        done = [e["epoch"] for e in res["epochs"] if e.get("skipped")]
+        assert done == list(range(stop_after + 1))
+        assert partition_digests(lake) == want_digests
+        assert lake_state(lake).equals(want_state)
+
+
+def test_tombstone_beats_late_older_update(tmp_path, ray_session):
+    blog = str(tmp_path / "blog")
+    write_custom_binlog(blog, [
+        dict(seq=0, epoch=0, op="I", url="u", warc_ts=100, text="v1", lang="en",
+             html=b"<v1>"),
+        dict(seq=1, epoch=1, op="D", url="u", warc_ts=300),
+        dict(seq=2, epoch=2, op="U", url="u", warc_ts=200, text="late", lang="en",
+             html=b"<late>"),
+        dict(seq=3, epoch=2, op="I", url="w", warc_ts=50, text="w1", lang="de",
+             html=b"<w1>"),
+    ])
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, blog, num_partitions=2)
+    state = lake_state(lake)
+    assert state.column("url").to_pylist() == ["w"]  # "u" stays deleted
+
+
+def test_redelivered_events_are_idempotent(tmp_path, ray_session):
+    blog = str(tmp_path / "blog")
+    ev = dict(seq=0, epoch=0, op="I", url="u", warc_ts=100, text="v1", lang="en",
+              html=b"x")
+    write_custom_binlog(blog, [
+        ev,
+        dict(ev, epoch=1),                      # exact re-delivery in next epoch
+        dict(seq=1, epoch=1, op="U", url="u", warc_ts=200, text="v2", lang="en",
+             html=b"y"),
+    ])
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, blog, num_partitions=2)
+    state = lake_state(lake)
+    assert state.num_rows == 1
+    assert state.column("text").to_pylist() == ["v2"]
+
+
+def test_append_mode_keeps_every_event_but_dedups_redelivery(tmp_path, ray_session):
+    # reference golden: append keeps the duplicated id=7 record *within* the
+    # stream (e2e/main_test.go:70-71), while replayed (same-seq) events across
+    # epochs are absorbed
+    blog = str(tmp_path / "blog")
+    write_custom_binlog(blog, [
+        dict(seq=0, epoch=0, op="I", url="u", warc_ts=100, text="a", lang="en", html=b""),
+        dict(seq=1, epoch=0, op="I", url="u", warc_ts=100, text="a", lang="en", html=b""),
+        dict(seq=0, epoch=1, op="I", url="u", warc_ts=100, text="a", lang="en", html=b""),
+        dict(seq=2, epoch=1, op="I", url="v", warc_ts=150, text="b", lang="en", html=b""),
+    ])
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, blog, table="log", mode="append", num_partitions=2)
+    t = read_table_arrow(lake, "log", include_meta=True)
+    # seq 0 and 1 kept (distinct events, same payload); re-delivered seq 0 dropped
+    assert sorted(t.column("_seq").to_pylist()) == [0, 1, 2]
+
+
+def test_overwrite_mode_replaces_previous_generation(tmp_path, ray_session):
+    blog1 = str(tmp_path / "b1")
+    write_custom_binlog(blog1, [
+        dict(seq=0, epoch=0, op="I", url="old", warc_ts=1, text="old", lang="en", html=b""),
+    ])
+    blog2 = str(tmp_path / "b2")
+    write_custom_binlog(blog2, [
+        dict(seq=0, epoch=0, op="I", url="new", warc_ts=2, text="new", lang="en", html=b""),
+    ])
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, blog1, table="ow", mode="overwrite", num_partitions=2, resume=False)
+    run_cdc_sync(lake, blog2, table="ow", mode="overwrite", num_partitions=2, resume=False)
+    t = read_table_arrow(lake, "ow")
+    assert t.column("url").to_pylist() == ["new"]
+
+
+def test_read_table_dataset_streams(binlog, tmp_path):
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, binlog, num_partitions=PARTS)
+    ds = read_table(lake, "pages", columns=["url", "lang"])
+    assert ds.count() == lake_state(lake).num_rows
+    assert set(ds.schema().names) == {"url", "lang"}
