@@ -20,6 +20,7 @@ only the per-partition stats rows (one per partition) come back.
 from __future__ import annotations
 
 import json
+import time
 from pathlib import Path
 
 import pyarrow as pa
@@ -83,10 +84,17 @@ def run_cdc_sync(
         if e <= start_after:
             epoch_summaries.append({"epoch": e, "skipped": True})
             continue
+        t_epoch = time.perf_counter()
         segments = list_segments(binlog_dir, e)
         if not segments:
             continue
-        ds = ray.data.read_parquet(segments)
+        # Block sizing: one read task per segment file.  Ray's default read
+        # splitting targets ≥200 blocks, which at small epoch sizes yields
+        # thousands of ~5k-row tasks whose scheduling overhead dominates
+        # (measured 4× slower); forcing MORE blocks than files makes tasks
+        # re-decode shared row groups (measured 3× slower).  Segments are
+        # written at a bounded row count, so file ≈ right-sized block.
+        ds = ray.data.read_parquet(segments, override_num_blocks=len(segments))
         partitioner = make_partitioner(
             pk,
             num_partitions,
@@ -105,7 +113,9 @@ def run_cdc_sync(
             compute_digest=compute_digest,
         )
         stats = (
-            ds.map_batches(partitioner, batch_format="pyarrow")
+            # batch_size=None → whole-block zero-copy Arrow batches; bigger
+            # batches also sharpen the pre-reduce (more duplicates per batch)
+            ds.map_batches(partitioner, batch_format="pyarrow", batch_size=None)
             .groupby("_part")
             .map_groups(merger, batch_format="pyarrow")
         )
@@ -132,6 +142,7 @@ def run_cdc_sync(
                 "partitions": stats_t.num_rows,
                 "changes_in": changes,
                 "rows": rows,
+                "wall_sec": round(time.perf_counter() - t_epoch, 3),
             }
         )
 

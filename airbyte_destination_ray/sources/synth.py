@@ -25,6 +25,7 @@ from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 BASE_TS_US = 1_577_836_800_000_000  # 2020-01-01T00:00:00Z in microseconds
@@ -45,20 +46,34 @@ ENVELOPE_SCHEMA = pa.schema(
 )
 
 
-def urls_for_keys(keys: np.ndarray) -> np.ndarray:
+def _join(*parts) -> pa.Array:
+    """Vectorized string concat: scalars broadcast, arrays element-wise."""
+    arrs = [
+        p if isinstance(p, (pa.Array, pa.ChunkedArray)) else pa.scalar(str(p))
+        for p in parts
+    ]
+    return pc.binary_join_element_wise(*arrs, "")
+
+
+def _int_str(a: np.ndarray) -> pa.Array:
+    return pc.cast(pa.array(a, type=pa.int64()), pa.string())
+
+
+def urls_for_keys(keys: np.ndarray) -> pa.Array:
     hosts = keys % 997
-    return np.char.add(
-        np.char.add("https://site-", hosts.astype("U4")),
-        np.char.add(".example.com/page/", keys.astype("U12")),
+    return _join(
+        "https://site-", _int_str(hosts), ".example.com/page/", _int_str(keys)
     )
 
 
-def text_for(urls: np.ndarray, warc_ts_us: np.ndarray) -> np.ndarray:
+# variable-length filler via dictionary lookup (vectorized take), not per-row repeat
+_FILLERS = pa.array([" lorem-ipsum" * k for k in range(3, 10)])
+
+
+def text_for(urls: pa.Array, warc_ts_us: np.ndarray) -> pa.Array:
     """Deterministic page text: a pure function of (url, warc_ts)."""
-    ts = warc_ts_us.astype("U20")
-    body = np.char.add(np.char.add(urls.astype("U100"), " @"), ts)
-    filler = np.char.multiply(" lorem-ipsum", (warc_ts_us % 7 + 3).astype(np.int64))
-    return np.char.add(np.char.add("extracted text of ", body), filler)
+    filler = _FILLERS.take(pa.array(warc_ts_us % 7, type=pa.int64()))
+    return _join("extracted text of ", urls, " @", _int_str(warc_ts_us), filler)
 
 
 def synthesize_binlog(
@@ -99,51 +114,50 @@ def synthesize_binlog(
     deletes = (~first_occurrence) & (rng.random(n_events) < frac_delete)
     op[deletes] = "D"
 
-    urls = urls_for_keys(keys)
-    text = text_for(urls, warc_ts)
-    html = np.char.add(np.char.add("<html><body>", text), "</body></html>")
-    lang = LANGS[keys % len(LANGS)]
-
-    table = pa.table(
-        {
-            "seq": seq,
-            "epoch": epoch,
-            "op": pa.array(op, type=pa.string()),
-            "url": urls,
-            "warc_ts": pa.array(warc_ts, type=pa.timestamp("us")),
-            "html": pa.array(
-                [None if d else h.encode() for d, h in zip(deletes, html)],
-                type=pa.binary(),
-            ),
-            "text": pa.array(np.where(deletes, None, text), type=pa.string()),
-            "lang": pa.array(np.where(deletes, None, lang), type=pa.string()),
-        },
-        schema=ENVELOPE_SCHEMA,
-    )
-
-    # re-delivered duplicates: a sample of epoch-e events re-sent in epoch e+1
-    # (identical seq + payload, only the delivery epoch differs)
+    # re-delivered duplicates: a sample of epoch-e events re-sent at the head
+    # of epoch e+1 (identical seq + payload, only the delivery epoch differs)
     dup_mask = (rng.random(n_events) < frac_redelivered) & (epoch < n_epochs - 1)
-    dup = table.filter(pa.array(dup_mask))
-    if dup.num_rows:
-        bumped = pa.compute.add(dup.column("epoch"), 1).cast(pa.int32())
-        dup = dup.set_column(1, ENVELOPE_SCHEMA.field("epoch"), bumped)
+    n_duplicates = int(dup_mask.sum())
+
+    def build_chunk(idx: np.ndarray, deliver_epoch: int) -> pa.Table:
+        """Materialize a bounded chunk of rows from the cheap base arrays —
+        string payload columns are built per chunk so no Arrow array ever
+        nears the 2 GiB offset limit."""
+        k, ts, d = keys[idx], warc_ts[idx], deletes[idx]
+        urls = urls_for_keys(k)
+        text = text_for(urls, ts)
+        html = _join("<html><body>", text, "</body></html>")
+        lang = pa.array(LANGS[k % len(LANGS)], type=pa.string())
+        del_mask = pa.array(d)
+        null_str = pa.scalar(None, type=pa.string())
+        return pa.table(
+            {
+                "seq": seq[idx],
+                "epoch": np.full(len(idx), deliver_epoch, dtype=np.int32),
+                "op": pa.array(op[idx], type=pa.string()),
+                "url": urls,
+                "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+                "html": pc.if_else(del_mask, null_str, html).cast(pa.binary()),
+                "text": pc.if_else(del_mask, null_str, text),
+                "lang": pc.if_else(del_mask, null_str, lang),
+            },
+            schema=ENVELOPE_SCHEMA,
+        )
 
     segments: list[str] = []
     for e in range(n_epochs):
-        mask = pa.compute.equal(table.column("epoch"), e)
-        chunk = table.filter(mask)
-        if dup.num_rows:
-            dmask = pa.compute.equal(dup.column("epoch"), e)
-            dchunk = dup.filter(dmask)
-            if dchunk.num_rows:
-                # duplicates arrive at the epoch head (before fresh events)
-                chunk = pa.concat_tables([dchunk, chunk])
-        n_seg = max(1, -(-chunk.num_rows // rows_per_segment))
+        fresh = np.nonzero(epoch == e)[0]
+        redelivered = (
+            np.nonzero(dup_mask & (epoch == e - 1))[0]
+            if e > 0
+            else np.empty(0, dtype=np.int64)
+        )
+        order = np.concatenate([redelivered, fresh])
+        n_seg = max(1, -(-len(order) // rows_per_segment))
         for i in range(n_seg):
-            part = chunk.slice(i * rows_per_segment, rows_per_segment)
+            idx = order[i * rows_per_segment : (i + 1) * rows_per_segment]
             name = f"segment-e{e:05d}-{i:04d}.parquet"
-            pq.write_table(part, out / name, compression="zstd")
+            pq.write_table(build_chunk(idx, e), out / name, compression="zstd")
             segments.append(name)
 
     summary = {
@@ -156,7 +170,7 @@ def synthesize_binlog(
         "frac_redelivered": frac_redelivered,
         "frac_out_of_order": frac_out_of_order,
         "rows_per_segment": rows_per_segment,
-        "n_duplicates": int(dup.num_rows),
+        "n_duplicates": n_duplicates,
         "segments": segments,
     }
     with open(out / "_binlog.json", "w") as f:

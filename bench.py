@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round; also the local feedback loop).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, "num_cpus": N, ...}
+
+Headline = the flagship CDC sync (binlog tail -> LWW-merged Parquet lake),
+measured as wall seconds (value) with events/s alongside.  Query timings cover
+the library operators over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+``--scaling`` runs the headline job twice in FRESH processes at
+``num_cpus=8`` and ``num_cpus=32`` on the same input and reports both
+throughputs + scaling efficiency (sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_TMP = Path(os.environ.get("GRAFT_BENCH_TMP", "/tmp/adr_bench"))
+
+# CDC bench corpus: sized so the merge stage dominates, not driver overhead.
+CDC_EVENTS = int(os.environ.get("GRAFT_CDC_EVENTS", "20000000"))
+CDC_KEYS = int(os.environ.get("GRAFT_CDC_KEYS", "2000000"))
+CDC_EPOCHS = int(os.environ.get("GRAFT_CDC_EPOCHS", "2"))
+CDC_PARTITIONS = int(os.environ.get("GRAFT_CDC_PARTITIONS", "128"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+
+
+def _warmup(num_cpus: int) -> None:
+    """Spin up the Ray Data worker pool so cold-start cost (worker process
+    fork + imports, ~10s for 32 workers) isn't billed to the measured job —
+    on a long-lived cluster this cost is amortized to zero."""
+    import ray.data
+
+    ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+
+def _binlog_event_count(binlog: Path) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(p).metadata.num_rows for p in binlog.glob("segment-*.parquet")
+    )
+
+
+def bench_cdc(num_cpus: int) -> dict:
+    """Headline: synthesize (cached) binlog, run the full sync, report events/s."""
+    from airbyte_destination_ray.sources.synth import ensure_binlog
+    from airbyte_destination_ray.pipelines.cdc import run_cdc_sync
+
+    binlog = BENCH_TMP / f"binlog_{CDC_EVENTS}_{CDC_KEYS}_{CDC_EPOCHS}"
+    ensure_binlog(
+        binlog,
+        n_events=CDC_EVENTS,
+        n_keys=CDC_KEYS,
+        n_epochs=CDC_EPOCHS,
+        seed=42,
+    )
+    n_events = _binlog_event_count(binlog)
+    lake = BENCH_TMP / f"lake_cpus{num_cpus}"
+    if lake.exists():
+        shutil.rmtree(lake)
+    _init_ray(num_cpus)
+    _warmup(num_cpus)
+    t0 = time.perf_counter()
+    run_cdc_sync(
+        str(lake),
+        str(binlog),
+        num_partitions=CDC_PARTITIONS,
+        compute_digest=False,
+    )
+    dt = time.perf_counter() - t0
+    shutil.rmtree(lake, ignore_errors=True)
+    return {
+        "sec": dt,
+        "events": n_events,
+        "events_per_sec": n_events / dt,
+    }
+
+
+def bench_queries(sf_dir: str) -> dict:
+    """Time every queries() entry over the sf tables (result consumed, not
+    materialized to the driver beyond a count)."""
+    import __ray_entry__ as entry_mod
+
+    timings: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        # consume: count_rows for Datasets, len for dataframes/tables
+        if hasattr(res, "count"):
+            res.count()
+        else:
+            len(res)
+        timings[name] = round(time.perf_counter() - t0, 4)
+    return timings
+
+
+def run_bench(sf_dir: str, num_cpus: int, *, cdc_only: bool = False) -> dict:
+    _init_ray(num_cpus)
+    cdc = bench_cdc(num_cpus)
+    queries = {} if cdc_only else bench_queries(sf_dir)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    return {
+        "metric": "cdc_sync_wall_sec",
+        "value": round(cdc["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_val,
+        "num_cpus": num_cpus,
+        "cdc_events": cdc["events"],
+        "cdc_events_per_sec": round(cdc["events_per_sec"], 1),
+    }
+
+
+def run_scaling(low: int = 8, high: int = 32) -> dict:
+    """Same job, same input, fresh ray sessions at two parallelism levels."""
+    results = {}
+    for cpus in (low, high):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, str(_REPO / "bench.py"), "--cdc-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    tp_low = results[low]["cdc_events_per_sec"]
+    tp_high = results[high]["cdc_events_per_sec"]
+    efficiency = tp_high / (tp_low * (high / low))
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "low_cpus": low,
+        "high_cpus": high,
+        "events_per_sec_low": tp_low,
+        "events_per_sec_high": tp_high,
+        "speedup": round(tp_high / tp_low, 2),
+        "cdc_events": results[high]["cdc_events"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--cdc-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        result = run_scaling()
+    else:
+        result = run_bench(args.sf_dir, args.num_cpus, cdc_only=args.cdc_only)
+    print(json.dumps(result))
+
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
