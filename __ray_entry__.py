@@ -7,6 +7,10 @@ and compares it against the matching ``oracle_sql()[name]`` via DuckDB
 
 No ``ray.init``/``ray.shutdown`` here or in the library — the driver owns
 the session.
+
+Queries without an ``oracle_sql`` entry (near-dup/LSH/heuristic operators)
+get the driver's rows-only check; their semantics are pinned by unit tests
+in ``tests/`` instead.
 """
 
 from __future__ import annotations
@@ -39,6 +43,9 @@ def entry() -> Any:
     return read_table(str(lake), "pages")
 
 
+# -- table loaders ----------------------------------------------------------
+
+
 def _events(sf_dir: str):
     import ray.data
 
@@ -51,14 +58,58 @@ def _documents(sf_dir: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def _q_cdc_lww_latest(sf_dir: str):
-    """A1 (LWW upsert) as a query: latest event per user_id by (ts, event_id).
+def _embeddings(sf_dir: str):
+    import ray.data
 
-    The ``events`` table stands in as a change stream: pk=user_id,
-    ver=ts (cursor), seq=event_id (arrival order / tie-break)."""
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_vectors(sf_dir: str, n: int = 4):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    t = t.filter(pc.less(t.column("vec_id"), n))
+    q = np.stack(t.column("embedding").to_pylist())
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    return q, ids
+
+
+# -- CDC / LWW --------------------------------------------------------------
+
+
+def _q_cdc_lww_latest(sf_dir: str):
+    """A1 (LWW upsert) as a query: latest event per user_id by (ts, event_id)."""
     from airbyte_destination_ray.pipelines.ops import lww_latest
 
     return lww_latest(_events(sf_dir), pk="user_id", ver="ts", seq="event_id")
+
+
+def _q_cdc_lww_tombstones(sf_dir: str):
+    """A1 + tombstones: 'error' events are deletes; a user whose winning
+    version is a delete is suppressed (§2.7 delete handling)."""
+    from airbyte_destination_ray.pipelines.ops import lww_latest_with_tombstones
+
+    return lww_latest_with_tombstones(
+        _events(sf_dir),
+        pk="user_id",
+        ver="ts",
+        seq="event_id",
+        tombstone_col="event_type",
+        tombstone_value="error",
+    )
+
+
+def _q_cdc_sync_events_full(sf_dir: str):
+    """The ENTIRE engine end-to-end: events → binlog → epochs → shuffle →
+    LWW merge → manifests → checkpoints → compacted lake read."""
+    from airbyte_destination_ray.pipelines.events_cdc import sync_events_table
+
+    return sync_events_table(sf_dir)
+
+
+# -- dedup ------------------------------------------------------------------
 
 
 def _q_dedup_exact_documents(sf_dir: str):
@@ -68,11 +119,124 @@ def _q_dedup_exact_documents(sf_dir: str):
     return dedup_exact(_documents(sf_dir), on="text", keep_by="doc_id")
 
 
+def _q_dedup_exact_hash(sf_dir: str):
+    """Exact dedup by 64-bit content fingerprint (payload never shuffled)."""
+    from airbyte_destination_ray.pipelines.dedup import dedup_exact_hash
+
+    return dedup_exact_hash(_documents(sf_dir))
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from airbyte_destination_ray.pipelines.dedup import dedup_minhash_lsh
+
+    return dedup_minhash_lsh(_documents(sf_dir))
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from airbyte_destination_ray.pipelines.dedup import dedup_simhash
+
+    return dedup_simhash(_documents(sf_dir))
+
+
+def _q_dedup_ngram_jaccard(sf_dir: str):
+    from airbyte_destination_ray.pipelines.dedup import dedup_ngram_jaccard
+
+    return dedup_ngram_jaccard(_documents(sf_dir))
+
+
+def _q_dedup_embedding(sf_dir: str):
+    from airbyte_destination_ray.pipelines.dedup import dedup_embedding_cosine
+
+    return dedup_embedding_cosine(_embeddings(sf_dir), threshold=0.95)
+
+
+# -- similarity search ------------------------------------------------------
+
+
+def _strip_score(ds):
+    import pyarrow as pa
+
+    def fn(b: pa.Table) -> pa.Table:
+        return b.select(["query_id", "vec_id", "rank"]).rename_columns(
+            ["query_id", "vec_id", "knn_rank"]
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_knn_brute_force(sf_dir: str):
+    """Exact cosine top-10 of 4 query vectors against the corpus; ranks only
+    (scores are fp-rounding-sensitive across engines, ranks are not)."""
+    from airbyte_destination_ray.pipelines.similarity import knn_brute_force
+
+    q, ids = _query_vectors(sf_dir)
+    return _strip_score(knn_brute_force(_embeddings(sf_dir), q, ids, k=10))
+
+
+def _q_knn_lsh(sf_dir: str):
+    from airbyte_destination_ray.pipelines.similarity import knn_lsh
+
+    q, ids = _query_vectors(sf_dir)
+    return knn_lsh(_embeddings(sf_dir), q, ids, k=10)
+
+
+# -- text analysis ----------------------------------------------------------
+
+
+def _q_text_stats(sf_dir: str):
+    from airbyte_destination_ray.pipelines.ops import text_stats
+
+    return text_stats(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+def _q_annotate_documents(sf_dir: str):
+    from airbyte_destination_ray.pipelines.ops import annotate_documents
+
+    return annotate_documents(_documents(sf_dir))
+
+
+# -- aggregation ------------------------------------------------------------
+
+
+def _q_events_stats_by_type(sf_dir: str):
+    from airbyte_destination_ray.pipelines.ops import grouped_stats
+
+    return grouped_stats(_events(sf_dir), key="event_type", value_col="value")
+
+
+def _q_events_daily_counts(sf_dir: str):
+    from airbyte_destination_ray.pipelines.ops import daily_counts
+
+    return daily_counts(_events(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
+        "cdc_lww_tombstones": _q_cdc_lww_tombstones,
+        "cdc_sync_events_full": _q_cdc_sync_events_full,
         "dedup_exact_documents": _q_dedup_exact_documents,
+        "dedup_exact_hash_documents": _q_dedup_exact_hash,
+        "dedup_minhash_documents": _q_dedup_minhash,
+        "dedup_simhash_documents": _q_dedup_simhash,
+        "dedup_ngram_jaccard_documents": _q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "knn_cosine_topk": _q_knn_brute_force,
+        "knn_lsh_topk": _q_knn_lsh,
+        "text_stats_documents": _q_text_stats,
+        "annotate_documents": _q_annotate_documents,
+        "events_stats_by_type": _q_events_stats_by_type,
+        "events_daily_counts": _q_events_daily_counts,
     }
+
+
+_LWW_TOMBSTONE_SQL = """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        AND event_type <> 'error'
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -83,10 +247,59 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         """,
+        "cdc_lww_tombstones": _LWW_TOMBSTONE_SQL,
+        "cdc_sync_events_full": _LWW_TOMBSTONE_SQL,
         "dedup_exact_documents": """
             SELECT doc_id, text, lang, source, n_chars
             FROM documents
             QUALIFY row_number() OVER (
                 PARTITION BY text ORDER BY doc_id) = 1
+        """,
+        "dedup_exact_hash_documents": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents
+            QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+        """,
+        "knn_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 4
+            ), s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS score
+                FROM embeddings e, q
+            )
+            SELECT query_id, vec_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, vec_id) AS BIGINT) AS knn_rank
+            FROM s
+            QUALIFY knn_rank <= 10
+        """,
+        "text_stats_documents": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_words,
+                   CAST(len(regexp_extract_all(text,
+                       '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+                       AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "events_stats_by_type": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents,
+                   CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS min_cents,
+                   CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS max_cents
+            FROM events GROUP BY event_type
+        """,
+        "events_daily_counts": """
+            SELECT date_trunc('day', ts) AS event_day,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
         """,
     }

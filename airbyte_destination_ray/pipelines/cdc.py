@@ -54,6 +54,7 @@ def run_cdc_sync(
     epochs: list[int] | None = None,
     resume: bool = True,
     compute_digest: bool = True,
+    enrich: bool = False,
 ) -> dict:
     """Run (or resume) a sync of the binlog into the lake table.
 
@@ -101,6 +102,7 @@ def run_cdc_sync(
             ver=ver,
             pre_reduce=(mode == "append_dedup"),
             payload_columns=payload_columns,
+            enrich=enrich,
         )
         merger = make_partition_merger(
             lake_root,

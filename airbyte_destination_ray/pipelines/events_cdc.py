@@ -1,0 +1,87 @@
+"""The flagship CDC pipeline driven by the driver's ``events`` test table.
+
+Deterministically re-shapes ``events.parquet`` into a binlog (pk=user_id,
+ver=ts, seq=event_id, ``error`` events as tombstones), runs the full sync —
+epochs, hash-partition shuffle, LWW merge, manifests, checkpoints — and
+returns the compacted table.  Because every step is deterministic, the final
+state equals the one-shot SQL::
+
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+      AND event_type <> 'error'
+
+which makes the ENTIRE engine (not just the merge kernel) oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .cdc import read_table, run_cdc_sync
+
+EVENT_PAYLOAD = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def build_binlog_from_events(
+    events_path: str, out_dir: str | Path, *, n_epochs: int = 3
+) -> dict:
+    """Write the events table as a CDC binlog: op=D for ``error`` events,
+    epochs split by event_id range, one segment per epoch."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    t = pq.read_table(events_path)
+    seq = t.column("event_id").to_numpy(zero_copy_only=False)
+    upper = int(seq.max()) + 1
+    epoch = ((seq.astype(np.int64) * n_epochs) // upper).astype(np.int32)
+    is_del = pc.equal(t.column("event_type"), "error")
+    op = pc.if_else(is_del, "D", "U")
+
+    cols = {
+        "seq": pa.array(seq, type=pa.int64()),
+        "epoch": pa.array(epoch, type=pa.int32()),
+        "op": op,
+    }
+    for name in EVENT_PAYLOAD:
+        cols[name] = t.column(name)
+    env = pa.table(cols)
+
+    segments = []
+    for e in range(n_epochs):
+        chunk = env.filter(pc.equal(env.column("epoch"), e))
+        name = f"segment-e{e:05d}-0000.parquet"
+        pq.write_table(chunk, out / name, compression="zstd")
+        segments.append(name)
+    summary = {"n_events": env.num_rows, "n_epochs": n_epochs, "segments": segments}
+    with open(out / "_binlog.json", "w") as f:
+        json.dump(summary, f, sort_keys=True)
+    return summary
+
+
+def sync_events_table(sf_dir: str, *, workdir: str | Path | None = None):
+    """Run the full CDC engine over the events table; return the compacted
+    lake table as a Dataset (columns = the original event columns)."""
+    tag = Path(sf_dir).name
+    base = Path(workdir) if workdir else Path("/tmp/adr_query") / tag
+    binlog = base / "binlog"
+    lake = base / "lake"
+    shutil.rmtree(base, ignore_errors=True)
+    build_binlog_from_events(f"{sf_dir}/events.parquet", binlog)
+    run_cdc_sync(
+        str(lake),
+        str(binlog),
+        table="events_cdc",
+        pk="user_id",
+        ver="ts",
+        payload_columns=EVENT_PAYLOAD,
+        num_partitions=16,
+        compute_digest=False,
+    )
+    return read_table(str(lake), "events_cdc")

@@ -70,6 +70,174 @@ def lww_latest(
     )
 
 
+def lww_latest_with_tombstones(
+    ds,
+    *,
+    pk: str,
+    ver: str,
+    seq: str,
+    tombstone_col: str,
+    tombstone_value,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """A1 + §2.7 delete handling as a query: latest row per key by
+    ``(ver, seq)``, with rows whose winning version is a tombstone
+    (``tombstone_col == tombstone_value``) suppressed from the output.
+
+    DuckDB oracle shape::
+
+        SELECT * FROM t QUALIFY
+        row_number() OVER (PARTITION BY pk ORDER BY ver DESC, seq DESC) = 1
+        AND tombstone_col <> tombstone_value
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = lww_compact(batch, pk, ver, seq)
+        parts = partition_ids(batch.column(pk), num_partitions)
+        return batch.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        g = lww_compact(group.drop_columns(["_part"]), pk, ver, seq)
+        keep = pc.invert(
+            pc.fill_null(pc.equal(g.column(tombstone_col), tombstone_value), False)
+        )
+        return g.filter(keep)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def text_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Integer text statistics per document: ``n_chars`` (UTF-8 codepoints),
+    ``n_words`` (RE2 ``\\S+`` matches), ``n_tokens`` (BPE-ish pre-tokenizer
+    matches).  RE2-based so a DuckDB ``regexp_extract_all`` oracle matches
+    exactly."""
+    from ..functions.text import BPE_ISH_PATTERN
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_chars": pc.cast(pc.utf8_length(texts), pa.int64()),
+                "n_words": pc.cast(
+                    pc.count_substring_regex(texts, r"\S+"), pa.int64()
+                ),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(texts, BPE_ISH_PATTERN), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def annotate_documents(ds, *, text_col: str = "text"):
+    """Full text annotation over a document table: appends
+    ``lang_id, quality, n_tokens, fingerprint`` (the CDC enrichment stage as
+    a standalone operator).  Heuristic outputs — verified by rows-only checks
+    and unit tests, not a SQL oracle."""
+    from ..functions.text import enrich_text_columns
+
+    return ds.map_batches(
+        lambda b: enrich_text_columns(b, text_col), batch_format="pyarrow"
+    )
+
+
+def grouped_stats(
+    ds,
+    *,
+    key: str,
+    value_col: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Pre-aggregated groupby: per-batch partial aggregates (count +
+    integer-cents sum + min/max) combined in a tiny final shuffle — the
+    combiner pattern that keeps the exchange at O(groups × batches) rows.
+
+    The value sum is computed in integer cents so results are exactly
+    order-independent (float summation order would differ from a SQL engine).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(batch.column(value_col), 100.0)), pa.int64()
+        )
+        batch = batch.select([key]).append_column("_cents", cents)
+        g = batch.group_by(key).aggregate(
+            [("_cents", "sum"), ("_cents", "count"), ("_cents", "min"), ("_cents", "max")]
+        )
+        return g
+
+    def final(group: pa.Table) -> pa.Table:
+        k = group.column(key)[0]
+        return pa.table(
+            {
+                key: [k.as_py()],
+                "n_events": pa.array(
+                    [int(pc.sum(group.column("_cents_count")).as_py())],
+                    type=pa.int64(),
+                ),
+                "value_cents": pa.array(
+                    [int(pc.sum(group.column("_cents_sum")).as_py())],
+                    type=pa.int64(),
+                ),
+                "min_cents": pa.array(
+                    [int(pc.min(group.column("_cents_min")).as_py())],
+                    type=pa.int64(),
+                ),
+                "max_cents": pa.array(
+                    [int(pc.max(group.column("_cents_max")).as_py())],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def daily_counts(ds, *, ts_col: str = "ts"):
+    """Events per day: truncate-to-day + pre-aggregated count."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # date32, matching SQL date_trunc('day', ts)'s DATE result type
+        day = pc.cast(
+            pc.floor_temporal(batch.column(ts_col), unit="day"), pa.date32()
+        )
+        t = pa.table({"event_day": day})
+        return t.group_by("event_day").aggregate([("event_day", "count")])
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_day": [group.column("event_day")[0].as_py()],
+                "n_events": pa.array(
+                    [int(pc.sum(group.column("event_day_count")).as_py())],
+                    type=pa.int64(),
+                ),
+            },
+            schema=pa.schema(
+                [
+                    pa.field("event_day", group.schema.field("event_day").type),
+                    pa.field("n_events", pa.int64()),
+                ]
+            ),
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_day")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def dedup_exact(
     ds,
     *,

@@ -1,0 +1,205 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths, per the build brief:
+
+- :func:`knn_brute_force` — the exact baseline: the (small) query matrix is
+  broadcast via ``ray.put`` once and every ``map_batches`` task computes a
+  cosine top-k against its batch with one numpy matmul; per-batch partial
+  top-ks are reduced by a final per-query ``groupby``.  Work scales linearly
+  in corpus size, queries never re-ship per batch.
+- :func:`knn_lsh` — the scale path: corpus and queries are bucketed by
+  random-hyperplane LSH (multi-probe over the query's ``probes`` nearest
+  buckets); only same-bucket pairs are scored, so per-query cost drops from
+  O(corpus) to O(bucket).  Recall is tunable via ``num_planes``/``probes``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _topk_table(
+    query_ids: np.ndarray,
+    cand_ids: np.ndarray,
+    scores: np.ndarray,
+    k: int,
+) -> pa.Table:
+    """Per-query top-k from flat (query_id, cand_id, score) rows.
+
+    Deterministic tie-break: (-score, cand_id) — matches the SQL oracle's
+    ``ORDER BY score DESC, vec_id``.
+    """
+    order = np.lexsort((cand_ids, -scores, query_ids))
+    q_sorted = query_ids[order]
+    starts = np.searchsorted(q_sorted, np.unique(q_sorted), side="left")
+    rank = np.arange(len(q_sorted)) - np.repeat(
+        starts, np.diff(np.append(starts, len(q_sorted)))
+    )
+    keep = rank < k
+    sel = order[keep]
+    return pa.table(
+        {
+            "query_id": pa.array(query_ids[sel], type=pa.int64()),
+            "vec_id": pa.array(cand_ids[sel], type=pa.int64()),
+            "score": pa.array(np.round(scores[sel], 6)),
+            "rank": pa.array((rank[keep] + 1).astype(np.int64)),
+        }
+    )
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(arr), -1)
+
+
+def knn_brute_force(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 10,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Exact cosine top-k of every query against the corpus Dataset.
+
+    ``queries``: (q, d) float matrix; broadcast once via ``ray.put``.
+    Returns a Dataset of (query_id, vec_id, score, rank).
+    """
+    q_norm = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put((q_norm, np.asarray(query_ids, dtype=np.int64)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm, qids = ray.get(qref)
+        emb = _normalize(_embedding_matrix(batch, embedding_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        scores = qm @ emb.T  # (q, n)
+        n = scores.shape[1]
+        kk = min(k, n)
+        top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        flat_q = np.repeat(qids, kk)
+        flat_c = ids[top.ravel()]
+        flat_s = np.take_along_axis(scores, top, axis=1).ravel().astype(np.float64)
+        return _topk_table(flat_q, flat_c, flat_s, kk)
+
+    def final(group: pa.Table) -> pa.Table:
+        return _topk_table(
+            group.column("query_id").to_numpy(zero_copy_only=False),
+            group.column("vec_id").to_numpy(zero_copy_only=False),
+            group.column("score").to_numpy(zero_copy_only=False),
+            k,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def knn_lsh(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 10,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    probes: int = 4,
+    seed: int = 42,
+):
+    """LSH-bucketed ANN: score each query only against corpus vectors in its
+    ``probes`` most promising hyperplane buckets (the query's own bucket
+    plus single-bit flips of its least-confident planes)."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    rng = np.random.default_rng(seed)
+    planes_by_dim: dict[int, np.ndarray] = {}
+
+    def planes_for(d: int) -> np.ndarray:
+        if d not in planes_by_dim:
+            planes_by_dim[d] = (
+                np.random.default_rng(seed).standard_normal((d, num_planes))
+            ).astype(np.float64)
+        return planes_by_dim[d]
+
+    # query bucket set: own bucket + flips of the lowest-|margin| planes
+    qproj = q @ planes_for(q.shape[1])
+    qbucket = np.packbits(qproj > 0, axis=1, bitorder="little")[:, 0].astype(
+        np.int64
+    )
+    flip_order = np.argsort(np.abs(qproj), axis=1)
+    probe_buckets = [qbucket]
+    for p in range(min(probes - 1, num_planes)):
+        probe_buckets.append(qbucket ^ (1 << flip_order[:, p]))
+    # bucket -> list of query rows that probe it
+    bucket_queries: dict[int, list[int]] = {}
+    for buckets in probe_buckets:
+        for qi, b in enumerate(buckets):
+            bucket_queries.setdefault(int(b), []).append(qi)
+    qref = ray.put((q, qids, bucket_queries))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm, qid_arr, bq = ray.get(qref)
+        emb = _normalize(_embedding_matrix(batch, embedding_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        proj = emb @ planes_for(emb.shape[1])
+        cbucket = np.packbits(proj > 0, axis=1, bitorder="little")[:, 0].astype(
+            np.int64
+        )
+        out_q, out_c, out_s = [], [], []
+        for b in np.unique(cbucket):
+            qrows = bq.get(int(b))
+            if not qrows:
+                continue
+            mask = cbucket == b
+            sub = emb[mask]
+            sub_ids = ids[mask]
+            scores = qm[qrows] @ sub.T
+            kk = min(k, scores.shape[1])
+            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            out_q.append(np.repeat(qid_arr[qrows], kk))
+            out_c.append(sub_ids[top.ravel()])
+            out_s.append(
+                np.take_along_axis(scores, top, axis=1).ravel().astype(np.float64)
+            )
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                    "rank": pa.array([], type=pa.int64()),
+                }
+            )
+        return _topk_table(
+            np.concatenate(out_q),
+            np.concatenate(out_c),
+            np.concatenate(out_s),
+            k,
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return _topk_table(
+            group.column("query_id").to_numpy(zero_copy_only=False),
+            group.column("vec_id").to_numpy(zero_copy_only=False),
+            group.column("score").to_numpy(zero_copy_only=False),
+            k,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -109,6 +109,8 @@ def make_partitioner(
     ver: str | None = None,
     pre_reduce: bool = True,
     payload_columns: list[str] | None = None,
+    enrich: bool = False,
+    text_column: str = "text",
 ) -> Callable[[pa.Table], pa.Table]:
     """``map_batches`` stage: envelope → lake rows + ``_part`` routing column.
 
@@ -116,6 +118,10 @@ def make_partitioner(
     the shuffle — the combiner that collapses hot-key update bursts so the
     all-to-all exchange moves one row per (key, batch) instead of every
     change (SURVEY.md §4 skew/pre-aggregation row).
+
+    With ``enrich``, each surviving row is annotated in-flight with the
+    text-analysis columns (``lang_id, quality, n_tokens, fingerprint``) —
+    after the pre-reduce, so superseded versions are never annotated.
     """
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -123,6 +129,10 @@ def make_partitioner(
             batch = changes_to_lake_rows(batch, payload_columns)
         if pre_reduce and ver is not None:
             batch = lww_compact(batch, pk, ver, SEQ_COLUMN)
+        if enrich:
+            from ..functions.text import enrich_text_columns
+
+            batch = enrich_text_columns(batch, text_column)
         parts = partition_ids(batch.column(pk), num_partitions)
         return batch.append_column("_part", pa.array(parts, type=pa.int64()))
 
