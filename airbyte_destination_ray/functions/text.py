@@ -80,8 +80,16 @@ def _segment_counts(mask: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> n
     """
     if len(mask) == 0 or len(starts) == 0:
         return np.zeros(len(starts), dtype=np.int64)
-    idx = np.minimum(starts, len(mask) - 1)
-    out = np.add.reduceat(mask.astype(np.int32), idx).astype(np.int64)
+    # rows starting at/after the end of data (trailing empties) must be
+    # EXCLUDED from the index list, not clamped — a clamped index would
+    # truncate the preceding row's segment
+    valid = starts < len(mask)
+    out = np.zeros(len(starts), dtype=np.int64)
+    idx = starts[valid]
+    if len(idx):
+        out[valid] = np.add.reduceat(mask.astype(np.int32), idx)
+    # reduceat yields the single element at a repeated index (empty row in
+    # the middle); zero all empty rows explicitly
     out[starts == ends] = 0
     return out
 
