@@ -1,0 +1,100 @@
+"""CLI parity with the reference's cobra commands (§2.8):
+
+    python -m airbyte_destination_ray spec
+    python -m airbyte_destination_ray check --config config.json
+    python -m airbyte_destination_ray write --config config.json \
+        --catalog catalog.json [< messages.ndjson]
+
+(reference cmd/root.go:7-18, cmd/spec.go, cmd/check.go, cmd/write.go —
+``--config``/``--catalog`` required for write, cmd/write.go:31-35).
+
+This entry point owns the Ray session (the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="airbyte_destination_ray")
+    sub = ap.add_subparsers(dest="command", required=True)
+    sub.add_parser("spec")
+    p_check = sub.add_parser("check")
+    p_check.add_argument("--config", required=True)
+    p_write = sub.add_parser("write")
+    p_write.add_argument("--config", required=True)
+    p_write.add_argument("--catalog", required=True)
+    p_write.add_argument(
+        "--input", default="-", help="NDJSON message file ('-' = stdin)"
+    )
+    args = ap.parse_args(argv)
+
+    from .catalog import check as check_config
+    from .catalog import load_catalog, load_config, spec
+
+    if args.command == "spec":
+        print(json.dumps({"type": "SPEC", "spec": spec()}, separators=(",", ":")))
+        return 0
+
+    if args.command == "check":
+        try:
+            cfg = load_config(args.config)
+            ok, message = check_config(cfg)
+        except Exception as e:  # config load failure → FAILED status
+            ok, message = False, str(e)
+        print(
+            json.dumps(
+                {
+                    "type": "CONNECTION_STATUS",
+                    "connectionStatus": {
+                        "status": "SUCCEEDED" if ok else "FAILED",
+                        "message": message,
+                    },
+                },
+                separators=(",", ":"),
+            )
+        )
+        return 0 if ok else 1
+
+    # write
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    try:
+        from .pipelines.airbyte_write import run_write
+
+        cfg = load_config(args.config)
+        catalog = load_catalog(args.catalog)
+        lines = (
+            sys.stdin
+            if args.input == "-"
+            else open(args.input, encoding="utf-8")
+        )
+        result = run_write(cfg, catalog, lines)
+        print(
+            json.dumps(
+                {
+                    "type": "LOG",
+                    "log": {
+                        "level": "INFO",
+                        "message": (
+                            f"wrote {result.records_written} records in "
+                            f"{result.flushes} flushes across "
+                            f"{len(result.tables)} tables"
+                        ),
+                    },
+                },
+                separators=(",", ":"),
+            )
+        )
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,211 @@
+"""Airbyte-protocol write path tests — golden behaviors from the reference
+e2e suite (e2e/main_test.go:47-106) and unit suite (destination_test.go).
+
+Fixture mirrors sample_files/: an overwrite stream (append semantics after
+the generation flip, duplicates kept — 8 rows incl. the re-sent id=7) and an
+append_dedup stream (pk=id, cursor=updated_at, LWW resolves id=1 to the later
+'aeromexico' version — 2 rows)."""
+
+import io
+import json
+
+import pyarrow as pa
+import pytest
+
+from airbyte_destination_ray.catalog import Catalog, Config, catalog_from_json
+from airbyte_destination_ray.pipelines.airbyte_write import run_write
+from airbyte_destination_ray.pipelines.cdc import read_table_arrow
+
+CATALOG = {
+    "streams": [
+        {
+            "stream": {
+                "name": "airlines",
+                "json_schema": {
+                    "properties": {
+                        "id": {"type": "integer"},
+                        "name": {"type": ["null", "string"]},
+                    }
+                },
+            },
+            "sync_mode": "full_refresh",
+            "destination_sync_mode": "overwrite",
+        },
+        {
+            "stream": {
+                "name": "deduped_stream",
+                "json_schema": {
+                    "properties": {
+                        "id": {"type": "integer"},
+                        "name": {"type": ["null", "string"]},
+                        "updated_at": {"type": "string", "format": "date-time"},
+                    }
+                },
+            },
+            "sync_mode": "incremental",
+            "destination_sync_mode": "append_dedup",
+            "cursor_field": ["updated_at"],
+            "primary_key": [["id"]],
+        },
+    ]
+}
+
+
+def rec(stream, data, emitted_at=1700000000000):
+    return json.dumps(
+        {
+            "type": "RECORD",
+            "record": {"stream": stream, "data": data, "emitted_at": emitted_at},
+        }
+    )
+
+
+def state(n):
+    return json.dumps(
+        {
+            "type": "STATE",
+            "state": {
+                "state_type": "STREAM",
+                "sourceStats": {"recordCount": float(n)},
+            },
+        }
+    )
+
+
+def airline(i, name):
+    return rec("airlines", {"id": i, "name": name})
+
+
+def _lines():
+    return [
+        airline(1, "alpha"),
+        airline(2, "beta"),
+        airline(3, "gamma"),
+        state(3),
+        airline(5, "delta"),
+        airline(6, "epsilon"),
+        airline(7, "zeta"),
+        state(3),
+        airline(7, "zeta"),  # re-sent duplicate (new record index → kept)
+        airline(8, "eta"),
+        # LWW pair: id=1, later updated_at must win
+        rec(
+            "deduped_stream",
+            {"id": 1, "name": "oldname", "updated_at": "2024-01-01T00:00:00Z"},
+        ),
+        rec(
+            "deduped_stream",
+            {"id": 1, "name": "aeromexico", "updated_at": "2024-02-01T00:00:00Z"},
+        ),
+        rec(
+            "deduped_stream",
+            {"id": 2, "name": "other", "updated_at": "2024-01-15T00:00:00Z"},
+        ),
+        state(5),
+    ]
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    return str(tmp_path / "lake")
+
+
+def run(lake, lines, **kw):
+    out = io.StringIO()
+    cfg = Config(lake_root=lake)
+    catalog = catalog_from_json(CATALOG)
+    result = run_write(cfg, catalog, lines, out=out, **kw)
+    return result, out.getvalue()
+
+
+def test_write_goldens(ray_session, lake):
+    result, output = run(lake, _lines())
+    assert result.records_written == 11
+    assert result.states_echoed == 3
+
+    airlines = read_table_arrow(lake, "airlines")
+    # e2e golden (main_test.go:70-71): 8 rows, duplicate id=7 kept twice
+    assert airlines.num_rows == 8
+    ids = sorted(airlines.column("id").to_pylist())
+    assert ids == [1, 2, 3, 5, 6, 7, 7, 8]
+    # every row has a raw id and the two metadata columns
+    assert "_airbyte_raw_id" in airlines.column_names
+    assert "_airbyte_extracted_at" in airlines.column_names
+    assert airlines.column("_airbyte_raw_id").null_count == 0
+
+    dedup = read_table_arrow(lake, "deduped_stream")
+    # e2e golden (main_test.go:86-105): 2 rows; id=1 → later version
+    assert dedup.num_rows == 2
+    by_id = {
+        r["id"]: r for r in dedup.to_pylist()
+    }
+    assert by_id[1]["name"] == "aeromexico"
+    assert by_id[2]["name"] == "other"
+
+
+def test_state_echo_carries_destination_stats(ray_session, lake):
+    _, output = run(lake, _lines())
+    states = [
+        json.loads(l) for l in output.splitlines() if '"type": "STATE"' in l
+        or '"type":"STATE"' in l
+    ]
+    assert len(states) == 3
+    assert states[-1]["state"]["destinationStats"] == {"recordCount": 5.0}
+
+
+def test_small_flush_boundary(ray_session, lake):
+    """destination_test.go:154-182 analog: shrink the flush threshold and
+    check 'Max batch size reached' fires and results are unchanged."""
+    result, output = run(lake, _lines(), max_records_per_flush=2)
+    assert "Max batch size reached" in output
+    airlines = read_table_arrow(lake, "airlines")
+    assert airlines.num_rows == 8
+    dedup = read_table_arrow(lake, "deduped_stream")
+    assert dedup.num_rows == 2
+
+
+def test_overwrite_clears_previous_sync(ray_session, lake):
+    run(lake, _lines())
+    # second sync with only one airline: overwrite keeps just the new rows
+    result, _ = run(lake, [airline(99, "omega"), state(1)])
+    airlines = read_table_arrow(lake, "airlines")
+    assert airlines.column("id").to_pylist() == [99]
+    # dedup stream (not overwrite) keeps its rows
+    assert read_table_arrow(lake, "deduped_stream").num_rows == 2
+
+
+def test_replay_same_input_is_idempotent_for_dedup(ray_session, lake):
+    run(lake, _lines())
+    before = read_table_arrow(lake, "deduped_stream")
+    run(lake, _lines())
+    after = read_table_arrow(lake, "deduped_stream")
+    assert after.num_rows == before.num_rows == 2
+
+
+def test_unknown_stream_fails(ray_session, lake):
+    with pytest.raises(KeyError):
+        run(lake, [rec("nope", {"id": 1})])
+
+
+def test_full_reset_drops_tables(ray_session, tmp_path):
+    lake = str(tmp_path / "lake2")
+    overwrite_only = {
+        "streams": [
+            {
+                "stream": {
+                    "name": "airlines",
+                    "json_schema": {"properties": {"id": {"type": "integer"}}},
+                },
+                "destination_sync_mode": "overwrite",
+            }
+        ]
+    }
+    out = io.StringIO()
+    cfg = Config(lake_root=lake)
+    run_write(cfg, catalog_from_json(overwrite_only), [airline(1, "x"), state(1)], out=out)
+    from pathlib import Path
+
+    assert (Path(lake) / "airlines" / "_meta.json").exists()
+    # zero-record all-overwrite sync → A4 full reset
+    run_write(cfg, catalog_from_json(overwrite_only), [], out=out)
+    assert not (Path(lake) / "airlines").exists()
