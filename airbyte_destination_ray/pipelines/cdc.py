@@ -33,10 +33,13 @@ from ..stages.lww import (
     DELETED_COLUMN,
     SEQ_COLUMN,
     STATS_SCHEMA,
+    _align_lake_table,
+    make_envelope_aligner,
     make_partition_merger,
     make_partitioner,
 )
 from ..state.manifest import ManifestStore
+from ..state.registry import SchemaStore
 
 PAGES_PAYLOAD = ["url", "warc_ts", "html", "text", "lang"]
 
@@ -55,6 +58,7 @@ def run_cdc_sync(
     resume: bool = True,
     compute_digest: bool = True,
     enrich: bool = False,
+    epoch_schema_versions: dict[int, int] | None = None,
 ) -> dict:
     """Run (or resume) a sync of the binlog into the lake table.
 
@@ -62,7 +66,7 @@ def run_cdc_sync(
     (epoch, partition) pairs are no-ops; completed epochs are skipped via the
     checkpoint log.
     """
-    payload_columns = payload_columns or PAGES_PAYLOAD
+    payload_override = payload_columns
     store = ManifestStore(lake_root, table)
     store.root.mkdir(parents=True, exist_ok=True)
     meta = store.init_table(
@@ -96,6 +100,25 @@ def run_cdc_sync(
         # re-decode shared row groups (measured 3× slower).  Segments are
         # written at a bounded row count, so file ≈ right-sized block.
         ds = ray.data.read_parquet(segments, override_num_blocks=len(segments))
+        # schema evolution (north rule): the epoch is pinned to the current
+        # registry version; segments written under older versions are aligned
+        # in-flight (add → null-fill, widen → cast, rename-by-id → rename)
+        schema_store = SchemaStore(lake_root, table)
+        target_version = (
+            schema_store.current_version() if schema_store.exists() else 0
+        )
+        src_version = (
+            epoch_schema_versions.get(e, target_version)
+            if epoch_schema_versions
+            else target_version
+        )
+        if payload_override is not None:
+            payload_columns = payload_override
+        elif schema_store.exists():
+            # payload = the registered schema of this epoch's target version
+            payload_columns = list(schema_store.get(target_version).schema.names)
+        else:
+            payload_columns = PAGES_PAYLOAD
         partitioner = make_partitioner(
             pk,
             num_partitions,
@@ -103,6 +126,9 @@ def run_cdc_sync(
             pre_reduce=(mode == "append_dedup"),
             payload_columns=payload_columns,
             enrich=enrich,
+            pre_transform=make_envelope_aligner(
+                lake_root, table, src_version, target_version
+            ),
         )
         merger = make_partition_merger(
             lake_root,
@@ -113,6 +139,7 @@ def run_cdc_sync(
             pk=pk,
             ver=ver,
             compute_digest=compute_digest,
+            schema_version=target_version,
         )
         stats = (
             # batch_size=None → whole-block zero-copy Arrow batches; bigger
@@ -172,12 +199,31 @@ def read_table(
     """
     store = ManifestStore(lake_root, table)
     meta = store.table_meta()
-    files = store.committed_files(meta["generation"], mode=meta["mode"])
-    paths = [str(Path(lake_root) / f) for f in files]
-    if not paths:
+    versioned = store.committed_files_versioned(meta["generation"], mode=meta["mode"])
+    if not versioned:
         return ray.data.from_arrow(pa.table({}))
-    # partitioning=None: dir names (gen=…/p=…) are physical layout, not columns
-    ds = ray.data.read_parquet(paths, partitioning=None)
+    current_version = max(v for _, v in versioned)
+
+    def _read_group(files: list[str], src_version: int):
+        paths = [str(Path(lake_root) / f) for f in files]
+        # partitioning=None: dir names (gen=…/p=…) are physical layout, not columns
+        ds = ray.data.read_parquet(paths, partitioning=None)
+        if src_version != current_version:
+            ds = ds.map_batches(
+                lambda b, sv=src_version: _align_lake_table(
+                    b, lake_root, table, sv, current_version
+                ),
+                batch_format="pyarrow",
+            )
+        return ds
+
+    by_version: dict[int, list[str]] = {}
+    for f, v in versioned:
+        by_version.setdefault(v, []).append(f)
+    groups = [_read_group(files, v) for v, files in sorted(by_version.items())]
+    ds = groups[0]
+    for g in groups[1:]:
+        ds = ds.union(g)
 
     def clean(batch: pa.Table) -> pa.Table:
         if not include_deleted and DELETED_COLUMN in batch.column_names:
@@ -201,11 +247,15 @@ def read_table_arrow(lake_root: str, table: str, **kw) -> pa.Table:
 
     store = ManifestStore(lake_root, table)
     meta = store.table_meta()
-    files = store.committed_files(meta["generation"], mode=meta["mode"])
-    if not files:
+    versioned = store.committed_files_versioned(meta["generation"], mode=meta["mode"])
+    if not versioned:
         return pa.table({})
+    current_version = max(v for _, v in versioned)
     t = pa.concat_tables(
-        pq.read_table(Path(lake_root) / f) for f in files
+        _align_lake_table(
+            pq.read_table(Path(lake_root) / f), lake_root, table, v, current_version
+        )
+        for f, v in versioned
     )
     include_deleted = kw.get("include_deleted", False)
     if not include_deleted and DELETED_COLUMN in t.column_names:

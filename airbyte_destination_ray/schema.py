@@ -276,4 +276,7 @@ def align_table(table: pa.Table, target: VersionedSchema, source: VersionedSchem
             arrays.append(col)
         else:
             arrays.append(pa.nulls(n, f.type))
-    return pa.Table.from_arrays(arrays, schema=target.schema)
+    # all-nullable physical schema: snapshot files written fresh don't carry
+    # the declared not-null flags, and merge concat requires exact equality
+    physical = pa.schema([pa.field(f.name, f.type) for f in target.schema])
+    return pa.Table.from_arrays(arrays, schema=physical)

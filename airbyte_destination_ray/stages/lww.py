@@ -102,6 +102,29 @@ def changes_to_lake_rows(changes: pa.Table, payload_columns: list[str]) -> pa.Ta
     return pa.table(cols)
 
 
+def make_envelope_aligner(
+    lake_root: str, table_name: str, src_ver: int, dst_ver: int
+) -> Callable[[pa.Table], pa.Table] | None:
+    """Batch transform upgrading an epoch's envelope batches written under an
+    older schema version to the current one (preserves seq/epoch/op)."""
+    if src_ver == dst_ver:
+        return None
+
+    def align(batch: pa.Table) -> pa.Table:
+        from ..state.registry import SchemaStore
+
+        meta_cols = [c for c in ("seq", "epoch", "op") if c in batch.column_names]
+        payload = batch.drop_columns(meta_cols)
+        aligned = SchemaStore(lake_root, table_name).align(
+            payload, source_version=src_ver, target_version=dst_ver
+        )
+        for c in meta_cols:
+            aligned = aligned.append_column(c, batch.column(c))
+        return aligned
+
+    return align
+
+
 def make_partitioner(
     pk: str,
     num_partitions: int,
@@ -111,6 +134,7 @@ def make_partitioner(
     payload_columns: list[str] | None = None,
     enrich: bool = False,
     text_column: str = "text",
+    pre_transform: Callable[[pa.Table], pa.Table] | None = None,
 ) -> Callable[[pa.Table], pa.Table]:
     """``map_batches`` stage: envelope → lake rows + ``_part`` routing column.
 
@@ -125,6 +149,8 @@ def make_partitioner(
     """
 
     def fn(batch: pa.Table) -> pa.Table:
+        if pre_transform is not None:
+            batch = pre_transform(batch)
         if payload_columns is not None:
             batch = changes_to_lake_rows(batch, payload_columns)
         if pre_reduce and ver is not None:
@@ -189,6 +215,24 @@ def _stats_row(
     )
 
 
+def _align_lake_table(
+    t: pa.Table, lake_root: str, table_name: str, src_ver: int, dst_ver: int
+) -> pa.Table:
+    """Rewrite a snapshot table from schema version src → dst, preserving
+    the engine meta columns (they are outside the registered schema)."""
+    if src_ver == dst_ver:
+        return t
+    from ..state.registry import SchemaStore
+
+    meta_cols = [c for c in (SEQ_COLUMN, DELETED_COLUMN) if c in t.column_names]
+    payload = t.drop_columns(meta_cols)
+    store = SchemaStore(lake_root, table_name)
+    aligned = store.align(payload, source_version=src_ver, target_version=dst_ver)
+    for c in meta_cols:
+        aligned = aligned.append_column(c, t.column(c))
+    return aligned
+
+
 def make_partition_merger(
     lake_root: str,
     table_name: str,
@@ -199,6 +243,7 @@ def make_partition_merger(
     pk: str,
     ver: str,
     compute_digest: bool = True,
+    schema_version: int = 0,
 ) -> Callable[[pa.Table], pa.Table]:
     """Per-partition merge/commit task for ``groupby('_part').map_groups``.
 
@@ -252,6 +297,12 @@ def make_partition_merger(
                 prev_t = pa.concat_tables(
                     pq.read_table(Path(lake_root) / f) for f in prev.files
                 )
+                # in-flight schema upgrade: snapshots written under an older
+                # registry version are rewritten (add→null-fill, widen→cast,
+                # rename-by-id) before the merge
+                prev_t = _align_lake_table(
+                    prev_t, lake_root, table_name, prev.schema_version, schema_version
+                )
                 pieces.append(prev_t.select(changes.column_names))
             combined = pa.concat_tables(pieces, promote_options="permissive")
             merged = lww_compact(combined, pk, ver, SEQ_COLUMN)
@@ -288,6 +339,7 @@ def make_partition_merger(
             max_seq=max_seq,
             digest=digest,
             mode=mode,
+            schema_version=schema_version,
         )
         store.commit(m)  # CAS: losing to a concurrent duplicate is fine
         return _stats_row(

@@ -48,6 +48,7 @@ class PartitionManifest:
     max_seq: int = -1  # re-delivery watermark (append tables)
     digest: str = ""  # deterministic content digest for replay-equivalence checks
     mode: str = "append_dedup"
+    schema_version: int = 0  # registry version the snapshot files are written under
 
     @property
     def key(self) -> str:
@@ -182,25 +183,32 @@ class ManifestStore:
         return best
 
     def committed_files(self, generation: int, *, mode: str) -> list[str]:
-        """All files of the current table state (active generation).
+        """All files of the current table state (active generation)."""
+        return [f for f, _ in self.committed_files_versioned(generation, mode=mode)]
+
+    def committed_files_versioned(
+        self, generation: int, *, mode: str
+    ) -> list[tuple[str, int]]:
+        """Current file set as (path, schema_version) pairs.
 
         Snapshot tables: latest manifest per partition. Append tables: union
-        of every committed manifest's files.
+        of every committed manifest's files.  A partition untouched since an
+        older schema version keeps its old-version files — readers align.
         """
         manifests = self._iter_manifests(generation)
         if mode == "append":
-            files: list[str] = []
+            files: list[tuple[str, int]] = []
             for m in sorted(manifests, key=lambda m: (m.partition, m.epoch)):
-                files.extend(m.files)
+                files.extend((f, m.schema_version) for f in m.files)
             return files
         latest: dict[int, PartitionManifest] = {}
         for m in manifests:
             cur = latest.get(m.partition)
             if cur is None or m.epoch > cur.epoch:
                 latest[m.partition] = m
-        out: list[str] = []
+        out: list[tuple[str, int]] = []
         for p in sorted(latest):
-            out.extend(latest[p].files)
+            out.extend((f, latest[p].schema_version) for f in latest[p].files)
         return out
 
     # -- checkpoints ---------------------------------------------------------

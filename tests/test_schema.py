@@ -91,7 +91,9 @@ def test_schema_evolution_add_widen_rename():
     # an old-version batch rewritten to the new schema
     old_batch = pa.table({"url": ["a"], "lang": ["en"]})
     aligned = align_table(old_batch, v4, base)
-    assert aligned.schema.equals(v4.schema)
+    # physical schema is all-nullable (merge-compat); names+types match
+    assert aligned.schema.names == v4.schema.names
+    assert [f.type for f in aligned.schema] == [f.type for f in v4.schema]
     assert aligned.column("language").to_pylist() == ["en"]
     assert aligned.column("fetch_status").to_pylist() == [None]
 
