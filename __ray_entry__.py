@@ -86,6 +86,16 @@ def _q_cdc_lww_latest(sf_dir: str):
     return lww_latest(_events(sf_dir), pk="user_id", ver="ts", seq="event_id")
 
 
+def _q_cdc_lww_salted(sf_dir: str):
+    """Hot-key-safe LWW: salted sub-partition pre-reduce + final per-key
+    reduce.  Same oracle as the plain LWW — proves the skew path correct."""
+    from airbyte_destination_ray.pipelines.ops import lww_latest_salted
+
+    return lww_latest_salted(
+        _events(sf_dir), pk="user_id", ver="ts", seq="event_id", salt_factor=8
+    )
+
+
 def _q_cdc_lww_tombstones(sf_dir: str):
     """A1 + tombstones: 'error' events are deletes; a user whose winning
     version is a delete is suppressed (§2.7 delete handling)."""
@@ -198,6 +208,32 @@ def _q_annotate_documents(sf_dir: str):
 # -- aggregation ------------------------------------------------------------
 
 
+def _q_multimodal_image_decode(sf_dir: str):
+    """Actor-pool image decode over a deterministic synthetic media corpus
+    (codec stubbed — plumbing real; see stages/multimodal.py)."""
+    import ray.data
+
+    from airbyte_destination_ray.stages.multimodal import (
+        decode_images,
+        synthesize_media_table,
+    )
+
+    ds = ray.data.from_arrow(synthesize_media_table(256))
+    return decode_images(ds, concurrency=2, batch_size=32)
+
+
+def _q_lineage_events_cdc(sf_dir: str):
+    """Per-partition lineage metadata Dataset for the full-sync lake."""
+    from airbyte_destination_ray.pipelines.cdc import lineage_dataset
+    from airbyte_destination_ray.pipelines.events_cdc import sync_events_table
+
+    ds = sync_events_table(sf_dir, workdir=Path("/tmp/adr_query_lineage") / Path(sf_dir).name)
+    ds.count()  # ensure the sync ran
+    return lineage_dataset(
+        str(Path("/tmp/adr_query_lineage") / Path(sf_dir).name / "lake"), "events_cdc"
+    )
+
+
 def _q_events_stats_by_type(sf_dir: str):
     from airbyte_destination_ray.pipelines.ops import grouped_stats
 
@@ -213,6 +249,7 @@ def _q_events_daily_counts(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
+        "cdc_lww_latest_salted": _q_cdc_lww_salted,
         "cdc_lww_tombstones": _q_cdc_lww_tombstones,
         "cdc_sync_events_full": _q_cdc_sync_events_full,
         "dedup_exact_documents": _q_dedup_exact_documents,
@@ -227,6 +264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "annotate_documents": _q_annotate_documents,
         "events_stats_by_type": _q_events_stats_by_type,
         "events_daily_counts": _q_events_daily_counts,
+        "multimodal_image_decode": _q_multimodal_image_decode,
+        "lineage_events_cdc": _q_lineage_events_cdc,
     }
 
 
@@ -242,6 +281,12 @@ _LWW_TOMBSTONE_SQL = """
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_latest_by_user": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "cdc_lww_latest_salted": """
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events
             QUALIFY row_number() OVER (

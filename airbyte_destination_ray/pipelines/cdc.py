@@ -241,6 +241,51 @@ def read_table(
     return ds.map_batches(clean, batch_format="pyarrow")
 
 
+def lineage_dataset(lake_root: str, table: str, *, generation: int | None = None):
+    """Per-partition lineage/metrics as a metadata Dataset (SURVEY §7.8):
+    one row per committed (epoch, partition) manifest — files, row counts,
+    bytes, seq watermark, digest, schema version.  Global counts are Dataset
+    aggregates over this (A5: record counting from manifests, never a data
+    scan)."""
+    store = ManifestStore(lake_root, table)
+    if generation is None:
+        generation = store.table_meta()["generation"]
+    rows = [
+        {
+            "table": m.table,
+            "generation": m.generation,
+            "epoch": m.epoch,
+            "partition": m.partition,
+            "n_files": len(m.files),
+            "row_count": m.row_count,
+            "byte_count": m.byte_count,
+            "max_seq": m.max_seq,
+            "schema_version": m.schema_version,
+            "digest": m.digest,
+        }
+        for m in store._iter_manifests(generation)
+    ]
+    return ray.data.from_items(rows)
+
+
+def table_row_count(lake_root: str, table: str) -> int:
+    """A5: current committed row count from manifests (metadata only).
+
+    Valid for both modes: append manifests carry the cumulative partition
+    count, snapshot manifests the current one — either way the latest epoch
+    per partition is authoritative.
+    """
+    store = ManifestStore(lake_root, table)
+    meta = store.table_meta()
+    latest: dict[int, int] = {}
+    best_epoch: dict[int, int] = {}
+    for m in store._iter_manifests(meta["generation"]):
+        if m.partition not in best_epoch or m.epoch > best_epoch[m.partition]:
+            best_epoch[m.partition] = m.epoch
+            latest[m.partition] = m.row_count
+    return sum(latest.values())
+
+
 def read_table_arrow(lake_root: str, table: str, **kw) -> pa.Table:
     """Driver-side full read — tests/small results only."""
     import pyarrow.parquet as pq

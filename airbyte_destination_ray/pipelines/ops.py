@@ -70,6 +70,56 @@ def lww_latest(
     )
 
 
+def lww_latest_salted(
+    ds,
+    *,
+    pk: str,
+    ver: str,
+    seq: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    salt_factor: int = 8,
+):
+    """Hot-key-safe LWW latest: salted sub-partition pre-reduce, then the
+    final per-key reduce (SURVEY.md §4 skew row; §7.7).
+
+    Stage 1 routes by ``hash(pk) ^ salt`` where salt = ``seq % salt_factor``,
+    so one hot key spreads over ``salt_factor`` sub-partitions, each of which
+    LWW-compacts its share (safe: max-by-(ver, seq) is associative and
+    commutative).  Stage 2 is the ordinary per-key reduce over the tiny
+    survivor set.  Same oracle as :func:`lww_latest`.
+    """
+
+    def stage1(batch: pa.Table) -> pa.Table:
+        batch = lww_compact(batch, pk, ver, seq)
+        salt = (
+            batch.column(seq).to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(salt_factor)
+        )
+        parts = partition_ids(
+            batch.column(pk), num_partitions * salt_factor, salt=salt
+        )
+        return batch.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def sub_reduce(group: pa.Table) -> pa.Table:
+        return lww_compact(group.drop_columns(["_part"]), pk, ver, seq)
+
+    def stage2(batch: pa.Table) -> pa.Table:
+        parts = partition_ids(batch.column(pk), num_partitions)
+        return batch.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        return lww_compact(group.drop_columns(["_part"]), pk, ver, seq)
+
+    return (
+        ds.map_batches(stage1, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(sub_reduce, batch_format="pyarrow")
+        .map_batches(stage2, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def lww_latest_with_tombstones(
     ds,
     *,
