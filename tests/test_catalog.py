@@ -126,3 +126,35 @@ def test_record_index_is_global_across_streams():
     ]
     seen = [(i, m.type) for i, m in iter_messages(iter(lines))]
     assert seen == [(0, "RECORD"), (1, "STATE"), (1, "RECORD")]
+
+
+def test_read_records_dataset_global_indices(ray_session, tmp_path):
+    """S1 at scale: parallel per-file NDJSON parse preserves the global
+    record numbering (prefix-sum offsets in file order)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from airbyte_destination_ray.sources.ndjson import read_records_dataset
+
+    def rec(stream, i):
+        return _json.dumps(
+            {
+                "type": "RECORD",
+                "record": {"stream": stream, "data": {"i": i}, "emitted_at": 1000 + i},
+            }
+        )
+
+    f1 = tmp_path / "part-0.ndjson"
+    f1.write_text(
+        "\n".join([rec("a", 0), '{"type":"LOG","log":{}}', rec("a", 1)]) + "\n"
+    )
+    f2 = tmp_path / "part-1.ndjson"
+    f2.write_text("\n".join([rec("b", 2), rec("a", 3), rec("b", 4)]) + "\n")
+
+    ds = read_records_dataset([f1, f2])
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    t = t.sort_by("record_index")
+    assert t.column("record_index").to_pylist() == [0, 1, 2, 3, 4]
+    assert t.column("stream").to_pylist() == ["a", "a", "b", "a", "b"]
+    assert t.column("emitted_at").to_pylist() == [1000, 1001, 1002, 1003, 1004]
