@@ -170,3 +170,22 @@ def test_read_table_dataset_streams(binlog, tmp_path):
     ds = read_table(lake, "pages", columns=["url", "lang"])
     assert ds.count() == lake_state(lake).num_rows
     assert set(ds.schema().names) == {"url", "lang"}
+
+
+def test_enriched_sync_replay_equivalence(binlog, tmp_path):
+    """The enriched pipeline (in-flight lang-id/quality/tokens/fingerprint)
+    is deterministic too: full run vs resumed run → identical digests, and
+    payload columns still match the LWW oracle."""
+    lake_a = str(tmp_path / "lake_a")
+    lake_b = str(tmp_path / "lake_b")
+    run_cdc_sync(lake_a, binlog, num_partitions=PARTS, enrich=True)
+    # interrupted run: epoch 0 only, then resume the rest
+    run_cdc_sync(lake_b, binlog, num_partitions=PARTS, enrich=True, epochs=[0])
+    run_cdc_sync(lake_b, binlog, num_partitions=PARTS, enrich=True)
+    assert partition_digests(lake_a) == partition_digests(lake_b)
+    t = read_table_arrow(lake_a, "pages")
+    for col in ("lang_id", "quality", "n_tokens", "fingerprint"):
+        assert col in t.column_names
+    assert lake_state(lake_a).equals(
+        oracle_lww(binlog).cast(lake_state(lake_a).schema)
+    )
