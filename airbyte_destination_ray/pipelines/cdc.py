@@ -59,6 +59,8 @@ def run_cdc_sync(
     compute_digest: bool = True,
     enrich: bool = False,
     epoch_schema_versions: dict[int, int] | None = None,
+    merge_strategy: str = "snapshot",
+    compact_every: int = 8,
 ) -> dict:
     """Run (or resume) a sync of the binlog into the lake table.
 
@@ -70,9 +72,16 @@ def run_cdc_sync(
     store = ManifestStore(lake_root, table)
     store.root.mkdir(parents=True, exist_ok=True)
     meta = store.init_table(
-        num_partitions=num_partitions, mode=mode, pk=[pk], cursor=ver
+        num_partitions=num_partitions,
+        mode=mode,
+        pk=[pk],
+        cursor=ver,
+        merge_strategy=merge_strategy,
+        compact_every=compact_every,
     )
     num_partitions = meta["num_partitions"]
+    merge_strategy = meta.get("merge_strategy", "snapshot")
+    compact_every = meta.get("compact_every", 8)
     generation = meta["generation"]
     if mode == "overwrite" and not resume:
         # A3: overwrite starts a fresh generation — the metadata flip that
@@ -140,6 +149,8 @@ def run_cdc_sync(
             ver=ver,
             compute_digest=compute_digest,
             schema_version=target_version,
+            strategy=merge_strategy,
+            compact_every=compact_every,
         )
         stats = (
             # batch_size=None → whole-block zero-copy Arrow batches; bigger
@@ -199,6 +210,13 @@ def read_table(
     """
     store = ManifestStore(lake_root, table)
     meta = store.table_meta()
+    if meta.get("merge_strategy") == "delta" and meta["mode"] == "append_dedup":
+        return _read_delta_table(
+            lake_root, table, meta,
+            columns=columns,
+            include_deleted=include_deleted,
+            include_meta=include_meta,
+        )
     versioned = store.committed_files_versioned(meta["generation"], mode=meta["mode"])
     if not versioned:
         return ray.data.from_arrow(pa.table({}))
@@ -286,12 +304,101 @@ def table_row_count(lake_root: str, table: str) -> int:
     return sum(latest.values())
 
 
+def _delta_partition_stacks(store: ManifestStore, meta: dict) -> list[dict]:
+    """Latest manifest per partition → one descriptor row per partition."""
+    manifests = store._iter_manifests(meta["generation"])
+    latest: dict[int, object] = {}
+    for m in manifests:
+        cur = latest.get(m.partition)
+        if cur is None or m.epoch > cur.epoch:
+            latest[m.partition] = m
+    return [
+        {"partition": p, "files": m.files, "schema_version": m.schema_version}
+        for p, m in sorted(latest.items())
+        if m.files
+    ]
+
+
+def _compact_stack(
+    lake_root: str,
+    table: str,
+    row: dict,
+    *,
+    pk: str,
+    ver: str,
+    columns: list[str] | None,
+    include_deleted: bool,
+    include_meta: bool,
+) -> pa.Table:
+    """Read one partition's delta stack and fold it with LWW (the read-side
+    merge of the LSM strategy; stacks are single-schema-version by
+    construction — evolution forces compaction)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.lww import lww_compact
+
+    t = pa.concat_tables(
+        pq.read_table(Path(lake_root) / f) for f in row["files"]
+    )
+    t = lww_compact(t, pk, ver, SEQ_COLUMN)
+    if not include_deleted and DELETED_COLUMN in t.column_names:
+        t = t.filter(pc.fill_null(pc.invert(t.column(DELETED_COLUMN)), True))
+    if not include_meta:
+        drop = [c for c in (SEQ_COLUMN, DELETED_COLUMN) if c in t.column_names]
+        if drop:
+            t = t.drop_columns(drop)
+    if columns:
+        t = t.select(columns)
+    return t
+
+
+def _read_delta_table(
+    lake_root: str,
+    table: str,
+    meta: dict,
+    *,
+    columns: list[str] | None,
+    include_deleted: bool,
+    include_meta: bool,
+):
+    store = ManifestStore(lake_root, table)
+    stacks = _delta_partition_stacks(store, meta)
+    if not stacks:
+        return ray.data.from_arrow(pa.table({}))
+    pk, ver = meta["pk"][0], meta["cursor"]
+    return ray.data.from_items(stacks).map_batches(
+        lambda batch: pa.concat_tables(
+            _compact_stack(
+                lake_root, table, r,
+                pk=pk, ver=ver, columns=columns,
+                include_deleted=include_deleted, include_meta=include_meta,
+            )
+            for r in batch.to_pylist()
+        ),
+        batch_format="pyarrow",
+        batch_size=1,  # one compaction task per partition
+    )
+
+
 def read_table_arrow(lake_root: str, table: str, **kw) -> pa.Table:
     """Driver-side full read — tests/small results only."""
     import pyarrow.parquet as pq
 
     store = ManifestStore(lake_root, table)
     meta = store.table_meta()
+    if meta.get("merge_strategy") == "delta" and meta["mode"] == "append_dedup":
+        stacks = _delta_partition_stacks(store, meta)
+        if not stacks:
+            return pa.table({})
+        return pa.concat_tables(
+            _compact_stack(
+                lake_root, table, r,
+                pk=meta["pk"][0], ver=meta["cursor"], columns=None,
+                include_deleted=kw.get("include_deleted", False),
+                include_meta=kw.get("include_meta", False),
+            )
+            for r in stacks
+        )
     versioned = store.committed_files_versioned(meta["generation"], mode=meta["mode"])
     if not versioned:
         return pa.table({})

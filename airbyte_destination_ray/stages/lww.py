@@ -244,8 +244,24 @@ def make_partition_merger(
     ver: str,
     compute_digest: bool = True,
     schema_version: int = 0,
+    strategy: str = "snapshot",
+    compact_every: int = 8,
 ) -> Callable[[pa.Table], pa.Table]:
     """Per-partition merge/commit task for ``groupby('_part').map_groups``.
+
+    ``strategy``:
+
+    - ``"snapshot"`` (default): each epoch rewrites the touched partition's
+      full compacted snapshot — reads stay trivial, write amplification is
+      O(partition size) per touched epoch.
+    - ``"delta"`` (LSM-style): each epoch writes ONLY the compacted incoming
+      changes as a delta file stacked on the previous file set; when a
+      partition accumulates ``compact_every`` files, the task compacts them
+      into one snapshot.  Write amplification drops to O(changes) per epoch
+      (amortized O(partition/compact_every)); readers LWW-compact the file
+      stack per partition (see ``read_table``).  The correct choice at
+      10^10-event scale where epochs touch a small fraction of each
+      partition's keys.
 
     Exactly-once: if the (generation, epoch, partition) manifest already
     exists (resume, Ray task retry, speculative re-execution) the task is a
@@ -291,7 +307,14 @@ def make_partition_merger(
                 keep[1:] = seqs[1:] != seqs[:-1]
                 changes = changes.filter(pa.array(keep))
             merged = changes
-        else:  # append_dedup → LWW merge with the previous snapshot
+        elif strategy == "delta" and prev is not None and prev.files and (
+            len(prev.files) + 1 < compact_every
+            and prev.schema_version == schema_version  # evolution forces compaction
+        ):
+            # delta commit: persist only this epoch's compacted changes; the
+            # logical partition state is the LWW fold over the file stack
+            merged = lww_compact(changes, pk, ver, SEQ_COLUMN)
+        else:  # append_dedup → full LWW merge (snapshot, or delta compaction)
             pieces = [changes]
             if prev is not None and prev.files:
                 prev_t = pa.concat_tables(
@@ -307,6 +330,14 @@ def make_partition_merger(
             combined = pa.concat_tables(pieces, promote_options="permissive")
             merged = lww_compact(combined, pk, ver, SEQ_COLUMN)
 
+        is_delta_commit = bool(
+            mode == "append_dedup"
+            and strategy == "delta"
+            and prev is not None
+            and prev.files
+            and len(prev.files) + 1 < compact_every
+            and prev.schema_version == schema_version
+        )
         files: list[str] = []
         nbytes = 0
         max_seq = prev_max_seq
@@ -316,17 +347,25 @@ def make_partition_merger(
                 f"e{epoch:06d}.parquet"
             )
             nbytes = _atomic_write_parquet(merged, Path(lake_root) / rel)
-            files.append(rel)
+            if is_delta_commit:
+                files = list(prev.files) + [rel]
+            else:
+                files.append(rel)
         if merged.num_rows:
             max_seq = max(
                 prev_max_seq, int(pc.max(merged.column(SEQ_COLUMN)).as_py())
             )
         if mode == "append_dedup":
-            row_count = merged.num_rows
+            if is_delta_commit:
+                # physical rows in the stack (logical count materializes at
+                # compaction); delta stacks skip the digest for the same reason
+                row_count = (prev.row_count if prev is not None else 0) + merged.num_rows
+            else:
+                row_count = merged.num_rows
         else:
             row_count = (prev.row_count if prev is not None else 0) + merged.num_rows
             # append manifests are additive: files = only the new file
-        digest = _table_digest(merged) if compute_digest else ""
+        digest = _table_digest(merged) if compute_digest and not is_delta_commit else ""
 
         m = PartitionManifest(
             table=table_name,

@@ -93,7 +93,7 @@ class ManifestStore:
 
     # -- table metadata -----------------------------------------------------
     def init_table(self, *, num_partitions: int, mode: str, pk: list[str],
-                   cursor: str, generation: int = 0) -> dict:
+                   cursor: str, generation: int = 0, **extra) -> dict:
         meta_path = self.root / "_meta.json"
         if meta_path.exists():
             return self.table_meta()
@@ -103,6 +103,7 @@ class ManifestStore:
             "pk": pk,
             "cursor": cursor,
             "generation": generation,
+            **extra,
         }
         _atomic_write_json(meta_path, payload)
         return self.table_meta()

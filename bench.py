@@ -179,7 +179,7 @@ def run_bench(sf_dir: str, num_cpus: int, *, cdc_only: bool = False) -> dict:
     }
 
 
-def run_scaling(low: int = 4, high: int = 16) -> dict:
+def run_scaling(low: int = 8, high: int = 32) -> dict:
     """Same job, same input, fresh ray sessions at two parallelism levels."""
     results = {}
     for cpus in (low, high):
@@ -215,8 +215,8 @@ def main() -> None:
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--cdc-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--low", type=int, default=4, help="scaling: N CPUs")
-    ap.add_argument("--high", type=int, default=16, help="scaling: 4N CPUs")
+    ap.add_argument("--low", type=int, default=8, help="scaling: N CPUs")
+    ap.add_argument("--high", type=int, default=32, help="scaling: 4N CPUs")
     args = ap.parse_args()
 
     if args.scaling:
