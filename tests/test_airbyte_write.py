@@ -209,3 +209,39 @@ def test_full_reset_drops_tables(ray_session, tmp_path):
     # zero-record all-overwrite sync → A4 full reset
     run_write(cfg, catalog_from_json(overwrite_only), [], out=out)
     assert not (Path(lake) / "airlines").exists()
+
+
+def test_dataset_write_matches_sequential(ray_session, tmp_path):
+    """The distributed Dataset write path produces the same lake state as
+    the protocol-faithful sequential path for the dedup stream."""
+    import json as _json
+
+    # NDJSON part-files (records only — Dataset path is the bulk loader)
+    lines = [l for l in _lines() if '"STATE"' not in l]
+    f1 = tmp_path / "part-0.ndjson"
+    f1.write_text("\n".join(lines[:6]) + "\n")
+    f2 = tmp_path / "part-1.ndjson"
+    f2.write_text("\n".join(lines[6:]) + "\n")
+
+    from airbyte_destination_ray.pipelines.airbyte_write import run_write_dataset
+
+    lake_seq = str(tmp_path / "lake_seq")
+    run(lake_seq, lines)
+    lake_ds = str(tmp_path / "lake_ds")
+    cfg = Config(lake_root=lake_ds)
+    summary = run_write_dataset(
+        cfg, catalog_from_json(CATALOG), [str(f1), str(f2)], num_partitions=4
+    )
+    assert set(summary) == {"airlines", "deduped_stream"}
+
+    for table in ("airlines", "deduped_stream"):
+        a = read_table_arrow(lake_seq, table)
+        b = read_table_arrow(lake_ds, table)
+        cols = [c for c in a.column_names if not c.startswith("_airbyte")]
+        assert a.select(cols).sort_by("id").equals(
+            b.select(cols).sort_by("id").cast(a.select(cols).schema)
+        )
+    # raw ids identical too (same global record numbering)
+    a = read_table_arrow(lake_seq, "deduped_stream").sort_by("id")
+    b = read_table_arrow(lake_ds, "deduped_stream").sort_by("id")
+    assert a.column("_airbyte_raw_id").equals(b.column("_airbyte_raw_id"))
