@@ -52,6 +52,7 @@ CDC_KEYS = int(os.environ.get("GRAFT_CDC_KEYS", "2000000"))
 CDC_EPOCHS = int(os.environ.get("GRAFT_CDC_EPOCHS", "1"))
 CDC_PARTITIONS = int(os.environ.get("GRAFT_CDC_PARTITIONS", "128"))
 CDC_REPEAT = int(os.environ.get("GRAFT_CDC_REPEAT", "2"))
+CDC_STRATEGY = os.environ.get("GRAFT_CDC_STRATEGY", "snapshot")
 
 
 def _init_ray(num_cpus: int) -> None:
@@ -127,6 +128,7 @@ def bench_cdc(num_cpus: int) -> dict:
             num_partitions=CDC_PARTITIONS,
             compute_digest=False,
             enrich=True,
+            merge_strategy=CDC_STRATEGY,
         )
         walls.append(time.perf_counter() - t0)
         shutil.rmtree(lake, ignore_errors=True)
