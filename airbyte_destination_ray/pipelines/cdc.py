@@ -259,6 +259,66 @@ def read_table(
     return ds.map_batches(clean, batch_format="pyarrow")
 
 
+def compact_table(lake_root: str, table: str) -> dict:
+    """Maintenance compaction for delta-strategy tables: fold every
+    partition's file stack into a single snapshot file, committed as a new
+    epoch (manifest CAS — concurrent/retried compactions are no-ops).
+
+    One Ray task per partition; partitions already at one file are skipped.
+    """
+    import numpy as np
+
+    store = ManifestStore(lake_root, table)
+    meta = store.table_meta()
+    gen = meta["generation"]
+    pk, ver = meta["pk"][0], meta["cursor"]
+    stacks = [s for s in _delta_partition_stacks(store, meta) if len(s["files"]) > 1]
+    if not stacks:
+        return {"compacted_partitions": 0}
+    ckpt = store.last_checkpoint(gen)
+    manifests = store._iter_manifests(gen)
+    next_epoch = max((m.epoch for m in manifests), default=-1) + 1
+
+    merger = make_partition_merger(
+        lake_root,
+        table,
+        generation=gen,
+        epoch=next_epoch,
+        mode="append_dedup",
+        pk=pk,
+        ver=ver,
+        compute_digest=True,
+        schema_version=max(s["schema_version"] for s in stacks),
+        strategy="snapshot",  # a compaction IS the full merge
+    )
+
+    def compact_one(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out = []
+        for r in batch.to_pylist():
+            stack = pa.concat_tables(
+                pq.read_table(Path(lake_root) / f) for f in r["files"]
+            )
+            stack = stack.append_column(
+                "_part",
+                pa.array(
+                    np.full(stack.num_rows, r["partition"], dtype=np.int64)
+                ),
+            )
+            out.append(merger(stack))
+        return pa.concat_tables(out)
+
+    stats = ray.data.from_items(stacks).map_batches(
+        compact_one, batch_format="pyarrow", batch_size=1
+    )
+    n = stats.count()
+    store.write_checkpoint(
+        gen, next_epoch, {"compaction": True, "partitions": n}
+    )
+    return {"compacted_partitions": n, "epoch": next_epoch}
+
+
 def lineage_dataset(lake_root: str, table: str, *, generation: int | None = None):
     """Per-partition lineage/metrics as a metadata Dataset (SURVEY §7.8):
     one row per committed (epoch, partition) manifest — files, row counts,

@@ -68,7 +68,9 @@ def build_binlog_from_events(
 def sync_events_table(sf_dir: str, *, workdir: str | Path | None = None):
     """Run the full CDC engine over the events table; return the compacted
     lake table as a Dataset (columns = the original event columns)."""
-    tag = Path(sf_dir).name
+    import os
+
+    tag = f"{Path(sf_dir).name}-{os.getpid()}"  # pid: no cross-process races
     base = Path(workdir) if workdir else Path("/tmp/adr_query") / tag
     binlog = base / "binlog"
     lake = base / "lake"

@@ -109,3 +109,29 @@ def test_delta_tombstone_not_resurrected(tmp_path, ray_session):
                  compact_every=10)
     t = read_table_arrow(lake, "pages")
     assert t.num_rows == 0  # delete won LWW; late older update cannot resurrect
+
+
+def test_explicit_compaction(binlog, tmp_path):
+    from airbyte_destination_ray.pipelines.cdc import compact_table
+
+    lake = str(tmp_path / "lake_compact")
+    run_cdc_sync(lake, binlog, num_partitions=4, merge_strategy="delta",
+                 compact_every=10)  # high threshold → stacks accumulate
+    before = state(lake)
+    store = ManifestStore(lake, "pages")
+    meta = store.table_meta()
+    assert any(
+        len(store.latest_snapshot(meta["generation"], p).files) > 1
+        for p in range(4)
+        if store.latest_snapshot(meta["generation"], p) is not None
+    )
+    res = compact_table(lake, "pages")
+    assert res["compacted_partitions"] > 0
+    # every partition now holds exactly one file; state unchanged
+    for p in range(4):
+        m = store.latest_snapshot(meta["generation"], p)
+        if m is not None:
+            assert len(m.files) == 1
+    assert state(lake).equals(before)
+    # idempotent: a second compaction is a no-op
+    assert compact_table(lake, "pages")["compacted_partitions"] == 0
