@@ -43,7 +43,7 @@ def _broadcast_filter_out(ds, id_col: str, dup_ids_ref):
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(~np.isin(ids, dup)))
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def _collect_dup_ids(candidates) -> np.ndarray:
@@ -117,7 +117,7 @@ def dedup_minhash_lsh(
         return pa.table({"dup_id": pa.array(dup, type=pa.int64())})
 
     candidates = (
-        ds.map_batches(keys, batch_format="pyarrow")
+        ds.map_batches(keys, batch_format="pyarrow", batch_size=None)
         .groupby(["band", "key"])
         .map_groups(resolve, batch_format="pyarrow")
     )
@@ -180,7 +180,7 @@ def dedup_simhash(
         return pa.table({"dup_id": pa.array(dup, type=pa.int64())})
 
     candidates = (
-        ds.map_batches(keys, batch_format="pyarrow")
+        ds.map_batches(keys, batch_format="pyarrow", batch_size=None)
         .groupby(["band", "key"])
         .map_groups(resolve, batch_format="pyarrow")
     )
@@ -236,7 +236,7 @@ def dedup_exact_hash(
         )
 
     candidates = (
-        ds.map_batches(keys, batch_format="pyarrow")
+        ds.map_batches(keys, batch_format="pyarrow", batch_size=None)
         .groupby(["band", "key"])
         .map_groups(_bucket_dups, batch_format="pyarrow")
     )
@@ -300,7 +300,7 @@ def dedup_embedding_cosine(
         return pa.table({"dup_id": pa.array(dup, type=pa.int64())})
 
     candidates = (
-        ds.map_batches(keys, batch_format="pyarrow")
+        ds.map_batches(keys, batch_format="pyarrow", batch_size=None)
         .groupby(["band", "key"])
         .map_groups(resolve, batch_format="pyarrow")
     )

@@ -64,7 +64,7 @@ def lww_latest(
         return lww_compact(group.drop_columns(["_part"]), pk, ver, seq)
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("_part")
         .map_groups(final, batch_format="pyarrow")
     )
@@ -111,10 +111,10 @@ def lww_latest_salted(
         return lww_compact(group.drop_columns(["_part"]), pk, ver, seq)
 
     return (
-        ds.map_batches(stage1, batch_format="pyarrow")
+        ds.map_batches(stage1, batch_format="pyarrow", batch_size=None)
         .groupby("_part")
         .map_groups(sub_reduce, batch_format="pyarrow")
-        .map_batches(stage2, batch_format="pyarrow")
+        .map_batches(stage2, batch_format="pyarrow", batch_size=None)
         .groupby("_part")
         .map_groups(final, batch_format="pyarrow")
     )
@@ -154,7 +154,7 @@ def lww_latest_with_tombstones(
         return g.filter(keep)
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("_part")
         .map_groups(final, batch_format="pyarrow")
     )
@@ -182,7 +182,7 @@ def text_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
             }
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def annotate_documents(ds, *, text_col: str = "text"):
@@ -247,7 +247,7 @@ def grouped_stats(
         )
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby(key)
         .map_groups(final, batch_format="pyarrow")
     )
@@ -282,7 +282,7 @@ def daily_counts(ds, *, ts_col: str = "ts"):
         )
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("event_day")
         .map_groups(final, batch_format="pyarrow")
     )
@@ -320,7 +320,7 @@ def dedup_exact(
         return g.drop_columns([hash_col])
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("_part")
         .map_groups(final, batch_format="pyarrow")
     )

@@ -101,7 +101,7 @@ def knn_brute_force(
         )
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("query_id")
         .map_groups(final, batch_format="pyarrow")
     )
@@ -199,7 +199,7 @@ def knn_lsh(
         )
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("query_id")
         .map_groups(final, batch_format="pyarrow")
     )
