@@ -19,33 +19,39 @@ _EMPTY_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def _shingle_hashes(
-    hashes: np.ndarray, row_id: np.ndarray, k: int
+    hashes: np.ndarray, row_id: np.ndarray, k: int, n_rows: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """Combine k consecutive token hashes within each row into shingle
-    hashes.  A shingle at position i is valid iff tokens i..i+k-1 belong to
-    the same row; rows shorter than k contribute their (single) partial
-    shingle so short docs still get a signature."""
+    hashes — one shingle per token.
+
+    The token stream is re-laid-out with k-1 constant BOUNDARY sentinels
+    after each row, so every shingle (including those of rows shorter than
+    k, which pad with sentinels) is a pure function of its own row's tokens
+    — signatures can never depend on neighboring documents or batch
+    composition.
+    """
     n = len(hashes)
     if n == 0:
         return hashes, row_id
     if k <= 1:
-        return hashes, row_id
-    sh = hashes.copy()
+        return _mix64(hashes), row_id
+    pad = k - 1
+    counts = np.bincount(row_id, minlength=n_rows)
+    new_counts = counts + pad
+    new_offsets = np.concatenate(([0], np.cumsum(new_counts)))
+    padded = np.zeros(new_offsets[-1], dtype=np.uint64)  # sentinel = 0
+    old_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    pos = np.arange(n) + (new_offsets[:-1] - old_starts)[row_id]
+    padded[pos] = hashes
+
+    sh = padded.copy()
+    m = len(padded)
     for j in range(1, k):
-        rolled = np.empty_like(hashes)
-        rolled[: n - j] = hashes[j:]
-        rolled[n - j :] = 0
+        rolled = np.zeros_like(padded)
+        rolled[: m - j] = padded[j:]
         sh = sh * np.uint64(1099511628211) + rolled  # FNV-ish combine
-    valid = np.zeros(n, dtype=bool)
-    if n >= k:
-        valid[: n - k + 1] = row_id[: n - k + 1] == row_id[k - 1 :]
-    # keep one partial shingle for rows with < k tokens (their first token)
-    counts = np.bincount(row_id, minlength=(row_id.max() + 1) if n else 0)
-    short_rows = np.nonzero(counts[: row_id.max() + 1] < k)[0] if n else []
-    if len(short_rows):
-        firsts = np.searchsorted(row_id, short_rows, side="left")
-        valid[firsts[counts[short_rows] > 0]] = True
-    return _mix64(sh[valid]), row_id[valid]
+    # exactly the original token positions start a shingle
+    return _mix64(sh[pos]), row_id
 
 
 def minhash_signatures(
@@ -56,17 +62,21 @@ def minhash_signatures(
     Empty/null docs get all-``0xFF..`` sentinel signatures (match nothing).
     """
     hashes, row_id, n_rows = token_hashes(texts)
-    sh, srow = _shingle_hashes(hashes, row_id, shingle_k)
+    sh, srow = _shingle_hashes(hashes, row_id, shingle_k, n_rows)
     sig = np.full((n_rows, num_perm), _EMPTY_SENTINEL, dtype=np.uint64)
     if len(sh) == 0:
         return sig
     row_starts = np.searchsorted(srow, np.arange(n_rows), side="left")
     present = np.bincount(srow, minlength=n_rows) > 0
-    clamped = np.minimum(row_starts, len(sh) - 1)
+    # exclude trailing empty rows rather than clamping (a clamped index
+    # would truncate the previous row's segment)
+    valid = row_starts < len(sh)
+    idx = row_starts[valid]
     for p in range(num_perm):
         seed = np.uint64(((p + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
         vals = _mix64(sh ^ seed)
-        mins = np.minimum.reduceat(vals, clamped)
+        mins = np.full(n_rows, _EMPTY_SENTINEL, dtype=np.uint64)
+        mins[valid] = np.minimum.reduceat(vals, idx)
         sig[present, p] = mins[present]
     return sig
 

@@ -97,11 +97,17 @@ def simhash64(texts, *, sample_mod: int = 1) -> pa.Array:
         hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
     )
     # per-document sums of each bit column; row_id is sorted, so reduceat
-    # over the first-token index of each document segments the matrix
+    # over the first-token index of each document segments the matrix.
+    # Docs starting at/after the end (trailing empties) must be EXCLUDED,
+    # not clamped — a clamped index would truncate the previous doc's
+    # segment (fingerprints would then depend on batch composition).
     row_starts = np.searchsorted(row_id, np.arange(n_rows), side="left")
-    # reduceat requires indices < len; clamp trailing empty docs, zero later
-    clamped = np.minimum(row_starts, len(hashes) - 1)
-    sums = np.add.reduceat(bits.astype(np.int32), clamped, axis=0)
+    valid = row_starts < len(hashes)
+    sums = np.zeros((n_rows, 64), dtype=np.int32)
+    if valid.any():
+        sums[valid] = np.add.reduceat(
+            bits.astype(np.int32), row_starts[valid], axis=0
+        )
     tok_counts = np.bincount(row_id, minlength=n_rows).astype(np.int32)
     empty = tok_counts == 0
     sums[empty] = 0

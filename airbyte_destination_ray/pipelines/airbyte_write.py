@@ -18,13 +18,19 @@ per-partition LWW merge/append → manifest CAS), so Airbyte sync modes map to
 engine semantics exactly:
 
     append_dedup → LWW upsert, ver = cursor field, seq = record index (A1)
-    append       → keep every event; seq watermark dedups re-delivery (A2)
-    overwrite    → generation bump at sync start + append (A3)
+    append       → LWW keyed on _airbyte_raw_id: every distinct event kept
+                   (re-sent records get new indices → new raw ids, so exact
+                   duplicates in the stream survive, matching the reference
+                   e2e golden), while REPLAYED records (same index → same raw
+                   id) dedup — exactly A2's "unique id = _airbyte_raw_id"
+                   table declaration (destination.go:329-335)
+    overwrite    → generation bump at sync start + append semantics (A3)
 
 The global record index (replay-critical, M4) orders flushes too: each flush
-commits under a monotonically increasing *flush epoch*, and checkpoint
-records at STATE barriers capture the flush epoch — resume semantics
-identical to the binlog pipeline's.
+commits under a monotonically increasing *flush epoch* that RESUMES from the
+lake's committed maximum across syncs (a restarted counter would collide
+with prior manifests and silently no-op); checkpoints at STATE barriers
+record the last committed flush epoch.
 """
 
 from __future__ import annotations
@@ -140,22 +146,32 @@ class AirbyteWriter:
 
     # -- setup (destination.go:183-255) ------------------------------------
     def setup_streams(self) -> None:
+        from ..state.manifest import COMPACTION_EPOCH_BASE
+
+        max_committed_epoch = -1
         for s in self.catalog.streams:
             table = s.table_name
             store = ManifestStore(self.config.lake_root, table)
             if store.exists():
                 meta = store.table_meta()
                 # M12 compatibility checks against the existing table shape
-                pk_ordered = bool(meta.get("pk"))
-                unique_id = meta["pk"][0] if meta.get("pk") else RAW_ID_COLUMN
+                pk = meta.get("pk") or []
+                pk_ordered = bool(pk) and pk != [RAW_ID_COLUMN]
+                unique_id = pk[0] if pk else RAW_ID_COLUMN
                 s.validate_against_table(unique_id, pk_ordered)
             store.root.mkdir(parents=True, exist_ok=True)
             is_dedup = s.destination_sync_mode == SyncMode.APPEND_DEDUP
+            # every Airbyte table is an LWW table: user PK for append_dedup,
+            # the synthetic raw id for append/overwrite (A2) — with the
+            # delta strategy so per-flush write cost is O(flush), not
+            # O(partition)
             meta = store.init_table(
                 num_partitions=self.num_partitions,
-                mode="append_dedup" if is_dedup else "append",
-                pk=s.pk_columns if is_dedup else [],
+                mode="append_dedup",
+                pk=s.pk_columns if is_dedup else [RAW_ID_COLUMN],
                 cursor=s.cursor if is_dedup else EXTRACTED_AT_COLUMN,
+                merge_strategy="delta",
+                compact_every=16,
             )
             gen = meta["generation"]
             if s.destination_sync_mode == SyncMode.OVERWRITE:
@@ -168,6 +184,11 @@ class AirbyteWriter:
                 )
             self.generations[table] = gen
             self.result.tables.append(table)
+            # resume the flush-epoch counter past every committed manifest
+            for m in store._iter_manifests(gen):
+                if m.epoch < COMPACTION_EPOCH_BASE:
+                    max_committed_epoch = max(max_committed_epoch, m.epoch)
+        self.flush_epoch = max_committed_epoch + 1
 
     # -- record path (destination.go:421-453) ------------------------------
     def add_record(self, record_index: int, record) -> None:
@@ -217,10 +238,12 @@ class AirbyteWriter:
             table,
             generation=self.generations[table],
             epoch=self.flush_epoch,
-            mode="append_dedup" if is_dedup else "append",
+            mode="append_dedup",
             pk=pk,
             ver=ver,
             compute_digest=False,
+            strategy="delta",
+            compact_every=16,
         )
         stats = (
             ds.map_batches(partitioner, batch_format="pyarrow", batch_size=None)
@@ -238,13 +261,16 @@ class AirbyteWriter:
     # -- state barrier (destination.go:402-420) ----------------------------
     def on_state(self, state) -> None:
         self.flush_all()
-        for table, gen in self.generations.items():
-            store = ManifestStore(self.config.lake_root, table)
-            store.write_checkpoint(
-                gen,
-                self.flush_epoch,
-                {"records_written": self.result.records_written},
-            )
+        # checkpoint the last COMMITTED flush epoch (flush_epoch points one
+        # past it); no flush yet → nothing durable to checkpoint
+        if self.flush_epoch > 0:
+            for table, gen in self.generations.items():
+                store = ManifestStore(self.config.lake_root, table)
+                store.write_checkpoint(
+                    gen,
+                    self.flush_epoch - 1,
+                    {"records_written": self.result.records_written},
+                )
         emit(
             self.out,
             {
@@ -319,9 +345,11 @@ def run_write_dataset(
         is_dedup = stream.destination_sync_mode == SyncMode.APPEND_DEDUP
         meta = store.init_table(
             num_partitions=num_partitions,
-            mode="append_dedup" if is_dedup else "append",
-            pk=stream.pk_columns if is_dedup else [],
+            mode="append_dedup",
+            pk=stream.pk_columns if is_dedup else [RAW_ID_COLUMN],
             cursor=stream.cursor if is_dedup else EXTRACTED_AT_COLUMN,
+            merge_strategy="delta",
+            compact_every=16,
         )
         pk = stream.pk_columns[0] if is_dedup else RAW_ID_COLUMN
         ver = stream.cursor if is_dedup else EXTRACTED_AT_COLUMN
@@ -354,10 +382,12 @@ def run_write_dataset(
             table,
             generation=meta["generation"],
             epoch=epoch,
-            mode="append_dedup" if is_dedup else "append",
+            mode="append_dedup",
             pk=pk,
             ver=ver,
             compute_digest=False,
+            strategy="delta",
+            compact_every=16,
         )
         stats = (
             converted.map_batches(partitioner, batch_format="pyarrow", batch_size=None)

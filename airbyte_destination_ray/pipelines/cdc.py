@@ -261,12 +261,18 @@ def read_table(
 
 def compact_table(lake_root: str, table: str) -> dict:
     """Maintenance compaction for delta-strategy tables: fold every
-    partition's file stack into a single snapshot file, committed as a new
-    epoch (manifest CAS — concurrent/retried compactions are no-ops).
+    partition's file stack into a single snapshot file.
 
-    One Ray task per partition; partitions already at one file are skipped.
+    Compactions commit in a dedicated epoch lane (≥ COMPACTION_EPOCH_BASE,
+    see ``state.manifest``) so they can never collide with a future source
+    epoch's manifest CAS, and they write NO checkpoint — a compaction is not
+    a source barrier, and resume positions must keep pointing at real binlog
+    epochs.  One Ray task per partition; single-file partitions are skipped;
+    mixed-schema-version stacks are aligned to the newest version first.
     """
     import numpy as np
+
+    from ..state.manifest import COMPACTION_EPOCH_BASE
 
     store = ManifestStore(lake_root, table)
     meta = store.table_meta()
@@ -275,9 +281,13 @@ def compact_table(lake_root: str, table: str) -> dict:
     stacks = [s for s in _delta_partition_stacks(store, meta) if len(s["files"]) > 1]
     if not stacks:
         return {"compacted_partitions": 0}
-    ckpt = store.last_checkpoint(gen)
-    manifests = store._iter_manifests(gen)
-    next_epoch = max((m.epoch for m in manifests), default=-1) + 1
+    prev_lane = [
+        m.epoch
+        for m in store._iter_manifests(gen)
+        if m.epoch >= COMPACTION_EPOCH_BASE
+    ]
+    next_epoch = max(prev_lane, default=COMPACTION_EPOCH_BASE - 1) + 1
+    target_version = max(s["schema_version"] for s in stacks)
 
     merger = make_partition_merger(
         lake_root,
@@ -288,8 +298,9 @@ def compact_table(lake_root: str, table: str) -> dict:
         pk=pk,
         ver=ver,
         compute_digest=True,
-        schema_version=max(s["schema_version"] for s in stacks),
+        schema_version=target_version,
         strategy="snapshot",  # a compaction IS the full merge
+        include_prev=False,  # the stack below IS the full previous state
     )
 
     def compact_one(batch: pa.Table) -> pa.Table:
@@ -299,6 +310,9 @@ def compact_table(lake_root: str, table: str) -> dict:
         for r in batch.to_pylist():
             stack = pa.concat_tables(
                 pq.read_table(Path(lake_root) / f) for f in r["files"]
+            )
+            stack = _align_lake_table(
+                stack, lake_root, table, r["schema_version"], target_version
             )
             stack = stack.append_column(
                 "_part",
@@ -313,9 +327,6 @@ def compact_table(lake_root: str, table: str) -> dict:
         compact_one, batch_format="pyarrow", batch_size=1
     )
     n = stats.count()
-    store.write_checkpoint(
-        gen, next_epoch, {"compaction": True, "partitions": n}
-    )
     return {"compacted_partitions": n, "epoch": next_epoch}
 
 

@@ -87,8 +87,12 @@ def dedup_minhash_lsh(
         sig = minhash_signatures(
             batch.column(text_col), num_perm=num_perm, shingle_k=shingle_k
         )
+        # empty/null docs carry the all-sentinel signature; emitting their
+        # (identical) band keys would mass-dedup unrelated empty docs
+        present = sig[:, 0] != np.uint64(0xFFFFFFFFFFFFFFFF)
+        sig = sig[present]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[present]
         band_idx, key = band_keys(sig, bands=bands)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         out = {
             "id": pa.array(np.repeat(ids, bands), type=pa.int64()),
             "band": pa.array(band_idx, type=pa.int64()),
@@ -144,6 +148,9 @@ def dedup_simhash(
     chunk_bits = 64 // bands
 
     def keys(batch: pa.Table) -> pa.Table:
+        # null-text rows emit no candidates — they are not duplicates of
+        # each other (filling nulls with a shared key would mass-delete them)
+        batch = batch.filter(batch.column(text_col).combine_chunks().is_valid())
         fp = (
             pc.fill_null(simhash64(batch.column(text_col)), 0)
             .to_numpy(zero_copy_only=False)
@@ -225,6 +232,9 @@ def dedup_exact_hash(
     — at web scale the exchange moves 16 bytes/doc instead of the payload."""
 
     def keys(batch: pa.Table) -> pa.Table:
+        # null-text rows emit no candidates (a shared fill value would make
+        # every null-text row a "duplicate" of the others)
+        batch = batch.filter(batch.column(text_col).combine_chunks().is_valid())
         fp = content_fingerprint(batch.column(text_col), normalize=normalize)
         ids = batch.column(id_col)
         return pa.table(

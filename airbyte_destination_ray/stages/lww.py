@@ -246,6 +246,7 @@ def make_partition_merger(
     schema_version: int = 0,
     strategy: str = "snapshot",
     compact_every: int = 8,
+    include_prev: bool = True,
 ) -> Callable[[pa.Table], pa.Table]:
     """Per-partition merge/commit task for ``groupby('_part').map_groups``.
 
@@ -316,7 +317,7 @@ def make_partition_merger(
             merged = lww_compact(changes, pk, ver, SEQ_COLUMN)
         else:  # append_dedup → full LWW merge (snapshot, or delta compaction)
             pieces = [changes]
-            if prev is not None and prev.files:
+            if include_prev and prev is not None and prev.files:
                 prev_t = pa.concat_tables(
                     pq.read_table(Path(lake_root) / f) for f in prev.files
                 )

@@ -36,6 +36,13 @@ from dataclasses import asdict, dataclass, field
 from pathlib import Path
 
 
+# Compaction manifests live in a dedicated epoch lane far above any real
+# binlog epoch: they must rank newest for snapshot resolution without ever
+# colliding with a future source epoch's manifest CAS (a collision would make
+# that epoch's merge a silent no-op).
+COMPACTION_EPOCH_BASE = 1_000_000_000
+
+
 @dataclass
 class PartitionManifest:
     table: str
@@ -158,13 +165,21 @@ class ManifestStore:
             / f"g{generation:04d}-e{epoch:06d}-p{partition:05d}.json"
         ).exists()
 
-    def _iter_manifests(self, generation: int) -> list[PartitionManifest]:
+    def _iter_manifests(
+        self, generation: int, partition: int | None = None
+    ) -> list[PartitionManifest]:
+        """Manifests of a generation; with ``partition``, only that
+        partition's (filename-filtered BEFORE parsing — per-task snapshot
+        lookups stay O(epochs), not O(epochs × partitions))."""
         if not self.manifest_dir.exists():
             return []
         prefix = f"g{generation:04d}-"
+        suffix = (
+            f"-p{partition:05d}.json" if partition is not None else ".json"
+        )
         out = []
         for p in self.manifest_dir.iterdir():
-            if p.name.startswith(prefix) and p.name.endswith(".json"):
+            if p.name.startswith(prefix) and p.name.endswith(suffix):
                 with open(p) as f:
                     out.append(PartitionManifest(**json.load(f)))
         return out
@@ -172,12 +187,19 @@ class ManifestStore:
     def latest_snapshot(
         self, generation: int, partition: int, *, max_epoch: int | None = None
     ) -> PartitionManifest | None:
-        """Current state of a partition = highest committed epoch ≤ max_epoch."""
+        """Current state of a partition = highest committed epoch ≤ max_epoch.
+
+        Compaction-lane manifests (epoch ≥ COMPACTION_EPOCH_BASE) always
+        qualify: a compaction folds exactly the epochs committed before it,
+        which is a valid (and preferable) base for any later epoch's merge.
+        """
         best: PartitionManifest | None = None
-        for m in self._iter_manifests(generation):
-            if m.partition != partition:
-                continue
-            if max_epoch is not None and m.epoch > max_epoch:
+        for m in self._iter_manifests(generation, partition):
+            if (
+                max_epoch is not None
+                and m.epoch > max_epoch
+                and m.epoch < COMPACTION_EPOCH_BASE
+            ):
                 continue
             if best is None or m.epoch > best.epoch:
                 best = m
@@ -192,12 +214,14 @@ class ManifestStore:
     ) -> list[tuple[str, int]]:
         """Current file set as (path, schema_version) pairs.
 
-        Snapshot tables: latest manifest per partition. Append tables: union
-        of every committed manifest's files.  A partition untouched since an
-        older schema version keeps its old-version files — readers align.
+        Snapshot tables (append_dedup): latest manifest per partition.
+        Additive tables (append, overwrite — overwrite is append within a
+        fresh generation): union of every committed manifest's files.  A
+        partition untouched since an older schema version keeps its
+        old-version files — readers align.
         """
         manifests = self._iter_manifests(generation)
-        if mode == "append":
+        if mode in ("append", "overwrite"):
             files: list[tuple[str, int]] = []
             for m in sorted(manifests, key=lambda m: (m.partition, m.epoch)):
                 files.extend((f, m.schema_version) for f in m.files)

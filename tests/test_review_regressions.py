@@ -1,0 +1,168 @@
+"""Regression tests for the round-1 code-review findings — each test pins a
+bug that the original suite missed (cross-sync collisions, batch-composition
+sensitivity, null-key mass dedup, overwrite read semantics, compaction epoch
+collisions)."""
+
+import io
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from airbyte_destination_ray.catalog import Config, catalog_from_json
+from airbyte_destination_ray.pipelines.airbyte_write import run_write
+from airbyte_destination_ray.pipelines.cdc import (
+    compact_table,
+    read_table_arrow,
+    run_cdc_sync,
+)
+from airbyte_destination_ray.sources.synth import write_custom_binlog
+
+
+def _cat(mode="append"):
+    return catalog_from_json(
+        {
+            "streams": [
+                {
+                    "stream": {
+                        "name": "s",
+                        "json_schema": {
+                            "properties": {"id": {"type": "integer"}}
+                        },
+                    },
+                    "destination_sync_mode": mode,
+                }
+            ]
+        }
+    )
+
+
+def _rec(i):
+    import json
+
+    return json.dumps(
+        {
+            "type": "RECORD",
+            "record": {"stream": "s", "data": {"id": i}, "emitted_at": 1000 + i},
+        }
+    )
+
+
+def test_second_sync_appends_not_swallowed(ray_session, tmp_path):
+    """Finding 1: a later sync must not collide with the previous sync's
+    manifests (flush epochs resume) nor lose records to the seq watermark."""
+    lake = str(tmp_path / "lake")
+    cfg = Config(lake_root=lake)
+    out = io.StringIO()
+    run_write(cfg, _cat(), [_rec(1)], out=out, num_partitions=1)
+    run_write(cfg, _cat(), [_rec(2)], out=out, num_partitions=1)
+    t = read_table_arrow(lake, "s")
+    assert sorted(t.column("id").to_pylist()) == [1, 2]
+
+
+def test_multi_epoch_overwrite_reads_all_epochs(ray_session, tmp_path):
+    """Finding 2: overwrite is additive WITHIN its generation — a 2-epoch
+    overwrite sync must read back both epochs' rows."""
+    lake, binlog = str(tmp_path / "lk"), tmp_path / "bl"
+    write_custom_binlog(
+        binlog,
+        [
+            {"seq": 0, "epoch": 0, "op": "I", "url": "a", "warc_ts": 100,
+             "html": b"", "text": "ta", "lang": "en"},
+            {"seq": 1, "epoch": 1, "op": "I", "url": "b", "warc_ts": 200,
+             "html": b"", "text": "tb", "lang": "en"},
+        ],
+    )
+    run_cdc_sync(lake, str(binlog), num_partitions=1, mode="overwrite",
+                 resume=False)
+    t = read_table_arrow(lake, "pages")
+    assert sorted(t.column("url").to_pylist()) == ["a", "b"]
+
+
+def test_compaction_does_not_swallow_future_epochs(ray_session, tmp_path):
+    """Finding 3: a compaction between syncs must not claim a future binlog
+    epoch number (which would make that epoch's merge a silent no-op)."""
+    lake, binlog = str(tmp_path / "lk"), tmp_path / "bl"
+    rows = [
+        {"seq": i, "epoch": e, "op": "I", "url": f"u{i}", "warc_ts": 100 + i,
+         "html": b"", "text": f"t{i}", "lang": "en"}
+        for e, i in [(0, 0), (0, 1), (1, 2), (1, 3)]
+    ]
+    write_custom_binlog(binlog, rows[:2])  # only epoch 0 exists yet
+    run_cdc_sync(lake, str(binlog), num_partitions=1, merge_strategy="delta",
+                 compact_every=10)
+    compact_table(lake, "pages")
+    # the source later produces epoch 1
+    write_custom_binlog(binlog, rows)
+    run_cdc_sync(lake, str(binlog), num_partitions=1, merge_strategy="delta",
+                 compact_every=10)
+    t = read_table_arrow(lake, "pages")
+    assert sorted(t.column("url").to_pylist()) == ["u0", "u1", "u2", "u3"]
+
+
+def test_simhash_batch_composition_independent():
+    """Finding 4: a trailing empty/null doc must not change the preceding
+    doc's fingerprint."""
+    from airbyte_destination_ray.functions.simhash import simhash64
+
+    alone = simhash64(pa.array(["alpha beta gamma"])).to_pylist()[0]
+    with_empty = simhash64(pa.array(["alpha beta gamma", ""])).to_pylist()[0]
+    with_null = simhash64(pa.array(["alpha beta gamma", None])).to_pylist()[0]
+    assert alone == with_empty == with_null
+
+
+def test_minhash_batch_composition_independent():
+    """Findings 4+6: signatures (incl. short docs) must not depend on
+    neighboring documents in the batch."""
+    from airbyte_destination_ray.functions.minhash import minhash_signatures
+
+    short = "a b"
+    sig1 = minhash_signatures(pa.array([short, "first long document with many words"]))
+    sig2 = minhash_signatures(pa.array([short, "totally different neighbor text"]))
+    sig3 = minhash_signatures(pa.array([short, None]))
+    assert (sig1[0] == sig2[0]).all()
+    assert (sig1[0] == sig3[0]).all()
+    # and different short docs still differ
+    sig4 = minhash_signatures(pa.array(["a c"]))
+    assert not (sig1[0] == sig4[0]).all()
+
+
+def test_null_text_rows_not_mass_deduped(ray_session):
+    """Finding 7: documents with null text are not duplicates of each other."""
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.dedup import (
+        dedup_exact_hash,
+        dedup_minhash_lsh,
+        dedup_simhash,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(6), type=pa.int64()),
+            "text": pa.array([None, None, None, "real one", "real two", ""]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    for op in (dedup_exact_hash, dedup_simhash, dedup_minhash_lsh):
+        kept = pa.concat_tables(
+            list(op(ds).iter_batches(batch_format="pyarrow"))
+        )
+        assert kept.num_rows == 6, op.__name__
+
+
+def test_checkpoint_records_committed_epoch(ray_session, tmp_path):
+    """Finding 8: the STATE checkpoint names the last COMMITTED flush epoch."""
+    import json
+
+    from airbyte_destination_ray.state.manifest import ManifestStore
+
+    lake = str(tmp_path / "lake")
+    cfg = Config(lake_root=lake)
+    out = io.StringIO()
+    state = json.dumps({"type": "STATE", "state": {}})
+    run_write(cfg, _cat(), [_rec(1), state], out=out, num_partitions=1)
+    store = ManifestStore(lake, "s")
+    ckpt = store.last_checkpoint(store.table_meta()["generation"])
+    assert ckpt is not None
+    assert store.is_committed(0, ckpt["epoch"], 0)
