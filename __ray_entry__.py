@@ -234,6 +234,20 @@ def _q_lineage_events_cdc(sf_dir: str):
     )
 
 
+def _q_top_events_by_value(sf_dir: str):
+    """Global top-50 events by value — per-batch local top-k + tiny final
+    reduce, no global sort."""
+    from airbyte_destination_ray.pipelines.ops import top_k_by
+
+    return top_k_by(_events(sf_dir), by="value", k=50, tie_break="event_id")
+
+
+def _q_quality_filter_documents(sf_dir: str):
+    from airbyte_destination_ray.pipelines.ops import quality_filter
+
+    return quality_filter(_documents(sf_dir), min_quality=0.82)
+
+
 def _q_events_stats_by_type(sf_dir: str):
     from airbyte_destination_ray.pipelines.ops import grouped_stats
 
@@ -264,6 +278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "annotate_documents": _q_annotate_documents,
         "events_stats_by_type": _q_events_stats_by_type,
         "events_daily_counts": _q_events_daily_counts,
+        "top_events_by_value": _q_top_events_by_value,
+        "quality_filter_documents": _q_quality_filter_documents,
         "multimodal_image_decode": _q_multimodal_image_decode,
         "lineage_events_cdc": _q_lineage_events_cdc,
     }
@@ -346,5 +362,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS event_day,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1
+        """,
+        "top_events_by_value": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events ORDER BY value DESC, event_id LIMIT 50
         """,
     }

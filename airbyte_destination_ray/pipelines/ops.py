@@ -288,6 +288,58 @@ def daily_counts(ds, *, ts_col: str = "ts"):
     )
 
 
+def top_k_by(
+    ds,
+    *,
+    by: str,
+    k: int,
+    tie_break: str,
+    descending: bool = True,
+):
+    """Global top-k WITHOUT a global sort: each batch keeps its local top-k
+    (vectorized partition-sort), a single tiny final reduce merges the
+    per-batch survivors — the exchange moves k rows per batch, never the
+    dataset.  Deterministic tie-break on ``tie_break``.
+
+    DuckDB oracle shape::
+
+        SELECT * FROM t ORDER BY by DESC, tie_break LIMIT k
+    """
+    order = "descending" if descending else "ascending"
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.sort_indices(
+            batch, sort_keys=[(by, order), (tie_break, "ascending")]
+        )
+        return batch.take(idx[: min(k, batch.num_rows)])
+
+    def final(batch: pa.Table) -> pa.Table:
+        return local_topk(batch)
+
+    # repartition(1) materializes only the tiny survivor set (≤ k per block)
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def quality_filter(ds, *, text_col: str = "text", min_quality: float = 0.5):
+    """Keep documents whose heuristic quality score ≥ threshold — the
+    canonical training-data filter stage (C4/Gopher-style)."""
+    from ..functions.text import quality_score
+
+    def fn(batch: pa.Table) -> pa.Table:
+        q = quality_score(batch.column(text_col))
+        return batch.filter(
+            pc.fill_null(pc.greater_equal(q, min_quality), False)
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
 def dedup_exact(
     ds,
     *,

@@ -134,3 +134,40 @@ def test_minhash_empty_doc_matches_nothing():
     sig = minhash_signatures(pa.array(["", "some real text here"]), num_perm=8)
     assert (sig[0] == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
     assert not (sig[1] == np.uint64(0xFFFFFFFFFFFFFFFF)).any()
+
+
+def test_quality_features_match_python_reference():
+    """Property check: the byte engine equals a plain-Python reference on
+    random ASCII documents (hypothesis-free deterministic sweep)."""
+    import random
+
+    rng = random.Random(7)
+    chars = "abc XYZ 019 .,!?\t\n  "
+    docs = ["".join(rng.choice(chars) for _ in range(rng.randint(0, 60))) for _ in range(200)]
+    f = quality_features(pa.array(docs))
+    for i, d in enumerate(docs):
+        assert f["n_chars"].to_pylist()[i] == len(d), d
+        assert f["n_words"].to_pylist()[i] == len(d.split()), d
+        n_alpha = sum(c.isalpha() for c in d)
+        n_digit = sum(c.isdigit() for c in d)
+        n_upper = sum(c.isupper() for c in d)
+        n = max(len(d), 1)
+        if len(d):
+            assert abs(f["alpha_ratio"].to_pylist()[i] - n_alpha / n) < 1e-9
+            assert abs(f["digit_ratio"].to_pylist()[i] - n_digit / n) < 1e-9
+            assert abs(f["upper_ratio"].to_pylist()[i] - n_upper / n) < 1e-9
+
+
+def test_fast_token_count_matches_regex_on_random_ascii():
+    import random
+
+    rng = random.Random(11)
+    chars = "ab c1 2,.'! \t"
+    docs = ["".join(rng.choice(chars) for _ in range(rng.randint(0, 40))) for _ in range(300)]
+    fast = fast_token_count(pa.array(docs)).to_pylist()
+    # fast counts runs; regex splits contractions slightly differently —
+    # allow ±1 per doc but require exact match on docs without apostrophes
+    regex = bpe_ish_token_count(pa.array(docs)).to_pylist()
+    for d, a, b in zip(docs, fast, regex):
+        if "'" not in d:
+            assert a == b, (d, a, b)
