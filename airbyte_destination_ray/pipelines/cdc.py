@@ -19,7 +19,6 @@ only the per-partition stats rows (one per partition) come back.
 
 from __future__ import annotations
 
-import json
 import time
 from pathlib import Path
 
@@ -281,13 +280,16 @@ def compact_table(lake_root: str, table: str) -> dict:
     stacks = [s for s in _delta_partition_stacks(store, meta) if len(s["files"]) > 1]
     if not stacks:
         return {"compacted_partitions": 0}
+    all_manifests = store._iter_manifests(gen)
     prev_lane = [
-        m.epoch
-        for m in store._iter_manifests(gen)
-        if m.epoch >= COMPACTION_EPOCH_BASE
+        m.epoch for m in all_manifests if m.epoch >= COMPACTION_EPOCH_BASE
     ]
     next_epoch = max(prev_lane, default=COMPACTION_EPOCH_BASE - 1) + 1
     target_version = max(s["schema_version"] for s in stacks)
+    # the compaction COVERS every source epoch folded into the stacks; a
+    # later source epoch then outranks it (manifest order_key), so post-
+    # compaction data can never be shadowed
+    covers = max(s["covers_epoch"] for s in stacks)
 
     merger = make_partition_merger(
         lake_root,
@@ -301,6 +303,7 @@ def compact_table(lake_root: str, table: str) -> dict:
         schema_version=target_version,
         strategy="snapshot",  # a compaction IS the full merge
         include_prev=False,  # the stack below IS the full previous state
+        covers_epoch=covers,
     )
 
     def compact_one(batch: pa.Table) -> pa.Table:
@@ -358,33 +361,43 @@ def lineage_dataset(lake_root: str, table: str, *, generation: int | None = None
 
 
 def table_row_count(lake_root: str, table: str) -> int:
-    """A5: current committed row count from manifests (metadata only).
+    """A5: current committed PHYSICAL row count from manifests (metadata
+    only — no data scan).
 
-    Valid for both modes: append manifests carry the cumulative partition
-    count, snapshot manifests the current one — either way the latest epoch
-    per partition is authoritative.
+    Append manifests carry the cumulative partition count and snapshot
+    manifests the current one, so this equals the logical row count for
+    those; for delta-strategy stacks it counts stacked physical rows
+    (superseded versions and tombstones included) until a compaction folds
+    them — use ``read_table(...).count()`` when the logical count of an
+    uncompacted delta table is needed.
     """
     store = ManifestStore(lake_root, table)
     meta = store.table_meta()
     latest: dict[int, int] = {}
-    best_epoch: dict[int, int] = {}
+    best: dict[int, tuple[int, int]] = {}
     for m in store._iter_manifests(meta["generation"]):
-        if m.partition not in best_epoch or m.epoch > best_epoch[m.partition]:
-            best_epoch[m.partition] = m.epoch
+        if m.partition not in best or m.order_key > best[m.partition]:
+            best[m.partition] = m.order_key
             latest[m.partition] = m.row_count
     return sum(latest.values())
 
 
 def _delta_partition_stacks(store: ManifestStore, meta: dict) -> list[dict]:
-    """Latest manifest per partition → one descriptor row per partition."""
+    """Latest manifest per partition → one descriptor row per partition
+    (recency by ``order_key`` so compactions never shadow later epochs)."""
     manifests = store._iter_manifests(meta["generation"])
     latest: dict[int, object] = {}
     for m in manifests:
         cur = latest.get(m.partition)
-        if cur is None or m.epoch > cur.epoch:
+        if cur is None or m.order_key > cur.order_key:
             latest[m.partition] = m
     return [
-        {"partition": p, "files": m.files, "schema_version": m.schema_version}
+        {
+            "partition": p,
+            "files": m.files,
+            "schema_version": m.schema_version,
+            "covers_epoch": m.effective_epoch,
+        }
         for p, m in sorted(latest.items())
         if m.files
     ]

@@ -58,8 +58,29 @@ def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.zeros((0, 1), dtype=np.float64)
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(len(arr), -1)
+
+
+def _empty_topk() -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "vec_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+            "rank": pa.array([], type=pa.int64()),
+        }
+    )
+
+
+def _pack_bucket_bits(proj: np.ndarray) -> np.ndarray:
+    """Sign bits of (n, planes) projections → int64 bucket ids (≤ 63 planes)."""
+    bits = np.packbits(proj > 0, axis=1, bitorder="little")
+    padded = np.zeros((bits.shape[0], 8), dtype=np.uint8)
+    padded[:, : bits.shape[1]] = bits
+    return padded.view(np.int64).ravel()
 
 
 def knn_brute_force(
@@ -80,6 +101,8 @@ def knn_brute_force(
     qref = ray.put((q_norm, np.asarray(query_ids, dtype=np.int64)))
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_topk()
         qm, qids = ray.get(qref)
         emb = _normalize(_embedding_matrix(batch, embedding_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -122,9 +145,10 @@ def knn_lsh(
     """LSH-bucketed ANN: score each query only against corpus vectors in its
     ``probes`` most promising hyperplane buckets (the query's own bucket
     plus single-bit flips of its least-confident planes)."""
+    if not 1 <= num_planes <= 63:
+        raise ValueError("num_planes must be in [1, 63] (int64 bucket ids)")
     q = _normalize(np.asarray(queries, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
-    rng = np.random.default_rng(seed)
     planes_by_dim: dict[int, np.ndarray] = {}
 
     def planes_for(d: int) -> np.ndarray:
@@ -136,9 +160,7 @@ def knn_lsh(
 
     # query bucket set: own bucket + flips of the lowest-|margin| planes
     qproj = q @ planes_for(q.shape[1])
-    qbucket = np.packbits(qproj > 0, axis=1, bitorder="little")[:, 0].astype(
-        np.int64
-    )
+    qbucket = _pack_bucket_bits(qproj)
     flip_order = np.argsort(np.abs(qproj), axis=1)
     probe_buckets = [qbucket]
     for p in range(min(probes - 1, num_planes)):
@@ -151,13 +173,13 @@ def knn_lsh(
     qref = ray.put((q, qids, bucket_queries))
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_topk()
         qm, qid_arr, bq = ray.get(qref)
         emb = _normalize(_embedding_matrix(batch, embedding_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         proj = emb @ planes_for(emb.shape[1])
-        cbucket = np.packbits(proj > 0, axis=1, bitorder="little")[:, 0].astype(
-            np.int64
-        )
+        cbucket = _pack_bucket_bits(proj)
         out_q, out_c, out_s = [], [], []
         for b in np.unique(cbucket):
             qrows = bq.get(int(b))

@@ -3,9 +3,10 @@
 The reference consumes one stdin stream sequentially (destination.go:394).
 At 100 TB the input is a directory of NDJSON part-files; this source
 parallelizes per file while preserving the reference's replay-critical
-GLOBAL record numbering (M4): a cheap first pass counts records per file
-(newline scan, no JSON parse), a prefix sum assigns each file its index
-offset, then one Ray task per file parses lines into Arrow columns.
+GLOBAL record numbering (M4) with a SINGLE parse pass: each file is parsed
+once into an Arrow table (with file-local indices) held in the object store;
+the driver fetches only the per-file record counts, prefix-sums them, and a
+vectorized offset-add rewrites the local indices to global ones.
 
 STATE barriers are a stream-order concept; this Dataset source targets
 record ingestion (epochs come from the binlog/segment layout instead).  The
@@ -18,6 +19,7 @@ import json
 from pathlib import Path
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -33,31 +35,17 @@ RECORDS_SCHEMA = pa.schema(
 )
 
 
-@ray.remote
-def _count_records(path: str) -> int:
-    """RECORD messages in one file.  A RECORD message's JSON necessarily
-    contains the substring ``"RECORD"``, so the scan only JSON-parses the
-    (few) candidate lines — exact counts at near-newline-scan cost."""
-    n = 0
-    with open(path, "rb") as f:
-        for line in f:
-            if b'"RECORD"' not in line:
-                continue
-            try:
-                if json.loads(line).get("type") == "RECORD":
-                    n += 1
-            except json.JSONDecodeError:
-                continue  # the parse pass reports the bad line with its index
-    return n
+@ray.remote(num_returns=2)
+def _parse_file(path: str):
+    """One file → (record_count, Arrow table with FILE-LOCAL indices).
 
-
-def _parse_file(row: dict) -> pa.Table:
-    """One file → one Arrow table of records with global indices."""
+    The driver ray.gets only the count; the table stays in the object store.
+    """
     from ..protocol import MESSAGE_TYPE_RECORD, parse_message
 
-    idx = row["index_offset"]
     out = {k: [] for k in ("record_index", "namespace", "stream", "emitted_at", "data_json")}
-    with open(row["path"], encoding="utf-8") as f:
+    idx = 0
+    with open(path, encoding="utf-8") as f:
         for lineno, line in enumerate(f):
             msg = parse_message(line, lineno)
             if msg is None or msg.type != MESSAGE_TYPE_RECORD:
@@ -69,31 +57,45 @@ def _parse_file(row: dict) -> pa.Table:
             out["emitted_at"].append(r.emitted_at)
             out["data_json"].append(json.dumps(r.data, sort_keys=True))
             idx += 1
-    return pa.Table.from_pydict(out, schema=RECORDS_SCHEMA)
+    return idx, pa.Table.from_pydict(out, schema=RECORDS_SCHEMA)
 
 
 def read_records_dataset(paths: list[str | Path]) -> "ray.data.Dataset":
     """RECORD messages from NDJSON part-files as a Dataset, with the global
     record index assigned per the file order of ``paths``.
 
-    Two passes: (1) parallel per-file record counts → prefix-sum offsets
-    (driver holds one int per file); (2) one parse task per file.
+    One parse task per file (single parse pass); the driver pulls only one
+    integer per file for the prefix sum; a vectorized per-block add shifts
+    the file-local indices to global ones.
     """
     paths = [str(p) for p in paths]
-    counts = ray.get([_count_records.remote(p) for p in paths])
+    count_refs, table_refs = [], []
+    for p in paths:
+        c, t = _parse_file.remote(p)
+        count_refs.append(c)
+        table_refs.append(t)
+    counts = ray.get(count_refs)
     offsets = []
     acc = 0
     for c in counts:
         offsets.append(acc)
         acc += c
-    items = [
-        {"path": p, "index_offset": off} for p, off in zip(paths, offsets)
-    ]
-    files_ds = ray.data.from_items(items)
-    return files_ds.map_batches(
-        lambda batch: pa.concat_tables(
-            [_parse_file(r) for r in batch.to_pylist()]
-        ),
-        batch_format="pyarrow",
-        batch_size=1,
-    )
+
+    shifted = []
+    for off, tref in zip(offsets, table_refs):
+        ds = ray.data.from_arrow_refs([tref])
+        if off:
+            ds = ds.map_batches(
+                lambda b, o=off: b.set_column(
+                    b.column_names.index("record_index"),
+                    RECORDS_SCHEMA.field("record_index"),
+                    pc.add(b.column("record_index"), o),
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        shifted.append(ds)
+    out = shifted[0]
+    for ds in shifted[1:]:
+        out = out.union(ds)
+    return out

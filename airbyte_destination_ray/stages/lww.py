@@ -74,9 +74,13 @@ def lww_compact(
     """
     if table.num_rows == 0:
         return table
+    # null versions must LOSE to any real version (nulls sort first, and the
+    # winner is the last row per key) — default null_placement would put
+    # null-ver rows last, making them win LWW
     idx = pc.sort_indices(
         table,
         sort_keys=[(pk, "ascending"), (ver, "ascending"), (seq, "ascending")],
+        null_placement="at_start",
     )
     t = table.take(idx)
     keys = t.column(pk).combine_chunks().to_numpy(zero_copy_only=False)
@@ -247,6 +251,7 @@ def make_partition_merger(
     strategy: str = "snapshot",
     compact_every: int = 8,
     include_prev: bool = True,
+    covers_epoch: int = -1,
 ) -> Callable[[pa.Table], pa.Table]:
     """Per-partition merge/commit task for ``groupby('_part').map_groups``.
 
@@ -291,6 +296,18 @@ def make_partition_merger(
         prev = store.latest_snapshot(generation, part, max_epoch=epoch - 1)
         prev_max_seq = prev.max_seq if prev is not None else -1
 
+        # single source of truth for the delta-commit decision (the write
+        # path and the manifest path below must agree or manifests would
+        # disagree with the written file set)
+        is_delta_commit = bool(
+            mode == "append_dedup"
+            and strategy == "delta"
+            and prev is not None
+            and prev.files
+            and len(prev.files) + 1 < compact_every
+            and prev.schema_version == schema_version  # evolution forces compaction
+        )
+
         if mode in ("append", "overwrite"):
             # A2: keep every event; idempotence on re-delivery via the
             # per-partition seq watermark + in-epoch seq dedup (the raw-id
@@ -308,10 +325,7 @@ def make_partition_merger(
                 keep[1:] = seqs[1:] != seqs[:-1]
                 changes = changes.filter(pa.array(keep))
             merged = changes
-        elif strategy == "delta" and prev is not None and prev.files and (
-            len(prev.files) + 1 < compact_every
-            and prev.schema_version == schema_version  # evolution forces compaction
-        ):
+        elif is_delta_commit:
             # delta commit: persist only this epoch's compacted changes; the
             # logical partition state is the LWW fold over the file stack
             merged = lww_compact(changes, pk, ver, SEQ_COLUMN)
@@ -327,18 +341,12 @@ def make_partition_merger(
                 prev_t = _align_lake_table(
                     prev_t, lake_root, table_name, prev.schema_version, schema_version
                 )
-                pieces.append(prev_t.select(changes.column_names))
+                # permissive union by name: prev may lack columns the changes
+                # carry (e.g. enrichment enabled later) and vice versa —
+                # missing columns null-fill instead of raising
+                pieces.append(prev_t)
             combined = pa.concat_tables(pieces, promote_options="permissive")
             merged = lww_compact(combined, pk, ver, SEQ_COLUMN)
-
-        is_delta_commit = bool(
-            mode == "append_dedup"
-            and strategy == "delta"
-            and prev is not None
-            and prev.files
-            and len(prev.files) + 1 < compact_every
-            and prev.schema_version == schema_version
-        )
         files: list[str] = []
         nbytes = 0
         max_seq = prev_max_seq
@@ -380,6 +388,7 @@ def make_partition_merger(
             digest=digest,
             mode=mode,
             schema_version=schema_version,
+            covers_epoch=covers_epoch,
         )
         store.commit(m)  # CAS: losing to a concurrent duplicate is fine
         return _stats_row(

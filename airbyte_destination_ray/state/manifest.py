@@ -56,6 +56,22 @@ class PartitionManifest:
     digest: str = ""  # deterministic content digest for replay-equivalence checks
     mode: str = "append_dedup"
     schema_version: int = 0  # registry version the snapshot files are written under
+    # highest SOURCE epoch this manifest's state covers.  Normal commits
+    # cover their own epoch (-1 → use .epoch); compaction-lane commits cover
+    # the epochs folded into them, which is how a later source epoch can
+    # outrank an earlier compaction (see _order_key).
+    covers_epoch: int = -1
+
+    @property
+    def effective_epoch(self) -> int:
+        return self.covers_epoch if self.covers_epoch >= 0 else self.epoch
+
+    @property
+    def order_key(self) -> tuple[int, int]:
+        """Manifest recency order: by covered source epoch, then raw epoch
+        (a compaction covering epoch E outranks the plain epoch-E manifest;
+        a later source epoch outranks any earlier compaction)."""
+        return (self.effective_epoch, self.epoch)
 
     @property
     def key(self) -> str:
@@ -187,21 +203,18 @@ class ManifestStore:
     def latest_snapshot(
         self, generation: int, partition: int, *, max_epoch: int | None = None
     ) -> PartitionManifest | None:
-        """Current state of a partition = highest committed epoch ≤ max_epoch.
+        """Current state of a partition = manifest with the highest
+        ``order_key`` whose covered source epoch is ≤ ``max_epoch``.
 
-        Compaction-lane manifests (epoch ≥ COMPACTION_EPOCH_BASE) always
-        qualify: a compaction folds exactly the epochs committed before it,
-        which is a valid (and preferable) base for any later epoch's merge.
+        A compaction covering epochs ≤ E ranks above the plain epoch-E
+        manifest but BELOW any later source epoch's manifest, so compactions
+        can never shadow post-compaction data.
         """
         best: PartitionManifest | None = None
         for m in self._iter_manifests(generation, partition):
-            if (
-                max_epoch is not None
-                and m.epoch > max_epoch
-                and m.epoch < COMPACTION_EPOCH_BASE
-            ):
+            if max_epoch is not None and m.effective_epoch > max_epoch:
                 continue
-            if best is None or m.epoch > best.epoch:
+            if best is None or m.order_key > best.order_key:
                 best = m
         return best
 
@@ -229,7 +242,7 @@ class ManifestStore:
         latest: dict[int, PartitionManifest] = {}
         for m in manifests:
             cur = latest.get(m.partition)
-            if cur is None or m.epoch > cur.epoch:
+            if cur is None or m.order_key > cur.order_key:
                 latest[m.partition] = m
         out: list[tuple[str, int]] = []
         for p in sorted(latest):

@@ -166,3 +166,100 @@ def test_checkpoint_records_committed_epoch(ray_session, tmp_path):
     ckpt = store.last_checkpoint(store.table_meta()["generation"])
     assert ckpt is not None
     assert store.is_committed(0, ckpt["epoch"], 0)
+
+
+def test_compaction_never_shadows_later_epochs_real_stacks(ray_session, tmp_path):
+    """Round-2 finding 1: a REAL compaction (multi-file stacks folded into a
+    lane manifest) must not shadow epochs committed after it."""
+    lake, binlog = str(tmp_path / "lk2"), tmp_path / "bl2"
+    rows = [
+        {"seq": i, "epoch": e, "op": "I", "url": f"u{i}", "warc_ts": 100 + i,
+         "html": b"", "text": f"t{i}", "lang": "en"}
+        for e, i in [(0, 0), (1, 1), (2, 2), (3, 3)]
+    ]
+    # epochs 0-2 first → 3-file stacks → real compaction happens
+    write_custom_binlog(binlog, rows[:3])
+    run_cdc_sync(lake, str(binlog), num_partitions=1, merge_strategy="delta",
+                 compact_every=10)
+    res = compact_table(lake, "pages")
+    assert res["compacted_partitions"] == 1
+    # a later source epoch arrives after the compaction
+    write_custom_binlog(binlog, rows)
+    run_cdc_sync(lake, str(binlog), num_partitions=1, merge_strategy="delta",
+                 compact_every=10)
+    t = read_table_arrow(lake, "pages")
+    assert sorted(t.column("url").to_pylist()) == ["u0", "u1", "u2", "u3"]
+    # and a further merge builds on the post-compaction stack, not the lane
+    write_custom_binlog(
+        binlog, rows + [{"seq": 9, "epoch": 4, "op": "U", "url": "u0",
+                         "warc_ts": 999, "html": b"", "text": "new",
+                         "lang": "en"}]
+    )
+    run_cdc_sync(lake, str(binlog), num_partitions=1, merge_strategy="delta",
+                 compact_every=10)
+    t = read_table_arrow(lake, "pages")
+    by_url = {r["url"]: r for r in t.to_pylist()}
+    assert by_url["u0"]["text"] == "new" and len(by_url) == 4
+
+
+def test_null_version_loses_lww():
+    """Round-2 finding 4: a null cursor/version must lose to any real one."""
+    from airbyte_destination_ray.stages.lww import lww_compact
+
+    t = pa.table(
+        {
+            "url": ["k", "k", "j", "j"],
+            "warc_ts": pa.array([100, None, None, 50], type=pa.int64()),
+            "_seq": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": ["real", "nullver", "nullver", "real"],
+        }
+    )
+    out = lww_compact(t, "url", "warc_ts")
+    got = {r["url"]: r["text"] for r in out.to_pylist()}
+    assert got == {"k": "real", "j": "real"}
+
+
+def test_merge_tolerates_prev_missing_enrich_columns(ray_session, tmp_path):
+    """Round-2 finding 3: enabling enrichment on an existing non-enriched
+    table must not crash the merge (prev null-fills the new columns)."""
+    lake, binlog = str(tmp_path / "lk3"), tmp_path / "bl3"
+    write_custom_binlog(
+        binlog,
+        [
+            {"seq": 0, "epoch": 0, "op": "I", "url": "u", "warc_ts": 100,
+             "html": b"", "text": "first version here", "lang": "en"},
+            {"seq": 1, "epoch": 1, "op": "U", "url": "u", "warc_ts": 200,
+             "html": b"", "text": "second version here", "lang": "en"},
+        ],
+    )
+    run_cdc_sync(lake, str(binlog), num_partitions=1, epochs=[0], enrich=False)
+    run_cdc_sync(lake, str(binlog), num_partitions=1, epochs=[1], enrich=True)
+    t = read_table_arrow(lake, "pages")
+    assert t.num_rows == 1
+    assert t.column("text").to_pylist() == ["second version here"]
+    assert "lang_id" in t.column_names
+
+
+def test_knn_lsh_supports_more_than_8_planes(ray_session):
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.similarity import knn_lsh
+
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((60, 8)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(60), type=pa.int64()),
+            "embedding": pa.array(
+                [e.tolist() for e in emb], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = knn_lsh(ds, emb[:2], np.arange(2), k=3, num_planes=12, probes=4)
+    res = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    top1 = res.filter(pa.compute.equal(res.column("rank"), 1))
+    by_query = dict(
+        zip(top1.column("query_id").to_pylist(), top1.column("vec_id").to_pylist())
+    )
+    assert by_query == {0: 0, 1: 1}
