@@ -51,7 +51,7 @@ CDC_EVENTS = int(os.environ.get("GRAFT_CDC_EVENTS", "20000000"))
 CDC_KEYS = int(os.environ.get("GRAFT_CDC_KEYS", "2000000"))
 CDC_EPOCHS = int(os.environ.get("GRAFT_CDC_EPOCHS", "1"))
 CDC_PARTITIONS = int(os.environ.get("GRAFT_CDC_PARTITIONS", "128"))
-CDC_REPEAT = int(os.environ.get("GRAFT_CDC_REPEAT", "2"))
+CDC_REPEAT = int(os.environ.get("GRAFT_CDC_REPEAT", "3"))
 CDC_STRATEGY = os.environ.get("GRAFT_CDC_STRATEGY", "snapshot")
 
 
