@@ -171,7 +171,7 @@ def _strip_score(ds):
             ["query_id", "vec_id", "knn_rank"]
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def _q_knn_brute_force(sf_dir: str):

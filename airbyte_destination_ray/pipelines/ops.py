@@ -193,7 +193,9 @@ def annotate_documents(ds, *, text_col: str = "text"):
     from ..functions.text import enrich_text_columns
 
     return ds.map_batches(
-        lambda b: enrich_text_columns(b, text_col), batch_format="pyarrow"
+        lambda b: enrich_text_columns(b, text_col),
+        batch_format="pyarrow",
+        batch_size=None,
     )
 
 
