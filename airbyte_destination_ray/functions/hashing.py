@@ -22,6 +22,17 @@ def stable_hash_array(values) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False)
 
 
+def composite_partition_ids(
+    table, columns: list[str], num_partitions: int
+) -> np.ndarray:
+    """``stable_hash(col1) ⊕ mix(stable_hash(col2)) … % P`` for composite
+    keys — hashes combined with a multiplier so column order matters."""
+    h = np.zeros(table.num_rows, dtype=np.uint64)
+    for c in columns:
+        h = h * np.uint64(0x100000001B3) ^ stable_hash_array(table.column(c))
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
 def partition_ids(keys, num_partitions: int, *, salt: np.ndarray | None = None) -> np.ndarray:
     """``stable_hash(key) % P`` (optionally salted for hot-key splitting).
 

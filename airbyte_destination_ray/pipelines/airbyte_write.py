@@ -142,6 +142,7 @@ class AirbyteWriter:
         self.buffers: dict[str, _StreamBuffer] = {}
         self.flush_epoch = 0
         self.generations: dict[str, int] = {}
+        self.table_meta: dict[str, dict] = {}
         self.result = WriteResult()
 
     # -- setup (destination.go:183-255) ------------------------------------
@@ -183,6 +184,7 @@ class AirbyteWriter:
                     f"overwrite: table {table} starts generation {gen}",
                 )
             self.generations[table] = gen
+            self.table_meta[table] = meta
             self.result.tables.append(table)
             # resume the flush-epoch counter past every committed manifest
             for m in store._iter_manifests(gen):
@@ -192,9 +194,9 @@ class AirbyteWriter:
 
     # -- record path (destination.go:421-453) ------------------------------
     def add_record(self, record_index: int, record) -> None:
-        table = ConfiguredStream(
-            name=record.stream, namespace=record.namespace
-        ).table_name
+        from ..functions.ids import table_unique_name
+
+        table = table_unique_name(record.namespace, record.stream)
         if table not in self.generations:
             raise KeyError(
                 f"record for unknown stream {table!r} (not in catalog)"
@@ -221,14 +223,18 @@ class AirbyteWriter:
             "seq", pa.array(buf.indices, type=pa.int64())
         )
         is_dedup = stream.destination_sync_mode == SyncMode.APPEND_DEDUP
-        pk = stream.pk_columns[0] if is_dedup else RAW_ID_COLUMN
+        # composite PKs supported end-to-end; append tables key on the raw id
+        pk = stream.pk_columns if is_dedup else RAW_ID_COLUMN
         ver = stream.cursor if is_dedup else EXTRACTED_AT_COLUMN
         payload_columns = [c for c in batch.column_names if c != "seq"]
+        # the table's persisted partition count is authoritative — routing
+        # with a different count would split a PK across partitions
+        table_partitions = self.table_meta[table]["num_partitions"]
 
         ds = ray.data.from_arrow(batch)
         partitioner = make_partitioner(
             pk,
-            self.num_partitions,
+            table_partitions,
             ver=ver,
             pre_reduce=is_dedup,
             payload_columns=payload_columns,
@@ -333,10 +339,37 @@ def run_write_dataset(
     Use this for bulk/backfill loads; the sequential :func:`run_write` is the
     protocol-faithful stdin path (STATE barriers, stdout echo).
     """
+    from ..functions.ids import table_unique_name
     from ..sources.ndjson import read_records_dataset
 
     catalog.validate()
-    records = read_records_dataset(paths)
+    # materialize the parsed records once — per-stream pipelines below would
+    # otherwise re-execute the full parse per stream (object store holds the
+    # parsed columns, spilling to disk as needed)
+    records = read_records_dataset(paths).materialize()
+
+    # fail fast on records for unconfigured streams — parity with the
+    # sequential path's KeyError (a silent filter would lose data)
+    seen = set()
+    for b in records.map_batches(
+        lambda t: t.select(["stream", "namespace"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).iter_batches(batch_format="pyarrow"):
+        seen.update(
+            zip(b.column("namespace").to_pylist(), b.column("stream").to_pylist())
+        )
+    configured = {s.table_name for s in catalog.streams}
+    unknown = {
+        table_unique_name(ns or "", st)
+        for ns, st in seen
+        if table_unique_name(ns or "", st) not in configured
+    }
+    if unknown:
+        raise KeyError(
+            f"records for unconfigured streams: {sorted(unknown)}"
+        )
+
     summary: dict[str, int] = {}
     for stream in catalog.streams:
         table = stream.table_name
@@ -351,7 +384,7 @@ def run_write_dataset(
             merge_strategy="delta",
             compact_every=16,
         )
-        pk = stream.pk_columns[0] if is_dedup else RAW_ID_COLUMN
+        pk = stream.pk_columns if is_dedup else RAW_ID_COLUMN
         ver = stream.cursor if is_dedup else EXTRACTED_AT_COLUMN
 
         name, ns = stream.name, stream.namespace

@@ -276,7 +276,7 @@ def compact_table(lake_root: str, table: str) -> dict:
     store = ManifestStore(lake_root, table)
     meta = store.table_meta()
     gen = meta["generation"]
-    pk, ver = meta["pk"][0], meta["cursor"]
+    pk, ver = meta["pk"], meta["cursor"]
     stacks = [s for s in _delta_partition_stacks(store, meta) if len(s["files"]) > 1]
     if not stacks:
         return {"compacted_partitions": 0}
@@ -449,7 +449,7 @@ def _read_delta_table(
     stacks = _delta_partition_stacks(store, meta)
     if not stacks:
         return ray.data.from_arrow(pa.table({}))
-    pk, ver = meta["pk"][0], meta["cursor"]
+    pk, ver = meta["pk"], meta["cursor"]
     return ray.data.from_items(stacks).map_batches(
         lambda batch: pa.concat_tables(
             _compact_stack(
@@ -477,7 +477,7 @@ def read_table_arrow(lake_root: str, table: str, **kw) -> pa.Table:
         return pa.concat_tables(
             _compact_stack(
                 lake_root, table, r,
-                pk=meta["pk"][0], ver=meta["cursor"], columns=None,
+                pk=meta["pk"], ver=meta["cursor"], columns=None,
                 include_deleted=kw.get("include_deleted", False),
                 include_meta=kw.get("include_meta", False),
             )

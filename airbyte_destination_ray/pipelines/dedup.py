@@ -157,6 +157,10 @@ def dedup_simhash(
             .astype(np.uint64)
         )
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        # fp == 0 means "no tokens" (empty/whitespace docs): emitting their
+        # identical keys would mass-dedup unrelated empty docs
+        token_full = fp != 0
+        fp, ids = fp[token_full], ids[token_full]
         mask = np.uint64((1 << chunk_bits) - 1)
         parts = []
         for b in range(bands):
@@ -262,47 +266,45 @@ def dedup_embedding_cosine(
     threshold: float = 0.95,
     num_planes: int = 12,
     seed: int = 42,
-    dim: int | None = None,
 ):
     """Embedding near-dup removal: random-hyperplane LSH buckets + exact
     cosine verification against the bucket representative.
 
-    ``num_planes`` sign bits form the bucket key; docs whose cosine to the
-    bucket's min-id vector ≥ threshold are removed.  (One-bucket
+    ``num_planes`` sign bits form the bucket key (≤ 63); docs whose cosine
+    to the bucket's min-id vector ≥ threshold are removed.  (One-bucket
     approximation: a pair split across all buckets is missed — the standard
     recall/cost trade; raise recall by lowering ``num_planes``.)
     """
+    if not 1 <= num_planes <= 63:
+        raise ValueError("num_planes must be in [1, 63] (int64 bucket ids)")
 
     def keys(batch: pa.Table) -> pa.Table:
-        emb = np.stack(batch.column(embedding_col).to_pylist()).astype(np.float32)
-        d = emb.shape[1]
+        # empty-safe throughout: _embedding_matrix returns (0, 1) for empty
+        # batches and every downstream op handles zero rows
+        from .similarity import _embedding_matrix, _pack_bucket_bits
+
+        emb = _embedding_matrix(batch, embedding_col)
         rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((d, num_planes)).astype(np.float32)
-        norms = np.linalg.norm(emb, axis=1, keepdims=True)
-        emb = emb / np.maximum(norms, 1e-12)
-        bits = (emb @ planes) > 0
-        key = np.packbits(bits, axis=1, bitorder="little")
-        key = np.pad(key, ((0, 0), (0, 8 - key.shape[1])))[:, :8].copy()
-        key = key.view(np.uint64).ravel()
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        out = {
-            "id": pa.array(ids, type=pa.int64()),
-            "band": pa.array(np.zeros(len(ids), dtype=np.int64)),
-            "key": pa.array(key, type=pa.uint64()),
-        }
-        for j in range(emb.shape[1]):
-            out[f"_e{j}"] = pa.array(emb[:, j].astype(np.float64))
-        return pa.table(out)
+        planes = rng.standard_normal((emb.shape[1], num_planes))
+        key = _pack_bucket_bits(emb @ planes)
+        ids = batch.column(id_col)
+        return pa.table(
+            {
+                "id": ids.cast(pa.int64()),
+                "band": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                "key": pa.array(key, type=pa.int64()),
+                # carry the original list column (stable schema across blocks)
+                "emb": batch.column(embedding_col),
+            }
+        )
 
     def resolve(group: pa.Table) -> pa.Table:
         if group.num_rows < 2:
             return pa.table({"dup_id": pa.array([], type=pa.int64())})
+        from .similarity import _embedding_matrix, _normalize
+
         ids = group.column("id").to_numpy(zero_copy_only=False)
-        ecols = [n for n in group.column_names if n.startswith("_e")]
-        emb = np.stack(
-            [group.column(n).to_numpy(zero_copy_only=False) for n in ecols],
-            axis=1,
-        )
+        emb = _normalize(_embedding_matrix(group, "emb"))
         order = np.argsort(ids)
         ids, emb = ids[order], emb[order]
         cos = emb[1:] @ emb[0]

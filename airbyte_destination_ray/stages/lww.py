@@ -57,16 +57,20 @@ STATS_SCHEMA = pa.schema(
 )
 
 
+def _pk_list(pk: str | list[str]) -> list[str]:
+    return [pk] if isinstance(pk, str) else list(pk)
+
+
 def lww_compact(
     table: pa.Table,
-    pk: str,
+    pk: str | list[str],
     ver: str,
     seq: str = SEQ_COLUMN,
     *,
     drop_tombstones: bool = False,
     tombstone_col: str = DELETED_COLUMN,
 ) -> pa.Table:
-    """Keep the winning row per key: max ``(ver, seq)``.
+    """Keep the winning row per key (single or composite): max ``(ver, seq)``.
 
     Pure vectorized Arrow/numpy — one multi-key sort + a boundary mask; no
     Python per-row work.  Output is sorted by ``pk`` (deterministic layout,
@@ -74,20 +78,25 @@ def lww_compact(
     """
     if table.num_rows == 0:
         return table
+    pks = _pk_list(pk)
     # null versions must LOSE to any real version (nulls sort first, and the
     # winner is the last row per key) — default null_placement would put
     # null-ver rows last, making them win LWW
     idx = pc.sort_indices(
         table,
-        sort_keys=[(pk, "ascending"), (ver, "ascending"), (seq, "ascending")],
+        sort_keys=[(c, "ascending") for c in pks]
+        + [(ver, "ascending"), (seq, "ascending")],
         null_placement="at_start",
     )
     t = table.take(idx)
-    keys = t.column(pk).combine_chunks().to_numpy(zero_copy_only=False)
-    last = np.empty(len(keys), dtype=bool)
-    if len(keys) > 1:
-        last[:-1] = keys[:-1] != keys[1:]
+    last = np.zeros(t.num_rows, dtype=bool)
     last[-1] = True
+    if t.num_rows > 1:
+        boundary = np.zeros(t.num_rows - 1, dtype=bool)
+        for c in pks:
+            keys = t.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+            boundary |= keys[:-1] != keys[1:]
+        last[:-1] = boundary
     t = t.filter(pa.array(last))
     if drop_tombstones and tombstone_col in t.column_names:
         t = t.filter(pc.fill_null(pc.invert(t.column(tombstone_col)), True))
@@ -130,7 +139,7 @@ def make_envelope_aligner(
 
 
 def make_partitioner(
-    pk: str,
+    pk: str | list[str],
     num_partitions: int,
     *,
     ver: str | None = None,
@@ -163,7 +172,13 @@ def make_partitioner(
             from ..functions.text import enrich_text_columns
 
             batch = enrich_text_columns(batch, text_column)
-        parts = partition_ids(batch.column(pk), num_partitions)
+        pks = _pk_list(pk)
+        if len(pks) == 1:
+            parts = partition_ids(batch.column(pks[0]), num_partitions)
+        else:
+            from ..functions.hashing import composite_partition_ids
+
+            parts = composite_partition_ids(batch, pks, num_partitions)
         return batch.append_column("_part", pa.array(parts, type=pa.int64()))
 
     return fn
@@ -244,7 +259,7 @@ def make_partition_merger(
     generation: int,
     epoch: int,
     mode: str,
-    pk: str,
+    pk: str | list[str],
     ver: str,
     compute_digest: bool = True,
     schema_version: int = 0,

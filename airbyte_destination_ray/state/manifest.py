@@ -139,8 +139,11 @@ class ManifestStore:
         return (self.root / "_meta.json").exists()
 
     def bump_generation(self) -> int:
-        """Overwrite (A3): start a new generation; the old snapshot stays
-        readable until the new generation's first checkpoint commits."""
+        """Overwrite (A3): start a new generation.  The flip happens at sync
+        START — matching the reference, whose overwrite path deletes all
+        prior rows before writing new data (destination.go:198-241) — so the
+        old generation's rows become invisible immediately; its files remain
+        on disk for manual rollback until vacuumed."""
         meta = self.table_meta()
         meta["generation"] = int(meta["generation"]) + 1
         # plain overwrite is fine: single driver mutates generations

@@ -141,11 +141,16 @@ class SchemaStore:
 
 
 def get_registry_actor(lake_root: str, table: str, **actor_opts):
-    """Named actor wrapper — one coordinator per table for distributed
-    evolution calls (get_if_exists avoids create races)."""
+    """Named actor wrapper — one coordinator per (lake, table) for
+    distributed evolution calls (get_if_exists avoids create races; the name
+    includes the lake root so same-named tables in different lakes never
+    share a coordinator)."""
+    import hashlib
+
     import ray
 
-    name = f"schema_registry::{table}"
+    lake_tag = hashlib.sha256(str(Path(lake_root).resolve()).encode()).hexdigest()[:12]
+    name = f"schema_registry::{lake_tag}::{table}"
     return (
         ray.remote(SchemaStore)
         .options(name=name, get_if_exists=True, **actor_opts)
