@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ..sources.synth import ENVELOPE_SCHEMA, list_epochs, list_segments
+from ..sources.synth import list_epochs, list_segments
 from ..stages.lww import (
     DELETED_COLUMN,
     SEQ_COLUMN,
