@@ -205,6 +205,102 @@ def _q_annotate_documents(sf_dir: str):
     return annotate_documents(_documents(sf_dir))
 
 
+# -- relational / streaming-window (build-brief custom operators) -----------
+
+
+def _orders(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+
+
+def _q_orders_customer_join(sf_dir: str):
+    """Broadcast hash join: orders ⋈ customer with the small side shipped
+    once via ray.put and joined zero-copy in an actor pool — the big side
+    never shuffles (SURVEY §2.4 lookup pattern generalized)."""
+    import pyarrow.parquet as pq
+
+    from airbyte_destination_ray.pipelines.relational import broadcast_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    )
+    return broadcast_join(
+        _orders(sf_dir),
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        select=[
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderstatus",
+            "c_name",
+            "c_mktsegment",
+        ],
+    )
+
+
+def _q_sales_by_nation(sf_dir: str):
+    """Two-level broadcast rollup (orders ⋈ customer ⋈ nation → cents per
+    nation): dimensions pre-joined driver-side, fact table pre-aggregated
+    per batch so the exchange carries one row per (nation, batch)."""
+    import pyarrow.parquet as pq
+
+    from airbyte_destination_ray.pipelines.relational import sales_by_nation
+
+    return sales_by_nation(
+        _orders(sf_dir),
+        pq.read_table(f"{sf_dir}/customer.parquet"),
+        pq.read_table(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def _q_asof_click_before_purchase(sf_dir: str):
+    """As-of (point-in-time) join: each purchase attributed to the user's
+    latest click at or before it — hash-partition once, per-group vectorized
+    sort-merge (no global sort; custom operator tier (a))."""
+    from airbyte_destination_ray.pipelines.relational import asof_conversion
+
+    return asof_conversion(_events(sf_dir))
+
+
+def _q_events_hourly_by_type(sf_dir: str):
+    """Tumbling-window (hour) count per event type — streaming windowed
+    aggregate with per-batch partials."""
+    from airbyte_destination_ray.pipelines.relational import windowed_counts
+
+    return windowed_counts(_events(sf_dir), unit="hour")
+
+
+def _q_sessionize_events(sf_dir: str):
+    """Session windows (30-min gap) per user: one keyed shuffle + vectorized
+    diff/cumsum session assignment."""
+    from airbyte_destination_ray.pipelines.relational import sessionize
+
+    return sessionize(_events(sf_dir), gap_minutes=30.0)
+
+
+def _q_events_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT) per key at O(distinct pairs) shuffle cost
+    (pair-dedup pre-reduce)."""
+    from airbyte_destination_ray.pipelines.relational import distinct_count_by
+
+    return distinct_count_by(
+        _events(sf_dir), key="event_type", distinct_col="user_id"
+    )
+
+
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shape multi-aggregate with derived expressions over
+    lineitem, exact integer-cents sums (order-independent)."""
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.relational import pricing_summary
+
+    return pricing_summary(ray.data.read_parquet(f"{sf_dir}/lineitem.parquet"))
+
+
 # -- aggregation ------------------------------------------------------------
 
 
@@ -282,6 +378,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_documents": _q_quality_filter_documents,
         "multimodal_image_decode": _q_multimodal_image_decode,
         "lineage_events_cdc": _q_lineage_events_cdc,
+        "orders_customer_broadcast_join": _q_orders_customer_join,
+        "sales_by_nation": _q_sales_by_nation,
+        "asof_click_before_purchase": _q_asof_click_before_purchase,
+        "events_hourly_by_type": _q_events_hourly_by_type,
+        "sessionize_events": _q_sessionize_events,
+        "events_distinct_users_by_type": _q_events_distinct_users,
+        "pricing_summary_lineitem": _q_pricing_summary,
     }
 
 
@@ -366,5 +469,67 @@ def oracle_sql() -> dict[str, str]:
         "top_events_by_value": """
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events ORDER BY value DESC, event_id LIMIT 50
+        """,
+        "orders_customer_broadcast_join": """
+            SELECT o_orderkey, o_totalprice, o_orderstatus, c_name,
+                   c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "sales_by_nation": """
+            SELECT n_name,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS sales_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "asof_click_before_purchase": """
+            WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT * FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.ts, p.user_id, p.value,
+                   (SELECT c.event_id FROM c
+                    WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1)
+                       AS click_event_id
+            FROM p
+        """,
+        "events_hourly_by_type": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize_events": """
+            SELECT event_id, user_id,
+                   CAST(sum(CASE WHEN prev_ts IS NULL
+                                   OR ts - prev_ts > INTERVAL 30 MINUTE
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id
+            FROM (SELECT event_id, user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_ts
+                  FROM events)
+        """,
+        "events_distinct_users_by_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY 1
+        """,
+        "pricing_summary_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                       AS BIGINT) AS sum_qty_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS sum_price_cents,
+                   CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount))
+                       * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+                   CAST(sum(CAST(floor(((l_extendedprice * (1 - l_discount))
+                       * (1 + l_tax)) * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_charge_cents
+            FROM lineitem GROUP BY 1, 2
         """,
     }

@@ -1,0 +1,595 @@
+"""Relational & streaming-window operators the reference lacks, built
+Ray-Data-first (build-brief "custom operators" tier).
+
+The reference performs no joins (SURVEY.md §2.4) — its one lookup is a
+broadcast-small-side dict.  These operators generalize that pattern to the
+shapes a 100 TB training-data pipeline actually needs, each designed around
+its shuffle cost:
+
+- broadcast hash join: small side shipped ONCE via ``ray.put`` and read
+  zero-copy from the object store in every task — the big side never
+  shuffles (vs. a hash-join exchange that would move every row).
+- as-of join: hash-partition both sides by key once, then per-group sorted
+  ``searchsorted`` — no global sort.
+- sessionize / windowed counts / distinct count: per-batch partial reduce
+  first, so the all-to-all exchange moves survivors, not input rows.
+
+All emit deterministic, order-insensitive results so DuckDB oracles match
+exactly (integer-cents sums; explicit tie-breaks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..functions.hashing import composite_partition_ids, partition_ids
+
+DEFAULT_NUM_PARTITIONS = 64
+
+
+# ---------------------------------------------------------------------------
+# broadcast hash join
+# ---------------------------------------------------------------------------
+
+
+class _BroadcastJoiner:
+    """Actor-pool stage: fetch the broadcast small side once per actor
+    (zero-copy from the object store), hash-join every batch against it
+    with Arrow's vectorized join kernel."""
+
+    def __init__(self, small_ref, *, left_on, right_on, join_type, select):
+        small = ray.get(small_ref)
+        # Pre-combine once: Acero joins are fastest on a single chunk.
+        self.small = small.combine_chunks()
+        self.left_on = left_on
+        self.right_on = right_on
+        self.join_type = join_type
+        self.select = select
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = batch.join(
+            self.small,
+            keys=self.left_on,
+            right_keys=self.right_on,
+            join_type=self.join_type,
+        )
+        if self.select is not None:
+            out = out.select(self.select)
+        return out
+
+
+def broadcast_join(
+    ds,
+    small: pa.Table,
+    *,
+    left_on: str,
+    right_on: str,
+    join_type: str = "inner",
+    select: list[str] | None = None,
+    concurrency=(1, 8),
+    batch_size: int | None = None,
+):
+    """Join a big Dataset against a small in-memory Arrow table without any
+    shuffle of the big side (SURVEY.md §2.4 broadcast-lookup generalized).
+
+    ``small`` is ``ray.put`` once; every join actor reads it zero-copy from
+    the shared object store in ``__init__`` — never re-shipped per batch.
+    At 100 TB the big side streams through stateless-looking actors while
+    the dimension table (customers, nation map, vocab) stays resident.
+    """
+    small_ref = ray.put(small)
+    return ds.map_batches(
+        _BroadcastJoiner,
+        fn_constructor_kwargs=dict(
+            small_ref=small_ref,
+            left_on=left_on,
+            right_on=right_on,
+            join_type=join_type,
+            select=select,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sales_by_nation(orders_ds, customer: pa.Table, nation: pa.Table):
+    """Two-level broadcast rollup: orders ⋈ customer ⋈ nation → total sales
+    (integer cents) per nation name.
+
+    The two dimension tables are pre-joined driver-side (25 × 1 500 rows)
+    into one (custkey → nation-name) map, broadcast once; the fact table
+    then needs a single broadcast join and a tiny pre-aggregated groupby —
+    the exchange carries one row per (nation, batch).
+    """
+    dim = customer.select(["c_custkey", "c_nationkey"]).join(
+        nation.select(["n_nationkey", "n_name"]),
+        keys="c_nationkey",
+        right_keys="n_nationkey",
+        join_type="inner",
+    ).select(["c_custkey", "n_name"])
+    dim_ref = ray.put(dim.combine_chunks())
+
+    class _RollupStage:
+        def __init__(self):
+            self.dim = ray.get(dim_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.floor(pc.multiply(batch.column("o_totalprice"), 100.0)),
+                pa.int64(),
+            )
+            t = pa.table(
+                {"o_custkey": batch.column("o_custkey"), "_cents": cents}
+            )
+            j = t.join(
+                self.dim,
+                keys="o_custkey",
+                right_keys="c_custkey",
+                join_type="inner",
+            )
+            return j.group_by("n_name").aggregate(
+                [("_cents", "sum"), ("_cents", "count")]
+            )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": [group.column("n_name")[0].as_py()],
+                "n_orders": pa.array(
+                    [int(pc.sum(group.column("_cents_count")).as_py())],
+                    type=pa.int64(),
+                ),
+                "sales_cents": pa.array(
+                    [int(pc.sum(group.column("_cents_sum")).as_py())],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        orders_ds.map_batches(
+            _RollupStage,
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=(1, 8),
+        )
+        .groupby("n_name")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_seq: str,
+    right_keep: list[str],
+    suffix: str = "_right",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """As-of (point-in-time) left join: for each left row, attach the most
+    recent right row with ``right_ts <= left_ts`` for the same ``on`` key
+    (ties on ``right_ts`` broken by max ``right_seq`` — deterministic).
+
+    Ray Data has no as-of join; this is the documented composition
+    (build brief "custom operators" (a)): tag the two sides into a common
+    envelope, ONE hash-partition shuffle by key, then a per-group sorted
+    ``np.searchsorted`` — no global sort, no per-row loop.  Partitioning
+    assumption: all rows of one key fit in one group (same as any keyed
+    merge; salt + two-stage does NOT apply because as-of is not
+    associative — hot keys instead rely on Ray spilling large groups).
+    """
+    right_out = [f"{c}{suffix}" for c in right_keep]
+
+    def env_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: batch.column(c) for c in batch.column_names}
+        cols["_ats"] = pc.cast(batch.column(left_ts), pa.int64())
+        cols["_aseq"] = pa.nulls(n, pa.int64())
+        cols["_side"] = pa.array(np.ones(n, dtype=np.int8))
+        for c, oc in zip(right_keep, right_out):
+            cols[oc] = pa.nulls(n, pa.int64())
+        t = pa.table(cols)
+        parts = partition_ids(t.column(on), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    left_schema_cols: list[str] = []
+
+    def make_env_right(left_cols: list[str], left_types: dict):
+        def env_right(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for c in left_cols:
+                if c == on:
+                    cols[c] = batch.column(on)
+                else:
+                    cols[c] = pa.nulls(n, left_types[c])
+            cols["_ats"] = pc.cast(batch.column(right_ts), pa.int64())
+            cols["_aseq"] = pc.cast(batch.column(right_seq), pa.int64())
+            cols["_side"] = pa.array(np.zeros(n, dtype=np.int8))
+            for c, oc in zip(right_keep, right_out):
+                cols[oc] = pc.cast(batch.column(c), pa.int64())
+            t = pa.table(cols)
+            parts = partition_ids(t.column(on), num_partitions)
+            return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+        return env_right
+
+    left_schema = left_ds.schema()
+    left_schema_cols = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+
+    env = left_ds.map_batches(
+        env_left, batch_format="pyarrow", batch_size=None
+    ).union(
+        right_ds.map_batches(
+            make_env_right(left_schema_cols, left_types),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+
+    payload_cols = [c for c in left_schema_cols]
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        lmask = side == 1
+        left = group.filter(pa.array(lmask))
+        right = group.filter(pa.array(~lmask))
+        if left.num_rows == 0:
+            return pa.table(
+                {
+                    **{c: pa.array([], left_types[c]) for c in payload_cols},
+                    **{oc: pa.array([], pa.int64()) for oc in right_out},
+                }
+            )
+        out_cols = {c: left.column(c) for c in payload_cols}
+        lts = left.column("_ats").to_numpy(zero_copy_only=False)
+        if right.num_rows == 0:
+            for oc in right_out:
+                out_cols[oc] = pa.nulls(left.num_rows, pa.int64())
+            return pa.table(out_cols)
+        # sort right by (key, ts, seq): within a key the LAST row at or
+        # before lts is the as-of winner with max (ts, seq).
+        ridx = pc.sort_indices(
+            right,
+            sort_keys=[
+                (on, "ascending"),
+                ("_ats", "ascending"),
+                ("_aseq", "ascending"),
+            ],
+        )
+        right = right.take(ridx)
+        rkey = right.column(on).to_numpy(zero_copy_only=False)
+        rts = right.column("_ats").to_numpy(zero_copy_only=False)
+        lkey = left.column(on).to_numpy(zero_copy_only=False)
+        # Vectorized sort-merge: interleave both sides sorted by
+        # (key, ts, side) with rights before lefts at equal ts, then a
+        # segmented cumulative max of right indices (reset per key via an
+        # offset trick) gives each left row its latest right-at-or-before
+        # position — no per-row Python loop.
+        m, n = len(rkey), left.num_rows
+        k_all = np.concatenate([rkey, lkey])
+        t_all = np.concatenate([rts, lts])
+        side_all = np.concatenate(
+            [np.zeros(m, dtype=np.int8), np.ones(n, dtype=np.int8)]
+        )
+        order2 = np.lexsort((side_all, t_all, k_all))
+        kk = k_all[order2]
+        newkey = np.ones(m + n, dtype=bool)
+        newkey[1:] = kk[1:] != kk[:-1]
+        seg = np.cumsum(newkey).astype(np.int64)
+        val = np.where(order2 < m, order2, -1).astype(np.int64)
+        off = np.int64(m + 2)
+        last = np.maximum.accumulate(val + seg * off) - seg * off
+        is_left = order2 >= m
+        pos = np.empty(n, dtype=np.int64)
+        pos[order2[is_left] - m] = last[is_left]
+        found = pos >= 0
+        for oc in right_out:
+            vals = right.column(oc).to_numpy(zero_copy_only=False)
+            out = np.where(found, vals[np.clip(pos, 0, None)], 0)
+            arr = pa.array(out.astype(np.int64), type=pa.int64())
+            if not found.all():
+                arr = pc.if_else(pa.array(found), arr, pa.nulls(len(found), pa.int64()))
+            out_cols[oc] = arr
+        return pa.table(out_cols)
+
+    return env.groupby("_part").map_groups(merge, batch_format="pyarrow")
+
+
+def asof_conversion(events_ds, *, left_type="purchase", right_type="click"):
+    """For each *purchase* event, the user's latest *click* at or before the
+    purchase timestamp (classic attribution as-of join), built from one
+    events Dataset split into two sides."""
+    def side_filter(value):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch.column("event_type"), value))
+
+        return fn
+
+    left = events_ds.map_batches(
+        side_filter(left_type), batch_format="pyarrow", batch_size=None
+    )
+    right = events_ds.map_batches(
+        side_filter(right_type), batch_format="pyarrow", batch_size=None
+    )
+    out = asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_seq="event_id",
+        right_keep=["event_id"],
+        suffix="_click",
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(
+            ["event_id", "ts", "user_id", "value", "event_id_click"]
+        ).rename_columns(
+            ["event_id", "ts", "user_id", "value", "click_event_id"]
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# streaming windows
+# ---------------------------------------------------------------------------
+
+
+def windowed_counts(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key: str = "event_type",
+    unit: str = "hour",
+):
+    """Tumbling-window count per (window, key): truncate-to-window + partial
+    per-batch count, tiny final reduce — the streaming windowed aggregate
+    over event time.  Exchange carries one row per (window, key, batch)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(batch.column(ts_col), unit=unit)
+        t = pa.table({"window_start": win, key: batch.column(key)})
+        return t.group_by(["window_start", key]).aggregate(
+            [("window_start", "count")]
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": [group.column("window_start")[0].as_py()],
+                key: [group.column(key)[0].as_py()],
+                "n_events": pa.array(
+                    [int(pc.sum(group.column("window_start_count")).as_py())],
+                    type=pa.int64(),
+                ),
+            },
+            schema=pa.schema(
+                [
+                    pa.field(
+                        "window_start", group.schema.field("window_start").type
+                    ),
+                    pa.field(key, group.schema.field(key).type),
+                    pa.field("n_events", pa.int64()),
+                ]
+            ),
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["window_start", key])
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def sessionize(
+    ds,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    seq: str = "event_id",
+    gap_minutes: float = 30.0,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Session windows: per key, order events by ``(ts, seq)`` and start a
+    new session whenever the gap to the previous event exceeds
+    ``gap_minutes``.  Returns ``(seq, key, session_id)`` with 1-based
+    session ids.
+
+    One hash-partition shuffle by key; the per-group kernel is a vectorized
+    diff + cumsum (no row loop).  Session assignment is not associative, so
+    (like any sessionizer) a key's events must co-locate — the partition
+    count spreads keys, not one key.
+    """
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                seq: batch.column(seq),
+                key: batch.column(key),
+                "_ats": pc.cast(batch.column(ts_col), pa.int64()),
+            }
+        )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def assign(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                (key, "ascending"),
+                ("_ats", "ascending"),
+                (seq, "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        keys = g.column(key).to_numpy(zero_copy_only=False)
+        ts = g.column("_ats").to_numpy(zero_copy_only=False)
+        n = len(keys)
+        new_sess = np.ones(n, dtype=np.int64)
+        if n > 1:
+            same_key = keys[1:] == keys[:-1]
+            small_gap = (ts[1:] - ts[:-1]) <= gap_us
+            new_sess[1:] = ~(same_key & small_gap)
+        # per-key 1-based session index: cumsum of new-session flags minus
+        # the cumsum value at each key's first row + 1
+        cs = np.cumsum(new_sess)
+        key_start = np.ones(n, dtype=bool)
+        if n > 1:
+            key_start[1:] = keys[1:] != keys[:-1]
+        start_cs = np.maximum.accumulate(np.where(key_start, cs - 1, 0))
+        sess = cs - start_cs
+        return pa.table(
+            {
+                seq: g.column(seq),
+                key: g.column(key),
+                "session_id": pa.array(sess, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(assign, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct count
+# ---------------------------------------------------------------------------
+
+
+def distinct_count_by(
+    ds,
+    *,
+    key: str,
+    distinct_col: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Exact COUNT(DISTINCT distinct_col) per key at shuffle cost
+    O(distinct pairs), not O(rows): per-batch pair dedup first, then a
+    hash-partition by (key, value) pair so each pair lands exactly once per
+    partition, per-partition dedup + per-key partial counts, and a final
+    tiny per-key sum.  (The approximate path for 100 TB is an HLL sketch in
+    the same shape; exact is what a SQL oracle can verify.)"""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, distinct_col])
+        t = t.group_by([key, distinct_col]).aggregate([])
+        parts = composite_partition_ids(t, [key, distinct_col], num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def partial_count(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["_part"])
+        t = t.group_by([key, distinct_col]).aggregate([])
+        return t.group_by(key).aggregate([(distinct_col, "count")])
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key: [group.column(key)[0].as_py()],
+                "n_distinct": pa.array(
+                    [
+                        int(
+                            pc.sum(
+                                group.column(f"{distinct_col}_count")
+                            ).as_py()
+                        )
+                    ],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(partial_count, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary (multi-aggregate with derived expressions)
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary(lineitem_ds):
+    """Pricing-summary rollup (TPC-H Q1 shape) with exact integer-cents
+    sums so the result is order-independent and oracle-comparable:
+    per (returnflag, linestatus): row count, sum(qty), sum(extendedprice),
+    sum(discounted price), sum(charge).  Derived products are computed in
+    IEEE double with a fixed association ``(p*(1-d))*(1+t)`` then floored
+    to cents — bit-identical to the SQL oracle's expression."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice")
+        disc = batch.column("l_discount")
+        tax = batch.column("l_tax")
+        disc_price = pc.multiply(price, pc.subtract(1.0, disc))
+        charge = pc.multiply(disc_price, pc.add(1.0, tax))
+
+        def cents(x):
+            return pc.cast(pc.floor(pc.multiply(x, 100.0)), pa.int64())
+
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "_qty": cents(batch.column("l_quantity")),
+                "_price": cents(price),
+                "_disc_price": cents(disc_price),
+                "_charge": cents(charge),
+            }
+        )
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("_qty", "sum"),
+                ("_price", "sum"),
+                ("_disc_price", "sum"),
+                ("_charge", "sum"),
+                ("_qty", "count"),
+            ]
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        def tot(col):
+            return pa.array(
+                [int(pc.sum(group.column(col)).as_py())], type=pa.int64()
+            )
+
+        return pa.table(
+            {
+                "l_returnflag": [group.column("l_returnflag")[0].as_py()],
+                "l_linestatus": [group.column("l_linestatus")[0].as_py()],
+                "n_rows": tot("_qty_count"),
+                "sum_qty_cents": tot("_qty_sum"),
+                "sum_price_cents": tot("_price_sum"),
+                "sum_disc_price_cents": tot("_disc_price_sum"),
+                "sum_charge_cents": tot("_charge_sum"),
+            }
+        )
+
+    return (
+        lineitem_ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -1,0 +1,250 @@
+"""Relational & streaming-window operators (pipelines/relational.py) vs
+DuckDB oracles on small deterministic synthetic tables — edge cases the
+sf-scale oracle gate can't isolate: empty sides, no-match as-of rows,
+equal-timestamp ties, single-row keys, session gap boundaries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return (
+        df.reindex(cols, axis=1)
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+
+
+def _assert_matches(ds, sql: str, views: dict[str, pa.Table]):
+    con = duckdb.connect()
+    for name, tbl in views.items():
+        con.register(name, tbl)
+    exp = con.execute(sql).fetchdf()
+    got = ds.to_pandas()
+    pd.testing.assert_frame_equal(
+        _sorted(got), _sorted(exp), check_dtype=False
+    )
+
+
+def _events_table(n=400, keys=13, seed=7) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    base = dt.datetime(2024, 3, 1)
+    ts = [
+        base + dt.timedelta(seconds=int(s))
+        for s in rng.integers(0, 5 * 24 * 3600, size=n)
+    ]
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.integers(0, keys, size=n), type=pa.int64()
+            ),
+            "event_type": pa.array(
+                rng.choice(["click", "purchase", "view"], size=n)
+            ),
+            "value": pa.array(rng.uniform(0, 100, size=n)),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def events(ray_session):
+    return _events_table()
+
+
+def _ds(table: pa.Table, blocks=4):
+    import ray.data
+
+    return ray.data.from_arrow(table).repartition(blocks)
+
+
+def test_broadcast_join_inner(events):
+    from airbyte_destination_ray.pipelines.relational import broadcast_join
+
+    # dimension covers only some keys → inner join drops the rest
+    dim = pa.table(
+        {
+            "user_id": pa.array(list(range(0, 13, 2)), type=pa.int64()),
+            "segment": pa.array([f"seg{i}" for i in range(0, 13, 2)]),
+        }
+    )
+    out = broadcast_join(
+        _ds(events),
+        dim,
+        left_on="user_id",
+        right_on="user_id",
+        select=["event_id", "user_id", "segment"],
+        concurrency=(1, 2),
+    )
+    _assert_matches(
+        out,
+        """SELECT event_id, e.user_id, segment
+           FROM events e JOIN dim USING (user_id)""",
+        {"events": events, "dim": dim},
+    )
+
+
+def test_asof_join_ties_and_no_match(events):
+    from airbyte_destination_ray.pipelines.relational import asof_conversion
+
+    out = asof_conversion(_ds(events))
+    _assert_matches(
+        out,
+        """WITH p AS (SELECT * FROM events WHERE event_type='purchase'),
+                c AS (SELECT * FROM events WHERE event_type='click')
+           SELECT p.event_id, p.ts, p.user_id, p.value,
+                  (SELECT c.event_id FROM c
+                   WHERE c.user_id=p.user_id AND c.ts <= p.ts
+                   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1)
+                      AS click_event_id
+           FROM p""",
+        {"events": events},
+    )
+
+
+def test_asof_join_equal_ts_counts_as_match(ray_session):
+    from airbyte_destination_ray.pipelines.relational import asof_join
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 2], type=pa.int64()),
+            "lts": pa.array([t, t - dt.timedelta(hours=2), t], pa.timestamp("us")),
+            "lid": pa.array([10, 11, 12], type=pa.int64()),
+        }
+    )
+    # two right rows at the exact same ts for k=1 → max seq (7) wins;
+    # k=2 has no right row at all → null
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 1], type=pa.int64()),
+            "rts": pa.array([t, t, t + dt.timedelta(hours=1)], pa.timestamp("us")),
+            "rseq": pa.array([6, 7, 8], type=pa.int64()),
+        }
+    )
+    out = asof_join(
+        _ds(left, blocks=2),
+        _ds(right, blocks=2),
+        on="k",
+        left_ts="lts",
+        right_ts="rts",
+        right_seq="rseq",
+        right_keep=["rseq"],
+        suffix="_m",
+    ).to_pandas()
+    got = {
+        (r.k, r.lid): (None if pd.isna(r.rseq_m) else int(r.rseq_m))
+        for r in out.itertuples()
+    }
+    assert got == {(1, 10): 7, (1, 11): None, (2, 12): None}
+
+
+def test_windowed_counts(events):
+    from airbyte_destination_ray.pipelines.relational import windowed_counts
+
+    _assert_matches(
+        windowed_counts(_ds(events), unit="hour"),
+        """SELECT date_trunc('hour', ts) AS window_start, event_type,
+                  CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2""",
+        {"events": events},
+    )
+
+
+def test_sessionize_gap_boundary(ray_session):
+    from airbyte_destination_ray.pipelines.relational import sessionize
+
+    base = dt.datetime(2024, 5, 1)
+    # gaps: 30min exactly (same session), 30min+1us (new session)
+    rows = [
+        (0, 1, base),
+        (1, 1, base + dt.timedelta(minutes=30)),  # same session
+        (2, 1, base + dt.timedelta(minutes=60, microseconds=1)),  # new
+        (3, 2, base),  # other key independent
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+        }
+    )
+    out = sessionize(_ds(t, blocks=2), gap_minutes=30.0).to_pandas()
+    sess = dict(zip(out.event_id, out.session_id))
+    assert sess == {0: 1, 1: 1, 2: 2, 3: 1}
+
+
+def test_sessionize_matches_sql_windows(events):
+    from airbyte_destination_ray.pipelines.relational import sessionize
+
+    _assert_matches(
+        sessionize(_ds(events), gap_minutes=45.0),
+        """SELECT event_id, user_id,
+                  CAST(sum(CASE WHEN prev_ts IS NULL
+                                  OR ts - prev_ts > INTERVAL 45 MINUTE
+                                THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                      AS session_id
+           FROM (SELECT event_id, user_id, ts,
+                        lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_ts
+                 FROM events)""",
+        {"events": events},
+    )
+
+
+def test_distinct_count(events):
+    from airbyte_destination_ray.pipelines.relational import distinct_count_by
+
+    _assert_matches(
+        distinct_count_by(
+            _ds(events), key="event_type", distinct_col="user_id"
+        ),
+        """SELECT event_type,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+           FROM events GROUP BY 1""",
+        {"events": events},
+    )
+
+
+def test_pricing_summary(ray_session):
+    from airbyte_destination_ray.pipelines.relational import pricing_summary
+
+    rng = np.random.default_rng(11)
+    n = 500
+    li = pa.table(
+        {
+            "l_returnflag": pa.array(rng.choice(["A", "N", "R"], size=n)),
+            "l_linestatus": pa.array(rng.choice(["O", "F"], size=n)),
+            "l_quantity": pa.array(rng.integers(1, 50, n).astype(float)),
+            "l_extendedprice": pa.array(rng.uniform(100, 10000, n)),
+            "l_discount": pa.array(rng.uniform(0, 0.1, n)),
+            "l_tax": pa.array(rng.uniform(0, 0.08, n)),
+        }
+    )
+    _assert_matches(
+        pricing_summary(_ds(li)),
+        """SELECT l_returnflag, l_linestatus,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(CAST(floor(l_quantity*100) AS BIGINT)) AS BIGINT)
+                      AS sum_qty_cents,
+                  CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT))
+                      AS BIGINT) AS sum_price_cents,
+                  CAST(sum(CAST(floor((l_extendedprice*(1-l_discount))*100)
+                      AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+                  CAST(sum(CAST(floor(((l_extendedprice*(1-l_discount))
+                      *(1+l_tax))*100) AS BIGINT)) AS BIGINT)
+                      AS sum_charge_cents
+           FROM li GROUP BY 1, 2""",
+        {"li": li},
+    )
