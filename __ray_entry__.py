@@ -344,6 +344,43 @@ def _q_quality_filter_documents(sf_dir: str):
     return quality_filter(_documents(sf_dir), min_quality=0.82)
 
 
+def _q_sample_events_hash(sf_dir: str):
+    """Deterministic hash-based Bernoulli sample (replay-stable, no RNG
+    state, oracle = plain SQL arithmetic)."""
+    from airbyte_destination_ray.pipelines.ops import hash_sample
+
+    return hash_sample(_events(sf_dir), key="event_id", percent=10)
+
+
+def _q_top3_events_per_user(sf_dir: str):
+    """Per-key top-k without a global sort (per-batch per-key combiner)."""
+    from airbyte_destination_ray.pipelines.ops import grouped_top_k
+
+    return grouped_top_k(
+        _events(sf_dir), key="user_id", by="value", k=3, tie_break="event_id"
+    )
+
+
+def _q_events_value_histogram(sf_dir: str):
+    """Fixed-width histogram via per-batch bin-count partials."""
+    from airbyte_destination_ray.pipelines.ops import value_histogram
+
+    return value_histogram(_events(sf_dir), col="value", bin_width=10.0)
+
+
+def _q_events_distinct_users_approx(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT) per key — the mergeable-
+    sketch scale path (rows-only check; accuracy pinned by unit tests
+    against the exact operator)."""
+    from airbyte_destination_ray.pipelines.relational import (
+        distinct_count_approx,
+    )
+
+    return distinct_count_approx(
+        _events(sf_dir), key="event_type", distinct_col="user_id"
+    )
+
+
 def _q_events_stats_by_type(sf_dir: str):
     from airbyte_destination_ray.pipelines.ops import grouped_stats
 
@@ -385,6 +422,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize_events,
         "events_distinct_users_by_type": _q_events_distinct_users,
         "pricing_summary_lineitem": _q_pricing_summary,
+        "sample_events_hash": _q_sample_events_hash,
+        "top3_events_per_user": _q_top3_events_per_user,
+        "events_value_histogram": _q_events_value_histogram,
+        "events_distinct_users_approx": _q_events_distinct_users_approx,
     }
 
 
@@ -516,6 +557,22 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users_by_type": """
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY 1
+        """,
+        "sample_events_hash": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            WHERE (event_id * 2654435761) % 4294967296 < 429496729
+        """,
+        "top3_events_per_user": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY value DESC, event_id) <= 3
+        """,
+        "events_value_histogram": """
+            SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_rows
             FROM events GROUP BY 1
         """,
         "pricing_summary_lineitem": """

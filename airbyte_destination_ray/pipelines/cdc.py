@@ -60,12 +60,31 @@ def run_cdc_sync(
     epoch_schema_versions: dict[int, int] | None = None,
     merge_strategy: str = "snapshot",
     compact_every: int = 8,
+    shuffle: str = "payload",
 ) -> dict:
     """Run (or resume) a sync of the binlog into the lake table.
 
     Returns a summary with per-epoch stats. Safe to re-run: committed
     (epoch, partition) pairs are no-ops; completed epochs are skipped via the
     checkpoint log.
+
+    ``shuffle``:
+
+    - ``"payload"`` (default): change rows flow through the hash exchange
+      whole.  Right when most changes are distinct keys (little cross-batch
+      redundancy to exploit).
+    - ``"key_only"``: two-pass merge for WIDE payloads (SURVEY §7 hard-point
+      (c) — Common-Crawl ``html`` is ~100 KB/row while the merge key is
+      ~100 B).  Pass 1 reads ONLY ``(seq, pk, ver)`` (Parquet column
+      pruning — the payload bytes never leave storage) and LWW-selects the
+      winning ``seq`` per key; pass 2 re-reads the epoch, drops losing rows
+      BEFORE the wide exchange, so superseded html/text versions are never
+      shuffled, enriched, or merged.  The winner set is one int64 per key
+      touched this epoch — broadcast once via ``ray.put`` and read
+      zero-copy per task (per node on a cluster); epoch sizing bounds it
+      exactly like it bounds the merge state.  Falls back to payload
+      shuffle for epochs needing in-flight schema alignment (renames may
+      touch the key columns themselves).
     """
     payload_override = payload_columns
     store = ManifestStore(lake_root, table)
@@ -127,6 +146,19 @@ def run_cdc_sync(
             payload_columns = list(schema_store.get(target_version).schema.names)
         else:
             payload_columns = PAGES_PAYLOAD
+        if (
+            shuffle == "key_only"
+            and mode == "append_dedup"
+            and src_version == target_version
+        ):
+            winners = _epoch_winner_seqs(
+                segments, pk=pk, ver=ver, num_partitions=num_partitions
+            )
+            ds = ds.map_batches(
+                _make_winner_filter(winners),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
         partitioner = make_partitioner(
             pk,
             num_partitions,
@@ -192,6 +224,86 @@ def run_cdc_sync(
         "epochs": epoch_summaries,
         "total_changes": total_changes,
     }
+
+
+def _epoch_winner_seqs(
+    segments: list[str],
+    *,
+    pk: str | list[str],
+    ver: str,
+    num_partitions: int,
+):
+    """Pass 1 of the key-only shuffle: LWW over ONLY the key columns →
+    sorted array of winning ``seq`` values for this epoch.
+
+    Reads ``(seq, pk, ver)`` with Parquet column projection (the wide
+    payload never leaves storage), pre-reduces per batch, and resolves
+    cross-batch winners with the usual hash-partition reduce.  The result is
+    one int64 per key touched this epoch — the small side that pass 2
+    broadcasts.
+    """
+    import numpy as np
+
+    from ..functions.hashing import composite_partition_ids, partition_ids
+    from ..stages.lww import lww_compact
+
+    pks = [pk] if isinstance(pk, str) else list(pk)
+    key_cols = pks + ([ver] if ver not in pks else [])
+    read_cols = list(dict.fromkeys(["seq"] + key_cols))
+    ds = ray.data.read_parquet(
+        segments, columns=read_cols, override_num_blocks=len(segments)
+    )
+
+    def route(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in key_cols}
+        cols[SEQ_COLUMN] = batch.column("seq").cast(pa.int64())
+        t = pa.table(cols)
+        t = lww_compact(t, pks, ver, SEQ_COLUMN)
+        if len(pks) == 1:
+            parts = partition_ids(t.column(pks[0]), num_partitions)
+        else:
+            parts = composite_partition_ids(t, pks, num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def winners(group: pa.Table) -> pa.Table:
+        g = lww_compact(group.drop_columns(["_part"]), pks, ver, SEQ_COLUMN)
+        return g.select([SEQ_COLUMN])
+
+    out = (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(winners, batch_format="pyarrow")
+    )
+    chunks = [
+        b.column(SEQ_COLUMN).to_numpy(zero_copy_only=False)
+        for b in out.iter_batches(batch_format="pyarrow")
+    ]
+    if not chunks:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(chunks))
+
+
+def _make_winner_filter(winners):
+    """Pass-2 filter: keep only rows whose ``seq`` won pass 1 (sorted-array
+    membership via searchsorted; the winner array ships once via ``ray.put``
+    and is read zero-copy from the object store per task)."""
+    import numpy as np
+
+    import ray
+
+    ref = ray.put(winners)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        if len(w) == 0:
+            return batch.slice(0, 0)
+        s = batch.column("seq").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(w, s)
+        ok = pos < len(w)
+        ok &= w[np.clip(pos, 0, len(w) - 1)] == s
+        return batch.filter(pa.array(ok))
+
+    return keep
 
 
 def read_table(

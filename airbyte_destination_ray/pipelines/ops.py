@@ -342,6 +342,122 @@ def quality_filter(ds, *, text_col: str = "text", min_quality: float = 0.5):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def hash_sample(
+    ds,
+    *,
+    key: str,
+    percent: int,
+    multiplier: int = 2654435761,
+    modulus: int = 4_294_967_296,
+):
+    """Deterministic Bernoulli sample by key: keep rows where
+    ``(key * multiplier) % modulus < modulus * percent / 100`` (Knuth
+    multiplicative hash).  Purely per-batch — no shuffle, no RNG state —
+    so the sample is identical on every replay, at any parallelism, and the
+    oracle is plain SQL arithmetic.  The standard down-sampling stage for
+    training-data pipelines where reproducibility matters more than
+    statistical independence from the key distribution."""
+    threshold = modulus * percent // 100
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (k * multiplier) % modulus
+        return batch.filter(pa.array(bucket < threshold))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def _per_key_rank_filter(
+    batch: pa.Table, key: str, by: str, tie_break: str, k: int, order: str
+) -> pa.Table:
+    """Keep the top-k rows per key: one vectorized sort + run-position mask."""
+    if batch.num_rows == 0:
+        return batch
+    idx = pc.sort_indices(
+        batch,
+        sort_keys=[(key, "ascending"), (by, order), (tie_break, "ascending")],
+    )
+    t = batch.take(idx)
+    keys = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+    n = len(keys)
+    pos = np.arange(n, dtype=np.int64)
+    start = np.zeros(n, dtype=bool)
+    start[0] = True
+    if n > 1:
+        start[1:] = keys[1:] != keys[:-1]
+    run_start = np.maximum.accumulate(np.where(start, pos, 0))
+    return t.filter(pa.array(pos - run_start < k))
+
+
+def grouped_top_k(
+    ds,
+    *,
+    key: str,
+    by: str,
+    k: int,
+    tie_break: str,
+    descending: bool = True,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Top-k rows per key WITHOUT a global sort: each batch keeps its local
+    per-key top-k (combiner — top-k under a total order is associative), the
+    shuffle moves ≤ k rows per (key, batch), and the per-key reduce re-ranks
+    the survivors.
+
+    DuckDB oracle shape::
+
+        SELECT * FROM t QUALIFY row_number() OVER (
+            PARTITION BY key ORDER BY by DESC, tie_break) <= k
+    """
+    order = "descending" if descending else "ascending"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = _per_key_rank_filter(batch, key, by, tie_break, k, order)
+        parts = partition_ids(batch.column(key), num_partitions)
+        return batch.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        return _per_key_rank_filter(
+            group.drop_columns(["_part"]), key, by, tie_break, k, order
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def value_histogram(ds, *, col: str, bin_width: float):
+    """Fixed-width histogram: per-batch bin-count partials, tiny final
+    reduce — the building block for distribution profiling at scale (the
+    exchange moves one row per (bin, batch))."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bins = pc.cast(
+            pc.floor(pc.divide(batch.column(col), bin_width)), pa.int64()
+        )
+        t = pa.table({"bin": bins})
+        return t.group_by("bin").aggregate([("bin", "count")])
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bin": [group.column("bin")[0].as_py()],
+                "n_rows": pa.array(
+                    [int(pc.sum(group.column("bin_count")).as_py())],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bin")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def dedup_exact(
     ds,
     *,

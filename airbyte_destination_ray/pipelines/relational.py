@@ -527,6 +527,69 @@ def distinct_count_by(
     )
 
 
+def distinct_count_approx(
+    ds,
+    *,
+    key: str,
+    distinct_col: str,
+    p: int = 12,
+):
+    """Approximate COUNT(DISTINCT) per key via mergeable HyperLogLog
+    sketches (functions/sketches.py): per-batch per-key registers are the
+    partials, register-wise max the combiner — the exchange carries
+    ``2**p`` bytes per (key, batch) no matter how many rows, which is the
+    100 TB path where the exact pair-shuffle of
+    :func:`distinct_count_by` would still move one row per distinct pair.
+    Accuracy ~1.04/sqrt(2**p) (≈1.6% at p=12); unit-tested against the
+    exact operator."""
+    from ..functions.sketches import hll_estimate, hll_merge, hll_partial
+
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key)
+        # group rows by key within the batch, one sketch per key
+        idx = pc.sort_indices(pa.table({key: keys}), sort_keys=[(key, "ascending")])
+        t = batch.take(idx)
+        karr = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        vals = t.column(distinct_col)
+        bounds = np.nonzero(
+            np.concatenate(([True], karr[1:] != karr[:-1]))
+        )[0]
+        ends = np.append(bounds[1:], len(karr))
+        out_keys, out_regs = [], []
+        for s, e in zip(bounds, ends):
+            out_keys.append(karr[s])
+            out_regs.append(hll_partial(vals.slice(s, e - s)))
+        return pa.table(
+            {
+                key: pa.array(out_keys, type=t.schema.field(key).type),
+                "_regs": pa.array(
+                    [r.tobytes() for r in out_regs], type=pa.binary()
+                ),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        regs = np.zeros(m, dtype=np.uint8)
+        for buf in group.column("_regs").to_pylist():
+            regs = hll_merge(regs, np.frombuffer(buf, dtype=np.uint8))
+        return pa.table(
+            {
+                key: [group.column(key)[0].as_py()],
+                "n_distinct_approx": pa.array(
+                    [int(round(hll_estimate(regs)))], type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(key)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q1-style pricing summary (multi-aggregate with derived expressions)
 # ---------------------------------------------------------------------------

@@ -88,6 +88,7 @@ def synthesize_binlog(
     frac_redelivered: float = 0.02,
     frac_out_of_order: float = 0.10,
     rows_per_segment: int = 250_000,
+    html_pad: int = 0,
 ) -> dict:
     """Write segment files ``segment-e<E>-<i>.parquet``; return a summary."""
     out = Path(out_dir)
@@ -126,7 +127,19 @@ def synthesize_binlog(
         k, ts, d = keys[idx], warc_ts[idx], deletes[idx]
         urls = urls_for_keys(k)
         text = text_for(urls, ts)
-        html = _join("<html><body>", text, "</body></html>")
+        if html_pad:
+            # deterministic wide-page filler (~16·html_pad bytes) so the
+            # benchmark can approximate real Common-Crawl html width; varies
+            # per row via ts so columns stay incompressible enough to matter
+            pad = pa.array(
+                np.array(["<div>pad%08d</div>" % v for v in range(16)])[
+                    (ts % 16).astype(np.int64)
+                ]
+            )
+            pad = pc.binary_repeat(pad, html_pad)
+            html = _join("<html><body>", text, pad, "</body></html>")
+        else:
+            html = _join("<html><body>", text, "</body></html>")
         lang = pa.array(LANGS[k % len(LANGS)], type=pa.string())
         del_mask = pa.array(d)
         null_str = pa.scalar(None, type=pa.string())
@@ -170,6 +183,7 @@ def synthesize_binlog(
         "frac_redelivered": frac_redelivered,
         "frac_out_of_order": frac_out_of_order,
         "rows_per_segment": rows_per_segment,
+        "html_pad": html_pad,
         "n_duplicates": n_duplicates,
         "segments": segments,
     }

@@ -53,6 +53,8 @@ CDC_EPOCHS = int(os.environ.get("GRAFT_CDC_EPOCHS", "1"))
 CDC_PARTITIONS = int(os.environ.get("GRAFT_CDC_PARTITIONS", "128"))
 CDC_REPEAT = int(os.environ.get("GRAFT_CDC_REPEAT", "3"))
 CDC_STRATEGY = os.environ.get("GRAFT_CDC_STRATEGY", "snapshot")
+CDC_SHUFFLE = os.environ.get("GRAFT_CDC_SHUFFLE", "payload")
+CDC_HTML_PAD = int(os.environ.get("GRAFT_CDC_HTML_PAD", "0"))
 
 
 def _init_ray(num_cpus: int) -> None:
@@ -102,13 +104,17 @@ def bench_cdc(num_cpus: int) -> dict:
     from airbyte_destination_ray.sources.synth import ensure_binlog
     from airbyte_destination_ray.pipelines.cdc import run_cdc_sync
 
-    binlog = BENCH_TMP / f"binlog_{CDC_EVENTS}_{CDC_KEYS}_{CDC_EPOCHS}"
+    binlog = BENCH_TMP / (
+        f"binlog_{CDC_EVENTS}_{CDC_KEYS}_{CDC_EPOCHS}"
+        + (f"_pad{CDC_HTML_PAD}" if CDC_HTML_PAD else "")
+    )
     ensure_binlog(
         binlog,
         n_events=CDC_EVENTS,
         n_keys=CDC_KEYS,
         n_epochs=CDC_EPOCHS,
         seed=42,
+        html_pad=CDC_HTML_PAD,
     )
     n_events = _binlog_event_count(binlog)
     _init_ray(num_cpus)
@@ -129,6 +135,7 @@ def bench_cdc(num_cpus: int) -> dict:
             compute_digest=False,
             enrich=True,
             merge_strategy=CDC_STRATEGY,
+            shuffle=CDC_SHUFFLE,
         )
         walls.append(time.perf_counter() - t0)
         shutil.rmtree(lake, ignore_errors=True)

@@ -189,3 +189,26 @@ def test_enriched_sync_replay_equivalence(binlog, tmp_path):
     assert lake_state(lake_a).equals(
         oracle_lww(binlog).cast(lake_state(lake_a).schema)
     )
+
+
+def test_key_only_shuffle_matches_payload_shuffle(binlog, tmp_path):
+    """shuffle="key_only" (two-pass wide-payload merge, SURVEY §7 (c)) must
+    produce byte-identical lake state AND identical partition digests to the
+    default payload shuffle — across epochs, deletes, redelivery, skew."""
+    a, b = tmp_path / "payload", tmp_path / "key_only"
+    run_cdc_sync(str(a), binlog, num_partitions=PARTS, shuffle="payload")
+    run_cdc_sync(str(b), binlog, num_partitions=PARTS, shuffle="key_only")
+    assert lake_state(str(a)).equals(lake_state(str(b)))
+    assert partition_digests(str(a)) == partition_digests(str(b))
+
+
+def test_key_only_shuffle_matches_oracle_and_resumes(binlog, tmp_path):
+    lake = tmp_path / "lake"
+    run_cdc_sync(str(lake), binlog, num_partitions=PARTS, shuffle="key_only",
+                 epochs=[0, 1])
+    # resume the remaining epoch; committed epochs are skipped
+    summary = run_cdc_sync(str(lake), binlog, num_partitions=PARTS,
+                           shuffle="key_only")
+    skipped = [e["epoch"] for e in summary["epochs"] if e.get("skipped")]
+    assert skipped == [0, 1]
+    assert lake_state(str(lake)).equals(oracle_lww(binlog))

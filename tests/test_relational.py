@@ -248,3 +248,87 @@ def test_pricing_summary(ray_session):
            FROM li GROUP BY 1, 2""",
         {"li": li},
     )
+
+
+def test_hash_sample_deterministic(events):
+    from airbyte_destination_ray.pipelines.ops import hash_sample
+
+    _assert_matches(
+        hash_sample(_ds(events), key="event_id", percent=10),
+        """SELECT * FROM events
+           WHERE (event_id * 2654435761) % 4294967296 < 429496729""",
+        {"events": events},
+    )
+    # replay-stable: same rows at different parallelism
+    a = hash_sample(_ds(events, blocks=2), key="event_id", percent=10).to_pandas()
+    b = hash_sample(_ds(events, blocks=7), key="event_id", percent=10).to_pandas()
+    assert sorted(a.event_id) == sorted(b.event_id)
+
+
+def test_grouped_top_k(events):
+    from airbyte_destination_ray.pipelines.ops import grouped_top_k
+
+    _assert_matches(
+        grouped_top_k(
+            _ds(events), key="user_id", by="value", k=3, tie_break="event_id"
+        ),
+        """SELECT * FROM events
+           QUALIFY row_number() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id) <= 3""",
+        {"events": events},
+    )
+
+
+def test_value_histogram(events):
+    from airbyte_destination_ray.pipelines.ops import value_histogram
+
+    _assert_matches(
+        value_histogram(_ds(events), col="value", bin_width=10.0),
+        """SELECT CAST(floor(value/10.0) AS BIGINT) AS bin,
+                  CAST(count(*) AS BIGINT) AS n_rows
+           FROM events GROUP BY 1""",
+        {"events": events},
+    )
+
+
+def test_hll_sketch_accuracy():
+    from airbyte_destination_ray.functions.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_partial,
+    )
+
+    rng = np.random.default_rng(3)
+    # two overlapping batches; merged estimate ~ true union cardinality
+    a = rng.integers(0, 50_000, size=40_000)
+    b = rng.integers(25_000, 75_000, size=40_000)
+    true = len(set(a.tolist()) | set(b.tolist()))
+    regs = hll_merge(hll_partial(a), hll_partial(b))
+    est = hll_estimate(regs)
+    assert abs(est - true) / true < 0.05
+    # merge is commutative/associative and idempotent
+    r1 = hll_merge(hll_partial(a), hll_partial(b))
+    r2 = hll_merge(hll_partial(b), hll_partial(a))
+    assert (r1 == r2).all()
+    assert (hll_merge(r1, r1) == r1).all()
+
+
+def test_distinct_count_approx_close_to_exact(events):
+    from airbyte_destination_ray.pipelines.relational import (
+        distinct_count_approx,
+        distinct_count_by,
+    )
+
+    exact = distinct_count_by(
+        _ds(events), key="event_type", distinct_col="user_id"
+    ).to_pandas()
+    approx = distinct_count_approx(
+        _ds(events), key="event_type", distinct_col="user_id"
+    ).to_pandas()
+    merged = exact.merge(approx, on="event_type")
+    assert len(merged) == len(exact)
+    rel_err = (
+        (merged.n_distinct_approx - merged.n_distinct).abs()
+        / merged.n_distinct.clip(lower=1)
+    )
+    assert (rel_err < 0.05).all(), merged
