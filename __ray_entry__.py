@@ -190,6 +190,16 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(_embeddings(sf_dir), q, ids, k=10)
 
 
+def _q_knn_ivf(sf_dir: str):
+    """IVF-Flat ANN: k-means coarse quantizer trained on a deterministic
+    hash-sample, nprobe nearest inverted lists scored per query (rows-only;
+    recall pinned vs brute force in tests)."""
+    from airbyte_destination_ray.pipelines.similarity import knn_ivf
+
+    q, ids = _query_vectors(sf_dir)
+    return knn_ivf(_embeddings(sf_dir), q, ids, k=10)
+
+
 # -- text analysis ----------------------------------------------------------
 
 
@@ -407,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine": _q_dedup_embedding,
         "knn_cosine_topk": _q_knn_brute_force,
         "knn_lsh_topk": _q_knn_lsh,
+        "knn_ivf_topk": _q_knn_ivf,
         "text_stats_documents": _q_text_stats,
         "annotate_documents": _q_annotate_documents,
         "events_stats_by_type": _q_events_stats_by_type,

@@ -1,16 +1,22 @@
 """Approximate-nearest-neighbor search over an embedding column.
 
-Two paths, per the build brief:
+Three paths, per the build brief:
 
 - :func:`knn_brute_force` — the exact baseline: the (small) query matrix is
   broadcast via ``ray.put`` once and every ``map_batches`` task computes a
   cosine top-k against its batch with one numpy matmul; per-batch partial
   top-ks are reduced by a final per-query ``groupby``.  Work scales linearly
   in corpus size, queries never re-ship per batch.
-- :func:`knn_lsh` — the scale path: corpus and queries are bucketed by
-  random-hyperplane LSH (multi-probe over the query's ``probes`` nearest
-  buckets); only same-bucket pairs are scored, so per-query cost drops from
-  O(corpus) to O(bucket).  Recall is tunable via ``num_planes``/``probes``.
+- :func:`knn_lsh` — data-independent scale path: corpus and queries are
+  bucketed by random-hyperplane LSH (multi-probe over the query's
+  ``probes`` nearest buckets); only same-bucket pairs are scored, so
+  per-query cost drops from O(corpus) to O(bucket).  Recall is tunable via
+  ``num_planes``/``probes``.
+- :func:`knn_ivf` — data-adaptive scale path (IVF-Flat): a coarse k-means
+  quantizer is trained on a deterministic hash-sample of the corpus, the
+  centroid matrix is broadcast, and each query is scored only against
+  vectors whose nearest centroid is among the query's ``nprobe`` closest
+  lists.  Adapts to the data distribution where LSH's random planes don't.
 """
 
 from __future__ import annotations
@@ -114,6 +120,140 @@ def knn_brute_force(
         flat_c = ids[top.ravel()]
         flat_s = np.take_along_axis(scores, top, axis=1).ravel().astype(np.float64)
         return _topk_table(flat_q, flat_c, flat_s, kk)
+
+    def final(group: pa.Table) -> pa.Table:
+        return _topk_table(
+            group.column("query_id").to_numpy(zero_copy_only=False),
+            group.column("vec_id").to_numpy(zero_copy_only=False),
+            group.column("score").to_numpy(zero_copy_only=False),
+            k,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("query_id")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def _train_centroids(
+    ds,
+    *,
+    embedding_col: str,
+    id_col: str,
+    n_centroids: int,
+    max_train: int,
+    iters: int,
+    seed: int,
+) -> np.ndarray:
+    """Coarse quantizer: deterministic hash-sample of the corpus (replay-
+    stable, parallelism-invariant — same trick as ``ops.hash_sample``),
+    then a few Lloyd iterations in numpy on the driver.  The sample and the
+    centroid matrix are both small (``max_train × d``); the corpus itself
+    is never materialized."""
+    mult, mod = 2654435761, 4_294_967_296
+    # aim for ~2× max_train samples so the cap rarely truncates a skewed tail
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ids * mult) % mod < mod // 4
+        return batch.select([embedding_col]).filter(pa.array(keep))
+
+    sampled = ds.map_batches(sample, batch_format="pyarrow", batch_size=None)
+    rows = []
+    taken = 0
+    for b in sampled.iter_batches(batch_format="pyarrow"):
+        rows.append(_embedding_matrix(b, embedding_col))
+        taken += b.num_rows
+        if taken >= max_train:
+            break
+    train = _normalize(np.concatenate(rows)[:max_train])
+    n_centroids = min(n_centroids, len(train))
+    rng = np.random.default_rng(seed)
+    cent = train[rng.choice(len(train), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(train @ cent.T, axis=1)
+        for c in range(n_centroids):
+            members = train[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def knn_ivf(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 10,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_iters: int = 5,
+    max_train: int = 50_000,
+    seed: int = 42,
+):
+    """IVF-Flat ANN: score each query only against corpus vectors assigned
+    to its ``nprobe`` nearest centroids.
+
+    At 100 TB the refinement is to ``repartition`` the corpus by centroid id
+    once (materialized inverted lists, so non-probed lists are never read);
+    here lists are realized per batch, which keeps the pipeline a single
+    streaming pass and still cuts the matmul work to ``nprobe/n_centroids``
+    of brute force.
+    """
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    cent = _train_centroids(
+        ds,
+        embedding_col=embedding_col,
+        id_col=id_col,
+        n_centroids=n_centroids,
+        max_train=max_train,
+        iters=train_iters,
+        seed=seed,
+    )
+    nprobe = min(nprobe, len(cent))
+    # list id -> query rows probing it
+    qsim = q @ cent.T
+    probe_lists = np.argsort(-qsim, axis=1)[:, :nprobe]
+    list_queries: dict[int, list[int]] = {}
+    for qi, lists in enumerate(probe_lists):
+        for l in lists:
+            list_queries.setdefault(int(l), []).append(qi)
+    ref = ray.put((q, qids, cent, list_queries))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_topk()
+        qm, qid_arr, cm, lq = ray.get(ref)
+        emb = _normalize(_embedding_matrix(batch, embedding_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        assign = np.argmax(emb @ cm.T, axis=1)
+        out_q, out_c, out_s = [], [], []
+        for l in np.unique(assign):
+            qrows = lq.get(int(l))
+            if not qrows:
+                continue
+            mask = assign == l
+            sub, sub_ids = emb[mask], ids[mask]
+            scores = qm[qrows] @ sub.T
+            kk = min(k, scores.shape[1])
+            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            out_q.append(np.repeat(qid_arr[qrows], kk))
+            out_c.append(sub_ids[top.ravel()])
+            out_s.append(
+                np.take_along_axis(scores, top, axis=1).ravel().astype(np.float64)
+            )
+        if not out_q:
+            return _empty_topk()
+        return _topk_table(
+            np.concatenate(out_q),
+            np.concatenate(out_c),
+            np.concatenate(out_s),
+            k,
+        )
 
     def final(group: pa.Table) -> pa.Table:
         return _topk_table(

@@ -143,3 +143,51 @@ def test_knn_lsh_finds_self(ray_session):
     )
     # a query's own bucket always contains itself
     assert by_query == {0: 0, 1: 1, 2: 2}
+
+
+def test_knn_ivf_self_and_recall(ray_session):
+    import ray.data
+    from airbyte_destination_ray.pipelines.similarity import (
+        knn_brute_force,
+        knn_ivf,
+    )
+
+    rng = np.random.default_rng(5)
+    # clustered corpus (IVF's favorable regime, but also realistic for
+    # embedding spaces): 4 gaussian clusters in 16d
+    centers = rng.standard_normal((4, 16)) * 4
+    emb = np.concatenate(
+        [c + rng.standard_normal((100, 16)) for c in centers]
+    ).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(emb)), type=pa.int64()),
+            "embedding": pa.array(
+                [e.tolist() for e in emb], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    q = emb[:5]
+    qids = np.arange(5)
+    ivf = pa.concat_tables(
+        list(
+            knn_ivf(ds, q, qids, k=5, n_centroids=8, nprobe=3).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    top1 = ivf.filter(pa.compute.equal(ivf.column("rank"), 1))
+    by_query = dict(
+        zip(top1.column("query_id").to_pylist(), top1.column("vec_id").to_pylist())
+    )
+    # the query's own vector is always in its nearest list
+    assert by_query == {i: i for i in range(5)}
+    # recall@5 vs brute force ≥ 0.8 in the clustered regime
+    bf = pa.concat_tables(
+        list(knn_brute_force(ds, q, qids, k=5).iter_batches(batch_format="pyarrow"))
+    )
+    def pairs(tbl):
+        return set(zip(tbl.column("query_id").to_pylist(), tbl.column("vec_id").to_pylist()))
+    recall = len(pairs(ivf) & pairs(bf)) / len(pairs(bf))
+    assert recall >= 0.8, recall
