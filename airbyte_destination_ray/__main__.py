@@ -8,6 +8,15 @@
 (reference cmd/root.go:7-18, cmd/spec.go, cmd/check.go, cmd/write.go —
 ``--config``/``--catalog`` required for write, cmd/write.go:31-35).
 
+Plus the CDC-engine entry points (the ``ray job submit`` surface of
+SURVEY §7.9 — on a cluster, run e.g.
+``ray job submit -- python -m airbyte_destination_ray sync ...``):
+
+    python -m airbyte_destination_ray sync --lake LAKE --binlog DIR \
+        [--partitions N] [--strategy snapshot|delta] \
+        [--shuffle payload|key_only] [--enrich] [--no-resume]
+    python -m airbyte_destination_ray compact --lake LAKE [--table pages]
+
 This entry point owns the Ray session (the library never calls ray.init).
 """
 
@@ -30,6 +39,22 @@ def main(argv: list[str] | None = None) -> int:
     p_write.add_argument(
         "--input", default="-", help="NDJSON message file ('-' = stdin)"
     )
+    p_sync = sub.add_parser("sync")
+    p_sync.add_argument("--lake", required=True)
+    p_sync.add_argument("--binlog", required=True)
+    p_sync.add_argument("--table", default="pages")
+    p_sync.add_argument("--partitions", type=int, default=32)
+    p_sync.add_argument(
+        "--strategy", choices=["snapshot", "delta"], default="snapshot"
+    )
+    p_sync.add_argument(
+        "--shuffle", choices=["payload", "key_only"], default="payload"
+    )
+    p_sync.add_argument("--enrich", action="store_true")
+    p_sync.add_argument("--no-resume", action="store_true")
+    p_compact = sub.add_parser("compact")
+    p_compact.add_argument("--lake", required=True)
+    p_compact.add_argument("--table", default="pages")
     args = ap.parse_args(argv)
 
     from .catalog import check as check_config
@@ -59,11 +84,44 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0 if ok else 1
 
-    # write
     import ray
 
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+    if args.command == "sync":
+        try:
+            from .pipelines.cdc import run_cdc_sync
+
+            summary = run_cdc_sync(
+                args.lake,
+                args.binlog,
+                table=args.table,
+                num_partitions=args.partitions,
+                merge_strategy=args.strategy,
+                shuffle=args.shuffle,
+                enrich=args.enrich,
+                resume=not args.no_resume,
+            )
+            print(json.dumps(summary, separators=(",", ":")))
+            return 0
+        finally:
+            ray.shutdown()
+
+    if args.command == "compact":
+        try:
+            from .pipelines.cdc import compact_table
+
+            print(
+                json.dumps(
+                    compact_table(args.lake, args.table), separators=(",", ":")
+                )
+            )
+            return 0
+        finally:
+            ray.shutdown()
+
+    # write
     try:
         from .pipelines.airbyte_write import run_write
 
