@@ -52,6 +52,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_sync.add_argument("--enrich", action="store_true")
     p_sync.add_argument("--no-resume", action="store_true")
+    p_tail = sub.add_parser("tail")
+    p_tail.add_argument("--lake", required=True)
+    p_tail.add_argument("--binlog", required=True)
+    p_tail.add_argument("--table", default="pages")
+    p_tail.add_argument("--partitions", type=int, default=32)
+    p_tail.add_argument(
+        "--strategy", choices=["snapshot", "delta"], default="snapshot"
+    )
+    p_tail.add_argument(
+        "--shuffle", choices=["payload", "key_only"], default="payload"
+    )
+    p_tail.add_argument("--enrich", action="store_true")
+    p_tail.add_argument("--poll-interval", type=float, default=1.0)
+    p_tail.add_argument("--max-idle-polls", type=int, default=3)
     p_compact = sub.add_parser("compact")
     p_compact.add_argument("--lake", required=True)
     p_compact.add_argument("--table", default="pages")
@@ -102,6 +116,26 @@ def main(argv: list[str] | None = None) -> int:
                 shuffle=args.shuffle,
                 enrich=args.enrich,
                 resume=not args.no_resume,
+            )
+            print(json.dumps(summary, separators=(",", ":")))
+            return 0
+        finally:
+            ray.shutdown()
+
+    if args.command == "tail":
+        try:
+            from .pipelines.cdc import tail_binlog
+
+            summary = tail_binlog(
+                args.lake,
+                args.binlog,
+                poll_interval=args.poll_interval,
+                max_idle_polls=args.max_idle_polls,
+                table=args.table,
+                num_partitions=args.partitions,
+                merge_strategy=args.strategy,
+                shuffle=args.shuffle,
+                enrich=args.enrich,
             )
             print(json.dumps(summary, separators=(",", ":")))
             return 0

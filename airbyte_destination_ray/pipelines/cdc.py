@@ -226,6 +226,43 @@ def run_cdc_sync(
     }
 
 
+def tail_binlog(
+    lake_root: str,
+    binlog_dir: str,
+    *,
+    poll_interval: float = 1.0,
+    max_idle_polls: int = 3,
+    on_epoch=None,
+    **sync_kwargs,
+) -> dict:
+    """Continuously tail the binlog: poll for epochs newer than the last
+    checkpoint, sync each as it appears, stop after ``max_idle_polls``
+    consecutive polls with no new epoch (a live deployment would poll
+    forever; the bound makes the loop testable and job-submittable).
+
+    This is the long-running ``ray job submit`` shape of the engine: the
+    driver loop is control-plane only — every data-plane step inside
+    ``run_cdc_sync`` streams through Ray Data.  Resume semantics are
+    inherited: killing and restarting the tailer picks up from the last
+    committed checkpoint, and re-delivered epochs are no-ops.
+    """
+    idle = 0
+    synced: list[int] = []
+    while idle < max_idle_polls:
+        summary = run_cdc_sync(lake_root, binlog_dir, resume=True, **sync_kwargs)
+        fresh = [e for e in summary["epochs"] if not e.get("skipped")]
+        if fresh:
+            idle = 0
+            for e in fresh:
+                synced.append(e["epoch"])
+                if on_epoch is not None:
+                    on_epoch(e)
+        else:
+            idle += 1
+            time.sleep(poll_interval)
+    return {"table": sync_kwargs.get("table", "pages"), "epochs_synced": synced}
+
+
 def _epoch_winner_seqs(
     segments: list[str],
     *,

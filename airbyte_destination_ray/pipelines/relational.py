@@ -186,10 +186,14 @@ def asof_join(
     Ray Data has no as-of join; this is the documented composition
     (build brief "custom operators" (a)): tag the two sides into a common
     envelope, ONE hash-partition shuffle by key, then a per-group sorted
-    ``np.searchsorted`` — no global sort, no per-row loop.  Partitioning
-    assumption: all rows of one key fit in one group (same as any keyed
-    merge; salt + two-stage does NOT apply because as-of is not
-    associative — hot keys instead rely on Ray spilling large groups).
+    merge (segmented cumulative max over the interleaved order) — no global
+    sort, no per-row loop.  Partitioning assumption: all rows of one key fit
+    in one group (same as any keyed merge; salt + two-stage does NOT apply
+    because as-of is not associative — hot keys instead rely on Ray spilling
+    large groups).  ``right_keep`` columns must be int64-castable (they ride
+    the shared envelope as int64; extend with per-type null columns if a
+    wider payload is needed — or as-of-join the right side's key/ts only and
+    broadcast-join the payload back by id).
     """
     right_out = [f"{c}{suffix}" for c in right_keep]
 
@@ -204,8 +208,6 @@ def asof_join(
         t = pa.table(cols)
         parts = partition_ids(t.column(on), num_partitions)
         return t.append_column("_part", pa.array(parts, type=pa.int64()))
-
-    left_schema_cols: list[str] = []
 
     def make_env_right(left_cols: list[str], left_types: dict):
         def env_right(batch: pa.Table) -> pa.Table:

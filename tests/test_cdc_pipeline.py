@@ -212,3 +212,39 @@ def test_key_only_shuffle_matches_oracle_and_resumes(binlog, tmp_path):
     skipped = [e["epoch"] for e in summary["epochs"] if e.get("skipped")]
     assert skipped == [0, 1]
     assert lake_state(str(lake)).equals(oracle_lww(binlog))
+
+
+def test_tail_binlog_picks_up_new_epochs(tmp_path, ray_session):
+    """Continuous tail mode: epochs appended to the binlog mid-tail are
+    synced on the next poll; already-committed epochs are never re-done."""
+    from airbyte_destination_ray.pipelines.cdc import tail_binlog
+
+    binlog = tmp_path / "binlog"
+    lake = tmp_path / "lake"
+    ts0 = 1_700_000_000_000_000
+
+    def row(seq, epoch, url, ts, op="I"):
+        return dict(seq=seq, epoch=epoch, op=op, url=url, warc_ts=ts,
+                    html=b"<x>", text=f"t{seq}", lang="en")
+
+    rows01 = [row(0, 0, "u/a", ts0), row(1, 0, "u/b", ts0 + 1),
+              row(2, 1, "u/a", ts0 + 2)]
+    rows2 = [row(3, 2, "u/c", ts0 + 3), row(4, 2, "u/b", ts0 + 4, op="D")]
+    write_custom_binlog(binlog, rows01)
+
+    state = {"added": False}
+
+    def on_epoch(e):
+        if e["epoch"] == 1 and not state["added"]:
+            write_custom_binlog(binlog, rows01 + rows2)
+            state["added"] = True
+
+    summary = tail_binlog(
+        str(lake), str(binlog), poll_interval=0.05, max_idle_polls=2,
+        num_partitions=4, on_epoch=on_epoch,
+    )
+    assert summary["epochs_synced"] == [0, 1, 2]
+    t = lake_state(str(lake))
+    # u/b deleted in epoch 2; u/a latest version from epoch 1; u/c inserted
+    assert t.column("url").to_pylist() == ["u/a", "u/c"]
+    assert t.column("text").to_pylist() == ["t2", "t3"]
