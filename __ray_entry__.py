@@ -301,6 +301,38 @@ def _q_events_distinct_users(sf_dir: str):
     )
 
 
+def _building_custkeys(sf_dir: str):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    return t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING")).column(
+        "c_custkey"
+    ).to_numpy(zero_copy_only=False)
+
+
+def _q_orders_semi_join(sf_dir: str):
+    """Broadcast semi-join (EXISTS shape): orders whose customer is in the
+    BUILDING segment — zero-shuffle membership filter."""
+    from airbyte_destination_ray.pipelines.relational import semi_join
+
+    return semi_join(
+        _orders(sf_dir), _building_custkeys(sf_dir), on="o_custkey"
+    )
+
+
+def _q_orders_anti_join(sf_dir: str):
+    """Broadcast anti-join (NOT IN / blocklist shape): orders whose customer
+    is NOT in the BUILDING segment."""
+    from airbyte_destination_ray.pipelines.relational import anti_join
+
+    return anti_join(
+        _orders(sf_dir), _building_custkeys(sf_dir), on="o_custkey"
+    )
+
+
 def _q_pricing_summary(sf_dir: str):
     """TPC-H-Q1-shape multi-aggregate with derived expressions over
     lineitem, exact integer-cents sums (order-independent)."""
@@ -433,6 +465,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize_events,
         "events_distinct_users_by_type": _q_events_distinct_users,
         "pricing_summary_lineitem": _q_pricing_summary,
+        "orders_semi_join_building": _q_orders_semi_join,
+        "orders_anti_join_building": _q_orders_anti_join,
         "sample_events_hash": _q_sample_events_hash,
         "top3_events_per_user": _q_top3_events_per_user,
         "events_value_histogram": _q_events_value_histogram,
@@ -569,6 +603,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events GROUP BY 1
+        """,
+        "orders_semi_join_building": """
+            SELECT * FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+        """,
+        "orders_anti_join_building": """
+            SELECT * FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_mktsegment = 'BUILDING')
         """,
         "sample_events_hash": """
             SELECT event_id, ts, user_id, event_type, value, props

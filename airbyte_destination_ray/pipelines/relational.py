@@ -96,6 +96,40 @@ def broadcast_join(
     )
 
 
+def _broadcast_membership(ds, keys, *, on: str, keep_members: bool):
+    """Semi/anti join against a broadcast key set: the keys ship once via
+    ``ray.put`` (sorted numpy array), membership is a vectorized
+    ``searchsorted`` per batch — no shuffle at all."""
+    keys = np.unique(np.asarray(keys))
+    ref = ray.put(keys)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = ray.get(ref)
+        vals = batch.column(on).to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            member = np.zeros(len(vals), dtype=bool)
+        else:
+            pos = np.searchsorted(k, vals)
+            member = pos < len(k)
+            member &= k[np.clip(pos, 0, len(k) - 1)] == vals
+        return batch.filter(pa.array(member if keep_members else ~member))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def semi_join(ds, keys, *, on: str):
+    """Keep rows whose ``on`` value is in the broadcast key set (EXISTS /
+    IN-subquery shape) — zero-shuffle."""
+    return _broadcast_membership(ds, keys, on=on, keep_members=True)
+
+
+def anti_join(ds, keys, *, on: str):
+    """Drop rows whose ``on`` value is in the broadcast key set (NOT IN /
+    blocklist-filter shape — the canonical "remove flagged documents" stage
+    of a training-data pipeline) — zero-shuffle."""
+    return _broadcast_membership(ds, keys, on=on, keep_members=False)
+
+
 def sales_by_nation(orders_ds, customer: pa.Table, nation: pa.Table):
     """Two-level broadcast rollup: orders ⋈ customer ⋈ nation → total sales
     (integer cents) per nation name.

@@ -332,3 +332,92 @@ def test_distinct_count_approx_close_to_exact(events):
         / merged.n_distinct.clip(lower=1)
     )
     assert (rel_err < 0.05).all(), merged
+
+
+def test_semi_anti_join_broadcast(events):
+    from airbyte_destination_ray.pipelines.relational import anti_join, semi_join
+
+    keys = np.array([1, 3, 5, 7, 9, 11])
+    _assert_matches(
+        semi_join(_ds(events), keys, on="user_id"),
+        "SELECT * FROM events WHERE user_id IN (1,3,5,7,9,11)",
+        {"events": events},
+    )
+    _assert_matches(
+        anti_join(_ds(events), keys, on="user_id"),
+        "SELECT * FROM events WHERE user_id NOT IN (1,3,5,7,9,11)",
+        {"events": events},
+    )
+    # empty key set: semi → nothing, anti → everything
+    assert semi_join(_ds(events), np.array([], dtype=np.int64), on="user_id").count() == 0
+    assert anti_join(_ds(events), np.array([], dtype=np.int64), on="user_id").count() == events.num_rows
+
+
+def _asof_brute_force(left, right):
+    """Per-row reference: latest right (ts, seq) at or before each left ts."""
+    out = []
+    for lk, lts, lid in left:
+        best = None
+        for rk, rts, rseq in right:
+            if rk == lk and rts <= lts:
+                if best is None or (rts, rseq) > best[:2]:
+                    best = (rts, rseq)
+        out.append((lid, None if best is None else best[1]))
+    return dict(out)
+
+
+def test_asof_join_property_random(ray_session):
+    """Randomized cross-check vs an O(n²) reference — many keys, duplicate
+    timestamps, keys missing on either side."""
+    from airbyte_destination_ray.pipelines.relational import asof_join
+
+    rng = np.random.default_rng(19)
+    for trial in range(5):
+        nl, nr = rng.integers(1, 60, 2)
+        lk = rng.integers(0, 6, nl)
+        rk = rng.integers(0, 6, nr)
+        lts = rng.integers(0, 40, nl)
+        rts = rng.integers(0, 40, nr)
+        left = pa.table(
+            {
+                "k": pa.array(lk, type=pa.int64()),
+                "lts": pa.array(lts * 1_000_000, type=pa.timestamp("us")),
+                "lid": pa.array(np.arange(nl) + 100, type=pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array(rk, type=pa.int64()),
+                "rts": pa.array(rts * 1_000_000, type=pa.timestamp("us")),
+                "rseq": pa.array(np.arange(nr), type=pa.int64()),
+            }
+        )
+        out = asof_join(
+            _ds(left, blocks=3),
+            _ds(right, blocks=2),
+            on="k",
+            left_ts="lts",
+            right_ts="rts",
+            right_seq="rseq",
+            right_keep=["rseq"],
+            suffix="_m",
+        ).to_pandas()
+        got = {
+            int(r.lid): (None if pd.isna(r.rseq_m) else int(r.rseq_m))
+            for r in out.itertuples()
+        }
+        exp = _asof_brute_force(
+            list(zip(lk.tolist(), (lts * 1_000_000).tolist(), (np.arange(nl) + 100).tolist())),
+            list(zip(rk.tolist(), (rts * 1_000_000).tolist(), np.arange(nr).tolist())),
+        )
+        assert got == exp, f"trial {trial}"
+
+
+def test_sessionize_parallelism_invariant(events):
+    from airbyte_destination_ray.pipelines.relational import sessionize
+
+    a = sessionize(_ds(events, blocks=1), gap_minutes=30.0).to_pandas()
+    b = sessionize(_ds(events, blocks=9), gap_minutes=30.0).to_pandas()
+    a = a.sort_values("event_id").reset_index(drop=True)
+    b = b.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -146,3 +146,53 @@ def test_mixed_version_read_aligns_untouched_partitions(ray_session, tmp_path):
     assert "quality" in out.column_names
     by_url = {r["url"]: r for r in out.to_pylist()}
     assert by_url["u0"]["text"] == "updated"
+
+
+def test_key_only_shuffle_falls_back_on_evolution(tmp_path, ray_session):
+    """shuffle="key_only" must still produce the correct evolved lake when
+    an epoch's source schema version differs from the registry's current
+    version (the key-only pass falls back to the payload shuffle for that
+    epoch — renames may touch the key columns)."""
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.cdc import (
+        read_table_arrow,
+        run_cdc_sync,
+    )
+    from airbyte_destination_ray.sources.synth import write_custom_binlog
+    from airbyte_destination_ray.state.registry import SchemaStore
+
+    binlog = tmp_path / "binlog"
+    ts0 = 1_700_000_000_000_000
+    rows = [
+        dict(seq=0, epoch=0, op="I", url="u/a", warc_ts=ts0, html=b"<a>",
+             text="ta", lang="en"),
+        dict(seq=1, epoch=1, op="U", url="u/a", warc_ts=ts0 + 5, html=b"<b>",
+             text="tb", lang="de"),
+    ]
+    write_custom_binlog(binlog, rows)
+
+    for shuffle in ("payload", "key_only"):
+        lake = tmp_path / f"lake_{shuffle}"
+        store = SchemaStore(str(lake), "pages")
+        base = pa.schema(
+            [
+                pa.field("url", pa.string()),
+                pa.field("warc_ts", pa.timestamp("us")),
+                pa.field("html", pa.binary()),
+                pa.field("text", pa.string()),
+                pa.field("lang", pa.string()),
+            ]
+        )
+        store.init(base)
+        run_cdc_sync(str(lake), str(binlog), num_partitions=4,
+                     shuffle=shuffle, epochs=[0])
+        # evolve: add a column between epochs; epoch 1 segments still carry v0
+        store.add_column("quality_tier", pa.string())
+        run_cdc_sync(str(lake), str(binlog), num_partitions=4,
+                     shuffle=shuffle, epochs=[1],
+                     epoch_schema_versions={1: 0})
+        t = read_table_arrow(str(lake), "pages").sort_by("url")
+        assert "quality_tier" in t.column_names
+        assert t.column("text").to_pylist() == ["tb"]
+        assert t.column("quality_tier").to_pylist() == [None]
