@@ -386,6 +386,16 @@ def _q_quality_filter_documents(sf_dir: str):
     return quality_filter(_documents(sf_dir), min_quality=0.82)
 
 
+def _q_distinct_lang_source(sf_dir: str):
+    """DISTINCT projection at O(distinct tuples) shuffle cost."""
+    from airbyte_destination_ray.pipelines.ops import distinct_values
+
+    return distinct_values(
+        _documents(sf_dir, columns=["lang", "source"]),
+        columns=["lang", "source"],
+    )
+
+
 def _q_sample_events_hash(sf_dir: str):
     """Deterministic hash-based Bernoulli sample (replay-stable, no RNG
     state, oracle = plain SQL arithmetic)."""
@@ -465,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize_events,
         "events_distinct_users_by_type": _q_events_distinct_users,
         "pricing_summary_lineitem": _q_pricing_summary,
+        "distinct_lang_source_documents": _q_distinct_lang_source,
         "orders_semi_join_building": _q_orders_semi_join,
         "orders_anti_join_building": _q_orders_anti_join,
         "sample_events_hash": _q_sample_events_hash,
@@ -603,6 +614,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events GROUP BY 1
+        """,
+        "distinct_lang_source_documents": """
+            SELECT DISTINCT lang, source FROM documents
         """,
         "orders_semi_join_building": """
             SELECT * FROM orders

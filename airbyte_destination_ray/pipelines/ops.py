@@ -342,6 +342,34 @@ def quality_filter(ds, *, text_col: str = "text", min_quality: float = 0.5):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def distinct_values(
+    ds,
+    *,
+    columns: list[str],
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """DISTINCT projection at shuffle cost O(distinct tuples): per-batch
+    dedup first (Arrow group_by), hash-partition by the tuple, final
+    per-partition dedup."""
+    from ..functions.hashing import composite_partition_ids
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(columns).group_by(columns).aggregate([])
+        parts = composite_partition_ids(t, columns, num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        return (
+            group.drop_columns(["_part"]).group_by(columns).aggregate([])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def hash_sample(
     ds,
     *,

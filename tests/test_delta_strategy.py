@@ -135,3 +135,24 @@ def test_explicit_compaction(binlog, tmp_path):
     assert state(lake).equals(before)
     # idempotent: a second compaction is a no-op
     assert compact_table(lake, "pages")["compacted_partitions"] == 0
+
+
+def test_delta_strategy_composes_with_key_only_shuffle(tmp_path, ray_session):
+    """merge_strategy="delta" × shuffle="key_only" must equal the
+    snapshot/payload reference run (read view + logical content)."""
+    from airbyte_destination_ray.pipelines.cdc import (
+        read_table_arrow,
+        run_cdc_sync,
+    )
+    from airbyte_destination_ray.sources.synth import synthesize_binlog
+
+    binlog = tmp_path / "binlog"
+    synthesize_binlog(binlog, n_events=2400, n_keys=400, n_epochs=4, seed=13)
+    ref = tmp_path / "ref"
+    combo = tmp_path / "combo"
+    run_cdc_sync(str(ref), str(binlog), num_partitions=4)
+    run_cdc_sync(str(combo), str(binlog), num_partitions=4,
+                 merge_strategy="delta", compact_every=3, shuffle="key_only")
+    a = read_table_arrow(str(ref), "pages").sort_by("url")
+    b = read_table_arrow(str(combo), "pages").sort_by("url")
+    assert a.equals(b)
