@@ -386,6 +386,16 @@ def _q_quality_filter_documents(sf_dir: str):
     return quality_filter(_documents(sf_dir), min_quality=0.82)
 
 
+def _q_events_value_quantiles(sf_dir: str):
+    """Exact per-group quantiles (median/p90, SQL quantile_cont semantics);
+    only (key, value) shuffles."""
+    from airbyte_destination_ray.pipelines.ops import grouped_quantiles
+
+    return grouped_quantiles(
+        _events(sf_dir), key="event_type", value_col="value"
+    )
+
+
 def _q_distinct_lang_source(sf_dir: str):
     """DISTINCT projection at O(distinct tuples) shuffle cost."""
     from airbyte_destination_ray.pipelines.ops import distinct_values
@@ -475,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize_events,
         "events_distinct_users_by_type": _q_events_distinct_users,
         "pricing_summary_lineitem": _q_pricing_summary,
+        "events_value_quantiles_by_type": _q_events_value_quantiles,
         "distinct_lang_source_documents": _q_distinct_lang_source,
         "orders_semi_join_building": _q_orders_semi_join,
         "orders_anti_join_building": _q_orders_anti_join,
@@ -614,6 +625,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events GROUP BY 1
+        """,
+        "events_value_quantiles_by_type": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90
+            FROM events GROUP BY event_type
         """,
         "distinct_lang_source_documents": """
             SELECT DISTINCT lang, source FROM documents

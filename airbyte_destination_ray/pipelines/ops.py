@@ -342,6 +342,61 @@ def quality_filter(ds, *, text_col: str = "text", min_quality: float = 0.5):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def grouped_quantiles(
+    ds,
+    *,
+    key: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Exact per-group quantiles (linear interpolation, matching SQL
+    ``quantile_cont``): one hash shuffle of ``(key, value)`` only — the
+    payload never moves — then a vectorized per-group sort + interpolate.
+    Exactness requires co-locating each group (same partitioning assumption
+    as any keyed merge); the 100 TB approximate path is a mergeable t-digest
+    in the same partial/combine shape as the HLL sketch."""
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {key: batch.column(key), value_col: batch.column(value_col)}
+        )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    qcols = [f"p{int(q * 100)}" for q in quantiles]
+
+    def compute(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        idx = pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), (value_col, "ascending")]
+        )
+        t = g.take(idx)
+        keys = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        n = len(keys)
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = keys[1:] != keys[:-1]
+        starts = np.nonzero(start)[0]
+        ends = np.append(starts[1:], n)
+        out = {key: pa.array(keys[starts], type=t.schema.field(key).type)}
+        for q, name in zip(quantiles, qcols):
+            # linear interpolation at rank q*(len-1), vectorized over groups
+            pos = starts + q * (ends - starts - 1)
+            lo = np.floor(pos).astype(np.int64)
+            hi = np.ceil(pos).astype(np.int64)
+            frac = pos - lo
+            out[name] = pa.array(vals[lo] * (1 - frac) + vals[hi] * frac)
+        return pa.table(out)
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(compute, batch_format="pyarrow")
+    )
+
+
 def distinct_values(
     ds,
     *,

@@ -421,3 +421,20 @@ def test_sessionize_parallelism_invariant(events):
     a = a.sort_values("event_id").reset_index(drop=True)
     b = b.sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_grouped_quantiles_matches_quantile_cont(events):
+    from airbyte_destination_ray.pipelines.ops import grouped_quantiles
+
+    _assert_matches(
+        grouped_quantiles(_ds(events), key="event_type", value_col="value"),
+        """SELECT event_type,
+                  quantile_cont(value, 0.5) AS p50,
+                  quantile_cont(value, 0.9) AS p90
+           FROM events GROUP BY event_type""",
+        {"events": events},
+    )
+    # single-row group edge: quantiles of one value are that value
+    t = pa.table({"k": pa.array([7], pa.int64()), "v": pa.array([3.5])})
+    out = grouped_quantiles(_ds(t, blocks=1), key="k", value_col="v").to_pandas()
+    assert out.p50.tolist() == [3.5] and out.p90.tolist() == [3.5]
