@@ -266,6 +266,33 @@ def _q_sales_by_nation(sf_dir: str):
     )
 
 
+def _q_orders_lineitem_shuffle_join(sf_dir: str):
+    """Big×big shuffle hash join (orders ⋈ lineitem): one hash exchange per
+    side, per-partition Acero join — the shape for sides too large to
+    broadcast."""
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+
+    return shuffle_join(
+        _orders(sf_dir),
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+        ),
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        select=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+        ],
+    )
+
+
 def _q_asof_click_before_purchase(sf_dir: str):
     """As-of (point-in-time) join: each purchase attributed to the user's
     latest click at or before it — hash-partition once, per-group vectorized
@@ -480,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineage_events_cdc": _q_lineage_events_cdc,
         "orders_customer_broadcast_join": _q_orders_customer_join,
         "sales_by_nation": _q_sales_by_nation,
+        "orders_lineitem_shuffle_join": _q_orders_lineitem_shuffle_join,
         "asof_click_before_purchase": _q_asof_click_before_purchase,
         "events_hourly_by_type": _q_events_hourly_by_type,
         "sessionize_events": _q_sessionize_events,
@@ -592,6 +620,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "orders_lineitem_shuffle_join": """
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   l_linenumber, l_quantity, l_extendedprice
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         """,
         "asof_click_before_purchase": """
             WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),

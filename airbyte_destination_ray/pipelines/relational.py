@@ -196,6 +196,88 @@ def sales_by_nation(orders_ds, customer: pa.Table, nation: pa.Table):
     )
 
 
+def shuffle_join(
+    left_ds,
+    right_ds,
+    *,
+    left_on: str,
+    right_on: str,
+    select: list[str] | None = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Big×big inner equijoin: ONE hash-partition shuffle per side on the
+    join key, then a per-partition Arrow (Acero) hash join.  Use when both
+    sides are too large to broadcast — otherwise :func:`broadcast_join`
+    (no shuffle at all) wins.
+
+    Both sides ride one union'd envelope (each side's non-key columns
+    null-filled on the other side) so a single ``groupby`` co-locates
+    matching keys; the per-group kernel splits the sides back out and joins
+    them vectorized.  Skewed keys concentrate in one group — at 100 TB
+    pre-filter hot keys into a broadcast-side pass (the standard skew-join
+    split); salting does not apply (a join is not associative over key
+    splits of BOTH sides).
+    """
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    rpayload = [c for c in rschema.names if c != right_on]
+    clash = set(lschema.names) & set(rpayload)
+    if clash:
+        raise ValueError(f"column name clash: {sorted(clash)}")
+
+    def env_side(is_left: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            key = batch.column(left_on if is_left else right_on)
+            for c in lschema.names:
+                if is_left:
+                    cols[c] = batch.column(c)
+                else:
+                    cols[c] = key if c == left_on else pa.nulls(n, ltypes[c])
+            for c in rpayload:
+                cols[c] = batch.column(c) if not is_left else pa.nulls(
+                    n, rtypes[c]
+                )
+            cols["_side"] = pa.array(
+                np.full(n, 1 if is_left else 0, dtype=np.int8)
+            )
+            t = pa.table(cols)
+            parts = partition_ids(key, num_partitions)
+            return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+        return fn
+
+    env = left_ds.map_batches(
+        env_side(True), batch_format="pyarrow", batch_size=None
+    ).union(
+        right_ds.map_batches(
+            env_side(False), batch_format="pyarrow", batch_size=None
+        )
+    )
+
+    out_cols = select or (list(lschema.names) + rpayload)
+
+    def join_group(group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        lmask = pa.array(side == 1)
+        left = group.filter(lmask).select(list(lschema.names))
+        right = group.filter(pc.invert(lmask)).select(
+            [left_on] + rpayload
+        ).rename_columns([right_on] + rpayload)
+        joined = left.combine_chunks().join(
+            right.combine_chunks(),
+            keys=left_on,
+            right_keys=right_on,
+            join_type="inner",
+        )
+        return joined.select(out_cols)
+
+    return env.groupby("_part").map_groups(join_group, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # as-of join
 # ---------------------------------------------------------------------------

@@ -438,3 +438,45 @@ def test_grouped_quantiles_matches_quantile_cont(events):
     t = pa.table({"k": pa.array([7], pa.int64()), "v": pa.array([3.5])})
     out = grouped_quantiles(_ds(t, blocks=1), key="k", value_col="v").to_pandas()
     assert out.p50.tolist() == [3.5] and out.p90.tolist() == [3.5]
+
+
+def test_shuffle_join_big_big(events):
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+
+    # right side: per-user profile rows incl. users with no events and
+    # events whose user has no profile (inner join drops both)
+    prof = pa.table(
+        {
+            "uid": pa.array(list(range(2, 20)), type=pa.int64()),
+            "tier": pa.array([f"t{i % 3}" for i in range(2, 20)]),
+        }
+    )
+    out = shuffle_join(
+        _ds(events),
+        _ds(prof, blocks=2),
+        left_on="user_id",
+        right_on="uid",
+        select=["event_id", "user_id", "tier"],
+        num_partitions=8,
+    )
+    _assert_matches(
+        out,
+        """SELECT event_id, user_id, tier
+           FROM events JOIN prof ON user_id = uid""",
+        {"events": events, "prof": prof},
+    )
+
+
+def test_shuffle_join_name_clash_raises(events):
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+
+    other = pa.table(
+        {
+            "uid": pa.array([1], type=pa.int64()),
+            "value": pa.array([1.0]),  # clashes with events.value
+        }
+    )
+    with pytest.raises(ValueError, match="clash"):
+        shuffle_join(
+            _ds(events), _ds(other, blocks=1), left_on="user_id", right_on="uid"
+        )
