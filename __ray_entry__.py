@@ -318,6 +318,16 @@ def _q_sessionize_events(sf_dir: str):
     return sessionize(_events(sf_dir), gap_minutes=30.0)
 
 
+def _q_events_running_sum(sf_dir: str):
+    """Per-user running sum (cumulative window aggregate, integer cents)."""
+    from airbyte_destination_ray.pipelines.relational import running_sum
+
+    return running_sum(
+        _events(sf_dir), key="user_id", ts_col="ts", seq="event_id",
+        value_col="value",
+    )
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT) per key at O(distinct pairs) shuffle cost
     (pair-dedup pre-reduce)."""
@@ -511,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click_before_purchase": _q_asof_click_before_purchase,
         "events_hourly_by_type": _q_events_hourly_by_type,
         "sessionize_events": _q_sessionize_events,
+        "events_running_sum_by_user": _q_events_running_sum,
         "events_distinct_users_by_type": _q_events_distinct_users,
         "pricing_summary_lineitem": _q_pricing_summary,
         "events_value_quantiles_by_type": _q_events_value_quantiles,
@@ -653,6 +664,14 @@ def oracle_sql() -> dict[str, str]:
                          lag(ts) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS prev_ts
                   FROM events)
+        """,
+        "events_running_sum_by_user": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS running_cents
+            FROM events
         """,
         "events_distinct_users_by_type": """
             SELECT event_type,

@@ -594,6 +594,73 @@ def sessionize(
 # ---------------------------------------------------------------------------
 
 
+def running_sum(
+    ds,
+    *,
+    key: str,
+    ts_col: str,
+    seq: str,
+    value_col: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Per-key running sum ordered by ``(ts, seq)`` — the cumulative window
+    aggregate (``SUM(...) OVER (PARTITION BY key ORDER BY ts, seq ROWS
+    UNBOUNDED PRECEDING)``).  One keyed shuffle of ``(key, ts, seq,
+    value)``; the per-group kernel is a segmented cumsum (integer cents so
+    the result is exactly order-independent and oracle-comparable)."""
+
+    def route(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(batch.column(value_col), 100.0)), pa.int64()
+        )
+        t = pa.table(
+            {
+                seq: batch.column(seq),
+                key: batch.column(key),
+                "_ats": pc.cast(batch.column(ts_col), pa.int64()),
+                "_cents": cents,
+            }
+        )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def accumulate(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                (key, "ascending"),
+                ("_ats", "ascending"),
+                (seq, "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        keys = g.column(key).to_numpy(zero_copy_only=False)
+        cents = g.column("_cents").to_numpy(zero_copy_only=False)
+        n = len(keys)
+        cs = np.cumsum(cents)
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = keys[1:] != keys[:-1]
+        # subtract the cumsum just before each key's first row (exact
+        # segment-repeat — a running max would break on negative values)
+        start_idx = np.nonzero(start)[0]
+        counts = np.diff(np.append(start_idx, n))
+        base = np.repeat(cs[start_idx] - cents[start_idx], counts)
+        return pa.table(
+            {
+                seq: g.column(seq),
+                key: g.column(key),
+                "running_cents": pa.array(cs - base, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(accumulate, batch_format="pyarrow")
+    )
+
+
 def distinct_count_by(
     ds,
     *,

@@ -480,3 +480,40 @@ def test_shuffle_join_name_clash_raises(events):
         shuffle_join(
             _ds(events), _ds(other, blocks=1), left_on="user_id", right_on="uid"
         )
+
+
+def test_running_sum_matches_sql_window(events):
+    from airbyte_destination_ray.pipelines.relational import running_sum
+
+    _assert_matches(
+        running_sum(
+            _ds(events), key="user_id", ts_col="ts", seq="event_id",
+            value_col="value",
+        ),
+        """SELECT event_id, user_id,
+                  CAST(sum(CAST(floor(value*100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                      AS running_cents
+           FROM events""",
+        {"events": events},
+    )
+
+
+def test_running_sum_negative_values(ray_session):
+    from airbyte_destination_ray.pipelines.relational import running_sum
+
+    base = dt.datetime(2024, 6, 1)
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "ts": pa.array([base + dt.timedelta(seconds=s) for s in range(4)],
+                           pa.timestamp("us")),
+            "value": pa.array([5.0, -3.0, -2.0, 4.0]),
+        }
+    )
+    out = running_sum(_ds(t, blocks=2), key="user_id", ts_col="ts",
+                      seq="event_id", value_col="value").to_pandas()
+    got = dict(zip(out.event_id, out.running_cents))
+    assert got == {0: 500, 1: 200, 2: -200, 3: 200}
