@@ -433,6 +433,18 @@ def _q_events_value_quantiles(sf_dir: str):
     )
 
 
+def _q_events_quantiles_approx(sf_dir: str):
+    """t-digest-style mergeable quantile sketch — the 100 TB approx path
+    (rows-only; accuracy pinned vs the exact operator in tests)."""
+    from airbyte_destination_ray.pipelines.relational import (
+        grouped_quantiles_approx,
+    )
+
+    return grouped_quantiles_approx(
+        _events(sf_dir), key="event_type", value_col="value"
+    )
+
+
 def _q_distinct_lang_source(sf_dir: str):
     """DISTINCT projection at O(distinct tuples) shuffle cost."""
     from airbyte_destination_ray.pipelines.ops import distinct_values
@@ -525,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_by_type": _q_events_distinct_users,
         "pricing_summary_lineitem": _q_pricing_summary,
         "events_value_quantiles_by_type": _q_events_value_quantiles,
+        "events_value_quantiles_approx": _q_events_quantiles_approx,
         "distinct_lang_source_documents": _q_distinct_lang_source,
         "orders_semi_join_building": _q_orders_semi_join,
         "orders_anti_join_building": _q_orders_anti_join,

@@ -775,6 +775,70 @@ def distinct_count_approx(
     )
 
 
+def grouped_quantiles_approx(
+    ds,
+    *,
+    key: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+    delta: int = 256,
+):
+    """Approximate per-group quantiles via mergeable t-digest-style sketches
+    (functions/sketches.py): per-batch per-key digests are the partials,
+    concat+compress the combiner — the exchange carries ≤ ``2·delta``
+    float64 per (key, batch) regardless of row count, which is the 100 TB
+    path where exact :func:`..ops.grouped_quantiles` would still shuffle
+    every (key, value) row.  Accuracy ~1/delta in q-space; pinned vs the
+    exact operator in tests."""
+    from ..functions.sketches import (
+        qdigest_from_values,
+        qdigest_merge,
+        qdigest_pack,
+        qdigest_quantile,
+        qdigest_unpack,
+    )
+
+    qcols = [f"p{int(q * 100)}" for q in quantiles]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {key: batch.column(key), value_col: batch.column(value_col)}
+        )
+        idx = pc.sort_indices(t, sort_keys=[(key, "ascending")])
+        t = t.take(idx)
+        karr = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        starts = np.nonzero(
+            np.concatenate(([True], karr[1:] != karr[:-1]))
+        )[0]
+        ends = np.append(starts[1:], len(karr))
+        out_keys, bufs = [], []
+        for s, e in zip(starts, ends):
+            out_keys.append(karr[s])
+            bufs.append(qdigest_pack(qdigest_from_values(vals[s:e], delta)))
+        return pa.table(
+            {
+                key: pa.array(out_keys, type=t.schema.field(key).type),
+                "_digest": pa.array(bufs, type=pa.binary()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        digest = (np.empty(0), np.empty(0))
+        for buf in group.column("_digest").to_pylist():
+            digest = qdigest_merge(digest, qdigest_unpack(buf), delta)
+        out = {key: [group.column(key)[0].as_py()]}
+        for q, name in zip(quantiles, qcols):
+            out[name] = pa.array([float(qdigest_quantile(digest, q))])
+        return pa.table(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(key)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q1-style pricing summary (multi-aggregate with derived expressions)
 # ---------------------------------------------------------------------------

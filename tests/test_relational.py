@@ -517,3 +517,44 @@ def test_running_sum_negative_values(ray_session):
                       seq="event_id", value_col="value").to_pandas()
     got = dict(zip(out.event_id, out.running_cents))
     assert got == {0: 500, 1: 200, 2: -200, 3: 200}
+
+
+def test_qdigest_sketch_properties():
+    from airbyte_destination_ray.functions.sketches import (
+        qdigest_from_values,
+        qdigest_merge,
+        qdigest_quantile,
+    )
+
+    rng = np.random.default_rng(23)
+    a = rng.normal(50, 10, 20_000)
+    b = rng.normal(80, 5, 10_000)
+    merged = qdigest_merge(qdigest_from_values(a), qdigest_from_values(b))
+    both = np.concatenate([a, b])
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = float(qdigest_quantile(merged, q))
+        true = float(np.quantile(both, q))
+        # rank error ≤ ~1/delta: compare in q-space
+        q_of_est = (both <= est).mean()
+        assert abs(q_of_est - q) < 0.02, (q, est, true)
+    # digest stays bounded
+    assert len(merged[0]) <= 256
+
+
+def test_grouped_quantiles_approx_close_to_exact(events):
+    from airbyte_destination_ray.pipelines.ops import grouped_quantiles
+    from airbyte_destination_ray.pipelines.relational import (
+        grouped_quantiles_approx,
+    )
+
+    exact = grouped_quantiles(
+        _ds(events), key="event_type", value_col="value"
+    ).to_pandas()
+    approx = grouped_quantiles_approx(
+        _ds(events), key="event_type", value_col="value"
+    ).to_pandas()
+    m = exact.merge(approx, on="event_type", suffixes=("", "_a"))
+    assert len(m) == len(exact)
+    # values are uniform(0,100): q-space error ~1/256 → value error ~1
+    assert (m.p50 - m.p50_a).abs().max() < 3.0
+    assert (m.p90 - m.p90_a).abs().max() < 3.0
