@@ -233,6 +233,7 @@ def tail_binlog(
     poll_interval: float = 1.0,
     max_idle_polls: int = 3,
     on_epoch=None,
+    compact_every_epochs: int | None = None,
     **sync_kwargs,
 ) -> dict:
     """Continuously tail the binlog: poll for epochs newer than the last
@@ -245,9 +246,17 @@ def tail_binlog(
     ``run_cdc_sync`` streams through Ray Data.  Resume semantics are
     inherited: killing and restarting the tailer picks up from the last
     committed checkpoint, and re-delivered epochs are no-ops.
+
+    ``compact_every_epochs``: for delta-strategy tables, fold every
+    partition's file stack after that many freshly-synced epochs (on top of
+    the merger's own per-partition ``compact_every`` bound) — the steady-
+    state maintenance loop a long-running tailer owns.
     """
     idle = 0
     synced: list[int] = []
+    compactions = 0
+    since_compact = 0
+    table = sync_kwargs.get("table", "pages")
     while idle < max_idle_polls:
         summary = run_cdc_sync(lake_root, binlog_dir, resume=True, **sync_kwargs)
         fresh = [e for e in summary["epochs"] if not e.get("skipped")]
@@ -257,10 +266,22 @@ def tail_binlog(
                 synced.append(e["epoch"])
                 if on_epoch is not None:
                     on_epoch(e)
+            since_compact += len(fresh)
+            if (
+                compact_every_epochs
+                and since_compact >= compact_every_epochs
+            ):
+                if compact_table(lake_root, table).get("compacted_partitions"):
+                    compactions += 1
+                since_compact = 0
         else:
             idle += 1
             time.sleep(poll_interval)
-    return {"table": sync_kwargs.get("table", "pages"), "epochs_synced": synced}
+    return {
+        "table": table,
+        "epochs_synced": synced,
+        "compactions": compactions,
+    }
 
 
 def _epoch_winner_seqs(
@@ -370,18 +391,41 @@ def read_table(
         return ray.data.from_arrow(pa.table({}))
     current_version = max(v for _, v in versioned)
 
+    # Column-pruning pushdown: only the requested columns (plus the meta
+    # columns the tombstone filter needs) leave the Parquet files — at CC
+    # widths reading `url, lang` must not decode the html column.  Aligned
+    # (older-version) file groups skip the pushdown: renames may map a
+    # requested name to a different physical column.
+    read_columns = None
+    if columns:
+        read_columns = list(
+            dict.fromkeys(list(columns) + [SEQ_COLUMN, DELETED_COLUMN])
+        )
+
     def _read_group(files: list[str], src_version: int):
         paths = [str(Path(lake_root) / f) for f in files]
         # partitioning=None: dir names (gen=…/p=…) are physical layout, not columns
-        ds = ray.data.read_parquet(paths, partitioning=None)
         if src_version != current_version:
-            ds = ds.map_batches(
-                lambda b, sv=src_version: _align_lake_table(
-                    b, lake_root, table, sv, current_version
+            ds = ray.data.read_parquet(paths, partitioning=None)
+            return ds.map_batches(
+                lambda b, sv=src_version: (
+                    _align_lake_table(
+                        b, lake_root, table, sv, current_version
+                    ).select(read_columns)
+                    if read_columns
+                    else _align_lake_table(
+                        b, lake_root, table, sv, current_version
+                    )
                 ),
                 batch_format="pyarrow",
             )
-        return ds
+        if read_columns is None:
+            return ray.data.read_parquet(paths, partitioning=None)
+        # ray 2.49's parquet datasource raises UnboundLocalError when both
+        # columns= and partitioning=None are given; with an explicit column
+        # list that never names the gen=/p= dir levels, default partitioning
+        # inference is inert, so drop partitioning=None on this path only
+        return ray.data.read_parquet(paths, columns=read_columns)
 
     by_version: dict[int, list[str]] = {}
     for f, v in versioned:

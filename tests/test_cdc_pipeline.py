@@ -248,3 +248,43 @@ def test_tail_binlog_picks_up_new_epochs(tmp_path, ray_session):
     # u/b deleted in epoch 2; u/a latest version from epoch 1; u/c inserted
     assert t.column("url").to_pylist() == ["u/a", "u/c"]
     assert t.column("text").to_pylist() == ["t2", "t3"]
+
+
+def test_read_table_column_pushdown(binlog, tmp_path):
+    """read_table(columns=...) pushes projection into the Parquet read (the
+    html payload must not be decoded to list urls) and matches the full
+    read's values; also correct across schema-version-mixed file groups."""
+    lake = tmp_path / "lake"
+    run_cdc_sync(str(lake), binlog, num_partitions=PARTS)
+    full = read_table(str(lake), "pages").to_pandas()
+    pruned = read_table(str(lake), "pages", columns=["url", "lang"]).to_pandas()
+    assert sorted(pruned.columns) == ["lang", "url"]
+    a = full[["url", "lang"]].sort_values(["url", "lang"]).reset_index(drop=True)
+    b = pruned.sort_values(["url", "lang"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_tail_auto_compaction(binlog, tmp_path):
+    """Tailing a delta-strategy table with compact_every_epochs folds the
+    per-partition stacks; the read view is unchanged."""
+    from airbyte_destination_ray.pipelines.cdc import tail_binlog
+
+    lake = tmp_path / "lake"
+    ref = tmp_path / "ref"
+    run_cdc_sync(str(ref), binlog, num_partitions=PARTS)
+    summary = tail_binlog(
+        str(lake), binlog, poll_interval=0.05, max_idle_polls=1,
+        num_partitions=PARTS, merge_strategy="delta", compact_every=99,
+        compact_every_epochs=2,
+    )
+    assert summary["compactions"] >= 1
+    assert lake_state(str(lake)).equals(lake_state(str(ref)))
+    # post-compaction stacks are single-file
+    from airbyte_destination_ray.pipelines.cdc import _delta_partition_stacks
+
+    store = ManifestStore(str(lake), "pages")
+    meta = store.table_meta()
+    stacks = _delta_partition_stacks(store, meta)
+    # epochs 0-1 compacted into one file; epoch 2 (synced after the
+    # compaction trigger) may add one delta on top
+    assert all(len(s["files"]) <= 2 for s in stacks)
