@@ -61,6 +61,7 @@ def run_cdc_sync(
     merge_strategy: str = "snapshot",
     compact_every: int = 8,
     shuffle: str = "payload",
+    profile: bool = False,
 ) -> dict:
     """Run (or resume) a sync of the binlog into the lake table.
 
@@ -206,16 +207,19 @@ def run_cdc_sync(
                 "segments": [str(Path(s).name) for s in segments],
             },
         )
-        epoch_summaries.append(
-            {
-                "epoch": e,
-                "skipped": False,
-                "partitions": stats_t.num_rows,
-                "changes_in": changes,
-                "rows": rows,
-                "wall_sec": round(time.perf_counter() - t_epoch, 3),
-            }
-        )
+        epoch_summary = {
+            "epoch": e,
+            "skipped": False,
+            "partitions": stats_t.num_rows,
+            "changes_in": changes,
+            "rows": rows,
+            "wall_sec": round(time.perf_counter() - t_epoch, 3),
+        }
+        if profile:
+            # per-stage wall/cpu/row breakdown from Ray Data's executor —
+            # the "read ds.stats() and iterate" feedback loop as data
+            epoch_summary["ray_stats"] = stats.stats()
+        epoch_summaries.append(epoch_summary)
 
     return {
         "table": table,

@@ -58,6 +58,59 @@ def _collect_dup_ids(candidates) -> np.ndarray:
     return np.unique(t.column("dup_id").to_numpy(zero_copy_only=False))
 
 
+def _distributed_filter_out(ds, id_col: str, candidates, num_partitions: int):
+    """Shuffle anti-join: co-partition docs and dup-ids by ``hash(id)`` and
+    drop matches per partition — the scale path when the duplicate-id set
+    is too large to collect and broadcast (billions of dups at 100 TB).
+    Costs one payload shuffle where the broadcast filter costs none, so
+    broadcast stays the default."""
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+
+    def env_docs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        t = batch.append_column(
+            "_isdup", pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        )
+        parts = (ids % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def env_dups(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for c in schema.names:
+            if c == id_col:
+                cols[c] = batch.column("dup_id").cast(types[c])
+            else:
+                cols[c] = pa.nulls(n, types[c])
+        cols["_isdup"] = pa.array(np.ones(n, dtype=np.int8))
+        t = pa.table(cols)
+        ids = batch.column("dup_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        parts = (ids % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    env = ds.map_batches(
+        env_docs, batch_format="pyarrow", batch_size=None
+    ).union(
+        candidates.map_batches(env_dups, batch_format="pyarrow", batch_size=None)
+    )
+
+    def anti(group: pa.Table) -> pa.Table:
+        isdup = group.column("_isdup").to_numpy(zero_copy_only=False) == 1
+        docs = group.filter(pa.array(~isdup)).drop_columns(["_isdup", "_part"])
+        dup_ids = np.unique(
+            group.filter(pa.array(isdup))
+            .column(id_col)
+            .to_numpy(zero_copy_only=False)
+        )
+        if len(dup_ids) == 0:
+            return docs
+        ids = docs.column(id_col).to_numpy(zero_copy_only=False)
+        return docs.filter(pa.array(~np.isin(ids, dup_ids)))
+
+    return env.groupby("_part").map_groups(anti, batch_format="pyarrow")
+
+
 def _route_buckets(t: pa.Table, num_partitions: int) -> pa.Table:
     """Add ``_part = mix(band, key) % P``: ONE partition-level group per
     shuffle target instead of one ``map_groups`` call per bucket — bucket
@@ -289,11 +342,17 @@ def dedup_exact_hash(
     text_col: str = "text",
     id_col: str = "doc_id",
     normalize: bool = False,
+    filter_mode: str = "broadcast",
 ):
     """Exact dedup by 64-bit content fingerprint: hash-partition + keep the
     min-id doc per fingerprint.  Collision-unsafe variant of
     :func:`..pipelines.ops.dedup_exact` that never shuffles the text column
-    — at web scale the exchange moves 16 bytes/doc instead of the payload."""
+    — at web scale the exchange moves 16 bytes/doc instead of the payload.
+
+    ``filter_mode="shuffle"`` applies the dup set with a distributed
+    anti-join instead of the collect-and-broadcast filter — for dup sets
+    too large to hold on the driver / broadcast per node (same output,
+    pinned by test)."""
 
     def keys(batch: pa.Table) -> pa.Table:
         # null-text rows emit no candidates (a shared fill value would make
@@ -320,6 +379,10 @@ def dedup_exact_hash(
         .groupby("_part")
         .map_groups(resolve, batch_format="pyarrow")
     )
+    if filter_mode == "shuffle":
+        return _distributed_filter_out(
+            ds, id_col, candidates, DEDUP_NUM_PARTITIONS
+        )
     dup_ids = _collect_dup_ids(candidates)
     return _broadcast_filter_out(ds, id_col, ray.put(dup_ids))
 

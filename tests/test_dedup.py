@@ -191,3 +191,28 @@ def test_knn_ivf_self_and_recall(ray_session):
         return set(zip(tbl.column("query_id").to_pylist(), tbl.column("vec_id").to_pylist()))
     recall = len(pairs(ivf) & pairs(bf)) / len(pairs(bf))
     assert recall >= 0.8, recall
+
+
+def test_exact_hash_shuffle_filter_matches_broadcast(ray_session):
+    import ray.data
+    from airbyte_destination_ray.pipelines.dedup import dedup_exact_hash
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(40), type=pa.int64()),
+            "text": pa.array(
+                [f"doc {i % 15}" for i in range(40)]  # 15 distinct texts
+            ),
+            "lang": pa.array(["en"] * 40),
+        }
+    )
+    ds = lambda: ray.data.from_arrow(docs).repartition(4)
+    a = dedup_exact_hash(ds()).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        dedup_exact_hash(ds(), filter_mode="shuffle")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) == 15
+    assert a.equals(b)
