@@ -152,14 +152,14 @@ def run_cdc_sync(
             and mode == "append_dedup"
             and src_version == target_version
         ):
+            from .relational import semi_join
+
             winners = _epoch_winner_seqs(
                 segments, pk=pk, ver=ver, num_partitions=num_partitions
             )
-            ds = ds.map_batches(
-                _make_winner_filter(winners),
-                batch_format="pyarrow",
-                batch_size=None,
-            )
+            # broadcast membership filter (shared helper): keep only rows
+            # whose seq won pass 1
+            ds = semi_join(ds, winners, on="seq")
         partitioner = make_partitioner(
             pk,
             num_partitions,
@@ -343,29 +343,6 @@ def _epoch_winner_seqs(
     if not chunks:
         return np.empty(0, dtype=np.int64)
     return np.sort(np.concatenate(chunks))
-
-
-def _make_winner_filter(winners):
-    """Pass-2 filter: keep only rows whose ``seq`` won pass 1 (sorted-array
-    membership via searchsorted; the winner array ships once via ``ray.put``
-    and is read zero-copy from the object store per task)."""
-    import numpy as np
-
-    import ray
-
-    ref = ray.put(winners)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        w = ray.get(ref)
-        if len(w) == 0:
-            return batch.slice(0, 0)
-        s = batch.column("seq").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(w, s)
-        ok = pos < len(w)
-        ok &= w[np.clip(pos, 0, len(w) - 1)] == s
-        return batch.filter(pa.array(ok))
-
-    return keep
 
 
 def read_table(

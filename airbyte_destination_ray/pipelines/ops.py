@@ -382,11 +382,16 @@ def grouped_quantiles(
         ends = np.append(starts[1:], n)
         out = {key: pa.array(keys[starts], type=t.schema.field(key).type)}
         for q, name in zip(quantiles, qcols):
-            # linear interpolation at rank q*(len-1), vectorized over groups
-            pos = starts + q * (ends - starts - 1)
-            lo = np.floor(pos).astype(np.int64)
-            hi = np.ceil(pos).astype(np.int64)
-            frac = pos - lo
+            # linear interpolation at rank q*(len-1), vectorized over groups.
+            # The fractional part must come from the group-RELATIVE rank —
+            # adding the absolute start offset first loses float precision
+            # for groups deep into a partition and diverges from SQL
+            # quantile_cont (found by review repro at 64k-row offsets).
+            rel = q * (ends - starts - 1)
+            rel_lo = np.floor(rel)
+            frac = rel - rel_lo
+            lo = starts + rel_lo.astype(np.int64)
+            hi = starts + np.ceil(rel).astype(np.int64)
             out[name] = pa.array(vals[lo] * (1 - frac) + vals[hi] * frac)
         return pa.table(out)
 
@@ -521,14 +526,17 @@ def value_histogram(ds, *, col: str, bin_width: float):
             pc.floor(pc.divide(batch.column(col), bin_width)), pa.int64()
         )
         t = pa.table({"bin": bins})
-        return t.group_by("bin").aggregate([("bin", "count")])
+        # count_all, not ("bin", "count"): a null input value bins to null,
+        # and count skips nulls — the null bin would report 0 instead of
+        # its row count (SQL count(*) semantics)
+        return t.group_by("bin").aggregate([([], "count_all")])
 
     def final(group: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "bin": [group.column("bin")[0].as_py()],
                 "n_rows": pa.array(
-                    [int(pc.sum(group.column("bin_count")).as_py())],
+                    [int(pc.sum(group.column("count_all")).as_py())],
                     type=pa.int64(),
                 ),
             }

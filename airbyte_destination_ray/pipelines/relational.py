@@ -745,7 +745,7 @@ def distinct_count_approx(
         out_keys, out_regs = [], []
         for s, e in zip(bounds, ends):
             out_keys.append(karr[s])
-            out_regs.append(hll_partial(vals.slice(s, e - s)))
+            out_regs.append(hll_partial(vals.slice(s, e - s), p=p))
         return pa.table(
             {
                 key: pa.array(out_keys, type=t.schema.field(key).type),

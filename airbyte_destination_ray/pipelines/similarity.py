@@ -151,14 +151,13 @@ def _train_centroids(
     then a few Lloyd iterations in numpy on the driver.  The sample and the
     centroid matrix are both small (``max_train × d``); the corpus itself
     is never materialized."""
-    mult, mod = 2654435761, 4_294_967_296
-    # aim for ~2× max_train samples so the cap rarely truncates a skewed tail
-    def sample(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = (ids * mult) % mod < mod // 4
-        return batch.select([embedding_col]).filter(pa.array(keep))
+    from .ops import hash_sample
 
-    sampled = ds.map_batches(sample, batch_format="pyarrow", batch_size=None)
+    sampled = hash_sample(ds, key=id_col, percent=25).map_batches(
+        lambda b: b.select([embedding_col]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
     rows = []
     taken = 0
     for b in sampled.iter_batches(batch_format="pyarrow"):
@@ -166,7 +165,17 @@ def _train_centroids(
         taken += b.num_rows
         if taken >= max_train:
             break
-    train = _normalize(np.concatenate(rows)[:max_train])
+    if taken == 0:
+        # hash sample kept nothing (tiny/adversarial id set): fall back to
+        # the first max_train rows rather than crashing
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            rows.append(_embedding_matrix(b, embedding_col))
+            taken += b.num_rows
+            if taken >= max_train:
+                break
+    if taken == 0:
+        raise ValueError("knn_ivf: corpus is empty — cannot train centroids")
+    train = _normalize(np.concatenate([r for r in rows if len(r)])[:max_train])
     n_centroids = min(n_centroids, len(train))
     rng = np.random.default_rng(seed)
     cent = train[rng.choice(len(train), size=n_centroids, replace=False)]

@@ -6,6 +6,7 @@ collisions)."""
 import io
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -423,3 +424,113 @@ def test_embedding_dedup_empty_block_safe(ray_session):
     kept = list(dedup_embedding_cosine(ds).iter_batches(batch_format="pyarrow"))
     total = sum(b.num_rows for b in kept)
     assert total == 0
+
+
+def test_grouped_quantiles_precision_at_large_offsets(ray_session):
+    """Review repro: the interpolation fraction must come from the group-
+    RELATIVE rank — a 64k-row group before a small group used to shift the
+    small group's p90 by ~1e-10 and break the value-hash oracle."""
+    import duckdb
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.ops import grouped_quantiles
+
+    rng = np.random.default_rng(31)
+    big = pa.table(
+        {
+            "k": pa.array(["a"] * 65536),
+            "v": pa.array(rng.uniform(0, 100, 65536)),
+        }
+    )
+    small = pa.table(
+        {"k": pa.array(["b"] * 12), "v": pa.array(rng.uniform(0, 100, 12))}
+    )
+    t = pa.concat_tables([big, small])
+    out = (
+        grouped_quantiles(
+            ray.data.from_arrow(t), key="k", value_col="v", num_partitions=1
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        """SELECT k, quantile_cont(v, 0.5) p50, quantile_cont(v, 0.9) p90
+           FROM t GROUP BY k"""
+    ).fetchdf().set_index("k")
+    for k in ("a", "b"):
+        assert out.loc[k, "p50"] == exp.loc[k, "p50"]
+        assert out.loc[k, "p90"] == exp.loc[k, "p90"]
+
+
+def test_distinct_count_approx_nondefault_p(ray_session):
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.relational import (
+        distinct_count_approx,
+    )
+
+    t = pa.table(
+        {
+            "k": pa.array(["x"] * 500 + ["y"] * 300),
+            "v": pa.array(list(range(500)) + list(range(300)), pa.int64()),
+        }
+    )
+    for p in (10, 14):
+        out = (
+            distinct_count_approx(
+                ray.data.from_arrow(t).repartition(3),
+                key="k",
+                distinct_col="v",
+                p=p,
+            )
+            .to_pandas()
+            .set_index("k")
+        )
+        assert abs(out.loc["x", "n_distinct_approx"] - 500) / 500 < 0.1
+        assert abs(out.loc["y", "n_distinct_approx"] - 300) / 300 < 0.1
+
+
+def test_knn_ivf_adversarial_sample_fallback(ray_session):
+    """Ids that all miss the 25% hash sample must fall back to head rows,
+    not crash."""
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.similarity import knn_ivf
+
+    rng = np.random.default_rng(7)
+    mult, mod = 2654435761, 4_294_967_296
+    ids = [i for i in range(5000) if (i * mult) % mod >= mod // 4][:50]
+    assert ids, "need ids outside the sample"
+    emb = rng.standard_normal((len(ids), 8)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(
+                [e.tolist() for e in emb], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = knn_ivf(
+        ray.data.from_arrow(t), emb[:2], np.array(ids[:2]), k=3,
+        n_centroids=4, nprobe=2,
+    ).to_pandas()
+    top1 = out[out["rank"] == 1]
+    assert dict(zip(top1.query_id, top1.vec_id)) == {ids[0]: ids[0], ids[1]: ids[1]}
+
+
+def test_value_histogram_null_bin_counts_rows(ray_session):
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.ops import value_histogram
+
+    t = pa.table({"value": pa.array([1.0, 15.0, None, None])})
+    out = value_histogram(
+        ray.data.from_arrow(t).repartition(2), col="value", bin_width=10.0
+    ).to_pandas()
+    got = {
+        (None if pd.isna(b) else int(b)): int(n)
+        for b, n in zip(out.bin, out.n_rows)
+    }
+    assert got == {0: 1, 1: 1, None: 2}
