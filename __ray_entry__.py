@@ -385,7 +385,9 @@ def _q_pricing_summary(sf_dir: str):
 
 def _q_multimodal_image_decode(sf_dir: str):
     """Actor-pool image decode over a deterministic synthetic media corpus
-    (codec stubbed — plumbing real; see stages/multimodal.py)."""
+    of REAL P6/PPM images — width/height/mean-luma are actual pixel math
+    (pure-numpy codec-free decoder; compressed formats stay stubbed behind
+    NotImplementedError; see stages/multimodal.py)."""
     import ray.data
 
     from airbyte_destination_ray.stages.multimodal import (
@@ -393,7 +395,7 @@ def _q_multimodal_image_decode(sf_dir: str):
         synthesize_media_table,
     )
 
-    ds = ray.data.from_arrow(synthesize_media_table(256))
+    ds = ray.data.from_arrow(synthesize_media_table(256, real_format="ppm"))
     return decode_images(ds, concurrency=2, batch_size=32)
 
 

@@ -7,12 +7,16 @@ per actor in ``__init__``, per-batch work in ``__call__``.  Batch sizes are
 small because each row carries a large payload; at 100 TB the same stages run
 unchanged with ``concurrency`` sized to the cluster.
 
-The image/audio codec libraries are NOT in this container, so the decode
-kernels are STUBS: with ``strict=True`` they raise ``NotImplementedError``
-(clearly marking the integration point); by default they produce
-DETERMINISTIC FAKE decodes derived from the payload bytes, which keeps the
-Ray-side plumbing — schemas, actor signatures, fan-out layout, batch sizing —
-real and testable end-to-end.
+Codec-free formats are decoded FOR REAL: PPM (P6) and uncompressed 24-bit
+BMP are parsed in pure numpy (header + pixel array), so width/height/
+channels/mean_luma and nearest-neighbor resize are actual pixel math for
+those payloads.  Compressed formats (JPEG/PNG/audio/video) need codec
+libraries that are NOT in this container, so those kernels are STUBS: with
+``strict=True`` they raise ``NotImplementedError`` (clearly marking the
+integration point); by default they produce DETERMINISTIC FAKE decodes
+derived from the payload bytes, which keeps the Ray-side plumbing —
+schemas, actor signatures, fan-out layout, batch sizing — real and
+testable end-to-end.
 """
 
 from __future__ import annotations
@@ -40,18 +44,125 @@ def _stub_rng(payload: bytes) -> np.random.Generator:
     return np.random.default_rng(seed)
 
 
+# -- real decoders for codec-free formats (pure numpy) ----------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w, c = pixels.shape
+    assert c == 3
+    return f"P6\n{w} {h}\n255\n".encode() + np.ascontiguousarray(pixels).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray | None:
+    """Binary PPM (P6) → (h, w, 3) uint8, or None if not a valid P6."""
+    if not payload.startswith(b"P6"):
+        return None
+    # header = magic + 3 whitespace-separated ints (comments allowed)
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    if len(tokens) < 3:
+        return None
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    i += 1  # single whitespace after maxval
+    need = w * h * 3
+    if maxval != 255 or len(payload) - i < need:
+        return None
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray | None:
+    """Uncompressed 24-bit BMP → (h, w, 3) uint8 RGB, or None."""
+    if len(payload) < 54 or not payload.startswith(b"BM"):
+        return None
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    if len(payload) < off + stride * h:
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def _decode_pixels(payload: bytes) -> np.ndarray | None:
+    """Real pixel decode for codec-free formats; None = needs a codec."""
+    return decode_ppm(payload) if payload.startswith(b"P6") else decode_bmp(payload)
+
+
 def synthesize_media_table(
-    n: int, *, kind: str = "image", payload_bytes: int = 4096, seed: int = 42
+    n: int,
+    *,
+    kind: str = "image",
+    payload_bytes: int = 4096,
+    seed: int = 42,
+    real_format: str | None = None,
 ) -> pa.Table:
-    """Deterministic fake media corpus (binary payloads + metadata)."""
+    """Deterministic media corpus (binary payloads + metadata).
+
+    Default payloads are opaque random bytes (exercise the stub path);
+    ``real_format="ppm"`` emits actual P6 images (seeded gradient + noise,
+    varied dims) so the pipeline exercises the REAL pixel decode path.
+    """
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, payload_bytes, dtype=np.uint8).tobytes() for _ in range(n)]
+    if real_format == "ppm":
+        payloads = []
+        for _ in range(n):
+            w = int(rng.integers(16, 64))
+            h = int(rng.integers(16, 64))
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = ((xx * 255) // max(w - 1, 1)).astype(np.uint8)
+            px = np.stack(
+                [
+                    base,
+                    ((yy * 255) // max(h - 1, 1)).astype(np.uint8),
+                    rng.integers(0, 256, (h, w), dtype=np.uint8),
+                ],
+                axis=-1,
+            )
+            payloads.append(encode_ppm(px))
+        mime = "image/x-portable-pixmap"
+    else:
+        payloads = [
+            rng.integers(0, 256, payload_bytes, dtype=np.uint8).tobytes()
+            for _ in range(n)
+        ]
+        mime = f"{kind}/fake"
     return pa.table(
         {
             "media_id": pa.array(range(n), type=pa.int64()),
             "kind": pa.array([kind] * n),
             "payload": pa.array(payloads, type=pa.binary()),
-            "mime": pa.array([f"{kind}/fake"] * n),
+            "mime": pa.array([mime] * n),
         },
         schema=MEDIA_SCHEMA,
     )
@@ -72,10 +183,16 @@ class ImageDecodeStage:
     def _decode_one(self, payload: bytes | None):
         if payload is None:
             return None, None, None, None
+        px = _decode_pixels(payload)  # REAL decode for PPM/BMP
+        if px is not None:
+            luma = (
+                0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+            ).mean() / 255.0
+            return px.shape[1], px.shape[0], px.shape[2], float(luma)
         if self.strict:
             raise NotImplementedError(
-                "image decoding requires PIL/opencv, not present in this "
-                "container — stubbed (see stages/multimodal.py)"
+                "compressed-image decoding requires PIL/opencv, not present "
+                "in this container — stubbed (see stages/multimodal.py)"
             )
         rng = _stub_rng(payload)
         w = int(rng.integers(64, 2048))
@@ -101,8 +218,11 @@ class ImageDecodeStage:
 
 
 class ImageResizeStage:
-    """payload → resized payload (stub: deterministic truncation/pad to the
-    target byte budget) + target dims."""
+    """payload → resized payload + target dims.
+
+    PPM/BMP payloads are REALLY resized (nearest-neighbor index map in
+    numpy) and re-encoded as PPM; compressed formats fall back to the stub
+    (deterministic truncation/pad to the target byte budget)."""
 
     def __init__(self, width: int = 224, height: int = 224, *, strict: bool = False):
         self.width = width
@@ -110,14 +230,26 @@ class ImageResizeStage:
         self.strict = strict
         self.target_bytes = width * height * 3
 
+    def _resize_real(self, px: np.ndarray) -> bytes:
+        h, w = px.shape[:2]
+        rows = (np.arange(self.height) * h) // self.height
+        cols = (np.arange(self.width) * w) // self.width
+        return encode_ppm(px[rows][:, cols])
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError("resize requires an image codec — stubbed")
         out = []
         for p in batch.column("payload").to_pylist():
             if p is None:
                 out.append(None)
                 continue
+            px = _decode_pixels(p)
+            if px is not None:
+                out.append(self._resize_real(px))
+                continue
+            if self.strict:
+                raise NotImplementedError(
+                    "compressed-image resize requires a codec — stubbed"
+                )
             rep = (p * (self.target_bytes // max(len(p), 1) + 1))[: self.target_bytes]
             out.append(rep)
         batch = batch.set_column(

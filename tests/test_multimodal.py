@@ -77,3 +77,93 @@ def test_actor_pool_frame_sampling_on_ray(ray_session):
     out = sample_video_frames(ds, frames_per_video=3, concurrency=2)
     t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
     assert t.num_rows == 30
+
+
+def test_ppm_decode_roundtrip_exact():
+    import numpy as np
+
+    from airbyte_destination_ray.stages.multimodal import decode_ppm, encode_ppm
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert (decode_ppm(encode_ppm(px)) == px).all()
+    # comments in the header are skipped
+    with_comment = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
+    assert (decode_ppm(with_comment) == px).all()
+    assert decode_ppm(b"P6\n3 2\n255\n" + b"\x00" * 5) is None  # truncated
+
+
+def test_bmp_decode_real():
+    import numpy as np
+
+    from airbyte_destination_ray.stages.multimodal import decode_bmp
+
+    # hand-build a 2x2 24-bit bottom-up BMP: rows padded to 4 bytes
+    w, h = 2, 2
+    stride = (w * 3 + 3) & ~3
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]],
+        dtype=np.uint8,
+    )  # RGB, top-down
+    rows = b""
+    for r in range(h - 1, -1, -1):  # bottom-up storage
+        row = px[r][:, ::-1].tobytes()  # RGB→BGR
+        rows += row + b"\x00" * (stride - len(row))
+    header = (
+        b"BM"
+        + (54 + len(rows)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(rows).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    out = decode_bmp(header + rows)
+    assert (out == px).all()
+
+
+def test_real_decode_and_resize_pipeline():
+    import numpy as np
+
+    from airbyte_destination_ray.stages.multimodal import (
+        ImageDecodeStage,
+        ImageResizeStage,
+        decode_ppm,
+        synthesize_media_table,
+    )
+
+    t = synthesize_media_table(6, real_format="ppm")
+    out = ImageDecodeStage(strict=True)(t)  # strict OK: real path, no stub
+    ws = out.column("width").to_pylist()
+    hs = out.column("height").to_pylist()
+    assert all(16 <= w < 64 for w in ws) and all(16 <= h < 64 for h in hs)
+    lumas = out.column("mean_luma").to_pylist()
+    assert all(0.0 < l < 1.0 for l in lumas)
+    # real resize: output payloads decode to exactly the target dims
+    resized = ImageResizeStage(width=8, height=5, strict=True)(t)
+    for p in resized.column("payload").to_pylist():
+        px = decode_ppm(p)
+        assert px.shape == (5, 8, 3)
+    # nearest-neighbor correctness on a known image: 2x2 checker upscaled 4x4
+    from airbyte_destination_ray.stages.multimodal import encode_ppm
+
+    checker = np.array(
+        [[[0, 0, 0], [255, 255, 255]], [[255, 255, 255], [0, 0, 0]]],
+        dtype=np.uint8,
+    )
+    t2 = pa.table(
+        {
+            "media_id": pa.array([0], type=pa.int64()),
+            "kind": pa.array(["image"]),
+            "payload": pa.array([encode_ppm(checker)], type=pa.binary()),
+            "mime": pa.array(["image/x-portable-pixmap"]),
+        }
+    )
+    up = ImageResizeStage(width=4, height=4)(t2)
+    px = decode_ppm(up.column("payload").to_pylist()[0])
+    expect = checker[np.array([0, 0, 1, 1])][:, np.array([0, 0, 1, 1])]
+    assert (px == expect).all()
