@@ -119,6 +119,94 @@ def _decode_pixels(payload: bytes) -> np.ndarray | None:
     return decode_ppm(payload) if payload.startswith(b"P6") else decode_bmp(payload)
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono int16 samples → PCM WAV bytes."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+        + b"data"
+        + len(data).to_bytes(4, "little")
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """PCM WAV → (float64 mono samples in [-1, 1], sample_rate), or None.
+    Walks RIFF chunks; requires 16-bit PCM (mono or interleaved → averaged)."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        sz = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + sz]
+        if cid == b"fmt " and sz >= 16:
+            audio_format = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_format != 1 or bits != 16 or channels < 1:
+                return None
+            fmt = (channels, rate)
+        elif cid == b"data" and fmt is not None:
+            channels, rate = fmt
+            n = len(body) // (2 * channels) * channels
+            samples = np.frombuffer(body, dtype="<i2", count=n).astype(np.float64)
+            if channels > 1:
+                samples = samples.reshape(-1, channels).mean(axis=1)
+            return samples / 32768.0, rate
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    return None
+
+
+def decode_y4m(payload: bytes) -> tuple[list[bytes], int, int, int] | None:
+    """YUV4MPEG2 (4:2:0) → (frame list, width, height, n_frames), or None.
+    Raw frames are the Y+U+V planes (w*h*3/2 bytes each)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    for tok in payload[10:nl].split(b" "):
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+    if not w or not h:
+        return None
+    frame_size = w * h * 3 // 2
+    frames = []
+    i = nl + 1
+    while i < len(payload):
+        if not payload[i:].startswith(b"FRAME"):
+            return None
+        fnl = payload.find(b"\n", i)
+        if fnl < 0 or fnl + 1 + frame_size > len(payload):
+            return None
+        frames.append(payload[fnl + 1 : fnl + 1 + frame_size])
+        i = fnl + 1 + frame_size
+    return frames, w, h, len(frames)
+
+
+def encode_y4m(frames: list[bytes], w: int, h: int) -> bytes:
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()]
+    for f in frames:
+        assert len(f) == w * h * 3 // 2
+        out.append(b"FRAME\n" + f)
+    return b"".join(out)
+
+
 def synthesize_media_table(
     n: int,
     *,
@@ -267,23 +355,46 @@ class ImageResizeStage:
 
 
 class AudioFeatureStage:
-    """payload → fixed-dim feature vector (stub: hash-seeded floats) +
-    duration estimate from byte length."""
+    """payload → fixed-dim feature vector + duration.
+
+    PCM WAV payloads are parsed FOR REAL (RIFF chunk walk): duration from
+    the data chunk, features = per-segment RMS energy over ``dim`` equal
+    windows (actual DSP in numpy).  Compressed audio (mp3/ogg/flac) needs a
+    codec → stub (hash-seeded floats, byte-length duration estimate)."""
 
     def __init__(self, dim: int = 16, sample_rate: int = 16000, *, strict: bool = False):
         self.dim = dim
         self.sample_rate = sample_rate
         self.strict = strict
 
+    def _features_real(self, samples: np.ndarray) -> list[float]:
+        n = len(samples)
+        if n == 0:
+            return [0.0] * self.dim
+        edges = (np.arange(self.dim + 1) * n) // self.dim
+        sq = np.concatenate(([0.0], np.cumsum(samples * samples)))
+        seg = np.maximum(edges[1:] - edges[:-1], 1)
+        return np.sqrt((sq[edges[1:]] - sq[edges[:-1]]) / seg).astype(
+            np.float32
+        ).tolist()
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError("audio decoding requires a codec — stubbed")
         feats, durs = [], []
         for p in batch.column("payload").to_pylist():
             if p is None:
                 feats.append(None)
                 durs.append(None)
                 continue
+            wav = decode_wav(p)
+            if wav is not None:
+                samples, rate = wav
+                durs.append(len(samples) / rate)
+                feats.append(self._features_real(samples))
+                continue
+            if self.strict:
+                raise NotImplementedError(
+                    "compressed-audio decoding requires a codec — stubbed"
+                )
             durs.append(len(p) / (2 * self.sample_rate))  # 16-bit mono estimate
             feats.append(_stub_rng(p).random(self.dim).astype(np.float32).tolist())
         batch = batch.drop_columns(["payload"])
@@ -300,7 +411,9 @@ class VideoFrameSampleStage:
     """One video row → ``frames_per_video`` frame rows (fan-out layout:
     the output table is LONGER than the input — media_id + frame_idx key).
 
-    Stub samples evenly spaced byte windows as fake frames.
+    YUV4MPEG2 payloads are demuxed FOR REAL (evenly-spaced true frames, raw
+    YUV planes); compressed containers (mp4/webm) need a demuxer → stub
+    samples evenly spaced byte windows as fake frames.
     """
 
     def __init__(self, frames_per_video: int = 4, frame_bytes: int = 1024, *, strict: bool = False):
@@ -309,14 +422,30 @@ class VideoFrameSampleStage:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError("video demux requires a codec — stubbed")
         ids, idxs, frames = [], [], []
         for mid, p in zip(
             batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
         ):
             if p is None:
                 continue
+            y4m = decode_y4m(p)
+            if y4m is not None:
+                all_frames, _w, _h, nf = y4m
+                picks = (
+                    (np.arange(self.n_frames) * max(nf - 1, 0))
+                    // max(self.n_frames - 1, 1)
+                    if nf
+                    else np.empty(0, dtype=np.int64)
+                )
+                for i, fi in enumerate(picks):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(all_frames[int(fi)])
+                continue
+            if self.strict:
+                raise NotImplementedError(
+                    "compressed-video demux requires a codec — stubbed"
+                )
             stride = max((len(p) - self.frame_bytes) // max(self.n_frames - 1, 1), 1)
             for i in range(self.n_frames):
                 start = min(i * stride, max(len(p) - self.frame_bytes, 0))

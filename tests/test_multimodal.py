@@ -167,3 +167,62 @@ def test_real_decode_and_resize_pipeline():
     px = decode_ppm(up.column("payload").to_pylist()[0])
     expect = checker[np.array([0, 0, 1, 1])][:, np.array([0, 0, 1, 1])]
     assert (px == expect).all()
+
+
+def test_wav_decode_real_features():
+    import numpy as np
+
+    from airbyte_destination_ray.stages.multimodal import (
+        AudioFeatureStage,
+        decode_wav,
+        encode_wav,
+    )
+
+    rate = 8000
+    t = np.arange(rate * 2)  # 2 seconds
+    sine = (np.sin(2 * np.pi * 440 * t / rate) * 16384).astype(np.int16)
+    wav = encode_wav(sine, rate)
+    samples, r = decode_wav(wav)
+    assert r == rate and len(samples) == len(sine)
+    tbl = pa.table(
+        {
+            "media_id": pa.array([0], type=pa.int64()),
+            "kind": pa.array(["audio"]),
+            "payload": pa.array([wav], type=pa.binary()),
+            "mime": pa.array(["audio/wav"]),
+        }
+    )
+    out = AudioFeatureStage(dim=8, strict=True)(tbl)  # strict OK: real path
+    assert abs(out.column("duration_sec").to_pylist()[0] - 2.0) < 1e-9
+    feats = out.column("features").to_pylist()[0]
+    # constant-amplitude sine → every RMS segment ~ A/sqrt(2) = 0.3536
+    assert len(feats) == 8
+    assert all(abs(f - 0.3536) < 0.01 for f in feats)
+
+
+def test_y4m_frame_sampling_real():
+    import numpy as np
+
+    from airbyte_destination_ray.stages.multimodal import (
+        VideoFrameSampleStage,
+        encode_y4m,
+    )
+
+    w, h, nf = 8, 6, 10
+    fsize = w * h * 3 // 2
+    all_frames = [bytes([i]) * fsize for i in range(nf)]
+    payload = encode_y4m(all_frames, w, h)
+    tbl = pa.table(
+        {
+            "media_id": pa.array([7], type=pa.int64()),
+            "kind": pa.array(["video"]),
+            "payload": pa.array([payload], type=pa.binary()),
+            "mime": pa.array(["video/x-yuv4mpeg"]),
+        }
+    )
+    out = VideoFrameSampleStage(frames_per_video=4, strict=True)(tbl)
+    assert out.num_rows == 4
+    # evenly spaced TRUE frames: indices 0, 3, 6, 9
+    got = [f[0] for f in out.column("frame").to_pylist()]
+    assert got == [0, 3, 6, 9]
+    assert all(len(f) == fsize for f in out.column("frame").to_pylist())
