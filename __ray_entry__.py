@@ -399,6 +399,41 @@ def _q_multimodal_image_decode(sf_dir: str):
     return decode_images(ds, concurrency=2, batch_size=32)
 
 
+def _q_multimodal_audio_features(sf_dir: str):
+    """Actor-pool audio feature extraction over REAL PCM WAV payloads
+    (RIFF parse + per-segment RMS in numpy)."""
+    import ray.data
+
+    from airbyte_destination_ray.stages.multimodal import (
+        AudioFeatureStage,
+        synthesize_media_table,
+    )
+
+    ds = ray.data.from_arrow(
+        synthesize_media_table(128, kind="audio", real_format="wav")
+    )
+    return ds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=32,
+        concurrency=2,
+    )
+
+
+def _q_multimodal_video_frames(sf_dir: str):
+    """Actor-pool video frame sampling (fan-out) over REAL YUV4MPEG2
+    payloads — evenly-spaced true frames."""
+    import ray.data
+
+    from airbyte_destination_ray.stages.multimodal import (
+        sample_video_frames,
+        synthesize_media_table,
+    )
+
+    ds = ray.data.from_arrow(
+        synthesize_media_table(64, kind="video", real_format="y4m")
+    )
+    return sample_video_frames(ds, frames_per_video=4, concurrency=2)
+
+
 def _q_lineage_events_cdc(sf_dir: str):
     """Per-partition lineage metadata Dataset for the full-sync lake."""
     from airbyte_destination_ray.pipelines.cdc import lineage_dataset
@@ -528,6 +563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_by_value": _q_top_events_by_value,
         "quality_filter_documents": _q_quality_filter_documents,
         "multimodal_image_decode": _q_multimodal_image_decode,
+        "multimodal_audio_features": _q_multimodal_audio_features,
+        "multimodal_video_frames": _q_multimodal_video_frames,
         "lineage_events_cdc": _q_lineage_events_cdc,
         "orders_customer_broadcast_join": _q_orders_customer_join,
         "sales_by_nation": _q_sales_by_nation,

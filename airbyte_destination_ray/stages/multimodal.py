@@ -222,7 +222,37 @@ def synthesize_media_table(
     varied dims) so the pipeline exercises the REAL pixel decode path.
     """
     rng = np.random.default_rng(seed)
-    if real_format == "ppm":
+    if real_format == "wav":
+        payloads = []
+        for _ in range(n):
+            rate = 8000
+            secs = float(rng.uniform(0.2, 1.5))
+            tt = np.arange(int(rate * secs))
+            freq = float(rng.uniform(100, 2000))
+            amp = float(rng.uniform(0.1, 0.9))
+            sine = (np.sin(2 * np.pi * freq * tt / rate) * amp * 32767).astype(
+                np.int16
+            )
+            payloads.append(encode_wav(sine, rate))
+        mime = "audio/wav"
+    elif real_format == "y4m":
+        payloads = []
+        for _ in range(n):
+            w, h = 16, 12
+            nf = int(rng.integers(4, 16))
+            fsize = w * h * 3 // 2
+            payloads.append(
+                encode_y4m(
+                    [
+                        rng.integers(0, 256, fsize, dtype=np.uint8).tobytes()
+                        for _ in range(nf)
+                    ],
+                    w,
+                    h,
+                )
+            )
+        mime = "video/x-yuv4mpeg"
+    elif real_format == "ppm":
         payloads = []
         for _ in range(n):
             w = int(rng.integers(16, 64))
