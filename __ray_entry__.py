@@ -405,17 +405,14 @@ def _q_multimodal_audio_features(sf_dir: str):
     import ray.data
 
     from airbyte_destination_ray.stages.multimodal import (
-        AudioFeatureStage,
+        extract_audio_features,
         synthesize_media_table,
     )
 
     ds = ray.data.from_arrow(
         synthesize_media_table(128, kind="audio", real_format="wav")
     )
-    return ds.map_batches(
-        AudioFeatureStage, batch_format="pyarrow", batch_size=32,
-        concurrency=2,
-    )
+    return extract_audio_features(ds, concurrency=2)
 
 
 def _q_multimodal_video_frames(sf_dir: str):

@@ -80,8 +80,10 @@ def decode_ppm(payload: bytes) -> np.ndarray | None:
     except ValueError:
         return None
     i += 1  # single whitespace after maxval
+    if w <= 0 or h <= 0 or maxval != 255:
+        return None
     need = w * h * 3
-    if maxval != 255 or len(payload) - i < need:
+    if len(payload) - i < need:
         return None
     return (
         np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
@@ -155,7 +157,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
             channels = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
             bits = int.from_bytes(body[14:16], "little")
-            if audio_format != 1 or bits != 16 or channels < 1:
+            if audio_format != 1 or bits != 16 or channels < 1 or rate <= 0:
                 return None
             fmt = (channels, rate)
         elif cid == b"data" and fmt is not None:
@@ -169,34 +171,47 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
     return None
 
 
-def decode_y4m(payload: bytes) -> tuple[list[bytes], int, int, int] | None:
-    """YUV4MPEG2 (4:2:0) → (frame list, width, height, n_frames), or None.
-    Raw frames are the Y+U+V planes (w*h*3/2 bytes each)."""
+def decode_y4m(
+    payload: bytes, picks: np.ndarray | None = None
+) -> tuple[list[bytes], int, int, int] | None:
+    """YUV4MPEG2 (4:2:0) → (frames, width, height, n_frames), or None on
+    any malformed input (contract: never raise, never loop — callers fall
+    back to the stub path).  Raw frames are Y+U+V planes (w*h*3/2 bytes).
+
+    The walk collects frame OFFSETS only (zero-copy, startswith(…, i));
+    with ``picks`` (frame indices) only the sampled frames are materialized
+    — a long video never duplicates its full frame data in memory."""
     if not payload.startswith(b"YUV4MPEG2"):
         return None
     nl = payload.find(b"\n")
     if nl < 0:
         return None
     w = h = None
-    for tok in payload[10:nl].split(b" "):
-        if tok.startswith(b"W"):
-            w = int(tok[1:])
-        elif tok.startswith(b"H"):
-            h = int(tok[1:])
-    if not w or not h:
+    try:
+        for tok in payload[10:nl].split(b" "):
+            if tok.startswith(b"W"):
+                w = int(tok[1:])
+            elif tok.startswith(b"H"):
+                h = int(tok[1:])
+    except ValueError:
+        return None
+    if not w or not h or w <= 0 or h <= 0:
         return None
     frame_size = w * h * 3 // 2
-    frames = []
+    offsets = []
     i = nl + 1
     while i < len(payload):
-        if not payload[i:].startswith(b"FRAME"):
+        if not payload.startswith(b"FRAME", i):
             return None
         fnl = payload.find(b"\n", i)
         if fnl < 0 or fnl + 1 + frame_size > len(payload):
             return None
-        frames.append(payload[fnl + 1 : fnl + 1 + frame_size])
+        offsets.append(fnl + 1)
         i = fnl + 1 + frame_size
-    return frames, w, h, len(frames)
+    nf = len(offsets)
+    wanted = range(nf) if picks is None else [int(p) for p in picks]
+    frames = [payload[offsets[j] : offsets[j] + frame_size] for j in wanted]
+    return frames, w, h, nf
 
 
 def encode_y4m(frames: list[bytes], w: int, h: int) -> bytes:
@@ -356,13 +371,17 @@ class ImageResizeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
-        for p in batch.column("payload").to_pylist():
+        mimes = batch.column("mime").to_pylist()
+        for row, p in enumerate(batch.column("payload").to_pylist()):
             if p is None:
                 out.append(None)
                 continue
             px = _decode_pixels(p)
             if px is not None:
                 out.append(self._resize_real(px))
+                # re-encoded as PPM regardless of input format — the mime
+                # must follow the payload or downstream dispatch misparses
+                mimes[row] = "image/x-portable-pixmap"
                 continue
             if self.strict:
                 raise NotImplementedError(
@@ -374,6 +393,11 @@ class ImageResizeStage:
             batch.column_names.index("payload"),
             "payload",
             pa.array(out, type=pa.binary()),
+        )
+        batch = batch.set_column(
+            batch.column_names.index("mime"),
+            "mime",
+            pa.array(mimes, type=pa.string()),
         )
         batch = batch.append_column(
             "width", pa.array([self.width] * batch.num_rows, type=pa.int32())
@@ -458,19 +482,21 @@ class VideoFrameSampleStage:
         ):
             if p is None:
                 continue
-            y4m = decode_y4m(p)
-            if y4m is not None:
-                all_frames, _w, _h, nf = y4m
+            probe = decode_y4m(p, picks=np.empty(0, dtype=np.int64))
+            if probe is not None:
+                nf = probe[3]
                 picks = (
                     (np.arange(self.n_frames) * max(nf - 1, 0))
                     // max(self.n_frames - 1, 1)
                     if nf
                     else np.empty(0, dtype=np.int64)
                 )
-                for i, fi in enumerate(picks):
+                # second pass materializes ONLY the sampled frames
+                sampled = decode_y4m(p, picks=picks)[0]
+                for i, fr in enumerate(sampled):
                     ids.append(mid)
                     idxs.append(i)
-                    frames.append(all_frames[int(fi)])
+                    frames.append(fr)
                 continue
             if self.strict:
                 raise NotImplementedError(
@@ -498,6 +524,20 @@ def decode_images(ds, *, concurrency: int = 4, batch_size: int = DEFAULT_MEDIA_B
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+    )
+
+
+def extract_audio_features(
+    ds, *, dim: int = 16, concurrency: int = 4,
+    batch_size: int = DEFAULT_MEDIA_BATCH_SIZE,
+):
+    """Actor-pool audio feature extraction over a media Dataset."""
+    return ds.map_batches(
+        AudioFeatureStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"dim": dim},
     )
 
 

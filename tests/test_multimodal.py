@@ -226,3 +226,39 @@ def test_y4m_frame_sampling_real():
     got = [f[0] for f in out.column("frame").to_pylist()]
     assert got == [0, 3, 6, 9]
     assert all(len(f) == fsize for f in out.column("frame").to_pylist())
+
+
+def test_malformed_codec_free_payloads_never_hang_or_raise():
+    """Review repro fixes: malformed headers return None (stub fallback) —
+    negative y4m height used to infinite-loop; negative PPM dims and
+    zero-rate WAVs used to raise."""
+    from airbyte_destination_ray.stages.multimodal import (
+        decode_ppm,
+        decode_wav,
+        decode_y4m,
+        encode_wav,
+    )
+    import numpy as np
+
+    assert decode_y4m(b"YUV4MPEG2 W2 H-2\nFRAME\n") is None
+    assert decode_y4m(b"YUV4MPEG2 Wx H2\nFRAME\n") is None
+    assert decode_ppm(b"P6\n-3 -2\n255\n" + b"\x00" * 18) is None
+    assert decode_ppm(b"P6\n0 0\n255\n") is None
+    wav = bytearray(encode_wav(np.zeros(16, dtype=np.int16), 8000))
+    wav[24:28] = (0).to_bytes(4, "little")  # sampleRate = 0
+    assert decode_wav(bytes(wav)) is None
+
+
+def test_resize_rewrites_mime_for_reencoded_payloads():
+    from airbyte_destination_ray.stages.multimodal import (
+        ImageResizeStage,
+        synthesize_media_table,
+    )
+
+    t = synthesize_media_table(3, real_format="ppm")
+    out = ImageResizeStage(width=4, height=4)(t)
+    assert set(out.column("mime").to_pylist()) == {"image/x-portable-pixmap"}
+    # stub path keeps the original mime
+    t2 = synthesize_media_table(3)  # opaque bytes
+    out2 = ImageResizeStage(width=4, height=4)(t2)
+    assert set(out2.column("mime").to_pylist()) == {"image/fake"}
