@@ -12,14 +12,42 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+
+# nulls in integer key columns hash as this sentinel (int64 min) — they
+# co-partition deterministically and equality ops never match them anyway
+_INT_NULL_SENTINEL = -0x8000000000000000
 
 
 def stable_hash_array(values) -> np.ndarray:
-    """uint64 stable hash of a string/binary array (numpy, pandas or Arrow)."""
-    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+    """uint64 stable hash of a key array (numpy, pandas or Arrow).
+
+    The hash must be BATCH-COMPOSITION-INDEPENDENT: an int64 Arrow block
+    with nulls converts to float64 (NaN) while a null-free block stays
+    int64, and pandas hashes 4 and 4.0 differently — so integer columns are
+    canonicalized (nulls → sentinel, dtype kept integral) before hashing.
+    (Found as a real co-location miss in the shuffle join: the same key
+    landed in different partitions depending on whether its block happened
+    to contain a null.)
+    """
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        if pa.types.is_integer(values.type):
+            filled = pc.fill_null(
+                values.cast(pa.int64()), _INT_NULL_SENTINEL
+            )
+            return pd.util.hash_array(
+                filled.to_numpy(zero_copy_only=False)
+            )
         values = values.to_numpy(zero_copy_only=False)
-    arr = np.asarray(values, dtype=object)
-    return pd.util.hash_array(arr, categorize=False)
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iuf":
+        # native numeric path (deterministic, and 10× the object path)
+        return pd.util.hash_array(arr)
+    return pd.util.hash_array(
+        np.asarray(arr, dtype=object), categorize=False
+    )
 
 
 def composite_partition_ids(

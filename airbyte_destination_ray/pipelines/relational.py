@@ -203,12 +203,15 @@ def shuffle_join(
     left_on: str,
     right_on: str,
     select: list[str] | None = None,
+    join_type: str = "inner",
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
 ):
-    """Big×big inner equijoin: ONE hash-partition shuffle per side on the
-    join key, then a per-partition Arrow (Acero) hash join.  Use when both
-    sides are too large to broadcast — otherwise :func:`broadcast_join`
-    (no shuffle at all) wins.
+    """Big×big equijoin (``inner`` or ``left outer``): ONE hash-partition
+    shuffle per side on the join key, then a per-partition Arrow (Acero)
+    hash join.  Null keys follow SQL semantics (never match; surviving left
+    rows in a left-outer join keep them).  Use when both sides are too
+    large to broadcast — otherwise :func:`broadcast_join` (no shuffle at
+    all) wins.
 
     Both sides ride one union'd envelope (each side's non-key columns
     null-filled on the other side) so a single ``groupby`` co-locates
@@ -271,7 +274,7 @@ def shuffle_join(
             right.combine_chunks(),
             keys=left_on,
             right_keys=right_on,
-            join_type="inner",
+            join_type=join_type,
         )
         return joined.select(out_cols)
 

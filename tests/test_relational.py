@@ -558,3 +558,34 @@ def test_grouped_quantiles_approx_close_to_exact(events):
     # values are uniform(0,100): q-space error ~1/256 → value error ~1
     assert (m.p50 - m.p50_a).abs().max() < 3.0
     assert (m.p90 - m.p90_a).abs().max() < 3.0
+
+
+def test_shuffle_join_left_outer_and_null_keys(ray_session):
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, None, 4, 4], type=pa.int64()),
+            "lid": pa.array([10, 11, 12, 13, 14], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([1, 4, None, 9], type=pa.int64()),
+            "tag": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    for jt, sql in [
+        ("inner", "SELECT lid, k, tag FROM l JOIN r ON k = rk"),
+        ("left outer", "SELECT lid, k, tag FROM l LEFT JOIN r ON k = rk"),
+    ]:
+        out = shuffle_join(
+            _ds(left, blocks=2),
+            _ds(right, blocks=2),
+            left_on="k",
+            right_on="rk",
+            select=["lid", "k", "tag"],
+            join_type=jt,
+            num_partitions=4,
+        )
+        _assert_matches(out, sql, {"l": left, "r": right})

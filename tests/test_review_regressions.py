@@ -534,3 +534,19 @@ def test_value_histogram_null_bin_counts_rows(ray_session):
         for b, n in zip(out.bin, out.n_rows)
     }
     assert got == {0: 1, 1: 1, None: 2}
+
+
+def test_stable_hash_batch_composition_independent_with_nulls():
+    """An int64 key must hash identically whether its block contains nulls
+    (→ float64 numpy conversion) or not — mixed-null blocks used to route
+    the same key to different partitions (real shuffle-join miss)."""
+    from airbyte_destination_ray.functions.hashing import stable_hash_array
+
+    with_null = pa.array([1, 2, None, 4, 4], type=pa.int64())
+    without = pa.array([1, 4, 9], type=pa.int64())
+    h_a = stable_hash_array(with_null)
+    h_b = stable_hash_array(without)
+    assert h_a[3] == h_a[4] == h_b[1]  # key 4 everywhere equal
+    assert h_a[0] == h_b[0]  # key 1
+    # nulls hash deterministically (sentinel), never equal to a real key
+    assert h_a[2] not in (h_a[0], h_a[1], h_a[3])
