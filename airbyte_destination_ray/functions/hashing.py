@@ -14,9 +14,11 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# nulls in integer key columns hash as this sentinel (int64 min) — they
-# co-partition deterministically and equality ops never match them anyway
+# nulls in integer key columns hash as these sentinels — they co-partition
+# deterministically, and partitioning only routes (exact key comparison
+# downstream never consults the hash), so a real-value collision is benign
 _INT_NULL_SENTINEL = -0x8000000000000000
+_UINT_NULL_SENTINEL = 0xFFFFFFFFFFFFFFFF
 
 
 def stable_hash_array(values) -> np.ndarray:
@@ -24,27 +26,36 @@ def stable_hash_array(values) -> np.ndarray:
 
     The hash must be BATCH-COMPOSITION-INDEPENDENT: an int64 Arrow block
     with nulls converts to float64 (NaN) while a null-free block stays
-    int64, and pandas hashes 4 and 4.0 differently — so integer columns are
-    canonicalized (nulls → sentinel, dtype kept integral) before hashing.
-    (Found as a real co-location miss in the shuffle join: the same key
-    landed in different partitions depending on whether its block happened
-    to contain a null.)
+    int64, and pandas hashes 4 and 4.0 differently — so integer inputs are
+    canonicalized to a fixed width (signed → int64, unsigned → uint64,
+    Arrow nulls → sentinel) before hashing, on BOTH the Arrow and numpy
+    paths.  (Found as a real co-location miss in the shuffle join.)
+    NOTE: pass NULLABLE integer keys as Arrow — a pandas nullable-int block
+    reaches numpy as float64 before this function can see the intent.
+    Hash values for integer keys changed when this canonicalization landed;
+    integer-pk lakes persisted by earlier builds must be rebuilt (string
+    keys — the north-rule `url` pk — are unaffected).
     """
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
     if isinstance(values, pa.Array):
-        if pa.types.is_integer(values.type):
+        if pa.types.is_unsigned_integer(values.type):
             filled = pc.fill_null(
-                values.cast(pa.int64()), _INT_NULL_SENTINEL
+                values.cast(pa.uint64()), _UINT_NULL_SENTINEL
             )
-            return pd.util.hash_array(
-                filled.to_numpy(zero_copy_only=False)
-            )
+            return pd.util.hash_array(filled.to_numpy(zero_copy_only=False))
+        if pa.types.is_integer(values.type):
+            filled = pc.fill_null(values.cast(pa.int64()), _INT_NULL_SENTINEL)
+            return pd.util.hash_array(filled.to_numpy(zero_copy_only=False))
         values = values.to_numpy(zero_copy_only=False)
     arr = np.asarray(values)
-    if arr.dtype.kind in "iuf":
+    if arr.dtype.kind == "i":
+        return pd.util.hash_array(arr.astype(np.int64, copy=False))
+    if arr.dtype.kind == "u":
+        return pd.util.hash_array(arr.astype(np.uint64, copy=False))
+    if arr.dtype.kind == "f":
         # native numeric path (deterministic, and 10× the object path)
-        return pd.util.hash_array(arr)
+        return pd.util.hash_array(arr.astype(np.float64, copy=False))
     return pd.util.hash_array(
         np.asarray(arr, dtype=object), categorize=False
     )

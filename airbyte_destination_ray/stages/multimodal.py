@@ -171,16 +171,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
     return None
 
 
-def decode_y4m(
-    payload: bytes, picks: np.ndarray | None = None
-) -> tuple[list[bytes], int, int, int] | None:
-    """YUV4MPEG2 (4:2:0) → (frames, width, height, n_frames), or None on
-    any malformed input (contract: never raise, never loop — callers fall
-    back to the stub path).  Raw frames are Y+U+V planes (w*h*3/2 bytes).
-
-    The walk collects frame OFFSETS only (zero-copy, startswith(…, i));
-    with ``picks`` (frame indices) only the sampled frames are materialized
-    — a long video never duplicates its full frame data in memory."""
+def y4m_layout(payload: bytes) -> tuple[list[int], int, int, int] | None:
+    """Single zero-copy walk of a YUV4MPEG2 payload → (frame byte offsets,
+    width, height, frame_size), or None on any malformed input (contract:
+    never raise, never loop — callers fall back to the stub path)."""
     if not payload.startswith(b"YUV4MPEG2"):
         return None
     nl = payload.find(b"\n")
@@ -208,8 +202,28 @@ def decode_y4m(
             return None
         offsets.append(fnl + 1)
         i = fnl + 1 + frame_size
+    return offsets, w, h, frame_size
+
+
+def decode_y4m(
+    payload: bytes, picks: np.ndarray | None = None
+) -> tuple[list[bytes], int, int, int] | None:
+    """YUV4MPEG2 (4:2:0) → (frames, width, height, n_frames), or None on
+    malformed input.  Raw frames are Y+U+V planes (w*h*3/2 bytes).
+
+    With ``picks`` (frame indices; out-of-range entries are skipped, never
+    raised) only the sampled frames are materialized — a long video never
+    duplicates its full frame data in memory."""
+    lay = y4m_layout(payload)
+    if lay is None:
+        return None
+    offsets, w, h, frame_size = lay
     nf = len(offsets)
-    wanted = range(nf) if picks is None else [int(p) for p in picks]
+    wanted = (
+        range(nf)
+        if picks is None
+        else [int(j) for j in picks if 0 <= int(j) < nf]
+    )
     frames = [payload[offsets[j] : offsets[j] + frame_size] for j in wanted]
     return frames, w, h, nf
 
@@ -482,21 +496,22 @@ class VideoFrameSampleStage:
         ):
             if p is None:
                 continue
-            probe = decode_y4m(p, picks=np.empty(0, dtype=np.int64))
-            if probe is not None:
-                nf = probe[3]
+            lay = y4m_layout(p)
+            if lay is not None:
+                offsets, _w, _h, fsize = lay
+                nf = len(offsets)
                 picks = (
                     (np.arange(self.n_frames) * max(nf - 1, 0))
                     // max(self.n_frames - 1, 1)
                     if nf
                     else np.empty(0, dtype=np.int64)
                 )
-                # second pass materializes ONLY the sampled frames
-                sampled = decode_y4m(p, picks=picks)[0]
-                for i, fr in enumerate(sampled):
+                # single walk; only the sampled frames are materialized
+                for i, fi in enumerate(picks):
+                    o = offsets[int(fi)]
                     ids.append(mid)
                     idxs.append(i)
-                    frames.append(fr)
+                    frames.append(p[o : o + fsize])
                 continue
             if self.strict:
                 raise NotImplementedError(

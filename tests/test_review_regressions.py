@@ -550,3 +550,27 @@ def test_stable_hash_batch_composition_independent_with_nulls():
     assert h_a[0] == h_b[0]  # key 1
     # nulls hash deterministically (sentinel), never equal to a real key
     assert h_a[2] not in (h_a[0], h_a[1], h_a[3])
+
+
+def test_stable_hash_uint64_and_cross_width():
+    from airbyte_destination_ray.functions.hashing import stable_hash_array
+
+    # uint64 above int64 max must hash, not crash
+    big = stable_hash_array(pa.array([2**63 + 5, 7], type=pa.uint64()))
+    assert len(big) == 2 and big[0] != big[1]
+    # narrow Arrow ints and numpy ints agree (canonicalized to 64-bit)
+    a32 = stable_hash_array(pa.array([-1, 4], type=pa.int32()))
+    n32 = stable_hash_array(np.array([-1, 4], dtype=np.int32))
+    a64 = stable_hash_array(pa.array([-1, 4], type=pa.int64()))
+    assert (a32 == a64).all() and (n32 == a64).all()
+
+
+def test_y4m_picks_out_of_range_skipped():
+    from airbyte_destination_ray.stages.multimodal import decode_y4m, encode_y4m
+
+    w, h = 4, 2
+    fsize = w * h * 3 // 2
+    payload = encode_y4m([b"\x01" * fsize, b"\x02" * fsize], w, h)
+    frames, _, _, nf = decode_y4m(payload, picks=np.array([0, 5, -3, 1]))
+    assert nf == 2
+    assert [f[0] for f in frames] == [1, 2]  # invalid picks dropped
