@@ -216,3 +216,85 @@ def test_exact_hash_shuffle_filter_matches_broadcast(ray_session):
     )
     assert len(a) == 15
     assert a.equals(b)
+
+
+def _sorted_df(ds, col="doc_id"):
+    return ds.to_pandas().sort_values(col).reset_index(drop=True)
+
+
+def test_minhash_shuffle_filter_matches_broadcast(docs_ds, ray_session):
+    import ray.data
+    from airbyte_destination_ray.pipelines.dedup import dedup_minhash_lsh
+
+    mk = lambda: ray.data.from_arrow(_docs_table()).repartition(3)
+    a = _sorted_df(dedup_minhash_lsh(mk()))
+    b = _sorted_df(dedup_minhash_lsh(mk(), filter_mode="shuffle"))
+    assert len(a) > 0 and a.equals(b)
+
+
+def test_simhash_shuffle_filter_matches_broadcast(ray_session):
+    import ray.data
+    from airbyte_destination_ray.pipelines.dedup import dedup_simhash
+
+    mk = lambda: ray.data.from_arrow(_docs_table()).repartition(3)
+    a = _sorted_df(dedup_simhash(mk()))
+    b = _sorted_df(dedup_simhash(mk(), filter_mode="shuffle"))
+    assert len(a) > 0 and a.equals(b)
+
+
+def test_ngram_shuffle_filter_matches_broadcast(ray_session):
+    import ray.data
+    from airbyte_destination_ray.pipelines.dedup import dedup_ngram_jaccard
+
+    mk = lambda: ray.data.from_arrow(_docs_table()).repartition(3)
+    a = _sorted_df(dedup_ngram_jaccard(mk(), threshold=0.99))
+    b = _sorted_df(dedup_ngram_jaccard(mk(), threshold=0.99, filter_mode="shuffle"))
+    assert len(a) > 0 and a.equals(b)
+
+
+def _emb_table(n=60, d=16, seed=7, dups=10):
+    rng = np.random.default_rng(seed)
+    emb = rng.standard_normal((n, d))
+    for i in range(dups):
+        # make rows n-dups+i near-dups of rows i
+        emb[n - dups + i] = emb[i] + rng.standard_normal(d) * 0.001
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(
+                [e.tolist() for e in emb.astype(np.float32)],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+
+
+def test_embedding_shuffle_filter_matches_broadcast(ray_session):
+    import ray.data
+    from airbyte_destination_ray.pipelines.dedup import dedup_embedding_cosine
+
+    t = _emb_table()
+    mk = lambda: ray.data.from_arrow(t).repartition(3)
+    a = _sorted_df(dedup_embedding_cosine(mk(), threshold=0.98), col="vec_id")
+    b = _sorted_df(
+        dedup_embedding_cosine(mk(), threshold=0.98, filter_mode="shuffle"),
+        col="vec_id",
+    )
+    assert 0 < len(a) < 60 and a.equals(b)
+
+
+def test_embedding_int8_transit_matches_float(ray_session):
+    """int8-quantized transit must make the same keep/drop decisions as the
+    exact float path when pairs sit away from the threshold (the cosine
+    margin here is ≫ quantization error ~0.006)."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.dedup import dedup_embedding_cosine
+
+    t = _emb_table(seed=11)
+    mk = lambda: ray.data.from_arrow(t).repartition(3)
+    a = _sorted_df(dedup_embedding_cosine(mk(), threshold=0.95), col="vec_id")
+    b = _sorted_df(
+        dedup_embedding_cosine(mk(), threshold=0.95, transit="float"),
+        col="vec_id",
+    )
+    assert 0 < len(a) < 60 and a.equals(b)
