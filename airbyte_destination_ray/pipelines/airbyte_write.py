@@ -54,6 +54,7 @@ from ..state.manifest import ManifestStore
 import numpy as np
 
 MAX_RECORDS_PER_FLUSH = 500  # reference maxRecordsBatchSize (destination.go:30)
+MAX_BYTES_PER_FLUSH = 1_047_000  # reference maxBytesPerBatch (destination.go:29)
 
 
 def emit(out: TextIO, payload: dict) -> None:
@@ -112,6 +113,7 @@ def records_to_arrow(
 class _StreamBuffer:
     records: list = field(default_factory=list)
     indices: list[int] = field(default_factory=list)
+    nbytes: int = 0
 
 
 @dataclass
@@ -133,12 +135,20 @@ class AirbyteWriter:
         out: TextIO = sys.stdout,
         num_partitions: int = 8,
         max_records_per_flush: int = MAX_RECORDS_PER_FLUSH,
+        max_bytes_per_flush: int = MAX_BYTES_PER_FLUSH,
+        on_record_error: str = "raise",
     ):
+        if on_record_error not in ("raise", "log"):
+            raise ValueError(
+                f"on_record_error must be raise|log, got {on_record_error!r}"
+            )
         self.config = config
         self.catalog = catalog
         self.out = out
         self.num_partitions = num_partitions
         self.max_records = max_records_per_flush
+        self.max_bytes = max_bytes_per_flush
+        self.on_record_error = on_record_error
         self.buffers: dict[str, _StreamBuffer] = {}
         self.flush_epoch = 0
         self.generations: dict[str, int] = {}
@@ -201,13 +211,38 @@ class AirbyteWriter:
             raise KeyError(
                 f"record for unknown stream {table!r} (not in catalog)"
             )
+        # dual flush trigger, faithful to destination.go:433-449: the
+        # record's cost is its JSON-encoded size (data + the two metadata
+        # columns, sorted keys like Go's json.Marshal of a map) + 1; if
+        # adding it would blow the byte budget — or the buffer already holds
+        # max_records — flush the CURRENT buffer first, then buffer the new
+        # record (so the flushed batch never includes the trigger record,
+        # exactly the reference's check-before-append ordering).  The raw id
+        # is a fixed-width UUID string, so a placeholder keeps the
+        # accounting exact without paying sha256 per record here.
+        size = (
+            len(
+                json.dumps(
+                    {
+                        **record.data,
+                        RAW_ID_COLUMN: "0" * 36,
+                        EXTRACTED_AT_COLUMN: record.emitted_at,
+                    },
+                    separators=(",", ":"),
+                    sort_keys=True,
+                ).encode("utf-8")
+            )
+            + 1
+        )
         buf = self.buffers.setdefault(table, _StreamBuffer())
-        buf.records.append(record)
-        buf.indices.append(record_index)
-        self.result.records_written += 1
-        if len(buf.records) >= self.max_records:
+        if buf.nbytes + size > self.max_bytes or len(buf.records) >= self.max_records:
             log(self.out, "INFO", f"Max batch size reached for {table}, flushing")
             self._flush_table(table)
+            buf = self.buffers.setdefault(table, _StreamBuffer())
+        buf.records.append(record)
+        buf.indices.append(record_index)
+        buf.nbytes += size
+        self.result.records_written += 1
 
     # -- flush = Ray Data partition+merge (publishBatch analog) ------------
     def _flush_table(self, table: str) -> None:
@@ -217,7 +252,32 @@ class AirbyteWriter:
         import ray.data
 
         stream = self.catalog.stream_by_table()[table]
-        batch = records_to_arrow(buf.records, stream, buf.indices)
+        try:
+            batch = records_to_arrow(buf.records, stream, buf.indices)
+        except Exception:
+            if self.on_record_error == "raise":
+                raise
+            # per-event error tolerance (destination.go:485-489 analog): the
+            # reference logs per-event sink errors at ERROR and keeps the
+            # batch; only whole-call errors are fatal.  Retry per record,
+            # log + drop the offenders, flush the rest.
+            good_records, good_indices = [], []
+            for r, i in zip(buf.records, buf.indices):
+                try:
+                    records_to_arrow([r], stream, [i])
+                except Exception as ee:
+                    log(
+                        self.out,
+                        "ERROR",
+                        f"failed to store event {i} in table {table!r}: {ee}",
+                    )
+                else:
+                    good_records.append(r)
+                    good_indices.append(i)
+            if not good_records:
+                return
+            buf = _StreamBuffer(records=good_records, indices=good_indices)
+            batch = records_to_arrow(good_records, stream, good_indices)
         # envelope columns for the merge machinery: seq = record index
         batch = batch.append_column(
             "seq", pa.array(buf.indices, type=pa.int64())
@@ -322,6 +382,26 @@ def _record_batch_to_stream_table(
     return pa.table(cols)
 
 
+_ROUTED_SCHEMA = pa.schema(
+    [
+        pa.field("_table", pa.string()),
+        pa.field("_part", pa.int64()),
+        pa.field("payload", pa.binary()),
+    ]
+)
+
+
+def _ipc_bytes(t: pa.Table) -> bytes:
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return sink.getvalue().to_pybytes()
+
+
+def _ipc_table(b) -> pa.Table:
+    return pa.ipc.open_stream(pa.BufferReader(b)).read_all()
+
+
 def run_write_dataset(
     config: Config,
     catalog: Catalog,
@@ -332,45 +412,35 @@ def run_write_dataset(
 ) -> dict:
     """The write command as a fully-distributed Ray Data pipeline (S1 at
     scale): NDJSON part-files → parallel parse with global record indices →
-    per-stream typed conversion → hash-partition → per-partition merge with
-    manifest CAS.  One call = one epoch (idempotent; re-running a committed
-    epoch is a no-op).
+    ONE routing pass (typed conversion + per-batch LWW pre-reduce + packing
+    into per-(table, partition) Arrow-IPC envelopes) → ONE
+    ``groupby((_table, _part))`` exchange → per-partition merge with manifest
+    CAS.  One call = one epoch (idempotent; re-running a committed epoch is a
+    no-op).
+
+    Every input record is read and JSON-decoded exactly once; nothing is
+    materialized driver- or object-store-side (the round-1 design ran one
+    full scan per configured stream over a materialized record set — at
+    100 TB that is N_streams passes over the whole input).  The
+    unconfigured-stream fail-fast (parity with the sequential path's
+    KeyError — a silent filter would lose data) happens inside the routing
+    tasks, so the job aborts on the first offending block.  The envelope
+    exchange carries typed Arrow IPC bytes — already pre-reduced for dedup
+    streams — never raw JSON.
 
     Use this for bulk/backfill loads; the sequential :func:`run_write` is the
     protocol-faithful stdin path (STATE barriers, stdout echo).
     """
-    from ..functions.ids import table_unique_name
+    import numpy as _np
+
+    from ..functions.hashing import composite_partition_ids, partition_ids
     from ..sources.ndjson import read_records_dataset
+    from ..stages.lww import SEQ_COLUMN, changes_to_lake_rows, lww_compact
 
     catalog.validate()
-    # materialize the parsed records once — per-stream pipelines below would
-    # otherwise re-execute the full parse per stream (object store holds the
-    # parsed columns, spilling to disk as needed)
-    records = read_records_dataset(paths).materialize()
 
-    # fail fast on records for unconfigured streams — parity with the
-    # sequential path's KeyError (a silent filter would lose data)
-    seen = set()
-    for b in records.map_batches(
-        lambda t: t.select(["stream", "namespace"]),
-        batch_format="pyarrow",
-        batch_size=None,
-    ).iter_batches(batch_format="pyarrow"):
-        seen.update(
-            zip(b.column("namespace").to_pylist(), b.column("stream").to_pylist())
-        )
-    configured = {s.table_name for s in catalog.streams}
-    unknown = {
-        table_unique_name(ns or "", st)
-        for ns, st in seen
-        if table_unique_name(ns or "", st) not in configured
-    }
-    if unknown:
-        raise KeyError(
-            f"records for unconfigured streams: {sorted(unknown)}"
-        )
-
-    summary: dict[str, int] = {}
+    # driver-side table setup: metadata only, cheap
+    table_cfg: dict[str, dict] = {}
     for stream in catalog.streams:
         table = stream.table_name
         store = ManifestStore(config.lake_root, table)
@@ -384,51 +454,114 @@ def run_write_dataset(
             merge_strategy="delta",
             compact_every=16,
         )
-        pk = stream.pk_columns if is_dedup else RAW_ID_COLUMN
-        ver = stream.cursor if is_dedup else EXTRACTED_AT_COLUMN
+        table_cfg[table] = {
+            "stream": stream,
+            "is_dedup": is_dedup,
+            "pk": stream.pk_columns if is_dedup else RAW_ID_COLUMN,
+            "ver": stream.cursor if is_dedup else EXTRACTED_AT_COLUMN,
+            "generation": meta["generation"],
+            # the table's persisted partition count is authoritative —
+            # routing with a different count would split a PK across
+            # partitions
+            "num_partitions": meta["num_partitions"],
+        }
 
-        name, ns = stream.name, stream.namespace
+    def route(batch: pa.Table) -> pa.Table:
+        from ..functions.ids import table_unique_name
 
-        def to_stream(batch: pa.Table, s=stream, nm=name, nsp=ns) -> pa.Table:
-            import pyarrow.compute as _pc
-
-            mask = _pc.and_(
-                _pc.equal(batch.column("stream"), nm),
-                _pc.equal(_pc.fill_null(batch.column("namespace"), ""), nsp),
+        if batch.num_rows == 0:
+            return _ROUTED_SCHEMA.empty_table()
+        ns = pc.fill_null(batch.column("namespace"), "").combine_chunks()
+        st = batch.column("stream").combine_chunks()
+        combo = pc.binary_join_element_wise(ns, st, "\x1f").dictionary_encode()
+        codes = combo.indices.to_numpy(zero_copy_only=False)
+        out_t: list[str] = []
+        out_p: list[int] = []
+        out_b: list[bytes] = []
+        unknown: set[str] = set()
+        for code, key in enumerate(combo.dictionary.to_pylist()):
+            nsp, nm = key.split("\x1f", 1)
+            table = table_unique_name(nsp, nm)
+            cfg = table_cfg.get(table)
+            if cfg is None:
+                unknown.add(table)
+                continue
+            sub = batch.filter(pa.array(codes == code))
+            typed = _record_batch_to_stream_table(sub, cfg["stream"])
+            lake = changes_to_lake_rows(
+                typed, [c for c in typed.column_names if c != "seq"]
             )
-            return _record_batch_to_stream_table(batch.filter(mask), s)
-
-        converted = records.map_batches(to_stream, batch_format="pyarrow")
-        payload_columns = (
-            list(stream.json_schema.get("properties", {}))
-            + [RAW_ID_COLUMN, EXTRACTED_AT_COLUMN]
+            if cfg["is_dedup"]:
+                # combiner: collapse in-batch update bursts before the shuffle
+                lake = lww_compact(lake, cfg["pk"], cfg["ver"], SEQ_COLUMN)
+            pk = cfg["pk"]
+            if isinstance(pk, str) or len(pk) == 1:
+                col = pk if isinstance(pk, str) else pk[0]
+                parts = partition_ids(lake.column(col), cfg["num_partitions"])
+            else:
+                parts = composite_partition_ids(lake, pk, cfg["num_partitions"])
+            parts = _np.asarray(parts)
+            for p in _np.unique(parts):
+                out_t.append(table)
+                out_p.append(int(p))
+                out_b.append(_ipc_bytes(lake.filter(pa.array(parts == p))))
+        if unknown:
+            raise KeyError(f"records for unconfigured streams: {sorted(unknown)}")
+        return pa.table(
+            {
+                "_table": pa.array(out_t, type=pa.string()),
+                "_part": pa.array(out_p, type=pa.int64()),
+                "payload": pa.array(out_b, type=pa.binary()),
+            }
         )
-        partitioner = make_partitioner(
-            pk,
-            meta["num_partitions"],
-            ver=ver,
-            pre_reduce=is_dedup,
-            payload_columns=payload_columns,
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        table = group.column("_table")[0].as_py()
+        part = int(group.column("_part")[0].as_py())
+        cfg = table_cfg[table]
+        typed = pa.concat_tables(
+            _ipc_table(v) for v in group.column("payload").to_pylist()
+        )
+        typed = typed.append_column(
+            "_part", pa.array(_np.full(typed.num_rows, part, dtype=_np.int64))
         )
         merger = make_partition_merger(
             config.lake_root,
             table,
-            generation=meta["generation"],
+            generation=cfg["generation"],
             epoch=epoch,
             mode="append_dedup",
-            pk=pk,
-            ver=ver,
+            pk=cfg["pk"],
+            ver=cfg["ver"],
             compute_digest=False,
             strategy="delta",
             compact_every=16,
         )
-        stats = (
-            converted.map_batches(partitioner, batch_format="pyarrow", batch_size=None)
-            .groupby("_part")
-            .map_groups(merger, batch_format="pyarrow")
+        return merger(typed)
+
+    stats = (
+        read_records_dataset(paths)
+        .map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby(["_table", "_part"])
+        .map_groups(merge_group, batch_format="pyarrow")
+    )
+    summary: dict[str, int] = {t: 0 for t in table_cfg}
+    try:
+        for b in stats.iter_batches(batch_format="pyarrow"):
+            for tname in b.column("table").to_pylist():
+                summary[tname] += 1
+    except Exception as e:  # re-surface the task-side fail-fast as the
+        # documented KeyError (Ray wraps user exceptions in RayTaskError,
+        # which does not subclass KeyError through UserCodeException)
+        marker = "records for unconfigured streams"
+        msg = str(e)
+        if marker in msg:
+            raise KeyError(msg[msg.index(marker) :].splitlines()[0]) from e
+        raise
+    for table, cfg in table_cfg.items():
+        ManifestStore(config.lake_root, table).write_checkpoint(
+            cfg["generation"], epoch, {"streams": [table]}
         )
-        summary[table] = stats.count()
-        store.write_checkpoint(meta["generation"], epoch, {"streams": [table]})
     return summary
 
 
@@ -440,6 +573,8 @@ def run_write(
     out: TextIO = sys.stdout,
     num_partitions: int = 8,
     max_records_per_flush: int = MAX_RECORDS_PER_FLUSH,
+    max_bytes_per_flush: int = MAX_BYTES_PER_FLUSH,
+    on_record_error: str = "raise",
 ) -> WriteResult:
     """Full write command over an NDJSON message stream."""
     catalog.validate()
@@ -449,6 +584,8 @@ def run_write(
         out=out,
         num_partitions=num_partitions,
         max_records_per_flush=max_records_per_flush,
+        max_bytes_per_flush=max_bytes_per_flush,
+        on_record_error=on_record_error,
     )
     writer.setup_streams()
     for record_index, msg in iter_messages(iter(lines)):

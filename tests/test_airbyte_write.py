@@ -164,6 +164,41 @@ def test_small_flush_boundary(ray_session, lake):
     assert dedup.num_rows == 2
 
 
+def test_byte_flush_boundary(ray_session, lake):
+    """destination_test.go:171-182 analog: shrink the byte budget (the
+    reference shrinks maxBytesPerBatch to 2,500) and check the byte side of
+    the dual trigger fires, all three state echoes still arrive, and the
+    lake goldens are unchanged."""
+    result, output = run(lake, _lines(), max_bytes_per_flush=150)
+    assert "Max batch size reached" in output
+    assert result.states_echoed == 3
+    assert read_table_arrow(lake, "airlines").num_rows == 8
+    assert read_table_arrow(lake, "deduped_stream").num_rows == 2
+
+
+def test_byte_budget_smaller_than_one_record_still_writes(ray_session, lake):
+    """A single record larger than the byte budget is still buffered and
+    flushed (the reference flushes the — empty — current batch and then
+    appends; nothing is dropped)."""
+    result, output = run(lake, _lines(), max_bytes_per_flush=10)
+    assert result.records_written == 11
+    assert read_table_arrow(lake, "airlines").num_rows == 8
+    assert read_table_arrow(lake, "deduped_stream").num_rows == 2
+
+
+def test_record_error_policy_raise_and_log(ray_session, lake):
+    """destination.go:485-489 analog: per-event errors are logged and
+    swallowed under on_record_error='log'; the default stays fail-fast."""
+    bad = rec("airlines", {"id": "not-an-int", "name": "broken"})
+    lines = [airline(1, "alpha"), bad, airline(2, "beta"), state(1)]
+    with pytest.raises(Exception):
+        run(lake + "_raise", lines)
+    result, output = run(lake, lines, on_record_error="log")
+    assert "failed to store event" in output
+    t = read_table_arrow(lake, "airlines")
+    assert sorted(t.column("id").to_pylist()) == [1, 2]
+
+
 def test_overwrite_clears_previous_sync(ray_session, lake):
     run(lake, _lines())
     # second sync with only one airline: overwrite keeps just the new rows
