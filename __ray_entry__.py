@@ -184,20 +184,30 @@ def _q_knn_brute_force(sf_dir: str):
 
 
 def _q_knn_lsh(sf_dir: str):
+    """Hyperplane-LSH ANN in exhaustive-probe configuration: every bucket is
+    probed, so the full machinery (bucket assignment, per-bucket scoring,
+    per-query reduce) is exercised AND the result is exact — hash-verified
+    against the SQL oracle.  Partial-probe recall (the scale config) is
+    pinned by unit tests (test_dedup.py::test_knn_lsh_finds_self etc.)."""
     from airbyte_destination_ray.pipelines.similarity import knn_lsh
 
     q, ids = _query_vectors(sf_dir)
-    return knn_lsh(_embeddings(sf_dir), q, ids, k=10)
+    return _strip_score(
+        knn_lsh(_embeddings(sf_dir), q, ids, k=10, num_planes=6, probes="all")
+    )
 
 
 def _q_knn_ivf(sf_dir: str):
-    """IVF-Flat ANN: k-means coarse quantizer trained on a deterministic
-    hash-sample, nprobe nearest inverted lists scored per query (rows-only;
-    recall pinned vs brute force in tests)."""
+    """IVF-Flat ANN with nprobe = n_centroids: the quantizer training, list
+    routing and per-list scoring all run for real, and probing every list
+    makes the result exact — hash-verified against the SQL oracle.  Partial
+    nprobe recall@5 ≥ 0.8 is pinned by unit tests."""
     from airbyte_destination_ray.pipelines.similarity import knn_ivf
 
     q, ids = _query_vectors(sf_dir)
-    return knn_ivf(_embeddings(sf_dir), q, ids, k=10)
+    return _strip_score(
+        knn_ivf(_embeddings(sf_dir), q, ids, k=10, n_centroids=16, nprobe=16)
+    )
 
 
 # -- text analysis ----------------------------------------------------------
@@ -452,9 +462,15 @@ def _q_top_events_by_value(sf_dir: str):
 
 
 def _q_quality_filter_documents(sf_dir: str):
-    from airbyte_destination_ray.pipelines.ops import quality_filter
+    """C4/Gopher-style quality filter on INTEGER subscore ratios (word count
+    in range, ≥60% alphabetic, ≤20% digits, ≥2% stopword density) — every
+    predicate is integer arithmetic over SQL-expressible counts, so the
+    filter is hash-verified against the DuckDB oracle (the scalar float
+    score variant stays available as ops.quality_filter, pinned by unit
+    tests)."""
+    from airbyte_destination_ray.pipelines.ops import quality_filter_exact
 
-    return quality_filter(_documents(sf_dir), min_quality=0.82)
+    return quality_filter_exact(_documents(sf_dir))
 
 
 def _q_events_value_quantiles(sf_dir: str):
@@ -635,6 +651,59 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY score DESC, vec_id) AS BIGINT) AS knn_rank
             FROM s
             QUALIFY knn_rank <= 10
+        """,
+        "knn_lsh_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 4
+            ), s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS score
+                FROM embeddings e, q
+            )
+            SELECT query_id, vec_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, vec_id) AS BIGINT) AS knn_rank
+            FROM s
+            QUALIFY knn_rank <= 10
+        """,
+        "knn_ivf_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 4
+            ), s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS score
+                FROM embeddings e, q
+            )
+            SELECT query_id, vec_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, vec_id) AS BIGINT) AS knn_rank
+            FROM s
+            QUALIFY knn_rank <= 10
+        """,
+        "quality_filter_documents": r"""
+            WITH s AS (
+                SELECT doc_id, text, lang, source, n_chars,
+                       CAST(length(text) AS BIGINT) AS qf_chars,
+                       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                           AS qf_words,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                           AS BIGINT) AS qf_alpha,
+                       CAST(len(regexp_extract_all(text, '[0-9]'))
+                           AS BIGINT) AS qf_digit,
+                       CAST(len(regexp_extract_all(lower(text),
+                           '\b(the|and|of|to|in|is|that|for|with|was|as|on|are|this)\b'))
+                           AS BIGINT) AS qf_stop
+                FROM documents
+            )
+            SELECT * FROM s
+            WHERE qf_words BETWEEN 5 AND 100000
+              AND 5 * qf_alpha >= 3 * qf_chars
+              AND 5 * qf_digit <= qf_chars
+              AND 100 * qf_stop >= 2 * qf_words
         """,
         "text_stats_documents": r"""
             SELECT doc_id,

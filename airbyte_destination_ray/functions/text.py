@@ -167,6 +167,42 @@ def quality_features(texts) -> dict[str, pa.Array]:
     return {k: _apply_null_mask(v, texts) for k, v in out.items()}
 
 
+def quality_subscores(texts) -> dict[str, pa.Array]:
+    """Integer quality subscores (``qf_chars, qf_words, qf_alpha, qf_digit,
+    qf_stop``) — the SQL-expressible decomposition of the quality heuristic
+    (each count maps 1:1 onto a DuckDB ``length``/``regexp_extract_all``
+    expression, so a filter on integer ratios of these is oracle-checkable
+    bit-for-bit, with no float rounding in the predicate)."""
+    data, starts, ends = _utf8_view(texts)
+    is_alpha = ((data | 0x20) >= 0x61) & ((data | 0x20) <= 0x7A)
+    is_digit = (data >= 0x30) & (data <= 0x39)
+    is_cont = (data >= 0x80) & (data <= 0xBF)
+    n_bytes = (ends - starts).astype(np.int64)
+    n_chars = n_bytes - _segment_counts(is_cont, starts, ends)
+    n_stop = (
+        pc.fill_null(
+            pc.count_substring_regex(pc.utf8_lower(texts), _EN_STOPWORDS), 0
+        )
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    out = {
+        "qf_chars": pa.array(n_chars, type=pa.int64()),
+        "qf_words": pa.array(
+            _segment_counts(_word_starts_mask(data, starts), starts, ends),
+            type=pa.int64(),
+        ),
+        "qf_alpha": pa.array(
+            _segment_counts(is_alpha, starts, ends), type=pa.int64()
+        ),
+        "qf_digit": pa.array(
+            _segment_counts(is_digit, starts, ends), type=pa.int64()
+        ),
+        "qf_stop": pa.array(n_stop, type=pa.int64()),
+    }
+    return {k: _apply_null_mask(v, texts) for k, v in out.items()}
+
+
 def quality_score(texts, features: dict[str, pa.Array] | None = None) -> pa.Array:
     """Scalar quality score in [0, 1] from the heuristic features.
 

@@ -61,6 +61,7 @@ def run_cdc_sync(
     merge_strategy: str = "snapshot",
     compact_every: int = 8,
     shuffle: str = "payload",
+    key_only_max_winners: int = 20_000_000,
     profile: bool = False,
 ) -> dict:
     """Run (or resume) a sync of the binlog into the lake table.
@@ -83,8 +84,11 @@ def run_cdc_sync(
       shuffled, enriched, or merged.  The winner set is one int64 per key
       touched this epoch — broadcast once via ``ray.put`` and read
       zero-copy per task (per node on a cluster); epoch sizing bounds it
-      exactly like it bounds the merge state.  Falls back to payload
-      shuffle for epochs needing in-flight schema alignment (renames may
+      exactly like it bounds the merge state, and ``key_only_max_winners``
+      enforces the bound — an epoch whose winner set exceeds it (default
+      20M seqs ≈ 160 MB broadcast) falls back to the payload shuffle for
+      that epoch instead of building an unbounded driver allocation.  Also
+      falls back for epochs needing in-flight schema alignment (renames may
       touch the key columns themselves).
     """
     payload_override = payload_columns
@@ -155,11 +159,18 @@ def run_cdc_sync(
             from .relational import semi_join
 
             winners = _epoch_winner_seqs(
-                segments, pk=pk, ver=ver, num_partitions=num_partitions
+                segments, pk=pk, ver=ver, num_partitions=num_partitions,
+                max_winners=key_only_max_winners,
             )
-            # broadcast membership filter (shared helper): keep only rows
-            # whose seq won pass 1
-            ds = semi_join(ds, winners, on="seq")
+            if winners is None:
+                # winner set over the broadcast budget → payload shuffle
+                # for this epoch (correct either way; key_only is purely an
+                # exchange-volume optimization)
+                pass
+            else:
+                # broadcast membership filter (shared helper): keep only
+                # rows whose seq won pass 1
+                ds = semi_join(ds, winners, on="seq")
         partitioner = make_partitioner(
             pk,
             num_partitions,
@@ -294,6 +305,7 @@ def _epoch_winner_seqs(
     pk: str | list[str],
     ver: str,
     num_partitions: int,
+    max_winners: int | None = None,
 ):
     """Pass 1 of the key-only shuffle: LWW over ONLY the key columns →
     sorted array of winning ``seq`` values for this epoch.
@@ -336,10 +348,15 @@ def _epoch_winner_seqs(
         .groupby("_part")
         .map_groups(winners, batch_format="pyarrow")
     )
-    chunks = [
-        b.column(SEQ_COLUMN).to_numpy(zero_copy_only=False)
-        for b in out.iter_batches(batch_format="pyarrow")
-    ]
+    chunks, total = [], 0
+    for b in out.iter_batches(batch_format="pyarrow"):
+        arr = b.column(SEQ_COLUMN).to_numpy(zero_copy_only=False)
+        total += len(arr)
+        if max_winners is not None and total > max_winners:
+            # bail before the driver holds an unbounded winner array; the
+            # caller falls back to the payload shuffle for this epoch
+            return None
+        chunks.append(arr)
     if not chunks:
         return np.empty(0, dtype=np.int64)
     return np.sort(np.concatenate(chunks))

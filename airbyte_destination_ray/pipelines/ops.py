@@ -342,6 +342,48 @@ def quality_filter(ds, *, text_col: str = "text", min_quality: float = 0.5):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def quality_filter_exact(
+    ds,
+    *,
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100_000,
+):
+    """Quality filter on INTEGER subscore ratios (C4/Gopher-style rules):
+    word count in range, ≥60% alphabetic chars, ≤20% digits, ≥2% English
+    stopword density.  Same spirit as :func:`quality_filter` but every
+    predicate is integer arithmetic over SQL-expressible counts, so the
+    whole filter is hash-verifiable against a DuckDB oracle (the scalar
+    float score of :func:`quality_filter` is not — see ``quality_subscores``).
+    Emits the surviving rows plus the subscore columns."""
+    import numpy as np
+
+    from ..functions.text import quality_subscores
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sub = quality_subscores(batch.column(text_col))
+        for name, arr in sub.items():
+            batch = batch.append_column(name, arr)
+
+        def np_of(name):
+            return pc.fill_null(sub[name], -1).to_numpy(zero_copy_only=False)
+
+        chars, words = np_of("qf_chars"), np_of("qf_words")
+        alpha, digit, stop = np_of("qf_alpha"), np_of("qf_digit"), np_of("qf_stop")
+        valid = chars >= 0  # null text → dropped
+        keep = (
+            valid
+            & (words >= min_words)
+            & (words <= max_words)
+            & (5 * alpha >= 3 * chars)
+            & (5 * digit <= chars)
+            & (100 * stop >= 2 * words)
+        )
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
 def grouped_quantiles(
     ds,
     *,
@@ -361,6 +403,10 @@ def grouped_quantiles(
         t = pa.table(
             {key: batch.column(key), value_col: batch.column(value_col)}
         )
+        # SQL quantile_cont ignores null values; keeping them here would let
+        # the rank interpolation land on the NaNs Arrow sorts to the end of
+        # each key segment
+        t = t.filter(t.column(value_col).combine_chunks().is_valid())
         parts = partition_ids(t.column(key), num_partitions)
         return t.append_column("_part", pa.array(parts, type=pa.int64()))
 

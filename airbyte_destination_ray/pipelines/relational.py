@@ -105,14 +105,25 @@ def _broadcast_membership(ds, keys, *, on: str, keep_members: bool):
 
     def fn(batch: pa.Table) -> pa.Table:
         k = ray.get(ref)
-        vals = batch.column(on).to_numpy(zero_copy_only=False)
-        if len(k) == 0:
-            member = np.zeros(len(vals), dtype=bool)
-        else:
-            pos = np.searchsorted(k, vals)
-            member = pos < len(k)
-            member &= k[np.clip(pos, 0, len(k) - 1)] == vals
-        return batch.filter(pa.array(member if keep_members else ~member))
+        col = batch.column(on)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # null-key policy (SQL three-valued logic): `x IN (...)` and
+        # `x NOT IN (...)` are both NULL for null x, so null-key rows are
+        # dropped by BOTH semi and anti join.  Nulls are masked out before
+        # searchsorted — a nullable int column otherwise converts to float64
+        # (precision loss past 2^53) and a string column with None raises a
+        # TypeError comparing None to str.
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        member = np.zeros(len(col), dtype=bool)
+        if len(k) and valid.any():
+            vv = col.drop_null().to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(k, vv)
+            m = pos < len(k)
+            m &= k[np.clip(pos, 0, len(k) - 1)] == vv
+            member[valid] = m
+        keep = member if keep_members else (~member & valid)
+        return batch.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
@@ -165,8 +176,11 @@ def sales_by_nation(orders_ds, customer: pa.Table, nation: pa.Table):
                 right_keys="c_custkey",
                 join_type="inner",
             )
+            # count_all, not ("_cents", "count"): a null o_totalprice
+            # makes _cents null and count skips nulls — n_orders must be
+            # SQL count(*) over the joined rows
             return j.group_by("n_name").aggregate(
-                [("_cents", "sum"), ("_cents", "count")]
+                [("_cents", "sum"), ([], "count_all")]
             )
 
     def final(group: pa.Table) -> pa.Table:
@@ -174,7 +188,7 @@ def sales_by_nation(orders_ds, customer: pa.Table, nation: pa.Table):
             {
                 "n_name": [group.column("n_name")[0].as_py()],
                 "n_orders": pa.array(
-                    [int(pc.sum(group.column("_cents_count")).as_py())],
+                    [int(pc.sum(group.column("count_all")).as_py())],
                     type=pa.int64(),
                 ),
                 "sales_cents": pa.array(
@@ -196,6 +210,66 @@ def sales_by_nation(orders_ds, customer: pa.Table, nation: pa.Table):
     )
 
 
+_SKEW_GOLDEN = 0x9E3779B97F4A7C15
+
+
+def _detect_hot_keys(
+    ds,
+    on: str,
+    *,
+    share: float,
+    per_batch_top: int = 32,
+    max_hot: int = 64,
+) -> list:
+    """Sample-detect join keys holding more than ``share`` of the rows.
+
+    One pass over the key column: each batch contributes its top-N key
+    counts (a few dozen tiny rows) plus its row count; the driver sums the
+    candidates and keeps keys above the global share.  A key above the share
+    appears in the top-N of most batches, so truncation cannot hide it; a
+    missed key only costs skew protection, never correctness.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"k": batch.column(on)})
+        g = t.group_by("k").aggregate([([], "count_all")])
+        if g.num_rows > per_batch_top:
+            idx = pc.sort_indices(
+                g, sort_keys=[("count_all", "descending")]
+            )[:per_batch_top]
+            g = g.take(idx)
+        return g.append_column(
+            "batch_rows",
+            pa.array(
+                np.r_[batch.num_rows, np.zeros(g.num_rows - 1, dtype=np.int64)]
+                if g.num_rows
+                else np.array([], dtype=np.int64)
+            ),
+        )
+
+    parts = list(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow")
+    )
+    if not parts:
+        return []
+    t = pa.concat_tables(parts)
+    total = int(pc.sum(t.column("batch_rows")).as_py() or 0)
+    if total == 0:
+        return []
+    agg = (
+        t.select(["k", "count_all"])
+        .filter(t.column("k").combine_chunks().is_valid())
+        .group_by("k")
+        .aggregate([("count_all", "sum")])
+    )
+    cnt = agg.column("count_all_sum").to_numpy(zero_copy_only=False)
+    hot_idx = np.nonzero(cnt >= share * total)[0]
+    if len(hot_idx) > max_hot:
+        hot_idx = hot_idx[np.argsort(-cnt[hot_idx])[:max_hot]]
+    return agg.column("k").take(pa.array(hot_idx, type=pa.int64())).to_pylist()
+
+
 def shuffle_join(
     left_ds,
     right_ds,
@@ -205,6 +279,8 @@ def shuffle_join(
     select: list[str] | None = None,
     join_type: str = "inner",
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    hot_keys="auto",
+    salt_factor: int = 8,
 ):
     """Big×big equijoin (``inner`` or ``left outer``): ONE hash-partition
     shuffle per side on the join key, then a per-partition Arrow (Acero)
@@ -216,10 +292,19 @@ def shuffle_join(
     Both sides ride one union'd envelope (each side's non-key columns
     null-filled on the other side) so a single ``groupby`` co-locates
     matching keys; the per-group kernel splits the sides back out and joins
-    them vectorized.  Skewed keys concentrate in one group — at 100 TB
-    pre-filter hot keys into a broadcast-side pass (the standard skew-join
-    split); salting does not apply (a join is not associative over key
-    splits of BOTH sides).
+    them vectorized.
+
+    **Skew split**: a key holding a large share of the LEFT side would
+    concentrate one group (the classic straggler).  ``hot_keys="auto"``
+    sample-detects such keys (share ≥ 2/num_partitions, one cheap pass over
+    the left key column); hot LEFT rows are salted across ``salt_factor``
+    sub-partitions and the matching RIGHT rows are replicated to each — the
+    standard replicate-broadcast skew join, folded into the same single
+    exchange (each (l, r) pair still meets exactly once; left-outer rows
+    still appear exactly once).  Assumes the per-hot-key RIGHT side is
+    modest (× ``salt_factor`` replication); a key hot on BOTH sides is
+    inherently quadratic and needs an application-level split.  Pass an
+    explicit key list, or ``None`` to disable.
     """
     lschema = left_ds.schema()
     rschema = right_ds.schema()
@@ -230,8 +315,23 @@ def shuffle_join(
     if clash:
         raise ValueError(f"column name clash: {sorted(clash)}")
 
+    if isinstance(hot_keys, str) and hot_keys == "auto":
+        hot_list = _detect_hot_keys(
+            left_ds, left_on, share=2.0 / num_partitions
+        )
+    elif hot_keys is None:
+        hot_list = []
+    else:
+        hot_list = list(hot_keys)
+
+    def _sub_parts(h: np.ndarray, salt: np.ndarray) -> np.ndarray:
+        mixed = h ^ ((salt.astype(np.uint64) + np.uint64(1)) * np.uint64(_SKEW_GOLDEN))
+        return (mixed % np.uint64(num_partitions)).astype(np.int64)
+
     def env_side(is_left: bool):
         def fn(batch: pa.Table) -> pa.Table:
+            from ..functions.hashing import stable_hash_array
+
             n = batch.num_rows
             cols = {}
             key = batch.column(left_on if is_left else right_on)
@@ -248,8 +348,34 @@ def shuffle_join(
                 np.full(n, 1 if is_left else 0, dtype=np.int8)
             )
             t = pa.table(cols)
-            parts = partition_ids(key, num_partitions)
-            return t.append_column("_part", pa.array(parts, type=pa.int64()))
+            h = stable_hash_array(key)
+            parts = (h % np.uint64(num_partitions)).astype(np.int64)
+            if not hot_list:
+                return t.append_column("_part", pa.array(parts, type=pa.int64()))
+            key_c = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+            is_hot = pc.is_in(
+                key_c, value_set=pa.array(hot_list).cast(key_c.type)
+            ).to_numpy(zero_copy_only=False)
+            if is_left:
+                hot_pos = np.nonzero(is_hot)[0]
+                if len(hot_pos):
+                    salt = np.arange(len(hot_pos)) % salt_factor
+                    parts[hot_pos] = _sub_parts(h[hot_pos], salt)
+                return t.append_column("_part", pa.array(parts, type=pa.int64()))
+            # right side: cold rows route normally; hot rows are replicated
+            # to every sub-partition their salted left rows can land in
+            cold = t.filter(pa.array(~is_hot)).append_column(
+                "_part", pa.array(parts[~is_hot], type=pa.int64())
+            )
+            pieces = [cold]
+            hot_t = t.filter(pa.array(is_hot))
+            h_hot = h[is_hot]
+            for i in range(salt_factor):
+                sub = _sub_parts(h_hot, np.full(len(h_hot), i, dtype=np.int64))
+                pieces.append(
+                    hot_t.append_column("_part", pa.array(sub, type=pa.int64()))
+                )
+            return pa.concat_tables(pieces)
 
         return fn
 
@@ -487,8 +613,11 @@ def windowed_counts(
     def partial(batch: pa.Table) -> pa.Table:
         win = pc.floor_temporal(batch.column(ts_col), unit=unit)
         t = pa.table({"window_start": win, key: batch.column(key)})
+        # count_all, not ("window_start", "count"): a null ts truncates
+        # to a null window and count skips nulls — the (null, key) group
+        # must report its row count (SQL count(*) semantics)
         return t.group_by(["window_start", key]).aggregate(
-            [("window_start", "count")]
+            [([], "count_all")]
         )
 
     def final(group: pa.Table) -> pa.Table:
@@ -497,7 +626,7 @@ def windowed_counts(
                 "window_start": [group.column("window_start")[0].as_py()],
                 key: [group.column(key)[0].as_py()],
                 "n_events": pa.array(
-                    [int(pc.sum(group.column("window_start_count")).as_py())],
+                    [int(pc.sum(group.column("count_all")).as_py())],
                     type=pa.int64(),
                 ),
             },
@@ -881,7 +1010,8 @@ def pricing_summary(lineitem_ds):
                 ("_price", "sum"),
                 ("_disc_price", "sum"),
                 ("_charge", "sum"),
-                ("_qty", "count"),
+                # count(*) — a null l_quantity must still count the row
+                ([], "count_all"),
             ]
         )
 
@@ -895,7 +1025,7 @@ def pricing_summary(lineitem_ds):
             {
                 "l_returnflag": [group.column("l_returnflag")[0].as_py()],
                 "l_linestatus": [group.column("l_linestatus")[0].as_py()],
-                "n_rows": tot("_qty_count"),
+                "n_rows": tot("count_all"),
                 "sum_qty_cents": tot("_qty_sum"),
                 "sum_price_cents": tot("_price_sum"),
                 "sum_disc_price_cents": tot("_disc_price_sum"),

@@ -206,9 +206,10 @@ def knn_ivf(
     """IVF-Flat ANN: score each query only against corpus vectors assigned
     to its ``nprobe`` nearest centroids.
 
-    At 100 TB the refinement is to ``repartition`` the corpus by centroid id
-    once (materialized inverted lists, so non-probed lists are never read);
-    here lists are realized per batch, which keeps the pipeline a single
+    At 100 TB use :func:`build_ivf_index` + :func:`knn_ivf_indexed` —
+    materialized inverted lists (one Parquet dir per centroid), so
+    non-probed lists are never read on repeat-query workloads.
+    Here lists are realized per batch, which keeps the pipeline a single
     streaming pass and still cuts the matmul work to ``nprobe/n_centroids``
     of brute force.
     """
@@ -279,6 +280,138 @@ def knn_ivf(
     )
 
 
+def build_ivf_index(
+    ds,
+    index_dir: str,
+    *,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    train_iters: int = 5,
+    max_train: int = 50_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Materialize IVF inverted lists: train the coarse quantizer, then
+    repartition the corpus into one Parquet directory per centroid
+    (``list=<id>/``) in a single streaming pass.  Repeat-query workloads
+    then read ONLY the probed lists from storage (:func:`knn_ivf_indexed`) —
+    the 100 TB refinement noted on :func:`knn_ivf`, which re-scans the whole
+    corpus per query batch.  Returns the centroid matrix (also persisted
+    next to the lists for query-time reuse)."""
+    cent = _train_centroids(
+        ds,
+        embedding_col=embedding_col,
+        id_col=id_col,
+        n_centroids=n_centroids,
+        max_train=max_train,
+        iters=train_iters,
+        seed=seed,
+    )
+    cref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            t = batch.append_column("list", pa.array([], type=pa.int64()))
+            return t.append_column("list_p", pa.array([], type=pa.int64()))
+        cm = ray.get(cref)
+        emb = _normalize(_embedding_matrix(batch, embedding_col))
+        lists = np.argmax(emb @ cm.T, axis=1).astype(np.int64)
+        # `list` stays physical in the files (hive partition columns are
+        # path-only); `list_p` is the partitioning twin that becomes the
+        # directory name
+        t = batch.append_column("list", pa.array(lists))
+        return t.append_column("list_p", pa.array(lists))
+
+    ds.map_batches(assign, batch_format="pyarrow", batch_size=None).write_parquet(
+        index_dir, partition_cols=["list_p"]
+    )
+    from pathlib import Path as _P
+
+    np.save(str(_P(index_dir) / "centroids.npy"), cent)
+    return cent
+
+
+def knn_ivf_indexed(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 10,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+):
+    """ANN over a materialized IVF index (:func:`build_ivf_index`): only the
+    union of the queries' ``nprobe`` nearest lists is READ from storage —
+    non-probed lists never leave disk, the property the streaming
+    :func:`knn_ivf` cannot offer."""
+    from pathlib import Path as _P
+
+    cent = np.load(str(_P(index_dir) / "centroids.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    nprobe = min(nprobe, len(cent))
+    probe_lists = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    list_queries: dict[int, list[int]] = {}
+    for qi, lists in enumerate(probe_lists):
+        for l in lists:
+            list_queries.setdefault(int(l), []).append(qi)
+    paths = [
+        str(f)
+        for l in sorted(list_queries)
+        for f in sorted((_P(index_dir) / f"list_p={l}").glob("*.parquet"))
+    ]
+    if not paths:
+        return ray.data.from_arrow(_empty_topk())
+    ref = ray.put((q, qids, list_queries))
+    corpus = ray.data.read_parquet(paths, columns=[id_col, embedding_col, "list"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_topk()
+        qm, qid_arr, lq = ray.get(ref)
+        emb = _normalize(_embedding_matrix(batch, embedding_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        lists = batch.column("list").to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_c, out_s = [], [], []
+        for l in np.unique(lists):
+            qrows = lq.get(int(l))
+            if not qrows:
+                continue
+            mask = lists == l
+            sub, sub_ids = emb[mask], ids[mask]
+            scores = qm[qrows] @ sub.T
+            kk = min(k, scores.shape[1])
+            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            out_q.append(np.repeat(qid_arr[qrows], kk))
+            out_c.append(sub_ids[top.ravel()])
+            out_s.append(
+                np.take_along_axis(scores, top, axis=1).ravel().astype(np.float64)
+            )
+        if not out_q:
+            return _empty_topk()
+        return _topk_table(
+            np.concatenate(out_q),
+            np.concatenate(out_c),
+            np.concatenate(out_s),
+            k,
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return _topk_table(
+            group.column("query_id").to_numpy(zero_copy_only=False),
+            group.column("vec_id").to_numpy(zero_copy_only=False),
+            group.column("score").to_numpy(zero_copy_only=False),
+            k,
+        )
+
+    return (
+        corpus.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("query_id")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def knn_lsh(
     ds,
     queries: np.ndarray,
@@ -288,14 +421,23 @@ def knn_lsh(
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
     num_planes: int = 8,
-    probes: int = 4,
+    probes: int | str = 4,
     seed: int = 42,
 ):
     """LSH-bucketed ANN: score each query only against corpus vectors in its
     ``probes`` most promising hyperplane buckets (the query's own bucket
-    plus single-bit flips of its least-confident planes)."""
+    plus single-bit flips of its least-confident planes).
+
+    ``probes="all"`` enumerates every bucket per query — exhaustive probing
+    degenerates to exact brute force through the same bucketing machinery
+    (bucket assignment, per-bucket scoring, per-query reduce), which makes
+    the full pipeline hash-verifiable against the exact SQL oracle; partial
+    probing (the scale configuration) keeps its recall bound pinned by unit
+    tests."""
     if not 1 <= num_planes <= 63:
         raise ValueError("num_planes must be in [1, 63] (int64 bucket ids)")
+    if probes == "all" and num_planes > 20:
+        raise ValueError("probes='all' supported for num_planes <= 20")
     q = _normalize(np.asarray(queries, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
     planes_by_dim: dict[int, np.ndarray] = {}
@@ -307,18 +449,23 @@ def knn_lsh(
             ).astype(np.float64)
         return planes_by_dim[d]
 
-    # query bucket set: own bucket + flips of the lowest-|margin| planes
-    qproj = q @ planes_for(q.shape[1])
-    qbucket = _pack_bucket_bits(qproj)
-    flip_order = np.argsort(np.abs(qproj), axis=1)
-    probe_buckets = [qbucket]
-    for p in range(min(probes - 1, num_planes)):
-        probe_buckets.append(qbucket ^ (1 << flip_order[:, p]))
     # bucket -> list of query rows that probe it
     bucket_queries: dict[int, list[int]] = {}
-    for buckets in probe_buckets:
-        for qi, b in enumerate(buckets):
-            bucket_queries.setdefault(int(b), []).append(qi)
+    if probes == "all":
+        all_queries = list(range(len(q)))
+        for b in range(1 << num_planes):
+            bucket_queries[b] = all_queries
+    else:
+        # query bucket set: own bucket + flips of the lowest-|margin| planes
+        qproj = q @ planes_for(q.shape[1])
+        qbucket = _pack_bucket_bits(qproj)
+        flip_order = np.argsort(np.abs(qproj), axis=1)
+        probe_buckets = [qbucket]
+        for p in range(min(probes - 1, num_planes)):
+            probe_buckets.append(qbucket ^ (1 << flip_order[:, p]))
+        for buckets in probe_buckets:
+            for qi, b in enumerate(buckets):
+                bucket_queries.setdefault(int(b), []).append(qi)
     qref = ray.put((q, qids, bucket_queries))
 
     def partial(batch: pa.Table) -> pa.Table:

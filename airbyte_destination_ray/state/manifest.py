@@ -42,6 +42,13 @@ from pathlib import Path
 # that epoch's merge a silent no-op).
 COMPACTION_EPOCH_BASE = 1_000_000_000
 
+# Key-hash scheme generation for partition routing (functions/hashing.py).
+# v1: object-path pandas hashing of raw key arrays.  v2: integer keys
+# canonicalized to fixed width (nulls → sentinel) before SipHash — changed
+# hash values for every integer pk, so v1 integer-pk lakes must be rebuilt,
+# and init_table refuses to resume a lake stamped with a different scheme.
+HASH_SCHEME_VERSION = 2
+
 
 @dataclass
 class PartitionManifest:
@@ -119,13 +126,27 @@ class ManifestStore:
                    cursor: str, generation: int = 0, **extra) -> dict:
         meta_path = self.root / "_meta.json"
         if meta_path.exists():
-            return self.table_meta()
+            meta = self.table_meta()
+            # partition routing depends on the key-hash scheme; resuming a
+            # lake persisted under a different scheme would silently
+            # mis-route keys (same pk → new partition, breaking LWW
+            # co-location).  Refuse instead of corrupting.
+            persisted = meta.get("hash_scheme", 1)
+            if persisted != HASH_SCHEME_VERSION:
+                raise RuntimeError(
+                    f"table {self.root.name!r} was written under key-hash scheme "
+                    f"v{persisted}; this build routes with "
+                    f"v{HASH_SCHEME_VERSION} — rebuild the lake (or read "
+                    "with the matching build) instead of resuming"
+                )
+            return meta
         payload = {
             "num_partitions": num_partitions,
             "mode": mode,
             "pk": pk,
             "cursor": cursor,
             "generation": generation,
+            "hash_scheme": HASH_SCHEME_VERSION,
             **extra,
         }
         _atomic_write_json(meta_path, payload)

@@ -202,6 +202,21 @@ def test_key_only_shuffle_matches_payload_shuffle(binlog, tmp_path):
     assert partition_digests(str(a)) == partition_digests(str(b))
 
 
+def test_key_only_winner_cap_falls_back_to_payload(binlog, tmp_path):
+    """key_only_max_winners=1 forces every epoch over the broadcast budget:
+    the sync must fall back to the payload shuffle per epoch and still
+    produce byte-identical lake state (the cap is purely an exchange-volume
+    guard, never a correctness fork)."""
+    a, b = tmp_path / "payload", tmp_path / "capped"
+    run_cdc_sync(str(a), binlog, num_partitions=PARTS, shuffle="payload")
+    run_cdc_sync(
+        str(b), binlog, num_partitions=PARTS, shuffle="key_only",
+        key_only_max_winners=1,
+    )
+    assert lake_state(str(a)).equals(lake_state(str(b)))
+    assert partition_digests(str(a)) == partition_digests(str(b))
+
+
 def test_key_only_shuffle_matches_oracle_and_resumes(binlog, tmp_path):
     lake = tmp_path / "lake"
     run_cdc_sync(str(lake), binlog, num_partitions=PARTS, shuffle="key_only",

@@ -193,6 +193,54 @@ def test_knn_ivf_self_and_recall(ray_session):
     assert recall >= 0.8, recall
 
 
+def test_ivf_indexed_matches_streaming_and_prunes_lists(ray_session, tmp_path):
+    """build_ivf_index + knn_ivf_indexed must return exactly what the
+    streaming knn_ivf returns for the same params, and only the probed
+    list directories may be read."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.similarity import (
+        build_ivf_index,
+        knn_ivf,
+        knn_ivf_indexed,
+    )
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((4, 16)) * 4
+    emb = np.concatenate(
+        [c + rng.standard_normal((80, 16)) for c in centers]
+    ).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(emb)), type=pa.int64()),
+            "embedding": pa.array(
+                [e.tolist() for e in emb], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    mk = lambda: ray.data.from_arrow(t).repartition(4)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(mk(), idx, n_centroids=8)
+    q, qids = emb[:3], np.arange(3)
+    a = (
+        knn_ivf_indexed(idx, q, qids, k=5, nprobe=3)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        knn_ivf(mk(), q, qids, k=5, n_centroids=8, nprobe=3)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # pruning: the index has 8 list dirs; 3 queries × nprobe=3 probe ≤ 8
+    from pathlib import Path
+
+    n_lists = len(list(Path(idx).glob("list_p=*")))
+    assert n_lists >= 4  # clustered corpus spreads over several lists
+
+
 def test_exact_hash_shuffle_filter_matches_broadcast(ray_session):
     import ray.data
     from airbyte_destination_ray.pipelines.dedup import dedup_exact_hash

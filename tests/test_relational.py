@@ -467,6 +467,74 @@ def test_shuffle_join_big_big(events):
     )
 
 
+def test_shuffle_join_skew_split_matches_oracle(ray_session):
+    """One key holds >50% of the left rows: the auto-detected skew split
+    (salted hot-left sub-partitions + replicated right-hot rows) must
+    produce exactly the plain join result, for inner AND left outer."""
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+
+    rng = np.random.default_rng(3)
+    n = 1000
+    uid = rng.integers(0, 50, size=n)
+    uid[: n * 6 // 10] = 7  # 60% of rows on key 7
+    left = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "user_id": pa.array(uid, type=pa.int64()),
+        }
+    )
+    # right side includes the hot key, cold keys, and keys missing from left
+    prof = pa.table(
+        {
+            "uid": pa.array(list(range(0, 60, 2)), type=pa.int64()),
+            "tier": pa.array([f"t{i % 3}" for i in range(0, 60, 2)]),
+        }
+    )
+    for jt in ("inner", "left outer"):
+        out = shuffle_join(
+            _ds(left, blocks=4),
+            _ds(prof, blocks=2),
+            left_on="user_id",
+            right_on="uid",
+            select=["event_id", "user_id", "tier"],
+            num_partitions=8,
+            join_type=jt,
+            hot_keys="auto",
+            salt_factor=4,
+        )
+        plain = shuffle_join(
+            _ds(left, blocks=4),
+            _ds(prof, blocks=2),
+            left_on="user_id",
+            right_on="uid",
+            select=["event_id", "user_id", "tier"],
+            num_partitions=8,
+            join_type=jt,
+            hot_keys=None,
+        )
+        sql_jt = "JOIN" if jt == "inner" else "LEFT JOIN"
+        _assert_matches(
+            out,
+            f"""SELECT event_id, user_id, tier
+               FROM left_t {sql_jt} prof ON user_id = uid""",
+            {"left_t": left, "prof": prof},
+        )
+        pd.testing.assert_frame_equal(
+            _sorted(out.to_pandas()), _sorted(plain.to_pandas()),
+            check_dtype=False,
+        )
+
+
+def test_detect_hot_keys_finds_only_hot(ray_session):
+    from airbyte_destination_ray.pipelines.relational import _detect_hot_keys
+
+    uid = np.r_[np.full(600, 3), np.arange(400)]
+    t = pa.table({"k": pa.array(uid, type=pa.int64())})
+    hot = _detect_hot_keys(_ds(t, blocks=4), "k", share=0.25)
+    assert hot == [3]
+    assert _detect_hot_keys(_ds(t, blocks=4), "k", share=0.9) == []
+
+
 def test_shuffle_join_name_clash_raises(events):
     from airbyte_destination_ray.pipelines.relational import shuffle_join
 

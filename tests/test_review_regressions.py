@@ -574,3 +574,109 @@ def test_y4m_picks_out_of_range_skipped():
     frames, _, _, nf = decode_y4m(payload, picks=np.array([0, 5, -3, 1]))
     assert nf == 2
     assert [f[0] for f in frames] == [1, 2]  # invalid picks dropped
+
+
+def _pa_tables(ds):
+    return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+
+
+def test_anti_semi_join_null_keys_dropped(ray_session):
+    """ADVICE r1: SQL three-valued logic — null join keys are dropped by
+    BOTH semi (IN) and anti (NOT IN) join; string keys with None must not
+    raise in searchsorted."""
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.relational import anti_join, semi_join
+
+    ints = pa.table(
+        {
+            "k": pa.array([1, 2, None, 4], type=pa.int64()),
+            "v": pa.array(list("abcd")),
+        }
+    )
+    kept = _pa_tables(semi_join(ray.data.from_arrow(ints), [1, 4], on="k"))
+    assert sorted(kept.column("v").to_pylist()) == ["a", "d"]
+    dropped = _pa_tables(anti_join(ray.data.from_arrow(ints), [1, 4], on="k"))
+    assert sorted(dropped.column("v").to_pylist()) == ["b"]  # null row gone
+
+    strs = pa.table(
+        {
+            "k": pa.array(["x", None, "y"]),
+            "v": pa.array([1, 2, 3], type=pa.int64()),
+        }
+    )
+    kept = _pa_tables(semi_join(ray.data.from_arrow(strs), ["y"], on="k"))
+    assert kept.column("v").to_pylist() == [3]
+    dropped = _pa_tables(anti_join(ray.data.from_arrow(strs), ["y"], on="k"))
+    assert dropped.column("v").to_pylist() == [1]
+
+
+def test_windowed_counts_null_ts_counts_rows(ray_session):
+    """ADVICE r1: a (null, key) window group must report count(*) rows,
+    not the null-skipping Arrow count."""
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.relational import windowed_counts
+
+    t = pa.table(
+        {
+            "ts": pa.array(
+                [None, None, pd.Timestamp("2024-01-01T10:05:00")],
+                type=pa.timestamp("us"),
+            ),
+            "event_type": pa.array(["a", "a", "a"]),
+        }
+    )
+    out = _pa_tables(windowed_counts(ray.data.from_arrow(t), unit="hour"))
+    by_win = {
+        (w, k): n
+        for w, k, n in zip(
+            out.column("window_start").to_pylist(),
+            out.column("event_type").to_pylist(),
+            out.column("n_events").to_pylist(),
+        )
+    }
+    assert by_win[(None, "a")] == 2
+
+
+def test_grouped_quantiles_ignores_null_values(ray_session):
+    """ADVICE r1: SQL quantile_cont ignores nulls; the rank interpolation
+    must never land on a NaN from a null value."""
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.ops import grouped_quantiles
+
+    t = pa.table(
+        {
+            "k": pa.array(["g"] * 5),
+            "v": pa.array([1.0, None, 3.0, None, 2.0]),
+        }
+    )
+    out = _pa_tables(grouped_quantiles(ray.data.from_arrow(t), key="k", value_col="v"))
+    assert out.column("p50").to_pylist() == [2.0]
+    assert abs(out.column("p90").to_pylist()[0] - 2.8) < 1e-12
+
+
+def test_hash_scheme_mismatch_refuses_resume(tmp_path):
+    """ADVICE r1: a lake stamped with an older key-hash scheme must refuse
+    to resume (silent int-key mis-routing would break LWW co-location)."""
+    import json
+
+    from airbyte_destination_ray.state.manifest import ManifestStore
+
+    store = ManifestStore(str(tmp_path), "t")
+    store.root.mkdir(parents=True)
+    meta = store.init_table(
+        num_partitions=4, mode="append_dedup", pk=["id"], cursor="ts"
+    )
+    assert meta["hash_scheme"] == 2
+    # re-init under the same scheme is fine
+    store.init_table(num_partitions=4, mode="append_dedup", pk=["id"], cursor="ts")
+    # downgrade the stamp → refusal
+    m = json.loads((store.root / "_meta.json").read_text())
+    m["hash_scheme"] = 1
+    (store.root / "_meta.json").write_text(json.dumps(m))
+    with pytest.raises(RuntimeError, match="hash scheme"):
+        store.init_table(
+            num_partitions=4, mode="append_dedup", pk=["id"], cursor="ts"
+        )
