@@ -484,14 +484,19 @@ def _q_events_value_quantiles(sf_dir: str):
 
 
 def _q_events_quantiles_approx(sf_dir: str):
-    """t-digest-style mergeable quantile sketch — the 100 TB approx path
-    (rows-only; accuracy pinned vs the exact operator in tests)."""
+    """t-digest-style mergeable quantile sketch — the 100 TB approx path.
+    The digest is exact-until-compression (DataSketches-style contract):
+    with ``delta=4096`` the sf0.01 groups stay uncompressed, so the sketch
+    pipeline (per-batch digests, pack/unpack, mergeable combine) runs for
+    real AND the result hash-matches the exact SQL oracle; beyond ``delta``
+    values per group the estimate degrades to ~1/delta accuracy, pinned vs
+    the exact operator by unit tests."""
     from airbyte_destination_ray.pipelines.relational import (
         grouped_quantiles_approx,
     )
 
     return grouped_quantiles_approx(
-        _events(sf_dir), key="event_type", value_col="value"
+        _events(sf_dir), key="event_type", value_col="value", delta=4096
     )
 
 
@@ -530,9 +535,13 @@ def _q_events_value_histogram(sf_dir: str):
 
 
 def _q_events_distinct_users_approx(sf_dir: str):
-    """HyperLogLog approximate COUNT(DISTINCT) per key — the mergeable-
-    sketch scale path (rows-only check; accuracy pinned by unit tests
-    against the exact operator)."""
+    """Mergeable distinct sketch per key with sparse-exact mode (Theta/CPC
+    contract): keys below the sparse threshold carry their sorted hash set
+    and report the EXACT count — so the whole sketch pipeline (per-batch
+    partials, pack, mergeable combine, estimate) is hash-checked against
+    the exact SQL oracle at sf0.01; past the threshold it degrades to
+    HyperLogLog registers (accuracy pinned vs the exact operator by unit
+    tests)."""
     from airbyte_destination_ray.pipelines.relational import (
         distinct_count_approx,
     )
@@ -796,7 +805,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events GROUP BY 1
         """,
+        "events_distinct_users_approx": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS n_distinct_approx
+            FROM events GROUP BY 1
+        """,
         "events_value_quantiles_by_type": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90
+            FROM events GROUP BY event_type
+        """,
+        "events_value_quantiles_approx": """
             SELECT event_type,
                    quantile_cont(value, 0.5) AS p50,
                    quantile_cont(value, 0.9) AS p90

@@ -29,10 +29,8 @@ def _clz64(x: np.ndarray) -> np.ndarray:
     return n
 
 
-def hll_partial(values, p: int = 12) -> np.ndarray:
-    """Registers (uint8[2**p]) for one batch of values."""
+def _regs_from_hashes(h: np.ndarray, p: int) -> np.ndarray:
     m = 1 << p
-    h = stable_hash_array(values)
     reg_idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = h << np.uint64(p)
     # rank = leading zeros of the remaining (64-p)-bit stream, +1; capped
@@ -42,8 +40,62 @@ def hll_partial(values, p: int = 12) -> np.ndarray:
     return regs
 
 
+def hll_partial(values, p: int = 12) -> np.ndarray:
+    """Registers (uint8[2**p]) for one batch of values."""
+    return _regs_from_hashes(stable_hash_array(values), p)
+
+
 def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.maximum(a, b)
+
+
+# ---------------------------------------------------------------------------
+# distinct sketch with sparse-exact mode (Theta/CPC-style contract)
+# ---------------------------------------------------------------------------
+# Below ``sparse_threshold`` distinct hashes, the sketch IS the sorted hash
+# set (one tag byte + 8 bytes/hash) and the estimate is exact; past the
+# threshold it degrades to HLL registers.  Merges stay associative and
+# commutative in both modes and across the mode boundary (hash-set union,
+# register max, set→register conversion).  This is the standard
+# exact-until-compression contract (DataSketches sparse mode): small keys
+# get exact COUNT(DISTINCT) — SQL-oracle-checkable — while hot keys cost a
+# bounded 2**p bytes.
+
+
+def distinct_sketch_partial(
+    values, *, p: int = 12, sparse_threshold: int = 4096
+) -> bytes:
+    h = np.unique(stable_hash_array(values))
+    if len(h) <= sparse_threshold:
+        return b"S" + np.ascontiguousarray(h, dtype="<u8").tobytes()
+    return b"H" + _regs_from_hashes(h, p).tobytes()
+
+
+def distinct_sketch_merge(
+    a: bytes, b: bytes, *, p: int = 12, sparse_threshold: int = 4096
+) -> bytes:
+    if a[:1] == b"S" and b[:1] == b"S":
+        u = np.union1d(
+            np.frombuffer(a, "<u8", offset=1), np.frombuffer(b, "<u8", offset=1)
+        )
+        if len(u) <= sparse_threshold:
+            return b"S" + np.ascontiguousarray(u, dtype="<u8").tobytes()
+        return b"H" + _regs_from_hashes(u.astype(np.uint64), p).tobytes()
+
+    def regs_of(x: bytes) -> np.ndarray:
+        if x[:1] == b"H":
+            return np.frombuffer(x, np.uint8, offset=1)
+        return _regs_from_hashes(
+            np.frombuffer(x, "<u8", offset=1).astype(np.uint64), p
+        )
+
+    return b"H" + hll_merge(regs_of(a), regs_of(b)).tobytes()
+
+
+def distinct_sketch_estimate(buf: bytes) -> int:
+    if buf[:1] == b"S":
+        return (len(buf) - 1) // 8
+    return int(round(hll_estimate(np.frombuffer(buf, np.uint8, offset=1))))
 
 
 # ---------------------------------------------------------------------------
@@ -87,11 +139,25 @@ def qdigest_merge(a, b, delta: int = 256):
 
 
 def qdigest_quantile(digest, q) -> np.ndarray:
-    """Interpolated quantile(s) from centroid midpoints (t-digest
-    estimation rule; exact at the extremes of the centroid range)."""
+    """Interpolated quantile(s) from the digest.
+
+    While the digest is UNCOMPRESSED (every centroid weight 1 — true
+    whenever the group's value count never exceeded ``delta``), the result
+    is the exact SQL ``quantile_cont``, computed with the same
+    ``lo·(1−frac) + hi·frac`` expression as the exact operator so the two
+    agree bit-for-bit (exact-until-compression, the DataSketches-style
+    contract).  Once compression engages, estimation falls back to the
+    t-digest centroid-midpoint rule (~1/delta accuracy in q-space)."""
     means, weights = digest
     if len(means) == 0:
         return np.full(np.shape(q), np.nan)
+    if np.all(weights == 1.0):
+        n = len(means)
+        rel = np.asarray(q, dtype=np.float64) * (n - 1)
+        lo = np.floor(rel).astype(np.int64)
+        hi = np.ceil(rel).astype(np.int64)
+        frac = rel - lo
+        return means[lo] * (1 - frac) + means[hi] * frac
     total = weights.sum()
     mid = np.cumsum(weights) - weights / 2
     return np.interp(np.asarray(q, dtype=np.float64) * total, mid, means)

@@ -850,18 +850,23 @@ def distinct_count_approx(
     key: str,
     distinct_col: str,
     p: int = 12,
+    sparse_threshold: int = 4096,
 ):
-    """Approximate COUNT(DISTINCT) per key via mergeable HyperLogLog
-    sketches (functions/sketches.py): per-batch per-key registers are the
-    partials, register-wise max the combiner — the exchange carries
-    ``2**p`` bytes per (key, batch) no matter how many rows, which is the
-    100 TB path where the exact pair-shuffle of
-    :func:`distinct_count_by` would still move one row per distinct pair.
-    Accuracy ~1.04/sqrt(2**p) (≈1.6% at p=12); unit-tested against the
-    exact operator."""
-    from ..functions.sketches import hll_estimate, hll_merge, hll_partial
-
-    m = 1 << p
+    """Approximate COUNT(DISTINCT) per key via mergeable distinct sketches
+    (functions/sketches.py) with sparse-exact mode: a key whose distinct
+    count stays ≤ ``sparse_threshold`` carries its sorted hash set and gets
+    the EXACT count (SQL-oracle-checkable — the Theta/CPC sparse-mode
+    contract); beyond the threshold the sketch degrades to HyperLogLog
+    registers — the exchange is then a bounded ``2**p`` bytes per
+    (key, batch) no matter how many rows, which is the 100 TB path where
+    the exact pair-shuffle of :func:`distinct_count_by` would still move
+    one row per distinct pair.  HLL accuracy ~1.04/sqrt(2**p) (≈1.6% at
+    p=12); unit-tested against the exact operator in both modes."""
+    from ..functions.sketches import (
+        distinct_sketch_estimate,
+        distinct_sketch_merge,
+        distinct_sketch_partial,
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         keys = batch.column(key)
@@ -877,25 +882,30 @@ def distinct_count_approx(
         out_keys, out_regs = [], []
         for s, e in zip(bounds, ends):
             out_keys.append(karr[s])
-            out_regs.append(hll_partial(vals.slice(s, e - s), p=p))
+            out_regs.append(
+                distinct_sketch_partial(
+                    vals.slice(s, e - s), p=p, sparse_threshold=sparse_threshold
+                )
+            )
         return pa.table(
             {
                 key: pa.array(out_keys, type=t.schema.field(key).type),
-                "_regs": pa.array(
-                    [r.tobytes() for r in out_regs], type=pa.binary()
-                ),
+                "_regs": pa.array(out_regs, type=pa.binary()),
             }
         )
 
     def final(group: pa.Table) -> pa.Table:
-        regs = np.zeros(m, dtype=np.uint8)
-        for buf in group.column("_regs").to_pylist():
-            regs = hll_merge(regs, np.frombuffer(buf, dtype=np.uint8))
+        bufs = group.column("_regs").to_pylist()
+        acc = bufs[0]
+        for buf in bufs[1:]:
+            acc = distinct_sketch_merge(
+                acc, buf, p=p, sparse_threshold=sparse_threshold
+            )
         return pa.table(
             {
                 key: [group.column(key)[0].as_py()],
                 "n_distinct_approx": pa.array(
-                    [int(round(hll_estimate(regs)))], type=pa.int64()
+                    [distinct_sketch_estimate(acc)], type=pa.int64()
                 ),
             }
         )

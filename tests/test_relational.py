@@ -657,3 +657,81 @@ def test_shuffle_join_left_outer_and_null_keys(ray_session):
             num_partitions=4,
         )
         _assert_matches(out, sql, {"l": left, "r": right})
+
+
+def test_distinct_sketch_sparse_exact_and_degrade():
+    from airbyte_destination_ray.functions.sketches import (
+        distinct_sketch_estimate,
+        distinct_sketch_merge,
+        distinct_sketch_partial,
+    )
+
+    a = np.arange(100)
+    b = np.arange(50, 150)
+    # sparse mode: exact union count
+    sa = distinct_sketch_partial(a, sparse_threshold=4096)
+    sb = distinct_sketch_partial(b, sparse_threshold=4096)
+    assert sa[:1] == b"S"
+    m = distinct_sketch_merge(sa, sb, sparse_threshold=4096)
+    assert distinct_sketch_estimate(m) == 150  # exact
+    # crossing the threshold degrades to HLL but stays close
+    m2 = distinct_sketch_merge(sa, sb, sparse_threshold=120)
+    assert m2[:1] == b"H"
+    assert abs(distinct_sketch_estimate(m2) - 150) / 150 < 0.1
+    # merge is commutative across modes
+    big = distinct_sketch_partial(np.arange(10_000), sparse_threshold=100)
+    assert big[:1] == b"H"
+    m3 = distinct_sketch_merge(sa, big, sparse_threshold=100)
+    m4 = distinct_sketch_merge(big, sa, sparse_threshold=100)
+    assert m3 == m4
+    assert abs(distinct_sketch_estimate(m3) - 10_000) / 10_000 < 0.05
+
+
+def test_distinct_count_approx_hll_mode_close(events):
+    """Force HLL mode (sparse_threshold=0): estimates stay within 5%."""
+    from airbyte_destination_ray.pipelines.relational import (
+        distinct_count_approx,
+        distinct_count_by,
+    )
+
+    exact = distinct_count_by(
+        _ds(events), key="event_type", distinct_col="user_id"
+    ).to_pandas()
+    approx = distinct_count_approx(
+        _ds(events), key="event_type", distinct_col="user_id",
+        sparse_threshold=0,
+    ).to_pandas()
+    merged = exact.merge(approx, on="event_type")
+    rel_err = (
+        (merged.n_distinct_approx - merged.n_distinct).abs()
+        / merged.n_distinct.clip(lower=1)
+    )
+    assert (rel_err < 0.05).all()
+
+
+def test_qdigest_exact_until_compression():
+    """Uncompressed digest (n ≤ delta) reproduces SQL quantile_cont exactly;
+    compression keeps ~1/delta accuracy."""
+    from airbyte_destination_ray.functions.sketches import (
+        qdigest_from_values,
+        qdigest_merge,
+        qdigest_quantile,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = rng.uniform(0, 1000, size=500)
+    d = qdigest_merge(
+        qdigest_from_values(vals[:250], 4096),
+        qdigest_from_values(vals[250:], 4096),
+        4096,
+    )
+    s = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        rel = q * (len(s) - 1)
+        lo, hi = int(np.floor(rel)), int(np.ceil(rel))
+        frac = rel - lo
+        expect = s[lo] * (1 - frac) + s[hi] * frac
+        assert float(qdigest_quantile(d, q)) == expect  # bit-exact
+    # compressed digest stays accurate
+    dc = qdigest_from_values(vals, 64)
+    assert abs(float(qdigest_quantile(dc, 0.5)) - np.quantile(vals, 0.5)) < 30
