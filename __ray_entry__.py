@@ -303,6 +303,34 @@ def _q_orders_lineitem_shuffle_join(sf_dir: str):
     )
 
 
+def _q_orders_lineitem_left_join(sf_dir: str):
+    """Left-outer big×big shuffle join: orders kept even when no lineitem
+    survives the quantity filter (NULL-extended) — exercises the outer path
+    of the same single-exchange join kernel."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b.column("l_quantity"), 45.0)),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return shuffle_join(
+        _orders(sf_dir),
+        li,
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        select=["o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity"],
+        join_type="left outer",
+    )
+
+
 def _q_asof_click_before_purchase(sf_dir: str):
     """As-of (point-in-time) join: each purchase attributed to the user's
     latest click at or before it — hash-partition once, per-group vectorized
@@ -591,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_broadcast_join": _q_orders_customer_join,
         "sales_by_nation": _q_sales_by_nation,
         "orders_lineitem_shuffle_join": _q_orders_lineitem_shuffle_join,
+        "orders_lineitem_left_join": _q_orders_lineitem_left_join,
         "asof_click_before_purchase": _q_asof_click_before_purchase,
         "events_hourly_by_type": _q_events_hourly_by_type,
         "sessionize_events": _q_sessionize_events,
@@ -763,6 +792,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_orderstatus,
                    l_linenumber, l_quantity, l_extendedprice
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        """,
+        "orders_lineitem_left_join": """
+            SELECT o_orderkey, o_orderstatus, l_linenumber, l_quantity
+            FROM orders LEFT JOIN (
+                SELECT * FROM lineitem WHERE l_quantity > 45
+            ) ON o_orderkey = l_orderkey
         """,
         "asof_click_before_purchase": """
             WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),

@@ -189,10 +189,20 @@ def run_bench(sf_dir: str, num_cpus: int, *, cdc_only: bool = False) -> dict:
 
 
 def run_scaling(low: int = 8, high: int = 32) -> dict:
-    """Same job, same input, fresh ray sessions at two parallelism levels."""
-    results = {}
-    for cpus in (low, high):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+    """Same job, same input, fresh ray sessions at two parallelism levels.
+
+    Levels are INTERLEAVED (low, high, low, high) and the best run per
+    level wins: this sandbox's VM throughput drifts ±2-3× on a scale of
+    minutes (hypervisor neighbors), and running all of one level then all
+    of the other lets a slow window land entirely on one side of the
+    ratio.  Interleaving exposes both levels to the same noise windows."""
+    results: dict[int, dict] = {}
+    for cpus in (low, high, low, high):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(cpus),
+            GRAFT_CDC_REPEAT=os.environ.get("GRAFT_CDC_REPEAT", "2"),
+        )
         out = subprocess.run(
             [sys.executable, str(_REPO / "bench.py"), "--cdc-only"],
             env=env,
@@ -201,7 +211,9 @@ def run_scaling(low: int = 8, high: int = 32) -> dict:
             check=True,
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        r = json.loads(line)
+        if cpus not in results or r["cdc_events_per_sec"] > results[cpus]["cdc_events_per_sec"]:
+            results[cpus] = r
     tp_low = results[low]["cdc_events_per_sec"]
     tp_high = results[high]["cdc_events_per_sec"]
     efficiency = tp_high / (tp_low * (high / low))
