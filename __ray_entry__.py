@@ -219,6 +219,15 @@ def _q_text_stats(sf_dir: str):
     return text_stats(_documents(sf_dir, columns=["doc_id", "text"]))
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals (line count, distinct lines,
+    duplicate-line fraction) — the boilerplate filter's inputs; counts are
+    SQL-expressible so the whole operator is hash-checked."""
+    from airbyte_destination_ray.pipelines.ops import repetition_stats
+
+    return repetition_stats(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
 def _q_annotate_documents(sf_dir: str):
     from airbyte_destination_ray.pipelines.ops import annotate_documents
 
@@ -607,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_topk": _q_knn_lsh,
         "knn_ivf_topk": _q_knn_ivf,
         "text_stats_documents": _q_text_stats,
+        "repetition_stats_documents": _q_repetition_stats,
         "annotate_documents": _q_annotate_documents,
         "events_stats_by_type": _q_events_stats_by_type,
         "events_daily_counts": _q_events_daily_counts,
@@ -751,6 +761,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text,
                        '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
                        AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "repetition_stats_documents": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, chr(10))) AS BIGINT)
+                       AS n_lines,
+                   CAST(len(list_distinct(string_split(text, chr(10))))
+                       AS BIGINT) AS n_distinct_lines,
+                   (len(string_split(text, chr(10)))
+                    - len(list_distinct(string_split(text, chr(10)))))
+                   / CAST(len(string_split(text, chr(10))) AS DOUBLE)
+                       AS dup_line_frac
             FROM documents
         """,
         "events_stats_by_type": """

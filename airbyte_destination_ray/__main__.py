@@ -16,6 +16,7 @@ SURVEY §7.9 — on a cluster, run e.g.
         [--partitions N] [--strategy snapshot|delta] \
         [--shuffle payload|key_only] [--enrich] [--no-resume]
     python -m airbyte_destination_ray compact --lake LAKE [--table pages]
+    python -m airbyte_destination_ray vacuum --lake LAKE [--table pages] [--keep-generations N]
 
 This entry point owns the Ray session (the library never calls ray.init).
 """
@@ -70,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
     p_compact = sub.add_parser("compact")
     p_compact.add_argument("--lake", required=True)
     p_compact.add_argument("--table", default="pages")
+    p_vacuum = sub.add_parser("vacuum")
+    p_vacuum.add_argument("--lake", required=True)
+    p_vacuum.add_argument("--table", default="pages")
+    p_vacuum.add_argument("--keep-generations", type=int, default=0)
     args = ap.parse_args(argv)
 
     from .catalog import check as check_config
@@ -98,6 +103,20 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 0 if ok else 1
+
+    if args.command == "vacuum":
+        # pure filesystem metadata work — no Ray session needed
+        from .state.manifest import ManifestStore
+
+        print(
+            json.dumps(
+                ManifestStore(args.lake, args.table).vacuum(
+                    keep_generations=args.keep_generations
+                ),
+                separators=(",", ":"),
+            )
+        )
+        return 0
 
     import ray
 

@@ -305,6 +305,44 @@ def content_fingerprint(texts, *, normalize: bool = False) -> pa.Array:
     return _apply_null_mask(pa.array(h, type=pa.uint64()), texts)
 
 
+def repetition_features(texts) -> dict[str, pa.Array]:
+    """Gopher-style repetition signals per document: line count, distinct
+    line count, duplicate-line fraction.  High duplicate-line fractions are
+    the classic boilerplate/spam signature (navigation bars, scraped
+    listings) in web-text filtering.
+
+    Vectorized: one Arrow ``split_pattern`` on newline, line hashes via the
+    stable hasher, per-document distinct counts from a single lexsort over
+    (doc, hash) — no Python per-row work.  Both counts are SQL-expressible
+    (``string_split`` + ``list_distinct``), so the operator is
+    hash-checkable against a DuckDB oracle."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lines = pc.split_pattern(pc.fill_null(texts, ""), "\n")
+    n_lines = pc.list_value_length(lines).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    flat = lines.flatten()
+    h = stable_hash_array(flat)
+    row_ids = np.repeat(np.arange(len(n_lines), dtype=np.int64), n_lines)
+    order = np.lexsort((h, row_ids))
+    rs, hs = row_ids[order], h[order]
+    new = np.ones(len(rs), dtype=bool)
+    if len(rs) > 1:
+        new[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+    n_distinct = np.zeros(len(n_lines), dtype=np.int64)
+    np.add.at(n_distinct, rs[new], 1)
+    dup_frac = _ratio_np(
+        (n_lines - n_distinct).astype(np.float64), n_lines.astype(np.float64)
+    )
+    out = {
+        "n_lines": pa.array(n_lines, type=pa.int64()),
+        "n_distinct_lines": pa.array(n_distinct, type=pa.int64()),
+        "dup_line_frac": pa.array(dup_frac, type=pa.float64()),
+    }
+    return {k: _apply_null_mask(v, texts) for k, v in out.items()}
+
+
 # --------------------------------------------------------------------------
 # composite enrichment (the CDC in-flight annotator)
 # --------------------------------------------------------------------------

@@ -342,6 +342,21 @@ def quality_filter(ds, *, text_col: str = "text", min_quality: float = 0.5):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def repetition_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style per-document repetition signals: line count, distinct
+    line count, duplicate-line fraction (the boilerplate/spam signature in
+    web-text filtering).  Vectorized line hashing; SQL-expressible counts
+    so the DuckDB oracle hash-matches."""
+    from ..functions.text import repetition_features
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = {id_col: batch.column(id_col)}
+        cols.update(repetition_features(batch.column(text_col)))
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
 def quality_filter_exact(
     ds,
     *,

@@ -220,15 +220,21 @@ def _detect_hot_keys(
     share: float,
     per_batch_top: int = 32,
     max_hot: int = 64,
+    max_sample_rows: int = 250_000,
 ) -> list:
     """Sample-detect join keys holding more than ``share`` of the rows.
 
-    One pass over the key column: each batch contributes its top-N key
-    counts (a few dozen tiny rows) plus its row count; the driver sums the
-    candidates and keeps keys above the global share.  A key above the share
-    appears in the top-N of most batches, so truncation cannot hide it; a
-    missed key only costs skew protection, never correctness.
+    Bounded pass over the key column: at most ``max_sample_rows`` rows are
+    read (``limit`` early-stops the scan, so at 100 TB this costs a few
+    blocks, not a full pass); each batch contributes its top-N key counts
+    plus its row count; the driver sums the candidates and keeps keys above
+    the sampled share.  A key above the share is above it in essentially
+    any contiguous sample (hot keys are present throughout the stream), so
+    truncation cannot hide it; a missed key only costs skew protection,
+    never correctness.
     """
+    if max_sample_rows:
+        ds = ds.limit(max_sample_rows)
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"k": batch.column(on)})

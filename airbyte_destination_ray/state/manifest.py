@@ -274,6 +274,52 @@ class ManifestStore:
         return out
 
     # -- checkpoints ---------------------------------------------------------
+    def vacuum(self, *, keep_generations: int = 0) -> dict:
+        """Reclaim storage the current table state no longer references:
+
+        - data directories of superseded generations (an overwrite flip
+          makes the whole old generation invisible; ``keep_generations``
+          retains that many most-recent old generations for rollback);
+        - parquet files in the CURRENT generation not referenced by the
+          latest committed manifest of any partition (delta stacks folded
+          by compaction leave their inputs unreferenced on disk).
+
+        Trades away resume/time-travel to epochs older than each
+        partition's latest manifest — run it from the maintenance loop
+        (``tail_binlog``-style ownership), never concurrently with a sync
+        of the same table.  Manifests themselves are kept (tiny, and they
+        document lineage).  Returns counts of removed files/dirs.
+        """
+        import shutil
+
+        meta = self.table_meta()
+        current = int(meta["generation"])
+        removed_dirs = 0
+        removed_files = 0
+        for d in sorted(self.root.glob("gen=*")):
+            gen = int(d.name.split("=")[1])
+            if gen < current - keep_generations:
+                shutil.rmtree(d)
+                removed_dirs += 1
+        referenced = {
+            f for f, _ in self.committed_files_versioned(
+                current, mode=meta["mode"]
+            )
+        }
+        gen_dir = self.root / f"gen={current:04d}" / "parts"
+        if gen_dir.exists():
+            for f in gen_dir.rglob("*.parquet"):
+                rel = str(f.relative_to(self.root.parent))
+                if rel not in referenced:
+                    f.unlink()
+                    removed_files += 1
+        return {
+            "table": self.root.name,
+            "generation": current,
+            "removed_generation_dirs": removed_dirs,
+            "removed_files": removed_files,
+        }
+
     def write_checkpoint(self, generation: int, epoch: int, payload: dict) -> bool:
         """Epoch checkpoint: durable only after every partition manifest of
         the epoch is committed (the STATE-echo barrier, S6)."""

@@ -156,3 +156,67 @@ def test_delta_strategy_composes_with_key_only_shuffle(tmp_path, ray_session):
     a = read_table_arrow(str(ref), "pages").sort_by("url")
     b = read_table_arrow(str(combo), "pages").sort_by("url")
     assert a.equals(b)
+
+
+def test_vacuum_reclaims_compacted_deltas_and_old_generations(tmp_path, ray_session):
+    """vacuum() removes delta files left unreferenced by a compaction and
+    data dirs of superseded generations; the read view is unchanged."""
+    from pathlib import Path
+
+    from airbyte_destination_ray.pipelines.cdc import (
+        compact_table,
+        read_table_arrow,
+        run_cdc_sync,
+    )
+    from airbyte_destination_ray.sources.synth import synthesize_binlog
+    from airbyte_destination_ray.state.manifest import ManifestStore
+
+    binlog = tmp_path / "binlog"
+    synthesize_binlog(binlog, n_events=1800, n_keys=300, n_epochs=3, seed=5)
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, str(binlog), num_partitions=4, merge_strategy="delta",
+                 compact_every=16)
+    assert compact_table(lake, "pages")["compacted_partitions"] > 0
+    before = read_table_arrow(lake, "pages").sort_by("url")
+    n_files_before = len(list(Path(lake, "pages").rglob("*.parquet")))
+    res = ManifestStore(lake, "pages").vacuum()
+    assert res["removed_files"] > 0
+    n_files_after = len(list(Path(lake, "pages").rglob("*.parquet")))
+    assert n_files_after < n_files_before
+    after = read_table_arrow(lake, "pages").sort_by("url")
+    assert before.equals(after)
+    # idempotent
+    assert ManifestStore(lake, "pages").vacuum()["removed_files"] == 0
+
+
+def test_vacuum_drops_superseded_generations(tmp_path, ray_session):
+    from pathlib import Path
+
+    from airbyte_destination_ray.pipelines.cdc import (
+        read_table_arrow,
+        run_cdc_sync,
+    )
+    from airbyte_destination_ray.sources.synth import synthesize_binlog
+    from airbyte_destination_ray.state.manifest import ManifestStore
+
+    binlog = tmp_path / "binlog"
+    synthesize_binlog(binlog, n_events=600, n_keys=100, n_epochs=1, seed=6)
+    lake = str(tmp_path / "lake")
+    # two overwrite syncs → generation 0 superseded by 1, then 1 by 2
+    run_cdc_sync(lake, str(binlog), num_partitions=2, mode="overwrite",
+                 resume=False)
+    run_cdc_sync(lake, str(binlog), num_partitions=2, mode="overwrite",
+                 resume=False)
+    run_cdc_sync(lake, str(binlog), num_partitions=2, mode="overwrite",
+                 resume=False)
+    gens = sorted(Path(lake, "pages").glob("gen=*"))
+    assert len(gens) == 3
+    before = read_table_arrow(lake, "pages").sort_by("url")
+    # keep one old generation for rollback
+    res = ManifestStore(lake, "pages").vacuum(keep_generations=1)
+    assert res["removed_generation_dirs"] == 1
+    assert len(sorted(Path(lake, "pages").glob("gen=*"))) == 2
+    # drop the rest
+    res = ManifestStore(lake, "pages").vacuum()
+    assert res["removed_generation_dirs"] == 1
+    assert read_table_arrow(lake, "pages").sort_by("url").equals(before)

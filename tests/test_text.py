@@ -171,3 +171,25 @@ def test_fast_token_count_matches_regex_on_random_ascii():
     for d, a, b in zip(docs, fast, regex):
         if "'" not in d:
             assert a == b, (d, a, b)
+
+
+def test_repetition_features_counts_and_nulls():
+    import pyarrow as pa
+
+    from airbyte_destination_ray.functions.text import repetition_features
+
+    texts = pa.array(
+        [
+            "a\nb\na\nc",      # 4 lines, 3 distinct
+            "same\nsame\nsame",  # 3 lines, 1 distinct
+            "single",           # 1 line, 1 distinct
+            "",                 # split('') -> [''] : 1 line, 1 distinct
+            None,
+        ]
+    )
+    f = repetition_features(texts)
+    assert f["n_lines"].to_pylist() == [4, 3, 1, 1, None]
+    assert f["n_distinct_lines"].to_pylist() == [3, 1, 1, 1, None]
+    fracs = f["dup_line_frac"].to_pylist()
+    assert fracs[0] == 0.25 and abs(fracs[1] - 2 / 3) < 1e-12
+    assert fracs[2] == 0.0 and fracs[3] == 0.0 and fracs[4] is None
