@@ -68,6 +68,7 @@ def main(argv: list[str] | None = None) -> int:
     p_tail.add_argument("--poll-interval", type=float, default=1.0)
     p_tail.add_argument("--max-idle-polls", type=int, default=3)
     p_tail.add_argument("--compact-every-epochs", type=int, default=None)
+    p_tail.add_argument("--vacuum-after-compact", action="store_true")
     p_compact = sub.add_parser("compact")
     p_compact.add_argument("--lake", required=True)
     p_compact.add_argument("--table", default="pages")
@@ -152,6 +153,7 @@ def main(argv: list[str] | None = None) -> int:
                 poll_interval=args.poll_interval,
                 max_idle_polls=args.max_idle_polls,
                 compact_every_epochs=args.compact_every_epochs,
+                vacuum_after_compact=args.vacuum_after_compact,
                 table=args.table,
                 num_partitions=args.partitions,
                 merge_strategy=args.strategy,

@@ -249,6 +249,7 @@ def tail_binlog(
     max_idle_polls: int = 3,
     on_epoch=None,
     compact_every_epochs: int | None = None,
+    vacuum_after_compact: bool = False,
     **sync_kwargs,
 ) -> dict:
     """Continuously tail the binlog: poll for epochs newer than the last
@@ -266,6 +267,9 @@ def tail_binlog(
     partition's file stack after that many freshly-synced epochs (on top of
     the merger's own per-partition ``compact_every`` bound) — the steady-
     state maintenance loop a long-running tailer owns.
+    ``vacuum_after_compact``: reclaim the files each compaction leaves
+    unreferenced (``ManifestStore.vacuum``) — safe here because the tailer
+    owns the table exclusively between polls.
     """
     idle = 0
     synced: list[int] = []
@@ -288,6 +292,8 @@ def tail_binlog(
             ):
                 if compact_table(lake_root, table).get("compacted_partitions"):
                     compactions += 1
+                    if vacuum_after_compact:
+                        ManifestStore(lake_root, table).vacuum()
                 since_compact = 0
         else:
             idle += 1

@@ -164,6 +164,24 @@ def test_small_flush_boundary(ray_session, lake):
     assert dedup.num_rows == 2
 
 
+def test_dataset_write_rerun_same_epoch_is_noop(ray_session, tmp_path):
+    """Re-running the single-pass dataset write for a committed epoch must
+    be a no-op (manifest CAS): identical lake state, no duplicates."""
+    from airbyte_destination_ray.pipelines.airbyte_write import run_write_dataset
+
+    lines = [l for l in _lines() if '"STATE"' not in l]
+    f = tmp_path / "in.ndjson"
+    f.write_text("\n".join(lines) + "\n")
+    lake = str(tmp_path / "lake")
+    cfg = Config(lake_root=lake)
+    run_write_dataset(cfg, catalog_from_json(CATALOG), [str(f)], num_partitions=4)
+    before_a = read_table_arrow(lake, "airlines").sort_by("id")
+    before_d = read_table_arrow(lake, "deduped_stream").sort_by("id")
+    run_write_dataset(cfg, catalog_from_json(CATALOG), [str(f)], num_partitions=4)
+    assert read_table_arrow(lake, "airlines").sort_by("id").equals(before_a)
+    assert read_table_arrow(lake, "deduped_stream").sort_by("id").equals(before_d)
+
+
 def test_byte_flush_boundary(ray_session, lake):
     """destination_test.go:171-182 analog: shrink the byte budget (the
     reference shrinks maxBytesPerBatch to 2,500) and check the byte side of

@@ -303,3 +303,31 @@ def test_tail_auto_compaction(binlog, tmp_path):
     # epochs 0-1 compacted into one file; epoch 2 (synced after the
     # compaction trigger) may add one delta on top
     assert all(len(s["files"]) <= 2 for s in stacks)
+
+
+def test_tail_vacuum_after_compact(binlog, tmp_path):
+    """vacuum_after_compact reclaims the delta files each compaction folds;
+    the read view is unchanged."""
+    from pathlib import Path
+
+    from airbyte_destination_ray.pipelines.cdc import tail_binlog
+
+    lake = tmp_path / "lake"
+    ref = tmp_path / "ref"
+    run_cdc_sync(str(ref), binlog, num_partitions=PARTS)
+    no_vac = tmp_path / "novac"
+    tail_binlog(
+        str(no_vac), binlog, poll_interval=0.05, max_idle_polls=1,
+        num_partitions=PARTS, merge_strategy="delta", compact_every=99,
+        compact_every_epochs=2,
+    )
+    summary = tail_binlog(
+        str(lake), binlog, poll_interval=0.05, max_idle_polls=1,
+        num_partitions=PARTS, merge_strategy="delta", compact_every=99,
+        compact_every_epochs=2, vacuum_after_compact=True,
+    )
+    assert summary["compactions"] >= 1
+    n_vac = len(list(Path(lake, "pages").rglob("*.parquet")))
+    n_novac = len(list(Path(no_vac, "pages").rglob("*.parquet")))
+    assert n_vac < n_novac
+    assert lake_state(str(lake)).equals(lake_state(str(ref)))
