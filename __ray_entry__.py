@@ -47,21 +47,21 @@ def entry() -> Any:
 
 
 def _events(sf_dir: str):
-    import ray.data
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
 
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return read_parquet_sized(f"{sf_dir}/events.parquet")
 
 
 def _documents(sf_dir: str, columns=None):
-    import ray.data
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _embeddings(sf_dir: str):
-    import ray.data
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
 
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return read_parquet_sized(f"{sf_dir}/embeddings.parquet")
 
 
 def _query_vectors(sf_dir: str, n: int = 4):
@@ -238,9 +238,9 @@ def _q_annotate_documents(sf_dir: str):
 
 
 def _orders(sf_dir: str):
-    import ray.data
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
 
-    return ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+    return read_parquet_sized(f"{sf_dir}/orders.parquet")
 
 
 def _q_orders_customer_join(sf_dir: str):
@@ -289,13 +289,12 @@ def _q_orders_lineitem_shuffle_join(sf_dir: str):
     """Big×big shuffle hash join (orders ⋈ lineitem): one hash exchange per
     side, per-partition Acero join — the shape for sides too large to
     broadcast."""
-    import ray.data
-
     from airbyte_destination_ray.pipelines.relational import shuffle_join
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
 
     return shuffle_join(
         _orders(sf_dir),
-        ray.data.read_parquet(
+        read_parquet_sized(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
         ),
@@ -318,11 +317,11 @@ def _q_orders_lineitem_left_join(sf_dir: str):
     of the same single-exchange join kernel."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray.data
 
     from airbyte_destination_ray.pipelines.relational import shuffle_join
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
 
-    li = ray.data.read_parquet(
+    li = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_quantity"],
     ).map_batches(
@@ -420,11 +419,10 @@ def _q_orders_anti_join(sf_dir: str):
 def _q_pricing_summary(sf_dir: str):
     """TPC-H-Q1-shape multi-aggregate with derived expressions over
     lineitem, exact integer-cents sums (order-independent)."""
-    import ray.data
-
     from airbyte_destination_ray.pipelines.relational import pricing_summary
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
 
-    return pricing_summary(ray.data.read_parquet(f"{sf_dir}/lineitem.parquet"))
+    return pricing_summary(read_parquet_sized(f"{sf_dir}/lineitem.parquet"))
 
 
 # -- aggregation ------------------------------------------------------------
