@@ -79,16 +79,35 @@ def _warmup_batch(batch):
     return batch
 
 
+def _plasma_warmup_batch(batch):
+    import numpy as np
+    import pyarrow as pa
+
+    # ~24 MB of fresh pages per task: forces first-touch of worker heap AND
+    # (via the returned block) plasma store mmap regions
+    payload = np.random.default_rng(0).integers(0, 255, size=24 << 20, dtype=np.uint8)
+    return pa.table({"b": pa.array([payload.tobytes()])})
+
+
 def _warmup(num_cpus: int) -> None:
     """Spin up the Ray Data worker pool so cold-start cost (worker process
     fork + imports ~10s for 32 workers, plus first-touch page faults of the
     text kernels' working set) isn't billed to the measured job — on a
-    long-lived cluster these costs amortize to zero."""
+    long-lived cluster these costs amortize to zero.
+
+    The second pass pushes ~num_cpus×48 MB of fresh blocks through the
+    object store: plasma's mmap regions fault in on first touch
+    (~120 MB/s on this VM), and without pre-touching them the FIRST measured
+    sync pays that fault storm — observed as a monotone 14.9 → 11.9 → 9.6 s
+    repeat pattern even with binlog AND lake both on tmpfs."""
     import ray.data
 
     ray.data.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
         _warmup_batch, batch_format="pyarrow"
     ).count()
+    ray.data.range(
+        num_cpus * 2, override_num_blocks=num_cpus * 2
+    ).map_batches(_plasma_warmup_batch, batch_format="pyarrow").count()
 
 
 def _binlog_event_count(binlog: Path) -> int:
@@ -197,12 +216,25 @@ def run_scaling(low: int = 8, high: int = 32) -> dict:
     of the other lets a slow window land entirely on one side of the
     ratio.  Interleaving exposes both levels to the same noise windows."""
     results: dict[int, dict] = {}
+    # keep the scaling binlog on tmpfs when there's room: the sandbox's one
+    # virtual disk adds ±40% read noise that would land asymmetrically on
+    # the two levels (the ratio is the deliverable, not the absolute wall)
+    bench_tmp = os.environ.get("GRAFT_BENCH_TMP")
+    if bench_tmp is None and os.path.isdir("/dev/shm"):
+        try:
+            free = shutil.disk_usage("/dev/shm").free
+        except OSError:
+            free = 0
+        if free > 8 << 30:
+            bench_tmp = "/dev/shm/adr_bench_scaling"
     for cpus in (low, high, low, high):
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(cpus),
             GRAFT_CDC_REPEAT=os.environ.get("GRAFT_CDC_REPEAT", "2"),
         )
+        if bench_tmp:
+            env["GRAFT_BENCH_TMP"] = bench_tmp
         out = subprocess.run(
             [sys.executable, str(_REPO / "bench.py"), "--cdc-only"],
             env=env,
