@@ -228,6 +228,14 @@ def _q_repetition_stats(sf_dir: str):
     return repetition_stats(_documents(sf_dir, columns=["doc_id", "text"]))
 
 
+def _q_redact_pii(sf_dir: str):
+    """PII scrub: emails/IPv4/phones → tokens + per-class counts; RE2
+    patterns shared verbatim with the DuckDB regexp_replace oracle."""
+    from airbyte_destination_ray.pipelines.ops import redact_pii_documents
+
+    return redact_pii_documents(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
 def _q_annotate_documents(sf_dir: str):
     from airbyte_destination_ray.pipelines.ops import annotate_documents
 
@@ -615,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_topk": _q_knn_ivf,
         "text_stats_documents": _q_text_stats,
         "repetition_stats_documents": _q_repetition_stats,
+        "redact_pii_documents": _q_redact_pii,
         "annotate_documents": _q_annotate_documents,
         "events_stats_by_type": _q_events_stats_by_type,
         "events_daily_counts": _q_events_daily_counts,
@@ -759,6 +768,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text,
                        '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
                        AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "redact_pii_documents": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                       AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                       '\+\d[\d\-\s]{7,}\d')) AS BIGINT) AS n_phone,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                               '[EMAIL]', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '[IP]', 'g'),
+                       '\+\d[\d\-\s]{7,}\d', '[PHONE]', 'g')
+                       AS text_redacted
             FROM documents
         """,
         "repetition_stats_documents": """

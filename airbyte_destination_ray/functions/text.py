@@ -344,6 +344,41 @@ def repetition_features(texts) -> dict[str, pa.Array]:
 
 
 # --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# RE2-compatible patterns, applied in this order (later patterns see the
+# earlier replacements — the order is part of the contract and of the SQL
+# oracle).  All are deliberately conservative/precision-oriented; a real
+# deployment swaps in its own pattern pack.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+\d[\d\-\s]{7,}\d", "[PHONE]"),
+)
+
+
+def redact_pii(texts) -> dict[str, pa.Array]:
+    """Redact PII-shaped spans (emails, IPv4 addresses, international-format
+    phone numbers) and count matches per class.
+
+    Counts are taken on the ORIGINAL text; replacement is sequential in
+    :data:`PII_PATTERNS` order.  Vectorized RE2 throughout
+    (``count_substring_regex`` / ``replace_substring_regex``), and every
+    pattern is DuckDB-compatible, so the whole stage is hash-checkable
+    against a nested ``regexp_replace(..., 'g')`` oracle."""
+    out: dict[str, pa.Array] = {}
+    redacted = texts
+    for name, pattern, token in PII_PATTERNS:
+        out[f"n_{name}"] = pc.cast(
+            pc.count_substring_regex(texts, pattern), pa.int64()
+        )
+        redacted = pc.replace_substring_regex(redacted, pattern, token)
+    out["text_redacted"] = redacted
+    return out
+
+
+# --------------------------------------------------------------------------
 # composite enrichment (the CDC in-flight annotator)
 # --------------------------------------------------------------------------
 

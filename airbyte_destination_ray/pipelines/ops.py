@@ -357,6 +357,20 @@ def repetition_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def redact_pii_documents(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """PII scrub stage (emails / IPv4 / phone numbers → tokens) + per-class
+    match counts — the standard pre-training privacy pass, fully
+    vectorized RE2 and SQL-oracle-checkable."""
+    from ..functions.text import redact_pii
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = {id_col: batch.column(id_col)}
+        cols.update(redact_pii(batch.column(text_col)))
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
 def quality_filter_exact(
     ds,
     *,

@@ -193,3 +193,29 @@ def test_repetition_features_counts_and_nulls():
     fracs = f["dup_line_frac"].to_pylist()
     assert fracs[0] == 0.25 and abs(fracs[1] - 2 / 3) < 1e-12
     assert fracs[2] == 0.0 and fracs[3] == 0.0 and fracs[4] is None
+
+
+def test_redact_pii_patterns():
+    import pyarrow as pa
+
+    from airbyte_destination_ray.functions.text import redact_pii
+
+    texts = pa.array(
+        [
+            "mail me at jane.doe+x@example.co.uk now",
+            "server 192.168.1.200 and backup 10.0.0.1",
+            "call +1 555-123-4567 today",
+            "clean text with no pii at all",
+            None,
+        ]
+    )
+    out = redact_pii(texts)
+    assert out["n_email"].to_pylist() == [1, 0, 0, 0, None]
+    assert out["n_ipv4"].to_pylist() == [0, 2, 0, 0, None]
+    assert out["n_phone"].to_pylist() == [0, 0, 1, 0, None]
+    red = out["text_redacted"].to_pylist()
+    assert red[0] == "mail me at [EMAIL] now"
+    assert red[1] == "server [IP] and backup [IP]"
+    assert red[2] == "call [PHONE] today"
+    assert red[3] == "clean text with no pii at all"
+    assert red[4] is None
