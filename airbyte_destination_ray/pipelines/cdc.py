@@ -75,6 +75,15 @@ def run_cdc_sync(
     - ``"payload"`` (default): change rows flow through the hash exchange
       whole.  Right when most changes are distinct keys (little cross-batch
       redundancy to exploit).
+    - ``"packed"``: payload semantics, but each routing batch is grouped
+      by partition and serialized into one Arrow-IPC envelope per
+      partition before the exchange — the sort machinery then moves
+      ~(blocks × partitions) opaque binary rows instead of millions of
+      wide rows.  Byte-identical output (pinned).  Measured NEUTRAL on one
+      node at 20M × 128 partitions (the pack/unpack memcpys offset the
+      sort-row savings); retained for multi-node clusters, where fewer,
+      larger objects cut per-object transfer overhead in the cross-node
+      exchange.
     - ``"key_only"``: two-pass merge for WIDE payloads (SURVEY §7 hard-point
       (c) — Common-Crawl ``html`` is ~100 KB/row while the merge key is
       ~100 B).  Pass 1 reads ONLY ``(seq, pk, ver)`` (Parquet column
@@ -181,6 +190,7 @@ def run_cdc_sync(
             pre_transform=make_envelope_aligner(
                 lake_root, table, src_version, target_version
             ),
+            pack=(shuffle == "packed"),
         )
         merger = make_partition_merger(
             lake_root,

@@ -148,6 +148,7 @@ def make_partitioner(
     enrich: bool = False,
     text_column: str = "text",
     pre_transform: Callable[[pa.Table], pa.Table] | None = None,
+    pack: bool = False,
 ) -> Callable[[pa.Table], pa.Table]:
     """``map_batches`` stage: envelope → lake rows + ``_part`` routing column.
 
@@ -159,6 +160,13 @@ def make_partitioner(
     With ``enrich``, each surviving row is annotated in-flight with the
     text-analysis columns (``lang_id, quality, n_tokens, fingerprint``) —
     after the pre-reduce, so superseded versions are never annotated.
+
+    With ``pack``, the batch is grouped by ``_part`` and serialized into
+    ONE Arrow-IPC envelope row per partition: the sort exchange then moves
+    ~(blocks × partitions) opaque binary rows instead of millions of wide
+    rows, skipping the per-row take/copy cost of sorting string-heavy
+    payloads (the data bytes still move — once, as contiguous buffers).
+    The merger unpacks transparently.
     """
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -179,7 +187,31 @@ def make_partitioner(
             from ..functions.hashing import composite_partition_ids
 
             parts = composite_partition_ids(batch, pks, num_partitions)
-        return batch.append_column("_part", pa.array(parts, type=pa.int64()))
+        if not pack:
+            return batch.append_column("_part", pa.array(parts, type=pa.int64()))
+        # ONE take to cluster rows by partition, then zero-copy slices per
+        # partition (a filter per partition would be O(rows × partitions) —
+        # the groupby-per-bucket anti-pattern)
+        order = np.argsort(parts, kind="stable")
+        clustered = batch.take(pa.array(order, type=pa.int64()))
+        sp = parts[order]
+        starts = np.nonzero(np.concatenate(([True], sp[1:] != sp[:-1])))[0]
+        ends = np.append(starts[1:], len(sp))
+        out_p: list[int] = []
+        out_b: list[bytes] = []
+        for s, e in zip(starts, ends):
+            sub = clustered.slice(int(s), int(e - s))
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, sub.schema) as w:
+                w.write_table(sub)
+            out_p.append(int(sp[s]))
+            out_b.append(sink.getvalue().to_pybytes())
+        return pa.table(
+            {
+                "_part": pa.array(out_p, type=pa.int64()),
+                "_ipc": pa.array(out_b, type=pa.binary()),
+            }
+        )
 
     return fn
 
@@ -297,6 +329,17 @@ def make_partition_merger(
 
     def merge(group: pa.Table) -> pa.Table:
         part = int(group.column("_part")[0].as_py())
+        if "_ipc" in group.column_names:
+            # packed exchange (make_partitioner(pack=True)): unpack the
+            # per-batch IPC envelopes back into lake rows
+            unpacked = pa.concat_tables(
+                pa.ipc.open_stream(pa.BufferReader(b)).read_all()
+                for b in group.column("_ipc").to_pylist()
+            )
+            group = unpacked.append_column(
+                "_part",
+                pa.array(np.full(unpacked.num_rows, part, dtype=np.int64)),
+            )
         store = ManifestStore(lake_root, table_name)
         existing = store.get(generation, epoch, part)
         if existing is not None:
