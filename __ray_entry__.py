@@ -496,6 +496,15 @@ def _q_lineage_events_cdc(sf_dir: str):
     )
 
 
+def _q_lineage_epoch_totals(sf_dir: str):
+    """Manifest-only per-epoch totals (A5): the manifest bookkeeping
+    (row_count / max_seq / recency per partition) hash-checked against raw
+    SQL over the events table — no data scan on the Ray side."""
+    from airbyte_destination_ray.pipelines.events_cdc import lineage_epoch_totals
+
+    return lineage_epoch_totals(sf_dir)
+
+
 def _q_top_events_by_value(sf_dir: str):
     """Global top-50 events by value — per-batch local top-k + tiny final
     reduce, no global sort."""
@@ -633,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_features": _q_multimodal_audio_features,
         "multimodal_video_frames": _q_multimodal_video_frames,
         "lineage_events_cdc": _q_lineage_events_cdc,
+        "lineage_epoch_totals": _q_lineage_epoch_totals,
         "orders_customer_broadcast_join": _q_orders_customer_join,
         "sales_by_nation": _q_sales_by_nation,
         "orders_lineitem_shuffle_join": _q_orders_lineitem_shuffle_join,
@@ -822,6 +832,21 @@ def oracle_sql() -> dict[str, str]:
         "top_events_by_value": """
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events ORDER BY value DESC, event_id LIMIT 50
+        """,
+        "lineage_epoch_totals": """
+            WITH u AS (SELECT max(event_id) + 1 AS upper FROM events),
+                 tagged AS (
+                     SELECT user_id, event_id,
+                            (event_id * 3) // (SELECT upper FROM u) AS epoch
+                     FROM events
+                 ),
+                 epochs AS (SELECT DISTINCT epoch FROM tagged)
+            SELECT e.epoch AS epoch,
+                   CAST((SELECT count(DISTINCT t.user_id) FROM tagged t
+                         WHERE t.epoch <= e.epoch) AS BIGINT) AS total_rows,
+                   CAST((SELECT max(t.event_id) FROM tagged t
+                         WHERE t.epoch <= e.epoch) AS BIGINT) AS max_seq
+            FROM epochs e
         """,
         "orders_customer_broadcast_join": """
             SELECT o_orderkey, o_totalprice, o_orderstatus, c_name,

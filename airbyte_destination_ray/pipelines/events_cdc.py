@@ -65,6 +65,51 @@ def build_binlog_from_events(
     return summary
 
 
+def lineage_epoch_totals(sf_dir: str, *, workdir: str | Path | None = None) -> pa.Table:
+    """Per-epoch lake totals derived ONLY from commit manifests (A5 —
+    record counting without a data scan): after ingesting epoch ``e`` the
+    lake holds ``total_rows`` = distinct users whose events arrived in
+    epochs ≤ e (tombstone rows included — they are physical snapshot rows)
+    and ``max_seq`` = highest event_id ingested.
+
+    Because the binlog's epoch assignment is a deterministic function of
+    ``event_id`` ((event_id · n_epochs) // (max+1)), these metadata-derived
+    numbers are reproducible in SQL from the raw events table — which makes
+    the manifest bookkeeping itself (row_count, max_seq per partition,
+    recency resolution) hash-checkable against a DuckDB oracle."""
+    import os
+
+    from ..state.manifest import ManifestStore
+
+    tag = f"lineage-tot-{Path(sf_dir).name}-{os.getpid()}"
+    base = Path(workdir) if workdir else Path("/tmp/adr_query") / tag
+    lake = base / "lake"
+    sync_events_table(sf_dir, workdir=base).count()  # ensure synced
+    store = ManifestStore(str(lake), "events_cdc")
+    meta = store.table_meta()
+    manifests = list(store._iter_manifests(meta["generation"]))
+    epochs = sorted({m.epoch for m in manifests})
+    out_e, out_rows, out_seq = [], [], []
+    for e in epochs:
+        latest: dict[int, object] = {}
+        for m in manifests:
+            if m.epoch > e:
+                continue
+            cur = latest.get(m.partition)
+            if cur is None or m.order_key > cur.order_key:
+                latest[m.partition] = m
+        out_e.append(e)
+        out_rows.append(sum(m.row_count for m in latest.values()))
+        out_seq.append(max(m.max_seq for m in latest.values()))
+    return pa.table(
+        {
+            "epoch": pa.array(out_e, type=pa.int64()),
+            "total_rows": pa.array(out_rows, type=pa.int64()),
+            "max_seq": pa.array(out_seq, type=pa.int64()),
+        }
+    )
+
+
 def sync_events_table(sf_dir: str, *, workdir: str | Path | None = None):
     """Run the full CDC engine over the events table; return the compacted
     lake table as a Dataset (columns = the original event columns)."""
