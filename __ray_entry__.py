@@ -579,6 +579,36 @@ def _q_top3_events_per_user(sf_dir: str):
     )
 
 
+def _q_cap_docs_per_lang(sf_dir: str):
+    """Per-key cap (data-balancing stage): at most 20 docs per language,
+    kept by smallest doc_id — grouped_top_k in ascending mode, no global
+    sort, ≤ k rows per (key, batch) on the exchange."""
+    from airbyte_destination_ray.pipelines.ops import grouped_top_k
+
+    return grouped_top_k(
+        _documents(sf_dir),
+        key="lang",
+        by="doc_id",
+        k=20,
+        tie_break="doc_id",
+        descending=False,
+    )
+
+
+def _q_weighted_mixture_sample(sf_dir: str):
+    """Deterministic mixture reweighting: per-language keep percentages via
+    the Knuth hash — replay-invariant, shuffle-free, plain-SQL oracle."""
+    from airbyte_destination_ray.pipelines.ops import weighted_sample_by_key
+
+    return weighted_sample_by_key(
+        _documents(sf_dir),
+        key="lang",
+        id_col="doc_id",
+        percents={"en": 80, "de": 50, "fr": 25},
+        default_percent=10,
+    )
+
+
 def _q_events_value_histogram(sf_dir: str):
     """Fixed-width histogram via per-batch bin-count partials."""
     from airbyte_destination_ray.pipelines.ops import value_histogram
@@ -661,6 +691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_events_hash": _q_sample_events_hash,
         "top3_events_per_user": _q_top3_events_per_user,
         "events_value_histogram": _q_events_value_histogram,
+        "cap_docs_per_lang": _q_cap_docs_per_lang,
+        "weighted_mixture_sample": _q_weighted_mixture_sample,
         "events_distinct_users_approx": _q_events_distinct_users_approx,
     }
 
@@ -956,6 +988,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             QUALIFY row_number() OVER (
                 PARTITION BY user_id ORDER BY value DESC, event_id) <= 3
+        """,
+        "cap_docs_per_lang": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY doc_id) <= 20
+        """,
+        "weighted_mixture_sample": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 <
+                  CASE lang
+                      WHEN 'en' THEN (4294967296 * 80) // 100
+                      WHEN 'de' THEN (4294967296 * 50) // 100
+                      WHEN 'fr' THEN (4294967296 * 25) // 100
+                      ELSE (4294967296 * 10) // 100
+                  END
         """,
         "events_value_histogram": """
             SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,

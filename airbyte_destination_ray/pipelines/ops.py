@@ -552,6 +552,43 @@ def _per_key_rank_filter(
     return t.filter(pa.array(pos - run_start < k))
 
 
+def weighted_sample_by_key(
+    ds,
+    *,
+    key: str,
+    id_col: str,
+    percents: dict,
+    default_percent: int = 0,
+    multiplier: int = 2654435761,
+    modulus: int = 4_294_967_296,
+):
+    """Deterministic data-mixture sampling: per-``key`` keep percentages
+    (e.g. ``{"en": 80, "de": 50}``, everything else ``default_percent``),
+    decided by the same Knuth multiplicative hash as :func:`hash_sample` —
+    no RNG state, replay- and parallelism-invariant, plain-SQL oracle
+    (CASE + integer arithmetic).  The standard mixture-reweighting stage of
+    a training-data pipeline, as one shuffle-free ``map_batches``."""
+    keys = list(percents)
+    thresholds = np.array(
+        [modulus * int(percents[k]) // 100 for k in keys], dtype=np.int64
+    )
+    default_thr = modulus * default_percent // 100
+    key_set = pa.array(keys)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (ids * multiplier) % modulus
+        idx = (
+            pc.fill_null(pc.index_in(batch.column(key), value_set=key_set), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        thr = np.where(idx >= 0, thresholds[np.maximum(idx, 0)], default_thr)
+        return batch.filter(pa.array(bucket < thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
 def grouped_top_k(
     ds,
     *,

@@ -735,3 +735,30 @@ def test_qdigest_exact_until_compression():
     # compressed digest stays accurate
     dc = qdigest_from_values(vals, 64)
     assert abs(float(qdigest_quantile(dc, 0.5)) - np.quantile(vals, 0.5)) < 30
+
+
+def test_weighted_sample_by_key_deterministic(ray_session):
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.ops import weighted_sample_by_key
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(1000), type=pa.int64()),
+            "lang": pa.array((["en"] * 500) + (["de"] * 300) + ([None] * 200)),
+        }
+    )
+    out = weighted_sample_by_key(
+        _ds(t), key="lang", id_col="doc_id",
+        percents={"en": 100, "de": 0}, default_percent=50,
+    ).to_pandas()
+    by_lang = out.groupby(out.lang.fillna("null")).size().to_dict()
+    assert by_lang.get("en") == 500          # 100% kept
+    assert "de" not in by_lang               # 0% kept
+    assert 50 <= by_lang.get("null", 0) <= 150  # ~50% of 200
+    # replay-invariant: identical on re-run with different block count
+    out2 = weighted_sample_by_key(
+        _ds(t, blocks=7), key="lang", id_col="doc_id",
+        percents={"en": 100, "de": 0}, default_percent=50,
+    ).to_pandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
