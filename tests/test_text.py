@@ -219,3 +219,28 @@ def test_redact_pii_patterns():
     assert red[2] == "call [PHONE] today"
     assert red[3] == "clean text with no pii at all"
     assert red[4] is None
+
+
+def test_repetition_features_matches_bruteforce_hypothesis():
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from airbyte_destination_ray.functions.text import repetition_features
+
+    lines = st.lists(
+        st.text(alphabet="abʘ≈ x", max_size=4), min_size=0, max_size=6
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(lines, min_size=1, max_size=8))
+    def check(docs):
+        texts = ["\n".join(d) for d in docs]
+        f = repetition_features(pa.array(texts))
+        for i, d in enumerate(docs):
+            # split semantics: "" splits to [""]
+            parts = texts[i].split("\n")
+            assert f["n_lines"][i].as_py() == len(parts)
+            assert f["n_distinct_lines"][i].as_py() == len(set(parts))
+
+    check()
