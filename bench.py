@@ -185,16 +185,99 @@ def bench_queries(sf_dir: str) -> dict:
     return timings
 
 
+def bench_airbyte_write(num_cpus: int) -> dict:
+    """Secondary metric: the distributed Airbyte write path (NDJSON part
+    files → parallel parse with global indices → single-pass route → LWW
+    merge + manifest CAS).  The reference connector processes the same
+    protocol single-threaded over stdin with ≤500-record/<1 MiB batches —
+    this is the surface where 'matches-or-beats reference throughput' is
+    directly comparable."""
+    import json as _json
+
+    n = int(os.environ.get("GRAFT_WRITE_RECORDS", "1000000"))
+    parts = 8
+    src = BENCH_TMP / f"ndjson_{n}"
+    if not (src / "_done").exists():
+        src.mkdir(parents=True, exist_ok=True)
+        per = n // parts
+        idx = 0
+        for p in range(parts):
+            with open(src / f"part-{p:03d}.ndjson", "w") as f:
+                for _ in range(per):
+                    f.write(
+                        _json.dumps(
+                            {
+                                "type": "RECORD",
+                                "record": {
+                                    "stream": "events",
+                                    "data": {
+                                        "id": idx % (n // 4),
+                                        "v": f"value-{idx}",
+                                        "ts": f"2024-01-01T{idx % 24:02d}:00:00Z",
+                                    },
+                                    "emitted_at": 1700000000000 + idx,
+                                },
+                            },
+                            separators=(",", ":"),
+                        )
+                        + "\n"
+                    )
+                    idx += 1
+        (src / "_done").touch()
+    from airbyte_destination_ray.catalog import Config, catalog_from_json
+    from airbyte_destination_ray.pipelines.airbyte_write import run_write_dataset
+
+    catalog = catalog_from_json(
+        {
+            "streams": [
+                {
+                    "stream": {
+                        "name": "events",
+                        "json_schema": {
+                            "properties": {
+                                "id": {"type": "integer"},
+                                "v": {"type": ["null", "string"]},
+                                "ts": {"type": "string", "format": "date-time"},
+                            }
+                        },
+                    },
+                    "sync_mode": "incremental",
+                    "destination_sync_mode": "append_dedup",
+                    "cursor_field": ["ts"],
+                    "primary_key": [["id"]],
+                }
+            ]
+        }
+    )
+    lake = LAKE_TMP / "write_lake"
+    if lake.exists():
+        shutil.rmtree(lake)
+    paths = sorted(str(f) for f in src.glob("part-*.ndjson"))
+    t0 = time.perf_counter()
+    run_write_dataset(
+        Config(lake_root=str(lake)), catalog, paths, num_partitions=64
+    )
+    dt = time.perf_counter() - t0
+    shutil.rmtree(lake, ignore_errors=True)
+    total = parts * (n // parts)
+    return {
+        "records": total,
+        "sec": round(dt, 3),
+        "records_per_sec": round(total / dt, 1),
+    }
+
+
 def run_bench(sf_dir: str, num_cpus: int, *, cdc_only: bool = False) -> dict:
     _init_ray(num_cpus)
     cdc = bench_cdc(num_cpus)
     queries = {} if cdc_only else bench_queries(sf_dir)
+    write = None if cdc_only else bench_airbyte_write(num_cpus)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    return {
+    out = {
         "metric": "cdc_sync_wall_sec",
         "value": round(cdc["sec"], 3),
         "unit": "sec",
@@ -205,6 +288,9 @@ def run_bench(sf_dir: str, num_cpus: int, *, cdc_only: bool = False) -> dict:
         "cdc_events_per_sec": round(cdc["events_per_sec"], 1),
         "cdc_all_sec": cdc["all_sec"],
     }
+    if write is not None:
+        out["airbyte_write"] = write
+    return out
 
 
 def run_scaling(low: int = 8, high: int = 32) -> dict:
