@@ -391,17 +391,6 @@ _ROUTED_SCHEMA = pa.schema(
 )
 
 
-def _ipc_bytes(t: pa.Table) -> bytes:
-    sink = pa.BufferOutputStream()
-    with pa.ipc.new_stream(sink, t.schema) as w:
-        w.write_table(t)
-    return sink.getvalue().to_pybytes()
-
-
-def _ipc_table(b) -> pa.Table:
-    return pa.ipc.open_stream(pa.BufferReader(b)).read_all()
-
-
 def run_write_dataset(
     config: Config,
     catalog: Catalog,
@@ -435,7 +424,13 @@ def run_write_dataset(
 
     from ..functions.hashing import composite_partition_ids, partition_ids
     from ..sources.ndjson import read_records_dataset
-    from ..stages.lww import SEQ_COLUMN, changes_to_lake_rows, lww_compact
+    from ..stages.lww import (
+        SEQ_COLUMN,
+        changes_to_lake_rows,
+        ipc_table,
+        lww_compact,
+        pack_by_part,
+    )
 
     catalog.validate()
 
@@ -475,9 +470,7 @@ def run_write_dataset(
         st = batch.column("stream").combine_chunks()
         combo = pc.binary_join_element_wise(ns, st, "\x1f").dictionary_encode()
         codes = combo.indices.to_numpy(zero_copy_only=False)
-        out_t: list[str] = []
-        out_p: list[int] = []
-        out_b: list[bytes] = []
+        pieces: list[pa.Table] = []
         unknown: set[str] = set()
         for code, key in enumerate(combo.dictionary.to_pylist()):
             nsp, nm = key.split("\x1f", 1)
@@ -500,27 +493,30 @@ def run_write_dataset(
                 parts = partition_ids(lake.column(col), cfg["num_partitions"])
             else:
                 parts = composite_partition_ids(lake, pk, cfg["num_partitions"])
-            parts = _np.asarray(parts)
-            for p in _np.unique(parts):
-                out_t.append(table)
-                out_p.append(int(p))
-                out_b.append(_ipc_bytes(lake.filter(pa.array(parts == p))))
+            packed = pack_by_part(lake, _np.asarray(parts))
+            pieces.append(
+                pa.table(
+                    {
+                        "_table": pa.array(
+                            [table] * packed.num_rows, type=pa.string()
+                        ),
+                        "_part": packed.column("_part"),
+                        "payload": packed.column("_ipc"),
+                    }
+                )
+            )
         if unknown:
             raise KeyError(f"records for unconfigured streams: {sorted(unknown)}")
-        return pa.table(
-            {
-                "_table": pa.array(out_t, type=pa.string()),
-                "_part": pa.array(out_p, type=pa.int64()),
-                "payload": pa.array(out_b, type=pa.binary()),
-            }
-        )
+        if not pieces:
+            return _ROUTED_SCHEMA.empty_table()
+        return pa.concat_tables(pieces)
 
     def merge_group(group: pa.Table) -> pa.Table:
         table = group.column("_table")[0].as_py()
         part = int(group.column("_part")[0].as_py())
         cfg = table_cfg[table]
         typed = pa.concat_tables(
-            _ipc_table(v) for v in group.column("payload").to_pylist()
+            ipc_table(v) for v in group.column("payload").to_pylist()
         )
         typed = typed.append_column(
             "_part", pa.array(_np.full(typed.num_rows, part, dtype=_np.int64))

@@ -576,7 +576,17 @@ def weighted_sample_by_key(
     key_set = pa.array(keys)
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        id_arr = batch.column(id_col)
+        if isinstance(id_arr, pa.ChunkedArray):
+            id_arr = id_arr.combine_chunks()
+        # null ids are DROPPED (SQL: NULL < threshold is NULL → filtered);
+        # fill_null before to_numpy so a nullable int column never takes
+        # the float64/NaN path (the CLAUDE.md hashing trap)
+        id_valid = id_arr.is_valid().to_numpy(zero_copy_only=False)
+        ids = (
+            pc.fill_null(id_arr.cast(pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+        )
         bucket = (ids * multiplier) % modulus
         idx = (
             pc.fill_null(pc.index_in(batch.column(key), value_set=key_set), -1)
@@ -584,7 +594,7 @@ def weighted_sample_by_key(
             .astype(np.int64)
         )
         thr = np.where(idx >= 0, thresholds[np.maximum(idx, 0)], default_thr)
-        return batch.filter(pa.array(bucket < thr))
+        return batch.filter(pa.array((bucket < thr) & id_valid))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 

@@ -369,17 +369,34 @@ def shuffle_join(
                     parts[hot_pos] = _sub_parts(h[hot_pos], salt)
                 return t.append_column("_part", pa.array(parts, type=pa.int64()))
             # right side: cold rows route normally; hot rows are replicated
-            # to every sub-partition their salted left rows can land in
+            # to every DISTINCT sub-partition their salted left rows can
+            # land in.  Distinct matters: two salt values can collide on
+            # the same sub-partition (guaranteed when salt_factor >
+            # num_partitions), and emitting a copy per SALT instead of per
+            # TARGET would put two identical right rows in one partition —
+            # every hot join pair would then appear twice.
             cold = t.filter(pa.array(~is_hot)).append_column(
                 "_part", pa.array(parts[~is_hot], type=pa.int64())
             )
             pieces = [cold]
             hot_t = t.filter(pa.array(is_hot))
             h_hot = h[is_hot]
+            subs = np.stack(
+                [
+                    _sub_parts(h_hot, np.full(len(h_hot), i, dtype=np.int64))
+                    for i in range(salt_factor)
+                ]
+            ) if len(h_hot) else np.zeros((salt_factor, 0), dtype=np.int64)
             for i in range(salt_factor):
-                sub = _sub_parts(h_hot, np.full(len(h_hot), i, dtype=np.int64))
+                fresh = np.ones(subs.shape[1], dtype=bool)
+                for j in range(i):
+                    fresh &= subs[i] != subs[j]
+                if not fresh.any():
+                    continue
                 pieces.append(
-                    hot_t.append_column("_part", pa.array(sub, type=pa.int64()))
+                    hot_t.filter(pa.array(fresh)).append_column(
+                        "_part", pa.array(subs[i][fresh], type=pa.int64())
+                    )
                 )
             return pa.concat_tables(pieces)
 

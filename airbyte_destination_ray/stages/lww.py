@@ -61,6 +61,50 @@ def _pk_list(pk: str | list[str]) -> list[str]:
     return [pk] if isinstance(pk, str) else list(pk)
 
 
+_PACKED_SCHEMA = pa.schema(
+    [pa.field("_part", pa.int64()), pa.field("_ipc", pa.binary())]
+)
+
+
+def ipc_bytes(t: pa.Table) -> bytes:
+    """Arrow-IPC wire format for packed exchanges — the single writer half
+    of the partitioner↔merger (and dataset-write route↔merge) contract."""
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return sink.getvalue().to_pybytes()
+
+
+def ipc_table(b) -> pa.Table:
+    """Reader half of :func:`ipc_bytes`."""
+    return pa.ipc.open_stream(pa.BufferReader(b)).read_all()
+
+
+def pack_by_part(batch: pa.Table, parts: "np.ndarray") -> pa.Table:
+    """Cluster ``batch`` by partition id and serialize one IPC envelope per
+    partition: ONE take + zero-copy slices (a filter per partition would be
+    O(rows × partitions) — the groupby-per-bucket anti-pattern).  Empty
+    batches yield the empty packed table."""
+    if batch.num_rows == 0:
+        return _PACKED_SCHEMA.empty_table()
+    order = np.argsort(parts, kind="stable")
+    clustered = batch.take(pa.array(order, type=pa.int64()))
+    sp = parts[order]
+    starts = np.nonzero(np.concatenate(([True], sp[1:] != sp[:-1])))[0]
+    ends = np.append(starts[1:], len(sp))
+    out_p: list[int] = []
+    out_b: list[bytes] = []
+    for s, e in zip(starts, ends):
+        out_p.append(int(sp[s]))
+        out_b.append(ipc_bytes(clustered.slice(int(s), int(e - s))))
+    return pa.table(
+        {
+            "_part": pa.array(out_p, type=pa.int64()),
+            "_ipc": pa.array(out_b, type=pa.binary()),
+        }
+    )
+
+
 def lww_compact(
     table: pa.Table,
     pk: str | list[str],
@@ -189,29 +233,7 @@ def make_partitioner(
             parts = composite_partition_ids(batch, pks, num_partitions)
         if not pack:
             return batch.append_column("_part", pa.array(parts, type=pa.int64()))
-        # ONE take to cluster rows by partition, then zero-copy slices per
-        # partition (a filter per partition would be O(rows × partitions) —
-        # the groupby-per-bucket anti-pattern)
-        order = np.argsort(parts, kind="stable")
-        clustered = batch.take(pa.array(order, type=pa.int64()))
-        sp = parts[order]
-        starts = np.nonzero(np.concatenate(([True], sp[1:] != sp[:-1])))[0]
-        ends = np.append(starts[1:], len(sp))
-        out_p: list[int] = []
-        out_b: list[bytes] = []
-        for s, e in zip(starts, ends):
-            sub = clustered.slice(int(s), int(e - s))
-            sink = pa.BufferOutputStream()
-            with pa.ipc.new_stream(sink, sub.schema) as w:
-                w.write_table(sub)
-            out_p.append(int(sp[s]))
-            out_b.append(sink.getvalue().to_pybytes())
-        return pa.table(
-            {
-                "_part": pa.array(out_p, type=pa.int64()),
-                "_ipc": pa.array(out_b, type=pa.binary()),
-            }
-        )
+        return pack_by_part(batch, np.asarray(parts))
 
     return fn
 
@@ -333,8 +355,7 @@ def make_partition_merger(
             # packed exchange (make_partitioner(pack=True)): unpack the
             # per-batch IPC envelopes back into lake rows
             unpacked = pa.concat_tables(
-                pa.ipc.open_stream(pa.BufferReader(b)).read_all()
-                for b in group.column("_ipc").to_pylist()
+                ipc_table(b) for b in group.column("_ipc").to_pylist()
             )
             group = unpacked.append_column(
                 "_part",

@@ -525,6 +525,42 @@ def test_shuffle_join_skew_split_matches_oracle(ray_session):
         )
 
 
+def test_skew_join_no_duplicates_when_salts_collide(ray_session):
+    """Review-r2 finding: with salt_factor > num_partitions two salts MUST
+    map to the same sub-partition; right-hot rows may only be replicated
+    once per DISTINCT target or every hot join pair appears twice."""
+    rng = np.random.default_rng(8)
+    n = 600
+    uid = rng.integers(0, 40, size=n)
+    uid[: n // 2] = 7
+    left = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "user_id": pa.array(uid, type=pa.int64()),
+        }
+    )
+    prof = pa.table(
+        {
+            "uid": pa.array(list(range(0, 40)), type=pa.int64()),
+            "tier": pa.array([f"t{i % 3}" for i in range(40)]),
+        }
+    )
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+
+    out = shuffle_join(
+        _ds(left, blocks=3),
+        _ds(prof, blocks=2),
+        left_on="user_id",
+        right_on="uid",
+        select=["event_id", "user_id", "tier"],
+        num_partitions=4,     # < salt_factor → guaranteed salt collisions
+        salt_factor=8,
+        hot_keys=[7],
+    ).to_pandas()
+    assert len(out) == n  # exactly one row per left event (right is unique)
+    assert out.event_id.is_unique
+
+
 def test_detect_hot_keys_finds_only_hot(ray_session):
     from airbyte_destination_ray.pipelines.relational import _detect_hot_keys
 
