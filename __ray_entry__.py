@@ -513,6 +513,16 @@ def _q_top_events_by_value(sf_dir: str):
     return top_k_by(_events(sf_dir), by="value", k=50, tie_break="event_id")
 
 
+def _q_extract_html_text(sf_dir: str):
+    """HTML → text extraction round-trip (north-star invariant): synthesize
+    an escaped full page per document (head noise, style/script blocks),
+    then recover the body with the byte-level extractor.  Oracle = identity
+    on (doc_id, text) — any extraction defect breaks the value hash."""
+    from airbyte_destination_ray.pipelines.ops import extract_html_text
+
+    return extract_html_text(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
 def _q_quality_filter_documents(sf_dir: str):
     """C4/Gopher-style quality filter on INTEGER subscore ratios (word count
     in range, ≥60% alphabetic, ≤20% digits, ≥2% stopword density) — every
@@ -668,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_counts": _q_events_daily_counts,
         "top_events_by_value": _q_top_events_by_value,
         "quality_filter_documents": _q_quality_filter_documents,
+        "extract_html_text_documents": _q_extract_html_text,
         "multimodal_image_decode": _q_multimodal_image_decode,
         "multimodal_audio_features": _q_multimodal_audio_features,
         "multimodal_video_frames": _q_multimodal_video_frames,
@@ -732,6 +743,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, lang, source, n_chars
             FROM documents
             QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+        """,
+        "extract_html_text_documents": """
+            SELECT doc_id, text FROM documents
         """,
         "knn_cosine_topk": """
             WITH q AS (

@@ -1,0 +1,205 @@
+"""Vectorized HTML → text extraction (the web-page ingest invariant).
+
+The north-star invariant for this engine is *byte-identical extracted text
+per url* (BASELINE.json ``input_hint``): the lake's ``text`` column must be
+reproducible from the raw ``html`` payload on every replay.  This module
+implements that extraction as a pure byte-level numpy kernel over the flat
+UTF-8 buffer of an Arrow binary/string column — no per-row Python, no
+regex backtracking — so it can run in-flight inside the CDC sync at
+memory-bandwidth speed (the same ``_utf8_view`` engine as functions/text.py).
+
+Semantics (documented envelope — standard for trafilatura-lite extractors):
+
+1. ``<script ...>...</script>`` and ``<style ...>...</style>`` blocks are
+   removed entirely (case-insensitive open tag, attributes allowed;
+   non-nested; an unclosed block is dropped through the end of the row).
+2. Every remaining ``<...>`` tag is stripped (including comments/doctype up
+   to the first ``>``).
+3. The five standard named/numeric entities are decoded:
+   ``&lt; &gt; &quot; &#39; &amp;`` — ``&amp;`` LAST, so escaped entity
+   text round-trips exactly (``&amp;lt;`` → ``&lt;``).
+4. No whitespace normalization — byte preservation is the point.
+
+Envelope: input must be *escaped* html (literal ``<``/``>`` in text content
+written as entities, as valid HTML requires); attribute values must not
+contain a raw ``>``.  Tag delimiters are ASCII so stripping can never split
+a multi-byte UTF-8 sequence.
+
+Null html → null text.  Inverse helper :func:`escape_html_text` +
+:func:`wrap_html` synthesize valid pages from plain text (used by the
+round-trip oracle query and tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text import _segment_counts
+
+__all__ = ["extract_text_html", "escape_html_text", "wrap_html"]
+
+
+def _bytes_view(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(data, starts, ends) flat view of a binary/string column; null rows
+    become empty (callers re-apply the null mask)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    a = pc.fill_null(col, b"" if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type) else "")
+    a = a.cast(pa.large_binary())
+    offsets = np.frombuffer(a.buffers()[1], dtype=np.int64)[
+        a.offset : a.offset + len(a) + 1
+    ]
+    data = np.frombuffer(a.buffers()[2], dtype=np.uint8) if a.buffers()[2] else np.zeros(0, np.uint8)
+    return data, offsets[:-1], offsets[1:]
+
+
+def _find_pattern(lower: np.ndarray, pat: bytes) -> np.ndarray:
+    """Start positions of every occurrence of ``pat`` in the (lowercased)
+    flat buffer.  O(len(pat)) numpy passes, each narrowing the candidates."""
+    n = len(lower)
+    if n < len(pat):
+        return np.zeros(0, dtype=np.int64)
+    idx = np.flatnonzero(lower[: n - len(pat) + 1] == pat[0]).astype(np.int64)
+    for k in range(1, len(pat)):
+        if not len(idx):
+            break
+        idx = idx[lower[idx + k] == pat[k]]
+    return idx
+
+
+def _block_spans(
+    lower: np.ndarray,
+    tag: bytes,
+    starts: np.ndarray,
+    ends: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dead spans [from, to) covering ``<tag ...> ... </tag>`` blocks,
+    clamped to the opening tag's row (blocks never cross rows)."""
+    opens = _find_pattern(lower, b"<" + tag)
+    if not len(opens):
+        return opens, opens
+    # require the open tag name to end at a delimiter (">", space, "/") so
+    # "<style" does not match "<styleguide>"
+    after = opens + 1 + len(tag)
+    ok = after < len(lower)
+    nxt = np.where(ok, lower[np.minimum(after, len(lower) - 1)], 0)
+    delim = (nxt == 0x3E) | (nxt == 0x20) | (nxt == 0x2F) | ((nxt >= 0x09) & (nxt <= 0x0D))
+    opens = opens[ok & delim]
+    if not len(opens):
+        return opens, opens
+    close_pat = b"</" + tag + b">"
+    closes = _find_pattern(lower, close_pat)
+    # row end for each open (searchsorted over row starts — rows contiguous)
+    row_idx = np.searchsorted(starts, opens, side="right") - 1
+    row_end = ends[row_idx]
+    if not len(closes):
+        return opens, row_end
+    close_end = closes + len(close_pat)
+    ci = np.searchsorted(closes, opens, side="right")
+    has_close = ci < len(closes)
+    cend = close_end[np.minimum(ci, len(closes) - 1)]
+    span_end = np.where(has_close & (cend <= row_end), cend, row_end)
+    return opens, span_end
+
+
+def extract_text_html(html, *, drop_blocks: tuple[str, ...] = ("script", "style")) -> pa.Array:
+    """Extract visible text from an html binary/string column.
+
+    Returns a ``string`` array; null html → null text.  Fully vectorized:
+    block removal + tag stripping are numpy mask passes over the flat byte
+    buffer, entity decode is four plain (non-regex) substring replaces.
+    """
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    data, starts, ends = _bytes_view(html)
+    n = len(data)
+    n_rows = len(starts)
+
+    if n == 0:
+        out = pa.array([""] * n_rows, type=pa.string())
+        return _with_null_mask(out, html)
+
+    # lowercase copy for case-insensitive tag detection only
+    lower = np.where((data >= 0x41) & (data <= 0x5A), data + 0x20, data)
+
+    # 1. dead spans for script/style blocks (overlap-safe via cumsum > 0)
+    delta = np.zeros(n + 1, dtype=np.int32)
+    for tag in drop_blocks:
+        s, e = _block_spans(lower, tag.encode(), starts, ends)
+        if len(s):
+            np.add.at(delta, s, 1)
+            np.add.at(delta, e, -1)
+    dead = np.cumsum(delta[:-1], dtype=np.int32) > 0
+
+    # 2. tag depth: byte i is in-tag ('<' through '>' inclusive) iff
+    # (count of live '<' in this row at ≤ i) > (count of live '>' in this
+    # row at < i).  Two per-row-rebased cumsums — the exclusive '>' count is
+    # zero at every row start, so a trailing '>' can never leak into the
+    # next row (the single-delta-array form had exactly that bug).
+    lt = (data == 0x3C) & ~dead
+    gt = (data == 0x3E) & ~dead
+    row_len = (ends - starts).astype(np.int64)
+    ext_cl = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lt, out=ext_cl[1:])
+    ext_cg = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(gt, out=ext_cg[1:])
+    lt_incl = ext_cl[1:] - np.repeat(ext_cl[starts], row_len)
+    gt_excl = ext_cg[:-1] - np.repeat(ext_cg[starts], row_len)
+
+    keep = ~dead & (lt_incl <= gt_excl)
+
+    new_len = _segment_counts(keep, starts, ends)
+    offsets = np.empty(n_rows + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(new_len, out=offsets[1:])
+    stripped = pa.Array.from_buffers(
+        pa.large_utf8(),
+        n_rows,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data[keep].tobytes())],
+    )
+
+    # 3. entity decode — plain substring replaces, & last
+    out = stripped
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+        out = pc.replace_substring(out, ent, ch)
+    out = out.cast(pa.string())
+    return _with_null_mask(out, html)
+
+
+def _with_null_mask(arr: pa.Array, src) -> pa.Array:
+    if getattr(src, "null_count", 0):
+        return pc.if_else(src.is_valid(), arr, pa.scalar(None, type=arr.type))
+    return arr
+
+
+def escape_html_text(texts) -> pa.Array:
+    """Standard HTML body escape (& first, then < >) — the inverse of the
+    entity-decode step of :func:`extract_text_html`."""
+    out = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    for ch, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        out = pc.replace_substring(out, ch, ent)
+    return out
+
+
+def wrap_html(texts, *, pad: str = "") -> pa.Array:
+    """Synthesize a full page around escaped body text: head noise (title /
+    style / script) that a correct extractor must drop, then the body.
+    ``extract_text_html(wrap_html(escape_html_text(t))) == t`` byte-for-byte.
+    """
+    esc = escape_html_text(texts)
+    head = (
+        "<!DOCTYPE html><html><head><title></title>"
+        '<style type="text/css">p{color:#000;}</style>'
+        "<script>var n=1; if(n>0){n=2;}</script>"
+        "</head><body><p>"
+    )
+    tail = f"</p>{pad}</body></html>"
+    joined = pc.binary_join_element_wise(
+        pa.array([head] * len(esc), type=pa.string()),
+        esc.cast(pa.string()),
+        pa.array([tail] * len(esc), type=pa.string()),
+        "",
+    )
+    return joined

@@ -57,6 +57,7 @@ def run_cdc_sync(
     resume: bool = True,
     compute_digest: bool = True,
     enrich: bool = False,
+    extract_text: bool = False,
     epoch_schema_versions: dict[int, int] | None = None,
     merge_strategy: str = "snapshot",
     compact_every: int = 8,
@@ -187,6 +188,7 @@ def run_cdc_sync(
             pre_reduce=(mode == "append_dedup"),
             payload_columns=payload_columns,
             enrich=enrich,
+            extract_text=extract_text,
             pre_transform=make_envelope_aligner(
                 lake_root, table, src_version, target_version
             ),

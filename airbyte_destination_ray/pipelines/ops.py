@@ -371,6 +371,28 @@ def redact_pii_documents(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def extract_html_text(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """HTML → text extraction round-trip over a document table (the
+    north-star per-row invariant: byte-identical extracted text).
+
+    Each batch synthesizes a full escaped page (head noise — title, style,
+    script blocks with raw ``>`` inside — around the escaped body) from
+    ``text_col``, casts it to binary (the lake's ``html`` payload type),
+    and recovers the text with the byte-level extractor.  A correct
+    extractor returns the ORIGINAL text byte-for-byte, so the oracle is the
+    identity query — any tag-stripping, block-removal, or entity-decode
+    defect breaks the value hash."""
+    from ..functions.html import extract_text_html, wrap_html
+
+    def fn(batch: pa.Table) -> pa.Table:
+        html = wrap_html(batch.column(text_col)).cast(pa.binary())
+        return pa.table(
+            {id_col: batch.column(id_col), text_col: extract_text_html(html)}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
 def quality_filter_exact(
     ds,
     *,

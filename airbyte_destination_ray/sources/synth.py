@@ -130,9 +130,12 @@ def synthesize_binlog(
         if html_pad:
             # deterministic wide-page filler (~16·html_pad bytes) so the
             # benchmark can approximate real Common-Crawl html width; varies
-            # per row via ts so columns stay incompressible enough to matter
+            # per row via ts so columns stay incompressible enough to matter.
+            # Wrapped in <style> blocks (extraction-dead) so the north-star
+            # invariant text == extract_text_html(html) holds even on padded
+            # corpora (functions/html.py drops style blocks entirely).
             pad = pa.array(
-                np.array(["<div>pad%08d</div>" % v for v in range(16)])[
+                np.array(["<style>pad%08d</style>" % v for v in range(16)])[
                     (ts % 16).astype(np.int64)
                 ]
             )

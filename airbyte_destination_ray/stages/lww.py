@@ -191,6 +191,8 @@ def make_partitioner(
     payload_columns: list[str] | None = None,
     enrich: bool = False,
     text_column: str = "text",
+    extract_text: bool = False,
+    html_column: str = "html",
     pre_transform: Callable[[pa.Table], pa.Table] | None = None,
     pack: bool = False,
 ) -> Callable[[pa.Table], pa.Table]:
@@ -220,6 +222,19 @@ def make_partitioner(
             batch = changes_to_lake_rows(batch, payload_columns)
         if pre_reduce and ver is not None:
             batch = lww_compact(batch, pk, ver, SEQ_COLUMN)
+        if extract_text:
+            # derive the text column from the raw html payload in-flight
+            # (north-star invariant: byte-identical extracted text per url;
+            # null html — tombstones — stays null text).  After the
+            # pre-reduce so superseded versions are never extracted.
+            from ..functions.html import extract_text_html
+
+            arr = extract_text_html(batch.column(html_column))
+            idx = batch.schema.get_field_index(text_column)
+            if idx >= 0:
+                batch = batch.set_column(idx, text_column, arr)
+            else:
+                batch = batch.append_column(text_column, arr)
         if enrich:
             from ..functions.text import enrich_text_columns
 
