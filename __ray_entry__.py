@@ -523,6 +523,27 @@ def _q_extract_html_text(sf_dir: str):
     return extract_html_text(_documents(sf_dir, columns=["doc_id", "text"]))
 
 
+def _q_domain_stats(sf_dir: str):
+    """Per-host web rollup: deterministic page URLs derived from events
+    (the synth url scheme), parsed with the vectorized URL parser, grouped
+    by host — pages = distinct URLs, events = rows.  The oracle rebuilds
+    the same URLs in SQL and parses them independently with split_part /
+    regexp_extract, cross-checking the RE2 parser."""
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.web import domain_stats
+    from airbyte_destination_ray.sources.synth import urls_for_keys
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        keys = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({"url": urls_for_keys(keys)})
+
+    ds = _events(sf_dir).map_batches(
+        add_url, batch_format="pyarrow", batch_size=None
+    )
+    return domain_stats(ds, num_partitions=8)
+
+
 def _q_quality_filter_documents(sf_dir: str):
     """C4/Gopher-style quality filter on INTEGER subscore ratios (word count
     in range, ≥60% alphabetic, ≤20% digits, ≥2% stopword density) — every
@@ -679,6 +700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_by_value": _q_top_events_by_value,
         "quality_filter_documents": _q_quality_filter_documents,
         "extract_html_text_documents": _q_extract_html_text,
+        "domain_stats_events": _q_domain_stats,
         "multimodal_image_decode": _q_multimodal_image_decode,
         "multimodal_audio_features": _q_multimodal_audio_features,
         "multimodal_video_frames": _q_multimodal_video_frames,
@@ -746,6 +768,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_html_text_documents": """
             SELECT doc_id, text FROM documents
+        """,
+        "domain_stats_events": """
+            WITH u AS (
+                SELECT 'https://site-' || (user_id % 997)
+                       || '.example.com/page/' || user_id AS url
+                FROM events
+            ), p AS (
+                SELECT split_part(url, '/', 3) AS host, url FROM u
+            )
+            SELECT host,
+                   regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+                   count(DISTINCT url) AS n_pages,
+                   count(*) AS n_events
+            FROM p GROUP BY host
         """,
         "knn_cosine_topk": """
             WITH q AS (
