@@ -523,6 +523,18 @@ def _q_extract_html_text(sf_dir: str):
     return extract_html_text(_documents(sf_dir, columns=["doc_id", "text"]))
 
 
+def _q_dedup_jaccard_exact(sf_dir: str):
+    """EXACT word-5-gram Jaccard dedup via a distributed inverted index —
+    the hash-checked anchor of the near-dup family (the LSH families
+    approximate this same predicate).  The oracle recomputes pairwise
+    Jaccard from scratch in SQL (unnest shingles → self-join → NOT IN)."""
+    from airbyte_destination_ray.pipelines.dedup import dedup_jaccard_exact
+
+    return dedup_jaccard_exact(
+        _documents(sf_dir), shingle_k=5, threshold=0.8
+    )
+
+
 def _q_domain_stats(sf_dir: str):
     """Per-host web rollup: deterministic page URLs derived from events
     (the synth url scheme), parsed with the vectorized URL parser, grouped
@@ -687,6 +699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_documents": _q_dedup_minhash,
         "dedup_simhash_documents": _q_dedup_simhash,
         "dedup_ngram_jaccard_documents": _q_dedup_ngram_jaccard,
+        "dedup_jaccard_exact_documents": _q_dedup_jaccard_exact,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "knn_cosine_topk": _q_knn_brute_force,
         "knn_lsh_topk": _q_knn_lsh,
@@ -768,6 +781,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_html_text_documents": """
             SELECT doc_id, text FROM documents
+        """,
+        "dedup_jaccard_exact_documents": """
+            WITH w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                FROM documents WHERE text IS NOT NULL
+            ), s AS (
+                SELECT DISTINCT doc_id,
+                    unnest(list_transform(
+                        generate_series(1, greatest(len(ws) - 4, 0)),
+                        i -> array_to_string(list_slice(ws, i, i + 4), ' ')
+                    )) AS sh
+                FROM w
+            ), sz AS (
+                SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+                FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), dup AS (
+                SELECT DISTINCT ib FROM inter
+                JOIN sz za ON za.doc_id = ia
+                JOIN sz zb ON zb.doc_id = ib
+                WHERE c * 1.0 / (za.n + zb.n - c) >= 0.8
+            )
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT ib FROM dup)
         """,
         "domain_stats_events": """
             WITH u AS (

@@ -358,6 +358,210 @@ def dedup_ngram_jaccard(
     )
 
 
+def _jaccard_pair_candidates(
+    ds,
+    *,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    threshold: float,
+    num_partitions: int,
+    max_shingle_freq: int | None,
+):
+    """Exact-Jaccard duplicate candidates via a distributed inverted index.
+
+    Three stages, two fixed-width exchanges, payloads never shuffled:
+
+    1. per batch: distinct ``(shingle_hash, id, set_size)`` rows
+       (full-content 64-bit word hashes combined positionally — equality
+       matches word-``k``-gram string equality up to hash collisions);
+    2. per shingle partition: expand co-occurrence pairs ``(ia < ib)`` —
+       work is Σ c² over shingle frequencies c, the exact-algorithm cost;
+       ``max_shingle_freq`` drops hotter-than-cap shingles (stopword-shingle
+       pruning — an *approximation*, off by default so the oracle is exact);
+    3. per pair partition: intersection = pair multiplicity, then
+       ``J = c / (|A| + |B| − c) ≥ threshold`` marks ``ib`` duplicate.
+    """
+    from ..functions.hashing import stable_hash_array
+
+    # distinct odd positional multipliers (golden-ratio powers, wrapping u64)
+    mults = np.cumprod(
+        np.full(shingle_k, 0x9E3779B97F4A7C15, dtype=np.uint64)
+    )
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        trimmed = pc.utf8_trim_whitespace(pc.fill_null(texts, ""))
+        words = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        wh = stable_hash_array(flat).astype(np.uint64)
+        n_flat = len(wh)
+        n_valid = n_flat - shingle_k + 1
+        if n_valid <= 0:
+            return pa.table(
+                {
+                    "sh": pa.array([], type=pa.uint64()),
+                    "id": pa.array([], type=pa.int64()),
+                    "sz": pa.array([], type=pa.int64()),
+                    "_part": pa.array([], type=pa.int64()),
+                }
+            )
+        # positional rolling combine over k consecutive word hashes
+        sh = np.zeros(n_valid, dtype=np.uint64)
+        for j in range(shingle_k):
+            sh += wh[j : j + n_valid] * mults[j]
+        # a window starting at flat position i belongs to row r iff the
+        # whole window is inside r: i >= row_start and i+k <= row_end
+        row_of = np.searchsorted(offsets[1:], np.arange(n_valid), side="right")
+        valid = np.arange(n_valid) + shingle_k <= offsets[row_of + 1]
+        sh = sh[valid]
+        rows = row_of[valid]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[rows]
+        t = pa.table(
+            {"sh": pa.array(sh), "id": pa.array(ids, type=pa.int64())}
+        )
+        g = t.group_by(["id", "sh"], use_threads=False).aggregate([])
+        sizes = (
+            g.group_by("id", use_threads=False).aggregate([([], "count_all")])
+        )
+        sz_ids = sizes.column("id").to_numpy(zero_copy_only=False)
+        sz_n = sizes.column("count_all").to_numpy(zero_copy_only=False)
+        order = np.argsort(sz_ids)
+        gi = g.column("id").to_numpy(zero_copy_only=False)
+        sz = sz_n[order][np.searchsorted(sz_ids[order], gi)]
+        shv = g.column("sh").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (shv % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table(
+            {
+                "sh": g.column("sh"),
+                "id": g.column("id"),
+                "sz": pa.array(sz, type=pa.int64()),
+                "_part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    def expand_pairs(group: pa.Table) -> pa.Table:
+        sh = group.column("sh").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        sz = group.column("sz").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sh))
+        sh, ids, sz = sh[order], ids[order], sz[order]
+        n = len(sh)
+        if n < 2:
+            return _EMPTY_PAIRS
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = sh[1:] != sh[:-1]
+        seg_id = np.cumsum(new_seg) - 1
+        seg_start = np.flatnonzero(new_seg)
+        pos = np.arange(n) - seg_start[seg_id]
+        if max_shingle_freq is not None:
+            seg_len = np.diff(np.append(seg_start, n))
+            keep = seg_len[seg_id] <= max_shingle_freq
+            sh, ids, sz, pos = sh[keep], ids[keep], sz[keep], pos[keep]
+            seg_rebase = np.ones(len(sh), dtype=bool)
+            seg_rebase[1:] = sh[1:] != sh[:-1]
+            seg_id = np.cumsum(seg_rebase) - 1
+            seg_start = np.flatnonzero(seg_rebase)
+            pos = np.arange(len(sh)) - seg_start[seg_id]
+            n = len(sh)
+            if n < 2:
+                return _EMPTY_PAIRS
+        total = int(pos.sum())
+        if total == 0:
+            return _EMPTY_PAIRS
+        b_idx = np.repeat(np.arange(n), pos)
+        pairs_before = np.concatenate(([0], np.cumsum(pos)[:-1]))
+        a_idx = np.arange(total) + np.repeat(
+            seg_start[seg_id] - pairs_before, pos
+        )
+        ia, ib = ids[a_idx], ids[b_idx]
+        na, nb = sz[a_idx], sz[b_idx]
+        pp = (
+            (ia.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ ib.astype(np.uint64)
+        ) % np.uint64(num_partitions)
+        return pa.table(
+            {
+                "ia": pa.array(ia, type=pa.int64()),
+                "ib": pa.array(ib, type=pa.int64()),
+                "na": pa.array(na, type=pa.int64()),
+                "nb": pa.array(nb, type=pa.int64()),
+                "_p2": pa.array(pp.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def judge(group: pa.Table) -> pa.Table:
+        g = group.group_by(["ia", "ib"], use_threads=False).aggregate(
+            [([], "count_all"), ("na", "min"), ("nb", "min")]
+        )
+        c = g.column("count_all").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = g.column("na_min").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = g.column("nb_min").to_numpy(zero_copy_only=False).astype(np.float64)
+        j = c / (na + nb - c)
+        dup = np.unique(
+            g.column("ib").to_numpy(zero_copy_only=False)[j >= threshold]
+        )
+        return pa.table({"dup_id": pa.array(dup, type=pa.int64())})
+
+    return (
+        ds.map_batches(shingles, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(expand_pairs, batch_format="pyarrow")
+        .groupby("_p2")
+        .map_groups(judge, batch_format="pyarrow")
+    )
+
+
+_EMPTY_PAIRS = pa.table(
+    {
+        "ia": pa.array([], type=pa.int64()),
+        "ib": pa.array([], type=pa.int64()),
+        "na": pa.array([], type=pa.int64()),
+        "nb": pa.array([], type=pa.int64()),
+        "_p2": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def dedup_jaccard_exact(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    num_partitions: int = DEDUP_NUM_PARTITIONS,
+    max_shingle_freq: int | None = None,
+    filter_mode: str = "broadcast",
+):
+    """EXACT n-gram Jaccard dedup (the hash-checked anchor of the near-dup
+    family): drop every doc that has an earlier doc (smaller id) with true
+    word-``k``-gram Jaccard ≥ ``threshold``.
+
+    Unlike the LSH families this computes real intersections over a
+    distributed inverted index (cost Σ c² over shingle frequencies), so its
+    output is SQL-reproducible — the DuckDB oracle recomputes pairwise
+    Jaccard from scratch.  At 100 TB use ``max_shingle_freq`` to prune
+    stopword shingles (documented approximation) or prefer the LSH
+    families; docs with fewer than ``shingle_k`` words have no shingles and
+    are always kept (matches SQL, where they produce no pairs).
+    """
+    candidates = _jaccard_pair_candidates(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        num_partitions=num_partitions,
+        max_shingle_freq=max_shingle_freq,
+    )
+    return _apply_dup_filter(ds, id_col, candidates, filter_mode)
+
+
 def dedup_exact_hash(
     ds,
     *,

@@ -346,3 +346,59 @@ def test_embedding_int8_transit_matches_float(ray_session):
         col="vec_id",
     )
     assert 0 < len(a) < 60 and a.equals(b)
+
+
+def test_dedup_jaccard_exact_semantics(ray_session):
+    """True word-5-gram Jaccard at the boundary: J=0.8 drops, J=0.6 keeps;
+    <5-word, empty, and null docs have no shingles and are always kept."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.dedup import dedup_jaccard_exact
+
+    docs = [
+        "a b c d e f g h",        # 0: 4 shingles
+        "a b c d e f g h",        # 1: J=1 with 0 -> dropped
+        "a b c d e f g X",        # 2: inter 3 / union 5 = 0.6 -> kept
+        "a b c d e f g h i",      # 3: inter 4 / union 5 = 0.8 -> dropped
+        "short words only",       # 4: <5 words -> kept
+        None,                     # 5: kept
+        "",                       # 6: kept
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+            "text": pa.array(docs, type=pa.string()),
+        }
+    )
+    kept = _ids(dedup_jaccard_exact(ray.data.from_arrow(t).repartition(3)))
+    assert kept == [0, 2, 4, 5, 6]
+
+
+def test_dedup_jaccard_exact_shuffle_filter_matches_broadcast(ray_session):
+    import ray.data
+    from airbyte_destination_ray.pipelines.dedup import dedup_jaccard_exact
+
+    mk = lambda: ray.data.from_arrow(_docs_table()).repartition(3)
+    a = _sorted_df(dedup_jaccard_exact(mk(), threshold=0.5))
+    b = _sorted_df(dedup_jaccard_exact(mk(), threshold=0.5, filter_mode="shuffle"))
+    assert len(a) > 0 and a.equals(b)
+
+
+def test_dedup_jaccard_exact_max_shingle_freq_prunes(ray_session):
+    """Stopword-shingle pruning cap: with every shingle shared by all three
+    docs (identical texts), cap=2 drops every shingle group, so no pairs
+    form and all docs survive — the documented approximation path."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.dedup import dedup_jaccard_exact
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(["a b c d e f"] * 3),
+        }
+    )
+    kept_exact = _ids(dedup_jaccard_exact(ray.data.from_arrow(t)))
+    assert kept_exact == [0]
+    kept_capped = _ids(
+        dedup_jaccard_exact(ray.data.from_arrow(t), max_shingle_freq=2)
+    )
+    assert kept_capped == [0, 1, 2]
