@@ -452,6 +452,22 @@ def _q_multimodal_image_decode(sf_dir: str):
     return decode_images(ds, concurrency=2, batch_size=32)
 
 
+def _q_multimodal_image_stats_exact(sf_dir: str):
+    """REAL P6/PPM pixel decode, hash-checked: the corpus dims and pixels
+    are closed-form integer functions of media_id, so a DuckDB oracle
+    recomputes the exact per-channel sums the decoder must produce —
+    converting the image path from rows-only to value-hash-verified."""
+    import ray.data
+
+    from airbyte_destination_ray.stages.multimodal import (
+        image_channel_sums,
+        synthesize_media_table_exact,
+    )
+
+    ds = ray.data.from_arrow(synthesize_media_table_exact(256))
+    return image_channel_sums(ds, concurrency=2, batch_size=32)
+
+
 def _q_multimodal_audio_features(sf_dir: str):
     """Actor-pool audio feature extraction over REAL PCM WAV payloads
     (RIFF parse + per-segment RMS in numpy)."""
@@ -715,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_html_text_documents": _q_extract_html_text,
         "domain_stats_events": _q_domain_stats,
         "multimodal_image_decode": _q_multimodal_image_decode,
+        "multimodal_image_stats_exact": _q_multimodal_image_stats_exact,
         "multimodal_audio_features": _q_multimodal_audio_features,
         "multimodal_video_frames": _q_multimodal_video_frames,
         "lineage_events_cdc": _q_lineage_events_cdc,
@@ -807,6 +824,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, text, lang, source, n_chars FROM documents
             WHERE doc_id NOT IN (SELECT ib FROM dup)
+        """,
+        "multimodal_image_stats_exact": """
+            WITH ids AS (SELECT unnest(generate_series(0, 255)) AS media_id),
+            dims AS (
+                SELECT media_id, 16 + media_id % 48 AS w,
+                       16 + (7 * media_id) % 48 AS h
+                FROM ids
+            )
+            SELECT media_id, w AS width, h AS height,
+                h * list_sum(list_transform(
+                    generate_series(0, w - 1), x -> (x * 255) // (w - 1)
+                )) AS r_sum,
+                w * list_sum(list_transform(
+                    generate_series(0, h - 1), y -> (y * 255) // (h - 1)
+                )) AS g_sum,
+                list_sum(list_transform(generate_series(0, h - 1), y ->
+                    list_sum(list_transform(
+                        generate_series(0, w - 1), x -> (x + y) % 256
+                    ))
+                )) AS b_sum
+            FROM dims
         """,
         "domain_stats_events": """
             WITH u AS (

@@ -568,3 +568,85 @@ def sample_video_frames(
         concurrency=concurrency,
         fn_constructor_kwargs={"frames_per_video": frames_per_video},
     )
+
+
+def synthesize_media_table_exact(n: int) -> pa.Table:
+    """PPM corpus whose dimensions and every pixel are closed-form integer
+    functions of ``media_id`` (no RNG): ``w = 16 + id % 48``,
+    ``h = 16 + (7·id) % 48``, ``R = (x·255)//(w−1)``, ``G = (y·255)//(h−1)``,
+    ``B = (x+y) % 256``.
+
+    This makes the REAL pixel decode end-to-end SQL-verifiable: a DuckDB
+    oracle recomputes the exact per-channel integer sums from the same
+    arithmetic, so any defect in the P6 parser, channel order, or stride
+    math breaks the driver's value hash (the RNG corpus of
+    :func:`synthesize_media_table` can only be rows-only-checked).
+    """
+    payloads = []
+    for i in range(n):
+        w = 16 + i % 48
+        h = 16 + (7 * i) % 48
+        xx = np.arange(w, dtype=np.int64)
+        yy = np.arange(h, dtype=np.int64)
+        r = np.broadcast_to((xx * 255) // (w - 1), (h, w))
+        g = np.broadcast_to(((yy * 255) // (h - 1))[:, None], (h, w))
+        b = (yy[:, None] + xx[None, :]) % 256
+        px = np.stack([r, g, b], axis=-1).astype(np.uint8)
+        payloads.append(encode_ppm(px))
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), type=pa.int64()),
+            "kind": pa.array(["image"] * n),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["image/x-portable-pixmap"] * n),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class ImageChannelSumStage:
+    """payload → (width, height, r_sum, g_sum, b_sum) — integer channel
+    sums from the REAL decoded pixels (exact, hash-comparable; the float
+    mean_luma of :class:`ImageDecodeStage` is not)."""
+
+    def __init__(self, *, strict: bool = True):
+        self.strict = strict
+
+    def _sums(self, payload: bytes | None):
+        if payload is None:
+            return (None,) * 5
+        px = _decode_pixels(payload)
+        if px is None:
+            if self.strict:
+                raise NotImplementedError(
+                    "compressed-image decoding requires PIL/opencv — stubbed"
+                )
+            return (None,) * 5
+        s = px.reshape(-1, px.shape[2]).astype(np.int64).sum(axis=0)
+        return px.shape[1], px.shape[0], int(s[0]), int(s[1]), int(s[2])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self._sums(p) for p in batch.column("payload").to_pylist()]
+        cols = list(zip(*rows)) if rows else [[]] * 5
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "width": pa.array(cols[0], type=pa.int64()),
+                "height": pa.array(cols[1], type=pa.int64()),
+                "r_sum": pa.array(cols[2], type=pa.int64()),
+                "g_sum": pa.array(cols[3], type=pa.int64()),
+                "b_sum": pa.array(cols[4], type=pa.int64()),
+            }
+        )
+
+
+def image_channel_sums(
+    ds, *, concurrency: int = 4, batch_size: int = DEFAULT_MEDIA_BATCH_SIZE
+):
+    """Actor-pool exact channel-sum decode over a media Dataset."""
+    return ds.map_batches(
+        ImageChannelSumStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

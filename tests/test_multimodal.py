@@ -262,3 +262,33 @@ def test_resize_rewrites_mime_for_reencoded_payloads():
     t2 = synthesize_media_table(3)  # opaque bytes
     out2 = ImageResizeStage(width=4, height=4)(t2)
     assert set(out2.column("mime").to_pylist()) == {"image/fake"}
+
+
+def test_exact_corpus_channel_sums_match_closed_form(ray_session):
+    """The exact corpus round-trips: real P6 decode must reproduce the
+    closed-form per-channel integer sums (and dims) for every image."""
+    import ray.data
+
+    from airbyte_destination_ray.stages.multimodal import (
+        image_channel_sums,
+        synthesize_media_table_exact,
+    )
+
+    out = (
+        image_channel_sums(
+            ray.data.from_arrow(synthesize_media_table_exact(12)),
+            concurrency=1,
+            batch_size=4,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for i in range(12):
+        w, h = 16 + i % 48, 16 + (7 * i) % 48
+        assert out.loc[i, "width"] == w and out.loc[i, "height"] == h
+        assert out.loc[i, "r_sum"] == h * sum((x * 255) // (w - 1) for x in range(w))
+        assert out.loc[i, "g_sum"] == w * sum((y * 255) // (h - 1) for y in range(h))
+        assert out.loc[i, "b_sum"] == sum(
+            (x + y) % 256 for x in range(w) for y in range(h)
+        )
