@@ -484,6 +484,36 @@ def _q_multimodal_audio_features(sf_dir: str):
     return extract_audio_features(ds, concurrency=2)
 
 
+def _q_multimodal_audio_stats_exact(sf_dir: str):
+    """REAL RIFF/PCM parse, hash-checked: closed-form sawtooth samples so a
+    DuckDB oracle reproduces the exact integer sample sums the decoder must
+    recover — value-hash coverage for the audio path."""
+    import ray.data
+
+    from airbyte_destination_ray.stages.multimodal import (
+        audio_sample_sums,
+        synthesize_audio_table_exact,
+    )
+
+    ds = ray.data.from_arrow(synthesize_audio_table_exact(64))
+    return audio_sample_sums(ds, concurrency=2, batch_size=16)
+
+
+def _q_multimodal_video_stats_exact(sf_dir: str):
+    """REAL y4m demux, hash-checked: closed-form frame bytes so a DuckDB
+    oracle reproduces every frame's exact byte sum — pins frame count,
+    offsets, and stride math of the demuxer."""
+    import ray.data
+
+    from airbyte_destination_ray.stages.multimodal import (
+        synthesize_video_table_exact,
+        video_frame_byte_sums,
+    )
+
+    ds = ray.data.from_arrow(synthesize_video_table_exact(64))
+    return video_frame_byte_sums(ds, concurrency=2, batch_size=16)
+
+
 def _q_multimodal_video_frames(sf_dir: str):
     """Actor-pool video frame sampling (fan-out) over REAL YUV4MPEG2
     payloads — evenly-spaced true frames."""
@@ -732,6 +762,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats_events": _q_domain_stats,
         "multimodal_image_decode": _q_multimodal_image_decode,
         "multimodal_image_stats_exact": _q_multimodal_image_stats_exact,
+        "multimodal_audio_stats_exact": _q_multimodal_audio_stats_exact,
+        "multimodal_video_stats_exact": _q_multimodal_video_stats_exact,
         "multimodal_audio_features": _q_multimodal_audio_features,
         "multimodal_video_frames": _q_multimodal_video_frames,
         "lineage_events_cdc": _q_lineage_events_cdc,
@@ -845,6 +877,38 @@ def oracle_sql() -> dict[str, str]:
                     ))
                 )) AS b_sum
             FROM dims
+        """,
+        "multimodal_audio_stats_exact": """
+            WITH ids AS (SELECT unnest(generate_series(0, 63)) AS media_id),
+            p AS (
+                SELECT media_id, 1000 + (media_id % 7) * 500 AS n,
+                       3 + media_id % 11 AS k
+                FROM ids
+            )
+            SELECT media_id, n AS n_samples,
+                list_sum(list_transform(
+                    generate_series(0, n - 1), t -> (t * k) % 65536 - 32768
+                )) AS sample_sum,
+                list_sum(list_transform(
+                    generate_series(0, n - 1),
+                    t -> abs((t * k) % 65536 - 32768)
+                )) AS abs_sum
+            FROM p
+        """,
+        "multimodal_video_stats_exact": """
+            WITH ids AS (SELECT unnest(generate_series(0, 63)) AS media_id),
+            f AS (
+                SELECT media_id,
+                       unnest(generate_series(0, 4 + media_id % 9 - 1))
+                           AS frame_idx
+                FROM ids
+            )
+            SELECT media_id, frame_idx,
+                list_sum(list_transform(
+                    generate_series(0, 287),
+                    j -> (31 * frame_idx + 7 * j + media_id) % 256
+                )) AS byte_sum
+            FROM f
         """,
         "domain_stats_events": """
             WITH u AS (

@@ -650,3 +650,149 @@ def image_channel_sums(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def synthesize_audio_table_exact(n: int) -> pa.Table:
+    """PCM-WAV corpus with closed-form integer samples (sawtooth — no
+    transcendentals, so a SQL oracle reproduces every sample exactly):
+    ``n_samples = 1000 + (id % 7)·500``, ``k = 3 + id % 11``,
+    ``sample[t] = (t·k) % 65536 − 32768``."""
+    payloads = []
+    for i in range(n):
+        ns = 1000 + (i % 7) * 500
+        k = 3 + i % 11
+        t = np.arange(ns, dtype=np.int64)
+        samples = ((t * k) % 65536 - 32768).astype(np.int16)
+        payloads.append(encode_wav(samples, 8000))
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), type=pa.int64()),
+            "kind": pa.array(["audio"] * n),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["audio/wav"] * n),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class AudioSumStage:
+    """payload → (n_samples, sample_sum, abs_sum) — exact integer stats
+    from the REAL RIFF/PCM parse (hash-comparable, unlike float RMS)."""
+
+    def __init__(self, *, strict: bool = True):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns, ss, ab = [], [], []
+        for p in batch.column("payload").to_pylist():
+            if p is None:
+                ns.append(None), ss.append(None), ab.append(None)
+                continue
+            wav = decode_wav(p)
+            if wav is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        "compressed-audio decoding requires a codec — stubbed"
+                    )
+                ns.append(None), ss.append(None), ab.append(None)
+                continue
+            samples, _rate = wav
+            # decode_wav normalizes to int16/32768.0 (dyadic — exact in
+            # float64); rescale recovers the original integers exactly
+            s = np.round(samples * 32768.0).astype(np.int64)
+            ns.append(len(s)), ss.append(int(s.sum())), ab.append(int(np.abs(s).sum()))
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "n_samples": pa.array(ns, type=pa.int64()),
+                "sample_sum": pa.array(ss, type=pa.int64()),
+                "abs_sum": pa.array(ab, type=pa.int64()),
+            }
+        )
+
+
+def audio_sample_sums(
+    ds, *, concurrency: int = 4, batch_size: int = DEFAULT_MEDIA_BATCH_SIZE
+):
+    """Actor-pool exact audio sample-sum parse over a media Dataset."""
+    return ds.map_batches(
+        AudioSumStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def synthesize_video_table_exact(n: int) -> pa.Table:
+    """YUV4MPEG2 corpus with closed-form frame bytes: 16×12 C420 frames
+    (288 bytes), ``n_frames = 4 + id % 9``,
+    ``frame[f][j] = (31·f + 7·j + id) % 256``."""
+    payloads = []
+    fsize = 16 * 12 * 3 // 2
+    j = np.arange(fsize, dtype=np.int64)
+    for i in range(n):
+        nf = 4 + i % 9
+        frames = [
+            ((31 * f + 7 * j + i) % 256).astype(np.uint8).tobytes()
+            for f in range(nf)
+        ]
+        payloads.append(encode_y4m(frames, 16, 12))
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), type=pa.int64()),
+            "kind": pa.array(["video"] * n),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["video/x-yuv4mpeg"] * n),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class VideoFrameByteSumStage:
+    """payload → one row per demuxed frame with its exact byte sum — pins
+    the REAL y4m demux (frame count, offsets, frame-size stride) to a SQL
+    oracle; fan-out layout like :class:`VideoFrameSampleStage`."""
+
+    def __init__(self, *, strict: bool = True):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, sums = [], [], []
+        for mid, p in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if p is None:
+                continue
+            lay = y4m_layout(p)
+            if lay is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        "compressed-video demux requires a codec — stubbed"
+                    )
+                continue
+            offsets, _w, _h, fsize = lay
+            for fi, o in enumerate(offsets):
+                frame = np.frombuffer(p, dtype=np.uint8, count=fsize, offset=o)
+                ids.append(mid)
+                idxs.append(fi)
+                sums.append(int(frame.astype(np.int64).sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "frame_idx": pa.array(idxs, type=pa.int64()),
+                "byte_sum": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+
+def video_frame_byte_sums(
+    ds, *, concurrency: int = 4, batch_size: int = DEFAULT_MEDIA_BATCH_SIZE
+):
+    """Actor-pool exact per-frame byte-sum demux over a media Dataset."""
+    return ds.map_batches(
+        VideoFrameByteSumStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

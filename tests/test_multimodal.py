@@ -292,3 +292,59 @@ def test_exact_corpus_channel_sums_match_closed_form(ray_session):
         assert out.loc[i, "b_sum"] == sum(
             (x + y) % 256 for x in range(w) for y in range(h)
         )
+
+
+def test_exact_audio_sums_match_closed_form(ray_session):
+    import ray.data
+
+    from airbyte_destination_ray.stages.multimodal import (
+        audio_sample_sums,
+        synthesize_audio_table_exact,
+    )
+
+    out = (
+        audio_sample_sums(
+            ray.data.from_arrow(synthesize_audio_table_exact(8)),
+            concurrency=1,
+            batch_size=4,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for i in range(8):
+        n, k = 1000 + (i % 7) * 500, 3 + i % 11
+        vals = [(t * k) % 65536 - 32768 for t in range(n)]
+        assert out.loc[i, "n_samples"] == n
+        assert out.loc[i, "sample_sum"] == sum(vals)
+        assert out.loc[i, "abs_sum"] == sum(abs(v) for v in vals)
+
+
+def test_exact_video_frame_sums_match_closed_form(ray_session):
+    import ray.data
+
+    from airbyte_destination_ray.stages.multimodal import (
+        synthesize_video_table_exact,
+        video_frame_byte_sums,
+    )
+
+    out = (
+        video_frame_byte_sums(
+            ray.data.from_arrow(synthesize_video_table_exact(6)),
+            concurrency=1,
+            batch_size=3,
+        )
+        .to_pandas()
+        .sort_values(["media_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    r = 0
+    for i in range(6):
+        nf = 4 + i % 9
+        for f in range(nf):
+            assert out.loc[r, "media_id"] == i and out.loc[r, "frame_idx"] == f
+            assert out.loc[r, "byte_sum"] == sum(
+                (31 * f + 7 * j + i) % 256 for j in range(288)
+            )
+            r += 1
+    assert r == len(out)
