@@ -458,12 +458,15 @@ def asof_join(
     sort, no per-row loop.  Partitioning assumption: all rows of one key fit
     in one group (same as any keyed merge; salt + two-stage does NOT apply
     because as-of is not associative — hot keys instead rely on Ray spilling
-    large groups).  ``right_keep`` columns must be int64-castable (they ride
-    the shared envelope as int64; extend with per-type null columns if a
-    wider payload is needed — or as-of-join the right side's key/ts only and
-    broadcast-join the payload back by id).
+    large groups).  ``right_keep`` columns ride the shared envelope in their
+    NATIVE Arrow types (null-filled on the left side); the winner gather is
+    a null-masked ``take``, so any type — strings, lists, structs — joins
+    through.
     """
     right_out = [f"{c}{suffix}" for c in right_keep]
+    rkeep_types = dict(
+        zip(right_ds.schema().names, right_ds.schema().types)
+    )
 
     def env_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -472,7 +475,7 @@ def asof_join(
         cols["_aseq"] = pa.nulls(n, pa.int64())
         cols["_side"] = pa.array(np.ones(n, dtype=np.int8))
         for c, oc in zip(right_keep, right_out):
-            cols[oc] = pa.nulls(n, pa.int64())
+            cols[oc] = pa.nulls(n, rkeep_types[c])
         t = pa.table(cols)
         parts = partition_ids(t.column(on), num_partitions)
         return t.append_column("_part", pa.array(parts, type=pa.int64()))
@@ -490,7 +493,7 @@ def asof_join(
             cols["_aseq"] = pc.cast(batch.column(right_seq), pa.int64())
             cols["_side"] = pa.array(np.zeros(n, dtype=np.int8))
             for c, oc in zip(right_keep, right_out):
-                cols[oc] = pc.cast(batch.column(c), pa.int64())
+                cols[oc] = batch.column(c)
             t = pa.table(cols)
             parts = partition_ids(t.column(on), num_partitions)
             return t.append_column("_part", pa.array(parts, type=pa.int64()))
@@ -522,14 +525,17 @@ def asof_join(
             return pa.table(
                 {
                     **{c: pa.array([], left_types[c]) for c in payload_cols},
-                    **{oc: pa.array([], pa.int64()) for oc in right_out},
+                    **{
+                        oc: pa.array([], rkeep_types[c])
+                        for c, oc in zip(right_keep, right_out)
+                    },
                 }
             )
         out_cols = {c: left.column(c) for c in payload_cols}
         lts = left.column("_ats").to_numpy(zero_copy_only=False)
         if right.num_rows == 0:
-            for oc in right_out:
-                out_cols[oc] = pa.nulls(left.num_rows, pa.int64())
+            for c, oc in zip(right_keep, right_out):
+                out_cols[oc] = pa.nulls(left.num_rows, rkeep_types[c])
             return pa.table(out_cols)
         # sort right by (key, ts, seq): within a key the LAST row at or
         # before lts is the as-of winner with max (ts, seq).
@@ -568,13 +574,14 @@ def asof_join(
         pos = np.empty(n, dtype=np.int64)
         pos[order2[is_left] - m] = last[is_left]
         found = pos >= 0
+        # null-masked gather: a null index takes to null, so every right
+        # payload type (string/list/struct) joins through natively
+        idx = pa.array(np.clip(pos, 0, None), type=pa.int64(), mask=~found)
         for oc in right_out:
-            vals = right.column(oc).to_numpy(zero_copy_only=False)
-            out = np.where(found, vals[np.clip(pos, 0, None)], 0)
-            arr = pa.array(out.astype(np.int64), type=pa.int64())
-            if not found.all():
-                arr = pc.if_else(pa.array(found), arr, pa.nulls(len(found), pa.int64()))
-            out_cols[oc] = arr
+            col = right.column(oc)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            out_cols[oc] = col.take(idx)
         return pa.table(out_cols)
 
     return env.groupby("_part").map_groups(merge, batch_format="pyarrow")

@@ -798,3 +798,57 @@ def test_weighted_sample_by_key_deterministic(ray_session):
         percents={"en": 100, "de": 0}, default_percent=50,
     ).to_pandas()
     assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
+def test_asof_join_string_and_float_right_payload(ray_session):
+    """right_keep columns join through in their native types (string /
+    float) — the former int64-only envelope restriction is gone."""
+    import datetime as dt
+
+    from airbyte_destination_ray.pipelines.relational import asof_join
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 3], type=pa.int64()),
+            "lts": pa.array(
+                [t, t - dt.timedelta(hours=3), t, t], pa.timestamp("us")
+            ),
+            "lid": pa.array([10, 11, 12, 13], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 2], type=pa.int64()),
+            "rts": pa.array(
+                [t - dt.timedelta(hours=1), t - dt.timedelta(hours=2),
+                 t + dt.timedelta(hours=1)],
+                pa.timestamp("us"),
+            ),
+            "rseq": pa.array([1, 2, 3], type=pa.int64()),
+            "label": pa.array(["recent", "older", "future"]),
+            "score": pa.array([0.5, 0.25, 0.75], type=pa.float64()),
+        }
+    )
+    out = (
+        asof_join(
+            _ds(left, blocks=2),
+            _ds(right, blocks=2),
+            on="k",
+            left_ts="lts",
+            right_ts="rts",
+            right_seq="rseq",
+            right_keep=["label", "score"],
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    # lid=10 (k=1, ts=t): latest right <= t is "recent";
+    # lid=11 (k=1, t-3h): no right at/before -> nulls;
+    # lid=12 (k=2, ts=t): only right is at t+1h -> nulls;
+    # lid=13 (k=3): no right rows for the key at all -> nulls
+    assert out["label_right"].tolist() == ["recent", None, None, None]
+    assert out["score_right"].tolist()[0] == 0.5
+    assert out["score_right"].isna().tolist() == [False, True, True, True]
