@@ -55,6 +55,9 @@ CDC_REPEAT = int(os.environ.get("GRAFT_CDC_REPEAT", "3"))
 CDC_STRATEGY = os.environ.get("GRAFT_CDC_STRATEGY", "snapshot")
 CDC_SHUFFLE = os.environ.get("GRAFT_CDC_SHUFFLE", "payload")
 CDC_HTML_PAD = int(os.environ.get("GRAFT_CDC_HTML_PAD", "0"))
+# GRAFT_CDC_EXTRACT=1: derive the lake text column from raw html in-flight
+# (the Common-Crawl ingest shape; byte-identical output, pinned by tests)
+CDC_EXTRACT = os.environ.get("GRAFT_CDC_EXTRACT", "0") == "1"
 
 
 def _init_ray(num_cpus: int) -> None:
@@ -153,6 +156,7 @@ def bench_cdc(num_cpus: int) -> dict:
             num_partitions=CDC_PARTITIONS,
             compute_digest=False,
             enrich=True,
+            extract_text=CDC_EXTRACT,
             merge_strategy=CDC_STRATEGY,
             shuffle=CDC_SHUFFLE,
         )

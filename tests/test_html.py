@@ -123,3 +123,41 @@ def test_cdc_sync_with_inflight_extraction_matches_trusted_text(
 
     assert lakes["trusted"].equals(lakes["extracted"])
     assert lakes["trusted_digests"] == lakes["extracted_digests"]
+
+
+def test_cdc_extraction_composes_with_key_only_shuffle(tmp_path, ray_session):
+    """extract_text=True under shuffle="key_only" (extraction happens in
+    pass 2, after losers are filtered) must equal the payload-shuffle lake."""
+    from airbyte_destination_ray.pipelines.cdc import read_table_arrow, run_cdc_sync
+    from airbyte_destination_ray.sources.synth import synthesize_binlog
+
+    d = tmp_path / "binlog"
+    synthesize_binlog(d, n_events=1500, n_keys=200, n_epochs=2, seed=23, html_pad=1)
+    lakes = {}
+    for name, shuffle in (("payload", "payload"), ("key_only", "key_only")):
+        lake = tmp_path / f"lake_{name}"
+        run_cdc_sync(
+            str(lake), str(d), num_partitions=4,
+            extract_text=True, shuffle=shuffle,
+        )
+        lakes[name] = read_table_arrow(str(lake), "pages").sort_by("url")
+    assert lakes["payload"].equals(lakes["key_only"])
+
+
+def test_roundtrip_property_random_text():
+    """Hypothesis-style sweep without Ray: random printable text (including
+    &, <, >, entity-looking substrings, unicode) survives
+    escape → wrap → binary → extract byte-identically."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = (
+        "abc &<>\"'#; \t\n&amp;&lt;&#39;<script></script><style>🎉ßü"
+    )
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+        for _ in range(300)
+    ]
+    arr = pa.array(texts, type=pa.string())
+    rt = extract_text_html(wrap_html(arr).cast(pa.binary()))
+    assert rt.to_pylist() == texts
