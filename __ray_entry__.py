@@ -722,6 +722,50 @@ def _q_events_distinct_users_approx(sf_dir: str):
     )
 
 
+def _q_remove_boilerplate(sf_dir: str):
+    """CCNet-style frequent-segment removal at word granularity (the synth
+    documents are single-line, so ``sep=" "`` makes the segment = word):
+    exact corpus-wide document frequency per segment, segments occurring in
+    ≥390 of the docs are stripped, documents rebuilt byte-identically to
+    the SQL ``string_agg`` reconstruction.  On a real crawl the same
+    operator with ``sep="\\n"`` is the boilerplate-line filter."""
+    from airbyte_destination_ray.pipelines.corpus import (
+        remove_frequent_segments,
+    )
+
+    return remove_frequent_segments(
+        _documents(sf_dir, columns=["doc_id", "text"]),
+        sep=" ",
+        min_df=390,
+        num_partitions=8,
+    )
+
+
+def _q_dedup_segments_documents(sf_dir: str):
+    """Corpus-wide first-occurrence segment dedup (CCNet paragraph dedup):
+    each distinct segment survives only at its globally minimal
+    ``(doc_id, position)``; documents rebuilt from survivors.  SQL
+    ``row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) = 1``."""
+    from airbyte_destination_ray.pipelines.corpus import dedup_segments_first
+
+    return dedup_segments_first(
+        _documents(sf_dir, columns=["doc_id", "text"]),
+        sep=" ",
+        num_partitions=8,
+    )
+
+
+def _q_top_terms_documents(sf_dir: str):
+    """Global top-k vocabulary (tokenizer-training profile): lowercase,
+    regex-split, per-batch pre-aggregated counts, deterministic
+    ``(n DESC, term ASC)`` boundary."""
+    from airbyte_destination_ray.pipelines.corpus import top_terms
+
+    return top_terms(
+        _documents(sf_dir, columns=["text"]), k=10, num_partitions=8
+    )
+
+
 def _q_events_stats_by_type(sf_dir: str):
     from airbyte_destination_ray.pipelines.ops import grouped_stats
 
@@ -789,6 +833,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_docs_per_lang": _q_cap_docs_per_lang,
         "weighted_mixture_sample": _q_weighted_mixture_sample,
         "events_distinct_users_approx": _q_events_distinct_users_approx,
+        "remove_boilerplate_documents": _q_remove_boilerplate,
+        "dedup_segments_documents": _q_dedup_segments_documents,
+        "top_terms_documents": _q_top_terms_documents,
     }
 
 
@@ -1215,5 +1262,48 @@ def oracle_sql() -> dict[str, str]:
                        * (1 + l_tax)) * 100) AS BIGINT)) AS BIGINT)
                        AS sum_charge_cents
             FROM lineitem GROUP BY 1, 2
+        """,
+        "remove_boilerplate_documents": """
+            WITH segs AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+                       generate_subscripts(string_split(text, ' '), 1) AS idx
+                FROM documents
+            ), freq AS (
+                SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+            ), kept AS (
+                SELECT s.doc_id, s.seg, s.idx
+                FROM segs s JOIN freq f USING (seg) WHERE f.df < 390
+            )
+            SELECT d.doc_id,
+                   COALESCE(k.t2, CASE WHEN d.text IS NULL THEN NULL
+                                       ELSE '' END) AS text
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS t2
+                       FROM kept GROUP BY doc_id) k USING (doc_id)
+        """,
+        "dedup_segments_documents": """
+            WITH segs AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+                       generate_subscripts(string_split(text, ' '), 1) AS idx
+                FROM documents
+            ), w AS (
+                SELECT doc_id, idx, seg, row_number() OVER (
+                    PARTITION BY seg ORDER BY doc_id, idx) AS rn
+                FROM segs
+            )
+            SELECT d.doc_id,
+                   COALESCE(k.t2, CASE WHEN d.text IS NULL THEN NULL
+                                       ELSE '' END) AS text
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS t2
+                       FROM w WHERE rn = 1 GROUP BY doc_id) k USING (doc_id)
+        """,
+        "top_terms_documents": """
+            SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT unnest(string_split_regex(
+                    lower(text), '[^a-z0-9]+')) AS term
+                FROM documents)
+            WHERE term <> ''
+            GROUP BY term ORDER BY n DESC, term LIMIT 10
         """,
     }

@@ -1,0 +1,399 @@
+"""Corpus-level segment operators: CCNet-style boilerplate removal,
+global first-occurrence segment dedup, and vocabulary extraction.
+
+These are the line/paragraph-granularity web-text cleanup stages (CCNet,
+RefinedWeb, Dolma all run some form of them) that doc-level dedup can't
+express: the unit of work is a SEGMENT of a document (a line, paragraph,
+or word — any separator), and the decision for one segment depends on the
+whole corpus, so each operator is a two-phase Ray Data pipeline:
+
+1. a vectorized ``map_batches`` pass splits every document into segments
+   with ``pyarrow.compute.split_pattern`` (zero Python per row) and emits
+   fixed-width ``(segment_hash, …)`` rows — the document text itself never
+   rides the statistics exchange;
+2. a single hash-partitioned ``groupby`` resolves the corpus-wide decision
+   (document frequency / first occurrence), and a rebuild pass filters each
+   document's segment list and re-joins it with ``binary_join``.
+
+Segment identity is a 64-bit stable hash (same identity rule as the URL
+rollup in :mod:`.web`); collision odds are ~n²/2⁶⁵.  Output text is
+byte-identical to the SQL reconstruction (``string_agg`` over surviving
+segments), pinned by DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ..functions.hashing import stable_hash_array
+
+CORPUS_NUM_PARTITIONS = 64
+
+__all__ = [
+    "remove_frequent_segments",
+    "dedup_segments_first",
+    "top_terms",
+]
+
+
+def _split(text_col, sep: str):
+    """Split a text column into segments.
+
+    Returns ``(flat_values, parent_row, within_row_idx, null_mask, n_rows)``
+    where ``flat_values`` concatenates every row's segments in order,
+    ``parent_row`` maps each segment to its row, ``within_row_idx`` is the
+    0-based position inside the row, and ``null_mask`` marks null-text rows
+    (which contribute no segments, matching SQL ``string_split(NULL)``).
+    """
+    arr = text_col.combine_chunks() if isinstance(text_col, pa.ChunkedArray) else text_col
+    lst = pc.split_pattern(arr, sep)
+    flat = pc.list_flatten(lst)
+    parent = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
+    counts = (
+        pc.fill_null(pc.list_value_length(lst), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    idx = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, counts)
+    null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    return flat, parent, idx, null_mask, len(arr)
+
+
+def _rejoin(flat, parent, keep, n_rows, sep: str, null_mask):
+    """Rebuild one text value per row from the kept segments (order
+    preserved); null-text rows stay null."""
+    kept_parent = parent[keep]
+    counts = np.bincount(kept_parent, minlength=n_rows).astype(np.int64)
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    values = flat.filter(pa.array(keep))
+    lst = pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), values)
+    joined = pc.binary_join(lst, sep)
+    if null_mask.any():
+        joined = pc.if_else(
+            pa.array(null_mask), pa.nulls(n_rows, pa.string()), joined
+        )
+    return joined
+
+
+def remove_frequent_segments(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_df: int = 2,
+    num_partitions: int = CORPUS_NUM_PARTITIONS,
+):
+    """Remove segments that occur in ≥ ``min_df`` distinct documents — the
+    CCNet/RefinedWeb boilerplate filter ("Privacy Policy", nav bars, cookie
+    banners) at line granularity (``sep="\\n"``), or document-frequency
+    stopword pruning at word granularity (``sep=" "``).
+
+    Phase 1 computes exact per-segment document frequency: each batch emits
+    one ``(hash, partial_df)`` row per distinct (segment, doc) pair — a doc
+    never spans batches, so summing the partials over one hash exchange is
+    the exact global DF.  The qualifying set is collected and broadcast via
+    ``ray.put`` (read once per task): its size is bounded by
+    ``total_segments / min_df`` (every member occurs ≥ min_df times), i.e.
+    raising the threshold shrinks the broadcast — the boilerplate set of a
+    100 TB corpus at min_df in the thousands is MBs of hashes.  Phase 2
+    re-splits each document, drops qualifying segments, and re-joins —
+    document text never rides any exchange.
+
+    Returns ``(id_col, text)`` with text byte-identical to the SQL
+    ``string_agg`` reconstruction (empty string when every segment was
+    removed; null for null input text).
+    """
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat, parent, _idx, _null, _n = _split(batch.column(text_col), sep)
+        h = stable_hash_array(flat)
+        t = pa.table(
+            {
+                "h": pa.array(h, type=pa.uint64()),
+                "p": pa.array(parent, type=pa.int64()),
+            }
+        )
+        # distinct (segment, doc) pairs, then per-segment partial DF
+        g = t.group_by(["h", "p"], use_threads=False).aggregate([])
+        g2 = g.group_by("h", use_threads=False).aggregate([([], "count_all")])
+        part = (
+            g2.column("h").to_numpy(zero_copy_only=False)
+            % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "h": g2.column("h"),
+                "df": g2.column("count_all").cast(pa.int64()),
+                "_part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    def df_final(group: pa.Table) -> pa.Table:
+        g = group.group_by("h", use_threads=False).aggregate([("df", "sum")])
+        return g.filter(
+            pc.greater_equal(g.column("df_sum"), min_df)
+        ).select(["h"])
+
+    frequent = (
+        ds.map_batches(df_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(df_final, batch_format="pyarrow")
+    )
+    # driver collect of hashes only (8 B/segment, bounded as documented)
+    chunks = [
+        b.column("h").to_numpy(zero_copy_only=False)
+        for b in frequent.iter_batches(batch_format="pyarrow")
+    ]
+    bad = np.sort(np.concatenate(chunks)) if chunks else np.array([], dtype=np.uint64)
+    bad_ref = ray.put(bad)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        bad_sorted = ray.get(bad_ref)
+        flat, parent, _idx, null_mask, n = _split(batch.column(text_col), sep)
+        if len(bad_sorted):
+            h = stable_hash_array(flat)
+            pos = np.searchsorted(bad_sorted, h)
+            pos[pos == len(bad_sorted)] = 0
+            keep = bad_sorted[pos] != h
+        else:
+            keep = np.ones(len(flat), dtype=bool)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "text": _rejoin(flat, parent, keep, n, sep, null_mask),
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow", batch_size=None)
+
+
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """splitmix64-style 64-bit hash of an (int, int) pair, vectorized."""
+    with np.errstate(over="ignore"):
+        x = a.astype(np.uint64) * _MIX1 ^ (b.astype(np.uint64) + np.uint64(1)) * _MIX2
+        x ^= x >> np.uint64(30)
+        x *= _MIX1
+        x ^= x >> np.uint64(27)
+        x *= _MIX2
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def dedup_segments_first(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    num_partitions: int = CORPUS_NUM_PARTITIONS,
+):
+    """Corpus-wide first-occurrence segment dedup (the CCNet paragraph
+    dedup): every segment is kept ONLY at its first occurrence — minimal
+    ``(id, position)`` over the whole corpus — and removed everywhere else;
+    documents are rebuilt from their surviving segments.
+
+    Two fixed-width exchanges, no text on either:
+
+    1. winner election — each batch pre-reduces to its local first
+      occurrence per segment hash (one lexsort, no Python per segment),
+      then one hash exchange on the segment hash elects the global minimum
+      ``(id, idx)``; the exchange carries 24 B/distinct-segment/batch;
+    2. rebuild — winners are co-partitioned with the documents by
+      ``hash(id)`` (tagged-union groupby, same envelope trick as
+      ``shuffle_join``), and each partition filters its documents' segment
+      lists against its winner positions locally.  Document text rides
+      this exchange once (unavoidable: the output IS the text).
+
+    ``id_col`` must be an integer column — "first" is defined by ``(id,
+    idx)`` order, exactly SQL ``row_number() OVER (PARTITION BY seg ORDER
+    BY id, idx) = 1``, which makes the result independent of batch/block
+    composition (replay- and parallelism-invariant).
+    """
+
+    def winners_partial(batch: pa.Table) -> pa.Table:
+        flat, parent, idx, _null, _n = _split(batch.column(text_col), sep)
+        h = stable_hash_array(flat)
+        ids = (
+            batch.column(id_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)[parent]
+        )
+        order = np.lexsort((idx, ids, h))
+        hs = h[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = hs[1:] != hs[:-1]
+        w = order[first]
+        part = (h[w] % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table(
+            {
+                "h": pa.array(h[w], type=pa.uint64()),
+                "wid": pa.array(ids[w], type=pa.int64()),
+                "widx": pa.array(idx[w], type=pa.int64()),
+                "_part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    def winners_final(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        ids = group.column("wid").to_numpy(zero_copy_only=False)
+        idx = group.column("widx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((idx, ids, h))
+        hs = h[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = hs[1:] != hs[:-1]
+        w = order[first]
+        return pa.table(
+            {
+                "wid": pa.array(ids[w], type=pa.int64()),
+                "widx": pa.array(idx[w], type=pa.int64()),
+            }
+        )
+
+    winners = (
+        ds.map_batches(winners_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(winners_final, batch_format="pyarrow")
+    )
+
+    # co-partition winners and documents by hash(id); tagged union
+    def env_winners(batch: pa.Table) -> pa.Table:
+        ids = batch.column("wid").to_numpy(zero_copy_only=False)
+        part = (
+            stable_hash_array(ids) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_id": batch.column("wid"),
+                "_idx": batch.column("widx"),
+                "_text": pa.nulls(batch.num_rows, pa.string()),
+                "_side": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+                "_part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    def env_docs(batch: pa.Table) -> pa.Table:
+        ids = (
+            batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        part = (
+            stable_hash_array(ids) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_id": pa.array(ids, type=pa.int64()),
+                "_idx": pa.nulls(batch.num_rows, pa.int64()),
+                "_text": batch.column(text_col),
+                "_side": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+                "_part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    env = winners.map_batches(
+        env_winners, batch_format="pyarrow", batch_size=None
+    ).union(ds.map_batches(env_docs, batch_format="pyarrow", batch_size=None))
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        wmask = side == 0
+        wid = group.column("_id").to_numpy(zero_copy_only=False)[wmask]
+        widx = (
+            group.column("_idx")
+            .to_numpy(zero_copy_only=False)[wmask]
+            .astype(np.int64)
+        )
+        docs = group.filter(pa.array(~wmask))
+        flat, parent, idx, null_mask, n = _split(docs.column("_text"), sep)
+        ids = docs.column("_id").to_numpy(zero_copy_only=False)[parent]
+        keep_set = np.sort(_mix_pairs(wid, widx))
+        ph = _mix_pairs(ids, idx)
+        if len(keep_set):
+            pos = np.searchsorted(keep_set, ph)
+            pos[pos == len(keep_set)] = 0
+            keep = keep_set[pos] == ph
+        else:
+            keep = np.zeros(len(flat), dtype=bool)
+        return pa.table(
+            {
+                id_col: docs.column("_id"),
+                "text": _rejoin(flat, parent, keep, n, sep, null_mask),
+            }
+        )
+
+    return env.groupby("_part").map_groups(rebuild, batch_format="pyarrow")
+
+
+def top_terms(
+    ds,
+    *,
+    text_col: str = "text",
+    k: int = 20,
+    pattern: str = "[^a-z0-9]+",
+    num_partitions: int = 32,
+):
+    """Global top-k vocabulary: lowercase, split on ``pattern``, count every
+    term corpus-wide, return the ``k`` most frequent as ``(term, n)`` —
+    the tokenizer-training / corpus-profiling staple.
+
+    Per-batch pre-aggregation (Arrow ``value_counts``) means the term
+    exchange carries one row per distinct term per batch; the final top-k
+    uses the local-top-k + tiny-reduce shape of :func:`.ops.top_k_by`
+    (deterministic ``(n DESC, term ASC)`` tie-break = SQL
+    ``ORDER BY n DESC, term LIMIT k``), so no stage ever holds more than
+    the per-partition distinct-term set.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column(text_col)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(arr), pattern)
+        )
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        terms, counts = vc.field(0), vc.field(1)
+        part = (
+            stable_hash_array(terms) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "term": terms,
+                "n": counts.cast(pa.int64()),
+                "_part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    def local_topk(group: pa.Table) -> pa.Table:
+        g = group.group_by("term", use_threads=False).aggregate([("n", "sum")])
+        t = pa.table({"term": g.column("term"), "n": g.column("n_sum")})
+        order = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("term", "ascending")]
+        )
+        return t.take(order[: min(k, t.num_rows)])
+
+    def final(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        order = pc.sort_indices(
+            batch, sort_keys=[("n", "descending"), ("term", "ascending")]
+        )
+        return batch.take(order[: min(k, batch.num_rows)])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(local_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

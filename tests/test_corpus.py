@@ -1,0 +1,188 @@
+"""Segment-granularity corpus operators (pipelines/corpus.py) vs DuckDB.
+
+Edge cases the SQL semantics force: empty-string segments (doubled
+separators), empty text (splits to ['']), null text (null out), documents
+that lose every segment (empty string, not a dropped row), and
+parallelism/batching invariance of the corpus-wide decisions.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+
+EDGE_DOCS = [
+    (1, "privacy policy"),
+    (2, "real content one privacy policy"),
+    (3, "privacy policy"),
+    (4, "real  content"),  # doubled separator -> empty segment
+    (5, ""),
+    (6, None),
+    (7, "unique words only here"),
+    (8, "privacy policy privacy policy"),
+]
+
+
+def _edge_ds(num_blocks: int = 3):
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in EDGE_DOCS], type=pa.int64()),
+            "text": pa.array([s for _, s in EDGE_DOCS], type=pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(num_blocks)
+
+
+def _edge_con():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?)", EDGE_DOCS)
+    return con
+
+
+def _sorted_df(obj) -> pd.DataFrame:
+    df = obj.to_pandas() if hasattr(obj, "to_pandas") else obj
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+REMOVE_SQL = """
+    WITH segs AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+               generate_subscripts(string_split(text, ' '), 1) AS idx
+        FROM documents
+    ), freq AS (
+        SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+    ), kept AS (
+        SELECT s.doc_id, s.seg, s.idx
+        FROM segs s JOIN freq f USING (seg) WHERE f.df < {min_df}
+    )
+    SELECT d.doc_id,
+           COALESCE(k.t2, CASE WHEN d.text IS NULL THEN NULL ELSE '' END)
+               AS text
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS t2
+               FROM kept GROUP BY doc_id) k USING (doc_id)
+"""
+
+FIRST_SQL = """
+    WITH segs AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+               generate_subscripts(string_split(text, ' '), 1) AS idx
+        FROM documents
+    ), w AS (
+        SELECT doc_id, idx, seg, row_number() OVER (
+            PARTITION BY seg ORDER BY doc_id, idx) AS rn
+        FROM segs
+    )
+    SELECT d.doc_id,
+           COALESCE(k.t2, CASE WHEN d.text IS NULL THEN NULL ELSE '' END)
+               AS text
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS t2
+               FROM w WHERE rn = 1 GROUP BY doc_id) k USING (doc_id)
+"""
+
+
+@pytest.mark.parametrize("min_df", [2, 3])
+def test_remove_frequent_segments_matches_sql(ray_session, min_df):
+    from airbyte_destination_ray.pipelines.corpus import (
+        remove_frequent_segments,
+    )
+
+    out = remove_frequent_segments(
+        _edge_ds(), sep=" ", min_df=min_df, num_partitions=4
+    )
+    con = _edge_con()
+    oracle = con.execute(REMOVE_SQL.format(min_df=min_df)).df()
+    pd.testing.assert_frame_equal(
+        _sorted_df(out), _sorted_df(oracle), check_dtype=False
+    )
+
+
+def test_dedup_segments_first_matches_sql(ray_session):
+    from airbyte_destination_ray.pipelines.corpus import dedup_segments_first
+
+    out = dedup_segments_first(_edge_ds(), sep=" ", num_partitions=4)
+    con = _edge_con()
+    oracle = con.execute(FIRST_SQL).df()
+    pd.testing.assert_frame_equal(
+        _sorted_df(out), _sorted_df(oracle), check_dtype=False
+    )
+
+
+def test_dedup_segments_first_batching_invariant(ray_session):
+    """The corpus-wide first-occurrence decision is (doc_id, idx)-ordered,
+    never arrival-ordered — any block layout and partition count must give
+    the same bytes."""
+    from airbyte_destination_ray.pipelines.corpus import dedup_segments_first
+
+    ref = _sorted_df(
+        dedup_segments_first(_edge_ds(1), sep=" ", num_partitions=2)
+    )
+    for blocks, parts in [(2, 7), (8, 3)]:
+        got = _sorted_df(
+            dedup_segments_first(
+                _edge_ds(blocks), sep=" ", num_partitions=parts
+            )
+        )
+        pd.testing.assert_frame_equal(got, ref)
+
+
+def test_remove_frequent_segments_all_removed_is_empty_string(ray_session):
+    """A doc whose every segment is boilerplate becomes '' (kept row),
+    matching COALESCE(string_agg(...), '') — it must NOT disappear."""
+    from airbyte_destination_ray.pipelines.corpus import (
+        remove_frequent_segments,
+    )
+
+    out = _sorted_df(
+        remove_frequent_segments(
+            _edge_ds(), sep=" ", min_df=2, num_partitions=4
+        )
+    )
+    row = out[out.doc_id == 1]
+    assert len(row) == 1 and row.iloc[0]["text"] == ""
+    assert out[out.doc_id == 6].iloc[0]["text"] is None or pd.isna(
+        out[out.doc_id == 6].iloc[0]["text"]
+    )
+
+
+def test_top_terms_matches_sql_with_boundary_tie(ray_session):
+    """Terms tied in count at the k boundary resolve by term ASC in both
+    engines."""
+    from airbyte_destination_ray.pipelines.corpus import top_terms
+
+    docs = [
+        (1, "Apple banana CHERRY apple"),
+        (2, "banana date, cherry; egg"),
+        (3, "fig egg fig"),
+        (4, None),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+            "text": pa.array([s for _, s in docs], type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = _sorted_df(top_terms(ds, k=4, num_partitions=3))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    oracle = con.execute(
+        """
+        SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                AS term FROM documents)
+        WHERE term <> '' GROUP BY term ORDER BY n DESC, term LIMIT 4
+        """
+    ).df()
+    pd.testing.assert_frame_equal(out, _sorted_df(oracle), check_dtype=False)
