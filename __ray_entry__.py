@@ -602,6 +602,58 @@ def _q_domain_stats(sf_dir: str):
     return domain_stats(ds, num_partitions=8)
 
 
+def _q_canonicalize_urls(sf_dir: str):
+    """URL canonicalization (crawl-frontier / URL-dedup key): messy
+    deterministic URLs (mixed case, default + explicit ports, empty paths,
+    fragments, queries) canonicalized vectorized; the oracle rebuilds the
+    same messy URL AND the expected canonical form independently in SQL,
+    byte-for-byte."""
+    import pyarrow as pa
+
+    from airbyte_destination_ray.functions.urls import canonicalize_urls
+    from airbyte_destination_ray.sources.synth import messy_urls_for_keys
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch.column("user_id").to_numpy(zero_copy_only=False)
+        url = messy_urls_for_keys(keys)
+        return pa.table({"url": url, "canonical_url": canonicalize_urls(url)})
+
+    return _events(sf_dir).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _q_cap_pages_per_host(sf_dir: str):
+    """Per-host event cap (crawl-politeness / domain-balance stage): parse
+    the host out of every page URL, keep at most 5 events per host by
+    smallest event_id — URL parser composed with the per-key cap, no
+    global sort."""
+    import pyarrow as pa
+
+    from airbyte_destination_ray.functions.urls import parse_urls
+    from airbyte_destination_ray.pipelines.ops import grouped_top_k
+    from airbyte_destination_ray.sources.synth import urls_for_keys
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        keys = batch.column("user_id").to_numpy(zero_copy_only=False)
+        url = urls_for_keys(keys)
+        return pa.table(
+            {
+                "host": parse_urls(url)["host"],
+                "url": url,
+                "event_id": batch.column("event_id"),
+            }
+        )
+
+    ds = _events(sf_dir).map_batches(
+        add_host, batch_format="pyarrow", batch_size=None
+    )
+    return grouped_top_k(
+        ds, key="host", by="event_id", k=5, tie_break="event_id",
+        descending=False,
+    )
+
+
 def _q_quality_filter_documents(sf_dir: str):
     """C4/Gopher-style quality filter on INTEGER subscore ratios (word count
     in range, ≥60% alphabetic, ≤20% digits, ≥2% stopword density) — every
@@ -833,6 +885,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_docs_per_lang": _q_cap_docs_per_lang,
         "weighted_mixture_sample": _q_weighted_mixture_sample,
         "events_distinct_users_approx": _q_events_distinct_users_approx,
+        "canonicalize_urls_events": _q_canonicalize_urls,
+        "cap_pages_per_host": _q_cap_pages_per_host,
         "remove_boilerplate_documents": _q_remove_boilerplate,
         "dedup_segments_documents": _q_dedup_segments_documents,
         "top_terms_documents": _q_top_terms_documents,
@@ -1262,6 +1316,50 @@ def oracle_sql() -> dict[str, str]:
                        * (1 + l_tax)) * 100) AS BIGINT)) AS BIGINT)
                        AS sum_charge_cents
             FROM lineitem GROUP BY 1, 2
+        """,
+        "canonicalize_urls_events": """
+            WITH p AS (
+                SELECT user_id AS k,
+                    CASE user_id % 3 WHEN 0 THEN 'HTTPS'
+                        WHEN 1 THEN 'http' ELSE 'https' END AS scheme,
+                    'Site-' || (user_id % 997) || '.Example.COM' AS hm,
+                    CASE user_id % 5 WHEN 0 THEN ':443'
+                        WHEN 1 THEN ':8080' WHEN 2 THEN ':80'
+                        ELSE '' END AS port,
+                    CASE WHEN user_id % 4 = 0 THEN ''
+                        ELSE '/Page/' || user_id END AS path,
+                    CASE WHEN user_id % 7 = 0 THEN '?b=2&a=1'
+                        ELSE '' END AS query,
+                    CASE WHEN user_id % 2 = 1 THEN '#Frag' || user_id
+                        ELSE '' END AS frag
+                FROM events
+            ), b AS (
+                SELECT k, scheme, port, path, query, frag,
+                    CASE WHEN k % 2 = 0 THEN hm ELSE lower(hm) END AS host
+                FROM p
+            )
+            SELECT
+                scheme || '://' || host || port || path || query || frag
+                    AS url,
+                lower(scheme) || '://' || lower(host) ||
+                CASE WHEN port = ':8080' THEN ':8080'
+                     WHEN port = ':443' AND lower(scheme) <> 'https'
+                         THEN ':443'
+                     WHEN port = ':80' AND lower(scheme) <> 'http'
+                         THEN ':80'
+                     ELSE '' END ||
+                CASE WHEN path || query = '' THEN '/'
+                     ELSE path || query END AS canonical_url
+            FROM b
+        """,
+        "cap_pages_per_host": """
+            SELECT 'site-' || (user_id % 997) || '.example.com' AS host,
+                   'https://site-' || (user_id % 997) ||
+                       '.example.com/page/' || user_id AS url,
+                   event_id
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id % 997 ORDER BY event_id) <= 5
         """,
         "remove_boilerplate_documents": """
             WITH segs AS (

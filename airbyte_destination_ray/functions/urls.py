@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["parse_urls", "registrable_domain"]
+__all__ = ["parse_urls", "registrable_domain", "canonicalize_urls"]
 
 # scheme://host[:port]/path?query#fragment — query/fragment folded into path
 # remainder are dropped (group, filter and join keys never include them here)
@@ -45,6 +45,68 @@ def parse_urls(urls) -> dict[str, pa.Array]:
     )
     out["domain"] = registrable_domain(out["host"])
     return out
+
+
+# like _URL_RE but keeps the query (canonical URLs preserve it) and
+# captures everything up to the fragment, which canonicalization strips
+_CANON_RE = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#:]*)"
+    r"(?::(?P<port>[0-9]*))?(?P<rest>[^#]*)"
+)
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonicalize_urls(urls) -> pa.Array:
+    """Canonical form of a URL column, vectorized (one RE2 pass + Arrow
+    string kernels, no per-row Python):
+
+    - scheme and host lowercased (path/query case is significant and kept),
+    - fragment stripped,
+    - scheme-default port stripped (``http:80``, ``https:443``; other
+      ports kept),
+    - empty path+query normalized to ``/`` (no slash is inserted before a
+      bare query — ``http://h?q`` keeps that shape),
+    - rows that don't parse as ``scheme://host…`` pass through unchanged
+      (malformed URLs are data, not exceptions).
+
+    Query parameters are preserved as-is (parameter reordering is a
+    semantic judgment call left to callers).  The canonical string is the
+    standard dedup/group key for crawl frontiers and URL-level dedup.
+    """
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    st = pc.extract_regex(urls, _CANON_RE)
+    scheme = pc.utf8_lower(pc.struct_field(st, "scheme"))
+    host = pc.utf8_lower(pc.struct_field(st, "host"))
+    port = pc.fill_null(pc.struct_field(st, "port"), "")
+    rest = pc.struct_field(st, "rest")
+
+    is_default = pc.or_(
+        pc.equal(port, ""),
+        pc.or_(
+            pc.and_(
+                pc.equal(scheme, "http"),
+                pc.equal(port, _DEFAULT_PORTS["http"]),
+            ),
+            pc.and_(
+                pc.equal(scheme, "https"),
+                pc.equal(port, _DEFAULT_PORTS["https"]),
+            ),
+        ),
+    )
+    port_part = pc.if_else(
+        is_default,
+        pa.scalar("", type=pa.string()),
+        pc.binary_join_element_wise(":", port, ""),
+    )
+    rest_norm = pc.if_else(
+        pc.equal(rest, ""), pa.scalar("/", type=pa.string()), rest
+    )
+    canon = pc.binary_join_element_wise(
+        scheme, "://", host, port_part, rest_norm, ""
+    )
+    return pc.if_else(scheme.is_valid(), canon, urls)
 
 
 def registrable_domain(hosts) -> pa.Array:

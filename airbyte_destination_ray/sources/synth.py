@@ -66,6 +66,37 @@ def urls_for_keys(keys: np.ndarray) -> pa.Array:
     )
 
 
+_MESSY_SCHEMES = pa.array(["HTTPS", "http", "https"])
+_MESSY_PORTS = pa.array([":443", ":8080", ":80", "", ""])
+_MESSY_QUERIES = pa.array(["?b=2&a=1", "", "", "", "", "", ""])
+
+
+def messy_urls_for_keys(keys: np.ndarray) -> pa.Array:
+    """Deterministic 'wild crawl' URLs: mixed-case schemes/hosts, default
+    and non-default explicit ports, empty paths, queries, and fragments —
+    every branch of :func:`..functions.urls.canonicalize_urls`, as a pure
+    function of the key so a SQL oracle can rebuild the same bytes."""
+    k = np.asarray(keys, dtype=np.int64)
+    scheme = _MESSY_SCHEMES.take(pa.array(k % 3, type=pa.int64()))
+    host_mixed = _join("Site-", _int_str(k % 997), ".Example.COM")
+    host = pc.if_else(
+        pa.array(k % 2 == 0), host_mixed, pc.utf8_lower(host_mixed)
+    )
+    port = _MESSY_PORTS.take(pa.array(k % 5, type=pa.int64()))
+    path = pc.if_else(
+        pa.array(k % 4 == 0),
+        pa.scalar("", type=pa.string()),
+        _join("/Page/", _int_str(k)),
+    )
+    query = _MESSY_QUERIES.take(pa.array(k % 7, type=pa.int64()))
+    frag = pc.if_else(
+        pa.array(k % 2 == 1),
+        _join("#Frag", _int_str(k)),
+        pa.scalar("", type=pa.string()),
+    )
+    return _join(scheme, "://", host, port, path, query, frag)
+
+
 # variable-length filler via dictionary lookup (vectorized take), not per-row repeat
 _FILLERS = pa.array([" lorem-ipsum" * k for k in range(3, 10)])
 

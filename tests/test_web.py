@@ -79,3 +79,43 @@ def test_domain_stats_matches_duckdb(ray_session):
     assert got["host"].fillna("∅").tolist() == want["host"].fillna("∅").tolist()
     assert got["n_pages"].tolist() == want["n_pages"].tolist()
     assert got["n_events"].tolist() == want["n_events"].tolist()
+
+
+def test_canonicalize_urls_cases():
+    from airbyte_destination_ray.functions.urls import canonicalize_urls
+
+    cases = [
+        # (input, expected)
+        ("HTTP://Example.COM/Path", "http://example.com/Path"),
+        ("https://example.com:443/x", "https://example.com/x"),
+        ("http://example.com:80/x", "http://example.com/x"),
+        ("http://example.com:443/x", "http://example.com:443/x"),
+        ("https://example.com:8080/x", "https://example.com:8080/x"),
+        ("https://Example.com", "https://example.com/"),
+        ("https://example.com/a?b=2&a=1#frag", "https://example.com/a?b=2&a=1"),
+        ("https://example.com?q=1", "https://example.com?q=1"),
+        ("https://example.com#only-frag", "https://example.com/"),
+        ("HTTPS://H.example.com:443", "https://h.example.com/"),
+        # path/query case is significant and preserved
+        ("http://h/CaseSensitive?Q=Mixed", "http://h/CaseSensitive?Q=Mixed"),
+        # malformed: pass through untouched
+        ("not a url", "not a url"),
+        ("", ""),
+        (None, None),
+    ]
+    got = canonicalize_urls(
+        pa.array([c[0] for c in cases], type=pa.string())
+    ).to_pylist()
+    assert got == [c[1] for c in cases]
+
+
+def test_canonicalize_is_idempotent():
+    from airbyte_destination_ray.functions.urls import canonicalize_urls
+    from airbyte_destination_ray.sources.synth import messy_urls_for_keys
+
+    import numpy as np
+
+    urls = messy_urls_for_keys(np.arange(5000))
+    once = canonicalize_urls(urls)
+    twice = canonicalize_urls(once)
+    assert once.equals(twice)
