@@ -136,6 +136,37 @@ def _q_dedup_exact_hash(sf_dir: str):
     return dedup_exact_hash(_documents(sf_dir))
 
 
+def _q_dedup_exact_incremental(sf_dir: str):
+    """Stream-ordered incremental dedup (CDC × dedup): the documents table
+    arrives as two id-ordered increments; each is deduped against the
+    persistent seen-fingerprint state and the union of survivors must
+    equal the one-shot min-id dedup (the SQL oracle)."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.dedup import dedup_exact_incremental
+
+    state = Path("/tmp/adr_incr_state")
+    if state.exists():
+        shutil.rmtree(state)
+
+    def _epoch(lo, hi):
+        def fn(batch):
+            ids = batch.column("doc_id")
+            return batch.filter(
+                pc.and_(pc.greater_equal(ids, lo), pc.less(ids, hi))
+            )
+
+        return _documents(sf_dir).map_batches(
+            fn, batch_format="pyarrow", batch_size=None
+        )
+
+    s1 = dedup_exact_incremental(_epoch(0, 250), str(state))
+    s2 = dedup_exact_incremental(_epoch(250, 1 << 60), str(state))
+    return s1.union(s2)
+
+
 def _q_dedup_minhash(sf_dir: str):
     from airbyte_destination_ray.pipelines.dedup import dedup_minhash_lsh
 
@@ -838,6 +869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_sync_events_full": _q_cdc_sync_events_full,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "dedup_exact_hash_documents": _q_dedup_exact_hash,
+        "dedup_exact_incremental_documents": _q_dedup_exact_incremental,
         "dedup_minhash_documents": _q_dedup_minhash,
         "dedup_simhash_documents": _q_dedup_simhash,
         "dedup_ngram_jaccard_documents": _q_dedup_ngram_jaccard,
@@ -925,6 +957,11 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY text ORDER BY doc_id) = 1
         """,
         "dedup_exact_hash_documents": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents
+            QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+        """,
+        "dedup_exact_incremental_documents": """
             SELECT doc_id, text, lang, source, n_chars
             FROM documents
             QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)

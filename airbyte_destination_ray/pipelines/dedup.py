@@ -712,3 +712,141 @@ def dedup_embedding_cosine(
         .map_groups(resolve, batch_format="pyarrow")
     )
     return _apply_dup_filter(ds, id_col, candidates, filter_mode)
+
+
+def dedup_exact_incremental(
+    ds,
+    state_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = False,
+    filter_mode: str = "broadcast",
+    num_partitions: int = DEDUP_NUM_PARTITIONS,
+):
+    """Exact dedup of an ingest INCREMENT against every previous increment
+    — the CDC × dedup crossover: a crawl refresh / binlog epoch arrives,
+    and only never-before-seen documents survive, at a cost proportional
+    to the INCREMENT (plus the touched state partitions), not the corpus.
+
+    State is a persistent per-partition fingerprint table under
+    ``state_dir`` (``part-{p}.parquet`` with ``(key, id)``, key-sorted,
+    one partition per ``hash(fingerprint) % num_partitions`` — the same
+    hash-partition layout as the lake tables).  Each call:
+
+    1. fingerprints the increment (16 B/doc exchange, text never shuffled
+       — same identity rule as :func:`dedup_exact_hash`);
+    2. per partition: loads the seen set, marks as duplicate every row
+       whose fingerprint is already owned by a DIFFERENT id (state entry,
+       or a smaller id within this increment), then atomically folds the
+       increment's new winners into the state file (write-tmp +
+       ``os.replace``);
+    3. filters the increment with the dup set (broadcast or distributed
+       anti-join via ``filter_mode``).
+
+    Semantics: **earlier increments always win** (stream-order first
+    occurrence); within one increment the min id wins.  Replaying an
+    increment is idempotent: its winners are already in the state under
+    their own ids, so the replay emits byte-identical survivors and the
+    state file is unchanged.  When increments arrive in id order the
+    result equals the one-shot ``min-id-wins`` dedup (the SQL oracle).
+
+    With ``filter_mode="shuffle"`` the candidate pipeline (and therefore
+    the state commit) is deferred into the returned Dataset — call
+    ``.materialize()`` on each increment's result before starting the next
+    (broadcast mode resolves candidates eagerly, so sequential calls are
+    already ordered).  At 10^10-doc scale the state rewrite is O(state
+    partition) per increment; an LSM-style delta stack (the
+    ``merge_strategy="delta"`` design in :mod:`.cdc`) is the documented
+    refinement when increments are small relative to the seen set.
+    """
+    import json
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(state_dir, exist_ok=True)
+    meta_path = os.path.join(state_dir, "_meta.json")
+    meta = {"num_partitions": num_partitions, "normalize": normalize}
+    try:
+        with open(meta_path, "x") as f:
+            json.dump(meta, f)
+    except FileExistsError:
+        with open(meta_path) as f:
+            existing = json.load(f)
+        if existing != meta:
+            raise ValueError(
+                f"dedup state at {state_dir} was written with {existing}; "
+                f"refusing to resume with {meta} (fingerprint partitioning "
+                "would mis-route)"
+            )
+
+    def keys(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(batch.column(text_col).combine_chunks().is_valid())
+        fp = content_fingerprint(batch.column(text_col), normalize=normalize)
+        t = pa.table(
+            {
+                "key": pc.fill_null(fp, 0).cast(pa.uint64()),
+                "id": batch.column(id_col).cast(pa.int64()),
+            }
+        )
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        part = (k % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("_part", pa.array(part, type=pa.int64()))
+
+    def resolve_and_commit(group: pa.Table) -> pa.Table:
+        p = group.column("_part")[0].as_py()
+        path = os.path.join(state_dir, f"part-{p:05d}.parquet")
+        k = group.column("key").to_numpy(zero_copy_only=False)
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        # increment-local winner per key: min id
+        order = np.lexsort((ids, k))
+        ks, is_ = k[order], ids[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        new_keys, new_winners = ks[first], is_[first]
+        if os.path.exists(path):
+            st = pq.read_table(path)
+            sk = st.column("key").to_numpy(zero_copy_only=False)
+            sid = st.column("id").to_numpy(zero_copy_only=False)
+        else:
+            sk = np.array([], dtype=np.uint64)
+            sid = np.array([], dtype=np.int64)
+        # state overrides the increment-local winner (earlier increment wins)
+        pos = np.searchsorted(sk, new_keys)
+        pos_c = np.minimum(pos, max(len(sk) - 1, 0))
+        in_state = (
+            (sk[pos_c] == new_keys) if len(sk) else np.zeros(len(new_keys), dtype=bool)
+        )
+        winners = np.where(in_state, sid[pos_c] if len(sk) else 0, new_winners)
+        # duplicate = any row whose id is not its key's winner
+        row_pos = np.searchsorted(new_keys, k)
+        dup = ids != winners[row_pos]
+        out = pa.table(
+            {"dup_id": pa.array(ids[dup], type=pa.int64())}
+        )
+        fresh = ~in_state
+        if fresh.any():
+            merged_k = np.concatenate([sk, new_keys[fresh]])
+            merged_id = np.concatenate([sid, new_winners[fresh]])
+            o = np.argsort(merged_k, kind="stable")
+            tmp = path + f".tmp.{uuid.uuid4().hex}"
+            pq.write_table(
+                pa.table(
+                    {
+                        "key": pa.array(merged_k[o], type=pa.uint64()),
+                        "id": pa.array(merged_id[o], type=pa.int64()),
+                    }
+                ),
+                tmp,
+            )
+            os.replace(tmp, path)
+        return out
+
+    candidates = (
+        ds.map_batches(keys, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(resolve_and_commit, batch_format="pyarrow")
+    )
+    return _apply_dup_filter(ds, id_col, candidates, filter_mode)
