@@ -838,6 +838,27 @@ def _q_dedup_segments_documents(sf_dir: str):
     )
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Context-window chunking (1 → N row expansion): 120-char chunks with
+    24-char overlap; oracle = SQL generate_series + substr."""
+    from airbyte_destination_ray.pipelines.corpus import chunk_documents
+
+    return chunk_documents(
+        _documents(sf_dir, columns=["doc_id", "text"]),
+        chunk_size=120,
+        overlap=24,
+    )
+
+
+def _q_filter_docs_above_median(sf_dir: str):
+    """Corpus-relative percentile cut: keep documents at or above the
+    global median n_chars.  The q-digest threshold pass is exact-until-
+    compression, so the result hash-matches SQL quantile_cont."""
+    from airbyte_destination_ray.pipelines.ops import filter_above_quantile
+
+    return filter_above_quantile(_documents(sf_dir), value_col="n_chars", q=0.5)
+
+
 def _q_top_terms_documents(sf_dir: str):
     """Global top-k vocabulary (tokenizer-training profile): lowercase,
     regex-split, per-batch pre-aggregated counts, deterministic
@@ -922,6 +943,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_boilerplate_documents": _q_remove_boilerplate,
         "dedup_segments_documents": _q_dedup_segments_documents,
         "top_terms_documents": _q_top_terms_documents,
+        "chunk_documents": _q_chunk_documents,
+        "filter_docs_above_median": _q_filter_docs_above_median,
     }
 
 
@@ -1440,5 +1463,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             WHERE term <> ''
             GROUP BY term ORDER BY n DESC, term LIMIT 10
+        """,
+        "chunk_documents": """
+            WITH p AS (
+                SELECT doc_id, text, length(text) AS l FROM documents
+                WHERE text IS NOT NULL
+            ), c AS (
+                SELECT doc_id, text, unnest(generate_series(0,
+                    CASE WHEN l <= 120 THEN 0
+                         ELSE CAST(ceil((l - 120) * 1.0 / 96) AS BIGINT)
+                    END)) AS chunk_idx
+                FROM p
+            )
+            SELECT doc_id, chunk_idx,
+                   substr(text, chunk_idx * 96 + 1, 120) AS chunk
+            FROM c
+        """,
+        "filter_docs_above_median": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.5)
+                              FROM documents)
         """,
     }

@@ -37,6 +37,7 @@ __all__ = [
     "remove_frequent_segments",
     "dedup_segments_first",
     "top_terms",
+    "chunk_documents",
 ]
 
 
@@ -397,3 +398,70 @@ def top_terms(
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def chunk_documents(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 512,
+    overlap: int = 64,
+):
+    """Split documents into fixed-width overlapping character chunks — the
+    context-window preparation stage of a training-data pipeline (1 → N
+    row expansion).  Chunk ``i`` covers codepoints ``[i·step, i·step +
+    chunk_size)`` with ``step = chunk_size − overlap``; the last chunk may
+    be short; a document of ≤ ``chunk_size`` chars (including empty) is
+    one chunk; null text emits no rows (SQL ``WHERE text IS NOT NULL``).
+
+    Purely per-batch (no shuffle, no state): the expansion loops over
+    chunk ORDINALS (max chunks per batch, a handful), not rows — each
+    ordinal is one vectorized ``utf8_slice_codeunits`` over the rows still
+    long enough.  Output ``(id, chunk_idx, chunk)`` matches SQL
+    ``substr(text, i·step + 1, chunk_size)`` byte-for-byte.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    step = chunk_size - overlap
+
+    def fn(batch: pa.Table) -> pa.Table:
+        arr = batch.column(text_col)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        valid = arr.is_valid()
+        t = pa.table({id_col: batch.column(id_col), "_t": arr}).filter(valid)
+        txt = t.column("_t").combine_chunks()
+        lens = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+        extra = np.maximum(lens - chunk_size, 0)
+        n_chunks = 1 + (extra + step - 1) // step
+        out = []
+        for k in range(int(n_chunks.max()) if len(n_chunks) else 0):
+            mask = pa.array(n_chunks > k)
+            sub = t.filter(mask)
+            chunk = pc.utf8_slice_codeunits(
+                sub.column("_t").combine_chunks(),
+                k * step,
+                k * step + chunk_size,
+            )
+            out.append(
+                pa.table(
+                    {
+                        id_col: sub.column(id_col),
+                        "chunk_idx": pa.array(
+                            np.full(sub.num_rows, k, dtype=np.int64)
+                        ),
+                        "chunk": chunk,
+                    }
+                )
+            )
+        if not out:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=batch.schema.field(id_col).type),
+                    "chunk_idx": pa.array([], type=pa.int64()),
+                    "chunk": pa.array([], type=pa.string()),
+                }
+            )
+        return pa.concat_tables(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -729,3 +729,62 @@ def dedup_exact(
         .groupby("_part")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def filter_above_quantile(
+    ds,
+    *,
+    value_col: str,
+    q: float = 0.5,
+    delta: int = 8192,
+):
+    """Corpus-RELATIVE threshold filter: keep rows whose ``value_col`` is ≥
+    the global ``q``-quantile of the column — "keep the top half by
+    length/quality", the percentile-based cut training-data recipes use
+    where absolute thresholds don't transfer across corpora.
+
+    Two streaming passes, no shuffle: pass 1 reduces each batch to a
+    mergeable q-digest (≤ 2·delta floats/batch — the values never leave
+    their tasks) and merges the digests on the driver; pass 2 broadcast-
+    filters on the scalar threshold.  The digest is exact-until-compression
+    (``functions/sketches.qdigest_quantile``): corpora up to ``delta``
+    values reproduce SQL ``quantile_cont`` bit-for-bit (how the oracle
+    checks this), larger ones get the t-digest ~1/delta rank accuracy.
+    Nulls are ignored for the quantile and dropped by the filter (SQL
+    comparison-with-null semantics).
+    """
+    from ..functions.sketches import (
+        qdigest_from_values,
+        qdigest_merge,
+        qdigest_pack,
+        qdigest_quantile,
+        qdigest_unpack,
+    )
+
+    def digest(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).combine_chunks().drop_null()
+        vals = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        d = qdigest_from_values(vals, delta)
+        return pa.table({"d": pa.array([qdigest_pack(d)], type=pa.binary())})
+
+    merged = None
+    for b in ds.map_batches(
+        digest, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        for buf in b.column("d").to_pylist():
+            d = qdigest_unpack(buf)
+            merged = d if merged is None else qdigest_merge(merged, d, delta)
+    if merged is None or len(merged[0]) == 0:
+        # no non-null values: nothing can compare ≥ the (undefined) quantile
+        return ds.map_batches(
+            lambda b: b.slice(0, 0), batch_format="pyarrow", batch_size=None
+        )
+    threshold = float(qdigest_quantile(merged, q))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        return batch.filter(
+            pc.fill_null(pc.greater_equal(v, threshold), False)
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)

@@ -186,3 +186,102 @@ def test_top_terms_matches_sql_with_boundary_tie(ray_session):
         """
     ).df()
     pd.testing.assert_frame_equal(out, _sorted_df(oracle), check_dtype=False)
+
+
+def test_chunk_documents_matches_sql(ray_session):
+    """Boundary lengths (exact multiple, one-over, shorter-than-chunk,
+    empty), multi-byte codepoints, and null text vs DuckDB substr."""
+    from airbyte_destination_ray.pipelines.corpus import chunk_documents
+
+    docs = [
+        (1, "a" * 10),      # exactly cs + step: 2 chunks
+        (2, "b" * 11),      # one over: 3 chunks
+        (3, "short"),
+        (4, ""),
+        (5, None),
+        (6, "ü" * 9),       # multi-byte codepoints count as 1 char
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+            "text": pa.array([s for _, s in docs], type=pa.string()),
+        }
+    )
+    out = _sorted_df(
+        chunk_documents(
+            ray.data.from_arrow(t).repartition(2), chunk_size=6, overlap=2
+        )
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    oracle = con.execute(
+        """
+        WITH p AS (SELECT doc_id, text, length(text) l FROM documents
+                   WHERE text IS NOT NULL),
+        c AS (SELECT doc_id, text, unnest(generate_series(0,
+                 CASE WHEN l <= 6 THEN 0
+                      ELSE CAST(ceil((l - 6) * 1.0 / 4) AS BIGINT) END))
+                 AS chunk_idx FROM p)
+        SELECT doc_id, chunk_idx, substr(text, chunk_idx * 4 + 1, 6) AS chunk
+        FROM c
+        """
+    ).df()
+    pd.testing.assert_frame_equal(out, _sorted_df(oracle), check_dtype=False)
+    # overlap invariant: consecutive chunks share exactly `overlap` chars
+    d2 = out[out.doc_id == 2].sort_values("chunk_idx").chunk.tolist()
+    assert d2 == ["bbbbbb", "bbbbbb", "bbb"]
+
+
+def test_filter_above_quantile_matches_quantile_cont(ray_session):
+    """Interpolated (even-count) median: threshold falls between two
+    values; both engines keep the same rows.  Nulls ignored + dropped."""
+    from airbyte_destination_ray.pipelines.ops import filter_above_quantile
+
+    vals = [1, 2, 3, 4, 5, 6, 7, 100, None, None]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(vals)), type=pa.int64()),
+            "n_chars": pa.array(vals, type=pa.int64()),
+        }
+    )
+    out = _sorted_df(
+        filter_above_quantile(
+            ray.data.from_arrow(t).repartition(3),
+            value_col="n_chars",
+            q=0.5,
+        )
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    oracle = con.execute(
+        """
+        SELECT doc_id, n_chars FROM t
+        WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.5) FROM t)
+        """
+    ).df()
+    pd.testing.assert_frame_equal(out, _sorted_df(oracle), check_dtype=False)
+
+
+def test_filter_above_quantile_compressed_mode_close(ray_session):
+    """Past `delta` values the digest compresses; the percentile cut must
+    stay within ~1/delta rank error of the exact cut."""
+    import numpy as np
+
+    from airbyte_destination_ray.pipelines.ops import filter_above_quantile
+
+    n = 20000
+    vals = np.random.default_rng(7).permutation(n).astype(np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "n_chars": pa.array(vals, type=pa.int64()),
+        }
+    )
+    out = filter_above_quantile(
+        ray.data.from_arrow(t).repartition(8),
+        value_col="n_chars",
+        q=0.9,
+        delta=512,
+    )
+    kept = out.count()
+    assert abs(kept - n * 0.1) < n * (3 / 512)
