@@ -395,6 +395,18 @@ def _q_events_hourly_by_type(sf_dir: str):
     return windowed_counts(_events(sf_dir), unit="hour")
 
 
+def _q_events_sliding_hourly(sf_dir: str):
+    """Sliding-window counts (60-min window, 15-min slide): bucket-level
+    pre-agg, expansion factor applies to aggregated rows only."""
+    from airbyte_destination_ray.pipelines.relational import (
+        sliding_window_counts,
+    )
+
+    return sliding_window_counts(
+        _events(sf_dir), window_minutes=60.0, slide_minutes=15.0
+    )
+
+
 def _q_sessionize_events(sf_dir: str):
     """Session windows (30-min gap) per user: one keyed shuffle + vectorized
     diff/cumsum session assignment."""
@@ -859,6 +871,29 @@ def _q_filter_docs_above_median(sf_dir: str):
     return filter_above_quantile(_documents(sf_dir), value_col="n_chars", q=0.5)
 
 
+def _q_webtext_pipeline(sf_dir: str):
+    """The composite training-data pipeline, three stages CHAINED as one
+    lazy Dataset (stages pipeline through the streaming executor, nothing
+    materializes between them): corpus-wide boilerplate removal →
+    content dedup of the CLEANED text (all-boilerplate docs collapse to
+    one empty doc, as in real crawl cleaning) → context-window chunking.
+    Oracle = the same three stages as nested SQL CTEs."""
+    from airbyte_destination_ray.pipelines.corpus import (
+        chunk_documents,
+        remove_frequent_segments,
+    )
+    from airbyte_destination_ray.pipelines.ops import dedup_exact
+
+    cleaned = remove_frequent_segments(
+        _documents(sf_dir, columns=["doc_id", "text"]),
+        sep=" ",
+        min_df=390,
+        num_partitions=8,
+    )
+    deduped = dedup_exact(cleaned, on="text", keep_by="doc_id")
+    return chunk_documents(deduped, chunk_size=120, overlap=24)
+
+
 def _q_top_terms_documents(sf_dir: str):
     """Global top-k vocabulary (tokenizer-training profile): lowercase,
     regex-split, per-batch pre-aggregated counts, deterministic
@@ -923,6 +958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_left_join": _q_orders_lineitem_left_join,
         "asof_click_before_purchase": _q_asof_click_before_purchase,
         "events_hourly_by_type": _q_events_hourly_by_type,
+        "events_sliding_hourly": _q_events_sliding_hourly,
         "sessionize_events": _q_sessionize_events,
         "events_running_sum_by_user": _q_events_running_sum,
         "events_distinct_users_by_type": _q_events_distinct_users,
@@ -944,6 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_segments_documents": _q_dedup_segments_documents,
         "top_terms_documents": _q_top_terms_documents,
         "chunk_documents": _q_chunk_documents,
+        "webtext_pipeline_documents": _q_webtext_pipeline,
         "filter_docs_above_median": _q_filter_docs_above_median,
     }
 
@@ -1273,6 +1310,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1, 2
         """,
+        "events_sliding_hourly": """
+            WITH x AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 900000000) * 900000000
+                           - unnest(generate_series(0, 3)) * 900000000
+                           AS wsus
+                FROM events WHERE ts IS NOT NULL
+            )
+            SELECT make_timestamp(wsus) AS window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM x GROUP BY 1, 2
+        """,
         "sessionize_events": """
             SELECT event_id, user_id,
                    CAST(sum(CASE WHEN prev_ts IS NULL
@@ -1467,6 +1516,42 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": """
             WITH p AS (
                 SELECT doc_id, text, length(text) AS l FROM documents
+                WHERE text IS NOT NULL
+            ), c AS (
+                SELECT doc_id, text, unnest(generate_series(0,
+                    CASE WHEN l <= 120 THEN 0
+                         ELSE CAST(ceil((l - 120) * 1.0 / 96) AS BIGINT)
+                    END)) AS chunk_idx
+                FROM p
+            )
+            SELECT doc_id, chunk_idx,
+                   substr(text, chunk_idx * 96 + 1, 120) AS chunk
+            FROM c
+        """,
+        "webtext_pipeline_documents": """
+            WITH segs AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+                       generate_subscripts(string_split(text, ' '), 1) AS idx
+                FROM documents
+            ), freq AS (
+                SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+            ), kept AS (
+                SELECT s.doc_id, s.seg, s.idx
+                FROM segs s JOIN freq f USING (seg) WHERE f.df < 390
+            ), cleaned AS (
+                SELECT d.doc_id,
+                       COALESCE(k.t2, CASE WHEN d.text IS NULL THEN NULL
+                                           ELSE '' END) AS text
+                FROM documents d
+                LEFT JOIN (SELECT doc_id,
+                               string_agg(seg, ' ' ORDER BY idx) AS t2
+                           FROM kept GROUP BY doc_id) k USING (doc_id)
+            ), dd AS (
+                SELECT doc_id, text FROM cleaned
+                QUALIFY row_number() OVER (
+                    PARTITION BY text ORDER BY doc_id) = 1
+            ), p AS (
+                SELECT doc_id, text, length(text) AS l FROM dd
                 WHERE text IS NOT NULL
             ), c AS (
                 SELECT doc_id, text, unnest(generate_series(0,

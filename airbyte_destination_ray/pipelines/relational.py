@@ -678,6 +678,90 @@ def windowed_counts(
     )
 
 
+def sliding_window_counts(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key: str = "event_type",
+    window_minutes: float = 60.0,
+    slide_minutes: float = 15.0,
+):
+    """Sliding-window count per ``(window_start, key)``: window
+    ``[ws, ws + window)`` for every ``ws`` that is a multiple of ``slide``
+    — completes the window family (tumbling `windowed_counts`, session
+    `sessionize`).  Requires ``window % slide == 0``; rows with a null
+    timestamp are dropped (SQL ``WHERE ts IS NOT NULL``).
+
+    The naive plan expands every EVENT into ``window/slide`` rows before
+    aggregating; this one pre-aggregates per SLIDE BUCKET per batch first,
+    so the replication factor applies to aggregated ``(bucket, key)`` rows
+    only — the exchange carries ``window/slide`` rows per (bucket, key,
+    batch) regardless of event count.  Each event's bucket start is a
+    member of exactly ``window/slide`` windows (``bucket − i·slide``,
+    ``i < window/slide``), so bucket-level expansion is lossless.
+    """
+    win_us = int(window_minutes * 60 * 1_000_000)
+    slide_us = int(slide_minutes * 60 * 1_000_000)
+    if win_us % slide_us != 0:
+        raise ValueError("window_minutes must be a multiple of slide_minutes")
+    r = win_us // slide_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        valid = batch.column(ts_col).combine_chunks().is_valid()
+        t = pa.table(
+            {
+                "_tus": pc.cast(batch.column(ts_col), pa.int64()),
+                key: batch.column(key),
+            }
+        ).filter(valid)
+        tus = t.column("_tus").to_numpy(zero_copy_only=False)
+        bucket = (tus // slide_us) * slide_us
+        g = (
+            pa.table({"b": pa.array(bucket, type=pa.int64()), key: t.column(key)})
+            .group_by(["b", key], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        pieces = [
+            pa.table(
+                {
+                    "window_start": pa.array(b - i * slide_us, type=pa.int64()),
+                    key: g.column(key),
+                    "n": g.column("count_all").cast(pa.int64()),
+                }
+            )
+            for i in range(r)
+        ]
+        return pa.concat_tables(pieces)
+
+    def final(group: pa.Table) -> pa.Table:
+        ws = group.column("window_start")[0].as_py()
+        return pa.table(
+            {
+                "window_start": pa.array([ws], type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                key: [group.column(key)[0].as_py()],
+                "n_events": pa.array(
+                    [int(pc.sum(group.column("n")).as_py())], type=pa.int64()
+                ),
+            },
+            schema=pa.schema(
+                [
+                    pa.field("window_start", pa.timestamp("us")),
+                    pa.field(key, group.schema.field(key).type),
+                    pa.field("n_events", pa.int64()),
+                ]
+            ),
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["window_start", key])
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def sessionize(
     ds,
     *,

@@ -852,3 +852,62 @@ def test_asof_join_string_and_float_right_payload(ray_session):
     assert out["label_right"].tolist() == ["recent", None, None, None]
     assert out["score_right"].tolist()[0] == 0.5
     assert out["score_right"].isna().tolist() == [False, True, True, True]
+
+
+def test_sliding_window_counts_matches_sql(ray_session):
+    """Every event lands in exactly window/slide windows; null ts dropped;
+    non-multiple slide refused."""
+    import datetime
+
+    import duckdb
+    import ray
+    import pandas as pd
+    import pytest as _pytest
+
+    from airbyte_destination_ray.pipelines.relational import (
+        sliding_window_counts,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(minutes=m), "a" if m % 3 else "b")
+        for m in range(0, 200, 7)
+    ] + [(None, "a")]
+    t = pa.table(
+        {
+            "ts": pa.array([r[0] for r in rows], type=pa.timestamp("us")),
+            "event_type": pa.array([r[1] for r in rows]),
+        }
+    )
+    out = (
+        sliding_window_counts(
+            ray.data.from_arrow(t).repartition(3),
+            window_minutes=60,
+            slide_minutes=15,
+        )
+        .to_pandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.execute(
+        """
+        WITH x AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 900000000) * 900000000
+                       - unnest(generate_series(0, 3)) * 900000000 AS wsus
+            FROM events WHERE ts IS NOT NULL
+        )
+        SELECT make_timestamp(wsus) AS window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM x GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    # conservation: 4 windows per non-null event
+    assert out.n_events.sum() == (len(rows) - 1) * 4
+    with _pytest.raises(ValueError, match="multiple"):
+        sliding_window_counts(
+            ray.data.from_arrow(t), window_minutes=60, slide_minutes=25
+        )
