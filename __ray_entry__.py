@@ -917,6 +917,148 @@ def _q_events_daily_counts(sf_dir: str):
     return daily_counts(_events(sf_dir))
 
 
+def _q_users_click_purchase_full_join(sf_dir: str):
+    """FULL OUTER join of two per-user aggregates (users who clicked vs
+    users who purchased) — exercises the outer-both-sides path of
+    ``shuffle_join`` (Acero coalesces the key, so right-only users surface
+    their key in ``user_id`` like SQL COALESCE)."""
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.ops import grouped_count
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+
+    ev = _events(sf_dir)
+
+    def of_type(t):
+        return ev.map_batches(
+            lambda b, t=t: b.filter(pc.equal(b.column("event_type"), t)),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    clicks = grouped_count(of_type("click"), key="user_id", out_col="n_clicks")
+    purchases = grouped_count(
+        of_type("purchase"), key="user_id", out_col="n_purchases"
+    )
+    return shuffle_join(
+        clicks,
+        purchases,
+        left_on="user_id",
+        right_on="user_id",
+        join_type="full outer",
+        hot_keys=None,
+    )
+
+
+def _q_events_corr_value_hour(sf_dir: str):
+    """Pearson corr(value, hour-of-day) per event type from exact integer
+    partials — the grouped two-variable moment aggregate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.ops import grouped_corr
+
+    def prep(b: "pa.Table") -> "pa.Table":
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "_x": pc.cast(
+                    pc.floor(pc.multiply(b.column("value"), 100.0)), pa.int64()
+                ),
+                "_y": pc.cast(pc.hour(b.column("ts")), pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir).map_batches(
+        prep, batch_format="pyarrow", batch_size=None
+    )
+    return grouped_corr(
+        ds, key="event_type", x_col="_x", y_col="_y", out_col="corr_value_hour"
+    )
+
+
+def _q_events_user_gaps(sf_dir: str):
+    """Per-user inter-arrival statistics — the LAG window pattern as one
+    keyed shuffle + segmented diff."""
+    from airbyte_destination_ray.pipelines.relational import inter_event_gaps
+
+    return inter_event_gaps(
+        _events(sf_dir), key="user_id", ts_col="ts", seq="event_id"
+    )
+
+
+def _q_events_rollup_type_day(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, day) counts — every prefix level in one
+    aggregate-sized second exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.ops import rollup_counts
+
+    def prep(b: "pa.Table") -> "pa.Table":
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "event_day": pc.cast(
+                    pc.floor_temporal(b.column("ts"), unit="day"), pa.date32()
+                ),
+            }
+        )
+
+    ds = _events(sf_dir).map_batches(
+        prep, batch_format="pyarrow", batch_size=None
+    )
+    return rollup_counts(ds, keys=["event_type", "event_day"])
+
+
+def _q_events_pivot_daily(sf_dir: str):
+    """Daily counts pivoted to one column per event type (the
+    ``count(*) FILTER`` wide form) over a closed column list."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.ops import pivot_counts
+
+    def prep(b: "pa.Table") -> "pa.Table":
+        return pa.table(
+            {
+                "event_day": pc.cast(
+                    pc.floor_temporal(b.column("ts"), unit="day"), pa.date32()
+                ),
+                "event_type": b.column("event_type"),
+            }
+        )
+
+    ds = _events(sf_dir).map_batches(
+        prep, batch_format="pyarrow", batch_size=None
+    )
+    return pivot_counts(
+        ds,
+        row_key="event_day",
+        col_key="event_type",
+        col_values=["click", "error", "purchase", "signup", "view"],
+    )
+
+
+def _q_decontaminate_documents(sf_dir: str):
+    """Benchmark decontamination: drop documents sharing any exact 5-token
+    gram with the benchmark subset (doc_id % 97 == 0) — the GPT-3/Pile
+    n-gram overlap filter as a broadcast-set per-batch scan."""
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.corpus import decontaminate
+
+    def is_bench(b: "pa.Table") -> "pa.Table":
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    docs = _documents(sf_dir)
+    bench = _documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        is_bench, batch_format="pyarrow", batch_size=None
+    )
+    return decontaminate(docs, bench, sep=" ", gram_k=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
@@ -982,6 +1124,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "webtext_pipeline_documents": _q_webtext_pipeline,
         "filter_docs_above_median": _q_filter_docs_above_median,
+        "users_click_purchase_full_join": _q_users_click_purchase_full_join,
+        "events_corr_value_hour": _q_events_corr_value_hour,
+        "events_user_gaps": _q_events_user_gaps,
+        "events_rollup_type_day": _q_events_rollup_type_day,
+        "events_pivot_daily": _q_events_pivot_daily,
+        "decontaminate_documents": _q_decontaminate_documents,
     }
 
 
@@ -1568,5 +1716,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, lang, source, n_chars FROM documents
             WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.5)
                               FROM documents)
+        """,
+        "users_click_purchase_full_join": """
+            WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks
+                       FROM events WHERE event_type = 'click'
+                       GROUP BY user_id),
+                 p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id)
+            SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+                   c.n_clicks, p.n_purchases
+            FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+        """,
+        "events_corr_value_hour": """
+            WITH base AS (
+                SELECT event_type,
+                       CAST(floor(value * 100.0) AS BIGINT) AS x,
+                       CAST(extract(hour FROM ts) AS BIGINT) AS y
+                FROM events
+                WHERE value IS NOT NULL AND ts IS NOT NULL),
+            s AS (
+                SELECT event_type, count(*) AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(y * y) AS syy,
+                       sum(x * y) AS sxy
+                FROM base GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+                   CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                         AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                   THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   ELSE NULL END AS corr_value_hour
+            FROM s
+        """,
+        "events_user_gaps": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap_us
+                FROM events)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+                   CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+                   CAST(min(gap_us) AS BIGINT) AS min_gap_us
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY user_id
+        """,
+        "events_rollup_type_day": """
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS event_day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY ROLLUP(event_type, event_day)
+        """,
+        "events_pivot_daily": """
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                       AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                       AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                       AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+                       AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                       AS n_view
+            FROM events GROUP BY 1
+        """,
+        "decontaminate_documents": """
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS parts
+                FROM documents),
+            grams AS (
+                SELECT doc_id, array_to_string(parts[i:i+4], ' ') AS g
+                FROM docs, unnest(generate_series(1, len(parts) - 4)) AS t(i)),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            cont AS (SELECT DISTINCT doc_id FROM grams
+                     JOIN bench USING (g))
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d ANTI JOIN cont USING (doc_id)
         """,
     }

@@ -38,6 +38,7 @@ __all__ = [
     "dedup_segments_first",
     "top_terms",
     "chunk_documents",
+    "decontaminate",
 ]
 
 
@@ -465,3 +466,94 @@ def chunk_documents(
         return pa.concat_tables(out)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+_GRAM_FNV = np.uint64(1099511628211)
+
+
+def _gram_hashes(text_col, sep: str, k: int):
+    """64-bit hashes of every FULL k-token gram per row.
+
+    Returns ``(gram_hash, parent_row)``.  Gram identity is the FNV-style
+    combine of the k token hashes, mixed — equal to string equality of the
+    space-joined gram (tokens cannot contain the separator, so the join is
+    injective for fixed k) up to 64-bit collisions.  Rows with fewer than
+    k tokens (or null text) emit no grams, matching the SQL formulation
+    ``generate_series(1, len(parts) - k + 1)``.
+    """
+    flat, parent, idx, _null, n_rows = _split(text_col, sep)
+    h = stable_hash_array(flat)
+    cnt = np.bincount(parent, minlength=n_rows) if len(parent) else np.zeros(
+        n_rows, dtype=np.int64
+    )
+    starts = np.nonzero(idx <= cnt[parent] - k)[0] if len(idx) else np.array(
+        [], dtype=np.int64
+    )
+    sh = np.zeros(len(starts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            sh = sh * _GRAM_FNV + h[starts + j]
+    return _mix_pairs(sh, np.full(len(sh), k, dtype=np.uint64)), parent[starts]
+
+
+def decontaminate(
+    ds,
+    bench_ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+    gram_k: int = 5,
+):
+    """Benchmark decontamination (the GPT-3 / Pile / Dolma n-gram filter):
+    drop every document that shares at least one exact k-token gram with
+    any document in ``bench_ds``.
+
+    The benchmark side is SMALL by construction (eval sets, not the
+    corpus), so its distinct gram-hash set is collected once, sorted, and
+    broadcast via ``ray.put`` (8 B per distinct gram — millions of grams =
+    MBs); the corpus pass is then a pure per-batch ``map_batches`` filter
+    with NO shuffle and no per-doc state: hash each document's full grams,
+    ``searchsorted`` against the broadcast set, keep rows with zero hits.
+    (At extreme benchmark sizes the same set feeds a Bloom filter; exact
+    hashes keep this oracle-checkable.)  A 100 TB corpus streams through
+    in one scan.
+
+    Documents shorter than ``gram_k`` tokens and null-text documents have
+    no grams and always survive — identical to the SQL anti-join over
+    ``parts[i:i+k-1]`` slices.
+    """
+    chunks = []
+    for b in bench_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "g": pa.array(
+                    np.unique(_gram_hashes(t.column(text_col), sep, gram_k)[0]),
+                    type=pa.uint64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).iter_batches(batch_format="pyarrow"):
+        chunks.append(b.column("g").to_numpy(zero_copy_only=False))
+    bench = (
+        np.unique(np.concatenate(chunks))
+        if chunks
+        else np.array([], dtype=np.uint64)
+    )
+    bench_ref = ray.put(bench)
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        gh, gparent = _gram_hashes(batch.column(text_col), sep, gram_k)
+        if len(bset) == 0 or len(gh) == 0:
+            return batch
+        pos = np.searchsorted(bset, gh)
+        pos[pos == len(bset)] = 0
+        hit = bset[pos] == gh
+        contaminated = np.zeros(batch.num_rows, dtype=bool)
+        contaminated[gparent[hit]] = True
+        return batch.filter(pa.array(~contaminated))
+
+    return ds.map_batches(keep_clean, batch_format="pyarrow", batch_size=None)

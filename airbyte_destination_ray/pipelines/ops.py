@@ -290,6 +290,263 @@ def daily_counts(ds, *, ts_col: str = "ts"):
     )
 
 
+def grouped_count(
+    ds,
+    *,
+    key: str,
+    out_col: str = "n",
+):
+    """Plain COUNT(*) per key with the per-batch combiner (the exchange
+    carries one row per (key, batch), never per input row)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select([key]).group_by(key).aggregate([([], "count_all")])
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key: [group.column(key)[0].as_py()],
+                out_col: pa.array(
+                    [int(pc.sum(group.column("count_all")).as_py())],
+                    type=pa.int64(),
+                ),
+            },
+            schema=pa.schema(
+                [
+                    pa.field(key, group.schema.field(key).type),
+                    pa.field(out_col, pa.int64()),
+                ]
+            ),
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(key)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def grouped_corr(
+    ds,
+    *,
+    key: str,
+    x_col: str,
+    y_col: str,
+    out_col: str = "corr_xy",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Pearson correlation of two INTEGER columns per key, computed from
+    exact integer partials (n, Σx, Σy, Σx², Σy², Σxy) so the shuffle is
+    one row per (key, batch) and the combine is order-independent.
+
+    The final float formula is evaluated in a fixed IEEE-754 operation
+    order — ``(n·Σxy − Σx·Σy) / (√(n·Σx² − Σx·Σx) · √(n·Σy² − Σy·Σy))``
+    with every int64 converted to double first — so a SQL oracle spelling
+    the identical expression over the identical integer sums produces the
+    bit-identical double.  Zero variance on either side yields null (SQL
+    ``corr`` semantics).  Rows with a null x or y are excluded pairwise.
+
+    Envelope: int64 partial sums — Σx² bounds the usable scale at roughly
+    ``rows · max(x)² < 2⁶³`` per key; beyond that, split keys by salt and
+    combine (the partials are associative).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, x_col, y_col])
+        valid = pc.and_(
+            t.column(x_col).combine_chunks().is_valid(),
+            t.column(y_col).combine_chunks().is_valid(),
+        )
+        t = t.filter(valid)
+        x = pc.cast(t.column(x_col), pa.int64())
+        y = pc.cast(t.column(y_col), pa.int64())
+        t = pa.table(
+            {
+                key: t.column(key),
+                "_x": x,
+                "_y": y,
+                "_xx": pc.multiply(x, x),
+                "_yy": pc.multiply(y, y),
+                "_xy": pc.multiply(x, y),
+            }
+        )
+        return t.group_by(key).aggregate(
+            [
+                ("_x", "sum"),
+                ("_y", "sum"),
+                ("_xx", "sum"),
+                ("_yy", "sum"),
+                ("_xy", "sum"),
+                ([], "count_all"),
+            ]
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        import math
+
+        def tot(col: str) -> int:
+            return int(pc.sum(group.column(col)).as_py())
+
+        n = tot("count_all")
+        sx, sy = tot("_x_sum"), tot("_y_sum")
+        sxx, syy, sxy = tot("_xx_sum"), tot("_yy_sum"), tot("_xy_sum")
+        fn = float(n)
+        num = fn * float(sxy) - float(sx) * float(sy)
+        dx = fn * float(sxx) - float(sx) * float(sx)
+        dy = fn * float(syy) - float(sy) * float(sy)
+        corr = (
+            num / (math.sqrt(dx) * math.sqrt(dy))
+            if dx > 0.0 and dy > 0.0
+            else None
+        )
+        return pa.table(
+            {
+                key: [group.column(key)[0].as_py()],
+                "n_pairs": pa.array([n], type=pa.int64()),
+                out_col: pa.array([corr], type=pa.float64()),
+            },
+            schema=pa.schema(
+                [
+                    pa.field(key, group.schema.field(key).type),
+                    pa.field("n_pairs", pa.int64()),
+                    pa.field(out_col, pa.float64()),
+                ]
+            ),
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(key)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def rollup_counts(
+    ds,
+    *,
+    keys: list[str],
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """``GROUP BY ROLLUP(keys…)`` row counts: every prefix level of the key
+    list, nulls marking the rolled-up positions (the SQL ROLLUP output
+    shape; distinguishing a data null from a rollup null needs GROUPING(),
+    which this operator does not model — use it over non-null key columns).
+
+    Two exchanges, both over AGGREGATE-sized data after the per-batch
+    combiner: (1) composite hash partition → exact finest-level counts,
+    (2) each finest row re-emitted once per prefix level (rolled columns
+    nulled) → composite hash partition on (level, keys) → summed.  The
+    second exchange moves ``levels × |finest groups|`` rows — independent
+    of input row count, so the rollup costs the same as the plain groupby
+    at any scale.
+    """
+    from ..functions.hashing import composite_partition_ids
+
+    nk = len(keys)
+    if nk == 0:
+        raise ValueError("rollup_counts needs at least one key")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+        parts = composite_partition_ids(t, keys, num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def finest(group: pa.Table) -> pa.Table:
+        t = (
+            group.drop_columns(["_part"])
+            .group_by(keys)
+            .aggregate([("count_all", "sum")])
+        )
+        return t.select(keys + ["count_all_sum"]).rename_columns(keys + ["n"])
+
+    def explode_levels(batch: pa.Table) -> pa.Table:
+        pieces = []
+        for lvl in range(nk + 1):
+            cols = {}
+            for i, k in enumerate(keys):
+                col = batch.column(k)
+                cols[k] = (
+                    col
+                    if i < lvl
+                    else pa.nulls(batch.num_rows, batch.schema.field(k).type)
+                )
+            cols["_lvl"] = pa.array(
+                np.full(batch.num_rows, lvl, dtype=np.int64)
+            )
+            cols["n"] = batch.column("n")
+            pieces.append(pa.table(cols))
+        t = pa.concat_tables(pieces)
+        g = t.group_by(["_lvl"] + keys).aggregate([("n", "sum")])
+        parts = composite_partition_ids(g, ["_lvl"] + keys, num_partitions)
+        return g.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def level_totals(group: pa.Table) -> pa.Table:
+        t = (
+            group.drop_columns(["_part"])
+            .group_by(["_lvl"] + keys)
+            .aggregate([("n_sum", "sum")])
+        )
+        return t.select(keys + ["n_sum_sum"]).rename_columns(keys + ["n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(finest, batch_format="pyarrow")
+        .map_batches(explode_levels, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(level_totals, batch_format="pyarrow")
+    )
+
+
+def pivot_counts(
+    ds,
+    *,
+    row_key: str,
+    col_key: str,
+    col_values: list[str],
+    prefix: str = "n_",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Pivot row counts into one column per ``col_key`` value (the
+    ``count(*) FILTER (WHERE col_key = v)`` wide form).  ``col_values`` is
+    the explicit, closed column list — values outside it are dropped, so
+    the output schema is static (a pivot with open-ended columns is a
+    schema inference problem, not a data-parallel one).
+
+    One exchange: per-batch (row_key, col_key) partial counts, hash
+    partition on row_key, per-group scatter into the fixed columns.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([row_key, col_key])
+        t = t.group_by([row_key, col_key]).aggregate([([], "count_all")])
+        return t
+
+    def final(group: pa.Table) -> pa.Table:
+        rk = group.column(row_key)[0]
+        cv = group.column(col_key).to_numpy(zero_copy_only=False)
+        cnt = group.column("count_all").to_numpy(zero_copy_only=False)
+        cols = {row_key: [rk.as_py()]}
+        for v in col_values:
+            m = cv == v
+            cols[f"{prefix}{v}"] = pa.array(
+                [int(cnt[m].sum())], type=pa.int64()
+            )
+        return pa.table(
+            cols,
+            schema=pa.schema(
+                [pa.field(row_key, group.schema.field(row_key).type)]
+                + [pa.field(f"{prefix}{v}", pa.int64()) for v in col_values]
+            ),
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(row_key)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def top_k_by(
     ds,
     *,

@@ -288,12 +288,17 @@ def shuffle_join(
     hot_keys="auto",
     salt_factor: int = 8,
 ):
-    """Big×big equijoin (``inner`` or ``left outer``): ONE hash-partition
-    shuffle per side on the join key, then a per-partition Arrow (Acero)
-    hash join.  Null keys follow SQL semantics (never match; surviving left
-    rows in a left-outer join keep them).  Use when both sides are too
-    large to broadcast — otherwise :func:`broadcast_join` (no shuffle at
-    all) wins.
+    """Big×big equijoin (``inner``, ``left outer``, ``right outer`` or
+    ``full outer``): ONE hash-partition shuffle per side on the join key,
+    then a per-partition Arrow (Acero) hash join.  Null keys follow SQL
+    semantics (never match; surviving outer rows keep them).  Use when both
+    sides are too large to broadcast — otherwise :func:`broadcast_join` (no
+    shuffle at all) wins.
+
+    For the outer types that emit unmatched RIGHT rows (``full outer``,
+    ``right outer``) Acero coalesces the key columns, so the ``left_on``
+    output column carries the right key on right-only rows — same as
+    ``COALESCE(l.key, r.key)`` in the SQL formulation.
 
     Both sides ride one union'd envelope (each side's non-key columns
     null-filled on the other side) so a single ``groupby`` co-locates
@@ -321,6 +326,12 @@ def shuffle_join(
     if clash:
         raise ValueError(f"column name clash: {sorted(clash)}")
 
+    if join_type not in ("inner", "left outer"):
+        # the skew split replicates RIGHT rows across sub-partitions; a
+        # join type that emits unmatched right rows (full/right outer)
+        # would emit one unmatched copy per replica — disable it
+        hot_list = []
+        hot_keys = None
     if isinstance(hot_keys, str) and hot_keys == "auto":
         hot_list = _detect_hot_keys(
             left_ds, left_on, share=2.0 / num_partitions
@@ -904,6 +915,104 @@ def running_sum(
         ds.map_batches(route, batch_format="pyarrow", batch_size=None)
         .groupby("_part")
         .map_groups(accumulate, batch_format="pyarrow")
+    )
+
+
+def inter_event_gaps(
+    ds,
+    *,
+    key: str,
+    ts_col: str,
+    seq: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Per-key inter-arrival statistics — the LAG window pattern
+    (``ts - LAG(ts) OVER (PARTITION BY key ORDER BY ts, seq)``) reduced to
+    per-key gap aggregates (count / sum / max / min, microseconds).
+
+    ONE keyed shuffle of ``(key, ts_us)``; the per-partition kernel is a
+    segmented diff over the ``(key, ts, seq)`` sort — consecutive
+    differences of a sorted timestamp sequence depend only on the sorted
+    multiset, so tie order never changes the result.  Keys with a single
+    row have no gap and are dropped, matching SQL's ``WHERE gap IS NOT
+    NULL`` on the lagged form.  Aggregates are exact int64 microseconds,
+    so the output is order-independent and oracle-comparable.
+    """
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key: batch.column(key),
+                "_ats": pc.cast(batch.column(ts_col), pa.int64()),
+                seq: batch.column(seq),
+            }
+        )
+        t = t.filter(
+            pc.and_(
+                t.column(key).combine_chunks().is_valid(),
+                t.column("_ats").combine_chunks().is_valid(),
+            )
+        )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def gaps(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                (key, "ascending"),
+                ("_ats", "ascending"),
+                (seq, "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        keys = g.column(key).to_numpy(zero_copy_only=False)
+        ts = g.column("_ats").to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n == 0:
+            return pa.table(
+                {
+                    key: pa.array([], type=g.schema.field(key).type),
+                    "n_gaps": pa.array([], type=pa.int64()),
+                    "sum_gap_us": pa.array([], type=pa.int64()),
+                    "max_gap_us": pa.array([], type=pa.int64()),
+                    "min_gap_us": pa.array([], type=pa.int64()),
+                }
+            )
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = keys[1:] != keys[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        if n > 1:
+            gap[1:] = ts[1:] - ts[:-1]
+        start_idx = np.nonzero(start)[0]
+        counts = np.diff(np.append(start_idx, n))
+        # zero the segment-start positions so reduceat sums only true
+        # intra-key gaps; min needs a +inf-style sentinel at starts instead
+        gap[start_idx] = 0
+        sums = np.add.reduceat(gap, start_idx)
+        maxs = np.maximum.reduceat(gap, start_idx)  # gaps >= 0, start's 0 safe
+        gap_min = gap.copy()
+        gap_min[start_idx] = np.iinfo(np.int64).max
+        mins = np.minimum.reduceat(gap_min, start_idx)
+        keep = counts > 1
+        return pa.table(
+            {
+                key: pa.array(keys[start_idx][keep]).cast(
+                    g.schema.field(key).type
+                ),
+                "n_gaps": pa.array(counts[keep] - 1, type=pa.int64()),
+                "sum_gap_us": pa.array(sums[keep], type=pa.int64()),
+                "max_gap_us": pa.array(maxs[keep], type=pa.int64()),
+                "min_gap_us": pa.array(mins[keep], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(gaps, batch_format="pyarrow")
     )
 
 

@@ -285,3 +285,96 @@ def test_filter_above_quantile_compressed_mode_close(ray_session):
     )
     kept = out.count()
     assert abs(kept - n * 0.1) < n * (3 / 512)
+
+
+DECON_DOCS = [
+    (1, "alpha beta gamma delta epsilon zeta"),     # benchmark
+    (2, "alpha beta gamma delta epsilon eta"),      # shares 5-gram with 1
+    (3, "zeta epsilon delta gamma beta alpha"),     # reversed: no shared gram
+    (4, "alpha beta gamma delta"),                  # < k tokens: survives
+    (5, ""),                                        # empty: survives
+    (6, None),                                      # null: survives
+    (7, "totally different words in this document here"),
+]
+
+
+def _decon_sql(k: int) -> str:
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+        grams AS (
+            SELECT doc_id, array_to_string(parts[i:i+{k - 1}], ' ') AS g
+            FROM docs,
+                 unnest(generate_series(1, len(parts) - {k - 1})) AS t(i)),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id = 1),
+        cont AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING (g))
+        SELECT d.doc_id, d.text FROM documents d ANTI JOIN cont USING (doc_id)
+    """
+
+
+def test_decontaminate_matches_sql(ray_session):
+    from airbyte_destination_ray.pipelines.corpus import decontaminate
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in DECON_DOCS], type=pa.int64()),
+            "text": pa.array([s for _, s in DECON_DOCS], type=pa.string()),
+        }
+    )
+    docs = ray.data.from_arrow(t).repartition(3)
+    bench = docs.map_batches(
+        lambda b: b.filter(pa.compute.equal(b.column("doc_id"), 1)),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = _sorted_df(decontaminate(docs, bench, sep=" ", gram_k=5))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", DECON_DOCS)
+    exp = _sorted_df(con.execute(_decon_sql(5)).fetchdf())
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # doc 1 (benchmark itself) and doc 2 (shares the 5-gram) removed;
+    # reversal, short, empty and null docs survive
+    assert sorted(out["doc_id"]) == [3, 4, 5, 6, 7]
+
+
+def test_decontaminate_empty_benchmark_keeps_all(ray_session):
+    from airbyte_destination_ray.pipelines.corpus import decontaminate
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["a b c d e f", "g h i j k l"]),
+        }
+    )
+    docs = ray.data.from_arrow(t)
+    bench = docs.map_batches(
+        lambda b: b.slice(0, 0), batch_format="pyarrow", batch_size=None
+    )
+    assert decontaminate(docs, bench, gram_k=5).count() == 2
+
+
+def test_decontaminate_batching_invariant(ray_session):
+    from airbyte_destination_ray.pipelines.corpus import decontaminate
+
+    rng_words = ["w%d" % (i % 23) for i in range(11)]
+    rows = [
+        (i, " ".join(rng_words[(i * 7 + j) % 11] for j in range(9)))
+        for i in range(60)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+            "text": pa.array([s for _, s in rows]),
+        }
+    )
+    bench_t = t.filter(pa.compute.equal(t.column("doc_id"), 0))
+    outs = []
+    for blocks in (1, 6):
+        docs = ray.data.from_arrow(t).repartition(blocks)
+        bench = ray.data.from_arrow(bench_t)
+        outs.append(
+            _sorted_df(decontaminate(docs, bench, sep=" ", gram_k=5))
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])

@@ -1,0 +1,188 @@
+"""grouped_corr / rollup_counts / pivot_counts / grouped_count
+(pipelines/ops.py) vs DuckDB oracles on small deterministic tables —
+edge cases the sf-scale gate can't isolate: null pairs, zero variance,
+rollup null levels, pivot values outside the closed column list."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(table: pa.Table, blocks=4):
+    import ray.data
+
+    return ray.data.from_arrow(table).repartition(blocks)
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+
+
+def _assert_matches(ds, sql: str, views: dict[str, pa.Table]):
+    con = duckdb.connect()
+    for name, tbl in views.items():
+        con.register(name, tbl)
+    exp = con.execute(sql).fetchdf()
+    got = ds.to_pandas()
+    pd.testing.assert_frame_equal(
+        _sorted(got), _sorted(exp), check_dtype=False
+    )
+
+
+def test_grouped_corr_matches_fixed_formula(ray_session):
+    from airbyte_destination_ray.pipelines.ops import grouped_corr
+
+    rng = np.random.default_rng(11)
+    n = 500
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 5, n), type=pa.int64()),
+            "x": pa.array(rng.integers(-100, 100, n), type=pa.int64()),
+            "y": pa.array(rng.integers(0, 24, n), type=pa.int64()),
+        }
+    )
+    out = grouped_corr(_ds(t), key="k", x_col="x", y_col="y").to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "SELECT k, count(*) AS n_pairs, "
+        "corr(CAST(x AS DOUBLE), CAST(y AS DOUBLE)) AS corr_xy "
+        "FROM t GROUP BY k"
+    ).fetchdf()
+    got = out.sort_values("k").reset_index(drop=True)
+    exp = exp.sort_values("k").reset_index(drop=True)
+    assert list(got["n_pairs"]) == list(exp["n_pairs"])
+    # statistical agreement with the native corr (different but exact
+    # formula) — bit-exactness vs the spelled-out SQL is the oracle gate
+    np.testing.assert_allclose(got["corr_xy"], exp["corr_xy"], atol=1e-9)
+
+
+def test_grouped_corr_null_pairs_and_zero_variance(ray_session):
+    from airbyte_destination_ray.pipelines.ops import grouped_corr
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 4 + ["b"] * 3 + ["c"] * 2),
+            "x": pa.array([1, 2, None, 4, 5, 5, 5, 1, 2], type=pa.int64()),
+            "y": pa.array([2, 4, 6, None, 1, 2, 3, 7, 9], type=pa.int64()),
+        }
+    )
+    out = (
+        grouped_corr(_ds(t, blocks=3), key="k", x_col="x", y_col="y")
+        .to_pandas()
+        .set_index("k")
+    )
+    # 'a': rows with a null on either side excluded pairwise → n=2
+    assert out.loc["a", "n_pairs"] == 2
+    assert abs(out.loc["a", "corr_xy"] - 1.0) < 1e-12
+    # 'b': x constant → zero variance → null (SQL corr semantics)
+    assert out.loc["b", "n_pairs"] == 3
+    assert pd.isna(out.loc["b", "corr_xy"])
+    assert abs(out.loc["c", "corr_xy"] - 1.0) < 1e-12
+
+
+def test_grouped_corr_parallelism_invariant(ray_session):
+    from airbyte_destination_ray.pipelines.ops import grouped_corr
+
+    rng = np.random.default_rng(3)
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 3, 300), type=pa.int64()),
+            "x": pa.array(rng.integers(0, 1000, 300), type=pa.int64()),
+            "y": pa.array(rng.integers(0, 50, 300), type=pa.int64()),
+        }
+    )
+    a = (
+        grouped_corr(_ds(t, blocks=1), key="k", x_col="x", y_col="y")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    b = (
+        grouped_corr(_ds(t, blocks=7), key="k", x_col="x", y_col="y")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # integer partials + fixed-order float formula → bit-identical
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_rollup_counts_matches_sql_rollup(ray_session):
+    from airbyte_destination_ray.pipelines.ops import rollup_counts
+
+    rng = np.random.default_rng(5)
+    t = pa.table(
+        {
+            "a": pa.array(rng.choice(["x", "y", "z"], 400)),
+            "b": pa.array(rng.integers(0, 7, 400), type=pa.int64()),
+        }
+    )
+    out = rollup_counts(_ds(t), keys=["a", "b"], num_partitions=8)
+    _assert_matches(
+        out,
+        "SELECT a, b, CAST(count(*) AS BIGINT) AS n "
+        "FROM t GROUP BY ROLLUP(a, b)",
+        {"t": t},
+    )
+
+
+def test_rollup_counts_level_invariants(ray_session):
+    from airbyte_destination_ray.pipelines.ops import rollup_counts
+
+    t = pa.table(
+        {
+            "a": pa.array(["p", "p", "q"]),
+            "b": pa.array([1, 2, 1], type=pa.int64()),
+        }
+    )
+    df = rollup_counts(_ds(t, blocks=2), keys=["a", "b"]).to_pandas()
+    grand = df[df["a"].isna() & df["b"].isna()]
+    assert len(grand) == 1 and grand["n"].iloc[0] == 3
+    lvl1 = df[df["a"].notna() & df["b"].isna()]
+    assert lvl1["n"].sum() == 3
+    lvl2 = df[df["a"].notna() & df["b"].notna()]
+    assert len(lvl2) == 3 and lvl2["n"].sum() == 3
+
+
+def test_pivot_counts_closed_columns(ray_session):
+    from airbyte_destination_ray.pipelines.ops import pivot_counts
+
+    t = pa.table(
+        {
+            "day": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+            "kind": pa.array(["a", "a", "b", "b", "zzz"]),
+        }
+    )
+    df = (
+        pivot_counts(
+            _ds(t, blocks=2),
+            row_key="day",
+            col_key="kind",
+            col_values=["a", "b"],
+        )
+        .to_pandas()
+        .set_index("day")
+        .sort_index()
+    )
+    # 'zzz' outside the closed list is dropped; missing combos are 0
+    assert list(df.columns) == ["n_a", "n_b"]
+    assert df.loc[1, "n_a"] == 2 and df.loc[1, "n_b"] == 1
+    assert df.loc[2, "n_a"] == 0 and df.loc[2, "n_b"] == 1
+
+
+def test_grouped_count_matches_sql(ray_session):
+    from airbyte_destination_ray.pipelines.ops import grouped_count
+
+    rng = np.random.default_rng(9)
+    t = pa.table({"k": pa.array(rng.integers(0, 11, 500), type=pa.int64())})
+    _assert_matches(
+        grouped_count(_ds(t, blocks=5), key="k", out_col="n"),
+        "SELECT k, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY k",
+        {"t": t},
+    )

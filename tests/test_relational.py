@@ -911,3 +911,130 @@ def test_sliding_window_counts_matches_sql(ray_session):
         sliding_window_counts(
             ray.data.from_arrow(t), window_minutes=60, slide_minutes=25
         )
+
+
+def test_shuffle_join_full_outer_matches_sql(ray_session):
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, None, 4, 4], type=pa.int64()),
+            "lid": pa.array([10, 11, 12, 13, 14], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([1, 4, None, 9, 9], type=pa.int64()),
+            "tag": pa.array(["a", "b", "c", "d", "e"]),
+        }
+    )
+    out = shuffle_join(
+        _ds(left, blocks=2),
+        _ds(right, blocks=2),
+        left_on="k",
+        right_on="rk",
+        select=["lid", "k", "tag"],
+        join_type="full outer",
+        num_partitions=4,
+    )
+    # Acero coalesces keys: right-only rows carry rk in k (= COALESCE)
+    _assert_matches(
+        out,
+        "SELECT lid, COALESCE(k, rk) AS k, tag "
+        "FROM l FULL OUTER JOIN r ON k = rk",
+        {"l": left, "r": right},
+    )
+
+
+def test_shuffle_join_full_outer_disables_skew_split(ray_session):
+    """A hot LEFT key must not duplicate unmatched right rows under the
+    replicate-broadcast skew split — full outer forces it off."""
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+
+    n = 600
+    left = pa.table(
+        {
+            "k": pa.array(
+                np.where(np.arange(n) % 3 == 0, 7, np.arange(n)),
+                type=pa.int64(),
+            ),
+            "lid": pa.array(np.arange(n), type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([7, 1000, 1001], type=pa.int64()),
+            "tag": pa.array(["hot", "only-r1", "only-r2"]),
+        }
+    )
+    out = shuffle_join(
+        _ds(left, blocks=3),
+        _ds(right, blocks=1),
+        left_on="k",
+        right_on="rk",
+        select=["lid", "k", "tag"],
+        join_type="full outer",
+        hot_keys="auto",  # must be ignored for full outer
+        num_partitions=4,
+    )
+    _assert_matches(
+        out,
+        "SELECT lid, COALESCE(k, rk) AS k, tag "
+        "FROM l FULL OUTER JOIN r ON k = rk",
+        {"l": left, "r": right},
+    )
+
+
+def test_inter_event_gaps_matches_lag_window(events):
+    from airbyte_destination_ray.pipelines.relational import inter_event_gaps
+
+    out = inter_event_gaps(
+        _ds(events, blocks=5),
+        key="user_id",
+        ts_col="ts",
+        seq="event_id",
+        num_partitions=6,
+    )
+    _assert_matches(
+        out,
+        """
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS gap_us
+            FROM ev)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+               CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+               CAST(min(gap_us) AS BIGINT) AS min_gap_us
+        FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+        """,
+        {"ev": events},
+    )
+
+
+def test_inter_event_gaps_single_row_keys_and_ties(ray_session):
+    from airbyte_destination_ray.pipelines.relational import inter_event_gaps
+
+    base = dt.datetime(2024, 1, 1)
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "ts": pa.array(
+                [base, base, base + dt.timedelta(seconds=3), base, base],
+                type=pa.timestamp("us"),
+            ),
+            # user 1: tie + 3s gap; users 2, 3: single row → dropped
+            "user_id": pa.array([1, 1, 1, 2, 3], type=pa.int64()),
+        }
+    )
+    out = inter_event_gaps(
+        _ds(t, blocks=2), key="user_id", ts_col="ts", seq="event_id",
+        num_partitions=4,
+    ).to_pandas().set_index("user_id")
+    assert list(out.index) == [1]
+    assert out.loc[1, "n_gaps"] == 2
+    assert out.loc[1, "sum_gap_us"] == 3_000_000
+    assert out.loc[1, "max_gap_us"] == 3_000_000
+    assert out.loc[1, "min_gap_us"] == 0
