@@ -1059,6 +1059,95 @@ def _q_decontaminate_documents(sf_dir: str):
     return decontaminate(docs, bench, sep=" ", gram_k=5)
 
 
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped composite (customer ⋈ orders ⋈ lineitem → revenue
+    per order → global top 10): broadcast semi-join on the dimension side,
+    per-batch integer-cents revenue pre-aggregation so the keyed exchange
+    carries one row per (order, batch), one shuffle join against the
+    filtered orders, local-top-k merge — the dataset is never globally
+    sorted and never materialized."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from airbyte_destination_ray.pipelines.ops import grouped_sum, top_k_by
+    from airbyte_destination_ray.pipelines.relational import (
+        semi_join,
+        shuffle_join,
+    )
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    import datetime as dt
+
+    cutoff = dt.datetime(1998, 7, 1)
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    building = (
+        cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+        .column("c_custkey")
+        .to_numpy(zero_copy_only=False)
+    )
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), cutoff)),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    orders = semi_join(orders, building, on="o_custkey").map_batches(
+        lambda b: b.select(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def rev_cents(b: "pa.Table") -> "pa.Table":
+        keep = pc.greater(b.column("l_shipdate"), cutoff)
+        b = b.filter(keep)
+        rev = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    pc.multiply(
+                        b.column("l_extendedprice"),
+                        pc.subtract(1.0, b.column("l_discount")),
+                    ),
+                    100.0,
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "_rev": rev})
+
+    lineitem = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(rev_cents, batch_format="pyarrow", batch_size=None)
+    revenue = grouped_sum(
+        lineitem, key="l_orderkey", value_col="_rev", out_col="revenue_cents"
+    )
+
+    joined = shuffle_join(
+        revenue,
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        select=["l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority"],
+        hot_keys=None,  # both sides unique per order key
+    ).map_batches(
+        lambda b: b.rename_columns(
+            ["o_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return top_k_by(
+        joined, by="revenue_cents", k=10, tie_break="o_orderkey"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
@@ -1130,6 +1219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_type_day": _q_events_rollup_type_day,
         "events_pivot_daily": _q_events_pivot_daily,
         "decontaminate_documents": _q_decontaminate_documents,
+        "shipping_priority_top10": _q_shipping_priority,
     }
 
 
@@ -1803,5 +1893,24 @@ def oracle_sql() -> dict[str, str]:
                      JOIN bench USING (g))
             SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
             FROM documents d ANTI JOIN cont USING (doc_id)
+        """,
+        "shipping_priority_top10": """
+            WITH rev AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(floor((l_extendedprice
+                           * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT)
+                           AS revenue_cents
+                FROM lineitem
+                WHERE l_shipdate > TIMESTAMP '1998-07-01'
+                GROUP BY l_orderkey)
+            SELECT o.o_orderkey, r.revenue_cents,
+                   o.o_orderdate, o.o_orderpriority
+            FROM rev r
+            JOIN orders o ON r.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-07-01'
+            ORDER BY r.revenue_cents DESC, o.o_orderkey
+            LIMIT 10
         """,
     }

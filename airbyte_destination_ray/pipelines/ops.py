@@ -326,6 +326,47 @@ def grouped_count(
     )
 
 
+def grouped_sum(
+    ds,
+    *,
+    key: str,
+    value_col: str,
+    out_col: str = "sum",
+):
+    """Exact int64 SUM(value_col) per key with the per-batch combiner —
+    pair with an integer-cents prep map for order-independent money sums."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select([key, value_col])
+            .group_by(key)
+            .aggregate([(value_col, "sum")])
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key: [group.column(key)[0].as_py()],
+                out_col: pa.array(
+                    [int(pc.sum(group.column(f"{value_col}_sum")).as_py())],
+                    type=pa.int64(),
+                ),
+            },
+            schema=pa.schema(
+                [
+                    pa.field(key, group.schema.field(key).type),
+                    pa.field(out_col, pa.int64()),
+                ]
+            ),
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(key)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def grouped_corr(
     ds,
     *,

@@ -186,3 +186,20 @@ def test_grouped_count_matches_sql(ray_session):
         "SELECT k, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY k",
         {"t": t},
     )
+
+
+def test_grouped_sum_matches_sql(ray_session):
+    from airbyte_destination_ray.pipelines.ops import grouped_sum
+
+    rng = np.random.default_rng(21)
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 9, 400), type=pa.int64()),
+            "v": pa.array(rng.integers(-50, 50, 400), type=pa.int64()),
+        }
+    )
+    _assert_matches(
+        grouped_sum(_ds(t, blocks=5), key="k", value_col="v", out_col="s"),
+        "SELECT k, CAST(sum(v) AS BIGINT) AS s FROM t GROUP BY k",
+        {"t": t},
+    )
