@@ -1148,6 +1148,44 @@ def _q_shipping_priority(sf_dir: str):
     )
 
 
+def _q_events_cube_type_day(sf_dir: str):
+    """GROUP BY CUBE(event_type, day) counts — all four grouping sets via
+    the shared aggregate-sized second exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.ops import cube_counts
+
+    def prep(b: "pa.Table") -> "pa.Table":
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "event_day": pc.cast(
+                    pc.floor_temporal(b.column("ts"), unit="day"), pa.date32()
+                ),
+            }
+        )
+
+    ds = _events(sf_dir).map_batches(
+        prep, batch_format="pyarrow", batch_size=None
+    )
+    return cube_counts(ds, keys=["event_type", "event_day"])
+
+
+def _q_events_props_stats(sf_dir: str):
+    """Vectorized JSON field extraction (props.k via RE2, no per-row
+    Python) + per-type integer stats with SQL null semantics."""
+    from airbyte_destination_ray.pipelines.ops import (
+        extract_json_int,
+        grouped_int_stats,
+    )
+
+    ds = extract_json_int(
+        _events(sf_dir), col="props", key="k", out_col="_k"
+    )
+    return grouped_int_stats(ds, key="event_type", value_col="_k")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
@@ -1220,6 +1258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_daily": _q_events_pivot_daily,
         "decontaminate_documents": _q_decontaminate_documents,
         "shipping_priority_top10": _q_shipping_priority,
+        "events_cube_type_day": _q_events_cube_type_day,
+        "events_props_stats": _q_events_props_stats,
     }
 
 
@@ -1912,5 +1952,24 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1998-07-01'
             ORDER BY r.revenue_cents DESC, o.o_orderkey
             LIMIT 10
+        """,
+        "events_cube_type_day": """
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS event_day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY CUBE(event_type, event_day)
+        """,
+        "events_props_stats": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                FROM events)
+            SELECT event_type,
+                   CAST(count(k) AS BIGINT) AS n_values,
+                   CAST(sum(k) AS BIGINT) AS sum_value,
+                   CAST(min(k) AS BIGINT) AS min_value,
+                   CAST(max(k) AS BIGINT) AS max_value
+            FROM e GROUP BY event_type
         """,
     }

@@ -326,6 +326,97 @@ def grouped_count(
     )
 
 
+def extract_json_int(
+    ds,
+    *,
+    col: str,
+    key: str,
+    out_col: str,
+):
+    """Append a top-level integer JSON field as an int64 column — the
+    telemetry-props extraction stage (``json_extract(col, '$.key')``),
+    fully vectorized via Arrow's RE2 ``extract_regex`` (no per-row Python,
+    no JSON DOM allocation).
+
+    Envelope: FLAT objects with unquoted integer values (the common
+    event-props shape).  Rows where the key is absent, non-integer, or the
+    JSON is null extract as null.  A nested object that repeats the key
+    name at depth would false-positive — route such payloads through a
+    real JSON decoder stage instead.
+    """
+    import re as _re
+
+    pattern = '"' + _re.escape(key) + '"\\s*:\\s*(?P<v>-?\\d+)'
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(
+            batch.column(col).combine_chunks(), pattern=pattern
+        )
+        v = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return batch.append_column(out_col, v)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_int_stats(
+    ds,
+    *,
+    key: str,
+    value_col: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Per-key (count, sum, min, max) of an int64 column with SQL null
+    semantics (nulls skipped; an all-null key yields count 0 and null
+    sum/min/max) — per-batch partials, aggregate-sized exchange."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select([key, value_col])
+            .group_by(key)
+            .aggregate(
+                [
+                    (value_col, "sum"),
+                    (value_col, "count"),
+                    (value_col, "min"),
+                    (value_col, "max"),
+                ]
+            )
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        n = int(pc.sum(group.column(f"{value_col}_count")).as_py() or 0)
+        if n == 0:
+            s = mn = mx = None
+        else:
+            s = int(pc.sum(group.column(f"{value_col}_sum")).as_py())
+            mn = int(pc.min(group.column(f"{value_col}_min")).as_py())
+            mx = int(pc.max(group.column(f"{value_col}_max")).as_py())
+        return pa.table(
+            {
+                key: [group.column(key)[0].as_py()],
+                "n_values": pa.array([n], type=pa.int64()),
+                "sum_value": pa.array([s], type=pa.int64()),
+                "min_value": pa.array([mn], type=pa.int64()),
+                "max_value": pa.array([mx], type=pa.int64()),
+            },
+            schema=pa.schema(
+                [
+                    pa.field(key, group.schema.field(key).type),
+                    pa.field("n_values", pa.int64()),
+                    pa.field("sum_value", pa.int64()),
+                    pa.field("min_value", pa.int64()),
+                    pa.field("max_value", pa.int64()),
+                ]
+            ),
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(key)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def grouped_sum(
     ds,
     *,
@@ -462,30 +553,36 @@ def grouped_corr(
     )
 
 
-def rollup_counts(
+def grouping_sets_counts(
     ds,
     *,
     keys: list[str],
+    sets: list[tuple[bool, ...]],
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
 ):
-    """``GROUP BY ROLLUP(keys…)`` row counts: every prefix level of the key
-    list, nulls marking the rolled-up positions (the SQL ROLLUP output
-    shape; distinguishing a data null from a rollup null needs GROUPING(),
-    which this operator does not model — use it over non-null key columns).
+    """``GROUP BY GROUPING SETS`` row counts: one output row group per
+    keep-mask in ``sets``, nulls marking the rolled-up positions (the SQL
+    output shape; distinguishing a data null from a rollup null needs
+    GROUPING(), which this operator does not model — use it over non-null
+    key columns).
 
     Two exchanges, both over AGGREGATE-sized data after the per-batch
     combiner: (1) composite hash partition → exact finest-level counts,
-    (2) each finest row re-emitted once per prefix level (rolled columns
-    nulled) → composite hash partition on (level, keys) → summed.  The
-    second exchange moves ``levels × |finest groups|`` rows — independent
-    of input row count, so the rollup costs the same as the plain groupby
+    (2) each finest row re-emitted once per grouping set (masked columns
+    nulled) → composite hash partition on (set, keys) → summed.  The
+    second exchange moves ``|sets| × |finest groups|`` rows — independent
+    of input row count, so rollup/cube cost the same as the plain groupby
     at any scale.
     """
     from ..functions.hashing import composite_partition_ids
 
     nk = len(keys)
     if nk == 0:
-        raise ValueError("rollup_counts needs at least one key")
+        raise ValueError("grouping_sets_counts needs at least one key")
+    if not sets or any(len(m) != nk for m in sets):
+        raise ValueError("each grouping set must be a mask over all keys")
+    if len({tuple(m) for m in sets}) != len(sets):
+        raise ValueError("duplicate grouping sets")
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
@@ -500,31 +597,30 @@ def rollup_counts(
         )
         return t.select(keys + ["count_all_sum"]).rename_columns(keys + ["n"])
 
-    def explode_levels(batch: pa.Table) -> pa.Table:
+    def explode_sets(batch: pa.Table) -> pa.Table:
         pieces = []
-        for lvl in range(nk + 1):
+        for si, mask in enumerate(sets):
             cols = {}
             for i, k in enumerate(keys):
-                col = batch.column(k)
                 cols[k] = (
-                    col
-                    if i < lvl
+                    batch.column(k)
+                    if mask[i]
                     else pa.nulls(batch.num_rows, batch.schema.field(k).type)
                 )
-            cols["_lvl"] = pa.array(
-                np.full(batch.num_rows, lvl, dtype=np.int64)
+            cols["_set"] = pa.array(
+                np.full(batch.num_rows, si, dtype=np.int64)
             )
             cols["n"] = batch.column("n")
             pieces.append(pa.table(cols))
         t = pa.concat_tables(pieces)
-        g = t.group_by(["_lvl"] + keys).aggregate([("n", "sum")])
-        parts = composite_partition_ids(g, ["_lvl"] + keys, num_partitions)
+        g = t.group_by(["_set"] + keys).aggregate([("n", "sum")])
+        parts = composite_partition_ids(g, ["_set"] + keys, num_partitions)
         return g.append_column("_part", pa.array(parts, type=pa.int64()))
 
-    def level_totals(group: pa.Table) -> pa.Table:
+    def set_totals(group: pa.Table) -> pa.Table:
         t = (
             group.drop_columns(["_part"])
-            .group_by(["_lvl"] + keys)
+            .group_by(["_set"] + keys)
             .aggregate([("n_sum", "sum")])
         )
         return t.select(keys + ["n_sum_sum"]).rename_columns(keys + ["n"])
@@ -533,9 +629,41 @@ def rollup_counts(
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("_part")
         .map_groups(finest, batch_format="pyarrow")
-        .map_batches(explode_levels, batch_format="pyarrow", batch_size=None)
+        .map_batches(explode_sets, batch_format="pyarrow", batch_size=None)
         .groupby("_part")
-        .map_groups(level_totals, batch_format="pyarrow")
+        .map_groups(set_totals, batch_format="pyarrow")
+    )
+
+
+def rollup_counts(
+    ds,
+    *,
+    keys: list[str],
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """``GROUP BY ROLLUP(keys…)`` — the prefix grouping sets."""
+    nk = len(keys)
+    sets = [
+        tuple(i < lvl for i in range(nk)) for lvl in range(nk, -1, -1)
+    ]
+    return grouping_sets_counts(
+        ds, keys=keys, sets=sets, num_partitions=num_partitions
+    )
+
+
+def cube_counts(
+    ds,
+    *,
+    keys: list[str],
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """``GROUP BY CUBE(keys…)`` — every subset of the key list (2^k
+    grouping sets; the second exchange stays aggregate-sized)."""
+    import itertools
+
+    sets = list(itertools.product((True, False), repeat=len(keys)))
+    return grouping_sets_counts(
+        ds, keys=keys, sets=sets, num_partitions=num_partitions
     )
 
 

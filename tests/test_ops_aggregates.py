@@ -203,3 +203,91 @@ def test_grouped_sum_matches_sql(ray_session):
         "SELECT k, CAST(sum(v) AS BIGINT) AS s FROM t GROUP BY k",
         {"t": t},
     )
+
+
+def test_cube_counts_matches_sql_cube(ray_session):
+    from airbyte_destination_ray.pipelines.ops import cube_counts
+
+    rng = np.random.default_rng(6)
+    t = pa.table(
+        {
+            "a": pa.array(rng.choice(["x", "y"], 300)),
+            "b": pa.array(rng.integers(0, 5, 300), type=pa.int64()),
+        }
+    )
+    _assert_matches(
+        cube_counts(_ds(t), keys=["a", "b"], num_partitions=8),
+        "SELECT a, b, CAST(count(*) AS BIGINT) AS n "
+        "FROM t GROUP BY CUBE(a, b)",
+        {"t": t},
+    )
+
+
+def test_grouping_sets_validation(ray_session):
+    from airbyte_destination_ray.pipelines.ops import grouping_sets_counts
+
+    t = pa.table({"a": pa.array(["x"]), "b": pa.array([1], type=pa.int64())})
+    with pytest.raises(ValueError):
+        grouping_sets_counts(_ds(t, blocks=1), keys=[], sets=[])
+    with pytest.raises(ValueError):
+        grouping_sets_counts(
+            _ds(t, blocks=1), keys=["a", "b"], sets=[(True,)]
+        )
+    with pytest.raises(ValueError):
+        grouping_sets_counts(
+            _ds(t, blocks=1),
+            keys=["a", "b"],
+            sets=[(True, True), (True, True)],
+        )
+
+
+def test_extract_json_int_envelope(ray_session):
+    from airbyte_destination_ray.pipelines.ops import extract_json_int
+
+    t = pa.table(
+        {
+            "props": pa.array(
+                [
+                    '{"k": 69}',
+                    '{"k":-3, "j": 1}',
+                    '{"j": 5}',        # key absent -> null
+                    '{"k": "str"}',    # non-integer -> null
+                    None,              # null json -> null
+                    '{ "k" : 12 }',    # whitespace tolerated
+                ]
+            )
+        }
+    )
+    out = (
+        extract_json_int(_ds(t, blocks=2), col="props", key="k", out_col="k")
+        .to_pandas()
+    )
+    got = [None if pd.isna(v) else int(v) for v in out["k"]]
+    assert sorted(
+        (str(v) for v in got)
+    ) == sorted(str(v) for v in [69, -3, None, None, None, 12])
+
+
+def test_grouped_int_stats_null_semantics(ray_session):
+    from airbyte_destination_ray.pipelines.ops import grouped_int_stats
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "b", "b"]),
+            "v": pa.array([5, None, -2, None, None], type=pa.int64()),
+        }
+    )
+    out = (
+        grouped_int_stats(_ds(t, blocks=2), key="k", value_col="v")
+        .to_pandas()
+        .set_index("k")
+    )
+    assert out.loc["a", "n_values"] == 2
+    assert out.loc["a", "sum_value"] == 3
+    assert out.loc["a", "min_value"] == -2
+    assert out.loc["a", "max_value"] == 5
+    # all-null key: count 0, null aggregates (SQL semantics)
+    assert out.loc["b", "n_values"] == 0
+    assert pd.isna(out.loc["b", "sum_value"])
+    assert pd.isna(out.loc["b", "min_value"])
+    assert pd.isna(out.loc["b", "max_value"])
