@@ -1186,6 +1186,83 @@ def _q_events_props_stats(sf_dir: str):
     return grouped_int_stats(ds, key="event_type", value_col="_k")
 
 
+def _q_late_ship_orders_except_finished(sf_dir: str):
+    """Distributed EXCEPT over distinct key sets from two different
+    tables (orders with a line shipped after 2000-01-01, minus orders
+    already in status F) — both sides too large to broadcast."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.relational import distinct_set_op
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    cutoff = dt.datetime(2000, 1, 1)
+    shipped = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "orderkey": b.filter(
+                    pc.greater(b.column("l_shipdate"), cutoff)
+                ).column("l_orderkey")
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    finished = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "orderkey": b.filter(
+                    pc.equal(b.column("o_orderstatus"), "F")
+                ).column("o_orderkey")
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return distinct_set_op(shipped, finished, on="orderkey", op="except")
+
+
+def _q_users_clicked_and_purchased(sf_dir: str):
+    """Distributed INTERSECT over distinct user sets."""
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.relational import distinct_set_op
+
+    ev = _events(sf_dir)
+
+    def of_type(t):
+        return ev.map_batches(
+            lambda b, t=t: b.filter(pc.equal(b.column("event_type"), t)),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    return distinct_set_op(
+        of_type("click"), of_type("purchase"), on="user_id", op="intersect"
+    )
+
+
+def _q_top2_days_dense_rank(sf_dir: str):
+    """dense_rank window filter: per event type, keep the days whose count
+    is among the top-2 DISTINCT counts (ties all survive — the semantics
+    row_number/top-k cannot express)."""
+    from airbyte_destination_ray.pipelines.relational import (
+        dense_rank_filter,
+        windowed_counts,
+    )
+
+    daily = windowed_counts(_events(sf_dir), unit="day")
+    return dense_rank_filter(
+        daily, key="event_type", order_col="n_events", k=2
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
@@ -1260,6 +1337,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority_top10": _q_shipping_priority,
         "events_cube_type_day": _q_events_cube_type_day,
         "events_props_stats": _q_events_props_stats,
+        "late_ship_orders_except_finished": _q_late_ship_orders_except_finished,
+        "users_clicked_and_purchased": _q_users_clicked_and_purchased,
+        "top2_days_dense_rank": _q_top2_days_dense_rank,
     }
 
 
@@ -1971,5 +2051,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(k) AS BIGINT) AS min_value,
                    CAST(max(k) AS BIGINT) AS max_value
             FROM e GROUP BY event_type
+        """,
+        "late_ship_orders_except_finished": """
+            SELECT l_orderkey AS orderkey FROM lineitem
+            WHERE l_shipdate > TIMESTAMP '2000-01-01'
+            EXCEPT
+            SELECT o_orderkey AS orderkey FROM orders
+            WHERE o_orderstatus = 'F'
+        """,
+        "users_clicked_and_purchased": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "top2_days_dense_rank": """
+            WITH d AS (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                           AS window_start, event_type,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2)
+            SELECT window_start, event_type, n_events,
+                   CAST(dense_rank() OVER (
+                       PARTITION BY event_type ORDER BY n_events DESC
+                   ) AS BIGINT) AS rnk
+            FROM d
+            QUALIFY rnk <= 2
         """,
     }

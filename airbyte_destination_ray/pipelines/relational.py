@@ -918,6 +918,126 @@ def running_sum(
     )
 
 
+def distinct_set_op(
+    left_ds,
+    right_ds,
+    *,
+    on: str,
+    op: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Distributed ``EXCEPT`` / ``INTERSECT`` over the DISTINCT ``on``
+    values of two datasets — the set-operation family for sides too large
+    to broadcast (the broadcast shapes are :func:`semi_join` /
+    :func:`anti_join`).
+
+    Per-batch key dedup first (the exchange carries distinct keys per
+    batch, never rows), then ONE hash partition co-locates each key from
+    both sides; the per-group kernel ORs the side flags and filters.
+    Null keys follow SQL bag-set semantics: ``EXCEPT`` / ``INTERSECT``
+    treat NULL as equal to NULL (DISTINCT grouping), so a null key on the
+    left survives EXCEPT only when the right has no null key.
+    """
+    if op not in ("except", "intersect"):
+        raise ValueError("op must be 'except' or 'intersect'")
+
+    def env(is_left: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.select([on]).group_by(on).aggregate([])
+            flag = np.ones(t.num_rows, dtype=np.int8)
+            t = pa.table(
+                {
+                    on: t.column(on),
+                    "_l": pa.array(flag if is_left else flag * 0),
+                    "_r": pa.array(flag * 0 if is_left else flag),
+                }
+            )
+            parts = partition_ids(t.column(on), num_partitions)
+            return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+        return fn
+
+    both = left_ds.map_batches(
+        env(True), batch_format="pyarrow", batch_size=None
+    ).union(
+        right_ds.map_batches(env(False), batch_format="pyarrow", batch_size=None)
+    )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        g = group.group_by(on).aggregate([("_l", "max"), ("_r", "max")])
+        has_l = pc.equal(g.column("_l_max"), 1)
+        has_r = pc.equal(g.column("_r_max"), 1)
+        keep = (
+            pc.and_(has_l, pc.invert(has_r))
+            if op == "except"
+            else pc.and_(has_l, has_r)
+        )
+        return g.filter(keep).select([on])
+
+    return (
+        both.groupby("_part").map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def dense_rank_filter(
+    ds,
+    *,
+    key: str,
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Keep rows whose ``order_col`` value is among the top-``k`` DISTINCT
+    values within their key — the ``QUALIFY dense_rank() OVER (PARTITION
+    BY key ORDER BY order_col DESC) <= k`` window filter (ties all
+    survive, unlike row_number/top-k).  Appends the rank as ``rnk``.
+
+    ONE keyed shuffle; the per-group kernel is a segmented cumsum over
+    value-change boundaries of the ``(key, order_col)`` sort — no per-row
+    Python.  Rows with a null ``order_col`` are dropped (SQL ORDER BY
+    ranks them, but a QUALIFY threshold on nulls is engine-defined; the
+    oracle formulation filters them explicitly).
+    """
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            batch.column(order_col).combine_chunks().is_valid()
+        )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    order = "descending" if descending else "ascending"
+
+    def rank(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[(key, "ascending"), (order_col, order)]
+        )
+        g = group.take(idx).drop_columns(["_part"])
+        keys = g.column(key).to_numpy(zero_copy_only=False)
+        vals = g.column(order_col).to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n == 0:
+            return g.append_column("rnk", pa.array([], type=pa.int64()))
+        seg = np.ones(n, dtype=bool)
+        chg = np.ones(n, dtype=bool)
+        if n > 1:
+            seg[1:] = keys[1:] != keys[:-1]
+            chg[1:] = seg[1:] | (vals[1:] != vals[:-1])
+        r = np.cumsum(chg)
+        seg_idx = np.nonzero(seg)[0]
+        counts = np.diff(np.append(seg_idx, n))
+        rnk = r - np.repeat(r[seg_idx], counts) + 1
+        out = g.append_column("rnk", pa.array(rnk, type=pa.int64()))
+        return out.filter(pa.array(rnk <= k))
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(rank, batch_format="pyarrow")
+    )
+
+
 def inter_event_gaps(
     ds,
     *,

@@ -1038,3 +1038,100 @@ def test_inter_event_gaps_single_row_keys_and_ties(ray_session):
     assert out.loc[1, "sum_gap_us"] == 3_000_000
     assert out.loc[1, "max_gap_us"] == 3_000_000
     assert out.loc[1, "min_gap_us"] == 0
+
+
+def test_distinct_set_op_except_intersect_and_nulls(ray_session):
+    from airbyte_destination_ray.pipelines.relational import distinct_set_op
+
+    left = pa.table(
+        {"k": pa.array([1, 1, 2, 3, None, None], type=pa.int64())}
+    )
+    right = pa.table({"k": pa.array([2, 4, None], type=pa.int64())})
+    # SQL set semantics: NULL groups with NULL in EXCEPT/INTERSECT
+    exc = sorted(
+        distinct_set_op(
+            _ds(left, blocks=2), _ds(right, blocks=2), on="k", op="except"
+        )
+        .to_pandas()["k"]
+        .tolist(),
+        key=lambda v: (v != v if isinstance(v, float) else False, v or 0),
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp_exc = con.execute(
+        "SELECT k FROM l EXCEPT SELECT k FROM r"
+    ).fetchall()
+    assert sorted(
+        [None if pd.isna(v) else int(v) for v in exc],
+        key=lambda v: (v is None, v),
+    ) == sorted(
+        [None if v[0] is None else int(v[0]) for v in exp_exc],
+        key=lambda v: (v is None, v),
+    )
+    inter = distinct_set_op(
+        _ds(left, blocks=2), _ds(right, blocks=2), on="k", op="intersect"
+    ).to_pandas()["k"]
+    exp_int = con.execute(
+        "SELECT k FROM l INTERSECT SELECT k FROM r"
+    ).fetchall()
+    assert sorted(
+        [None if pd.isna(v) else int(v) for v in inter],
+        key=lambda v: (v is None, v),
+    ) == sorted(
+        [None if v[0] is None else int(v[0]) for v in exp_int],
+        key=lambda v: (v is None, v),
+    )
+
+
+def test_distinct_set_op_rejects_bad_op(ray_session):
+    from airbyte_destination_ray.pipelines.relational import distinct_set_op
+
+    t = pa.table({"k": pa.array([1], type=pa.int64())})
+    with pytest.raises(ValueError):
+        distinct_set_op(_ds(t, 1), _ds(t, 1), on="k", op="union")
+
+
+def test_dense_rank_filter_ties_survive(ray_session):
+    from airbyte_destination_ray.pipelines.relational import dense_rank_filter
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 5 + ["b"] * 3),
+            "v": pa.array([9, 9, 7, 7, 1, 5, 5, 5], type=pa.int64()),
+            "id": pa.array(list(range(8)), type=pa.int64()),
+        }
+    )
+    out = dense_rank_filter(
+        _ds(t, blocks=3), key="g", order_col="v", k=2, num_partitions=4
+    ).to_pandas()
+    # group a: v=9 (rank 1, 2 rows) and v=7 (rank 2, 2 rows); v=1 dropped
+    # group b: all three rows share v=5 → rank 1, all survive
+    a = out[out["g"] == "a"]
+    assert sorted(a["v"]) == [7, 7, 9, 9]
+    assert sorted(a["rnk"]) == [1, 1, 2, 2]
+    b = out[out["g"] == "b"]
+    assert len(b) == 3 and set(b["rnk"]) == {1}
+
+
+def test_dense_rank_filter_matches_sql_qualify(events):
+    from airbyte_destination_ray.pipelines.relational import dense_rank_filter
+
+    _assert_matches(
+        dense_rank_filter(
+            _ds(events, blocks=5),
+            key="event_type",
+            order_col="value",
+            k=3,
+            num_partitions=4,
+        ),
+        """
+        SELECT event_id, ts, user_id, event_type, value,
+               CAST(dense_rank() OVER (
+                   PARTITION BY event_type ORDER BY value DESC
+               ) AS BIGINT) AS rnk
+        FROM ev
+        QUALIFY rnk <= 3
+        """,
+        {"ev": events},
+    )
