@@ -1263,6 +1263,44 @@ def _q_top2_days_dense_rank(sf_dir: str):
     )
 
 
+def _cluster_centroids_int():
+    """Seeded integer centroid matrix shared verbatim by the Ray query and
+    the generated SQL literal (8 clusters × 64 dims, int in [-128, 127])."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    return rng.integers(-128, 128, size=(8, 64)).astype(np.int64)
+
+
+def _q_embeddings_cluster_assign(sf_dir: str):
+    """Cluster assignment against fixed integer centroids with quantized
+    embeddings — exact int64 dot products, so the argmax (and the dot
+    itself) is SQL-oracle comparable."""
+    from airbyte_destination_ray.pipelines.similarity import cluster_assign
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return cluster_assign(
+        ds, _cluster_centroids_int(), quantize_scale=64.0
+    )
+
+
+def _q_embeddings_kmeans_sizes(sf_dir: str):
+    """Learned-centroid (deterministic hash-sampled k-means) corpus
+    clustering profile, reduced to per-cluster sizes."""
+    from airbyte_destination_ray.pipelines.similarity import (
+        kmeans_cluster_sizes,
+    )
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_cluster_sizes(ds, n_clusters=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
@@ -1340,6 +1378,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_ship_orders_except_finished": _q_late_ship_orders_except_finished,
         "users_clicked_and_purchased": _q_users_clicked_and_purchased,
         "top2_days_dense_rank": _q_top2_days_dense_rank,
+        "embeddings_cluster_assign": _q_embeddings_cluster_assign,
+        "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
     }
 
 
@@ -1353,7 +1393,7 @@ _LWW_TOMBSTONE_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "cdc_lww_latest_by_user": """
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events
@@ -2078,3 +2118,27 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rnk <= 2
         """,
     }
+    # generated entry: the centroid literal must be the exact matrix the
+    # Ray query uses (same seed), pasted as BIGINT[] values
+    cents = _cluster_centroids_int()
+    rows = ", ".join(
+        "({}, [{}]::BIGINT[])".format(
+            i, ",".join(str(int(v)) for v in cents[i])
+        )
+        for i in range(len(cents))
+    )
+    sql["embeddings_cluster_assign"] = f"""
+        WITH cents(cluster, c) AS (VALUES {rows}),
+        e AS (SELECT vec_id,
+                     list_transform(embedding,
+                         x -> CAST(floor(x * 64.0 + 0.5) AS BIGINT)) AS q
+              FROM embeddings)
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+               CAST(list_dot_product(q, c) AS BIGINT) AS dot
+        FROM e CROSS JOIN cents
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id
+            ORDER BY CAST(list_dot_product(q, c) AS BIGINT) DESC, cluster
+        ) = 1
+    """
+    return sql

@@ -521,3 +521,101 @@ def knn_lsh(
         .groupby("query_id")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def cluster_assign(
+    ds,
+    centroids: np.ndarray,
+    *,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    normalize: bool = False,
+    quantize_scale: float | None = None,
+):
+    """Assign every embedding to its argmax-dot centroid — the cluster
+    step of SemDeDup-style corpus curation and of IVF list building, as a
+    standalone operator returning ``(id, cluster, dot)``.
+
+    Pure per-batch matmul against the broadcast centroid matrix (small:
+    k×d; it rides the task closure — use ``ray.put`` if k×d grows to MBs).
+    One streaming pass, no shuffle.  Ties break to the LOWEST cluster
+    index (np.argmax first-max), matching the SQL tie-break.
+
+    With ``quantize_scale`` both the embeddings (``floor(x·s + 0.5)``) and
+    the supplied INTEGER centroids are exact int64, so the dot products —
+    and therefore the assignment — are bit-reproducible and SQL-oracle
+    comparable (``list_dot_product`` over the same quantized lists).
+    ``normalize`` (float path) L2-normalizes embeddings for cosine argmax
+    against unit centroids (k-means on the sphere).
+    """
+    if quantize_scale is not None and normalize:
+        raise ValueError("quantize_scale and normalize are exclusive")
+    if quantize_scale is not None:
+        cent = centroids.astype(np.int64)
+    else:
+        cent = centroids.astype(np.float64)
+        if normalize:
+            cent = _normalize(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch, embedding_col)
+        if quantize_scale is not None:
+            q = np.floor(m.astype(np.float64) * quantize_scale + 0.5).astype(
+                np.int64
+            )
+            dots = q @ cent.T
+        else:
+            e = m.astype(np.float64)
+            if normalize:
+                e = _normalize(e)
+            dots = e @ cent.T
+        best = np.argmax(dots, axis=1)
+        score = dots[np.arange(len(best)), best]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(best.astype(np.int64)),
+                "dot": pa.array(
+                    score.astype(np.int64)
+                    if quantize_scale is not None
+                    else score
+                ),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def kmeans_cluster_sizes(
+    ds,
+    *,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    train_iters: int = 5,
+    max_train: int = 50_000,
+    seed: int = 42,
+):
+    """Learned-centroid corpus clustering profile: deterministic
+    hash-sampled k-means (same quantizer as IVF — replay-stable,
+    parallelism-invariant), then a streaming assignment pass reduced to
+    ``(cluster, n)`` sizes via the combiner pattern."""
+    from .ops import grouped_count
+
+    cent = _train_centroids(
+        ds,
+        embedding_col=embedding_col,
+        id_col=id_col,
+        n_centroids=n_clusters,
+        max_train=max_train,
+        iters=train_iters,
+        seed=seed,
+    )
+    assigned = cluster_assign(
+        ds,
+        cent,
+        embedding_col=embedding_col,
+        id_col=id_col,
+        normalize=True,
+    )
+    return grouped_count(assigned, key="cluster", out_col="n")

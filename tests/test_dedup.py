@@ -402,3 +402,90 @@ def test_dedup_jaccard_exact_max_shingle_freq_prunes(ray_session):
         dedup_jaccard_exact(ray.data.from_arrow(t), max_shingle_freq=2)
     )
     assert kept_capped == [0, 1, 2]
+
+
+def test_cluster_assign_quantized_matches_numpy(ray_session):
+    """Quantized assignment is exact int64 math: the (cluster, dot) pair
+    must equal the brute-force numpy oracle bit-for-bit, and ties must
+    break to the lowest cluster index."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.similarity import cluster_assign
+
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((40, 16)).astype(np.float32)
+    cents = rng.integers(-128, 128, size=(4, 16)).astype(np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), type=pa.int64()),
+            "embedding": pa.array(
+                [e.tolist() for e in emb], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = cluster_assign(
+        ray.data.from_arrow(t), cents, quantize_scale=64.0
+    )
+    res = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    res = res.sort_by("vec_id")
+
+    q = np.floor(emb.astype(np.float64) * 64.0 + 0.5).astype(np.int64)
+    dots = q @ cents.T
+    best = np.argmax(dots, axis=1)
+    assert res.column("cluster").to_pylist() == best.tolist()
+    assert (
+        res.column("dot").to_pylist()
+        == dots[np.arange(40), best].tolist()
+    )
+
+
+def test_cluster_assign_tie_breaks_low_index(ray_session):
+    import ray.data
+    from airbyte_destination_ray.pipelines.similarity import cluster_assign
+
+    # two identical centroids -> every dot ties -> argmax picks index 0
+    cents = np.array([[1, 1], [1, 1]], dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1], type=pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 2.0], [3.0, 4.0]], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = cluster_assign(ray.data.from_arrow(t), cents, quantize_scale=1.0)
+    res = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    assert set(res.column("cluster").to_pylist()) == {0}
+
+
+def test_kmeans_cluster_sizes_partitions_corpus(ray_session):
+    """Two well-separated blobs, k=2: the size profile must be the blob
+    sizes, and must be identical across parallelism (combiner pattern +
+    deterministic hash-sampled training)."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.similarity import (
+        kmeans_cluster_sizes,
+    )
+
+    rng = np.random.default_rng(9)
+    a = rng.standard_normal((30, 8)).astype(np.float32) + 10.0
+    b = rng.standard_normal((20, 8)).astype(np.float32) - 10.0
+    emb = np.vstack([a, b])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(50), type=pa.int64()),
+            "embedding": pa.array(
+                [e.tolist() for e in emb], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+
+    def sizes(nblocks):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        out = kmeans_cluster_sizes(ds, n_clusters=2)
+        res = pa.concat_tables(
+            list(out.iter_batches(batch_format="pyarrow"))
+        )
+        return sorted(res.column("n").to_pylist())
+
+    assert sizes(1) == [20, 30]
+    assert sizes(7) == [20, 30]
