@@ -1301,6 +1301,181 @@ def _q_embeddings_kmeans_sizes(sf_dir: str):
     return kmeans_cluster_sizes(ds, n_clusters=8)
 
 
+def _q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5-shaped composite (6-table star: region/nation dims driver-
+    joined + broadcast, customer ⋈ orders through ONE shuffle-join exchange,
+    supplier map broadcast into the lineitem scan with per-batch revenue
+    pre-reduction, second shuffle join on order key, same-nation filter,
+    tiny final rollup).  The two fact tables each cross exactly one
+    exchange; dims ride `ray.put` once.  Supplier is broadcast because
+    TPC-H sizes it at 1% of customers — if it outgrew worker memory the
+    same step becomes a third shuffle_join on l_suppkey."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from airbyte_destination_ray.pipelines.ops import grouped_sum
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1997, 1, 1)
+
+    # dims: nation ⋈ region, filtered to one region, driver-side (≤25 rows)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    asia = region.filter(pc.equal(region.column("r_name"), "ASIA"))
+    nat = nation.join(
+        asia.select(["r_regionkey"]),
+        keys="n_regionkey",
+        right_keys="r_regionkey",
+        join_type="inner",
+    )
+    nat_keys = np.sort(
+        nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    nat_names = dict(
+        zip(
+            nat.column("n_nationkey").to_pylist(),
+            nat.column("n_name").to_pylist(),
+        )
+    )
+
+    # supplier → nationkey map, pruned to the region, broadcast once
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    s_key = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    s_nat = sup.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    in_region = np.isin(s_nat, nat_keys)
+    order_idx = np.argsort(s_key[in_region])
+    sup_ref = ray.put((s_key[in_region][order_idx], s_nat[in_region][order_idx]))
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        nk = pc.cast(b.column("c_nationkey"), pa.int64())
+        keep = np.isin(nk.to_numpy(zero_copy_only=False), nat_keys)
+        return pa.table(
+            {"c_custkey": b.column("c_custkey"), "c_nationkey": nk}
+        ).filter(pa.array(keep))
+
+    customer = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_prep, batch_format="pyarrow", batch_size=None)
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), lo),
+                pc.less(b.column("o_orderdate"), hi),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    oc = shuffle_join(
+        orders,
+        customer,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        select=["o_orderkey", "c_nationkey"],
+        hot_keys=None,  # uniform TPC-H custkeys
+    )
+
+    class _LineRev:
+        """Broadcast supplier lookup + integer-cents revenue pre-reduce:
+        the orderkey exchange carries one row per (order, nation, batch)."""
+
+        def __init__(self):
+            self.s_key, self.s_nat = ray.get(sup_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.s_key, sk)
+            ok = pos < len(self.s_key)
+            ok &= self.s_key[np.clip(pos, 0, max(len(self.s_key) - 1, 0))] == sk
+            b = b.filter(pa.array(ok))
+            if b.num_rows == 0:
+                return pa.table(
+                    {
+                        "l_orderkey": pa.array([], type=pa.int64()),
+                        "s_nationkey": pa.array([], type=pa.int64()),
+                        "_rev": pa.array([], type=pa.int64()),
+                    }
+                )
+            snat = self.s_nat[pos[ok]]
+            rev = pc.cast(
+                pc.floor(
+                    pc.multiply(
+                        pc.multiply(
+                            b.column("l_extendedprice"),
+                            pc.subtract(1.0, b.column("l_discount")),
+                        ),
+                        100.0,
+                    )
+                ),
+                pa.int64(),
+            )
+            t = pa.table(
+                {
+                    "l_orderkey": b.column("l_orderkey"),
+                    "s_nationkey": pa.array(snat),
+                    "_rev": rev,
+                }
+            )
+            agg = t.group_by(["l_orderkey", "s_nationkey"]).aggregate(
+                [("_rev", "sum")]
+            )
+            return agg.rename_columns(["l_orderkey", "s_nationkey", "_rev"])
+
+    lineitem = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(_LineRev, batch_format="pyarrow", batch_size=None, concurrency=4)
+
+    joined = shuffle_join(
+        oc,
+        lineitem,
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        select=["c_nationkey", "s_nationkey", "_rev"],
+        hot_keys=None,  # ≤7 lineitems per order; no skew possible
+    )
+
+    def same_nation(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("c_nationkey"), b.column("s_nationkey"))
+        b = b.filter(keep)
+        return pa.table(
+            {"n_nationkey": b.column("s_nationkey"), "_rev": b.column("_rev")}
+        )
+
+    per_nation = grouped_sum(
+        joined.map_batches(same_nation, batch_format="pyarrow", batch_size=None),
+        key="n_nationkey",
+        value_col="_rev",
+        out_col="revenue_cents",
+    )
+
+    def name_it(b: pa.Table) -> pa.Table:
+        names = [nat_names[k] for k in b.column("n_nationkey").to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, type=pa.string()),
+                "revenue_cents": b.column("revenue_cents"),
+            }
+        )
+
+    return per_nation.map_batches(
+        name_it, batch_format="pyarrow", batch_size=None
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
@@ -1380,6 +1555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top2_days_dense_rank": _q_top2_days_dense_rank,
         "embeddings_cluster_assign": _q_embeddings_cluster_assign,
         "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
+        "local_supplier_volume": _q_local_supplier_volume,
     }
 
 
@@ -2118,6 +2294,22 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rnk <= 2
         """,
     }
+    sql["local_supplier_volume"] = """
+        SELECT n_name,
+               CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount))
+                   * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """
     # generated entry: the centroid literal must be the exact matrix the
     # Ray query uses (same seed), pasted as BIGINT[] values
     cents = _cluster_centroids_int()
