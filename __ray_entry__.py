@@ -1301,6 +1301,66 @@ def _q_embeddings_kmeans_sizes(sf_dir: str):
     return kmeans_cluster_sizes(ds, n_clusters=8)
 
 
+_CAMPAIGNS = [
+    # (campaign_id, start day, end day) — overlapping, nested, and one
+    # empty window; shared verbatim by the Ray query and the SQL literal
+    (0, "2024-01-02", "2024-01-09"),
+    (1, "2024-01-05", "2024-01-12"),
+    (2, "2024-01-10", "2024-01-20"),
+    (3, "2024-01-15", "2024-01-16"),
+    (4, "2024-01-25", "2024-02-05"),
+    (5, "2024-03-01", "2024-03-05"),
+]
+
+
+def _q_campaign_event_stats(sf_dir: str):
+    """Broadcast interval (range) join + per-campaign value rollup: events
+    are tagged with every overlapping campaign window (1→N), value goes to
+    integer cents per batch, and grouped_int_stats reduces with SQL null
+    semantics — the windows ride ray.put once, the fact table streams."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.ops import grouped_int_stats
+    from airbyte_destination_ray.pipelines.relational import interval_join
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    iv = pa.table(
+        {
+            "campaign_id": pa.array([c[0] for c in _CAMPAIGNS], type=pa.int64()),
+            "start_ts": pa.array(
+                [dt.datetime.fromisoformat(c[1]) for c in _CAMPAIGNS],
+                type=pa.timestamp("us"),
+            ),
+            "end_ts": pa.array(
+                [dt.datetime.fromisoformat(c[2]) for c in _CAMPAIGNS],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+    tagged = interval_join(
+        ds, iv, ts_col="ts", id_col="campaign_id", select=["value"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "campaign_id": b.column("campaign_id"),
+                "_cents": pc.cast(
+                    pc.floor(pc.multiply(b.column("value"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return grouped_int_stats(tagged, key="campaign_id", value_col="_cents")
+
+
 def _q_local_supplier_volume(sf_dir: str):
     """TPC-H Q5-shaped composite (6-table star: region/nation dims driver-
     joined + broadcast, customer ⋈ orders through ONE shuffle-join exchange,
@@ -1437,7 +1497,9 @@ def _q_local_supplier_volume(sf_dir: str):
     lineitem = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(_LineRev, batch_format="pyarrow", batch_size=None, concurrency=4)
+    ).map_batches(
+        _LineRev, batch_format="pyarrow", batch_size=None, concurrency=(1, 8)
+    )
 
     joined = shuffle_join(
         oc,
@@ -1556,6 +1618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_cluster_assign": _q_embeddings_cluster_assign,
         "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
         "local_supplier_volume": _q_local_supplier_volume,
+        "campaign_event_stats": _q_campaign_event_stats,
     }
 
 
@@ -2309,6 +2372,24 @@ def oracle_sql() -> dict[str, str]:
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
+    """
+    campaign_rows = ", ".join(
+        f"({cid}, TIMESTAMP '{s}', TIMESTAMP '{e}')"
+        for cid, s, e in _CAMPAIGNS
+    )
+    sql["campaign_event_stats"] = f"""
+        WITH c(campaign_id, start_ts, end_ts) AS (VALUES {campaign_rows}),
+        j AS (
+            SELECT c.campaign_id,
+                   CAST(floor(e.value * 100) AS BIGINT) AS cents
+            FROM events e
+            JOIN c ON e.ts >= c.start_ts AND e.ts < c.end_ts)
+        SELECT CAST(campaign_id AS BIGINT) AS campaign_id,
+               CAST(count(cents) AS BIGINT) AS n_values,
+               CAST(sum(cents) AS BIGINT) AS sum_value,
+               min(cents) AS min_value,
+               max(cents) AS max_value
+        FROM j GROUP BY campaign_id
     """
     # generated entry: the centroid literal must be the exact matrix the
     # Ray query uses (same seed), pasted as BIGINT[] values

@@ -1391,3 +1391,78 @@ def pricing_summary(lineitem_ds):
         .groupby(["l_returnflag", "l_linestatus"])
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def interval_join(
+    ds,
+    intervals: pa.Table,
+    *,
+    ts_col: str,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    id_col: str = "interval_id",
+    select: list[str] | None = None,
+):
+    """Broadcast interval (range) join: one output row per (input row,
+    interval) pair with ``start <= ts < end`` — the 1→N inequality join
+    Ray Data lacks (campaign attribution, maintenance windows, benchmark
+    time slices).
+
+    Composition tier (a): the interval table ships once via ``ray.put``;
+    each batch loops over INTERVALS (one vectorized mask + ``filter`` per
+    interval), never over rows — O(n_intervals) kernel passes per batch,
+    the right trade for a broadcast-dim interval table.  A fact×fact range
+    join at 100 TB would instead range-partition both sides by time and
+    sort-merge per partition; this operator is the dimension-side half.
+    Null ``ts`` matches nothing (SQL inequality three-valued logic);
+    intervals with no rows simply don't appear (inner-join semantics).
+    Output rows for one input batch are grouped by interval, which is fine
+    for the unordered relational results this feeds.
+    """
+    iv_ids = intervals.column(id_col)
+    starts = pc.cast(intervals.column(start_col), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    ends = pc.cast(intervals.column(end_col), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    ref = ray.put((iv_ids.to_pylist(), starts, ends))
+    id_type = iv_ids.type
+    keep_cols = select
+
+    class _IntervalTag:
+        def __init__(self):
+            self.ids, self.starts, self.ends = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cols = keep_cols or [
+                c for c in batch.column_names if c != id_col
+            ]
+            body = batch.select(cols)
+            ts = pc.cast(batch.column(ts_col), pa.int64()).combine_chunks()
+            valid = ts.is_valid().to_numpy(zero_copy_only=False)
+            tsv = ts.fill_null(0).to_numpy(zero_copy_only=False)
+            pieces = []
+            for iid, s, e in zip(self.ids, self.starts, self.ends):
+                mask = valid & (tsv >= s) & (tsv < e)
+                if not mask.any():
+                    continue
+                sub = body.filter(pa.array(mask))
+                pieces.append(
+                    sub.append_column(
+                        id_col,
+                        pa.array([iid] * sub.num_rows, type=id_type),
+                    )
+                )
+            if pieces:
+                return pa.concat_tables(pieces)
+            return pa.table(
+                {
+                    **{c: pa.array([], type=body.schema.field(c).type) for c in cols},
+                    id_col: pa.array([], type=id_type),
+                }
+            )
+
+    return ds.map_batches(
+        _IntervalTag, batch_format="pyarrow", batch_size=None, concurrency=(1, 8)
+    )

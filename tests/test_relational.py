@@ -1135,3 +1135,76 @@ def test_dense_rank_filter_matches_sql_qualify(events):
         """,
         {"ev": events},
     )
+
+
+def test_interval_join_matches_sql_inequality_join(ray_session):
+    """Overlapping + nested + empty intervals, null ts, vs DuckDB."""
+    import datetime as dt
+
+    import duckdb
+    import ray.data
+    from airbyte_destination_ray.pipelines.relational import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    ts = [base + dt.timedelta(hours=h) for h in [1, 5, 10, 24, 30, 49]]
+    t = pa.table(
+        {
+            "row_id": pa.array(range(7), type=pa.int64()),
+            "ts": pa.array(ts + [None], type=pa.timestamp("us")),
+            "v": pa.array([10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0]),
+        }
+    )
+    iv = pa.table(
+        {
+            "interval_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "start_ts": pa.array(
+                [
+                    base,
+                    base + dt.timedelta(hours=4),  # overlaps 0
+                    base + dt.timedelta(hours=9),  # nested reach
+                    base + dt.timedelta(days=30),  # empty
+                ],
+                type=pa.timestamp("us"),
+            ),
+            "end_ts": pa.array(
+                [
+                    base + dt.timedelta(hours=12),
+                    base + dt.timedelta(hours=26),
+                    base + dt.timedelta(hours=10, minutes=1),
+                    base + dt.timedelta(days=31),
+                ],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    out = interval_join(
+        ray.data.from_arrow(t).repartition(3),
+        iv,
+        ts_col="ts",
+        select=["row_id"],
+    )
+    res = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    got = sorted(
+        zip(
+            res.column("row_id").to_pylist(),
+            res.column("interval_id").to_pylist(),
+        )
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    con.register("iv", iv)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                "SELECT row_id, interval_id FROM t JOIN iv "
+                "ON t.ts >= iv.start_ts AND t.ts < iv.end_ts"
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    # row 2 (hour 10) lands in both interval 0 and 1 -> duplicated
+    assert (2, 0) in got and (2, 1) in got
+    # empty interval 3 absent, null-ts row 6 absent
+    assert all(i != 3 for _, i in got)
+    assert all(r != 6 for r, _ in got)
