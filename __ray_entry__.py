@@ -1301,6 +1301,27 @@ def _q_embeddings_kmeans_sizes(sf_dir: str):
     return kmeans_cluster_sizes(ds, n_clusters=8)
 
 
+def _q_events_moving_sum(sf_dir: str):
+    """Per-user 5-row moving window sum/count (ROWS BETWEEN 4 PRECEDING AND
+    CURRENT ROW over (ts, event_id)) — one keyed shuffle + segmented
+    prefix-sum kernel, exact integer cents."""
+    from airbyte_destination_ray.pipelines.relational import moving_window_sum
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return moving_window_sum(
+        ds,
+        key="user_id",
+        ts_col="ts",
+        seq="event_id",
+        value_col="value",
+        window_rows=5,
+    )
+
+
 _CAMPAIGNS = [
     # (campaign_id, start day, end day) — overlapping, nested, and one
     # empty window; shared verbatim by the Ray query and the SQL literal
@@ -1619,6 +1640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
         "local_supplier_volume": _q_local_supplier_volume,
         "campaign_event_stats": _q_campaign_event_stats,
+        "events_moving_sum_by_user": _q_events_moving_sum,
     }
 
 
@@ -2372,6 +2394,18 @@ def oracle_sql() -> dict[str, str]:
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
+    """
+    sql["events_moving_sum_by_user"] = """
+        WITH e AS (
+            SELECT event_id, user_id, ts,
+                   COALESCE(CAST(floor(value * 100) AS BIGINT), 0) AS cents
+            FROM events)
+        SELECT event_id, user_id,
+               CAST(sum(cents) OVER w AS BIGINT) AS win_sum_cents,
+               CAST(count(*) OVER w AS BIGINT) AS win_n
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
     """
     campaign_rows = ", ".join(
         f"({cid}, TIMESTAMP '{s}', TIMESTAMP '{e}')"

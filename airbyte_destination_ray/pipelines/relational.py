@@ -1466,3 +1466,81 @@ def interval_join(
     return ds.map_batches(
         _IntervalTag, batch_format="pyarrow", batch_size=None, concurrency=(1, 8)
     )
+
+
+def moving_window_sum(
+    ds,
+    *,
+    key: str,
+    ts_col: str,
+    seq: str,
+    value_col: str,
+    window_rows: int,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Per-key moving-window sum/count over the last ``window_rows`` rows —
+    ``SUM(cents) OVER (PARTITION BY key ORDER BY ts, seq ROWS BETWEEN
+    window_rows-1 PRECEDING AND CURRENT ROW)`` plus the window row count.
+
+    Same shape as :func:`running_sum`: ONE keyed shuffle of ``(key, ts,
+    seq, cents)``, then a segmented prefix-sum kernel — the window sum is
+    ``cs0[i+1] - cs0[max(i-w+1, seg_start)]``, fully vectorized, no per-row
+    loop.  Values go to integer cents (exact, order-independent); null
+    values contribute 0 to the sum but still occupy a window slot
+    (``COALESCE(cents, 0)`` in the oracle), and the deterministic
+    ``(ts, seq)`` order makes the result hash-comparable."""
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+
+    def route(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(batch.column(value_col), 100.0)), pa.int64()
+        ).combine_chunks()
+        t = pa.table(
+            {
+                seq: batch.column(seq),
+                key: batch.column(key),
+                "_ats": pc.cast(batch.column(ts_col), pa.int64()),
+                "_cents": cents.fill_null(0),
+            }
+        )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def window(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                (key, "ascending"),
+                ("_ats", "ascending"),
+                (seq, "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        keys = g.column(key).to_numpy(zero_copy_only=False)
+        cents = g.column("_cents").to_numpy(zero_copy_only=False)
+        n = len(keys)
+        cs0 = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cents, out=cs0[1:])
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = keys[1:] != keys[:-1]
+        start_idx = np.nonzero(start)[0]
+        counts = np.diff(np.append(start_idx, n))
+        seg_start = np.repeat(start_idx, counts)
+        i = np.arange(n, dtype=np.int64)
+        lo = np.maximum(i - window_rows + 1, seg_start)
+        return pa.table(
+            {
+                seq: g.column(seq),
+                key: g.column(key),
+                "win_sum_cents": pa.array(cs0[i + 1] - cs0[lo], type=pa.int64()),
+                "win_n": pa.array(i - lo + 1, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(window, batch_format="pyarrow")
+    )

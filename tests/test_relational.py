@@ -1208,3 +1208,63 @@ def test_interval_join_matches_sql_inequality_join(ray_session):
     # empty interval 3 absent, null-ts row 6 absent
     assert all(i != 3 for _, i in got)
     assert all(r != 6 for r, _ in got)
+
+
+def test_moving_window_sum_matches_sql_window(ray_session):
+    """5-row moving sum vs DuckDB ROWS BETWEEN window; null value occupies
+    a slot but adds 0; short partitions; equal-ts tie broken by seq."""
+    import datetime as dt
+
+    import duckdb
+    import ray.data
+    from airbyte_destination_ray.pipelines.relational import moving_window_sum
+
+    base = dt.datetime(2024, 1, 1)
+    n = 40
+    rng = np.random.default_rng(5)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "user_id": pa.array(
+                (rng.integers(0, 5, n)).tolist(), type=pa.int64()
+            ),
+            "ts": pa.array(
+                # duplicate timestamps to exercise the seq tie-break
+                [base + dt.timedelta(minutes=int(m)) for m in rng.integers(0, 12, n)],
+                type=pa.timestamp("us"),
+            ),
+            "value": pa.array(
+                [None if i % 11 == 0 else float(v) for i, v in
+                 enumerate(rng.normal(10, 5, n))]
+            ),
+        }
+    )
+    out = moving_window_sum(
+        ray.data.from_arrow(t).repartition(4),
+        key="user_id",
+        ts_col="ts",
+        seq="event_id",
+        value_col="value",
+        window_rows=3,
+    )
+    res = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    res = res.sort_by("event_id")
+
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """
+        WITH e AS (SELECT event_id, user_id, ts,
+                   COALESCE(CAST(floor(value*100) AS BIGINT), 0) AS cents
+                   FROM t)
+        SELECT event_id,
+               CAST(sum(cents) OVER w AS BIGINT) AS s,
+               CAST(count(*) OVER w AS BIGINT) AS c
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+        """
+    ).fetchall()
+    assert res.column("win_sum_cents").to_pylist() == [w[1] for w in want]
+    assert res.column("win_n").to_pylist() == [w[2] for w in want]
