@@ -1322,6 +1322,18 @@ def _q_events_moving_sum(sf_dir: str):
     )
 
 
+def _q_events_value_zscore(sf_dir: str):
+    """Whole-corpus z-score of event value: exact integer moment partials,
+    one fixed IEEE expression for mean/std, streaming second pass."""
+    from airbyte_destination_ray.pipelines.ops import standardize_column
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    return standardize_column(ds, value_col="value", keep_cols=("event_id",))
+
+
 _CAMPAIGNS = [
     # (campaign_id, start day, end day) — overlapping, nested, and one
     # empty window; shared verbatim by the Ray query and the SQL literal
@@ -1641,6 +1653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": _q_local_supplier_volume,
         "campaign_event_stats": _q_campaign_event_stats,
         "events_moving_sum_by_user": _q_events_moving_sum,
+        "events_value_zscore": _q_events_value_zscore,
     }
 
 
@@ -2406,6 +2419,20 @@ def oracle_sql() -> dict[str, str]:
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """
+    sql["events_value_zscore"] = """
+        WITH e AS (
+            SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events),
+        s AS (
+            SELECT CAST(count(cents) AS BIGINT) AS n,
+                   CAST(sum(cents) AS DOUBLE) AS s1,
+                   CAST(sum(cents * cents) AS DOUBLE) AS s2
+            FROM e)
+        SELECT e.event_id,
+               (CAST(e.cents AS DOUBLE) - s.s1 / s.n)
+                   / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS z
+        FROM e, s
     """
     campaign_rows = ", ".join(
         f"({cid}, TIMESTAMP '{s}', TIMESTAMP '{e}')"

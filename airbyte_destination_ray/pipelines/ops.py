@@ -1214,3 +1214,74 @@ def filter_above_quantile(
         )
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def standardize_column(
+    ds,
+    *,
+    value_col: str,
+    keep_cols: tuple[str, ...] = (),
+    out_col: str = "z",
+):
+    """Corpus-global z-score standardization of ``value_col`` — the
+    two-pass normalize step of feature pipelines ("scale to zero mean /
+    unit variance over the WHOLE corpus", not per batch).
+
+    Pass 1 streams one row of exact integer partials per batch (n, Σcents,
+    Σcents² — cents = ``floor(value·100)`` so the moments are
+    order-independent); the driver merges them in arbitrary-precision
+    Python ints and fixes mean/std in ONE IEEE evaluation order::
+
+        mean = double(s1) / n
+        var  = (double(s2) - double(s1)·double(s1)/n) / (n - 1)
+        z    = (double(cents) - mean) / sqrt(var)
+
+    Pass 2 broadcasts the two scalars inside the task closure and emits
+    ``z`` vectorized — nulls propagate (SQL semantics: null value → null z,
+    and nulls don't contribute to the moments).  The spelled-out SQL with
+    the same association is bit-identical, which is what makes a
+    whole-corpus float statistic hash-checkable.  Σcents² bounds the
+    envelope: |cents| ≤ ~3·10⁴ over 10¹⁰ rows stays under 2⁶³ per batch;
+    the driver-side merge is unbounded (Python ints).
+    """
+    import math
+
+    def cents_of(batch: pa.Table):
+        return pc.cast(
+            pc.floor(pc.multiply(batch.column(value_col), 100.0)), pa.int64()
+        ).combine_chunks()
+
+    def moments(batch: pa.Table) -> pa.Table:
+        c = cents_of(batch).drop_null().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(c)], type=pa.int64()),
+                "s1": pa.array([int(c.sum())], type=pa.int64()),
+                "s2": pa.array([int((c * c).sum())], type=pa.int64()),
+            }
+        )
+
+    n, s1, s2 = 0, 0, 0
+    for b in ds.map_batches(
+        moments, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        n += sum(b.column("n").to_pylist())
+        s1 += sum(b.column("s1").to_pylist())
+        s2 += sum(b.column("s2").to_pylist())
+    if n < 2:
+        raise ValueError("standardize_column needs >= 2 non-null values")
+    mean = float(s1) / n
+    var = (float(s2) - float(s1) * float(s1) / n) / (n - 1)
+    std = math.sqrt(var)
+    if std == 0.0:
+        raise ValueError("zero variance: z-score undefined")
+
+    def emit(batch: pa.Table) -> pa.Table:
+        z = pc.divide(
+            pc.subtract(pc.cast(cents_of(batch), pa.float64()), mean), std
+        )
+        cols = {c: batch.column(c) for c in keep_cols}
+        cols[out_col] = z
+        return pa.table(cols)
+
+    return ds.map_batches(emit, batch_format="pyarrow", batch_size=None)

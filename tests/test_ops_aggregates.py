@@ -291,3 +291,42 @@ def test_grouped_int_stats_null_semantics(ray_session):
     assert pd.isna(out.loc["b", "sum_value"])
     assert pd.isna(out.loc["b", "min_value"])
     assert pd.isna(out.loc["b", "max_value"])
+
+
+def test_standardize_column_bit_exact_and_null_propagation(ray_session):
+    """z-scores must be bit-identical across parallelism (fixed IEEE order
+    from exact integer moments) and null values must yield null z."""
+    import math
+
+    import ray.data
+    from airbyte_destination_ray.pipelines.ops import standardize_column
+
+    vals = [1.25, None, 3.5, -2.0, 10.0, 0.0, 7.75, None, 4.0, 5.5]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(vals)), type=pa.int64()),
+            "value": pa.array(vals, type=pa.float64()),
+        }
+    )
+
+    def run(nblocks):
+        out = standardize_column(
+            ray.data.from_arrow(t).repartition(nblocks),
+            value_col="value",
+            keep_cols=("event_id",),
+        )
+        res = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+        return res.sort_by("event_id").column("z").to_pylist()
+
+    z1, z4 = run(1), run(4)
+    assert z1 == z4  # bit-identical, not approximately
+    assert z1[1] is None and z1[7] is None
+    cents = [math.floor(v * 100) if v is not None else None for v in vals]
+    cs = [c for c in cents if c is not None]
+    n, s1, s2 = len(cs), sum(cs), sum(c * c for c in cs)
+    mean = float(s1) / n
+    std = math.sqrt((float(s2) - float(s1) * float(s1) / n) / (n - 1))
+    want = [
+        None if c is None else (float(c) - mean) / std for c in cents
+    ]
+    assert z1 == want
