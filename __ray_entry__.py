@@ -1322,6 +1322,34 @@ def _q_events_moving_sum(sf_dir: str):
     )
 
 
+def _q_doc_near_dup_components(sf_dir: str):
+    """Near-duplicate clustering: exact-Jaccard pair graph (J ≥ 0.8 on word
+    5-grams) → distributed connected components (min-label propagation) —
+    every doc labeled with the min doc_id of its duplicate cluster.  The
+    SQL oracle recomputes the pair graph from scratch and closes it with a
+    recursive CTE."""
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.dedup import jaccard_pairs
+    from airbyte_destination_ray.pipelines.graph import connected_components
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = jaccard_pairs(docs, threshold=0.8, shingle_k=5)
+    comp = connected_components(
+        pairs, src="ia", dst="ib", nodes_ds=docs, node_col="doc_id"
+    )
+    return comp.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("node"), "component": b.column("comp")}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 def _q_events_value_zscore(sf_dir: str):
     """Whole-corpus z-score of event value: exact integer moment partials,
     one fixed IEEE expression for mean/std, streaming second pass."""
@@ -1654,6 +1682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "campaign_event_stats": _q_campaign_event_stats,
         "events_moving_sum_by_user": _q_events_moving_sum,
         "events_value_zscore": _q_events_value_zscore,
+        "doc_near_dup_components": _q_doc_near_dup_components,
     }
 
 
@@ -2419,6 +2448,41 @@ def oracle_sql() -> dict[str, str]:
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """
+    sql["doc_near_dup_components"] = """
+        WITH RECURSIVE
+        w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents WHERE text IS NOT NULL
+        ), s AS (
+            SELECT DISTINCT doc_id,
+                unnest(list_transform(
+                    generate_series(1, greatest(len(ws) - 4, 0)),
+                    i -> array_to_string(list_slice(ws, i, i + 4), ' ')
+                )) AS sh
+            FROM w
+        ), sz AS (
+            SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+            FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), p0 AS (
+            SELECT ia, ib FROM inter
+            JOIN sz za ON za.doc_id = ia
+            JOIN sz zb ON zb.doc_id = ib
+            WHERE c * 1.0 / (za.n + zb.n - c) >= 0.8
+        ), pairs AS (
+            SELECT ia AS a, ib AS b FROM p0
+            UNION ALL
+            SELECT ib AS a, ia AS b FROM p0
+        ), walk(node, comp) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT p.b, wk.comp FROM walk wk JOIN pairs p ON p.a = wk.node
+        )
+        SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS component
+        FROM walk GROUP BY node
     """
     sql["events_value_zscore"] = """
         WITH e AS (

@@ -367,6 +367,7 @@ def _jaccard_pair_candidates(
     threshold: float,
     num_partitions: int,
     max_shingle_freq: int | None,
+    emit: str = "dups",
 ):
     """Exact-Jaccard duplicate candidates via a distributed inverted index.
 
@@ -502,9 +503,21 @@ def _jaccard_pair_candidates(
         na = g.column("na_min").to_numpy(zero_copy_only=False).astype(np.float64)
         nb = g.column("nb_min").to_numpy(zero_copy_only=False).astype(np.float64)
         j = c / (na + nb - c)
-        dup = np.unique(
-            g.column("ib").to_numpy(zero_copy_only=False)[j >= threshold]
-        )
+        ok = j >= threshold
+        if emit == "pairs":
+            return pa.table(
+                {
+                    "ia": pa.array(
+                        g.column("ia").to_numpy(zero_copy_only=False)[ok],
+                        type=pa.int64(),
+                    ),
+                    "ib": pa.array(
+                        g.column("ib").to_numpy(zero_copy_only=False)[ok],
+                        type=pa.int64(),
+                    ),
+                }
+            )
+        dup = np.unique(g.column("ib").to_numpy(zero_copy_only=False)[ok])
         return pa.table({"dup_id": pa.array(dup, type=pa.int64())})
 
     return (
@@ -850,3 +863,30 @@ def dedup_exact_incremental(
         .map_groups(resolve_and_commit, batch_format="pyarrow")
     )
     return _apply_dup_filter(ds, id_col, candidates, filter_mode)
+
+
+def jaccard_pairs(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    num_partitions: int = DEDUP_NUM_PARTITIONS,
+    max_shingle_freq: int | None = None,
+):
+    """Exact word-k-gram Jaccard similarity PAIRS ``(ia < ib)`` with
+    ``J >= threshold`` — the edge list of the near-duplicate graph, for
+    clustering (:func:`..graph.connected_components`) rather than
+    keep-first filtering.  Same distributed inverted index as
+    :func:`dedup_jaccard_exact`; SQL-reproducible."""
+    return _jaccard_pair_candidates(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        num_partitions=num_partitions,
+        max_shingle_freq=max_shingle_freq,
+        emit="pairs",
+    )

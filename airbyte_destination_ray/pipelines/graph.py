@@ -1,0 +1,176 @@
+"""Distributed graph connectivity — the clustering step of near-duplicate
+grouping (MinHash/Jaccard pipelines keep ONE doc per connected component of
+the similarity graph, not per pair: A~B and B~C must collapse A,B,C even
+when A!~C).
+
+Ray Data has no iterative graph primitive; this is the build brief's
+custom-operator tier (a): min-label propagation where every iteration is
+one keyed shuffle-join (labels onto the symmetrized edge list) plus one
+aggregate-sized min-reduce.  Labels only decrease, so Σlabels is a cheap
+monotone convergence metric; rounds = graph diameter (near-dup graphs are
+small cliques and short chains — 2–4 rounds in practice).  Per-iteration
+label materialization is O(nodes), the iterative-algorithm standard; the
+edge list streams unmaterialized each round.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .relational import DEFAULT_NUM_PARTITIONS, shuffle_join
+
+
+def _grouped_min(ds, *, key: str, value_col: str):
+    """MIN(value) per key with the per-batch combiner — exchange carries
+    one row per (key, batch)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select([key, value_col])
+            .group_by(key)
+            .aggregate([(value_col, "min")])
+            .rename_columns([key, value_col])
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key: [group.column(key)[0].as_py()],
+                value_col: pa.array(
+                    [pc.min(group.column(value_col)).as_py()],
+                    type=group.schema.field(value_col).type,
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(key)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def connected_components(
+    edges_ds,
+    *,
+    src: str = "ia",
+    dst: str = "ib",
+    nodes_ds=None,
+    node_col: str | None = None,
+    max_iters: int = 50,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Connected components by iterative min-label propagation: returns a
+    Dataset ``(node, component)`` where ``component`` is the minimum node
+    id reachable from ``node``.
+
+    ``edges_ds`` supplies undirected edges (one direction is enough — they
+    are symmetrized here); ``nodes_ds``/``node_col`` optionally adds the
+    node universe so isolated nodes appear as their own singleton
+    component.  Self-loops and null endpoints are dropped.
+
+    Per iteration: labels shuffle-join onto the edges (ONE exchange of the
+    edge list), each edge forwards its endpoint's current label to the
+    other endpoint, and a combiner-style min-reduce folds messages with the
+    previous labels.  Convergence = Σlabels unchanged (labels are monotone
+    non-increasing).  The labels dataset is materialized once per round —
+    O(nodes), never the payload.
+    """
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column(src).cast(pa.int64())
+        b = batch.column(dst).cast(pa.int64())
+        t = pa.table({"a": a, "b": b})
+        keep = pc.and_(
+            pc.and_(a.is_valid() if isinstance(a, pa.Array) else pc.is_valid(a),
+                    pc.is_valid(b)),
+            pc.not_equal(a, b),
+        )
+        t = t.filter(keep)
+        rev = pa.table({"a": t.column("b"), "b": t.column("a")})
+        return pa.concat_tables([t, rev])
+
+    edges = edges_ds.map_batches(sym, batch_format="pyarrow", batch_size=None)
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        vals = pa.concat_arrays(
+            [
+                batch.column("a").combine_chunks(),
+                batch.column("b").combine_chunks(),
+            ]
+        ).unique()
+        return pa.table({"node": vals})
+
+    node_sources = [
+        edges.map_batches(endpoints, batch_format="pyarrow", batch_size=None)
+    ]
+    if nodes_ds is not None:
+        if node_col is None:
+            raise ValueError("node_col required with nodes_ds")
+        node_sources.append(
+            nodes_ds.map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b.column(node_col)
+                        .cast(pa.int64())
+                        .combine_chunks()
+                        .drop_null()
+                        .unique()
+                    }
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        )
+    nodes = node_sources[0]
+    for extra in node_sources[1:]:
+        nodes = nodes.union(extra)
+
+    # Materialize the symmetrized edge list ONCE (it is re-scanned every
+    # round) and re-materialize labels each round.  Both are compacted to a
+    # bounded block count: groupby output otherwise fans out into hundreds
+    # of tiny blocks, and the NEXT round's exchange pays a task per block —
+    # the iteration cost becomes O(blocks), not O(data) (the same
+    # small-input oversplit read_parquet_sized exists for).
+    label_blocks = max(4, num_partitions // 4)
+    edges = edges.repartition(label_blocks).materialize()
+    labels = (
+        _grouped_min(
+            nodes.map_batches(
+                lambda b: b.append_column("comp", b.column("node")),
+                batch_format="pyarrow",
+                batch_size=None,
+            ),
+            key="node",
+            value_col="comp",
+        )
+        .repartition(label_blocks)
+        .materialize()
+    )
+    prev_sum = labels.sum("comp")
+
+    for _ in range(max_iters):
+        msgs = shuffle_join(
+            edges,
+            labels,
+            left_on="a",
+            right_on="node",
+            select=["b", "comp"],
+            hot_keys=None,
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: t.rename_columns(["node", "comp"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        new_labels = (
+            _grouped_min(labels.union(msgs), key="node", value_col="comp")
+            .repartition(label_blocks)
+            .materialize()
+        )
+        new_sum = new_labels.sum("comp")
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels

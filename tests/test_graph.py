@@ -1,0 +1,59 @@
+"""Connected components (min-label propagation) tests."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _labels(ds):
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return dict(
+        zip(t.column("node").to_pylist(), t.column("comp").to_pylist())
+    )
+
+
+def test_connected_components_chain_and_isolates(ray_session):
+    """Path graph (needs >1 propagation round), a separate clique, an
+    isolated node from the node universe, self-loops and null endpoints."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.graph import connected_components
+
+    edges = pa.table(
+        {
+            "ia": pa.array([10, 11, 12, 13, 50, 51, 7, None], type=pa.int64()),
+            "ib": pa.array([11, 12, 13, 14, 51, 52, 7, 99], type=pa.int64()),
+        }
+    )
+    nodes = pa.table({"doc_id": pa.array([10, 11, 12, 13, 14, 50, 51, 52, 7, 100], type=pa.int64())})
+    out = connected_components(
+        ray.data.from_arrow(edges).repartition(3),
+        nodes_ds=ray.data.from_arrow(nodes),
+        node_col="doc_id",
+    )
+    got = _labels(out)
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+        50: 50, 51: 50, 52: 50,
+        7: 7,      # self-loop only -> singleton
+        100: 100,  # isolated via node universe
+    }
+
+
+def test_connected_components_merge_order_invariance(ray_session):
+    """Components must come out identical regardless of edge direction or
+    block layout (reversed chain stresses the propagation direction)."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.graph import connected_components
+
+    # chain written high->low: 5<-4<-...<-1 so labels must flow "uphill"
+    edges = pa.table(
+        {
+            "ia": pa.array(list(range(5, 0, -1)), type=pa.int64()),
+            "ib": pa.array(list(range(4, -1, -1)), type=pa.int64()),
+        }
+    )
+    for nblocks in (1, 4):
+        out = connected_components(
+            ray.data.from_arrow(edges).repartition(nblocks)
+        )
+        got = _labels(out)
+        assert got == {i: 0 for i in range(6)}
