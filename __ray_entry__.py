@@ -1350,6 +1350,34 @@ def _q_doc_near_dup_components(sf_dir: str):
     )
 
 
+def _q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup: quantized cluster assignment against the fixed integer
+    centroids, then exact-integer within-cluster cosine dedup at
+    cos ≥ 0.45 (cos² = 2025/10000 — demo threshold for this corpus;
+    production uses ~0.95).  Fully SQL-reproducible."""
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.similarity import semdedup
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    out = semdedup(
+        ds,
+        _cluster_centroids_int(),
+        quantize_scale=64.0,
+        cos2_num=2025,
+        cos2_den=10000,
+    )
+    return out.map_batches(
+        lambda b: b.select(["vec_id", "label"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 def _q_events_value_zscore(sf_dir: str):
     """Whole-corpus z-score of event value: exact integer moment partials,
     one fixed IEEE expression for mean/std, streaming second pass."""
@@ -1683,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_sum_by_user": _q_events_moving_sum,
         "events_value_zscore": _q_events_value_zscore,
         "doc_near_dup_components": _q_doc_near_dup_components,
+        "semdedup_embeddings": _q_semdedup_embeddings,
     }
 
 
@@ -2525,6 +2554,31 @@ def oracle_sql() -> dict[str, str]:
         )
         for i in range(len(cents))
     )
+    sql["semdedup_embeddings"] = f"""
+        WITH cents(cluster, c) AS (VALUES {rows}),
+        e AS (SELECT vec_id, label,
+                     list_transform(embedding,
+                         x -> CAST(floor(x * 64.0 + 0.5) AS BIGINT)) AS q
+              FROM embeddings),
+        a AS (SELECT vec_id, label, q, cluster
+              FROM e CROSS JOIN cents
+              QUALIFY row_number() OVER (
+                  PARTITION BY vec_id
+                  ORDER BY CAST(list_dot_product(q, c) AS BIGINT) DESC,
+                           cluster) = 1),
+        n AS (SELECT vec_id, label, q, cluster,
+                     CAST(list_dot_product(q, q) AS BIGINT) AS n2
+              FROM a),
+        dup AS (
+            SELECT DISTINCT y.vec_id FROM n x JOIN n y
+            ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+            WHERE CAST(list_dot_product(x.q, y.q) AS BIGINT) > 0
+              AND 10000 * CAST(list_dot_product(x.q, y.q) AS BIGINT)
+                        * CAST(list_dot_product(x.q, y.q) AS BIGINT)
+                  >= 2025 * x.n2 * y.n2)
+        SELECT vec_id, label FROM n
+        WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+    """
     sql["embeddings_cluster_assign"] = f"""
         WITH cents(cluster, c) AS (VALUES {rows}),
         e AS (SELECT vec_id,

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -619,3 +620,103 @@ def kmeans_cluster_sizes(
         normalize=True,
     )
     return grouped_count(assigned, key="cluster", out_col="n")
+
+
+def semdedup(
+    ds,
+    centroids: np.ndarray,
+    *,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    quantize_scale: float = 64.0,
+    cos2_num: int = 9025,
+    cos2_den: int = 10000,
+    filter_mode: str = "broadcast",
+):
+    """SemDeDup (Abbas et al. 2023): assign every embedding to a centroid,
+    then remove within-cluster semantic duplicates — the pairwise check
+    never crosses cluster boundaries, which is what makes the quadratic
+    verify affordable (Σ c² over cluster sizes, not n²).
+
+    All math is EXACT integer arithmetic so the result is SQL-oracle
+    comparable: embeddings quantize as ``floor(x·scale + 0.5)`` (int64),
+    cluster = argmax integer dot against the supplied integer centroids
+    (lowest index wins ties), and ``cos(a,b) ≥ t`` is evaluated as
+    ``dot > 0 AND cos2_den·dot² ≥ cos2_num·|a|²·|b|²`` with
+    ``cos2_num/cos2_den = t²`` rational — no sqrt, no float rounding.
+    A doc is dropped iff an EARLIER (smaller id) doc in the same cluster
+    passes the test (keep-first, same rule as every dedup family).
+
+    Envelope: |q| ≤ scale·|x|; ``cos2_den·dot²`` must fit int64 — at
+    d=64, |x|≤1, scale=64 the worst case is ~10¹³·10⁴, three orders under
+    2⁶³.  The per-cluster kernel builds the c×c Gram matrix; balanced
+    k-means clusters bound c, and at 100 TB an oversized cluster is
+    re-sharded by an inner LSH pass before the quadratic step.
+    """
+    from .dedup import _apply_dup_filter  # circular-safe: function-level
+
+    cent = centroids.astype(np.int64)
+
+    def route(batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch, embedding_col)
+        q = np.floor(m.astype(np.float64) * quantize_scale + 0.5).astype(
+            np.int64
+        )
+        cluster = np.argmax(q @ cent.T, axis=1).astype(np.int64)
+        n2 = (q * q).sum(axis=1)
+        qq = q.astype(np.int32)
+        n, dim = qq.shape
+        offsets = np.arange(n + 1, dtype=np.int32) * (dim * 4)
+        qbin = pa.Array.from_buffers(
+            pa.binary(),
+            n,
+            [
+                None,
+                pa.py_buffer(offsets.tobytes()),
+                pa.py_buffer(np.ascontiguousarray(qq).tobytes()),
+            ],
+        )
+        return pa.table(
+            {
+                "id": batch.column(id_col).cast(pa.int64()),
+                "cluster": pa.array(cluster),
+                "n2": pa.array(n2, type=pa.int64()),
+                "q": qbin,
+            }
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return pa.table({"dup_id": pa.array([], type=pa.int64())})
+        order = pc.sort_indices(group.column("id").combine_chunks())
+        g = group.take(order)
+        ids = g.column("id").to_numpy(zero_copy_only=False)
+        n2 = g.column("n2").to_numpy(zero_copy_only=False)
+        arr = g.column("q").combine_chunks()
+        buf = np.frombuffer(arr.buffers()[2], dtype=np.int32)
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + n + 1
+        ]
+        dim = (offs[1] - offs[0]) // 4
+        q = (
+            buf[offs[0] // 4 : offs[-1] // 4]
+            .reshape(n, dim)
+            .astype(np.int64)
+        )
+        gram = q @ q.T
+        cond = (gram > 0) & (
+            cos2_den * gram * gram >= cos2_num * np.outer(n2, n2)
+        )
+        # strictly-lower triangle: does any EARLIER row match?
+        dup_mask = np.tril(cond, k=-1).any(axis=1)
+        return pa.table(
+            {"dup_id": pa.array(ids[dup_mask], type=pa.int64())}
+        )
+
+    candidates = (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("cluster")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+    return _apply_dup_filter(ds, id_col, candidates, filter_mode)

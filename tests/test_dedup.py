@@ -489,3 +489,87 @@ def test_kmeans_cluster_sizes_partitions_corpus(ray_session):
 
     assert sizes(1) == [20, 30]
     assert sizes(7) == [20, 30]
+
+
+def test_semdedup_within_cluster_only(ray_session):
+    """Identical vectors in the SAME cluster dedup (keep-first); identical
+    vectors forced into DIFFERENT clusters survive (the documented
+    cross-cluster miss of SemDeDup); shuffle filter mode equals broadcast."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.similarity import semdedup
+
+    # two orthogonal centroids; e1-aligned and e2-aligned vectors separate
+    cents = np.array([[127, 0, 0, 0], [0, 127, 0, 0]], dtype=np.int64)
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],   # 0: cluster 0
+        [1.0, 0.0, 0.0, 0.0],   # 1: exact dup of 0, same cluster -> drop
+        [0.9, 0.1, 0.0, 0.0],   # 2: cluster 0, cos vs 0 high -> drop
+        [0.0, 1.0, 0.0, 0.0],   # 3: cluster 1 survives
+        [0.1, 0.0, 0.9, 0.0],   # 4: cluster 0 but near-orthogonal to 0
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(5), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+        }
+    )
+
+    def run(mode):
+        out = semdedup(
+            ray.data.from_arrow(t).repartition(3),
+            cents,
+            quantize_scale=64.0,
+            cos2_num=9025,
+            cos2_den=10000,
+            filter_mode=mode,
+        )
+        return _ids(out, col="vec_id")
+
+    assert run("broadcast") == [0, 3, 4]
+    assert run("shuffle") == [0, 3, 4]
+
+
+def test_semdedup_matches_numpy_oracle(ray_session):
+    """Random corpus: survivors must equal the brute-force integer-math
+    oracle bit-for-bit, independent of block layout."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.similarity import semdedup
+
+    rng = np.random.default_rng(11)
+    emb = (rng.standard_normal((80, 8)) * 0.3).astype(np.float32)
+    # plant near-dups: rows 50..54 are jittered copies of rows 0..4
+    emb[50:55] = emb[0:5] + 0.01
+    cents = rng.integers(-128, 128, size=(3, 8)).astype(np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(80), type=pa.int64()),
+            "embedding": pa.array(
+                [e.tolist() for e in emb], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    num, den = 8100, 10000  # cos >= 0.9
+
+    q = np.floor(emb.astype(np.float64) * 64.0 + 0.5).astype(np.int64)
+    cl = np.argmax(q @ cents.T, axis=1)
+    n2 = (q * q).sum(1)
+    dup = set()
+    for c in np.unique(cl):
+        idx = np.where(cl == c)[0]
+        G = q[idx] @ q[idx].T
+        for j in range(len(idx)):
+            for i in range(j):
+                g = int(G[i, j])
+                if g > 0 and den * g * g >= num * int(n2[idx[i]]) * int(n2[idx[j]]):
+                    dup.add(int(idx[j]))
+                    break
+    want = [i for i in range(80) if i not in dup]
+    assert dup  # the planted copies must actually collide
+
+    out = semdedup(
+        ray.data.from_arrow(t).repartition(5),
+        cents,
+        cos2_num=num,
+        cos2_den=den,
+    )
+    assert _ids(out, col="vec_id") == want
