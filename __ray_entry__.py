@@ -1627,6 +1627,54 @@ def _q_local_supplier_volume(sf_dir: str):
     )
 
 
+def _q_scd2_user_history(sf_dir: str):
+    """SCD Type-2 history of the user dimension from the event change
+    stream: one row per version with (valid_from, valid_to, is_current);
+    'error' events are tombstones — they close the previous version's
+    interval but emit no row."""
+    from airbyte_destination_ray.pipelines.relational import scd2_history
+
+    return scd2_history(
+        _events(sf_dir),
+        key="user_id",
+        ts_col="ts",
+        seq="event_id",
+        attr_cols=["value"],
+        delete_when=("event_type", "error"),
+    )
+
+
+def _q_users_snapshot_diff(sf_dir: str):
+    """CDC changelog derivation: diff yesterday's snapshot (LWW state over
+    even event_ids) against today's (LWW over all events) — emits I/U/D
+    rows with old/new values, the backfill path when a source can't emit a
+    binlog.  Both snapshots and the diff are one streaming composition."""
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.ops import lww_latest
+    from airbyte_destination_ray.pipelines.relational import table_diff
+
+    def even_only(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.equal(pc.bit_wise_and(b.column("event_id"), 1), 0)
+        )
+
+    old_snap = lww_latest(
+        _events(sf_dir).map_batches(
+            even_only, batch_format="pyarrow", batch_size=None
+        ),
+        pk="user_id",
+        ver="ts",
+        seq="event_id",
+    )
+    new_snap = lww_latest(
+        _events(sf_dir), pk="user_id", ver="ts", seq="event_id"
+    )
+    return table_diff(
+        old_snap, new_snap, key="user_id", compare_cols=["value"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
@@ -1712,6 +1760,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_zscore": _q_events_value_zscore,
         "doc_near_dup_components": _q_doc_near_dup_components,
         "semdedup_embeddings": _q_semdedup_embeddings,
+        "scd2_user_history": _q_scd2_user_history,
+        "users_snapshot_diff": _q_users_snapshot_diff,
     }
 
 
@@ -2592,5 +2642,34 @@ def oracle_sql() -> dict[str, str]:
             PARTITION BY vec_id
             ORDER BY CAST(list_dot_product(q, c) AS BIGINT) DESC, cluster
         ) = 1
+    """
+    sql["scd2_user_history"] = """
+        WITH v AS (
+            SELECT user_id, value, ts,
+                   LEAD(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS valid_to,
+                   event_type
+            FROM events)
+        SELECT user_id, value, ts AS valid_from, valid_to,
+               valid_to IS NULL AS is_current
+        FROM v WHERE event_type <> 'error'
+    """
+    sql["users_snapshot_diff"] = """
+        WITH old_s AS (
+            SELECT user_id, value FROM events WHERE event_id % 2 = 0
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+        new_s AS (
+            SELECT user_id, value FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+        SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+               CASE WHEN o.user_id IS NULL THEN 'I'
+                    WHEN n.user_id IS NULL THEN 'D' ELSE 'U' END AS op,
+               o.value AS value_old, n.value AS value_new
+        FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
+        WHERE o.user_id IS NULL OR n.user_id IS NULL
+           OR o.value IS DISTINCT FROM n.value
     """
     return sql

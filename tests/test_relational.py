@@ -1268,3 +1268,139 @@ def test_moving_window_sum_matches_sql_window(ray_session):
     ).fetchall()
     assert res.column("win_sum_cents").to_pylist() == [w[1] for w in want]
     assert res.column("win_n").to_pylist() == [w[2] for w in want]
+
+
+def test_scd2_history_matches_sql_lead(ray_session):
+    """SCD2 versions == SQL LEAD windows; deletes close intervals but emit
+    no version row; a key ending in a delete has no current row."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.relational import scd2_history
+
+    t = _events_table(n=300, keys=9, seed=21)
+    # plant hard cases: key 50 -> single delete only; key 51 -> version
+    # then delete (closed, no current); duplicate-ts tie broken by event_id
+    extra = pa.table(
+        {
+            "event_id": pa.array([1000, 1001, 1002, 1003, 1004], type=pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(2024, 3, 2)] * 2
+                + [dt.datetime(2024, 3, 3)] * 3,
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([50, 51, 51, 52, 52], type=pa.int64()),
+            "event_type": pa.array(
+                ["purchase", "click", "purchase", "view", "view"]
+            ),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+        }
+    )
+    t = pa.concat_tables([t, extra])
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = scd2_history(
+        ds,
+        key="user_id",
+        ts_col="ts",
+        seq="event_id",
+        attr_cols=["value"],
+        delete_when=("event_type", "purchase"),
+    )
+    _assert_matches(
+        out,
+        """
+        WITH v AS (
+            SELECT user_id, value, ts,
+                   LEAD(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS valid_to,
+                   event_type
+            FROM events)
+        SELECT user_id, value, ts AS valid_from, valid_to,
+               valid_to IS NULL AS is_current
+        FROM v WHERE event_type <> 'purchase'
+        """,
+        {"events": t},
+    )
+
+
+def test_scd2_delete_only_key_absent(ray_session):
+    """A key whose entire history is tombstones emits nothing."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.relational import scd2_history
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)],
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([7, 7], type=pa.int64()),
+            "event_type": pa.array(["del", "del"]),
+            "value": pa.array([1.0, 2.0]),
+        }
+    )
+    out = scd2_history(
+        ray.data.from_arrow(t),
+        key="user_id",
+        ts_col="ts",
+        seq="event_id",
+        attr_cols=["value"],
+        delete_when=("event_type", "del"),
+    )
+    assert out.count() == 0
+
+
+def test_table_diff_changelog(ray_session):
+    """I/U/D derivation with null-safe compare; unchanged keys dropped."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.relational import table_diff
+
+    old = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "v": pa.array([10.0, 20.0, None, 40.0, None]),
+        }
+    )
+    new = pa.table(
+        {
+            "k": pa.array([2, 3, 4, 5, 6], type=pa.int64()),
+            # 2 unchanged, 3 null->30, 4 40->null, 5 null==null unchanged
+            "v": pa.array([20.0, 30.0, None, None, 60.0]),
+        }
+    )
+    out = table_diff(
+        ray.data.from_arrow(old).repartition(3),
+        ray.data.from_arrow(new).repartition(2),
+        key="k",
+        compare_cols=["v"],
+    )
+    _assert_matches(
+        out,
+        """
+        SELECT COALESCE(o.k, n.k) AS k,
+               CASE WHEN o.k IS NULL THEN 'I'
+                    WHEN n.k IS NULL THEN 'D' ELSE 'U' END AS op,
+               o.v AS v_old, n.v AS v_new
+        FROM old_s o FULL OUTER JOIN new_s n ON o.k = n.k
+        WHERE o.k IS NULL OR n.k IS NULL OR o.v IS DISTINCT FROM n.v
+        """,
+        {"old_s": old, "new_s": new},
+    )
+
+
+def test_table_diff_rejects_duplicate_keys(ray_session):
+    import ray.data
+    from airbyte_destination_ray.pipelines.relational import table_diff
+
+    dup = pa.table(
+        {"k": pa.array([1, 1], type=pa.int64()), "v": pa.array([1.0, 2.0])}
+    )
+    ok = pa.table({"k": pa.array([1], type=pa.int64()), "v": pa.array([1.0])})
+    out = table_diff(
+        ray.data.from_arrow(dup),
+        ray.data.from_arrow(ok),
+        key="k",
+        compare_cols=["v"],
+    )
+    with pytest.raises(Exception, match="snapshot"):
+        out.count()
