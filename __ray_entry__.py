@@ -1675,6 +1675,18 @@ def _q_users_snapshot_diff(sf_dir: str):
     )
 
 
+def _q_frequent_users_exact(sf_dir: str):
+    """EXACT heavy hitters (> 1/120 of all events) via the bounded-memory
+    two-pass design: Misra–Gries candidate superset (k=64, far below the
+    user cardinality at scale) + exact verification count of candidates
+    only."""
+    from airbyte_destination_ray.pipelines.ops import heavy_hitters
+
+    return heavy_hitters(
+        _events(sf_dir), col="user_id", phi_num=1, phi_den=120, k=64
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
@@ -1762,6 +1774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_embeddings": _q_semdedup_embeddings,
         "scd2_user_history": _q_scd2_user_history,
         "users_snapshot_diff": _q_users_snapshot_diff,
+        "frequent_users_exact": _q_frequent_users_exact,
     }
 
 
@@ -2654,6 +2667,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, value, ts AS valid_from, valid_to,
                valid_to IS NULL AS is_current
         FROM v WHERE event_type <> 'error'
+    """
+    sql["frequent_users_exact"] = """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY user_id
+        HAVING count(*) * 120 > 1 * (
+            SELECT count(*) FROM events WHERE user_id IS NOT NULL)
     """
     sql["users_snapshot_diff"] = """
         WITH old_s AS (

@@ -1285,3 +1285,130 @@ def standardize_column(
         return pa.table(cols)
 
     return ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+
+
+def _mg_compress(values: pa.Array, counts: np.ndarray, k: int):
+    """Misra–Gries summary compression: keep at most ``k`` counters by
+    subtracting the (k+1)-th largest count from all (the batched form of
+    the classic decrement-all step).  Each surviving estimate undercounts
+    its true frequency by at most ``mass / (k + 1)``."""
+    if len(counts) <= k:
+        return values, counts
+    kth = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    est = counts - kth
+    keep = est > 0
+    return values.filter(pa.array(keep)), est[keep]
+
+
+def heavy_hitters(
+    ds,
+    *,
+    col: str,
+    phi_num: int,
+    phi_den: int,
+    k: int | None = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """EXACT heavy hitters: every value occurring in more than
+    ``phi_num/phi_den`` of the rows, with its exact count — the classic
+    two-pass distributed design (Misra–Gries candidates, then exact
+    verification), so memory stays bounded at ANY cardinality while the
+    answer stays oracle-exact:
+
+    pass 1 — per-batch Misra–Gries(k) summaries (``k = 2·den/num`` by
+      default) ride ONE hash exchange; each value's per-batch estimates
+      all land in the same partition, whose merge is a true sum of the
+      batch estimates followed by one more MG compression.  Per-batch
+      deficit ≤ batch/(k+1) and per-partition deficit ≤ partition/(k+1),
+      so any value with true frequency > 2n/(k+1) = phi·n survives —
+      candidates are a SUPERSET of the heavy hitters, and there are at
+      most ``num_partitions · k`` of them (bounded, collected + broadcast
+      via ``ray.put``).
+    pass 2 — a second streaming scan counts ONLY the candidate values
+      exactly (broadcast membership filter + per-batch count partials on
+      one aggregate-sized exchange) and keeps counts > phi·n.
+
+    The input is scanned twice (both passes stream; neither materializes)
+    plus one metadata-cheap ``count()`` for n.  Null values are not
+    counted (SQL GROUP BY would keep a null group; a frequency filter on
+    an ill-defined key is noise — documented policy, matched by the
+    oracle's ``WHERE col IS NOT NULL``).
+    """
+    from .relational import semi_join
+
+    if k is None:
+        k = max(8, (2 * phi_den + phi_num - 1) // phi_num)
+
+    def valid_count(b: pa.Table) -> pa.Table:
+        v = b.column(col)
+        return pa.table(
+            {"n": pa.array([len(v) - v.null_count], type=pa.int64())}
+        )
+
+    n_total = int(
+        ds.map_batches(
+            valid_count, batch_format="pyarrow", batch_size=None
+        ).sum("n")
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch.column(col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        c = c.drop_null()
+        vc = c.value_counts()
+        vals = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        vals, est = _mg_compress(vals, cnts, k)
+        t = pa.table({col: vals, "_est": pa.array(est, type=pa.int64())})
+        parts = partition_ids(t.column(col), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        agg = g.group_by(col).aggregate([("_est", "sum")])
+        vals = agg.column(col).combine_chunks()
+        est = agg.column("_est_sum").to_numpy(zero_copy_only=False)
+        vals, est = _mg_compress(vals, est, k)
+        return pa.table({col: vals})
+
+    candidates = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    import ray
+
+    cand_refs = candidates.to_arrow_refs()
+    cand_tables = ray.get(cand_refs) if cand_refs else []
+    cand_tables = [t for t in cand_tables if t.num_rows]
+    if not cand_tables:
+        sch = ds.schema()
+        typ = dict(zip(sch.names, sch.types))[col]
+        empty = pa.table(
+            {
+                col: pa.array([], type=typ),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+        import ray.data
+
+        return ray.data.from_arrow(empty)
+    cand_vals = pa.concat_tables(
+        [t.select([col]) for t in cand_tables]
+    ).column(col).to_numpy(zero_copy_only=False)
+
+    exact = grouped_count(
+        semi_join(ds, cand_vals, on=col), key=col, out_col="n"
+    )
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.multiply(batch.column("n").cast(pa.int64()), phi_den),
+            phi_num * n_total,
+        )
+        return batch.filter(keep)
+
+    return exact.map_batches(
+        threshold, batch_format="pyarrow", batch_size=None
+    )

@@ -330,3 +330,56 @@ def test_standardize_column_bit_exact_and_null_propagation(ray_session):
         None if c is None else (float(c) - mean) / std for c in cents
     ]
     assert z1 == want
+
+
+def test_heavy_hitters_exact_with_tiny_k(ray_session):
+    """The MG candidate pass runs with k far below the distinct count;
+    the exact verify pass must still return precisely the SQL answer —
+    the two-pass guarantee, not exact-until-compression."""
+    from airbyte_destination_ray.pipelines.ops import heavy_hitters
+
+    rng = np.random.default_rng(5)
+    # 2000 rows: ~1500 singletons (long tail) + planted hitters
+    tail = rng.integers(10_000, 100_000, size=1400)
+    hot = np.concatenate(
+        [np.full(300, 1), np.full(200, 2), np.full(60, 3), np.full(40, 4)]
+    )
+    vals = np.concatenate([tail, hot])
+    rng.shuffle(vals)
+    t = pa.table({"v": pa.array(vals, type=pa.int64())})
+    # phi = 1/40 -> threshold 50 rows; k=16 (<< ~1404 distinct)
+    out = heavy_hitters(
+        _ds(t, blocks=7), col="v", phi_num=1, phi_den=40, k=16
+    )
+    _assert_matches(
+        out,
+        """
+        SELECT v, CAST(count(*) AS BIGINT) AS n FROM t
+        WHERE v IS NOT NULL
+        GROUP BY v
+        HAVING count(*) * 40 > 1 * (SELECT count(*) FROM t WHERE v IS NOT NULL)
+        """,
+        {"t": t},
+    )
+
+
+def test_heavy_hitters_strings_nulls_and_empty(ray_session):
+    from airbyte_destination_ray.pipelines.ops import heavy_hitters
+
+    t = pa.table(
+        {
+            "s": pa.array(
+                ["a"] * 6 + ["b"] * 3 + ["c"] * 1 + [None] * 4,
+                type=pa.string(),
+            )
+        }
+    )
+    out = heavy_hitters(_ds(t, blocks=3), col="s", phi_num=1, phi_den=4)
+    got = out.to_pandas().sort_values("s").reset_index(drop=True)
+    # n_valid = 10; threshold > 2.5 -> a (6) and b (3)
+    assert list(got["s"]) == ["a", "b"]
+    assert list(got["n"]) == [6, 3]
+
+    # nothing frequent enough -> typed empty result
+    out2 = heavy_hitters(_ds(t, blocks=3), col="s", phi_num=9, phi_den=10)
+    assert out2.count() == 0
