@@ -1675,6 +1675,29 @@ def _q_users_snapshot_diff(sf_dir: str):
     )
 
 
+def _q_normalize_text(sf_dir: str):
+    """Case/whitespace canonicalization (the fingerprint pre-pass) as a
+    per-batch Arrow-kernel stage: lowercase, collapse whitespace runs,
+    trim.  Purely streaming, no shuffle."""
+    import pyarrow as pa
+
+    from airbyte_destination_ray.functions.text import normalize_text
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "norm_text": normalize_text(
+                    b.column("text").combine_chunks()
+                ),
+            }
+        )
+
+    return _documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow", batch_size=None
+    )
+
+
 def _q_frequent_users_exact(sf_dir: str):
     """EXACT heavy hitters (> 1/120 of all events) via the bounded-memory
     two-pass design: Misra–Gries candidate superset (k=64, far below the
@@ -1775,6 +1798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_user_history": _q_scd2_user_history,
         "users_snapshot_diff": _q_users_snapshot_diff,
         "frequent_users_exact": _q_frequent_users_exact,
+        "normalize_text_documents": _q_normalize_text,
     }
 
 
@@ -2667,6 +2691,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, value, ts AS valid_from, valid_to,
                valid_to IS NULL AS is_current
         FROM v WHERE event_type <> 'error'
+    """
+    sql["normalize_text_documents"] = r"""
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                   AS norm_text
+        FROM documents
     """
     sql["frequent_users_exact"] = """
         SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
