@@ -1698,6 +1698,32 @@ def _q_normalize_text(sf_dir: str):
     )
 
 
+def _q_fuzzy_vocab_pairs(sf_dir: str):
+    """Spelling-variant mining: all distinct word pairs of the corpus
+    vocabulary within Levenshtein distance 2, via COMPLETE
+    deletion-neighborhood blocking + a vectorized exact-DP verify (an
+    all-pairs join never happens)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.linkage import fuzzy_pairs
+
+    def words(b: pa.Table) -> pa.Table:
+        t = b.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        split = pc.split_pattern(t.drop_null(), " ")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten()
+        return pa.table({"w": flat})
+
+    ds = _documents(sf_dir, columns=["text"]).map_batches(
+        words, batch_format="pyarrow", batch_size=None
+    )
+    return fuzzy_pairs(ds, word_col="w", max_dist=2, num_partitions=16)
+
+
 def _q_frequent_users_exact(sf_dir: str):
     """EXACT heavy hitters (> 1/120 of all events) via the bounded-memory
     two-pass design: Misra–Gries candidate superset (k=64, far below the
@@ -1799,6 +1825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_snapshot_diff": _q_users_snapshot_diff,
         "frequent_users_exact": _q_frequent_users_exact,
         "normalize_text_documents": _q_normalize_text,
+        "fuzzy_vocab_pairs": _q_fuzzy_vocab_pairs,
     }
 
 
@@ -2697,6 +2724,16 @@ def oracle_sql() -> dict[str, str]:
                trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
                    AS norm_text
         FROM documents
+    """
+    sql["fuzzy_vocab_pairs"] = """
+        WITH w AS (
+            SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE text IS NOT NULL),
+        wf AS (SELECT w FROM w WHERE length(w) >= 3 AND length(w) <= 32)
+        SELECT a.w AS word_a, b.w AS word_b,
+               CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+        FROM wf a JOIN wf b ON a.w < b.w
+        WHERE levenshtein(a.w, b.w) <= 2
     """
     sql["frequent_users_exact"] = """
         SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
