@@ -350,6 +350,39 @@ def _q_orders_lineitem_shuffle_join(sf_dir: str):
     )
 
 
+def _q_urgent_orders_bloom_join(sf_dir: str):
+    """Shuffle join with bloom pre-filter: only ~1/5 of orders are URGENT,
+    so the bloom of the (filtered) left keys prunes ~80% of lineitem rows
+    BEFORE the right-side exchange — correctness-neutral (false positives
+    are dropped by the exact per-partition join), hash-checked here."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    def urgent(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.equal(b.column("o_orderpriority"), "1-URGENT")
+        ).select(["o_orderkey", "o_custkey"])
+
+    left = _orders(sf_dir).map_batches(
+        urgent, batch_format="pyarrow", batch_size=None
+    )
+    right = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    return shuffle_join(
+        left,
+        right,
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        prefilter="bloom",
+        select=["o_orderkey", "o_custkey", "l_linenumber", "l_quantity"],
+    )
+
+
 def _q_orders_lineitem_left_join(sf_dir: str):
     """Left-outer big×big shuffle join: orders kept even when no lineitem
     survives the quantity filter (NULL-extended) — exercises the outer path
@@ -1826,6 +1859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_users_exact": _q_frequent_users_exact,
         "normalize_text_documents": _q_normalize_text,
         "fuzzy_vocab_pairs": _q_fuzzy_vocab_pairs,
+        "urgent_orders_bloom_join": _q_urgent_orders_bloom_join,
     }
 
 
@@ -2706,6 +2740,11 @@ def oracle_sql() -> dict[str, str]:
             PARTITION BY vec_id
             ORDER BY CAST(list_dot_product(q, c) AS BIGINT) DESC, cluster
         ) = 1
+    """
+    sql["urgent_orders_bloom_join"] = """
+        SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
     """
     sql["scd2_user_history"] = """
         WITH v AS (

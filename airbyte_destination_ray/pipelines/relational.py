@@ -287,6 +287,8 @@ def shuffle_join(
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     hot_keys="auto",
     salt_factor: int = 8,
+    prefilter: str | None = None,
+    bloom_bits_pow2: int = 23,
 ):
     """Big×big equijoin (``inner``, ``left outer``, ``right outer`` or
     ``full outer``): ONE hash-partition shuffle per side on the join key,
@@ -325,6 +327,27 @@ def shuffle_join(
     clash = set(lschema.names) & set(rpayload)
     if clash:
         raise ValueError(f"column name clash: {sorted(clash)}")
+
+    if prefilter == "bloom":
+        # prune the RIGHT side before its exchange with a bloom of the left
+        # keys (one extra column-pruned pass over the left).  Correctness-
+        # neutral: false positives are discarded by the exact per-partition
+        # join.  Only for join types that DROP unmatched right rows —
+        # full/right outer must keep them, so pruning is refused there.
+        if join_type not in ("inner", "left outer"):
+            raise ValueError(
+                "prefilter='bloom' only applies to join types that drop "
+                "unmatched right rows (inner, left outer)"
+            )
+        right_ds = bloom_semi_filter(
+            right_ds,
+            left_ds.select_columns([left_on]),
+            on=right_on,
+            keys_on=left_on,
+            bits_pow2=bloom_bits_pow2,
+        )
+    elif prefilter is not None:
+        raise ValueError(f"unknown prefilter {prefilter!r}")
 
     if join_type not in ("inner", "left outer"):
         # the skew split replicates RIGHT rows across sub-partitions; a
@@ -1808,3 +1831,115 @@ def table_diff(
         .groupby("_part")
         .map_groups(diff, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter join pruning
+# ---------------------------------------------------------------------------
+
+
+def _build_bloom(
+    ds, on: str, *, bits_pow2: int, num_hashes: int, num_groups: int = 16
+) -> np.ndarray:
+    """Distributed bloom build over a key column: per-batch bitmaps
+    (vectorized bool scatter + ``packbits``), OR-combined through a
+    ``num_groups``-way tree so the driver receives at most ``num_groups``
+    bitmaps regardless of input size.  One column-pruned pass."""
+    from ..functions.hashing import stable_hash_array
+
+    m_bits = 1 << bits_pow2
+    mask = np.uint64(m_bits - 1)
+    bin_type = pa.binary(m_bits // 8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch.column(on)
+        if len(key) == 0:
+            return pa.table(
+                {
+                    "_g": pa.array([], type=pa.int64()),
+                    "bits": pa.array([], type=bin_type),
+                }
+            )
+        h = stable_hash_array(key)
+        h1 = h & mask
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        bools = np.zeros(m_bits, dtype=bool)
+        for i in range(num_hashes):
+            bools[(h1 + np.uint64(i) * h2) & mask] = True
+        packed = np.packbits(bools, bitorder="little")
+        g = int(h[0] % np.uint64(num_groups))
+        return pa.table(
+            {
+                "_g": pa.array([g], type=pa.int64()),
+                "bits": pa.array([packed.tobytes()], type=bin_type),
+            }
+        )
+
+    def or_group(group: pa.Table) -> pa.Table:
+        arrs = [
+            np.frombuffer(v.as_py(), dtype=np.uint8)
+            for v in group.column("bits")
+        ]
+        merged = np.bitwise_or.reduce(np.stack(arrs), axis=0)
+        return pa.table({"bits": pa.array([merged.tobytes()], type=bin_type)})
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_g")
+        .map_groups(or_group, batch_format="pyarrow")
+        .take_all()
+    )
+    if not rows:
+        return np.zeros(m_bits // 64, dtype=np.uint64)
+    stacked = np.stack(
+        [np.frombuffer(r["bits"], dtype=np.uint8) for r in rows]
+    )
+    return np.bitwise_or.reduce(stacked, axis=0).view(np.uint64).copy()
+
+
+def bloom_semi_filter(
+    ds,
+    keys_ds,
+    *,
+    on: str,
+    keys_on: str | None = None,
+    bits_pow2: int = 23,
+    num_hashes: int = 2,
+):
+    """Probabilistic semi-join pre-filter: drop rows whose ``on`` value is
+    DEFINITELY not in ``keys_ds``'s key column.  False positives pass
+    through (the downstream exact join discards them), so this is
+    correctness-neutral by construction — its only job is to shrink a
+    shuffle.  The exact broadcast :func:`semi_join` needs the full key set
+    in memory; the bloom costs a FIXED 2^bits_pow2 bits (1 MiB at the
+    default) at any key cardinality, which is what a 100 TB build side
+    needs.  Null probe keys are dropped (a null never equi-matches).
+    """
+    from ..functions.hashing import stable_hash_array
+
+    keys_on = keys_on or on
+    bloom = _build_bloom(
+        keys_ds, keys_on, bits_pow2=bits_pow2, num_hashes=num_hashes
+    )
+    ref = ray.put(bloom)
+    mask = np.uint64((1 << bits_pow2) - 1)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        key = batch.column(on)
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        h = stable_hash_array(key)
+        h1 = h & mask
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        keep = key.is_valid().to_numpy(zero_copy_only=False).copy()
+        for i in range(num_hashes):
+            pos = (h1 + np.uint64(i) * h2) & mask
+            bit = (
+                bm[(pos >> np.uint64(6)).astype(np.int64)]
+                >> (pos & np.uint64(63))
+            ) & np.uint64(1)
+            keep &= bit.astype(bool)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(probe, batch_format="pyarrow", batch_size=None)

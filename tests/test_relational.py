@@ -1404,3 +1404,92 @@ def test_table_diff_rejects_duplicate_keys(ray_session):
     )
     with pytest.raises(Exception, match="snapshot"):
         out.count()
+
+
+def test_bloom_semi_filter_complete_and_pruning(ray_session):
+    """Every matching row survives (completeness is the correctness
+    property); at 1 MiB bloom / 300 build keys the false-positive rate is
+    ~0, so the filtered set equals the exact semi-join on this corpus;
+    null probe keys are dropped."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.relational import (
+        bloom_semi_filter,
+    )
+
+    rng = np.random.default_rng(3)
+    build = pa.table(
+        {"k": pa.array(rng.choice(10_000, 300, replace=False), type=pa.int64())}
+    )
+    probe_keys = list(rng.integers(0, 20_000, size=5_000)) + [None] * 7
+    probe = pa.table(
+        {
+            "k": pa.array(probe_keys, type=pa.int64()),
+            "v": pa.array(np.arange(5_007), type=pa.int64()),
+        }
+    )
+    out = bloom_semi_filter(
+        ray.data.from_arrow(probe).repartition(4),
+        ray.data.from_arrow(build).repartition(3),
+        on="k",
+    ).to_pandas()
+    member = set(build.column("k").to_pylist())
+    expect = {
+        (k, v)
+        for k, v in zip(probe_keys, range(5_007))
+        if k is not None and k in member
+    }
+    got = set(zip(out["k"], out["v"]))
+    assert expect <= got  # completeness: no matching row lost
+    # with m=2^23 and 300 keys, every kept row is a true match here
+    assert got == expect
+
+
+@pytest.mark.parametrize("join_type", ["inner", "left outer"])
+def test_shuffle_join_bloom_prefilter_equality(ray_session, join_type):
+    """prefilter='bloom' must not change the join result — only shrink the
+    right exchange; full outer refuses the prefilter."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+
+    rng = np.random.default_rng(9)
+    left = pa.table(
+        {
+            "lk": pa.array(rng.integers(0, 50, 200), type=pa.int64()),
+            "lv": pa.array(rng.integers(0, 9, 200), type=pa.int64()),
+        }
+    )
+    # right: 90% of keys outside the left key range -> heavy pruning
+    right = pa.table(
+        {
+            "rk": pa.array(rng.integers(0, 500, 2_000), type=pa.int64()),
+            "rv": pa.array(rng.integers(0, 9, 2_000), type=pa.int64()),
+        }
+    )
+
+    def run(pf):
+        return (
+            shuffle_join(
+                ray.data.from_arrow(left).repartition(3),
+                ray.data.from_arrow(right).repartition(4),
+                left_on="lk",
+                right_on="rk",
+                join_type=join_type,
+                num_partitions=8,
+                prefilter=pf,
+            )
+            .to_pandas()
+            .sort_values(["lk", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(None), run("bloom"))
+
+    with pytest.raises(ValueError, match="bloom"):
+        shuffle_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            left_on="lk",
+            right_on="rk",
+            join_type="full outer",
+            prefilter="bloom",
+        )
