@@ -955,6 +955,7 @@ def _q_users_click_purchase_full_join(sf_dir: str):
     users who purchased) — exercises the outer-both-sides path of
     ``shuffle_join`` (Acero coalesces the key, so right-only users surface
     their key in ``user_id`` like SQL COALESCE)."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     from airbyte_destination_ray.pipelines.ops import grouped_count
@@ -973,6 +974,7 @@ def _q_users_click_purchase_full_join(sf_dir: str):
     purchases = grouped_count(
         of_type("purchase"), key="user_id", out_col="n_purchases"
     )
+    _uid = pa.int64()
     return shuffle_join(
         clicks,
         purchases,
@@ -980,6 +982,12 @@ def _q_users_click_purchase_full_join(sf_dir: str):
         right_on="user_id",
         join_type="full outer",
         hot_keys=None,
+        # both sides are grouped_count outputs: ds.schema() would execute
+        # each count exchange a second time
+        left_schema=pa.schema([("user_id", _uid), ("n_clicks", pa.int64())]),
+        right_schema=pa.schema(
+            [("user_id", _uid), ("n_purchases", pa.int64())]
+        ),
     )
 
 
@@ -1162,6 +1170,7 @@ def _q_shipping_priority(sf_dir: str):
         lineitem, key="l_orderkey", value_col="_rev", out_col="revenue_cents"
     )
 
+    ord_schema = pq.read_schema(f"{sf_dir}/orders.parquet")
     joined = shuffle_join(
         revenue,
         orders,
@@ -1169,6 +1178,18 @@ def _q_shipping_priority(sf_dir: str):
         right_on="o_orderkey",
         select=["l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority"],
         hot_keys=None,  # both sides unique per order key
+        # explicit schemas: ds.schema() would EXECUTE the revenue exchange
+        # a second time just to learn two column names (measured ~2×)
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("revenue_cents", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [
+                ("o_orderkey", ord_schema.field("o_orderkey").type),
+                ("o_orderdate", ord_schema.field("o_orderdate").type),
+                ("o_orderpriority", ord_schema.field("o_orderpriority").type),
+            ]
+        ),
     ).map_batches(
         lambda b: b.rename_columns(
             ["o_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority"]
@@ -1561,6 +1582,10 @@ def _q_local_supplier_volume(sf_dir: str):
         batch_size=None,
     )
 
+    import pyarrow.parquet as _pq
+
+    _osch = _pq.read_schema(f"{sf_dir}/orders.parquet")
+    _csch = _pq.read_schema(f"{sf_dir}/customer.parquet")
     oc = shuffle_join(
         orders,
         customer,
@@ -1568,6 +1593,18 @@ def _q_local_supplier_volume(sf_dir: str):
         right_on="c_custkey",
         select=["o_orderkey", "c_nationkey"],
         hot_keys=None,  # uniform TPC-H custkeys
+        left_schema=pa.schema(
+            [
+                ("o_orderkey", _osch.field("o_orderkey").type),
+                ("o_custkey", _osch.field("o_custkey").type),
+            ]
+        ),
+        right_schema=pa.schema(
+            [
+                ("c_custkey", _csch.field("c_custkey").type),
+                ("c_nationkey", pa.int64()),
+            ]
+        ),
     )
 
     class _LineRev:
@@ -1630,6 +1667,21 @@ def _q_local_supplier_volume(sf_dir: str):
         right_on="l_orderkey",
         select=["c_nationkey", "s_nationkey", "_rev"],
         hot_keys=None,  # ≤7 lineitems per order; no skew possible
+        # oc is itself a shuffle-join output: ds.schema() would execute the
+        # whole first exchange again just to list these two columns
+        left_schema=pa.schema(
+            [
+                ("o_orderkey", _osch.field("o_orderkey").type),
+                ("c_nationkey", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("s_nationkey", pa.int64()),
+                ("_rev", pa.int64()),
+            ]
+        ),
     )
 
     def same_nation(b: pa.Table) -> pa.Table:

@@ -289,6 +289,8 @@ def shuffle_join(
     salt_factor: int = 8,
     prefilter: str | None = None,
     bloom_bits_pow2: int = 23,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """Big×big equijoin (``inner``, ``left outer``, ``right outer`` or
     ``full outer``): ONE hash-partition shuffle per side on the join key,
@@ -319,8 +321,13 @@ def shuffle_join(
     inherently quadratic and needs an application-level split.  Pass an
     explicit key list, or ``None`` to disable.
     """
-    lschema = left_ds.schema()
-    rschema = right_ds.schema()
+    # ds.schema() on a derived Dataset EXECUTES the upstream pipeline up to
+    # its first block — behind an all-to-all that is the WHOLE sub-pipeline,
+    # re-run again by the real execution (measured 2× the revenue exchange
+    # on the TPC-H Q3 composite).  Callers joining shuffle outputs should
+    # pass the schemas they already know.
+    lschema = left_schema if left_schema is not None else left_ds.schema()
+    rschema = right_schema if right_schema is not None else right_ds.schema()
     ltypes = dict(zip(lschema.names, lschema.types))
     rtypes = dict(zip(rschema.names, rschema.types))
     rpayload = [c for c in rschema.names if c != right_on]

@@ -247,7 +247,7 @@ class ManifestStore:
         return [f for f, _ in self.committed_files_versioned(generation, mode=mode)]
 
     def committed_files_versioned(
-        self, generation: int, *, mode: str
+        self, generation: int, *, mode: str, partitions=None
     ) -> list[tuple[str, int]]:
         """Current file set as (path, schema_version) pairs.
 
@@ -256,8 +256,15 @@ class ManifestStore:
         fresh generation): union of every committed manifest's files.  A
         partition untouched since an older schema version keeps its
         old-version files — readers align.
+
+        ``partitions`` (a set of partition ids) prunes the listing to those
+        partitions — the manifest IS the zone map: a point lookup of k keys
+        touches at most k partition directories, never the table.
         """
         manifests = self._iter_manifests(generation)
+        if partitions is not None:
+            partitions = set(partitions)
+            manifests = [m for m in manifests if m.partition in partitions]
         if mode in ("append", "overwrite"):
             files: list[tuple[str, int]] = []
             for m in sorted(manifests, key=lambda m: (m.partition, m.epoch)):
