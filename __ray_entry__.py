@@ -1809,6 +1809,20 @@ def _q_fuzzy_vocab_pairs(sf_dir: str):
     return fuzzy_pairs(ds, word_col="w", max_dist=2, num_partitions=16)
 
 
+def _q_lookup_users_cdc(sf_dir: str):
+    """CDC point lookup: after the binlog sync, fetch 12 user_ids by
+    reading ONLY the partition directories they hash to (O(keys) I/O at
+    any lake size — the hash layout as an index); tombstoned ('error')
+    and unknown users return nothing."""
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        lookup_events_table,
+    )
+
+    return lookup_events_table(
+        sf_dir, [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 99999999]
+    )
+
+
 def _q_frequent_users_exact(sf_dir: str):
     """EXACT heavy hitters (> 1/120 of all events) via the bounded-memory
     two-pass design: Misra–Gries candidate superset (k=64, far below the
@@ -1912,6 +1926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text_documents": _q_normalize_text,
         "fuzzy_vocab_pairs": _q_fuzzy_vocab_pairs,
         "urgent_orders_bloom_join": _q_urgent_orders_bloom_join,
+        "lookup_users_cdc": _q_lookup_users_cdc,
     }
 
 
@@ -2797,6 +2812,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         WHERE o.o_orderpriority = '1-URGENT'
+    """
+    sql["lookup_users_cdc"] = """
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM events
+        WHERE user_id IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 99999999)
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+            AND event_type <> 'error'
     """
     sql["scd2_user_history"] = """
         WITH v AS (

@@ -387,11 +387,14 @@ def read_table(
     columns: list[str] | None = None,
     include_deleted: bool = False,
     include_meta: bool = False,
+    partitions=None,
 ):
     """Dataset over the current committed table state (read view).
 
     Tombstone rows are filtered out; ``_seq``/``_deleted`` meta columns are
-    dropped unless requested.
+    dropped unless requested.  ``partitions`` (set of partition ids) prunes
+    the scan to those partition directories via the manifests — the I/O
+    primitive behind :func:`lookup_rows`.
     """
     store = ManifestStore(lake_root, table)
     meta = store.table_meta()
@@ -401,8 +404,11 @@ def read_table(
             columns=columns,
             include_deleted=include_deleted,
             include_meta=include_meta,
+            partitions=partitions,
         )
-    versioned = store.committed_files_versioned(meta["generation"], mode=meta["mode"])
+    versioned = store.committed_files_versioned(
+        meta["generation"], mode=meta["mode"], partitions=partitions
+    )
     if not versioned:
         return ray.data.from_arrow(pa.table({}))
     current_version = max(v for _, v in versioned)
@@ -569,6 +575,77 @@ def lineage_dataset(lake_root: str, table: str, *, generation: int | None = None
     return ray.data.from_items(rows)
 
 
+def lookup_rows(
+    lake_root: str,
+    table: str,
+    keys,
+    *,
+    columns: list[str] | None = None,
+    include_deleted: bool = False,
+):
+    """Point lookup by primary key: read ONLY the partition directories the
+    keys hash to — the lake's hash layout IS the index, so a k-key lookup
+    costs O(k) partitions of I/O at ANY table size (vs a full scan for a
+    filter over ``read_table``).  Works for both merge strategies: the
+    snapshot path reads each wanted partition's latest files; the delta
+    path compacts only the wanted partitions' stacks.
+
+    The routing hash must be the one the writer used — ``partition_ids``
+    over the pk column with the table's ``num_partitions``, guarded by the
+    persisted ``hash_scheme`` (``init_table`` refuses mismatched lakes), so
+    a lookup can never silently read the wrong partition.
+
+    Tombstoned keys return no row (unless ``include_deleted``); missing
+    keys return no row; key type must be comparable to the pk column
+    (integers are canonicalized by the stable hash, so int32 keys find an
+    int64 pk).
+    """
+    from ..functions.hashing import partition_ids
+
+    store = ManifestStore(lake_root, table)
+    meta = store.table_meta()
+    if meta["mode"] != "append_dedup":
+        raise ValueError(
+            "lookup_rows needs a keyed snapshot table (append_dedup); "
+            f"table {table!r} has mode {meta['mode']!r}"
+        )
+    pk = meta["pk"]
+    if not isinstance(pk, str):
+        if len(pk) != 1:
+            raise ValueError("lookup_rows supports single-column pks")
+        pk = pk[0]
+    if not isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        keys = pa.array(keys)
+    num_partitions = int(meta["num_partitions"])
+    wanted = set(partition_ids(keys, num_partitions).tolist())
+
+    read_cols = columns
+    if columns is not None and pk not in columns:
+        read_cols = [pk, *columns]
+    ds = read_table(
+        lake_root,
+        table,
+        columns=read_cols,
+        include_deleted=include_deleted,
+        partitions=wanted,
+    )
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    key_set = keys.drop_null()
+
+    def filt(batch: pa.Table) -> pa.Table:
+        col = batch.column(pk)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ok = pc.is_in(col, value_set=key_set.cast(col.type))
+        out = batch.filter(pc.fill_null(ok, False))
+        if columns is not None:
+            out = out.select(columns)
+        return out
+
+    return ds.map_batches(filt, batch_format="pyarrow", batch_size=None)
+
+
 def table_row_count(lake_root: str, table: str) -> int:
     """A5: current committed PHYSICAL row count from manifests (metadata
     only — no data scan).
@@ -653,9 +730,13 @@ def _read_delta_table(
     columns: list[str] | None,
     include_deleted: bool,
     include_meta: bool,
+    partitions=None,
 ):
     store = ManifestStore(lake_root, table)
     stacks = _delta_partition_stacks(store, meta)
+    if partitions is not None:
+        wanted = set(partitions)
+        stacks = [r for r in stacks if r["partition"] in wanted]
     if not stacks:
         return ray.data.from_arrow(pa.table({}))
     pk, ver = meta["pk"], meta["cursor"]

@@ -110,9 +110,8 @@ def lineage_epoch_totals(sf_dir: str, *, workdir: str | Path | None = None) -> p
     )
 
 
-def sync_events_table(sf_dir: str, *, workdir: str | Path | None = None):
-    """Run the full CDC engine over the events table; return the compacted
-    lake table as a Dataset (columns = the original event columns)."""
+def _ensure_events_lake(sf_dir: str, workdir: str | Path | None = None) -> Path:
+    """Sync the events table into a fresh scratch lake; return its root."""
     import os
 
     tag = f"{Path(sf_dir).name}-{os.getpid()}"  # pid: no cross-process races
@@ -131,4 +130,24 @@ def sync_events_table(sf_dir: str, *, workdir: str | Path | None = None):
         num_partitions=16,
         compute_digest=False,
     )
+    return lake
+
+
+def sync_events_table(sf_dir: str, *, workdir: str | Path | None = None):
+    """Run the full CDC engine over the events table; return the compacted
+    lake table as a Dataset (columns = the original event columns)."""
+    lake = _ensure_events_lake(sf_dir, workdir)
     return read_table(str(lake), "events_cdc")
+
+
+def lookup_events_table(
+    sf_dir: str, keys, *, workdir: str | Path | None = None
+):
+    """CDC point lookup as a query: sync the events binlog into the lake,
+    then read ONLY the partitions the requested user_ids hash to
+    (``cdc.lookup_rows``) — the lake's hash layout as an index.  Tombstoned
+    users (latest event 'error') and unknown users return no row."""
+    from .cdc import lookup_rows
+
+    lake = _ensure_events_lake(sf_dir, workdir)
+    return lookup_rows(str(lake), "events_cdc", keys)

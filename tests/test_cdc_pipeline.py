@@ -342,3 +342,108 @@ def test_packed_shuffle_matches_payload_shuffle(binlog, tmp_path):
     run_cdc_sync(str(b), binlog, num_partitions=PARTS, shuffle="packed")
     assert lake_state(str(a)).equals(lake_state(str(b)))
     assert partition_digests(str(a)) == partition_digests(str(b))
+
+
+def test_lookup_rows_point_reads_only_needed_partitions(binlog, tmp_path):
+    """lookup_rows returns exactly the LWW winners for the requested keys
+    (tombstoned and missing keys absent) and touches ONLY the partitions
+    the keys hash to — proven by deleting every other partition's data
+    files from disk before the lookup."""
+    import duckdb
+    import numpy as np
+
+    from airbyte_destination_ray.functions.hashing import partition_ids
+    from airbyte_destination_ray.pipelines.cdc import lookup_rows
+
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, binlog, num_partitions=PARTS)
+    oracle = oracle_lww(binlog)
+    all_urls = oracle.column("url").to_pylist()
+    live = sorted(all_urls)
+    con = duckdb.connect()
+    deleted = con.execute(
+        f"""
+        WITH events AS (SELECT * FROM read_parquet('{binlog}/segment-*.parquet')),
+        win AS (SELECT *, row_number() OVER
+                (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) rn FROM events)
+        SELECT url FROM win WHERE rn = 1 AND op = 'D' LIMIT 1
+        """
+    ).fetchall()
+    keys = live[:3] + [d[0] for d in deleted] + ["url-does-not-exist"]
+
+    got = (
+        lookup_rows(lake, "pages", keys)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    exp = (
+        oracle.filter(
+            pa.compute.is_in(oracle.column("url"), value_set=pa.array(keys))
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+    )
+    assert len(got) == 3  # tombstoned + missing keys return nothing
+
+    # prune proof: nuke every partition directory the keys do NOT hash to
+    one_key = [live[0]]
+    wanted = set(
+        partition_ids(pa.array(one_key), PARTS).tolist()
+    )
+    store = ManifestStore(lake, "pages")
+    meta = store.table_meta()
+    import pathlib
+
+    n_removed = 0
+    for f, _v in store.committed_files_versioned(
+        meta["generation"], mode=meta["mode"]
+    ):
+        part = int([s for s in f.split("/") if s.startswith("p=")][0][2:])
+        if part not in wanted:
+            (pathlib.Path(lake) / f).unlink()
+            n_removed += 1
+    assert n_removed > 0
+    got_one = lookup_rows(lake, "pages", one_key).to_pandas()
+    exp_one = exp[exp["url"] == one_key[0]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_one[sorted(got_one.columns)].reset_index(drop=True),
+        exp_one[sorted(exp_one.columns)],
+        check_dtype=False,
+    )
+
+
+def test_lookup_rows_delta_strategy_and_columns(binlog, tmp_path):
+    """The delta (LSM) lake compacts only the wanted partitions' stacks;
+    column pruning keeps the pk out of the result unless requested."""
+    from airbyte_destination_ray.pipelines.cdc import lookup_rows
+
+    lake = str(tmp_path / "lake_delta")
+    run_cdc_sync(lake, binlog, num_partitions=PARTS, merge_strategy="delta")
+    oracle = oracle_lww(binlog)
+    keys = sorted(oracle.column("url").to_pylist())[:5]
+    got = (
+        lookup_rows(lake, "pages", keys, columns=["url", "lang"])
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    exp = (
+        oracle.filter(
+            pa.compute.is_in(oracle.column("url"), value_set=pa.array(keys))
+        )
+        .select(["url", "lang"])
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert list(got.columns) == ["url", "lang"]
