@@ -487,6 +487,8 @@ def asof_join(
     right_keep: list[str],
     suffix: str = "_right",
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """As-of (point-in-time) left join: for each left row, attach the most
     recent right row with ``right_ts <= left_ts`` for the same ``on`` key
@@ -505,9 +507,11 @@ def asof_join(
     through.
     """
     right_out = [f"{c}{suffix}" for c in right_keep]
-    rkeep_types = dict(
-        zip(right_ds.schema().names, right_ds.schema().types)
-    )
+    # ds.schema() executes derived pipelines up to their first block —
+    # callers joining shuffle outputs should pass the schemas they know
+    if right_schema is None:
+        right_schema = right_ds.schema()
+    rkeep_types = dict(zip(right_schema.names, right_schema.types))
 
     def env_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -541,7 +545,8 @@ def asof_join(
 
         return env_right
 
-    left_schema = left_ds.schema()
+    if left_schema is None:
+        left_schema = left_ds.schema()
     left_schema_cols = list(left_schema.names)
     left_types = dict(zip(left_schema.names, left_schema.types))
 
