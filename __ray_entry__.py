@@ -1809,6 +1809,42 @@ def _q_fuzzy_vocab_pairs(sf_dir: str):
     return fuzzy_pairs(ds, word_col="w", max_dist=2, num_partitions=16)
 
 
+def _q_events_late_arrivals(sf_dir: str):
+    """Streaming watermark accounting: replay events in a deterministic
+    scrambled arrival order (Knuth multiplicative bijection of event_id —
+    reproducible in SQL), watermark = running max event time − 1 h; count
+    on-time vs late rows per hourly window.  The global running max is the
+    two-phase distributed prefix (range partials → driver prefix of
+    ~n/span scalars → seeded per-range accumulate)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.relational import (
+        windowed_counts_late,
+    )
+
+    def arrival(b: pa.Table) -> pa.Table:
+        a = pc.bit_wise_and(
+            pc.multiply(b.column("event_id"), 2654435761),
+            4294967295,
+        )
+        return pa.table(
+            {"arrival": a, "ts": b.column("ts")}
+        )
+
+    ds = _events(sf_dir).map_batches(
+        arrival, batch_format="pyarrow", batch_size=None
+    )
+    return windowed_counts_late(
+        ds,
+        ts_col="ts",
+        seq="arrival",
+        window="hour",
+        lateness_us=3_600_000_000,
+        span=1 << 22,
+    )
+
+
 def _q_lookup_users_cdc(sf_dir: str):
     """CDC point lookup: after the binlog sync, fetch 12 user_ids by
     reading ONLY the partition directories they hash to (O(keys) I/O at
@@ -1927,6 +1963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_vocab_pairs": _q_fuzzy_vocab_pairs,
         "urgent_orders_bloom_join": _q_urgent_orders_bloom_join,
         "lookup_users_cdc": _q_lookup_users_cdc,
+        "events_late_arrivals": _q_events_late_arrivals,
     }
 
 
@@ -2812,6 +2849,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         WHERE o.o_orderpriority = '1-URGENT'
+    """
+    sql["events_late_arrivals"] = """
+        WITH a AS (
+            SELECT ts, epoch_us(ts) AS tus,
+                   (event_id * 2654435761) & 4294967295 AS arrival
+            FROM events),
+        w AS (
+            SELECT ts, tus,
+                   max(tus) OVER (
+                       ORDER BY arrival
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS hw
+            FROM a)
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               CAST(count(*) FILTER (
+                    hw IS NULL OR tus >= hw - 3600000000) AS BIGINT)
+                   AS n_ontime,
+               CAST(count(*) FILTER (
+                    hw IS NOT NULL AND tus < hw - 3600000000) AS BIGINT)
+                   AS n_late
+        FROM w GROUP BY 1
     """
     sql["lookup_users_cdc"] = """
         SELECT event_id, ts, user_id, event_type, value, props

@@ -1955,3 +1955,171 @@ def bloom_semi_filter(
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(probe, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# watermark / late-data windowed aggregate
+# ---------------------------------------------------------------------------
+
+
+def windowed_counts_late(
+    ds,
+    *,
+    ts_col: str,
+    seq: str,
+    window: str = "hour",
+    lateness_us: int = 0,
+    span: int = 1 << 20,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Tumbling-window counts with STREAMING late-data accounting: replay
+    the stream in arrival order (``seq``), maintain the watermark =
+    (running max event time seen so far) − ``lateness_us``, and classify
+    each row on-time/late against the watermark AS OF its arrival — the
+    Beam/Flink allowed-lateness semantics, deterministic because arrival
+    order is the total order ``seq``.
+
+    A global running max normally forces an ordered scan; here it's the
+    classic two-phase distributed prefix: rows range-partition by
+    ``seq // span`` (dense CDC sequence numbers make ranges balanced),
+    pass 1 reduces each range to its max event time (one tiny row per
+    range), the driver takes the EXCLUSIVE prefix max over the range list
+    (``n/span`` scalars — bounded at any scale), and pass 2 re-scans each
+    range seeded with its prefix, computing the within-range running max
+    by a vectorized sort + ``np.maximum.accumulate``.  Output rides the
+    usual aggregate-sized window exchange.
+
+    Oracle shape::
+
+        hw = max(ts) OVER (ORDER BY seq ROWS UNBOUNDED PRECEDING
+                           AND 1 PRECEDING)
+        late = hw IS NOT NULL AND ts < hw - lateness
+    """
+    unit_us = {"hour": 3_600_000_000, "day": 86_400_000_000}[window]
+
+    def range_max(batch: pa.Table) -> pa.Table:
+        s = batch.column(seq).to_numpy(zero_copy_only=False)
+        ts = pc.cast(batch.column(ts_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        rng = s // span
+        order = np.argsort(rng, kind="stable")
+        rng_s, ts_s = rng[order], ts[order]
+        start = np.ones(len(rng_s), dtype=bool)
+        start[1:] = rng_s[1:] != rng_s[:-1]
+        si = np.flatnonzero(start)
+        return pa.table(
+            {
+                "rng": pa.array(rng_s[si], type=pa.int64()),
+                "mx": pa.array(
+                    np.maximum.reduceat(ts_s, si) if len(si) else
+                    np.array([], dtype=np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        range_max, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    if not partials:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "window_start": pa.array([], type=pa.timestamp("us")),
+                    "n_ontime": pa.array([], type=pa.int64()),
+                    "n_late": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    agg: dict[int, int] = {}
+    for r in partials:
+        g = int(r["rng"])
+        agg[g] = max(agg.get(g, -(1 << 62)), int(r["mx"]))
+    ranges = sorted(agg)
+    # exclusive prefix max across ranges (the seed watermark per range)
+    seeds: dict[int, int] = {}
+    run = -(1 << 62)
+    for g in ranges:
+        seeds[g] = run
+        run = max(run, agg[g])
+    seeds_ref = ray.put(seeds)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        sd = ray.get(seeds_ref)
+        s = batch.column(seq).to_numpy(zero_copy_only=False)
+        ts = pc.cast(batch.column(ts_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.argsort(s, kind="stable")
+        s, ts = s[order], ts[order]
+        rng = s // span
+        start = np.ones(len(s), dtype=bool)
+        start[1:] = rng[1:] != rng[:-1]
+        # within-range EXCLUSIVE running max, seeded by the prefix:
+        # shift ts right one slot, reset at range starts to the seed
+        prev = np.empty(len(ts), dtype=np.int64)
+        prev[1:] = ts[:-1]
+        si = np.flatnonzero(start)
+        prev[si] = np.array([sd[int(g)] for g in rng[si]], dtype=np.int64)
+        # segmented running max via reset-at-boundary accumulate: subtract
+        # a large step at boundaries is fragile — instead accumulate per
+        # contiguous segment using reduceat-free trick: maximum.accumulate
+        # then overwrite crossings segment by segment is O(segments);
+        # ranges per batch are few (span >> batch), so loop over segments
+        hw = np.empty(len(ts), dtype=np.int64)
+        ends = np.append(si[1:], len(ts))
+        for a, b in zip(si, ends):
+            hw[a:b] = np.maximum.accumulate(prev[a:b])
+        late = ts < hw - np.int64(lateness_us)
+        win = (ts // unit_us) * unit_us
+        t = pa.table(
+            {
+                "w": pa.array(win, type=pa.int64()),
+                "ontime": pa.array((~late).astype(np.int64)),
+                "late": pa.array(late.astype(np.int64)),
+            }
+        )
+        return t.group_by("w").aggregate([("ontime", "sum"), ("late", "sum")])
+
+    # pass 2 must see each range's rows together and in seq order within a
+    # batch: re-partition by range id (contiguous seq blocks co-locate)
+    def route(batch: pa.Table) -> pa.Table:
+        s = batch.column(seq).to_numpy(zero_copy_only=False)
+        part = (s // span) % num_partitions
+        return pa.table(
+            {
+                seq: batch.column(seq),
+                ts_col: batch.column(ts_col),
+                "_part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        g = classify(group.drop_columns(["_part"]))
+        return g
+
+    counts = (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": pa.array(
+                    [group.column("w")[0].as_py()], type=pa.int64()
+                ).cast(pa.timestamp("us")),
+                "n_ontime": pa.array(
+                    [int(pc.sum(group.column("ontime_sum")).as_py())],
+                    type=pa.int64(),
+                ),
+                "n_late": pa.array(
+                    [int(pc.sum(group.column("late_sum")).as_py())],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return counts.groupby("w").map_groups(final, batch_format="pyarrow")

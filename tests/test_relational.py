@@ -1493,3 +1493,64 @@ def test_shuffle_join_bloom_prefilter_equality(ray_session, join_type):
             join_type="full outer",
             prefilter="bloom",
         )
+
+
+def test_windowed_counts_late_matches_streaming_sql(ray_session):
+    """Watermark semantics vs the SQL running-max formulation: late iff
+    ts < (exclusive prefix max of ts in arrival order) - lateness.  Arrival
+    order (event_id) deliberately decorrelated from event time so late
+    rows actually occur; small span forces multi-range prefix seeding."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.relational import (
+        windowed_counts_late,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    base = dt.datetime(2024, 5, 1)
+    # mostly increasing with heavy jitter -> a real mix of on-time and late
+    ts_us = np.cumsum(rng.integers(0, 10_000_000, n)) + rng.integers(
+        -30_000_000, 30_000_000, n
+    )
+    ts_us = np.maximum(ts_us, 0)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(
+                ts_us + int(base.timestamp() * 1_000_000),
+                type=pa.int64(),
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    lateness = 5_000_000
+    out = windowed_counts_late(
+        ray.data.from_arrow(t).repartition(6),
+        ts_col="ts",
+        seq="event_id",
+        window="hour",
+        lateness_us=lateness,
+        span=256,  # force ~12 ranges
+        num_partitions=5,
+    )
+    _assert_matches(
+        out,
+        f"""
+        WITH w AS (
+            SELECT ts, epoch_us(ts) AS tus,
+                   max(epoch_us(ts)) OVER (
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS hw
+            FROM events)
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               CAST(count(*) FILTER (hw IS NULL OR tus >= hw - {lateness})
+                    AS BIGINT) AS n_ontime,
+               CAST(count(*) FILTER (hw IS NOT NULL AND tus < hw - {lateness})
+                    AS BIGINT) AS n_late
+        FROM w GROUP BY 1
+        """,
+        {"events": t},
+    )
+    # sanity: the corpus must exercise BOTH classes
+    df = out.to_pandas()
+    assert df["n_late"].sum() > 0 and df["n_ontime"].sum() > 0
