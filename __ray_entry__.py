@@ -1845,6 +1845,28 @@ def _q_events_late_arrivals(sf_dir: str):
     )
 
 
+def _q_multimodal_phash_dedup(sf_dir: str):
+    """Perceptual-hash near-dup image removal: actor-pool pHash (real PPM
+    decode → luma → area resize → DCT) → banded Hamming buckets →
+    exact popcount verify → keep-first.  Rows-only (the DCT is not SQL);
+    semantics pinned by unit tests (planted perturbed copies dropped,
+    distinct noise images kept)."""
+    import ray.data
+
+    from airbyte_destination_ray.stages.multimodal import (
+        dedup_phash_images,
+        synthesize_noise_media_table,
+    )
+
+    ds = ray.data.from_arrow(synthesize_noise_media_table(180))
+    out = dedup_phash_images(ds, max_hamming=3, concurrency=2)
+    return out.map_batches(
+        lambda b: b.select(["media_id", "mime"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 def _q_lookup_users_cdc(sf_dir: str):
     """CDC point lookup: after the binlog sync, fetch 12 user_ids by
     reading ONLY the partition directories they hash to (O(keys) I/O at
@@ -1964,6 +1986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "urgent_orders_bloom_join": _q_urgent_orders_bloom_join,
         "lookup_users_cdc": _q_lookup_users_cdc,
         "events_late_arrivals": _q_events_late_arrivals,
+        "multimodal_phash_dedup": _q_multimodal_phash_dedup,
     }
 
 

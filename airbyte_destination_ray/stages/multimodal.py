@@ -796,3 +796,237 @@ def video_frame_byte_sums(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (pHash) + near-duplicate images
+# ---------------------------------------------------------------------------
+
+
+class ImagePHashStage:
+    """payload → 64-bit pHash: REAL pixel decode → integer luma →
+    32×32 area resize → DCT-II (matmul against a matrix precomputed ONCE
+    per actor in ``__init__``) → sign-vs-median of the low-frequency 8×8
+    block (DC excluded).  Near-identical images (small brightness/noise
+    perturbations, recompression) land within a few Hamming bits; the
+    hash is deterministic (fixed IEEE float64 ops, no RNG).
+
+    Compressed codecs (JPEG/PNG) are the documented stub of this module —
+    the pipeline shape (actor pool, per-actor state, binary column in /
+    fixed-width hash out) is exactly what a PIL/opencv-backed decode would
+    use at scale.
+    """
+
+    SIZE = 32
+    LOW = 8
+
+    def __init__(self, *, strict: bool = True):
+        self.strict = strict
+        k = np.arange(self.SIZE, dtype=np.float64)
+        # orthonormal DCT-II matrix: D @ x applies the transform
+        self.dct = np.sqrt(2.0 / self.SIZE) * np.cos(
+            np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * self.SIZE)
+        )
+        self.dct[0] *= 1.0 / np.sqrt(2.0)
+        self.bit_weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def _phash(self, payload: bytes | None):
+        if payload is None:
+            return None
+        px = _decode_pixels(payload)
+        if px is None:
+            if self.strict:
+                raise NotImplementedError(
+                    "compressed-image decoding requires PIL/opencv — stubbed"
+                )
+            return None
+        h, w = px.shape[0], px.shape[1]
+        luma = (
+            299 * px[:, :, 0].astype(np.int64)
+            + 587 * px[:, :, 1].astype(np.int64)
+            + 114 * px[:, :, 2].astype(np.int64)
+        ) // 1000
+        # area resize to SIZE×SIZE: mean over the pixel box each output
+        # cell covers (edges weighted by coverage via cumsum sampling)
+        ys = (np.arange(self.SIZE + 1) * h) // self.SIZE
+        xs = (np.arange(self.SIZE + 1) * w) // self.SIZE
+        ys = np.maximum(ys, np.arange(self.SIZE + 1))  # boxes non-empty
+        xs = np.maximum(xs, np.arange(self.SIZE + 1))
+        ys = np.minimum(ys, h)
+        xs = np.minimum(xs, w)
+        cs = np.zeros((h + 1, w + 1), dtype=np.int64)
+        cs[1:, 1:] = luma.cumsum(0).cumsum(1)
+        box = (
+            cs[ys[1:, None], xs[None, 1:]]
+            - cs[ys[:-1, None], xs[None, 1:]]
+            - cs[ys[1:, None], xs[None, :-1]]
+            + cs[ys[:-1, None], xs[None, :-1]]
+        ).astype(np.float64)
+        cnt = (
+            (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+        ).astype(np.float64)
+        small = box / cnt
+        freq = self.dct @ small @ self.dct.T
+        low = freq[: self.LOW, : self.LOW].ravel()
+        coeffs = low[1:]  # exclude DC
+        med = np.median(coeffs)
+        bits = np.zeros(64, dtype=bool)
+        bits[: len(coeffs)] = coeffs > med
+        return int(self.bit_weights[bits].sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = [
+            self._phash(p) for p in batch.column("payload").to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "phash": pa.array(hashes, type=pa.uint64()),
+            }
+        )
+
+
+def image_phashes(
+    ds, *, concurrency: int = 4, batch_size: int = DEFAULT_MEDIA_BATCH_SIZE
+):
+    """Actor-pool pHash over a media Dataset."""
+    return ds.map_batches(
+        ImagePHashStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def dedup_phash_images(
+    ds,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    concurrency: int = 4,
+    num_partitions: int = 32,
+    filter_mode: str = "broadcast",
+):
+    """Near-duplicate image removal by pHash: hash in an actor pool, then
+    band the 64-bit hashes (pigeonhole: Hamming ≤ bands−1 ⇒ some exact
+    band match, so the candidate set is COMPLETE at ``max_hamming ≤
+    bands−1``), verify candidates with an exact vectorized popcount, and
+    keep the earliest ``media_id`` of each near-dup set.  The image
+    payload never rides any exchange — only (band hash, media_id, phash)
+    rows do.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            "banding is only complete for max_hamming <= bands - 1"
+        )
+    from ..pipelines.dedup import _apply_dup_filter
+
+    hashes = image_phashes(ds, concurrency=concurrency)
+    width = 64 // bands
+    band_mask = np.uint64((1 << width) - 1)
+
+    def route(batch: pa.Table) -> pa.Table:
+        ph = batch.column("phash").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        outs = []
+        for b in range(bands):
+            chunk = (ph >> np.uint64(b * width)) & band_mask
+            # band id folded in so equal values in different bands differ
+            bucket = chunk * np.uint64(bands) + np.uint64(b)
+            outs.append(
+                pa.table(
+                    {
+                        "bucket": pa.array(bucket, type=pa.uint64()),
+                        "id": pa.array(ids, type=pa.int64()),
+                        "phash": pa.array(ph, type=pa.uint64()),
+                    }
+                )
+            )
+        t = pa.concat_tables(outs)
+        part = (
+            t.column("bucket").to_numpy(zero_copy_only=False)
+            % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return t.append_column("_part", pa.array(part, type=pa.int64()))
+
+    def resolve(group: pa.Table) -> pa.Table:
+        bucket = group.column("bucket").to_numpy(zero_copy_only=False)
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        ph = group.column("phash").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        order = np.lexsort((ids, bucket))
+        bucket, ids, ph = bucket[order], ids[order], ph[order]
+        n = len(bucket)
+        if n < 2:
+            return pa.table({"dup_id": pa.array([], type=pa.int64())})
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = bucket[1:] != bucket[:-1]
+        seg_start = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        pos = np.arange(n) - seg_start[seg_id]
+        total = int(pos.sum())
+        if total == 0:
+            return pa.table({"dup_id": pa.array([], type=pa.int64())})
+        b_idx = np.repeat(np.arange(n), pos)
+        pairs_before = np.concatenate(([0], np.cumsum(pos)[:-1]))
+        a_idx = np.arange(total) + np.repeat(
+            seg_start[seg_id] - pairs_before, pos
+        )
+        x = ph[a_idx] ^ ph[b_idx]
+        # vectorized popcount (SWAR)
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        ham = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+        ok = ham <= np.uint64(max_hamming)
+        ia, ib = ids[a_idx][ok], ids[b_idx][ok]
+        dup = np.where(ia < ib, ib, ia)  # later id loses
+        return pa.table(
+            {"dup_id": pa.array(np.unique(dup), type=pa.int64())}
+        )
+
+    candidates = (
+        hashes.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+    return _apply_dup_filter(ds, "media_id", candidates, filter_mode)
+
+
+def synthesize_noise_media_table(
+    n: int, *, dup_rate: int = 5, seed: int = 1234
+) -> pa.Table:
+    """Structurally distinct noise images with planted near-duplicates:
+    every ``dup_rate``-th image is a +1-red-channel perturbation of the
+    previous one (a near-dup a pHash must catch; exact hashes differ).
+    Seeded and deterministic."""
+    rng = np.random.default_rng(seed)
+    payloads, ids = [], []
+    i = 0
+    while len(payloads) < n:
+        px = rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+        payloads.append(encode_ppm(px))
+        ids.append(i)
+        i += 1
+        if len(payloads) < n and len(payloads) % dup_rate == 0:
+            pert = px.copy()
+            pert[:, :, 0] = np.minimum(
+                pert[:, :, 0].astype(np.int64) + 1, 255
+            ).astype(np.uint8)
+            payloads.append(encode_ppm(pert))
+            ids.append(i)
+            i += 1
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "kind": pa.array(["image"] * len(ids)),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["image/x-portable-pixmap"] * len(ids)),
+        },
+        schema=MEDIA_SCHEMA,
+    )

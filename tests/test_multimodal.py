@@ -1,6 +1,7 @@
 """Multimodal actor-pool stage tests: real Ray plumbing (schemas, actor
 signatures, fan-out layout), stubbed codecs (deterministic fakes)."""
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -348,3 +349,87 @@ def test_exact_video_frame_sums_match_closed_form(ray_session):
             )
             r += 1
     assert r == len(out)
+
+
+def test_phash_near_dup_images_detected_exact_kept(ray_session):
+    """pHash dedup: a lightly perturbed copy of an image collides within
+    the Hamming budget and the LATER media_id is dropped; structurally
+    different images all survive; banding candidates are verified by the
+    exact popcount (an unrelated image sharing one band can't be dropped)."""
+    import ray.data
+
+    from airbyte_destination_ray.stages.multimodal import (
+        ImagePHashStage,
+        dedup_phash_images,
+        encode_ppm,
+    )
+
+    # structurally DISTINCT images: independent random noise per id (the
+    # closed-form gradient corpus is the same pattern at every size, which
+    # pHash correctly reports as one near-dup cluster)
+    stage = ImagePHashStage()
+    rng = np.random.default_rng(99)
+    payloads = [
+        encode_ppm(rng.integers(0, 256, (40, 40, 3)).astype(np.uint8))
+        for _ in range(24)
+    ]
+    # perturbed copies of images 0..2: +1 on the red channel (tiny)
+    from airbyte_destination_ray.stages.multimodal import _decode_pixels
+
+    dup_payloads, dup_ids = [], []
+    for i in range(3):
+        px = _decode_pixels(payloads[i]).copy()
+        px[:, :, 0] = np.minimum(px[:, :, 0].astype(np.int64) + 1, 255).astype(
+            np.uint8
+        )
+        dup_payloads.append(encode_ppm(px))
+        dup_ids.append(100 + i)
+    corpus = pa.table(
+        {
+            "media_id": pa.array(
+                list(range(24)) + dup_ids, type=pa.int64()
+            ),
+            "kind": pa.array(["image"] * 27),
+            "payload": pa.array(payloads + dup_payloads, type=pa.binary()),
+            "mime": pa.array(["image/x-portable-pixmap"] * 27),
+        }
+    )
+
+    # the perturbed hash must be near, not merely equal by luck
+    h0 = stage._phash(payloads[0])
+    h0p = stage._phash(dup_payloads[0])
+    ham = bin(h0 ^ h0p).count("1")
+    assert ham <= 3
+
+    out = dedup_phash_images(
+        ray.data.from_arrow(corpus).repartition(4),
+        max_hamming=3,
+        concurrency=2,
+    )
+    kept = sorted(out.to_pandas()["media_id"])
+    assert 100 not in kept and 101 not in kept and 102 not in kept
+    # all original images survive (they are structurally distinct)
+    assert set(range(24)) <= set(kept)
+
+
+def test_phash_deterministic_and_batch_independent(ray_session):
+    import ray.data
+
+    from airbyte_destination_ray.stages.multimodal import (
+        image_phashes,
+        synthesize_media_table_exact,
+    )
+
+    t = synthesize_media_table_exact(40)
+
+    def run(blocks):
+        return (
+            image_phashes(
+                ray.data.from_arrow(t).repartition(blocks), concurrency=2
+            )
+            .to_pandas()
+            .sort_values("media_id")["phash"]
+            .tolist()
+        )
+
+    assert run(1) == run(7)
