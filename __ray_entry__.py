@@ -1867,6 +1867,29 @@ def _q_multimodal_phash_dedup(sf_dir: str):
     )
 
 
+def _q_bucket_docs_quartiles(sf_dir: str):
+    """Equal-frequency binning: label every document with its corpus-
+    relative length quartile (two streaming passes, zero shuffle; exact-
+    until-compression thresholds so SQL quantile_cont reproduces them)."""
+    from airbyte_destination_ray.pipelines.ops import bucket_by_quantiles
+
+    return bucket_by_quantiles(
+        _documents(sf_dir, columns=["doc_id", "n_chars"]),
+        value_col="n_chars",
+    )
+
+
+def _q_events_user_zscore(sf_dir: str):
+    """Per-user z-score of event value: one keyed exchange; the hash
+    partition co-locates each user, so segmented exact-integer moments ARE
+    the global per-user moments — no second pass."""
+    from airbyte_destination_ray.pipelines.ops import standardize_by_key
+
+    return standardize_by_key(
+        _events(sf_dir), key="user_id", seq="event_id", value_col="value"
+    )
+
+
 def _q_lookup_users_cdc(sf_dir: str):
     """CDC point lookup: after the binlog sync, fetch 12 user_ids by
     reading ONLY the partition directories they hash to (O(keys) I/O at
@@ -1987,6 +2010,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lookup_users_cdc": _q_lookup_users_cdc,
         "events_late_arrivals": _q_events_late_arrivals,
         "multimodal_phash_dedup": _q_multimodal_phash_dedup,
+        "bucket_docs_quartiles": _q_bucket_docs_quartiles,
+        "events_user_zscore": _q_events_user_zscore,
     }
 
 
@@ -2893,6 +2918,32 @@ def oracle_sql() -> dict[str, str]:
                     hw IS NOT NULL AND tus < hw - 3600000000) AS BIGINT)
                    AS n_late
         FROM w GROUP BY 1
+    """
+    sql["events_user_zscore"] = """
+        WITH e AS (SELECT event_id, user_id,
+                          CAST(floor(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        s AS (SELECT user_id,
+                     CAST(count(cents) AS BIGINT) AS n,
+                     CAST(sum(cents) AS DOUBLE) AS s1,
+                     CAST(sum(cents * cents) AS DOUBLE) AS s2
+              FROM e GROUP BY user_id)
+        SELECT e.event_id, e.user_id,
+               CASE WHEN e.cents IS NULL OR s.n <= 1 THEN NULL
+                    ELSE (CAST(e.cents AS DOUBLE) - s.s1 / s.n)
+                         / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))
+               END AS z
+        FROM e JOIN s USING (user_id)
+    """
+    sql["bucket_docs_quartiles"] = """
+        WITH q AS (SELECT quantile_cont(n_chars, 0.25) q1,
+                          quantile_cont(n_chars, 0.50) q2,
+                          quantile_cont(n_chars, 0.75) q3 FROM documents)
+        SELECT doc_id, n_chars,
+               1 + CAST(n_chars > q1 AS BIGINT)
+                 + CAST(n_chars > q2 AS BIGINT)
+                 + CAST(n_chars > q3 AS BIGINT) AS bucket
+        FROM documents, q
     """
     sql["lookup_users_cdc"] = """
         SELECT event_id, ts, user_id, event_type, value, props

@@ -76,6 +76,10 @@ def main(argv: list[str] | None = None) -> int:
     p_vacuum.add_argument("--lake", required=True)
     p_vacuum.add_argument("--table", default="pages")
     p_vacuum.add_argument("--keep-generations", type=int, default=0)
+    p_fsck = sub.add_parser("fsck")
+    p_fsck.add_argument("--lake", required=True)
+    p_fsck.add_argument("--table", default="pages")
+    p_fsck.add_argument("--no-row-counts", action="store_true")
     args = ap.parse_args(argv)
 
     from .catalog import check as check_config
@@ -104,6 +108,16 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 0 if ok else 1
+
+    if args.command == "fsck":
+        # footer-metadata-only consistency check — no Ray session needed
+        from .state.manifest import ManifestStore
+
+        report = ManifestStore(args.lake, args.table).fsck(
+            check_row_counts=not args.no_row_counts
+        )
+        print(json.dumps(report, separators=(",", ":")))
+        return 0 if report["ok"] else 1
 
     if args.command == "vacuum":
         # pure filesystem metadata work — no Ray session needed

@@ -1412,3 +1412,161 @@ def heavy_hitters(
     return exact.map_batches(
         threshold, batch_format="pyarrow", batch_size=None
     )
+
+
+def bucket_by_quantiles(
+    ds,
+    *,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    out_col: str = "bucket",
+    delta: int = 8192,
+):
+    """Equal-frequency binning: label every row with its corpus-relative
+    bucket — ``1 + Σ_i [value > q_i]`` over the global quantile thresholds
+    (quartiles by default).  The curriculum/stratification primitive
+    ("short/medium/long docs by corpus percentile") where absolute cut
+    points don't transfer between corpora.
+
+    Same two-streaming-pass shape as :func:`filter_above_quantile`:
+    mergeable q-digests to the driver (≤2·delta floats per batch), scalar
+    thresholds broadcast, pass 2 is a pure per-batch comparison — no
+    shuffle at any scale.  Exact-until-compression, so the SQL oracle
+    (``1 + (v > quantile_cont(q1)) + …``) hash-matches on corpora up to
+    ``delta`` values.  Null values get a null bucket.
+    """
+    from ..functions.sketches import (
+        qdigest_from_values,
+        qdigest_merge,
+        qdigest_pack,
+        qdigest_quantile,
+        qdigest_unpack,
+    )
+
+    def digest(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).combine_chunks().drop_null()
+        vals = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        d = qdigest_from_values(vals, delta)
+        return pa.table({"d": pa.array([qdigest_pack(d)], type=pa.binary())})
+
+    merged = None
+    for b in ds.map_batches(
+        digest, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        for buf in b.column("d").to_pylist():
+            d = qdigest_unpack(buf)
+            merged = d if merged is None else qdigest_merge(merged, d, delta)
+    thresholds = (
+        [float(qdigest_quantile(merged, q)) for q in quantiles]
+        if merged is not None and len(merged[0])
+        else None
+    )
+
+    def label(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if thresholds is None:
+            bucket = pa.nulls(len(v), pa.int64())
+        else:
+            vals = v.to_numpy(zero_copy_only=False).astype(np.float64)
+            b = np.ones(len(vals), dtype=np.int64)
+            for t in thresholds:
+                b += (vals > t).astype(np.int64)
+            bucket = pa.array(b, type=pa.int64(), mask=~v.is_valid().to_numpy(
+                zero_copy_only=False
+            ))
+        return batch.append_column(out_col, bucket)
+
+    return ds.map_batches(label, batch_format="pyarrow", batch_size=None)
+
+
+def standardize_by_key(
+    ds,
+    *,
+    key: str,
+    seq: str,
+    value_col: str,
+    out_col: str = "z",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """PER-KEY z-score standardization (the grouped sibling of
+    :func:`standardize_column`) — "normalize each user's metric against
+    that user's own history", the per-entity anomaly/feature-scaling
+    primitive.
+
+    ONE hash exchange of ``(key, seq, cents)``: partitioning by key
+    co-locates each key's rows, so the per-partition segmented moments
+    (exact int64 ``n, Σcents, Σcents²`` via ``np.add.reduceat``) ARE the
+    global per-key moments — no second pass, no driver scalars.  The
+    mean/std finalization uses the same fixed IEEE evaluation order as the
+    global operator, so the spelled-out SQL is bit-identical.  Null values
+    keep their row with a null z and contribute nothing to the moments;
+    single-value keys get a null z (sample variance undefined).
+    Envelope: per-key Σcents² must fit int64 — |cents| ≤ 3·10⁴ allows
+    ~10¹⁰ rows per key.
+    """
+
+    def route(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(batch.column(value_col), 100.0)),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                key: batch.column(key),
+                seq: batch.column(seq),
+                "_c": cents,
+            }
+        )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def zscore(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[(key, "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    seq: g.column(seq),
+                    key: g.column(key),
+                    out_col: pa.array([], type=pa.float64()),
+                }
+            )
+        keys = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        c_arr = g.column("_c").combine_chunks()
+        valid = c_arr.is_valid().to_numpy(zero_copy_only=False)
+        c = pc.fill_null(c_arr, 0).to_numpy(zero_copy_only=False)
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = keys[1:] != keys[:-1]
+        si = np.flatnonzero(start)
+        seg_id = np.cumsum(start) - 1
+        cnt = np.add.reduceat(valid.astype(np.int64), si)
+        s1 = np.add.reduceat(np.where(valid, c, 0), si)
+        s2 = np.add.reduceat(np.where(valid, c * c, 0), si)
+        # fixed IEEE order, identical to the global operator / SQL oracle
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = s1.astype(np.float64) / cnt
+            var = (
+                s2.astype(np.float64)
+                - s1.astype(np.float64) * s1.astype(np.float64) / cnt
+            ) / (cnt - 1)
+            std = np.sqrt(var)
+            z = (c.astype(np.float64) - mean[seg_id]) / std[seg_id]
+        ok = valid & (cnt[seg_id] > 1)
+        return pa.table(
+            {
+                seq: g.column(seq),
+                key: g.column(key),
+                out_col: pa.array(z, type=pa.float64(), mask=~ok),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(zscore, batch_format="pyarrow")
+    )

@@ -348,3 +348,86 @@ class ManifestStore:
             if best is None or payload["epoch"] > best["epoch"]:
                 best = payload
         return best
+
+    def fsck(self, *, check_row_counts: bool = True) -> dict:
+        """Lake consistency check (report-only; no mutation, no Ray):
+
+        - every file the CURRENT committed state references exists;
+        - (snapshot tables) each partition's latest-manifest ``row_count``
+          equals the Parquet-footer row total of its files — catches
+          truncated/partial writes a crash could leave if atomic-rename
+          discipline were ever violated;
+        - orphan files in the current generation no manifest references
+          (safe but reclaimable — what ``vacuum`` would delete).
+
+        Returns ``{"ok": bool, "missing": [...], "rowcount_mismatches":
+        [...], "orphans": [...]}``.  Footer reads only — cost is O(files)
+        metadata, never a data scan.
+        """
+        meta = self.table_meta()
+        current = int(meta["generation"])
+        mode = meta["mode"]
+        missing: list[str] = []
+        mismatches: list[dict] = []
+
+        manifests = self._iter_manifests(current)
+        latest: dict[int, PartitionManifest] = {}
+        for m in manifests:
+            cur = latest.get(m.partition)
+            if cur is None or m.order_key > cur.order_key:
+                latest[m.partition] = m
+        check_set = (
+            list(latest.values())
+            if mode == "append_dedup"
+            else list(manifests)
+        )
+        referenced: set[str] = set()
+        for m in check_set:
+            total = 0
+            have_all = True
+            for f in m.files:
+                referenced.add(f)
+                path = self.root.parent / f
+                if not path.exists():
+                    missing.append(f)
+                    have_all = False
+                    continue
+                if check_row_counts:
+                    import pyarrow.parquet as pq
+
+                    total += pq.ParquetFile(path).metadata.num_rows
+            if (
+                check_row_counts
+                and have_all
+                and mode == "append_dedup"
+                and meta.get("merge_strategy") != "delta"
+                and total != m.row_count
+            ):
+                mismatches.append(
+                    {
+                        "partition": m.partition,
+                        "epoch": m.epoch,
+                        "manifest_rows": m.row_count,
+                        "parquet_rows": total,
+                    }
+                )
+        # orphans: same rule as vacuum, but report instead of delete
+        all_referenced = {
+            f
+            for f, _ in self.committed_files_versioned(current, mode=mode)
+        }
+        orphans: list[str] = []
+        gen_dir = self.root / f"gen={current:04d}" / "parts"
+        if gen_dir.exists():
+            for f in gen_dir.rglob("*.parquet"):
+                rel = str(f.relative_to(self.root.parent))
+                if rel not in all_referenced:
+                    orphans.append(rel)
+        return {
+            "table": self.root.name,
+            "generation": current,
+            "ok": not missing and not mismatches,
+            "missing": sorted(missing),
+            "rowcount_mismatches": mismatches,
+            "orphans": sorted(orphans),
+        }

@@ -9,6 +9,7 @@ parallelism/batching invariance of the corpus-wide decisions.
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
@@ -378,3 +379,61 @@ def test_decontaminate_batching_invariant(ray_session):
             _sorted_df(decontaminate(docs, bench, sep=" ", gram_k=5))
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_bucket_by_quantiles_matches_sql(ray_session):
+    """Quartile labels == SQL 1 + Σ (v > quantile_cont(q)); boundary values
+    (exactly at a threshold) stay in the LOWER bucket on both sides; nulls
+    get a null bucket."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.ops import bucket_by_quantiles
+
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, None, 4, 4, 4]  # ties at the median
+    t = pa.table(
+        {
+            "id": pa.array(range(len(vals)), type=pa.int64()),
+            "v": pa.array(vals, type=pa.int64()),
+        }
+    )
+    out = (
+        bucket_by_quantiles(
+            ray.data.from_arrow(t).repartition(3), value_col="v"
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        """
+        WITH q AS (SELECT quantile_cont(v, 0.25) q1,
+                          quantile_cont(v, 0.50) q2,
+                          quantile_cont(v, 0.75) q3 FROM t)
+        SELECT id, v,
+               CASE WHEN v IS NULL THEN NULL
+                    ELSE 1 + CAST(v > q1 AS BIGINT)
+                           + CAST(v > q2 AS BIGINT)
+                           + CAST(v > q3 AS BIGINT) END AS bucket
+        FROM t, q ORDER BY id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # equal-frequency sanity on a bigger uniform corpus
+    big = pa.table(
+        {
+            "id": pa.array(range(4000), type=pa.int64()),
+            "v": pa.array(
+                np.random.default_rng(2).permutation(4000), type=pa.int64()
+            ),
+        }
+    )
+    got = bucket_by_quantiles(
+        ray.data.from_arrow(big).repartition(5), value_col="v"
+    ).to_pandas()
+    counts = got["bucket"].value_counts()
+    assert set(counts.index) == {1, 2, 3, 4}
+    assert counts.max() - counts.min() <= 2

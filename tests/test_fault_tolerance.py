@@ -94,3 +94,40 @@ def test_concurrent_duplicate_merge_tasks_commit_once(binlog, tmp_path):
     a = read_table_arrow(str(lake_a), "pages").sort_by("url")
     b = read_table_arrow(str(lake_b), "pages").sort_by("url")
     assert a.equals(b)
+
+
+def test_fsck_clean_then_detects_missing_and_orphans(binlog, tmp_path):
+    """fsck on a healthy lake: ok, no findings.  After deleting one
+    referenced file: missing + ok=False.  After dropping an unreferenced
+    parquet into the generation dir: reported as orphan (still ok)."""
+    import pathlib
+
+    from airbyte_destination_ray.pipelines.cdc import run_cdc_sync
+    from airbyte_destination_ray.state.manifest import ManifestStore
+
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, binlog, num_partitions=4)
+    store = ManifestStore(lake, "pages")
+    rep = store.fsck()
+    assert rep["ok"] and not rep["missing"] and not rep["rowcount_mismatches"]
+
+    # orphan: an unreferenced parquet in the current generation dir
+    meta = store.table_meta()
+    gen_dir = (
+        pathlib.Path(lake) / "pages" / f"gen={meta['generation']:04d}" / "parts" / "p=00000"
+    )
+    orphan = gen_dir / "stray.parquet"
+    orphan.write_bytes(b"not really parquet")
+    rep2 = store.fsck()
+    # orphans = the stray file PLUS superseded epoch-0 snapshot files
+    # (exactly what vacuum would reclaim); a healthy lake stays ok
+    rel = str(orphan.relative_to(pathlib.Path(lake)))
+    assert rep2["ok"] and rel in rep2["orphans"]
+
+    # missing: delete one referenced file
+    ref = store.committed_files_versioned(
+        meta["generation"], mode=meta["mode"]
+    )[0][0]
+    (pathlib.Path(lake) / ref).unlink()
+    rep3 = store.fsck()
+    assert not rep3["ok"] and ref in rep3["missing"]

@@ -383,3 +383,55 @@ def test_heavy_hitters_strings_nulls_and_empty(ray_session):
     # nothing frequent enough -> typed empty result
     out2 = heavy_hitters(_ds(t, blocks=3), col="s", phi_num=9, phi_den=10)
     assert out2.count() == 0
+
+
+def test_standardize_by_key_matches_sql(ray_session):
+    """Per-key z vs the spelled-out SQL: exact int moments, fixed IEEE
+    final; single-row keys -> null z; null values keep a null-z row and
+    don't pollute the moments; zero-variance keys -> NaN on both sides."""
+    from airbyte_destination_ray.pipelines.ops import standardize_by_key
+
+    rng = np.random.default_rng(17)
+    n = 600
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "user_id": pa.array(rng.integers(0, 12, n), type=pa.int64()),
+            "value": pa.array(rng.uniform(0, 100, n)),
+        }
+    )
+    # hard cases: single-row key 50, zero-variance key 51, null values
+    extra = pa.table(
+        {
+            "event_id": pa.array([1000, 1001, 1002, 1003, 1004], type=pa.int64()),
+            "user_id": pa.array([50, 51, 51, 0, 51], type=pa.int64()),
+            "value": pa.array([7.0, 3.0, 3.0, None, 3.0]),
+        }
+    )
+    t = pa.concat_tables([t, extra])
+    out = standardize_by_key(
+        _ds(t, blocks=5),
+        key="user_id",
+        seq="event_id",
+        value_col="value",
+    )
+    _assert_matches(
+        out,
+        """
+        WITH e AS (SELECT event_id, user_id,
+                          CAST(floor(value * 100) AS BIGINT) AS cents
+                   FROM t),
+        s AS (SELECT user_id,
+                     CAST(count(cents) AS BIGINT) AS n,
+                     CAST(sum(cents) AS DOUBLE) AS s1,
+                     CAST(sum(cents * cents) AS DOUBLE) AS s2
+              FROM e GROUP BY user_id)
+        SELECT e.event_id, e.user_id,
+               CASE WHEN e.cents IS NULL OR s.n <= 1 THEN NULL
+                    ELSE (CAST(e.cents AS DOUBLE) - s.s1 / s.n)
+                         / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))
+               END AS z
+        FROM e JOIN s USING (user_id)
+        """,
+        {"t": t},
+    )
