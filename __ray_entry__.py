@@ -1890,6 +1890,22 @@ def _q_events_user_zscore(sf_dir: str):
     )
 
 
+def _q_events_funnel(sf_dir: str):
+    """Ordered funnel (view → click → purchase, strictly-after,
+    greedy-earliest): one key exchange carrying only funnel events; the
+    kernel loops over funnel LEVELS, not rows."""
+    from airbyte_destination_ray.pipelines.relational import funnel_counts
+
+    return funnel_counts(
+        _events(sf_dir),
+        key="user_id",
+        ts_col="ts",
+        seq="event_id",
+        step_col="event_type",
+        steps=["view", "click", "purchase"],
+    )
+
+
 def _q_lookup_users_cdc(sf_dir: str):
     """CDC point lookup: after the binlog sync, fetch 12 user_ids by
     reading ONLY the partition directories they hash to (O(keys) I/O at
@@ -2012,6 +2028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_phash_dedup": _q_multimodal_phash_dedup,
         "bucket_docs_quartiles": _q_bucket_docs_quartiles,
         "events_user_zscore": _q_events_user_zscore,
+        "events_funnel": _q_events_funnel,
     }
 
 
@@ -2918,6 +2935,27 @@ def oracle_sql() -> dict[str, str]:
                     hw IS NOT NULL AND tus < hw - 3600000000) AS BIGINT)
                    AS n_late
         FROM w GROUP BY 1
+    """
+    sql["events_funnel"] = """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS s,
+                          event_type FROM events),
+        l1 AS (SELECT user_id, t, s FROM e WHERE event_type = 'view'
+               QUALIFY row_number() OVER (
+                   PARTITION BY user_id ORDER BY t, s) = 1),
+        l2 AS (SELECT e.user_id, e.t, e.s FROM e JOIN l1 USING (user_id)
+               WHERE e.event_type = 'click'
+                 AND (e.t > l1.t OR (e.t = l1.t AND e.s > l1.s))
+               QUALIFY row_number() OVER (
+                   PARTITION BY e.user_id ORDER BY e.t, e.s) = 1),
+        l3 AS (SELECT e.user_id, e.t, e.s FROM e JOIN l2 USING (user_id)
+               WHERE e.event_type = 'purchase'
+                 AND (e.t > l2.t OR (e.t = l2.t AND e.s > l2.s))
+               QUALIFY row_number() OVER (
+                   PARTITION BY e.user_id ORDER BY e.t, e.s) = 1)
+        SELECT 'view' AS step, CAST(1 AS BIGINT) AS level,
+               (SELECT count(*) FROM l1) AS n_keys
+        UNION ALL SELECT 'click', 2, (SELECT count(*) FROM l2)
+        UNION ALL SELECT 'purchase', 3, (SELECT count(*) FROM l3)
     """
     sql["events_user_zscore"] = """
         WITH e AS (SELECT event_id, user_id,

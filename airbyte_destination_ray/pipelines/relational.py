@@ -2123,3 +2123,150 @@ def windowed_counts_late(
         )
 
     return counts.groupby("w").map_groups(final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel analysis
+# ---------------------------------------------------------------------------
+
+
+def funnel_counts(
+    ds,
+    *,
+    key: str,
+    ts_col: str,
+    seq: str,
+    step_col: str,
+    steps: list,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Ordered funnel: how many keys completed step 1, step 1→2, step
+    1→2→3, … where each step must occur STRICTLY AFTER the earliest
+    completion time of the previous step (the standard product-analytics
+    funnel, greedy-earliest semantics — greedy is optimal here: taking the
+    earliest valid occurrence of step i never excludes a completion of
+    step i+1 that another choice would allow).
+
+    ONE hash exchange of ``(key, ts, seq, step_index)`` — rows not in
+    ``steps`` are dropped at the routing stage, so the exchange carries
+    only funnel-relevant events.  The per-partition kernel walks the
+    ``len(steps)`` levels (a loop over STEPS, not rows): level i's
+    completion time per key is the min ``(ts, seq)`` of step-i events
+    strictly later than the key's level-(i−1) completion — a segmented
+    min over the key-sorted layout per level.  Ties are broken by ``seq``
+    so the result is deterministic under equal timestamps.
+
+    Output: one row per funnel level — ``(step, n_keys)`` with ``n_keys``
+    = keys whose prefix through that level completed.
+    """
+    step_index = {s: i for i, s in enumerate(steps)}
+
+    def route(batch: pa.Table) -> pa.Table:
+        sc = batch.column(step_col)
+        if isinstance(sc, pa.ChunkedArray):
+            sc = sc.combine_chunks()
+        idx = pc.index_in(sc, value_set=pa.array(steps))
+        keep = idx.is_valid()
+        t = pa.table(
+            {
+                key: batch.column(key),
+                "_ats": pc.cast(batch.column(ts_col), pa.int64()),
+                seq: batch.column(seq),
+                "_step": idx.cast(pa.int64()),
+            }
+        ).filter(keep)
+        t = t.filter(
+            pc.and_(
+                t.column(key).combine_chunks().is_valid(),
+                t.column("_ats").combine_chunks().is_valid(),
+            )
+        )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    n_steps = len(steps)
+    big = np.iinfo(np.int64).max
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        idx = pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), ("_ats", "ascending"),
+                          (seq, "ascending")]
+        )
+        g = g.take(idx)
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "_lvl": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        keys = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        ts = g.column("_ats").to_numpy(zero_copy_only=False)
+        sq = g.column(seq).to_numpy(zero_copy_only=False)
+        st = g.column("_step").to_numpy(zero_copy_only=False)
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = keys[1:] != keys[:-1]
+        seg_id = np.cumsum(start) - 1
+        n_keys = int(seg_id[-1]) + 1
+        # per-key completion (ts, seq) of the current level; start = -inf
+        done_ts = np.full(n_keys, -1, dtype=np.int64)
+        done_sq = np.full(n_keys, -1, dtype=np.int64)
+        alive = np.ones(n_keys, dtype=bool)
+        counts = np.zeros(n_steps, dtype=np.int64)
+        for lvl in range(n_steps):
+            # events of this step strictly after the key's completion
+            # ("after" = (ts, seq) lexicographically greater)
+            dts = done_ts[seg_id]
+            dsq = done_sq[seg_id]
+            ok = (
+                alive[seg_id]
+                & (st == lvl)
+                & ((ts > dts) | ((ts == dts) & (sq > dsq)))
+            )
+            # earliest qualifying event per key: rows are (ts, seq)-sorted
+            # within key, so the FIRST ok row per segment wins
+            ok_idx = np.flatnonzero(ok)
+            if len(ok_idx) == 0:
+                break
+            segs = seg_id[ok_idx]
+            first_mask = np.ones(len(ok_idx), dtype=bool)
+            first_mask[1:] = segs[1:] != segs[:-1]
+            win_rows = ok_idx[first_mask]
+            win_segs = seg_id[win_rows]
+            new_alive = np.zeros(n_keys, dtype=bool)
+            new_alive[win_segs] = True
+            alive &= new_alive
+            done_ts[win_segs] = ts[win_rows]
+            done_sq[win_segs] = sq[win_rows]
+            counts[lvl] = int(alive.sum())
+        return pa.table(
+            {
+                "_lvl": pa.array(np.arange(n_steps), type=pa.int64()),
+                "n": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+
+    def final(group: pa.Table) -> pa.Table:
+        lvl = int(group.column("_lvl")[0].as_py())
+        return pa.table(
+            {
+                "step": pa.array([steps[lvl]], type=pa.string()),
+                "level": pa.array([lvl + 1], type=pa.int64()),
+                "n_keys": pa.array(
+                    [int(pc.sum(group.column("n")).as_py())], type=pa.int64()
+                ),
+            }
+        )
+
+    return partials.groupby("_lvl").map_groups(
+        final, batch_format="pyarrow"
+    )

@@ -1554,3 +1554,62 @@ def test_windowed_counts_late_matches_streaming_sql(ray_session):
     # sanity: the corpus must exercise BOTH classes
     df = out.to_pandas()
     assert df["n_late"].sum() > 0 and df["n_ontime"].sum() > 0
+
+
+def test_funnel_counts_matches_sql_greedy(ray_session):
+    """Ordered funnel vs the SQL greedy-earliest formulation: equal-ts
+    ties broken by seq, repeated steps, users entering mid-funnel (never
+    counted), strictly-after semantics."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.relational import funnel_counts
+
+    rng = np.random.default_rng(23)
+    n = 2500
+    base = int(dt.datetime(2024, 6, 1).timestamp() * 1_000_000)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(
+                base + rng.integers(0, 3_600_000_000, n), type=pa.int64()
+            ).cast(pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 60, n), type=pa.int64()),
+            "event_type": pa.array(
+                rng.choice(
+                    ["view", "click", "purchase", "error"], size=n
+                )
+            ),
+        }
+    )
+    out = funnel_counts(
+        ray.data.from_arrow(t).repartition(5),
+        key="user_id",
+        ts_col="ts",
+        seq="event_id",
+        step_col="event_type",
+        steps=["view", "click", "purchase"],
+    )
+    _assert_matches(
+        out,
+        """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS s,
+                          event_type FROM events),
+        l1 AS (SELECT user_id, t, s FROM e WHERE event_type = 'view'
+               QUALIFY row_number() OVER (
+                   PARTITION BY user_id ORDER BY t, s) = 1),
+        l2 AS (SELECT e.user_id, e.t, e.s FROM e JOIN l1 USING (user_id)
+               WHERE e.event_type = 'click'
+                 AND (e.t > l1.t OR (e.t = l1.t AND e.s > l1.s))
+               QUALIFY row_number() OVER (
+                   PARTITION BY e.user_id ORDER BY e.t, e.s) = 1),
+        l3 AS (SELECT e.user_id, e.t, e.s FROM e JOIN l2 USING (user_id)
+               WHERE e.event_type = 'purchase'
+                 AND (e.t > l2.t OR (e.t = l2.t AND e.s > l2.s))
+               QUALIFY row_number() OVER (
+                   PARTITION BY e.user_id ORDER BY e.t, e.s) = 1)
+        SELECT 'view' AS step, CAST(1 AS BIGINT) AS level,
+               (SELECT count(*) FROM l1) AS n_keys
+        UNION ALL SELECT 'click', 2, (SELECT count(*) FROM l2)
+        UNION ALL SELECT 'purchase', 3, (SELECT count(*) FROM l3)
+        """,
+        {"events": t},
+    )
