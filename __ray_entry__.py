@@ -1906,6 +1906,17 @@ def _q_events_funnel(sf_dir: str):
     )
 
 
+def _q_events_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (first-active-day cohorts × day offsets):
+    per-batch distinct (user, day) pre-reduce, one key exchange, then an
+    aggregate-sized (cohort, offset) exchange."""
+    from airbyte_destination_ray.pipelines.relational import (
+        cohort_retention,
+    )
+
+    return cohort_retention(_events(sf_dir), key="user_id", ts_col="ts")
+
+
 def _q_lookup_users_cdc(sf_dir: str):
     """CDC point lookup: after the binlog sync, fetch 12 user_ids by
     reading ONLY the partition directories they hash to (O(keys) I/O at
@@ -2029,6 +2040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_docs_quartiles": _q_bucket_docs_quartiles,
         "events_user_zscore": _q_events_user_zscore,
         "events_funnel": _q_events_funnel,
+        "events_cohort_retention": _q_events_cohort_retention,
     }
 
 
@@ -2935,6 +2947,20 @@ def oracle_sql() -> dict[str, str]:
                     hw IS NOT NULL AND tus < hw - 3600000000) AS BIGINT)
                    AS n_late
         FROM w GROUP BY 1
+    """
+    sql["events_cohort_retention"] = """
+        WITH p AS (SELECT DISTINCT user_id,
+                          CAST(date_trunc('day', ts) AS DATE) AS period
+                   FROM events
+                   WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        c AS (SELECT user_id, period,
+                     min(period) OVER (PARTITION BY user_id) AS cohort_day
+              FROM p)
+        SELECT cohort_day,
+               CAST(date_diff('day', cohort_day, period) AS BIGINT)
+                   AS offset_days,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM c GROUP BY 1, 2
     """
     sql["events_funnel"] = """
         WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS s,

@@ -2270,3 +2270,102 @@ def funnel_counts(
     return partials.groupby("_lvl").map_groups(
         final, batch_format="pyarrow"
     )
+
+
+def cohort_retention(
+    ds,
+    *,
+    key: str,
+    ts_col: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Cohort retention matrix: assign each key to the cohort of its FIRST
+    active day, then count how many of each cohort are active again k days
+    later — ``(cohort, offset_days, n_keys)``.
+
+    Exchange discipline: per-batch DISTINCT ``(key, day)`` pre-reduce (the
+    exchange carries at most one row per key·day·batch, never per event),
+    ONE key exchange co-locating each key's days (segmented min = the
+    cohort — global because of co-location), then per-partition
+    ``(cohort, offset)`` count partials into a second AGGREGATE-sized
+    exchange.  Null keys/timestamps are dropped (an activity matrix needs
+    both).
+    """
+
+    def distinct_days(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch.column(ts_col), unit="day"), pa.date32()
+        )
+        t = pa.table({key: batch.column(key), "_day": day})
+        t = t.filter(
+            pc.and_(
+                t.column(key).combine_chunks().is_valid(),
+                t.column("_day").combine_chunks().is_valid(),
+            )
+        )
+        t = t.group_by([key, "_day"], use_threads=False).aggregate([])
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        # batch-level distinct rows may still repeat across batches
+        g = g.group_by([key, "_day"], use_threads=False).aggregate([])
+        idx = pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), ("_day", "ascending")]
+        )
+        g = g.take(idx)
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "cohort_day": pa.array([], type=pa.int32()),
+                    "offset_days": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        keys = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        days = (
+            g.column("_day").combine_chunks().cast(pa.int32())
+            .to_numpy(zero_copy_only=False)
+        )
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = keys[1:] != keys[:-1]
+        seg_id = np.cumsum(start) - 1
+        cohort = days[np.flatnonzero(start)][seg_id]
+        offset = (days - cohort).astype(np.int64)
+        t = pa.table(
+            {
+                "cohort_day": pa.array(cohort, type=pa.int32()),
+                "offset_days": pa.array(offset, type=pa.int64()),
+            }
+        )
+        return t.group_by(["cohort_day", "offset_days"], use_threads=False)\
+            .aggregate([([], "count_all")])
+
+    partials = (
+        ds.map_batches(distinct_days, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_day": pa.array(
+                    [group.column("cohort_day")[0].as_py()], type=pa.int32()
+                ).cast(pa.date32()),
+                "offset_days": pa.array(
+                    [group.column("offset_days")[0].as_py()], type=pa.int64()
+                ),
+                "n_keys": pa.array(
+                    [int(pc.sum(group.column("count_all")).as_py())],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return partials.groupby(["cohort_day", "offset_days"]).map_groups(
+        final, batch_format="pyarrow"
+    )

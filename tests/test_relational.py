@@ -1613,3 +1613,60 @@ def test_funnel_counts_matches_sql_greedy(ray_session):
         """,
         {"events": t},
     )
+
+
+def test_cohort_retention_matches_sql(ray_session):
+    """Retention matrix vs SQL: multi-day activity with gaps, single-day
+    users (offset 0 only), null keys/ts dropped."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.relational import cohort_retention
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    base = dt.datetime(2024, 7, 1)
+    rows_ts = [
+        base + dt.timedelta(hours=int(h))
+        for h in rng.integers(0, 24 * 21, n)
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array(
+                list(rng.integers(0, 40, n - 2)) + [None, 7],
+                type=pa.int64(),
+            ),
+            "ts": pa.array(
+                rows_ts[: n - 1] + [None], type=pa.timestamp("us")
+            ),
+        }
+    )
+    out = cohort_retention(
+        ray.data.from_arrow(t).repartition(4), key="user_id", ts_col="ts"
+    )
+    con = duckdb.connect()
+    con.register("events", t)
+    exp = con.execute(
+        """
+        WITH p AS (SELECT DISTINCT user_id,
+                          CAST(date_trunc('day', ts) AS DATE) AS period
+                   FROM events
+                   WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        c AS (SELECT user_id, period,
+                     min(period) OVER (PARTITION BY user_id) AS cohort_day
+              FROM p)
+        SELECT cohort_day,
+               CAST(date_diff('day', cohort_day, period) AS BIGINT)
+                   AS offset_days,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM c GROUP BY 1, 2
+        """
+    ).arrow()
+    got = pa.concat_tables(
+        out.to_arrow_refs() and
+        [__import__("ray").get(r) for r in out.to_arrow_refs()]
+    )
+    key_cols = ["cohort_day", "offset_days"]
+    gd = got.to_pandas().sort_values(key_cols).reset_index(drop=True)
+    ed = exp.to_pandas().sort_values(key_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        gd[sorted(gd.columns)], ed[sorted(ed.columns)], check_dtype=False
+    )
