@@ -1917,6 +1917,30 @@ def _q_events_cohort_retention(sf_dir: str):
     return cohort_retention(_events(sf_dir), key="user_id", ts_col="ts")
 
 
+def _q_inverted_index_lookup(sf_dir: str):
+    """Materialized inverted text index: build term → posting buckets as
+    partitioned Parquet (one pass, pairs-only exchange), then point-read
+    ONLY the buckets two probe terms hash to — the retrieval analog of the
+    lake's hash-partition lookup."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.corpus import (
+        build_inverted_index,
+        lookup_postings,
+    )
+    from pathlib import Path
+
+    idx = f"/tmp/adr_query/invidx-{Path(sf_dir).name}-{os.getpid()}"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_inverted_index(
+        _documents(sf_dir, columns=["doc_id", "text"]), idx, num_buckets=16
+    )
+    return lookup_postings(idx, ["hash", "spark"], num_buckets=16)
+
+
 def _q_lookup_users_cdc(sf_dir: str):
     """CDC point lookup: after the binlog sync, fetch 12 user_ids by
     reading ONLY the partition directories they hash to (O(keys) I/O at
@@ -2041,6 +2065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_zscore": _q_events_user_zscore,
         "events_funnel": _q_events_funnel,
         "events_cohort_retention": _q_events_cohort_retention,
+        "inverted_index_lookup": _q_inverted_index_lookup,
     }
 
 
@@ -2947,6 +2972,12 @@ def oracle_sql() -> dict[str, str]:
                     hw IS NOT NULL AND tus < hw - 3600000000) AS BIGINT)
                    AS n_late
         FROM w GROUP BY 1
+    """
+    sql["inverted_index_lookup"] = """
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents WHERE text IS NOT NULL)
+        SELECT DISTINCT term, doc_id FROM w
+        WHERE term IN ('hash', 'spark')
     """
     sql["events_cohort_retention"] = """
         WITH p AS (SELECT DISTINCT user_id,

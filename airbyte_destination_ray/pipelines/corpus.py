@@ -557,3 +557,106 @@ def decontaminate(
         return batch.filter(pa.array(~contaminated))
 
     return ds.map_batches(keep_clean, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# materialized inverted text index
+# ---------------------------------------------------------------------------
+
+
+def build_inverted_index(
+    ds,
+    index_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+    num_buckets: int = 64,
+) -> None:
+    """Materialize a term → posting-list index as bucket-partitioned
+    Parquet: distinct ``(term, doc_id)`` pairs, hash-bucketed by term into
+    ``bucket=<b>/`` directories (one streaming pass, one exchange of
+    fixed-width pairs — document text never rides it).  A term lookup then
+    reads ONLY ``hash(term) % num_buckets``'s directory —
+    O(posting + bucket) I/O at any corpus size, the text-retrieval
+    analog of :func:`~..similarity.build_ivf_index`'s IVF lists and the
+    lake's hash-partition point lookup."""
+    from ..functions.hashing import stable_hash_array
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        flat, parent, _idx, _nulls, _n = _split(batch.column(text_col), sep)
+        ids_col = batch.column(id_col)
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        ids = ids_col.take(pa.array(parent))
+        t = pa.table({"term": flat, id_col: ids})
+        t = t.filter(
+            pc.and_(
+                t.column("term").combine_chunks().is_valid(),
+                pc.greater(pc.utf8_length(t.column("term")), 0),
+            )
+        )
+        t = t.group_by(["term", id_col], use_threads=False).aggregate([])
+        b = (
+            stable_hash_array(t.column("term").combine_chunks())
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        t = t.append_column("bucket", pa.array(b, type=pa.int64()))
+        return t.append_column("bucket_p", pa.array(b, type=pa.int64()))
+
+    ds.map_batches(pairs, batch_format="pyarrow", batch_size=None).write_parquet(
+        index_dir, partition_cols=["bucket_p"]
+    )
+
+
+def lookup_postings(
+    index_dir: str,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+):
+    """Posting lookup against a materialized inverted index: read only the
+    buckets the terms hash to, filter to the terms, distinct (a term·doc
+    pair may repeat across source batches).  Returns a Dataset of
+    ``(term, doc_id)``."""
+    from pathlib import Path
+
+    from ..functions.hashing import stable_hash_array
+
+    t_arr = pa.array(terms, type=pa.string())
+    buckets = sorted(
+        set(
+            (stable_hash_array(t_arr) % np.uint64(num_buckets)).tolist()
+        )
+    )
+    files = [
+        str(f)
+        for b in buckets
+        for f in sorted((Path(index_dir) / f"bucket_p={b}").glob("*.parquet"))
+        if (Path(index_dir) / f"bucket_p={b}").exists()
+    ]
+    import ray.data
+
+    if not files:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    id_col: pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    ds = ray.data.read_parquet(files, columns=["term", id_col])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("term"), value_set=t_arr)
+        return batch.filter(keep)
+
+    from .ops import distinct_values
+
+    return distinct_values(
+        ds.map_batches(filt, batch_format="pyarrow", batch_size=None),
+        columns=["term", id_col],
+        num_partitions=8,
+    )

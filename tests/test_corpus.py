@@ -437,3 +437,82 @@ def test_bucket_by_quantiles_matches_sql(ray_session):
     counts = got["bucket"].value_counts()
     assert set(counts.index) == {1, 2, 3, 4}
     assert counts.max() - counts.min() <= 2
+
+
+def test_inverted_index_build_and_lookup(ray_session, tmp_path):
+    """Index build + point lookup == SQL distinct (term, doc) pairs; a
+    term absent from the corpus returns nothing; only the needed bucket
+    directories are read (proven by deleting the others)."""
+    import pathlib
+    import shutil
+
+    import ray.data
+
+    from airbyte_destination_ray.functions.hashing import stable_hash_array
+    from airbyte_destination_ray.pipelines.corpus import (
+        build_inverted_index,
+        lookup_postings,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(6), type=pa.int64()),
+            "text": pa.array(
+                [
+                    "the quick fox",
+                    "quick quick brown",
+                    "fox jumps",
+                    None,
+                    "",
+                    "the the the",
+                ]
+            ),
+        }
+    )
+    idx = str(tmp_path / "inv")
+    build_inverted_index(
+        ray.data.from_arrow(docs).repartition(3), idx, num_buckets=8
+    )
+    out = (
+        lookup_postings(idx, ["quick", "fox", "zebra"], num_buckets=8)
+        .to_pandas()
+        .sort_values(["term", "doc_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = con.execute(
+        """
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents WHERE text IS NOT NULL)
+        SELECT DISTINCT term, doc_id FROM w
+        WHERE term IN ('quick', 'fox', 'zebra')
+        ORDER BY term, doc_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        out[["term", "doc_id"]], exp, check_dtype=False
+    )
+
+    # prune proof: remove every bucket dir the probe terms don't hash to
+    # int(h) FIRST: np.uint64 % python-int silently converts to float64
+    keep = {
+        int(h) % 8
+        for h in stable_hash_array(pa.array(["quick", "fox"]))
+    }
+    removed = 0
+    for d in pathlib.Path(idx).glob("bucket_p=*"):
+        if int(d.name.split("=")[1]) not in keep:
+            shutil.rmtree(d)
+            removed += 1
+    assert removed > 0
+    out2 = (
+        lookup_postings(idx, ["quick", "fox"], num_buckets=8)
+        .to_pandas()
+        .sort_values(["term", "doc_id"])
+        .reset_index(drop=True)
+    )
+    exp2 = exp[exp["term"] != "zebra"].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out2[["term", "doc_id"]], exp2, check_dtype=False
+    )
