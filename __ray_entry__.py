@@ -1941,6 +1941,65 @@ def _q_inverted_index_lookup(sf_dir: str):
     return lookup_postings(idx, ["hash", "spark"], num_buckets=16)
 
 
+def _q_cdc_schema_evolution(sf_dir: str):
+    """North-rule schema evolution END-TO-END through the gate: sync epoch
+    0 under schema v0, then rename value→amount (by column id) and add a
+    nullable score, then sync epoch 1 whose segments still carry v0 —
+    envelopes are aligned in-flight by the registry and v0 snapshots are
+    upgraded at read.  The oracle is plain SQL over the raw events with
+    the rename spelled out and the new column null."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from airbyte_destination_ray.pipelines.cdc import read_table, run_cdc_sync
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        EVENT_PAYLOAD,
+        build_binlog_from_events,
+    )
+    from airbyte_destination_ray.state.registry import SchemaStore
+
+    base = Path(f"/tmp/adr_query/evo-{Path(sf_dir).name}-{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    binlog, lake = base / "binlog", str(base / "lake")
+    build_binlog_from_events(f"{sf_dir}/events.parquet", binlog, n_epochs=2)
+    run_cdc_sync(
+        lake,
+        str(binlog),
+        table="events_cdc",
+        pk="user_id",
+        ver="ts",
+        payload_columns=EVENT_PAYLOAD,
+        num_partitions=8,
+        epochs=[0],
+        compute_digest=False,
+    )
+    ev_schema = pq.read_schema(f"{sf_dir}/events.parquet")
+    v0 = pa.schema([ev_schema.field(n) for n in EVENT_PAYLOAD])
+    store = SchemaStore(lake, "events_cdc")
+    store.init(v0)
+    store.rename_column("value", "amount")
+    store.add_column("score", pa.float64())
+    run_cdc_sync(
+        lake,
+        str(binlog),
+        table="events_cdc",
+        pk="user_id",
+        ver="ts",
+        payload_columns=[
+            "event_id", "ts", "user_id", "event_type", "amount", "props",
+        ],
+        num_partitions=8,
+        epochs=[1],
+        epoch_schema_versions={1: 0},
+        compute_digest=False,
+    )
+    return read_table(lake, "events_cdc")
+
+
 def _q_lookup_users_cdc(sf_dir: str):
     """CDC point lookup: after the binlog sync, fetch 12 user_ids by
     reading ONLY the partition directories they hash to (O(keys) I/O at
@@ -2066,6 +2125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "events_cohort_retention": _q_events_cohort_retention,
         "inverted_index_lookup": _q_inverted_index_lookup,
+        "cdc_schema_evolution": _q_cdc_schema_evolution,
     }
 
 
@@ -2972,6 +3032,14 @@ def oracle_sql() -> dict[str, str]:
                     hw IS NOT NULL AND tus < hw - 3600000000) AS BIGINT)
                    AS n_late
         FROM w GROUP BY 1
+    """
+    sql["cdc_schema_evolution"] = """
+        SELECT event_id, ts, user_id, event_type, value AS amount, props,
+               CAST(NULL AS DOUBLE) AS score
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+            AND event_type <> 'error'
     """
     sql["inverted_index_lookup"] = """
         WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
