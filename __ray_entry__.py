@@ -2000,6 +2000,18 @@ def _q_cdc_schema_evolution(sf_dir: str):
     return read_table(lake, "events_cdc")
 
 
+def _q_backfill_roundtrip_cdc(sf_dir: str):
+    """upsert ∘ diff = identity: seed the lake from half the stream,
+    derive the changelog by diffing the lake against the full-stream LWW
+    snapshot, apply it through the ordinary CDC sync — the resulting lake
+    is byte-equal to the plain full-stream LWW (the oracle)."""
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        backfill_events_roundtrip,
+    )
+
+    return backfill_events_roundtrip(sf_dir)
+
+
 def _q_lookup_users_cdc(sf_dir: str):
     """CDC point lookup: after the binlog sync, fetch 12 user_ids by
     reading ONLY the partition directories they hash to (O(keys) I/O at
@@ -2126,6 +2138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_retention": _q_events_cohort_retention,
         "inverted_index_lookup": _q_inverted_index_lookup,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
+        "backfill_roundtrip_cdc": _q_backfill_roundtrip_cdc,
     }
 
 
@@ -3032,6 +3045,12 @@ def oracle_sql() -> dict[str, str]:
                     hw IS NOT NULL AND tus < hw - 3600000000) AS BIGINT)
                    AS n_late
         FROM w GROUP BY 1
+    """
+    sql["backfill_roundtrip_cdc"] = """
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
     """
     sql["cdc_schema_evolution"] = """
         SELECT event_id, ts, user_id, event_type, value AS amount, props,

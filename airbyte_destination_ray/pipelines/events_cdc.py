@@ -151,3 +151,126 @@ def lookup_events_table(
 
     lake = _ensure_events_lake(sf_dir, workdir)
     return lookup_rows(str(lake), "events_cdc", keys)
+
+
+def backfill_events_roundtrip(
+    sf_dir: str, *, workdir: str | Path | None = None
+):
+    """Snapshot-diff backfill round trip — upsert ∘ diff = identity:
+
+    1. seed a lake from HALF the stream (even event_ids, epoch 0);
+    2. diff the LAKE's current state against the full-stream LWW snapshot
+       (``relational.table_diff`` — the changelog-derivation path a source
+       without a binlog needs);
+    3. convert the I/U rows back into change events (epoch 1) and apply
+       them through the ordinary CDC sync — LWW-safe because the new
+       snapshot is the max over a SUPERSET of the seed's events, so every
+       changed key moves forward in ``(ts, event_id)``, never backward
+       (forward-only backfill; a rollback needs an overwrite generation
+       flip, not upserts).
+
+    Returns the lake read after the apply; byte-equal to the plain LWW
+    snapshot of the full stream (the driver oracle).  The diff is
+    collected to build the epoch-1 segment (bounded by changed keys —
+    at 100 TB the same conversion is a ``write_parquet`` of the streamed
+    diff, no driver hop).
+    """
+    import os
+
+    import pyarrow.compute as _pc
+
+    from .ops import lww_latest
+    from .relational import table_diff
+    from ..sources.parquet import read_parquet_sized
+
+    tag = f"bf-{Path(sf_dir).name}-{os.getpid()}"
+    base = Path(workdir) if workdir else Path("/tmp/adr_query") / tag
+    binlog = base / "binlog"
+    lake = str(base / "lake")
+    shutil.rmtree(base, ignore_errors=True)
+    binlog.mkdir(parents=True, exist_ok=True)
+
+    events = pq.read_table(f"{sf_dir}/events.parquet")
+    even = events.filter(
+        _pc.equal(_pc.bit_wise_and(events.column("event_id"), 1), 0)
+    )
+    seg0 = pa.table(
+        {
+            "seq": even.column("event_id"),
+            "epoch": pa.array(
+                np.zeros(even.num_rows, dtype=np.int32), pa.int32()
+            ),
+            "op": pa.array(["U"] * even.num_rows, pa.string()),
+            **{c: even.column(c) for c in EVENT_PAYLOAD},
+        }
+    )
+    pq.write_table(seg0, binlog / "segment-e00000-0000.parquet")
+    with open(binlog / "_binlog.json", "w") as f:
+        json.dump(
+            {
+                "n_events": int(even.num_rows),
+                "n_epochs": 2,
+                "segments": [
+                    "segment-e00000-0000.parquet",
+                    "segment-e00001-0000.parquet",
+                ],
+            },
+            f,
+            sort_keys=True,
+        )
+
+    def sync(epochs):
+        run_cdc_sync(
+            lake,
+            str(binlog),
+            table="events_cdc",
+            pk="user_id",
+            ver="ts",
+            payload_columns=EVENT_PAYLOAD,
+            num_partitions=8,
+            epochs=epochs,
+            compute_digest=False,
+        )
+
+    sync([0])
+
+    new_snap = lww_latest(
+        read_parquet_sized(f"{sf_dir}/events.parquet"),
+        pk="user_id",
+        ver="ts",
+        seq="event_id",
+    )
+    compare = [c for c in EVENT_PAYLOAD if c != "user_id"]
+    diff = table_diff(
+        read_table(lake, "events_cdc"),
+        new_snap,
+        key="user_id",
+        compare_cols=compare,
+    )
+    # changed keys only; rebuild the NEW row per I/U (no D possible:
+    # the new snapshot covers a superset of the seed's keys)
+    import ray
+
+    refs = diff.to_arrow_refs()
+    parts = [t for t in (ray.get(refs) if refs else []) if t.num_rows]
+    if parts:
+        d = pa.concat_tables(parts)
+        d = d.filter(_pc.is_in(d.column("op"), value_set=pa.array(["I", "U"])))
+        seg1 = pa.table(
+            {
+                "seq": d.column("event_id_new"),
+                "epoch": pa.array(
+                    np.ones(d.num_rows, dtype=np.int32), pa.int32()
+                ),
+                "op": pa.array(["U"] * d.num_rows, pa.string()),
+                "user_id": d.column("user_id"),
+                **{
+                    c: d.column(f"{c}_new")
+                    for c in compare
+                },
+            }
+        ).select(["seq", "epoch", "op", *EVENT_PAYLOAD])
+        pq.write_table(seg1, binlog / "segment-e00001-0000.parquet")
+        sync([1])
+
+    return read_table(lake, "events_cdc")
