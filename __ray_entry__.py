@@ -2012,6 +2012,18 @@ def _q_backfill_roundtrip_cdc(sf_dir: str):
     return backfill_events_roundtrip(sf_dir)
 
 
+def _q_exact_median_event_value(sf_dir: str):
+    """EXACT discrete median of event value by iterative histogram
+    selection — an actual element, O(1) driver memory at any corpus size
+    (the exact sibling of the one-pass q-digest percentile path)."""
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.ops import exact_quantile_disc
+
+    v = exact_quantile_disc(_events(sf_dir), value_col="value", q=0.5)
+    return pa.table({"median_value": pa.array([v], type=pa.float64())})
+
+
 def _q_lookup_users_cdc(sf_dir: str):
     """CDC point lookup: after the binlog sync, fetch 12 user_ids by
     reading ONLY the partition directories they hash to (O(keys) I/O at
@@ -2139,6 +2151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_lookup": _q_inverted_index_lookup,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "backfill_roundtrip_cdc": _q_backfill_roundtrip_cdc,
+        "exact_median_event_value": _q_exact_median_event_value,
     }
 
 
@@ -3045,6 +3058,9 @@ def oracle_sql() -> dict[str, str]:
                     hw IS NOT NULL AND tus < hw - 3600000000) AS BIGINT)
                    AS n_late
         FROM w GROUP BY 1
+    """
+    sql["exact_median_event_value"] = """
+        SELECT quantile_disc(value, 0.5) AS median_value FROM events
     """
     sql["backfill_roundtrip_cdc"] = """
         SELECT event_id, ts, user_id, event_type, value, props

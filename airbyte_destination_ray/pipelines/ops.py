@@ -1570,3 +1570,162 @@ def standardize_by_key(
         .groupby("_part")
         .map_groups(zscore, batch_format="pyarrow")
     )
+
+
+def exact_quantile_disc(
+    ds,
+    *,
+    value_col: str,
+    q: float,
+    num_buckets: int = 4096,
+    collect_cap: int = 65536,
+):
+    """EXACT discrete quantile (``quantile_disc`` — an actual element of
+    the column, not an interpolation) at ANY corpus size with O(1) driver
+    memory: iterative histogram selection.  Each round streams one
+    column-pruned pass that bincounts the candidate set into
+    ``num_buckets`` buckets (per-batch partials; the driver sees
+    ``num_buckets`` ints), narrows to the bucket holding the target rank,
+    and recurses — the candidate count shrinks ×``num_buckets`` per round,
+    so a few passes suffice at any size.
+
+    Candidate membership is a CHAIN of bucket constraints re-evaluated
+    with bit-identical arithmetic each pass (never derived float interval
+    bounds — boundary values must land in the same bucket they were
+    counted in).  The terminal pass aggregates DISTINCT (value, count)
+    partials, so a column where the answer value repeats billions of
+    times terminates without collecting rows (the distinct set at
+    terminal width spans ≤ 1 ulp).  Rank = ``floor(q·(n−1))`` (DuckDB
+    ``quantile_disc`` semantics, pinned by test); nulls ignored.
+    Comparison happens in float64 (int64 beyond 2⁵³ should use the
+    integer-cents transform first).  The q-digest path
+    (:func:`filter_above_quantile`) is the one-pass approximation; this
+    is the exact sibling for when the answer must be an element.
+    """
+
+    def to_vals(batch: pa.Table) -> np.ndarray:
+        v = batch.column(value_col).combine_chunks().drop_null()
+        return v.to_numpy(zero_copy_only=False).astype(np.float64)
+
+    # chain of (lo, width, j) constraints; membership = every round's
+    # clipped floor((x - lo)/width) == j
+    chain: list[tuple[float, float, int]] = []
+
+    def member_mask(arr: np.ndarray) -> np.ndarray:
+        mask = np.ones(len(arr), dtype=bool)
+        for lo_c, w_c, j_c in chain:
+            idx = np.clip(
+                np.floor((arr - lo_c) / w_c).astype(np.int64),
+                0,
+                num_buckets - 1,
+            )
+            mask &= idx == j_c
+        return mask
+
+    def stats(batch: pa.Table) -> pa.Table:
+        arr = to_vals(batch)
+        if len(arr) == 0:
+            return pa.table(
+                {
+                    "n": pa.array([0], type=pa.int64()),
+                    "lo": pa.array([None], type=pa.float64()),
+                    "hi": pa.array([None], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "n": pa.array([len(arr)], type=pa.int64()),
+                "lo": pa.array([float(arr.min())]),
+                "hi": pa.array([float(arr.max())]),
+            }
+        )
+
+    st = pa.concat_tables(
+        list(
+            ds.map_batches(
+                stats, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    n = int(pc.sum(st.column("n")).as_py() or 0)
+    if n == 0:
+        return None
+    lo = float(pc.min(st.column("lo")).as_py())
+    hi = float(pc.max(st.column("hi")).as_py())
+    k = int(np.floor(q * (n - 1)))
+    cnt = n
+
+    def terminal() -> float:
+        def distinct_counts(batch: pa.Table) -> pa.Table:
+            arr = to_vals(batch)
+            arr = arr[member_mask(arr)] if len(arr) else arr
+            vals, counts = np.unique(arr, return_counts=True)
+            return pa.table(
+                {
+                    "v": pa.array(vals, type=pa.float64()),
+                    "c": pa.array(counts, type=pa.int64()),
+                }
+            )
+
+        parts = pa.concat_tables(
+            list(
+                ds.map_batches(
+                    distinct_counts, batch_format="pyarrow", batch_size=None
+                ).iter_batches(batch_format="pyarrow")
+            )
+        )
+        agg = parts.group_by("v").aggregate([("c", "sum")])
+        order = pc.sort_indices(agg, sort_keys=[("v", "ascending")])
+        agg = agg.take(order)
+        cums = np.cumsum(agg.column("c_sum").to_numpy(zero_copy_only=False))
+        pos = int(np.searchsorted(cums, k + 1))
+        return float(agg.column("v")[pos].as_py())
+
+    while True:
+        if lo == hi or cnt <= collect_cap:
+            return terminal()
+        width = (hi - lo) / num_buckets
+        if width <= 0 or not np.isfinite(width) or lo + width == lo:
+            return terminal()  # interval at fp resolution: ≤2 distinct
+
+        def hist(batch: pa.Table, lo=lo, width=width) -> pa.Table:
+            arr = to_vals(batch)
+            if len(arr):
+                arr = arr[member_mask(arr)]
+            idx = np.clip(
+                np.floor((arr - lo) / width).astype(np.int64),
+                0,
+                num_buckets - 1,
+            )
+            counts = np.bincount(idx, minlength=num_buckets)
+            nz = np.flatnonzero(counts)
+            # sparse (bucket, count) rows: batch boundaries can re-slice
+            # output rows, so counts must be self-describing
+            return pa.table(
+                {
+                    "b": pa.array(nz, type=pa.int64()),
+                    "c": pa.array(counts[nz], type=pa.int64()),
+                }
+            )
+
+        total = np.zeros(num_buckets, dtype=np.int64)
+        for b in ds.map_batches(
+            hist, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow"):
+            np.add.at(
+                total,
+                b.column("b").to_numpy(zero_copy_only=False),
+                b.column("c").to_numpy(zero_copy_only=False),
+            )
+        cum = np.cumsum(total)
+        j = int(np.searchsorted(cum, k + 1))
+        k -= int(cum[j - 1]) if j > 0 else 0
+        new_cnt = int(total[j])
+        if new_cnt == cnt:
+            # no progress (all candidates share one bucket): the constraint
+            # still tightens the VALUE interval below, so loop converges
+            pass
+        chain.append((lo, width, j))
+        cnt = new_cnt
+        lo = lo + j * width
+        hi = lo + width

@@ -435,3 +435,31 @@ def test_standardize_by_key_matches_sql(ray_session):
         """,
         {"t": t},
     )
+
+
+def test_exact_quantile_disc_matches_duckdb(ray_session):
+    """Iterative histogram selection == quantile_disc at several q,
+    including q=0/1, a 30%-duplicate spike, and an all-identical column
+    (terminates via distinct-count terminal, never a row collect)."""
+    import duckdb
+
+    from airbyte_destination_ray.pipelines.ops import exact_quantile_disc
+
+    rng = np.random.default_rng(41)
+    vals = np.concatenate(
+        [rng.normal(0, 100, 6000), np.full(4000, 3.25), rng.normal(500, 1, 2000)]
+    )
+    t = pa.table({"v": pa.array(list(vals) + [None] * 9, type=pa.float64())})
+    con = duckdb.connect()
+    con.register("t", t)
+    ds = _ds(t, blocks=5)
+    for q in (0.0, 0.25, 0.5, 0.93, 1.0):
+        got = exact_quantile_disc(ds, value_col="v", q=q, collect_cap=512)
+        exp = con.execute(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+        assert got == exp, (q, got, exp)
+
+    same = pa.table({"v": pa.array([7.5] * 20000)})
+    assert (
+        exact_quantile_disc(_ds(same), value_col="v", q=0.5, collect_cap=16)
+        == 7.5
+    )
