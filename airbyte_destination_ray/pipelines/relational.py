@@ -2212,8 +2212,10 @@ def funnel_counts(
         seg_id = np.cumsum(start) - 1
         n_keys = int(seg_id[-1]) + 1
         # per-key completion (ts, seq) of the current level; start = -inf
-        done_ts = np.full(n_keys, -1, dtype=np.int64)
-        done_sq = np.full(n_keys, -1, dtype=np.int64)
+        # (int64 min, NOT -1: a pre-1970 step-0 event has ts < -1 µs and
+        # must still qualify against "no previous completion")
+        done_ts = np.full(n_keys, np.iinfo(np.int64).min, dtype=np.int64)
+        done_sq = np.full(n_keys, np.iinfo(np.int64).min, dtype=np.int64)
         alive = np.ones(n_keys, dtype=bool)
         counts = np.zeros(n_steps, dtype=np.int64)
         for lvl in range(n_steps):

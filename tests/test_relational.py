@@ -1670,3 +1670,34 @@ def test_cohort_retention_matches_sql(ray_session):
     pd.testing.assert_frame_equal(
         gd[sorted(gd.columns)], ed[sorted(ed.columns)], check_dtype=False
     )
+
+
+def test_funnel_pre_epoch_timestamps(ray_session):
+    """Step-0 events before 1970 (negative µs) still enter the funnel —
+    the no-previous-completion sentinel must be -inf, not -1."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.relational import funnel_counts
+
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1], type=pa.int64()),
+            "ts": pa.array([-5_000_000, -4_000_000], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([1, 1], type=pa.int64()),
+            "event_type": pa.array(["view", "click"]),
+        }
+    )
+    out = (
+        funnel_counts(
+            ray.data.from_arrow(t),
+            key="user_id",
+            ts_col="ts",
+            seq="event_id",
+            step_col="event_type",
+            steps=["view", "click"],
+        )
+        .to_pandas()
+        .sort_values("level")
+    )
+    assert list(out["n_keys"]) == [1, 1]
