@@ -2046,7 +2046,7 @@ def _q_frequent_users_exact(sf_dir: str):
     from airbyte_destination_ray.pipelines.ops import heavy_hitters
 
     return heavy_hitters(
-        _events(sf_dir), col="user_id", phi_num=1, phi_den=120, k=64
+        _events(sf_dir), col="user_id", phi_num=1, phi_den=120
     )
 
 
@@ -3098,7 +3098,8 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["events_funnel"] = """
         WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS s,
-                          event_type FROM events),
+                          event_type FROM events
+                   WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         l1 AS (SELECT user_id, t, s FROM e WHERE event_type = 'view'
                QUALIFY row_number() OVER (
                    PARTITION BY user_id ORDER BY t, s) = 1),
@@ -3120,7 +3121,7 @@ def oracle_sql() -> dict[str, str]:
     sql["events_user_zscore"] = """
         WITH e AS (SELECT event_id, user_id,
                           CAST(floor(value * 100) AS BIGINT) AS cents
-                   FROM events),
+                   FROM events WHERE user_id IS NOT NULL),
         s AS (SELECT user_id,
                      CAST(count(cents) AS BIGINT) AS n,
                      CAST(sum(cents) AS DOUBLE) AS s1,

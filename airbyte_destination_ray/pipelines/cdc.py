@@ -411,7 +411,15 @@ def read_table(
     )
     if not versioned:
         return ray.data.from_arrow(pa.table({}))
-    current_version = max(v for _, v in versioned)
+    # alignment target = the REGISTRY's current version, not the max over
+    # the (possibly partition-pruned) listing: a lookup touching only
+    # partitions untouched since v0 must still read v-current columns
+    schema_store = SchemaStore(lake_root, table)
+    current_version = (
+        schema_store.current_version()
+        if schema_store.exists()
+        else max(v for _, v in versioned)
+    )
 
     # Column-pruning pushdown: only the requested columns (plus the meta
     # columns the tombstone filter needs) leave the Parquet files — at CC
@@ -776,7 +784,12 @@ def read_table_arrow(lake_root: str, table: str, **kw) -> pa.Table:
     versioned = store.committed_files_versioned(meta["generation"], mode=meta["mode"])
     if not versioned:
         return pa.table({})
-    current_version = max(v for _, v in versioned)
+    schema_store = SchemaStore(lake_root, table)
+    current_version = (
+        schema_store.current_version()
+        if schema_store.exists()
+        else max(v for _, v in versioned)
+    )
     t = pa.concat_tables(
         _align_lake_table(
             pq.read_table(Path(lake_root) / f), lake_root, table, v, current_version

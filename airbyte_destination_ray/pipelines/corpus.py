@@ -601,7 +601,8 @@ def build_inverted_index(
             stable_hash_array(t.column("term").combine_chunks())
             % np.uint64(num_buckets)
         ).astype(np.int64)
-        t = t.append_column("bucket", pa.array(b, type=pa.int64()))
+        # bucket_p is the hive partition twin (directory name); no data
+        # column needed — readers never consult it
         return t.append_column("bucket_p", pa.array(b, type=pa.int64()))
 
     ds.map_batches(pairs, batch_format="pyarrow", batch_size=None).write_parquet(

@@ -1336,8 +1336,15 @@ def heavy_hitters(
     """
     from .relational import semi_join
 
+    # candidate-superset guarantee needs total MG deficit 2n/(k+1) < phi·n,
+    # i.e. k+1 > 2·den/num — CLAMP an under-sized explicit k rather than
+    # silently dropping true hitters (review finding: k=64 at phi=1/120
+    # could zero out up to 115 qualifying keys)
+    k_min = (2 * phi_den + phi_num - 1) // phi_num + 1
     if k is None:
-        k = max(8, (2 * phi_den + phi_num - 1) // phi_num)
+        k = max(8, k_min)
+    else:
+        k = max(k, k_min)
 
     def valid_count(b: pa.Table) -> pa.Table:
         v = b.column(col)
@@ -1519,6 +1526,9 @@ def standardize_by_key(
                 "_c": cents,
             }
         )
+        # null keys dropped (SQL three-valued logic: a JOIN/GROUP on a
+        # null key never matches; same policy as the other keyed kernels)
+        t = t.filter(t.column(key).combine_chunks().is_valid())
         parts = partition_ids(t.column(key), num_partitions)
         return t.append_column("_part", pa.array(parts, type=pa.int64()))
 

@@ -1997,7 +1997,21 @@ def windowed_counts_late(
     """
     unit_us = {"hour": 3_600_000_000, "day": 86_400_000_000}[window]
 
+    def valid_rows(batch: pa.Table) -> pa.Table:
+        # null arrival seq or event time: no position in the stream and no
+        # window — dropped (same policy as the other keyed window kernels)
+        t = pa.table(
+            {seq: batch.column(seq), ts_col: batch.column(ts_col)}
+        )
+        return t.filter(
+            pc.and_(
+                t.column(seq).combine_chunks().is_valid(),
+                t.column(ts_col).combine_chunks().is_valid(),
+            )
+        )
+
     def range_max(batch: pa.Table) -> pa.Table:
+        batch = valid_rows(batch)
         s = batch.column(seq).to_numpy(zero_copy_only=False)
         ts = pc.cast(batch.column(ts_col), pa.int64()).to_numpy(
             zero_copy_only=False
@@ -2085,6 +2099,7 @@ def windowed_counts_late(
     # pass 2 must see each range's rows together and in seq order within a
     # batch: re-partition by range id (contiguous seq blocks co-locate)
     def route(batch: pa.Table) -> pa.Table:
+        batch = valid_rows(batch)
         s = batch.column(seq).to_numpy(zero_copy_only=False)
         part = (s // span) % num_partitions
         return pa.table(

@@ -840,20 +840,23 @@ class ImagePHashStage:
                     "compressed-image decoding requires PIL/opencv — stubbed"
                 )
             return None
-        h, w = px.shape[0], px.shape[1]
         luma = (
             299 * px[:, :, 0].astype(np.int64)
             + 587 * px[:, :, 1].astype(np.int64)
             + 114 * px[:, :, 2].astype(np.int64)
         ) // 1000
+        # images smaller than the DCT grid upsample by integer repeat
+        # first (review finding: sub-32px dims left empty mean-boxes →
+        # 0/0 = NaN → every small image hashed 0 and mass-deduped)
+        if luma.shape[0] < self.SIZE:
+            luma = np.repeat(luma, -(-self.SIZE // luma.shape[0]), axis=0)
+        if luma.shape[1] < self.SIZE:
+            luma = np.repeat(luma, -(-self.SIZE // luma.shape[1]), axis=1)
+        h, w = luma.shape
         # area resize to SIZE×SIZE: mean over the pixel box each output
-        # cell covers (edges weighted by coverage via cumsum sampling)
+        # cell covers
         ys = (np.arange(self.SIZE + 1) * h) // self.SIZE
         xs = (np.arange(self.SIZE + 1) * w) // self.SIZE
-        ys = np.maximum(ys, np.arange(self.SIZE + 1))  # boxes non-empty
-        xs = np.maximum(xs, np.arange(self.SIZE + 1))
-        ys = np.minimum(ys, h)
-        xs = np.minimum(xs, w)
         cs = np.zeros((h + 1, w + 1), dtype=np.int64)
         cs[1:, 1:] = luma.cumsum(0).cumsum(1)
         box = (
@@ -926,6 +929,13 @@ def dedup_phash_images(
     band_mask = np.uint64((1 << width) - 1)
 
     def route(batch: pa.Table) -> pa.Table:
+        # null phash (null payload, or strict=False decode failure) can't
+        # near-dup anything — drop BEFORE the numpy conversion (a null
+        # would become NaN→garbage uint64, colliding all null rows)
+        phc = batch.column("phash")
+        if isinstance(phc, pa.ChunkedArray):
+            phc = phc.combine_chunks()
+        batch = batch.filter(phc.is_valid())
         ph = batch.column("phash").to_numpy(zero_copy_only=False).astype(
             np.uint64
         )

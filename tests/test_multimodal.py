@@ -433,3 +433,41 @@ def test_phash_deterministic_and_batch_independent(ray_session):
         )
 
     assert run(1) == run(7)
+
+
+def test_phash_small_images_and_null_payloads(ray_session):
+    """Sub-32px images hash by content (not all-NaN → 0), and null
+    payloads never collide with each other (review regressions)."""
+    import ray.data
+
+    from airbyte_destination_ray.stages.multimodal import (
+        ImagePHashStage,
+        dedup_phash_images,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(3)
+    a16 = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    b16 = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    stage = ImagePHashStage()
+    ha = stage._phash(encode_ppm(a16))
+    hb = stage._phash(encode_ppm(b16))
+    assert ha != 0 and hb != 0
+    assert bin(ha ^ hb).count("1") > 3  # different content, far hashes
+
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "kind": pa.array(["image"] * 4),
+            "payload": pa.array(
+                [encode_ppm(a16), encode_ppm(b16), None, None],
+                type=pa.binary(),
+            ),
+            "mime": pa.array(["image/x-portable-pixmap"] * 4),
+        }
+    )
+    out = dedup_phash_images(
+        ray.data.from_arrow(t), max_hamming=3, concurrency=2
+    )
+    # nothing dedups: small images differ, null payloads never match
+    assert sorted(out.to_pandas()["media_id"]) == [0, 1, 2, 3]

@@ -228,3 +228,44 @@ def test_evolution_composes_with_packed_shuffle(ray_session, tmp_path):
     assert "quality" in out.column_names
     by_url = {r["url"]: r for r in out.to_pylist()}
     assert by_url["u1"]["text"] == "v2"
+
+
+def test_lookup_rows_aligns_untouched_partition_after_evolution(
+    ray_session, tmp_path
+):
+    """Partition-pruned point lookup of a key whose partition was last
+    written under v0 must still return v-current columns (rename applied,
+    added column null) — the alignment target is the registry, not the
+    max version of the pruned listing (review regression)."""
+    from airbyte_destination_ray.pipelines.cdc import lookup_rows
+
+    lake, binlog = str(tmp_path / "lake"), tmp_path / "binlog"
+    write_custom_binlog(
+        binlog,
+        [
+            row(0, 0, "u1", 100, lang="de"),
+            row(1, 0, "u2", 100, lang="fr"),
+            row(2, 1, "u2", 200, lang="it"),  # epoch 1 touches only u2
+        ],
+    )
+    run_cdc_sync(lake, str(binlog), num_partitions=4, epochs=[0])
+    store = SchemaStore(lake, "pages")
+    store.init(PAGES_SCHEMA)
+    store.rename_column("lang", "language")
+    store.add_column("quality", pa.float64())
+    run_cdc_sync(
+        lake,
+        str(binlog),
+        num_partitions=4,
+        epochs=[1],
+        epoch_schema_versions={1: 0},
+        payload_columns=["url", "warc_ts", "html", "text", "language"],
+    )
+    got = lookup_rows(lake, "pages", ["u1"]).to_pandas()
+    assert list(got["url"]) == ["u1"]
+    assert "language" in got.columns and "lang" not in got.columns
+    assert "quality" in got.columns and got["quality"].isna().all()
+    assert got["language"].iloc[0] == "de"
+    # column-pruned lookup of a renamed column also works
+    got2 = lookup_rows(lake, "pages", ["u1"], columns=["url", "language"])
+    assert got2.to_pandas()["language"].iloc[0] == "de"
