@@ -147,7 +147,10 @@ def _q_dedup_exact_incremental(sf_dir: str):
 
     from airbyte_destination_ray.pipelines.dedup import dedup_exact_incremental
 
-    state = Path("/tmp/adr_incr_state")
+    import os as _os
+
+    # pid-scoped: a fixed shared path races concurrent gate/driver runs
+    state = Path(f"/tmp/adr_incr_state-{_os.getpid()}")
     if state.exists():
         shutil.rmtree(state)
 
@@ -1616,9 +1619,13 @@ def _q_local_supplier_volume(sf_dir: str):
 
         def __call__(self, b: pa.Table) -> pa.Table:
             sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self.s_key, sk)
-            ok = pos < len(self.s_key)
-            ok &= self.s_key[np.clip(pos, 0, max(len(self.s_key) - 1, 0))] == sk
+            if len(self.s_key) == 0:
+                ok = np.zeros(len(sk), dtype=bool)
+                pos = np.zeros(len(sk), dtype=np.int64)
+            else:
+                pos = np.searchsorted(self.s_key, sk)
+                ok = pos < len(self.s_key)
+                ok &= self.s_key[np.clip(pos, 0, len(self.s_key) - 1)] == sk
             b = b.filter(pa.array(ok))
             if b.num_rows == 0:
                 return pa.table(
@@ -2855,7 +2862,12 @@ def oracle_sql() -> dict[str, str]:
         "events_props_stats": """
             WITH e AS (
                 SELECT event_type,
-                       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                       CASE WHEN regexp_matches(
+                                json_extract_string(props, '$.k'),
+                                '^-?[0-9]+$')
+                            THEN CAST(json_extract_string(props, '$.k')
+                                      AS BIGINT)
+                       END AS k
                 FROM events)
             SELECT event_type,
                    CAST(count(k) AS BIGINT) AS n_values,

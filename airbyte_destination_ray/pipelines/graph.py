@@ -173,4 +173,11 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    else:
+        # exhausting max_iters without the Σ-labels fixpoint means some
+        # component is still split — refuse to hand back wrong clusters
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters"
+        )
     return labels

@@ -346,13 +346,23 @@ def extract_json_int(
     """
     import re as _re
 
-    pattern = '"' + _re.escape(key) + '"\\s*:\\s*(?P<v>-?\\d+)'
+    # capture the full numeric token, then accept only pure integers —
+    # RE2 has no lookahead, and matching just -?\d+ would extract the
+    # integer PREFIX of a fractional value (5.7 → 5) instead of null
+    # (review regression)
+    pattern = (
+        '"' + _re.escape(key) + '"\\s*:\\s*(?P<v>-?\\d+(?:\\.\\d+)?(?:[eE][-+]?\\d+)?)'
+    )
 
     def fn(batch: pa.Table) -> pa.Table:
         m = pc.extract_regex(
             batch.column(col).combine_chunks(), pattern=pattern
         )
-        v = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        tok = pc.struct_field(m, "v")
+        is_int = pc.match_substring_regex(tok, r"^-?\d+$")
+        v = pc.cast(
+            pc.if_else(pc.fill_null(is_int, False), tok, None), pa.int64()
+        )
         return batch.append_column(out_col, v)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

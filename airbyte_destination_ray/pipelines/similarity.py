@@ -450,12 +450,12 @@ def knn_lsh(
             ).astype(np.float64)
         return planes_by_dim[d]
 
-    # bucket -> list of query rows that probe it
-    bucket_queries: dict[int, list[int]] = {}
+    # bucket -> list of query rows that probe it; probes="all" ships a
+    # SENTINEL instead of a 2^num_planes dict (at num_planes=20 that dict
+    # would be a million-key broadcast of pure overhead — review finding)
+    bucket_queries: dict[int, list[int]] | str = {}
     if probes == "all":
-        all_queries = list(range(len(q)))
-        for b in range(1 << num_planes):
-            bucket_queries[b] = all_queries
+        bucket_queries = "__all__"
     else:
         # query bucket set: own bucket + flips of the lowest-|margin| planes
         qproj = q @ planes_for(q.shape[1])
@@ -478,8 +478,9 @@ def knn_lsh(
         proj = emb @ planes_for(emb.shape[1])
         cbucket = _pack_bucket_bits(proj)
         out_q, out_c, out_s = [], [], []
+        all_rows = list(range(len(qm))) if bq == "__all__" else None
         for b in np.unique(cbucket):
-            qrows = bq.get(int(b))
+            qrows = all_rows if all_rows is not None else bq.get(int(b))
             if not qrows:
                 continue
             mask = cbucket == b

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 
 def _labels(ds):
@@ -57,3 +58,27 @@ def test_connected_components_merge_order_invariance(ray_session):
         )
         got = _labels(out)
         assert got == {i: 0 for i in range(6)}
+
+
+def test_connected_components_raises_when_unconverged(ray_session):
+    """A chain longer than max_iters rounds must raise, never silently
+    return split components (review regression)."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.graph import connected_components
+
+    n = 12
+    edges = pa.table(
+        {
+            "ia": pa.array(range(n - 1), type=pa.int64()),
+            "ib": pa.array(range(1, n), type=pa.int64()),
+        }
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(
+            ray.data.from_arrow(edges), src="ia", dst="ib", max_iters=2
+        )
+    # and with enough rounds the same chain resolves to one component
+    out = connected_components(
+        ray.data.from_arrow(edges), src="ia", dst="ib", max_iters=30
+    ).to_pandas()
+    assert set(out["comp"]) == {0}

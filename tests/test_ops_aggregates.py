@@ -463,3 +463,31 @@ def test_exact_quantile_disc_matches_duckdb(ray_session):
         exact_quantile_disc(_ds(same), value_col="v", q=0.5, collect_cap=16)
         == 7.5
     )
+
+
+def test_extract_json_int_fractional_is_null(ray_session):
+    """Fractional/scientific JSON numbers are NOT integers: extract null,
+    never the integer prefix (review regression)."""
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.ops import extract_json_int
+
+    t = pa.table(
+        {
+            "props": pa.array(
+                [
+                    '{"k": 5}',
+                    '{"k": 5.7}',
+                    '{"k": -3}',
+                    '{"k": 2e3}',
+                    '{"x": 1}',
+                    None,
+                ]
+            )
+        }
+    )
+    out = extract_json_int(
+        ray.data.from_arrow(t), col="props", key="k", out_col="v"
+    ).to_pandas()
+    vals = [None if pd.isna(v) else int(v) for v in out["v"]]
+    assert vals == [5, None, -3, None, None, None]
