@@ -316,7 +316,12 @@ def shuffle_join(
     sub-partitions and the matching RIGHT rows are replicated to each — the
     standard replicate-broadcast skew join, folded into the same single
     exchange (each (l, r) pair still meets exactly once; left-outer rows
-    still appear exactly once).  Assumes the per-hot-key RIGHT side is
+    still appear exactly once).  COST CAVEAT: the sampling pass consumes
+    the left Dataset once more, and ``limit()`` cannot early-stop past an
+    upstream all-to-all — when the left side is itself a shuffle output
+    (grouped aggregate, prior join), pass ``hot_keys=None`` (keys unique
+    by construction ⇒ no skew) or an explicit list, as every composite
+    wrapper in ``__ray_entry__`` does.  Assumes the per-hot-key RIGHT side is
     modest (× ``salt_factor`` replication); a key hot on BOTH sides is
     inherently quadratic and needs an application-level split.  Pass an
     explicit key list, or ``None`` to disable.
