@@ -2031,6 +2031,16 @@ def _q_exact_median_event_value(sf_dir: str):
     return pa.table({"median_value": pa.array([v], type=pa.float64())})
 
 
+def _q_events_mode_by_user(sf_dir: str):
+    """Most frequent event_type per user (deterministic tie-break):
+    pair-count pre-reduce, one key exchange, vectorized arg-max."""
+    from airbyte_destination_ray.pipelines.ops import mode_by_key
+
+    return mode_by_key(
+        _events(sf_dir), key="user_id", value_col="event_type"
+    )
+
+
 def _q_lookup_users_cdc(sf_dir: str):
     """CDC point lookup: after the binlog sync, fetch 12 user_ids by
     reading ONLY the partition directories they hash to (O(keys) I/O at
@@ -2159,6 +2169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "backfill_roundtrip_cdc": _q_backfill_roundtrip_cdc,
         "exact_median_event_value": _q_exact_median_event_value,
+        "events_mode_by_user": _q_events_mode_by_user,
     }
 
 
@@ -3070,6 +3081,15 @@ def oracle_sql() -> dict[str, str]:
                     hw IS NOT NULL AND tus < hw - 3600000000) AS BIGINT)
                    AS n_late
         FROM w GROUP BY 1
+    """
+    sql["events_mode_by_user"] = """
+        WITH c AS (
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY user_id, event_type)
+        SELECT user_id, event_type AS mode_value, n FROM c
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY n DESC, event_type ASC) = 1
     """
     sql["exact_median_event_value"] = """
         SELECT quantile_disc(value, 0.5) AS median_value FROM events

@@ -1749,3 +1749,73 @@ def exact_quantile_disc(
         cnt = new_cnt
         lo = lo + j * width
         hi = lo + width
+
+
+def mode_by_key(
+    ds,
+    *,
+    key: str,
+    value_col: str,
+    out_col: str = "mode_value",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Most frequent value per key with a DETERMINISTIC tie-break
+    (highest count, then smallest value) — SQL ``mode()`` leaves ties
+    implementation-defined, so the oracle spells the same rule out with
+    ``row_number() OVER (ORDER BY count DESC, value ASC)``.
+
+    Exchange discipline: per-batch ``(key, value)`` pair counts (one row
+    per distinct pair per batch), ONE hash exchange by key co-locating
+    each key's pairs, vectorized per-partition sum + arg-max.  Null values
+    don't count (SQL mode ignores nulls); null keys are dropped; keys with
+    only null values emit nothing.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {key: batch.column(key), "_v": batch.column(value_col)}
+        )
+        t = t.filter(
+            pc.and_(
+                t.column(key).combine_chunks().is_valid(),
+                t.column("_v").combine_chunks().is_valid(),
+            )
+        )
+        g = t.group_by([key, "_v"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        parts = partition_ids(g.column(key), num_partitions)
+        return g.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"]).group_by(
+            [key, "_v"], use_threads=False
+        ).aggregate([("count_all", "sum")])
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                (key, "ascending"),
+                ("count_all_sum", "descending"),
+                ("_v", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        keys = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(keys)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = keys[1:] != keys[:-1]
+        g = g.filter(pa.array(first))
+        return pa.table(
+            {
+                key: g.column(key),
+                out_col: g.column("_v"),
+                "n": g.column("count_all_sum").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -491,3 +491,37 @@ def test_extract_json_int_fractional_is_null(ray_session):
     ).to_pandas()
     vals = [None if pd.isna(v) else int(v) for v in out["v"]]
     assert vals == [5, None, -3, None, None, None]
+
+
+def test_mode_by_key_deterministic_ties(ray_session):
+    """Grouped mode == SQL row_number over (count DESC, value ASC); ties
+    resolve to the smallest value; null keys/values ignored."""
+    from airbyte_destination_ray.pipelines.ops import mode_by_key
+
+    rng = np.random.default_rng(29)
+    n = 900
+    t = pa.table(
+        {
+            "k": pa.array(
+                list(rng.integers(0, 15, n - 2)) + [None, 3],
+                type=pa.int64(),
+            ),
+            "v": pa.array(
+                list(rng.integers(0, 6, n - 1)) + [None], type=pa.int64()
+            ),
+        }
+    )
+    out = mode_by_key(_ds(t, blocks=5), key="k", value_col="v")
+    _assert_matches(
+        out,
+        """
+        WITH c AS (
+            SELECT k, v, CAST(count(*) AS BIGINT) AS n
+            FROM t WHERE k IS NOT NULL AND v IS NOT NULL
+            GROUP BY k, v)
+        SELECT k, v AS mode_value, n FROM c
+        QUALIFY row_number() OVER (
+            PARTITION BY k ORDER BY n DESC, v ASC) = 1
+        """,
+        {"t": t},
+    )
