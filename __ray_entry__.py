@@ -2041,6 +2041,18 @@ def _q_events_mode_by_user(sf_dir: str):
     )
 
 
+def _q_events_percent_rank(sf_dir: str):
+    """percent_rank() per user over event value — the rank-normalized
+    feature column; one keyed exchange, segmented tie-aware ranks."""
+    from airbyte_destination_ray.pipelines.relational import (
+        percent_rank_by_key,
+    )
+
+    return percent_rank_by_key(
+        _events(sf_dir), key="user_id", value_col="value", seq="event_id"
+    )
+
+
 def _q_lookup_users_cdc(sf_dir: str):
     """CDC point lookup: after the binlog sync, fetch 12 user_ids by
     reading ONLY the partition directories they hash to (O(keys) I/O at
@@ -2170,6 +2182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "backfill_roundtrip_cdc": _q_backfill_roundtrip_cdc,
         "exact_median_event_value": _q_exact_median_event_value,
         "events_mode_by_user": _q_events_mode_by_user,
+        "events_percent_rank": _q_events_percent_rank,
     }
 
 
@@ -3081,6 +3094,14 @@ def oracle_sql() -> dict[str, str]:
                     hw IS NOT NULL AND tus < hw - 3600000000) AS BIGINT)
                    AS n_late
         FROM w GROUP BY 1
+    """
+    sql["events_percent_rank"] = """
+        SELECT event_id, user_id,
+               CASE WHEN value IS NULL THEN NULL
+                    ELSE percent_rank() OVER (
+                        PARTITION BY user_id, (value IS NULL)
+                        ORDER BY value) END AS pr
+        FROM events WHERE user_id IS NOT NULL
     """
     sql["events_mode_by_user"] = """
         WITH c AS (

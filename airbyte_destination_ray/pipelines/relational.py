@@ -2391,3 +2391,114 @@ def cohort_retention(
     return partials.groupby(["cohort_day", "offset_days"]).map_groups(
         final, batch_format="pyarrow"
     )
+
+
+def percent_rank_by_key(
+    ds,
+    *,
+    key: str,
+    value_col: str,
+    seq: str,
+    out_col: str = "pr",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """SQL ``percent_rank() OVER (PARTITION BY key ORDER BY value)`` —
+    ``(rank − 1) / (n − 1)`` with ties sharing their rank (RANK, not
+    row_number), single-row keys at 0.0.
+
+    ONE keyed exchange of ``(key, seq, value)``; the per-partition kernel
+    is a segmented sort + tie-boundary gather (ranks come from the index
+    of each tie-group's FIRST row).  The division is one IEEE op on small
+    integers, so the oracle hash-matches bit-for-bit.  Null values rank
+    nowhere and keep a null pr (SQL window functions put nulls last — we
+    drop them to null instead; documented, mirrored by the oracle's CASE);
+    null keys are dropped.
+    """
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key: batch.column(key),
+                seq: batch.column(seq),
+                "_v": batch.column(value_col),
+            }
+        )
+        t = t.filter(t.column(key).combine_chunks().is_valid())
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def rank(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        valid = g.column("_v").combine_chunks().is_valid()
+        nulls = g.filter(pc.invert(valid))
+        g = g.filter(valid)
+        n = g.num_rows
+        out_parts = []
+        if n:
+            idx = pc.sort_indices(
+                g, sort_keys=[(key, "ascending"), ("_v", "ascending")]
+            )
+            g = g.take(idx)
+            keys = g.column(key).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            vals = g.column("_v").combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            start = np.ones(n, dtype=bool)
+            if n > 1:
+                start[1:] = keys[1:] != keys[:-1]
+            si = np.flatnonzero(start)
+            seg_id = np.cumsum(start) - 1
+            seg_len = np.diff(np.append(si, n))
+            # tie group start: value change within the key segment
+            tie_start = start.copy()
+            if n > 1:
+                tie_start[1:] |= vals[1:] != vals[:-1]
+            rank0 = (
+                np.arange(n) - si[seg_id]
+            )  # 0-based row number within key
+            # rank of each row = row number of its tie group's FIRST row.
+            # Accumulate tie-start POSITIONS (globally monotone, so the max
+            # never carries over a segment boundary — a new key's first row
+            # is always a tie start), then gather its within-key rank.
+            tie_pos = np.maximum.accumulate(
+                np.where(tie_start, np.arange(n), 0)
+            )
+            first_of_tie = rank0[tie_pos]
+            denom = np.maximum(seg_len[seg_id] - 1, 1)
+            pr = first_of_tie.astype(np.float64) / denom.astype(np.float64)
+            out_parts.append(
+                pa.table(
+                    {
+                        seq: g.column(seq),
+                        key: g.column(key),
+                        out_col: pa.array(pr, type=pa.float64()),
+                    }
+                )
+            )
+        if nulls.num_rows:
+            out_parts.append(
+                pa.table(
+                    {
+                        seq: nulls.column(seq),
+                        key: nulls.column(key),
+                        out_col: pa.nulls(nulls.num_rows, pa.float64()),
+                    }
+                )
+            )
+        if not out_parts:
+            return pa.table(
+                {
+                    seq: g.column(seq),
+                    key: g.column(key),
+                    out_col: pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.concat_tables(out_parts)
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(rank, batch_format="pyarrow")
+    )

@@ -1701,3 +1701,46 @@ def test_funnel_pre_epoch_timestamps(ray_session):
         .sort_values("level")
     )
     assert list(out["n_keys"]) == [1, 1]
+
+
+def test_percent_rank_by_key_matches_sql(ray_session):
+    """percent_rank per key vs SQL: heavy ties (RANK, not row_number),
+    single-row keys at 0.0, null values get null pr, null keys dropped."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.relational import (
+        percent_rank_by_key,
+    )
+
+    rng = np.random.default_rng(37)
+    n = 700
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "user_id": pa.array(
+                list(rng.integers(0, 9, n - 2)) + [None, 77],
+                type=pa.int64(),
+            ),
+            "value": pa.array(
+                list(rng.integers(0, 5, n - 1).astype(float)) + [None]
+            ),
+        }
+    )
+    out = percent_rank_by_key(
+        ray.data.from_arrow(t).repartition(4),
+        key="user_id",
+        value_col="value",
+        seq="event_id",
+    )
+    _assert_matches(
+        out,
+        """
+        SELECT event_id, user_id,
+               CASE WHEN value IS NULL THEN NULL
+                    ELSE percent_rank() OVER (
+                        PARTITION BY user_id,
+                                     (value IS NULL)
+                        ORDER BY value) END AS pr
+        FROM events WHERE user_id IS NOT NULL
+        """,
+        {"events": t},
+    )
