@@ -1745,6 +1745,9 @@ def table_diff(
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
             t = batch.select(envelope)
+            # a snapshot row without a key has no identity to diff on —
+            # and SQL FULL JOIN would never match two nulls anyway
+            t = t.filter(t.column(key).combine_chunks().is_valid())
             t = t.append_column(
                 "_side",
                 pa.array(np.full(t.num_rows, side, dtype=np.int8)),
