@@ -2053,6 +2053,63 @@ def _q_events_percent_rank(sf_dir: str):
     )
 
 
+def _q_multimodal_audio_dedup(sf_dir: str):
+    """Spectral-fingerprint audio near-dup (the audio sibling of the pHash
+    family): real PCM decode → framed FFT band-energy delta bits →
+    banded Hamming dedup.  Rows-only (FFT not SQL); semantics pinned by
+    unit tests (gain-perturbed copies dropped, distinct clips kept)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from airbyte_destination_ray.stages.multimodal import (
+        dedup_audio_fingerprint,
+        encode_wav,
+    )
+
+    rate = 8000
+    t_ax = np.arange(rate)
+    payloads, ids = [], []
+    i = 0
+    rng = np.random.default_rng(99)
+    for base in range(60):
+        f1, f2 = 100 + 37 * base, 300 + 53 * base
+        # seeded broadband dither: noise-free pure tones have ~zero band
+        # deltas whose SIGNS flip under any perturbation — real audio
+        # (what the fingerprint is for) always has spectral floor
+        sig = (
+            np.sin(2 * np.pi * f1 * t_ax / rate)
+            + 0.5 * np.sin(2 * np.pi * f2 * t_ax / rate)
+            + 0.02 * rng.standard_normal(len(t_ax))
+        )
+        clip = (sig * 12000).astype(np.int16)
+        payloads.append(encode_wav(clip, rate))
+        ids.append(i)
+        i += 1
+        if base % 4 == 0:  # plant a gain-perturbed copy
+            pert = (clip.astype(np.float64) * 1.004).astype(np.int16)
+            payloads.append(encode_wav(pert, rate))
+            ids.append(i)
+            i += 1
+    tbl = pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "kind": pa.array(["audio"] * len(ids)),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["audio/wav"] * len(ids)),
+        }
+    )
+    out = dedup_audio_fingerprint(
+        ray.data.from_arrow(tbl), max_hamming=3, concurrency=2
+    )
+    return out.map_batches(
+        lambda b: b.select(["media_id", "mime"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 def _q_lookup_users_cdc(sf_dir: str):
     """CDC point lookup: after the binlog sync, fetch 12 user_ids by
     reading ONLY the partition directories they hash to (O(keys) I/O at
@@ -2183,6 +2240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_median_event_value": _q_exact_median_event_value,
         "events_mode_by_user": _q_events_mode_by_user,
         "events_percent_rank": _q_events_percent_rank,
+        "multimodal_audio_dedup": _q_multimodal_audio_dedup,
     }
 
 

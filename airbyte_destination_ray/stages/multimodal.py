@@ -918,13 +918,35 @@ def dedup_phash_images(
     payload never rides any exchange — only (band hash, media_id, phash)
     rows do.
     """
+    hashes = image_phashes(ds, concurrency=concurrency)
+    return _dedup_by_hash_banding(
+        ds,
+        hashes,
+        max_hamming=max_hamming,
+        bands=bands,
+        num_partitions=num_partitions,
+        filter_mode=filter_mode,
+    )
+
+
+def _dedup_by_hash_banding(
+    ds,
+    hashes,
+    *,
+    max_hamming: int,
+    bands: int,
+    num_partitions: int,
+    filter_mode: str,
+):
+    """Shared banded-Hamming dedup core over a ``(media_id, phash)``
+    Dataset: band buckets → pair expansion → SWAR-popcount verify →
+    keep-first filter of the ORIGINAL dataset."""
     if max_hamming > bands - 1:
         raise ValueError(
             "banding is only complete for max_hamming <= bands - 1"
         )
     from ..pipelines.dedup import _apply_dup_filter
 
-    hashes = image_phashes(ds, concurrency=concurrency)
     width = 64 // bands
     band_mask = np.uint64((1 << width) - 1)
 
@@ -1039,4 +1061,125 @@ def synthesize_noise_media_table(
             "mime": pa.array(["image/x-portable-pixmap"] * len(ids)),
         },
         schema=MEDIA_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprinting (spectral hash) + near-duplicate audio
+# ---------------------------------------------------------------------------
+
+
+class AudioFingerprintStage:
+    """payload → 64-bit spectral fingerprint from the REAL PCM decode:
+    frame the mono signal (2048 samples, hop 1024, Hann window precomputed
+    per actor), FFT per frame, pool log-band energies into an 8×9
+    (frame-pool × band) grid, and take the sign of the time-and-band
+    energy DELTAS (the Haitsma–Kalker / chromaprint bit rule) — 64 bits
+    robust to small gain/noise perturbations, deterministic (fixed IEEE
+    ops, no RNG).  Null payloads and undecodable audio → null (strict
+    raises for compressed codecs, same contract as the other stages)."""
+
+    FRAME = 2048
+    HOP = 1024
+    POOL_T = 8
+    BANDS = 9
+
+    def __init__(self, *, strict: bool = True):
+        self.strict = strict
+        self.window = np.hanning(self.FRAME)
+        # log-spaced band edges over the positive-frequency bins
+        nbins = self.FRAME // 2 + 1
+        self.edges = np.unique(
+            np.geomspace(2, nbins - 1, self.BANDS + 1).astype(np.int64)
+        )
+        while len(self.edges) < self.BANDS + 1:  # tiny-N degenerate guard
+            self.edges = np.append(self.edges, self.edges[-1] + 1)
+        self.bit_weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def _fingerprint(self, payload: bytes | None):
+        if payload is None:
+            return None
+        decoded = decode_wav(payload)
+        if decoded is None:
+            if self.strict:
+                raise NotImplementedError(
+                    "compressed-audio decoding requires ffmpeg/librosa — stubbed"
+                )
+            return None
+        samples, _rate = decoded
+        if len(samples) < self.FRAME:
+            samples = np.pad(samples, (0, self.FRAME - len(samples)))
+        n_frames = 1 + (len(samples) - self.FRAME) // self.HOP
+        idx = (
+            np.arange(self.FRAME)[None, :]
+            + np.arange(n_frames)[:, None] * self.HOP
+        )
+        frames = samples[idx] * self.window[None, :]
+        spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+        # band energies
+        bands = np.add.reduceat(spec, self.edges[:-1], axis=1)[
+            :, : self.BANDS
+        ]
+        # pool frames into POOL_T equal time buckets (mean)
+        bounds = (np.arange(self.POOL_T + 1) * n_frames) // self.POOL_T
+        bounds = np.maximum(bounds, np.arange(self.POOL_T + 1))
+        bounds = np.minimum(bounds, n_frames)
+        pooled = np.empty((self.POOL_T, self.BANDS))
+        for tslot in range(self.POOL_T):
+            a, b = bounds[tslot], bounds[tslot + 1]
+            pooled[tslot] = (
+                bands[a:b].mean(axis=0) if b > a else 0.0
+            )
+        loge = np.log1p(pooled)
+        # bit(t, b) = 1 iff the (time, band) energy delta is positive
+        d = (loge[1:, 1:] - loge[1:, :-1]) - (loge[:-1, 1:] - loge[:-1, :-1])
+        bits = (d > 0).ravel()  # 7 × 8 = 56 bits
+        out = np.zeros(64, dtype=bool)
+        out[: len(bits)] = bits
+        return int(self.bit_weights[out].sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [
+            self._fingerprint(p)
+            for p in batch.column("payload").to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "afp": pa.array(fps, type=pa.uint64()),
+            }
+        )
+
+
+def dedup_audio_fingerprint(
+    ds,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    concurrency: int = 4,
+    num_partitions: int = 32,
+    filter_mode: str = "broadcast",
+):
+    """Near-duplicate audio removal by spectral fingerprint — the audio
+    sibling of :func:`dedup_phash_images`: actor-pool fingerprinting, then
+    the identical banded-Hamming candidate/verify/keep-first machinery
+    (pigeonhole-complete at ``max_hamming ≤ bands−1``); payload bytes
+    never ride an exchange."""
+    fps = ds.map_batches(
+        AudioFingerprintStage,
+        batch_format="pyarrow",
+        batch_size=DEFAULT_MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+    ).map_batches(
+        lambda b: b.rename_columns(["media_id", "phash"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return _dedup_by_hash_banding(
+        ds,
+        fps,
+        max_hamming=max_hamming,
+        bands=bands,
+        num_partitions=num_partitions,
+        filter_mode=filter_mode,
     )

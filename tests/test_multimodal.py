@@ -471,3 +471,58 @@ def test_phash_small_images_and_null_payloads(ray_session):
     )
     # nothing dedups: small images differ, null payloads never match
     assert sorted(out.to_pandas()["media_id"]) == [0, 1, 2, 3]
+
+
+def test_audio_fingerprint_near_dup(ray_session):
+    """A +0.5% gain perturbation of a clip lands within Hamming 3 and the
+    later media_id drops; structurally different clips (distinct harmonic
+    content) survive; null payloads never collide."""
+    import ray.data
+
+    from airbyte_destination_ray.stages.multimodal import (
+        AudioFingerprintStage,
+        dedup_audio_fingerprint,
+        encode_wav,
+    )
+
+    rate = 8000
+    t_ax = np.arange(rate * 2)
+    rng = np.random.default_rng(7)
+    clips = []
+    for i in range(10):
+        # distinct multi-tone content per clip
+        f1, f2 = 120 + 97 * i, 340 + 61 * i
+        sig = (
+            np.sin(2 * np.pi * f1 * t_ax / rate)
+            + 0.5 * np.sin(2 * np.pi * f2 * t_ax / rate)
+            + 0.02 * rng.standard_normal(len(t_ax))
+        )
+        clips.append((sig * 12000).astype(np.int16))
+    stage = AudioFingerprintStage()
+    base_fp = stage._fingerprint(encode_wav(clips[0], rate))
+    pert = (clips[0].astype(np.float64) * 1.005).astype(np.int16)
+    pert_fp = stage._fingerprint(encode_wav(pert, rate))
+    assert bin(base_fp ^ pert_fp).count("1") <= 3
+
+    payloads = [encode_wav(c, rate) for c in clips] + [
+        encode_wav(pert, rate),
+        None,
+        None,
+    ]
+    tbl = pa.table(
+        {
+            "media_id": pa.array(
+                list(range(10)) + [100, 101, 102], type=pa.int64()
+            ),
+            "kind": pa.array(["audio"] * 13),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["audio/wav"] * 13),
+        }
+    )
+    out = dedup_audio_fingerprint(
+        ray.data.from_arrow(tbl).repartition(3), max_hamming=3, concurrency=2
+    )
+    kept = sorted(out.to_pandas()["media_id"])
+    assert 100 not in kept           # perturbed copy of clip 0 dropped
+    assert set(range(10)) <= set(kept)  # distinct clips survive
+    assert 101 in kept and 102 in kept  # nulls never collide
