@@ -149,7 +149,17 @@ def _q_dedup_exact_incremental(sf_dir: str):
 
     import os as _os
 
-    # pid-scoped: a fixed shared path races concurrent gate/driver runs
+    # pid-scoped: a fixed shared path races concurrent gate/driver runs.
+    # Also sweep dirs left by DEAD pids (a live pid's dir is never touched,
+    # so there is no race; without this every run would leak one dir).
+    for stale in Path("/tmp").glob("adr_incr_state-*"):
+        try:
+            pid = int(stale.name.rsplit("-", 1)[1])
+            _os.kill(pid, 0)
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another user: leave it
     state = Path(f"/tmp/adr_incr_state-{_os.getpid()}")
     if state.exists():
         shutil.rmtree(state)

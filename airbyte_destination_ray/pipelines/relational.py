@@ -2454,10 +2454,16 @@ def percent_rank_by_key(
             si = np.flatnonzero(start)
             seg_id = np.cumsum(start) - 1
             seg_len = np.diff(np.append(si, n))
-            # tie group start: value change within the key segment
+            # tie group start: value change within the key segment.
+            # NaN != NaN is True in numpy but SQL ORDER BY ties NaNs
+            # together — mask consecutive-NaN pairs (review regression)
             tie_start = start.copy()
             if n > 1:
-                tie_start[1:] |= vals[1:] != vals[:-1]
+                changed = vals[1:] != vals[:-1]
+                if vals.dtype.kind == "f":
+                    both_nan = np.isnan(vals[1:]) & np.isnan(vals[:-1])
+                    changed &= ~both_nan
+                tie_start[1:] |= changed
             rank0 = (
                 np.arange(n) - si[seg_id]
             )  # 0-based row number within key

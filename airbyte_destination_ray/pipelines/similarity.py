@@ -437,8 +437,6 @@ def knn_lsh(
     tests."""
     if not 1 <= num_planes <= 63:
         raise ValueError("num_planes must be in [1, 63] (int64 bucket ids)")
-    if probes == "all" and num_planes > 20:
-        raise ValueError("probes='all' supported for num_planes <= 20")
     q = _normalize(np.asarray(queries, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
     planes_by_dim: dict[int, np.ndarray] = {}

@@ -1074,14 +1074,16 @@ class AudioFingerprintStage:
     frame the mono signal (2048 samples, hop 1024, Hann window precomputed
     per actor), FFT per frame, pool log-band energies into an 8×9
     (frame-pool × band) grid, and take the sign of the time-and-band
-    energy DELTAS (the Haitsma–Kalker / chromaprint bit rule) — 64 bits
+    energy DELTAS (the Haitsma–Kalker / chromaprint bit rule) — a 9×9
+    pool grid gives 8×8 = 64 REAL delta bits (no zero padding: a padded
+    top band would collapse its dedup bucket space) — 64 bits
     robust to small gain/noise perturbations, deterministic (fixed IEEE
     ops, no RNG).  Null payloads and undecodable audio → null (strict
     raises for compressed codecs, same contract as the other stages)."""
 
     FRAME = 2048
     HOP = 1024
-    POOL_T = 8
+    POOL_T = 9
     BANDS = 9
 
     def __init__(self, *, strict: bool = True):
@@ -1133,10 +1135,8 @@ class AudioFingerprintStage:
         loge = np.log1p(pooled)
         # bit(t, b) = 1 iff the (time, band) energy delta is positive
         d = (loge[1:, 1:] - loge[1:, :-1]) - (loge[:-1, 1:] - loge[:-1, :-1])
-        bits = (d > 0).ravel()  # 7 × 8 = 56 bits
-        out = np.zeros(64, dtype=bool)
-        out[: len(bits)] = bits
-        return int(self.bit_weights[out].sum())
+        bits = (d > 0).ravel()  # 8 × 8 = 64 real bits
+        return int(self.bit_weights[bits].sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fps = [

@@ -1744,3 +1744,31 @@ def test_percent_rank_by_key_matches_sql(ray_session):
         """,
         {"events": t},
     )
+
+
+def test_percent_rank_nan_values_tie(ray_session):
+    """NaN values tie together like SQL ORDER BY (numpy NaN != NaN would
+    split them into singleton tie groups — review regression)."""
+    import ray.data
+    from airbyte_destination_ray.pipelines.relational import (
+        percent_rank_by_key,
+    )
+
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2], type=pa.int64()),
+            "user_id": pa.array([7, 7, 7], type=pa.int64()),
+            "value": pa.array([1.0, float("nan"), float("nan")]),
+        }
+    )
+    out = (
+        percent_rank_by_key(
+            ray.data.from_arrow(t),
+            key="user_id",
+            value_col="value",
+            seq="event_id",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert list(out["pr"]) == [0.0, 0.5, 0.5]
