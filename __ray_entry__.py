@@ -2120,6 +2120,14 @@ def _q_multimodal_audio_dedup(sf_dir: str):
     )
 
 
+def _q_events_mad_by_type(sf_dir: str):
+    """Exact per-key median absolute deviation (robust spread): one keyed
+    exchange, segmented double-median kernel."""
+    from airbyte_destination_ray.pipelines.ops import grouped_mad
+
+    return grouped_mad(_events(sf_dir), key="event_type", value_col="value")
+
+
 def _q_lookup_users_cdc(sf_dir: str):
     """CDC point lookup: after the binlog sync, fetch 12 user_ids by
     reading ONLY the partition directories they hash to (O(keys) I/O at
@@ -2251,6 +2259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode_by_user": _q_events_mode_by_user,
         "events_percent_rank": _q_events_percent_rank,
         "multimodal_audio_dedup": _q_multimodal_audio_dedup,
+        "events_mad_by_type": _q_events_mad_by_type,
     }
 
 
@@ -3170,6 +3179,15 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id, (value IS NULL)
                         ORDER BY value) END AS pr
         FROM events WHERE user_id IS NOT NULL
+    """
+    sql["events_mad_by_type"] = """
+        WITH e AS (SELECT event_type AS k, value AS v FROM events
+                   WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        m AS (SELECT k, quantile_cont(v, 0.5) AS med FROM e GROUP BY k),
+        d AS (SELECT e.k, abs(e.v - m.med) AS dev
+              FROM e JOIN m USING (k))
+        SELECT k AS event_type, quantile_cont(dev, 0.5) AS mad
+        FROM d GROUP BY k
     """
     sql["events_mode_by_user"] = """
         WITH c AS (

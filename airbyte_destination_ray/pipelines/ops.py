@@ -1819,3 +1819,97 @@ def mode_by_key(
         .groupby("_part")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def grouped_mad(
+    ds,
+    *,
+    key: str,
+    value_col: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Exact per-key median absolute deviation (robust spread — the
+    outlier-resistant sibling of the per-key stddev): ``median(|v −
+    median(v)|)`` with SQL ``quantile_cont(0.5)`` interpolation semantics
+    at both levels.
+
+    ONE hash exchange of ``(key, value)`` (payload never moves); the
+    per-partition kernel runs the segmented median twice — each a
+    vectorized sort + group-relative rank interpolation, the same
+    rank-from-segment-start arithmetic as :func:`grouped_quantiles` (the
+    fractional part MUST come from the group-relative rank; absolute
+    offsets lose float precision deep into a partition).  Null values are
+    ignored (SQL aggregate semantics); keys with no non-null values emit
+    nothing.
+    """
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {key: batch.column(key), "_v": batch.column(value_col)}
+        )
+        t = t.filter(
+            pc.and_(
+                t.column(key).combine_chunks().is_valid(),
+                t.column("_v").combine_chunks().is_valid(),
+            )
+        )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def _segment_median(
+        keys: np.ndarray, vals: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(seg_starts, per-segment median, seg_id per row) over rows
+        sorted by (key, value)."""
+        n = len(keys)
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = keys[1:] != keys[:-1]
+        si = np.flatnonzero(start)
+        seg_id = np.cumsum(start) - 1
+        seg_len = np.diff(np.append(si, n))
+        rel = 0.5 * (seg_len - 1)
+        lo = si + np.floor(rel).astype(np.int64)
+        hi = si + np.ceil(rel).astype(np.int64)
+        frac = rel - np.floor(rel)
+        med = vals[lo] * (1 - frac) + vals[hi] * frac
+        return si, med, seg_id
+
+    def mad(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        idx = pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), ("_v", "ascending")]
+        )
+        g = g.take(idx)
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    key: g.column(key),
+                    "mad": pa.array([], type=pa.float64()),
+                }
+            )
+        keys = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        vals = (
+            g.column("_v").combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        si, med, seg_id = _segment_median(keys, vals)
+        dev = np.abs(vals - med[seg_id])
+        # second median needs deviations sorted WITHIN each segment:
+        # lexsort by (dev, segment) keeps segments contiguous in seg order
+        order = np.lexsort((dev, seg_id))
+        _, mad_vals, _ = _segment_median(seg_id[order], dev[order])
+        key_arr = g.column(key).combine_chunks().take(pa.array(si))
+        return pa.table(
+            {
+                key: key_arr,
+                "mad": pa.array(mad_vals, type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(mad, batch_format="pyarrow")
+    )

@@ -525,3 +525,36 @@ def test_mode_by_key_deterministic_ties(ray_session):
         """,
         {"t": t},
     )
+
+
+def test_grouped_mad_matches_sql(ray_session):
+    """Exact per-key MAD == SQL quantile_cont∘abs∘quantile_cont, including
+    even/odd segment interpolation and single-row keys (mad 0)."""
+    from airbyte_destination_ray.pipelines.ops import grouped_mad
+
+    rng = np.random.default_rng(43)
+    n = 800
+    t = pa.table(
+        {
+            "k": pa.array(
+                list(rng.integers(0, 11, n - 2)) + [None, 50],
+                type=pa.int64(),
+            ),
+            "v": pa.array(
+                list(rng.uniform(-50, 50, n - 1)) + [None]
+            ),
+        }
+    )
+    out = grouped_mad(_ds(t, blocks=5), key="k", value_col="v")
+    _assert_matches(
+        out,
+        """
+        WITH e AS (SELECT k, v FROM t
+                   WHERE k IS NOT NULL AND v IS NOT NULL),
+        m AS (SELECT k, quantile_cont(v, 0.5) AS med FROM e GROUP BY k),
+        d AS (SELECT e.k, abs(e.v - m.med) AS dev
+              FROM e JOIN m USING (k))
+        SELECT k, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY k
+        """,
+        {"t": t},
+    )
