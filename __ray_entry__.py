@@ -2155,11 +2155,74 @@ def _q_frequent_users_exact(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Dict ORDER matters: the driver's correctness gate checks only the
+    # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
+    # 3 multimodal exact-stats queries (oracle casts fixed this round),
+    # then the queries with no driver row in CORRECTNESS_r01/r02.  Entries
+    # after the window already have a green row (or are same-family
+    # siblings of an in-window entry) from earlier rounds.
     return {
+        # --- round-3 driver window (first 50) ---
+        "cdc_sync_events_full": _q_cdc_sync_events_full,
+        "multimodal_image_stats_exact": _q_multimodal_image_stats_exact,
+        "multimodal_audio_stats_exact": _q_multimodal_audio_stats_exact,
+        "multimodal_video_stats_exact": _q_multimodal_video_stats_exact,
+        "cap_docs_per_lang": _q_cap_docs_per_lang,
+        "weighted_mixture_sample": _q_weighted_mixture_sample,
+        "canonicalize_urls_events": _q_canonicalize_urls,
+        "cap_pages_per_host": _q_cap_pages_per_host,
+        "remove_boilerplate_documents": _q_remove_boilerplate,
+        "dedup_segments_documents": _q_dedup_segments_documents,
+        "top_terms_documents": _q_top_terms_documents,
+        "chunk_documents": _q_chunk_documents,
+        "webtext_pipeline_documents": _q_webtext_pipeline,
+        "filter_docs_above_median": _q_filter_docs_above_median,
+        "users_click_purchase_full_join": _q_users_click_purchase_full_join,
+        "events_corr_value_hour": _q_events_corr_value_hour,
+        "events_user_gaps": _q_events_user_gaps,
+        "events_rollup_type_day": _q_events_rollup_type_day,
+        "events_pivot_daily": _q_events_pivot_daily,
+        "decontaminate_documents": _q_decontaminate_documents,
+        "shipping_priority_top10": _q_shipping_priority,
+        "events_props_stats": _q_events_props_stats,
+        "late_ship_orders_except_finished": _q_late_ship_orders_except_finished,
+        "users_clicked_and_purchased": _q_users_clicked_and_purchased,
+        "top2_days_dense_rank": _q_top2_days_dense_rank,
+        "embeddings_cluster_assign": _q_embeddings_cluster_assign,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "campaign_event_stats": _q_campaign_event_stats,
+        "events_moving_sum_by_user": _q_events_moving_sum,
+        "events_value_zscore": _q_events_value_zscore,
+        "doc_near_dup_components": _q_doc_near_dup_components,
+        "semdedup_embeddings": _q_semdedup_embeddings,
+        "scd2_user_history": _q_scd2_user_history,
+        "frequent_users_exact": _q_frequent_users_exact,
+        "normalize_text_documents": _q_normalize_text,
+        "fuzzy_vocab_pairs": _q_fuzzy_vocab_pairs,
+        "urgent_orders_bloom_join": _q_urgent_orders_bloom_join,
+        "lookup_users_cdc": _q_lookup_users_cdc,
+        "events_late_arrivals": _q_events_late_arrivals,
+        "multimodal_phash_dedup": _q_multimodal_phash_dedup,
+        "bucket_docs_quartiles": _q_bucket_docs_quartiles,
+        "events_funnel": _q_events_funnel,
+        "events_cohort_retention": _q_events_cohort_retention,
+        "inverted_index_lookup": _q_inverted_index_lookup,
+        "cdc_schema_evolution": _q_cdc_schema_evolution,
+        "backfill_roundtrip_cdc": _q_backfill_roundtrip_cdc,
+        "exact_median_event_value": _q_exact_median_event_value,
+        "events_mode_by_user": _q_events_mode_by_user,
+        "events_percent_rank": _q_events_percent_rank,
+        "events_mad_by_type": _q_events_mad_by_type,
+        # --- overflow: no driver row yet, same-family sibling in window ---
+        "events_cube_type_day": _q_events_cube_type_day,
+        "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
+        "users_snapshot_diff": _q_users_snapshot_diff,
+        "events_user_zscore": _q_events_user_zscore,
+        "multimodal_audio_dedup": _q_multimodal_audio_dedup,
+        # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
         "cdc_lww_tombstones": _q_cdc_lww_tombstones,
-        "cdc_sync_events_full": _q_cdc_sync_events_full,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "dedup_exact_hash_documents": _q_dedup_exact_hash,
         "dedup_exact_incremental_documents": _q_dedup_exact_incremental,
@@ -2182,9 +2245,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_html_text_documents": _q_extract_html_text,
         "domain_stats_events": _q_domain_stats,
         "multimodal_image_decode": _q_multimodal_image_decode,
-        "multimodal_image_stats_exact": _q_multimodal_image_stats_exact,
-        "multimodal_audio_stats_exact": _q_multimodal_audio_stats_exact,
-        "multimodal_video_stats_exact": _q_multimodal_video_stats_exact,
         "multimodal_audio_features": _q_multimodal_audio_features,
         "multimodal_video_frames": _q_multimodal_video_frames,
         "lineage_events_cdc": _q_lineage_events_cdc,
@@ -2208,58 +2268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_events_hash": _q_sample_events_hash,
         "top3_events_per_user": _q_top3_events_per_user,
         "events_value_histogram": _q_events_value_histogram,
-        "cap_docs_per_lang": _q_cap_docs_per_lang,
-        "weighted_mixture_sample": _q_weighted_mixture_sample,
         "events_distinct_users_approx": _q_events_distinct_users_approx,
-        "canonicalize_urls_events": _q_canonicalize_urls,
-        "cap_pages_per_host": _q_cap_pages_per_host,
-        "remove_boilerplate_documents": _q_remove_boilerplate,
-        "dedup_segments_documents": _q_dedup_segments_documents,
-        "top_terms_documents": _q_top_terms_documents,
-        "chunk_documents": _q_chunk_documents,
-        "webtext_pipeline_documents": _q_webtext_pipeline,
-        "filter_docs_above_median": _q_filter_docs_above_median,
-        "users_click_purchase_full_join": _q_users_click_purchase_full_join,
-        "events_corr_value_hour": _q_events_corr_value_hour,
-        "events_user_gaps": _q_events_user_gaps,
-        "events_rollup_type_day": _q_events_rollup_type_day,
-        "events_pivot_daily": _q_events_pivot_daily,
-        "decontaminate_documents": _q_decontaminate_documents,
-        "shipping_priority_top10": _q_shipping_priority,
-        "events_cube_type_day": _q_events_cube_type_day,
-        "events_props_stats": _q_events_props_stats,
-        "late_ship_orders_except_finished": _q_late_ship_orders_except_finished,
-        "users_clicked_and_purchased": _q_users_clicked_and_purchased,
-        "top2_days_dense_rank": _q_top2_days_dense_rank,
-        "embeddings_cluster_assign": _q_embeddings_cluster_assign,
-        "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
-        "local_supplier_volume": _q_local_supplier_volume,
-        "campaign_event_stats": _q_campaign_event_stats,
-        "events_moving_sum_by_user": _q_events_moving_sum,
-        "events_value_zscore": _q_events_value_zscore,
-        "doc_near_dup_components": _q_doc_near_dup_components,
-        "semdedup_embeddings": _q_semdedup_embeddings,
-        "scd2_user_history": _q_scd2_user_history,
-        "users_snapshot_diff": _q_users_snapshot_diff,
-        "frequent_users_exact": _q_frequent_users_exact,
-        "normalize_text_documents": _q_normalize_text,
-        "fuzzy_vocab_pairs": _q_fuzzy_vocab_pairs,
-        "urgent_orders_bloom_join": _q_urgent_orders_bloom_join,
-        "lookup_users_cdc": _q_lookup_users_cdc,
-        "events_late_arrivals": _q_events_late_arrivals,
-        "multimodal_phash_dedup": _q_multimodal_phash_dedup,
-        "bucket_docs_quartiles": _q_bucket_docs_quartiles,
-        "events_user_zscore": _q_events_user_zscore,
-        "events_funnel": _q_events_funnel,
-        "events_cohort_retention": _q_events_cohort_retention,
-        "inverted_index_lookup": _q_inverted_index_lookup,
-        "cdc_schema_evolution": _q_cdc_schema_evolution,
-        "backfill_roundtrip_cdc": _q_backfill_roundtrip_cdc,
-        "exact_median_event_value": _q_exact_median_event_value,
-        "events_mode_by_user": _q_events_mode_by_user,
-        "events_percent_rank": _q_events_percent_rank,
-        "multimodal_audio_dedup": _q_multimodal_audio_dedup,
-        "events_mad_by_type": _q_events_mad_by_type,
     }
 
 
@@ -2341,17 +2350,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM ids
             )
             SELECT media_id, w AS width, h AS height,
-                h * list_sum(list_transform(
+                CAST(h * list_sum(list_transform(
                     generate_series(0, w - 1), x -> (x * 255) // (w - 1)
-                )) AS r_sum,
-                w * list_sum(list_transform(
+                )) AS BIGINT) AS r_sum,
+                CAST(w * list_sum(list_transform(
                     generate_series(0, h - 1), y -> (y * 255) // (h - 1)
-                )) AS g_sum,
-                list_sum(list_transform(generate_series(0, h - 1), y ->
+                )) AS BIGINT) AS g_sum,
+                CAST(list_sum(list_transform(generate_series(0, h - 1), y ->
                     list_sum(list_transform(
                         generate_series(0, w - 1), x -> (x + y) % 256
                     ))
-                )) AS b_sum
+                )) AS BIGINT) AS b_sum
             FROM dims
         """,
         "multimodal_audio_stats_exact": """
@@ -2362,13 +2371,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM ids
             )
             SELECT media_id, n AS n_samples,
-                list_sum(list_transform(
+                CAST(list_sum(list_transform(
                     generate_series(0, n - 1), t -> (t * k) % 65536 - 32768
-                )) AS sample_sum,
-                list_sum(list_transform(
+                )) AS BIGINT) AS sample_sum,
+                CAST(list_sum(list_transform(
                     generate_series(0, n - 1),
                     t -> abs((t * k) % 65536 - 32768)
-                )) AS abs_sum
+                )) AS BIGINT) AS abs_sum
             FROM p
         """,
         "multimodal_video_stats_exact": """
@@ -2380,10 +2389,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM ids
             )
             SELECT media_id, frame_idx,
-                list_sum(list_transform(
+                CAST(list_sum(list_transform(
                     generate_series(0, 287),
                     j -> (31 * frame_idx + 7 * j + media_id) % 256
-                )) AS byte_sum
+                )) AS BIGINT) AS byte_sum
             FROM f
         """,
         "domain_stats_events": """

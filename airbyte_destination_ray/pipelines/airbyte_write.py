@@ -56,6 +56,25 @@ import numpy as np
 MAX_RECORDS_PER_FLUSH = 500  # reference maxRecordsBatchSize (destination.go:30)
 MAX_BYTES_PER_FLUSH = 1_047_000  # reference maxBytesPerBatch (destination.go:29)
 
+# Go's json.Marshal (destination.go:428-433) HTML-escapes these to 6-byte
+# \u00XX sequences; with ensure_ascii=False Python keeps them literal, so
+# flush byte accounting adds (6 - utf8_len) per occurrence to match Go:
+# '<' '>' '&' are 1 byte (+5 each); U+2028/U+2029 are 3 bytes (+3 each).
+_GO_JSON_ESCAPES = (("<", 5), (">", 5), ("&", 5), ("\u2028", 3), ("\u2029", 3))
+
+
+def go_json_size(obj: dict) -> int:
+    """Byte length of Go's ``json.Marshal(obj)`` for a map (sorted keys)."""
+    encoded = json.dumps(
+        obj, separators=(",", ":"), sort_keys=True, ensure_ascii=False
+    )
+    size = len(encoded.encode("utf-8"))
+    for ch, extra in _GO_JSON_ESCAPES:
+        cnt = encoded.count(ch)
+        if cnt:
+            size += cnt * extra
+    return size
+
 
 def emit(out: TextIO, payload: dict) -> None:
     """S5: protocol messages as NDJSON on stdout (logger.go:37-101)."""
@@ -220,17 +239,18 @@ class AirbyteWriter:
         # exactly the reference's check-before-append ordering).  The raw id
         # is a fixed-width UUID string, so a placeholder keeps the
         # accounting exact without paying sha256 per record here.
+        # Byte accounting matches Go's json.Marshal: ensure_ascii=False
+        # emits raw UTF-8 (Go never \uXXXX-escapes non-ASCII), and Go's
+        # HTML-safe default escapes <, >, & (and U+2028/U+2029 inside
+        # strings) to 6-byte \u00XX sequences — counted via _GO_JSON_ESCAPES
+        # below, since the chars are 1 (or 3) bytes on the Python side.
         size = (
-            len(
-                json.dumps(
-                    {
-                        **record.data,
-                        RAW_ID_COLUMN: "0" * 36,
-                        EXTRACTED_AT_COLUMN: record.emitted_at,
-                    },
-                    separators=(",", ":"),
-                    sort_keys=True,
-                ).encode("utf-8")
+            go_json_size(
+                {
+                    **record.data,
+                    RAW_ID_COLUMN: "0" * 36,
+                    EXTRACTED_AT_COLUMN: record.emitted_at,
+                }
             )
             + 1
         )

@@ -8,7 +8,9 @@ Five dedup families, all following the same two-phase Ray Data shape:
 2. **bucket resolution** — ``groupby(key).map_groups`` marks every doc that
    shares a bucket with a smaller ``id`` as a duplicate; the surviving set is
    applied with a broadcast filter (``ray.put`` once, read per task — the
-   small-side-broadcast pattern, no second payload shuffle).
+   small-side-broadcast pattern, no second payload shuffle) while the dup-id
+   set is small, switching automatically to a distributed anti-join above
+   ``DEDUP_BROADCAST_MAX_IDS`` (``filter_mode="auto"``).
 
 The bucket rule ("min id in any shared bucket wins") is the standard
 single-pass LSH dedup approximation (SlimPajama/RefinedWeb recipe): it
@@ -34,6 +36,12 @@ from ..functions.text import content_fingerprint
 
 
 DEDUP_NUM_PARTITIONS = 64
+
+# auto filter mode: broadcast the dup-id set while it stays under this many
+# ids (~40 MB of int64 on the driver + one plasma copy); above it, switch to
+# the distributed anti-join so a high-duplicate 100 TB corpus never funnels
+# O(duplicates) through the driver.
+DEDUP_BROADCAST_MAX_IDS = 5_000_000
 
 
 def _broadcast_filter_out(ds, id_col: str, dup_ids_ref):
@@ -63,7 +71,7 @@ def _distributed_filter_out(ds, id_col: str, candidates, num_partitions: int):
     drop matches per partition — the scale path when the duplicate-id set
     is too large to collect and broadcast (billions of dups at 100 TB).
     Costs one payload shuffle where the broadcast filter costs none, so
-    broadcast stays the default."""
+    the auto default broadcasts below DEDUP_BROADCAST_MAX_IDS."""
     schema = ds.schema()
     types = dict(zip(schema.names, schema.types))
 
@@ -114,19 +122,35 @@ def _distributed_filter_out(ds, id_col: str, candidates, num_partitions: int):
 def _apply_dup_filter(ds, id_col: str, candidates, filter_mode: str):
     """Apply the duplicate-id set to the original dataset.
 
-    ``filter_mode="broadcast"`` (default) collects the dup-id set to the
-    driver and broadcasts via ``ray.put`` — zero extra shuffles, right when
-    the dup set fits in memory.  ``filter_mode="shuffle"`` runs the
-    distributed anti-join (:func:`_distributed_filter_out`) — the scale path
-    when the dup set is billions of ids (100 TB corpora); costs one payload
-    shuffle but never touches the driver.  Both modes produce identical
-    surviving sets (pinned per family in test_dedup.py)."""
+    ``filter_mode="auto"`` (default) materializes the candidate ids (dup-id
+    blocks stay in the object store — aggregate-sized, never payloads),
+    reads the count off the materialized metadata, and picks: broadcast
+    while the set is ≤ :data:`DEDUP_BROADCAST_MAX_IDS`, the distributed
+    anti-join above it.  ``filter_mode="broadcast"`` forces the driver
+    collect + ``ray.put`` path — zero extra shuffles, right when the dup set
+    fits in memory.  ``filter_mode="shuffle"`` forces the distributed
+    anti-join (:func:`_distributed_filter_out`) — the scale path when the
+    dup set is billions of ids (100 TB corpora); costs one payload shuffle
+    but never touches the driver.  All modes produce identical surviving
+    sets (pinned per family in test_dedup.py)."""
     if filter_mode == "shuffle":
         return _distributed_filter_out(
             ds, id_col, candidates, DEDUP_NUM_PARTITIONS
         )
+    if filter_mode == "auto":
+        # One execution of the candidate pipeline either way (matters for
+        # the incremental family, whose candidates commit state).
+        mat = candidates.materialize()
+        if mat.count() > DEDUP_BROADCAST_MAX_IDS:
+            return _distributed_filter_out(
+                ds, id_col, mat, DEDUP_NUM_PARTITIONS
+            )
+        filter_mode = "broadcast"
+        candidates = mat
     if filter_mode != "broadcast":
-        raise ValueError(f"filter_mode must be broadcast|shuffle, got {filter_mode!r}")
+        raise ValueError(
+            f"filter_mode must be auto|broadcast|shuffle, got {filter_mode!r}"
+        )
     dup_ids = _collect_dup_ids(candidates)
     return _broadcast_filter_out(ds, id_col, ray.put(dup_ids))
 
@@ -195,7 +219,7 @@ def dedup_minhash_lsh(
     bands: int = 16,
     shingle_k: int = 5,
     verify_threshold: float | None = None,
-    filter_mode: str = "broadcast",
+    filter_mode: str = "auto",
 ):
     """MinHash + LSH near-duplicate removal.
 
@@ -269,7 +293,7 @@ def dedup_simhash(
     id_col: str = "doc_id",
     hamming_threshold: int = 3,
     bands: int = 4,
-    filter_mode: str = "broadcast",
+    filter_mode: str = "auto",
 ):
     """SimHash near-dup removal (Manku et al. WWW'07 banding scheme).
 
@@ -341,7 +365,7 @@ def dedup_ngram_jaccard(
     threshold: float = 0.8,
     num_perm: int = 128,
     bands: int = 32,
-    filter_mode: str = "broadcast",
+    filter_mode: str = "auto",
 ):
     """N-gram Jaccard dedup: MinHash-LSH candidates + signature-estimated
     Jaccard verification at ``threshold`` (precision-oriented: wider
@@ -549,7 +573,7 @@ def dedup_jaccard_exact(
     threshold: float = 0.8,
     num_partitions: int = DEDUP_NUM_PARTITIONS,
     max_shingle_freq: int | None = None,
-    filter_mode: str = "broadcast",
+    filter_mode: str = "auto",
 ):
     """EXACT n-gram Jaccard dedup (the hash-checked anchor of the near-dup
     family): drop every doc that has an earlier doc (smaller id) with true
@@ -581,7 +605,7 @@ def dedup_exact_hash(
     text_col: str = "text",
     id_col: str = "doc_id",
     normalize: bool = False,
-    filter_mode: str = "broadcast",
+    filter_mode: str = "auto",
 ):
     """Exact dedup by 64-bit content fingerprint: hash-partition + keep the
     min-id doc per fingerprint.  Collision-unsafe variant of
@@ -629,7 +653,7 @@ def dedup_embedding_cosine(
     threshold: float = 0.95,
     num_planes: int = 12,
     seed: int = 42,
-    filter_mode: str = "broadcast",
+    filter_mode: str = "auto",
     transit: str = "int8",
 ):
     """Embedding near-dup removal: random-hyperplane LSH buckets + exact
@@ -734,7 +758,7 @@ def dedup_exact_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     normalize: bool = False,
-    filter_mode: str = "broadcast",
+    filter_mode: str = "auto",
     num_partitions: int = DEDUP_NUM_PARTITIONS,
 ):
     """Exact dedup of an ingest INCREMENT against every previous increment

@@ -30,6 +30,54 @@ from ..functions.hashing import composite_partition_ids, partition_ids
 DEFAULT_NUM_PARTITIONS = 64
 
 
+def _prep_join_side(ds, explicit_schema, side: str, *, will_rescan: bool = False):
+    """Resolve a join input's schema WITHOUT ever executing its upstream
+    pipeline twice.
+
+    ``ds.schema()`` on a derived Dataset (behind a map_batches / all-to-all)
+    executes the whole upstream to its first block, and the real execution
+    then runs it AGAIN (measured 2× the revenue exchange on the TPC-H Q3
+    composite).  Resolution order:
+
+    1. caller-passed schema — free, the streaming path; composite wrappers
+       should always do this;
+    2. ``ds.schema(fetch_if_missing=False)`` — metadata-known for source
+       reads / projections, still free;
+    3. otherwise ``ds.materialize()`` once (with a loud warning) and read
+       the schema off the materialized blocks — one execution instead of
+       two, at the cost of holding the side in the object store (which
+       spills) instead of streaming it into the exchange.
+
+    ``will_rescan=True`` marks callers that will consume ``ds`` a second
+    time even with a known schema (hot-key sampling, bloom prefilter): a
+    derived input is then materialized regardless, because ``limit()``
+    cannot early-stop past an upstream all-to-all.
+    """
+    known = ds.schema(fetch_if_missing=False)
+    if explicit_schema is None and known is not None:
+        explicit_schema = known
+    if explicit_schema is None or (will_rescan and known is None):
+        import warnings
+
+        why = (
+            "its schema is unknown"
+            if explicit_schema is None
+            else "it would be consumed twice (hot-key sampling / prefilter)"
+        )
+        warnings.warn(
+            f"{side} input to a join is a derived Dataset and {why}; "
+            f"materializing it once to avoid re-executing its pipeline. "
+            f"Pass {side}_schema= (and hot_keys=None or an explicit list, "
+            f"prefilter=None) to keep the side streaming.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        ds = ds.materialize()
+        if explicit_schema is None:
+            explicit_schema = ds.schema()
+    return ds, explicit_schema
+
+
 # ---------------------------------------------------------------------------
 # broadcast hash join
 # ---------------------------------------------------------------------------
@@ -326,13 +374,21 @@ def shuffle_join(
     inherently quadratic and needs an application-level split.  Pass an
     explicit key list, or ``None`` to disable.
     """
-    # ds.schema() on a derived Dataset EXECUTES the upstream pipeline up to
-    # its first block — behind an all-to-all that is the WHOLE sub-pipeline,
-    # re-run again by the real execution (measured 2× the revenue exchange
-    # on the TPC-H Q3 composite).  Callers joining shuffle outputs should
-    # pass the schemas they already know.
-    lschema = left_schema if left_schema is not None else left_ds.schema()
-    rschema = right_schema if right_schema is not None else right_ds.schema()
+    # Schema + rescan guard (see _prep_join_side): derived inputs are
+    # materialized ONCE instead of being silently re-executed by
+    # ds.schema() / the hot-key sampling pass / the bloom prefilter.
+    # Callers joining shuffle outputs should still pass the schemas they
+    # already know (and hot_keys=None when keys are unique) to stay
+    # streaming — every composite wrapper in __ray_entry__ does.
+    left_rescans = (
+        isinstance(hot_keys, str)
+        and hot_keys == "auto"
+        and join_type in ("inner", "left outer")
+    ) or prefilter == "bloom"
+    left_ds, lschema = _prep_join_side(
+        left_ds, left_schema, "left", will_rescan=left_rescans
+    )
+    right_ds, rschema = _prep_join_side(right_ds, right_schema, "right")
     ltypes = dict(zip(lschema.names, lschema.types))
     rtypes = dict(zip(rschema.names, rschema.types))
     rpayload = [c for c in rschema.names if c != right_on]
@@ -512,10 +568,10 @@ def asof_join(
     through.
     """
     right_out = [f"{c}{suffix}" for c in right_keep]
-    # ds.schema() executes derived pipelines up to their first block —
-    # callers joining shuffle outputs should pass the schemas they know
-    if right_schema is None:
-        right_schema = right_ds.schema()
+    # Schema guard (see _prep_join_side): derived inputs materialize once
+    # instead of ds.schema() silently re-executing their pipeline; callers
+    # joining shuffle outputs should pass the schemas they know.
+    right_ds, right_schema = _prep_join_side(right_ds, right_schema, "right")
     rkeep_types = dict(zip(right_schema.names, right_schema.types))
 
     def env_left(batch: pa.Table) -> pa.Table:
@@ -550,8 +606,7 @@ def asof_join(
 
         return env_right
 
-    if left_schema is None:
-        left_schema = left_ds.schema()
+    left_ds, left_schema = _prep_join_side(left_ds, left_schema, "left")
     left_schema_cols = list(left_schema.names)
     left_types = dict(zip(left_schema.names, left_schema.types))
 

@@ -630,7 +630,7 @@ def semdedup(
     quantize_scale: float = 64.0,
     cos2_num: int = 9025,
     cos2_den: int = 10000,
-    filter_mode: str = "broadcast",
+    filter_mode: str = "auto",
 ):
     """SemDeDup (Abbas et al. 2023): assign every embedding to a centroid,
     then remove within-cluster semantic duplicates — the pairwise check

@@ -368,10 +368,23 @@ def make_partition_merger(
         part = int(group.column("_part")[0].as_py())
         if "_ipc" in group.column_names:
             # packed exchange (make_partitioner(pack=True)): unpack the
-            # per-batch IPC envelopes back into lake rows
-            unpacked = pa.concat_tables(
-                ipc_table(b) for b in group.column("_ipc").to_pylist()
-            )
+            # per-batch IPC envelopes back into lake rows.  Envelope schemas
+            # are expected to be identical within a partition group (callers
+            # route schema-evolution epochs through the envelope aligner);
+            # check before concat so a future mis-packing caller fails with
+            # a diagnosable message, not an opaque concat error.
+            tables = [ipc_table(b) for b in group.column("_ipc").to_pylist()]
+            first_schema = tables[0].schema
+            for t in tables[1:]:
+                if not t.schema.equals(first_schema):
+                    raise ValueError(
+                        f"packed IPC envelopes for table {table_name!r} "
+                        f"partition {part} epoch {epoch} carry mismatched "
+                        f"schemas ({first_schema.names} vs {t.schema.names}); "
+                        "align envelope schemas (run the schema aligner) "
+                        "before packing a schema-evolution epoch"
+                    )
+            unpacked = pa.concat_tables(tables)
             group = unpacked.append_column(
                 "_part",
                 pa.array(np.full(unpacked.num_rows, part, dtype=np.int64)),

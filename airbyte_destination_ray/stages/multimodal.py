@@ -1118,7 +1118,12 @@ class AudioFingerprintStage:
         )
         frames = samples[idx] * self.window[None, :]
         spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
-        # band energies
+        # band energies; reduceat's last segment always runs to the end of
+        # the spectrum, so zero the bins past the documented top edge first
+        # — otherwise the top retained band silently absorbs everything up
+        # to Nyquist instead of stopping at its log-spaced edge
+        top = min(int(self.edges[self.BANDS]), spec.shape[1])
+        spec[:, top:] = 0.0
         bands = np.add.reduceat(spec, self.edges[:-1], axis=1)[
             :, : self.BANDS
         ]

@@ -298,3 +298,19 @@ def test_dataset_write_matches_sequential(ray_session, tmp_path):
     a = read_table_arrow(lake_seq, "deduped_stream").sort_by("id")
     b = read_table_arrow(lake_ds, "deduped_stream").sort_by("id")
     assert a.column("_airbyte_raw_id").equals(b.column("_airbyte_raw_id"))
+
+
+def test_go_json_size_matches_go_marshal():
+    """Flush byte accounting parity with Go's json.Marshal
+    (destination.go:428-433): HTML-safe escaping of < > & to 6-byte
+    \\u00XX sequences, raw UTF-8 for non-ASCII (never \\uXXXX-escaped)."""
+    from airbyte_destination_ray.pipelines.airbyte_write import go_json_size
+
+    # plain ASCII: same as compact json.dumps
+    assert go_json_size({"a": 1}) == len('{"a":1}')
+    # '<b>&' -> Go emits <b>& (6+1+6+6 = 19 bytes in-string)
+    assert go_json_size({"a": "<b>&"}) == len('{"a":"') + 19 + len('"}')
+    # non-ASCII: Go emits raw UTF-8 ('é' = 2 bytes), not é
+    assert go_json_size({"a": "é"}) == len('{"a":"') + 2 + len('"}')
+    # U+2028 (3 bytes raw) is HTML-escaped by Go to 6 bytes
+    assert go_json_size({"a": " "}) == len('{"a":"') + 6 + len('"}')

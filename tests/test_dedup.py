@@ -573,3 +573,36 @@ def test_semdedup_matches_numpy_oracle(ray_session):
         cos2_den=den,
     )
     assert _ids(out, col="vec_id") == want
+
+
+def test_auto_filter_mode_switches_on_threshold(docs_ds, monkeypatch):
+    """filter_mode="auto" broadcasts small dup sets and switches to the
+    distributed anti-join once the candidate count crosses
+    DEDUP_BROADCAST_MAX_IDS — same surviving set either way."""
+    from airbyte_destination_ray.pipelines import dedup as dd
+
+    calls = {"shuffle": 0, "broadcast": 0}
+    real_shuffle = dd._distributed_filter_out
+    real_broadcast = dd._broadcast_filter_out
+
+    def spy_shuffle(*a, **k):
+        calls["shuffle"] += 1
+        return real_shuffle(*a, **k)
+
+    def spy_broadcast(*a, **k):
+        calls["broadcast"] += 1
+        return real_broadcast(*a, **k)
+
+    monkeypatch.setattr(dd, "_distributed_filter_out", spy_shuffle)
+    monkeypatch.setattr(dd, "_broadcast_filter_out", spy_broadcast)
+
+    # small dup set (1 candidate) -> broadcast path
+    kept_small = _ids(dd.dedup_exact_hash(docs_ds, filter_mode="auto"))
+    assert kept_small == [0, 1, 3, 4]
+    assert calls == {"shuffle": 0, "broadcast": 1}
+
+    # force the threshold to zero -> every non-empty dup set takes shuffle
+    monkeypatch.setattr(dd, "DEDUP_BROADCAST_MAX_IDS", 0)
+    kept_big = _ids(dd.dedup_exact_hash(docs_ds, filter_mode="auto"))
+    assert kept_big == kept_small
+    assert calls == {"shuffle": 1, "broadcast": 1}

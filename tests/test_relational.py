@@ -1772,3 +1772,155 @@ def test_percent_rank_nan_values_tie(ray_session):
         .sort_values("event_id")
     )
     assert list(out["pr"]) == [0.0, 0.5, 0.5]
+
+
+# ---------------------------------------------------------------------------
+# derived-input schema guard: upstream pipelines must never execute twice
+# ---------------------------------------------------------------------------
+
+
+def _instrumented_upstream(tmp_dir, n=200):
+    """A derived Dataset whose map stage records every row it processes
+    (marker file per invocation, named by batch size) — summing the
+    markers after consumption tells us how many times the upstream ran."""
+    import os
+    import uuid
+
+    import ray.data
+
+    marker_dir = str(tmp_dir)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        with open(
+            os.path.join(marker_dir, f"{uuid.uuid4().hex}_{batch.num_rows}"), "w"
+        ):
+            pass
+        return batch.append_column(
+            "k", pa.array(np.zeros(batch.num_rows, dtype=np.int64))
+        )
+
+    base = ray.data.from_arrow(
+        pa.table({"id": pa.array(range(n), type=pa.int64())})
+    ).repartition(4)
+    return base.map_batches(tag, batch_format="pyarrow", batch_size=None)
+
+
+def _rows_processed(tmp_dir) -> int:
+    import os
+
+    return sum(int(f.rsplit("_", 1)[1]) for f in os.listdir(str(tmp_dir)))
+
+
+def test_shuffle_join_schema_hint_no_double_execution(ray_session, tmp_path):
+    """With explicit schemas + hot_keys=None the derived left side streams
+    into the exchange and its upstream executes exactly once."""
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+
+    n = 200
+    left = _instrumented_upstream(tmp_path, n)
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "v": pa.array(["x"]),
+            }
+        )
+    )
+    schema = pa.schema([("id", pa.int64()), ("k", pa.int64())])
+    out = shuffle_join(
+        left,
+        right,
+        left_on="k",
+        right_on="k",
+        hot_keys=None,
+        left_schema=schema,
+        num_partitions=4,
+    )
+    assert out.count() == n
+    assert _rows_processed(tmp_path) == n
+
+
+def test_shuffle_join_derived_input_materializes_once(ray_session, tmp_path):
+    """Omitting the schema hints on a derived input must WARN and fall back
+    to a single materialization — never the silent double execution."""
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+
+    n = 200
+    left = _instrumented_upstream(tmp_path, n)
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "v": pa.array(["x"]),
+            }
+        )
+    )
+    with pytest.warns(RuntimeWarning, match="derived Dataset"):
+        out = shuffle_join(
+            left,
+            right,
+            left_on="k",
+            right_on="k",
+            hot_keys="auto",
+            num_partitions=4,
+        )
+    assert out.count() == n
+    assert _rows_processed(tmp_path) == n
+
+
+def test_asof_join_schema_guard_single_execution(ray_session, tmp_path):
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.relational import asof_join
+
+    n = 200
+    marker = tmp_path
+    import os
+    import uuid
+
+    def tag(batch: pa.Table) -> pa.Table:
+        with open(
+            os.path.join(str(marker), f"{uuid.uuid4().hex}_{batch.num_rows}"), "w"
+        ):
+            pass
+        return batch
+
+    left = (
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "u": pa.array([i % 5 for i in range(n)], type=pa.int64()),
+                    "ts": pa.array([100 + i for i in range(n)], type=pa.int64()),
+                }
+            )
+        )
+        .repartition(4)
+        .map_batches(tag, batch_format="pyarrow", batch_size=None)
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([0, 1], type=pa.int64()),
+                "rts": pa.array([50, 60], type=pa.int64()),
+                "seq": pa.array([1, 2], type=pa.int64()),
+                "label": pa.array(["a", "b"]),
+            }
+        )
+    )
+    with pytest.warns(RuntimeWarning, match="derived Dataset"):
+        out = asof_join(
+            left,
+            right,
+            on="u",
+            left_ts="ts",
+            right_ts="rts",
+            right_seq="seq",
+            right_keep=["label"],
+            num_partitions=4,
+        )
+    assert out.count() == n
+    assert _rows_processed(tmp_path) == n
