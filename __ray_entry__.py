@@ -2154,6 +2154,150 @@ def _q_frequent_users_exact(sf_dir: str):
     )
 
 
+def _q_cdc_partial_updates(sf_dir: str):
+    """Column-level LWW merge of PARTIAL-update (patch) events: each event
+    sets only the columns it carries (null = unchanged) — value patches on
+    event_id % 4 != 0, event_type patches on even event_id — and the
+    merged row per user takes each column's latest non-null value
+    independently, plus the overall latest (ts, event_id)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.ops import lww_partial_merge
+
+    def to_patches(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id")
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "event_id": eid,
+                "value": pc.if_else(
+                    pc.not_equal(
+                        pc.bit_wise_and(eid, pa.scalar(3, pa.int64())),
+                        pa.scalar(0, pa.int64()),
+                    ),
+                    b.column("value"),
+                    pa.nulls(b.num_rows, pa.float64()),
+                ),
+                "event_type": pc.if_else(
+                    pc.equal(
+                        pc.bit_wise_and(eid, pa.scalar(1, pa.int64())),
+                        pa.scalar(0, pa.int64()),
+                    ),
+                    b.column("event_type"),
+                    pa.nulls(b.num_rows, pa.string()),
+                ),
+            }
+        )
+
+    patches = _events(sf_dir).map_batches(
+        to_patches, batch_format="pyarrow", batch_size=None
+    )
+    return lww_partial_merge(
+        patches,
+        pk="user_id",
+        ver="ts",
+        seq="event_id",
+        patch_cols=["value", "event_type"],
+    )
+
+
+def _q_events_scd2_enrich(sf_dir: str):
+    """Temporal (SCD2 validity-window) enrichment: attach to each purchase
+    event the dimension version valid AT the event's timestamp — the
+    versioned-lookup join of a fact stream against the history
+    scd2_history derives from the same change stream."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.relational import (
+        scd2_history,
+        temporal_join,
+    )
+
+    hist = scd2_history(
+        _events(sf_dir),
+        key="user_id",
+        ts_col="ts",
+        seq="event_id",
+        attr_cols=["value"],
+        delete_when=("event_type", "error"),
+    )
+    hist_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("value", pa.float64()),
+            ("valid_from", pa.timestamp("us")),
+            ("valid_to", pa.timestamp("us")),
+            ("is_current", pa.bool_()),
+        ]
+    )
+
+    def purchases(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "ts": b.column("ts"),
+                "user_id": b.column("user_id"),
+                "event_type": b.column("event_type"),
+            }
+        )
+        return t.filter(pc.equal(t.column("event_type"), "purchase")).drop_columns(
+            ["event_type"]
+        )
+
+    left = _events(sf_dir).map_batches(
+        purchases, batch_format="pyarrow", batch_size=None
+    )
+    left_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+        ]
+    )
+    out = temporal_join(
+        left,
+        hist,
+        on="user_id",
+        left_ts="ts",
+        right_keep=["value"],
+        suffix="_dim",
+        left_schema=left_schema,
+        right_schema=hist_schema,
+    )
+
+    def select(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "ts", "user_id", "value_dim"])
+
+    return out.map_batches(select, batch_format="pyarrow", batch_size=None)
+
+
+def _q_events_moments_by_type(sf_dir: str):
+    """Per-type exact higher moments (population variance / skewness /
+    kurtosis) from integer power sums + one fixed-IEEE-order finish —
+    bit-identical to the spelled-out SQL."""
+    from airbyte_destination_ray.pipelines.ops import grouped_moments
+
+    return grouped_moments(_events(sf_dir), key="event_type", value_col="value")
+
+
+def _q_events_type_paths(sf_dir: str):
+    """SQL string_agg per key: each user's full event-type path in
+    (ts, event_id) order — vectorized segment join, one keyed exchange."""
+    from airbyte_destination_ray.pipelines.ops import agg_strings_by_key
+
+    return agg_strings_by_key(
+        _events(sf_dir),
+        key="user_id",
+        value_col="event_type",
+        order_cols=["ts", "event_id"],
+        sep=",",
+        out_col="type_path",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -2219,6 +2363,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_snapshot_diff": _q_users_snapshot_diff,
         "events_user_zscore": _q_events_user_zscore,
         "multimodal_audio_dedup": _q_multimodal_audio_dedup,
+        # --- new this round (round-4 driver window candidates) ---
+        "cdc_partial_updates_users": _q_cdc_partial_updates,
+        "events_scd2_enrich": _q_events_scd2_enrich,
+        "events_moments_by_type": _q_events_moments_by_type,
+        "events_type_paths": _q_events_type_paths,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -2283,6 +2432,74 @@ _LWW_TOMBSTONE_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     sql = {
+        "cdc_partial_updates_users": """
+            WITH p AS (
+                SELECT user_id, ts, event_id,
+                    CASE WHEN event_id % 4 <> 0 THEN value END AS value,
+                    CASE WHEN event_id % 2 = 0 THEN event_type END
+                        AS event_type
+                FROM events WHERE user_id IS NOT NULL
+            )
+            SELECT DISTINCT user_id,
+                last_value(value IGNORE NULLS) OVER w AS value,
+                last_value(event_type IGNORE NULLS) OVER w AS event_type,
+                last_value(ts) OVER w AS ts,
+                last_value(event_id) OVER w AS event_id
+            FROM p WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """,
+        "events_scd2_enrich": """
+            WITH h AS (
+                SELECT user_id, value, ts AS valid_from,
+                       lead(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS valid_to
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                QUALIFY event_type <> 'error'
+            )
+            SELECT f.event_id, f.ts, f.user_id, h.value AS value_dim
+            FROM events f LEFT JOIN h
+              ON f.user_id = h.user_id AND f.ts >= h.valid_from
+             AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+            WHERE f.event_type = 'purchase'
+        """,
+        "events_moments_by_type": """
+            WITH c AS (
+                SELECT event_type AS k, CAST(floor(value) AS BIGINT) AS v
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ), a AS (
+                SELECT k, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(v) AS BIGINT) AS s1,
+                       CAST(sum(v*v) AS BIGINT) AS s2,
+                       CAST(sum(v*v*v) AS BIGINT) AS s3,
+                       CAST(sum(v*v*v*v) AS BIGINT) AS s4
+                FROM c GROUP BY k
+            ), m AS (
+                SELECT k, n, CAST(s1 AS DOUBLE)/n AS mean,
+                       CAST(s2 AS DOUBLE)/n AS e2,
+                       CAST(s3 AS DOUBLE)/n AS e3,
+                       CAST(s4 AS DOUBLE)/n AS e4
+                FROM a
+            )
+            SELECT k AS event_type, n, mean,
+                e2 - mean*mean AS var_pop,
+                (e3 - 3.0*mean*e2 + 2.0*mean*mean*mean)
+                    / ((e2 - mean*mean) * sqrt(e2 - mean*mean)) AS skew_pop,
+                (e4 - 4.0*mean*e3 + 6.0*mean*mean*e2
+                    - 3.0*mean*mean*mean*mean)
+                    / ((e2 - mean*mean) * (e2 - mean*mean)) AS kurt_pop
+            FROM m
+        """,
+        "events_type_paths": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id)
+                       AS type_path
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id
+        """,
         "cdc_lww_latest_by_user": """
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events

@@ -1913,3 +1913,305 @@ def grouped_mad(
         .groupby("_part")
         .map_groups(mad, batch_format="pyarrow")
     )
+
+
+def lww_partial_merge(
+    ds,
+    *,
+    pk: str,
+    ver: str,
+    seq: str,
+    patch_cols: list[str],
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Column-level LWW merge of PARTIAL-update (patch) events — the CDC
+    shape Debezium/ClickHouse call partial updates: an event sets only the
+    columns it carries (non-null); null means "unchanged".  The merged row
+    per key takes, for EACH patch column independently, the value of the
+    latest event (by ``(ver, seq)``) where that column is non-null, plus
+    the key's overall latest ``(ver, seq)``.  Row-level LWW would resurrect
+    stale columns (the losing event's non-null columns vanish); this is the
+    per-column generalization the reference's ReplacingMergeTree semantics
+    cannot express.
+
+    DuckDB oracle shape (IGNORE NULLS window)::
+
+        SELECT DISTINCT pk,
+          last_value(c IGNORE NULLS) OVER w AS c, ...,
+          last_value(ver) OVER w AS ver, last_value(seq) OVER w AS seq
+        FROM t WINDOW w AS (PARTITION BY pk ORDER BY ver, seq
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING)
+
+    Two-stage, pre-reduced: per-column latest-non-null is associative, so
+    each batch first compacts to the union of its per-column winner rows
+    (≤ ``len(patch_cols) + 1`` rows per key per batch — rows stay rows, the
+    schema never widens), then ONE hash exchange on ``pk`` and the same
+    kernel per partition emits the merged row.  Null ``pk`` rows are
+    dropped (SQL would emit a merged null-key row; a patch without identity
+    has nothing to patch — documented divergence, matched by the oracle's
+    ``WHERE pk IS NOT NULL``).
+    """
+    out_cols = [pk, *patch_cols, ver, seq]
+
+    def _seg_last_valid(t: pa.Table):
+        """Sort by (pk, ver, seq); per key segment return (sorted table,
+        segment starts, per-patch-column index of the last non-null row,
+        -1 when the key never set that column)."""
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[(pk, "ascending"), (ver, "ascending"), (seq, "ascending")],
+        )
+        s = t.take(idx)
+        n = s.num_rows
+        keys = s.column(pk).combine_chunks()
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = pc.not_equal(
+                keys.slice(1), keys.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        seg_starts = np.nonzero(start)[0]
+        pos = np.arange(n, dtype=np.int64)
+        last = {}
+        for c in patch_cols:
+            valid = s.column(c).combine_chunks().is_valid().to_numpy(
+                zero_copy_only=False
+            )
+            last[c] = np.maximum.reduceat(
+                np.where(valid, pos, -1), seg_starts
+            )
+        return s, seg_starts, last
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        t = batch.select(out_cols)
+        t = t.filter(t.column(pk).combine_chunks().is_valid())
+        if t.num_rows < 2:
+            return t
+        s, seg_starts, last = _seg_last_valid(t)
+        seg_ends = np.r_[seg_starts[1:], s.num_rows] - 1
+        keep = np.unique(
+            np.concatenate(
+                [seg_ends] + [v[v >= 0] for v in last.values()]
+            )
+        )
+        return s.take(pa.array(keep, type=pa.int64()))
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = candidates(batch)
+        parts = partition_ids(t.column(pk), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def merge(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["_part"])
+        s, seg_starts, last = _seg_last_valid(t)
+        seg_ends = np.r_[seg_starts[1:], s.num_rows] - 1
+        cols = {pk: s.column(pk).take(pa.array(seg_starts, type=pa.int64()))}
+        for c in patch_cols:
+            li = last[c]
+            taken = s.column(c).combine_chunks().take(
+                pa.array(np.maximum(li, 0), type=pa.int64())
+            )
+            cols[c] = pc.if_else(
+                pa.array(li >= 0),
+                taken,
+                pa.nulls(len(li), s.schema.field(c).type),
+            )
+        ends = pa.array(seg_ends, type=pa.int64())
+        cols[ver] = s.column(ver).take(ends)
+        cols[seq] = s.column(seq).take(ends)
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def grouped_moments(
+    ds,
+    *,
+    key: str,
+    value_col: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Per-key exact higher moments → population variance / skewness /
+    kurtosis, hash-checkable against SQL.
+
+    Same design as :func:`standardize_column` / the grouped-corr operator:
+    values quantize to integer units (``floor(value)``) so the four power
+    sums are EXACT integers (order-independent — safe to pre-reduce per
+    batch and merge in any order), and the float finish happens ONCE per
+    key in a fixed IEEE evaluation order that the spelled-out SQL
+    reproduces bit-for-bit (``sqrt`` instead of ``pow`` — libm ``pow``
+    implementations differ across engines; sqrt is IEEE-exact)::
+
+        mean = s1/n;  e_k = s_k/n;  var = e2 - mean²
+        skew = (e3 - 3·mean·e2 + 2·mean³) / (var·sqrt(var))
+        kurt = (e4 - 4·mean·e3 + 6·mean²·e2 - 3·mean⁴) / (var·var)
+
+    Envelope: |v| ≤ 10³ (event values) ⇒ v⁴ ≤ 10¹² — int64 power sums are
+    exact past 10⁶ rows per (key, batch) partial and the per-partition
+    merge holds to ~9·10⁶ such rows per key; beyond that, split the merge
+    (salted pre-reduce) before widening — documented bound, checked
+    nowhere near at test scale.  Null keys and null values are excluded
+    (SQL ``WHERE`` parity).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"k": batch.column(key), "x": batch.column(value_col)}
+        )
+        t = t.filter(
+            pc.and_(
+                t.column("k").combine_chunks().is_valid(),
+                t.column("x").combine_chunks().is_valid(),
+            )
+        )
+        v = pc.cast(pc.floor(t.column("x")), pa.int64()).combine_chunks()
+        vn = v.to_numpy(zero_copy_only=False)
+        g = pa.table(
+            {
+                "k": t.column("k"),
+                "n": pa.array(np.ones(len(vn), dtype=np.int64)),
+                "s1": v,
+                "s2": pa.array(vn * vn),
+                "s3": pa.array(vn * vn * vn),
+                "s4": pa.array(vn * vn * vn * vn),
+            }
+        ).group_by("k", use_threads=False).aggregate(
+            [("n", "sum"), ("s1", "sum"), ("s2", "sum"), ("s3", "sum"), ("s4", "sum")]
+        )
+        parts = partition_ids(g.column("k"), num_partitions)
+        return g.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"]).group_by(
+            "k", use_threads=False
+        ).aggregate(
+            [
+                ("n_sum", "sum"),
+                ("s1_sum", "sum"),
+                ("s2_sum", "sum"),
+                ("s3_sum", "sum"),
+                ("s4_sum", "sum"),
+            ]
+        )
+        n = g.column("n_sum_sum").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = [
+            g.column(f"s{i}_sum_sum").to_numpy(zero_copy_only=False).astype(np.float64)
+            for i in (1, 2, 3, 4)
+        ]
+        mean = s[0] / n
+        e2, e3, e4 = s[1] / n, s[2] / n, s[3] / n
+        var = e2 - mean * mean
+        skew = (e3 - 3.0 * mean * e2 + 2.0 * mean * mean * mean) / (
+            var * np.sqrt(var)
+        )
+        kurt = (
+            e4
+            - 4.0 * mean * e3
+            + 6.0 * mean * mean * e2
+            - 3.0 * mean * mean * mean * mean
+        ) / (var * var)
+        return pa.table(
+            {
+                key: g.column("k"),
+                "n": g.column("n_sum_sum"),
+                "mean": pa.array(mean),
+                "var_pop": pa.array(var),
+                "skew_pop": pa.array(skew),
+                "kurt_pop": pa.array(kurt),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def agg_strings_by_key(
+    ds,
+    *,
+    key: str,
+    value_col: str,
+    order_cols: list[str],
+    sep: str = ",",
+    out_col: str = "agg",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """SQL ``string_agg(value, sep ORDER BY order_cols)`` per key — the
+    list/string collection aggregate (session path reconstruction, label
+    concatenation).  ONE hash exchange of ``(key, value, order_cols)``;
+    the per-partition kernel is fully vectorized: one sort, segment
+    offsets from key boundaries, ``ListArray.from_arrays`` +
+    ``pc.binary_join`` (no per-key Python string building).  Null values
+    are skipped (SQL string_agg semantics); a key whose values are all
+    null aggregates to null; null keys are dropped (matched by the
+    oracle's WHERE).
+
+    Partitioning assumption: all rows of one key co-locate; the aggregate
+    is order-defined, not associative, so salting does not apply — hot
+    keys rely on Ray spilling large groups (same policy as scd2_history).
+    """
+
+    def route(batch: pa.Table) -> pa.Table:
+        cols = {key: batch.column(key), "_v": batch.column(value_col)}
+        for c in order_cols:
+            cols[c] = batch.column(c)
+        t = pa.table(cols)
+        t = t.filter(t.column(key).combine_chunks().is_valid())
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def agg(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["_part"])
+        # sort by (key, order_cols); null values keep their slot in the
+        # sort but are dropped by the `keep` mask below, so each segment's
+        # surviving values stay in order_cols order
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                (key, "ascending"),
+                *[(c, "ascending") for c in order_cols],
+            ],
+        )
+        t = t.take(idx)
+        n = t.num_rows
+        keys = t.column(key).combine_chunks()
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = pc.not_equal(
+                keys.slice(1), keys.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        seg_starts = np.nonzero(start)[0]
+        vals = t.column("_v").combine_chunks()
+        valid = vals.is_valid().to_numpy(zero_copy_only=False)
+        # stable partition: valid rows of each segment, in order
+        keep = np.nonzero(valid)[0]
+        seg_of_row = np.cumsum(start) - 1
+        kept_seg = seg_of_row[keep]
+        vals_kept = vals.take(pa.array(keep, type=pa.int64()))
+        counts = np.bincount(kept_seg, minlength=len(seg_starts))
+        offsets = np.r_[0, np.cumsum(counts)].astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), vals_kept)
+        joined = pc.binary_join(lists, sep)
+        empty = counts == 0
+        if empty.any():
+            joined = pc.if_else(
+                pa.array(~empty), joined, pa.nulls(len(empty), pa.string())
+            )
+        return pa.table(
+            {
+                key: keys.take(pa.array(seg_starts, type=pa.int64())),
+                out_col: joined,
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(agg, batch_format="pyarrow")
+    )

@@ -2566,3 +2566,98 @@ def percent_rank_by_key(
         .groupby("_part")
         .map_groups(rank, batch_format="pyarrow")
     )
+
+
+def temporal_join(
+    left_ds,
+    right_ds,
+    *,
+    on: str,
+    left_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    right_keep: list[str],
+    suffix: str = "_dim",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+):
+    """Temporal (SCD2 validity-window) dimension lookup: attach to each
+    left row the dimension version whose ``[valid_from, valid_to)``
+    interval contains ``left_ts`` — the canonical enrichment of a fact /
+    event stream against the versioned history :func:`scd2_history`
+    produces.  Left rows with no valid version (before the first version,
+    or after a tombstone closed the last interval) keep nulls — LEFT JOIN
+    semantics.
+
+    SQL shape::
+
+        SELECT l.*, d.keep ...
+        FROM left l LEFT JOIN dim d
+          ON l.on = d.on AND l.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR l.ts < d.valid_to)
+
+    Built as :func:`asof_join` on ``valid_from`` (one hash exchange, no
+    interval explosion — correct because SCD2 intervals per key are
+    disjoint and ordered, so the as-of match is the ONLY candidate
+    interval) followed by a per-batch validity mask that nulls the joined
+    columns where ``valid_to <= ts``.  Inherits asof_join's partitioning
+    assumption (all versions of one key co-locate).
+    """
+    vt_out = f"{valid_to}{suffix}"
+    keep_out = [f"{c}{suffix}" for c in right_keep]
+
+    # Two versions of one key can share valid_from (same-timestamp events):
+    # the earlier one's interval is zero-width [ts, ts).  Tie-break the
+    # as-of pick toward the LONGER interval (open interval = int64 max) so
+    # the surviving version wins — matching the SQL interval predicate.
+    def add_vseq(batch: pa.Table) -> pa.Table:
+        vt = batch.column(valid_to).combine_chunks()
+        vseq = pc.if_else(
+            pc.is_null(vt),
+            pa.array(
+                np.full(len(vt), np.iinfo(np.int64).max, dtype=np.int64)
+            ),
+            pc.cast(vt, pa.int64()),
+        )
+        return batch.append_column("_vseq", vseq)
+
+    right_aug = right_ds.map_batches(
+        add_vseq, batch_format="pyarrow", batch_size=None
+    )
+    if right_schema is not None:
+        right_schema = pa.schema(
+            [*right_schema, pa.field("_vseq", pa.int64())]
+        )
+    joined = asof_join(
+        left_ds,
+        right_aug,
+        on=on,
+        left_ts=left_ts,
+        right_ts=valid_from,
+        right_seq="_vseq",
+        right_keep=[*right_keep, valid_to],
+        suffix=suffix,
+        num_partitions=num_partitions,
+        left_schema=left_schema,
+        right_schema=right_schema,
+    )
+
+    def mask_expired(batch: pa.Table) -> pa.Table:
+        vt = batch.column(vt_out).combine_chunks()
+        ts = batch.column(left_ts).combine_chunks()
+        live = pc.or_kleene(pc.is_null(vt), pc.less(ts, vt))
+        cols = {}
+        for c in batch.column_names:
+            if c == vt_out:
+                continue
+            if c in keep_out:
+                col = batch.column(c).combine_chunks()
+                cols[c] = pc.if_else(live, col, pa.nulls(len(col), col.type))
+            else:
+                cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    return joined.map_batches(
+        mask_expired, batch_format="pyarrow", batch_size=None
+    )

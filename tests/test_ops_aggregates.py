@@ -558,3 +558,159 @@ def test_grouped_mad_matches_sql(ray_session):
         """,
         {"t": t},
     )
+
+
+# ---------------------------------------------------------------------------
+# lww_partial_merge (column-level partial-update CDC merge)
+# ---------------------------------------------------------------------------
+
+
+def test_lww_partial_merge_column_level(ray_session):
+    """Each column independently takes its latest non-null value; row-level
+    LWW would lose column a's value when the newest event only sets b."""
+    from airbyte_destination_ray.pipelines.ops import lww_partial_merge
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2, None], type=pa.int64()),
+            "ver": pa.array([10, 20, 30, 10, 20, 10], type=pa.int64()),
+            "seq": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            "a": pa.array([5.0, None, None, None, None, 1.0]),
+            "b": pa.array(["x", "y", None, None, None, "z"]),
+        }
+    )
+    out = (
+        lww_partial_merge(
+            _ds(t, 3), pk="k", ver="ver", seq="seq", patch_cols=["a", "b"],
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # key 1: a survives from ver 10, b from ver 20, (ver,seq) overall (30,3)
+    assert out.loc[0, ["k", "a", "b", "ver", "seq"]].tolist() == [1, 5.0, "y", 30, 3]
+    # key 2: never set either column -> both null, latest (20,5)
+    assert out.loc[1, "k"] == 2
+    assert pd.isna(out.loc[1, "a"]) and pd.isna(out.loc[1, "b"])
+    assert out.loc[1, ["ver", "seq"]].tolist() == [20, 5]
+    # null keys dropped
+    assert len(out) == 2
+
+
+def test_lww_partial_merge_order_invariant(ray_session):
+    """Result is independent of event arrival order / batch composition."""
+    from airbyte_destination_ray.pipelines.ops import lww_partial_merge
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    base = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 97, n), type=pa.int64()),
+            "ver": pa.array(rng.integers(0, 500, n), type=pa.int64()),
+            "seq": pa.array(np.arange(n), type=pa.int64()),
+            "a": pa.array(
+                [None if rng.random() < 0.5 else float(i) for i in range(n)]
+            ),
+        }
+    )
+    perm = rng.permutation(n)
+    shuffled = base.take(pa.array(perm, type=pa.int64()))
+    outs = []
+    for tbl, blocks in ((base, 3), (shuffled, 7)):
+        outs.append(
+            _sorted(
+                lww_partial_merge(
+                    _ds(tbl, blocks), pk="k", ver="ver", seq="seq",
+                    patch_cols=["a"], num_partitions=5,
+                ).to_pandas()
+            )
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+# ---------------------------------------------------------------------------
+# grouped_moments (exact skewness / kurtosis)
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_moments_matches_sql_bit_exact(ray_session):
+    from airbyte_destination_ray.pipelines.ops import grouped_moments
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    t = pa.table(
+        {
+            "g": pa.array(rng.choice(["a", "b", "c"], n)),
+            "v": pa.array(
+                np.where(rng.random(n) < 0.1, np.nan, rng.gamma(2.0, 50.0, n))
+            ),
+        }
+    )
+    # inject nulls (NaN != null; mask them properly)
+    v = t.column("v").to_pandas()
+    t = t.set_column(1, "v", pa.array(v.where(~np.isnan(v), None)))
+    out = grouped_moments(_ds(t, 5), key="g", value_col="v", num_partitions=4)
+    con = duckdb.connect()
+    con.register("t", t)
+    oracle = con.sql(
+        """
+        WITH c AS (SELECT g AS k, CAST(floor(v) AS BIGINT) AS v FROM t
+                   WHERE v IS NOT NULL AND g IS NOT NULL),
+        a AS (SELECT k, CAST(count(*) AS BIGINT) n, CAST(sum(v) AS BIGINT) s1,
+                     CAST(sum(v*v) AS BIGINT) s2, CAST(sum(v*v*v) AS BIGINT) s3,
+                     CAST(sum(v*v*v*v) AS BIGINT) s4 FROM c GROUP BY k),
+        m AS (SELECT k, n, CAST(s1 AS DOUBLE)/n AS mean, CAST(s2 AS DOUBLE)/n AS e2,
+                     CAST(s3 AS DOUBLE)/n AS e3, CAST(s4 AS DOUBLE)/n AS e4 FROM a)
+        SELECT k AS g, n, mean, e2 - mean*mean AS var_pop,
+          (e3 - 3.0*mean*e2 + 2.0*mean*mean*mean)
+              / ((e2 - mean*mean) * sqrt(e2 - mean*mean)) AS skew_pop,
+          (e4 - 4.0*mean*e3 + 6.0*mean*mean*e2 - 3.0*mean*mean*mean*mean)
+              / ((e2 - mean*mean)*(e2 - mean*mean)) AS kurt_pop
+        FROM m
+        """
+    ).df()
+    a = _sorted(out.to_pandas())
+    b = _sorted(oracle)
+    # dtype-strict equality: the whole point is bit-exact float parity
+    pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# agg_strings_by_key (string_agg ORDER BY)
+# ---------------------------------------------------------------------------
+
+
+def test_agg_strings_by_key_matches_string_agg(ray_session):
+    from airbyte_destination_ray.pipelines.ops import agg_strings_by_key
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2, 3, None], type=pa.int64()),
+            "o": pa.array([3, 1, 2, 1, 2, 1, 1], type=pa.int64()),
+            "v": pa.array(["c", "a", None, "x", "y", None, "q"]),
+        }
+    )
+    out = (
+        agg_strings_by_key(
+            _ds(t, 3), key="k", value_col="v", order_cols=["o"],
+            sep="|", out_col="s", num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    oracle = (
+        con.sql(
+            """SELECT k, string_agg(v, '|' ORDER BY o) AS s
+               FROM t WHERE k IS NOT NULL GROUP BY k"""
+        )
+        .df()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, oracle, check_dtype=False)
+    # all-null key aggregates to null, not empty string
+    assert pd.isna(out.loc[out["k"] == 3, "s"]).all()

@@ -1924,3 +1924,76 @@ def test_asof_join_schema_guard_single_execution(ray_session, tmp_path):
         )
     assert out.count() == n
     assert _rows_processed(tmp_path) == n
+
+
+def test_temporal_join_scd2_lookup(ray_session):
+    """SCD2 validity-window enrichment: before-first-version and
+    after-tombstone probes get nulls; same-timestamp version ties resolve
+    to the surviving (non-zero-width) interval — matching the SQL interval
+    join."""
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.relational import (
+        scd2_history,
+        temporal_join,
+    )
+
+    ev = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 2, 2, 3], type=pa.int64()),
+            "ts": pa.array(
+                [100, 200, 300, 400, 100, 100, 50], type=pa.timestamp("us")
+            ),
+            "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], type=pa.int64()),
+            "value": pa.array([10.0, 20.0, 30.0, None, 1.0, 2.0, 9.0]),
+            "event_type": pa.array(["u", "u", "u", "error", "u", "u", "u"]),
+        }
+    )
+    hist = scd2_history(
+        ray.data.from_arrow(ev).repartition(3),
+        key="user_id", ts_col="ts", seq="event_id",
+        attr_cols=["value"], delete_when=("event_type", "error"),
+    )
+    hist_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("value", pa.float64()),
+            ("valid_from", pa.timestamp("us")),
+            ("valid_to", pa.timestamp("us")),
+            ("is_current", pa.bool_()),
+        ]
+    )
+    facts = pa.table(
+        {
+            "fid": pa.array(range(8), type=pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2, 3, 3], type=pa.int64()),
+            "fts": pa.array(
+                [50, 150, 350, 450, 100, 500, 60, 40],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    out = (
+        temporal_join(
+            ray.data.from_arrow(facts).repartition(2), hist,
+            on="user_id", left_ts="fts", right_keep=["value"],
+            left_schema=facts.schema, right_schema=hist_schema,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("fid")
+        .reset_index(drop=True)
+    )
+    got = out["value_dim"].tolist()
+    # fid0: before first version -> null; fid1: v1 (10); fid2: v3 (30);
+    # fid3: after tombstone -> null; fid4: same-ts tie -> surviving
+    # version (2.0); fid5: current open interval (2.0);
+    # fid6: v (9.0); fid7: before first -> null
+    import math
+
+    expect = [None, 10.0, 30.0, None, 2.0, 2.0, 9.0, None]
+    for g, e in zip(got, expect):
+        if e is None:
+            assert g is None or (isinstance(g, float) and math.isnan(g))
+        else:
+            assert g == e
