@@ -2298,6 +2298,39 @@ def _q_events_type_paths(sf_dir: str):
     )
 
 
+def _q_doc_top_terms(sf_dir: str):
+    """Per-document top-5 distinctive terms by tf/df ranking (monotone-
+    equivalent to tf·idf within a doc; single IEEE division keeps the
+    score hash-exact vs SQL) — two narrow exchanges, text never shuffled."""
+    from airbyte_destination_ray.pipelines.corpus import doc_top_terms
+
+    return doc_top_terms(
+        _documents(sf_dir, columns=["doc_id", "text"]), k=5
+    )
+
+
+def _q_pack_documents(sf_dir: str):
+    """Sequence packing: concat-then-chunk pack assignment at a 2048-token
+    budget via the two-phase distributed prefix sum (range partials →
+    driver exclusive prefix → seeded in-range cumsum)."""
+    from airbyte_destination_ray.pipelines.corpus import pack_documents
+
+    return pack_documents(
+        _documents(sf_dir, columns=["doc_id", "text"]), budget=2048
+    )
+
+
+def _q_events_profile(sf_dir: str):
+    """Data-quality profile of the events table: per column (n_rows,
+    n_nulls, n_distinct) off one hash-partitioned distinct exchange."""
+    from airbyte_destination_ray.pipelines.ops import profile_columns
+
+    return profile_columns(
+        _events(sf_dir),
+        cols=["event_id", "user_id", "event_type", "value", "props"],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -2368,6 +2401,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scd2_enrich": _q_events_scd2_enrich,
         "events_moments_by_type": _q_events_moments_by_type,
         "events_type_paths": _q_events_type_paths,
+        "doc_top_terms_tfidf": _q_doc_top_terms,
+        "pack_documents_2048": _q_pack_documents,
+        "events_profile": _q_events_profile,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -2499,6 +2535,63 @@ def oracle_sql() -> dict[str, str]:
                        AS type_path
             FROM events WHERE user_id IS NOT NULL
             GROUP BY user_id
+        """,
+        "doc_top_terms_tfidf": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split_regex(
+                    lower(text), '[^a-z0-9]+')) AS term
+                FROM documents WHERE text IS NOT NULL
+            ), tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM tok WHERE term <> '' GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY term
+            )
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   CAST(tf.tf AS DOUBLE) / df.df AS score,
+                   CAST(row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term
+                   ) AS BIGINT) AS rank
+            FROM tf JOIN df USING (term)
+            QUALIFY rank <= 5
+        """,
+        "pack_documents_2048": """
+            WITH t AS (
+                SELECT doc_id,
+                    CAST(length(list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '')) AS BIGINT) AS n_tokens
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id, n_tokens,
+                COALESCE(SUM(n_tokens) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) // 2048 AS pack_id
+            FROM t
+        """,
+        "events_profile": """
+            SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+                CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+            FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(count(*) AS BIGINT),
+                CAST(count(*) - count(user_id) AS BIGINT),
+                CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+            UNION ALL
+            SELECT 'event_type', CAST(count(*) AS BIGINT),
+                CAST(count(*) - count(event_type) AS BIGINT),
+                CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+            UNION ALL
+            SELECT 'value', CAST(count(*) AS BIGINT),
+                CAST(count(*) - count(value) AS BIGINT),
+                CAST(count(DISTINCT value) AS BIGINT) FROM events
+            UNION ALL
+            SELECT 'props', CAST(count(*) AS BIGINT),
+                CAST(count(*) - count(props) AS BIGINT),
+                CAST(count(DISTINCT props) AS BIGINT) FROM events
         """,
         "cdc_lww_latest_by_user": """
             SELECT event_id, ts, user_id, event_type, value, props

@@ -661,3 +661,247 @@ def lookup_postings(
         columns=["term", id_col],
         num_partitions=8,
     )
+
+
+def doc_top_terms(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    pattern: str = "[^a-z0-9]+",
+    num_partitions: int = 32,
+):
+    """Per-document top-k distinctive terms by tf·idf ranking — the
+    keyword-extraction / relevance staple.  ``score = tf / df`` (df =
+    number of documents containing the term): monotone-equivalent per
+    document to tf·idf with any decreasing idf (N is constant within a
+    doc), and — unlike ``tf·ln(N/df)`` — a SINGLE IEEE division that SQL
+    reproduces bit-exactly (libm ``ln`` differs across engines, so a
+    log-based score could flip equal-score orderings).
+
+    Two narrow exchanges, text never shuffled:
+
+    1. per batch: lowercase + regex split (vectorized), per-doc term
+       counts via Arrow ``group_by`` (exact — a document is one row, so
+       its tf never spans batches), routed by ``hash(term)``; the
+       per-partition kernel counts df per term right there (every
+       (doc, term) row of a term co-locates) and attaches it with one
+       Acero join;
+    2. route ``(doc, term, tf, df, score)`` by ``hash(doc)``; the
+       per-partition kernel sorts ``(doc, score DESC, term)`` and keeps
+       each doc's first ``k`` (rank = SQL ``row_number``).
+
+    Documents whose text yields no terms (null/empty) emit no rows —
+    matched by the oracle's construction.
+    """
+
+    def tf_route(batch: pa.Table) -> pa.Table:
+        arr = batch.column(text_col)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        toks = pc.split_pattern_regex(pc.utf8_lower(arr), pattern)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        ids = batch.column(id_col).combine_chunks().take(parents)
+        keep = pc.not_equal(flat, "")
+        t = pa.table({"doc": ids, "term": flat}).filter(keep)
+        g = t.group_by(["doc", "term"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        g = pa.table(
+            {
+                "doc": g.column("doc"),
+                "term": g.column("term"),
+                "tf": g.column("count_all").cast(pa.int64()),
+            }
+        )
+        part = (
+            stable_hash_array(g.column("term")) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return g.append_column("_part", pa.array(part, type=pa.int64()))
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["_part"])
+        df = t.group_by("term", use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        df = pa.table(
+            {
+                "term": df.column("term"),
+                "df": df.column("count_all").cast(pa.int64()),
+            }
+        )
+        j = t.join(df, keys="term")
+        score = pc.divide(
+            pc.cast(j.column("tf"), pa.float64()),
+            pc.cast(j.column("df"), pa.float64()),
+        )
+        j = j.append_column("score", score)
+        part = (
+            stable_hash_array(j.column("doc")) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return j.append_column("_part2", pa.array(part, type=pa.int64()))
+
+    def topk(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["_part2"])
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("doc", "ascending"),
+                ("score", "descending"),
+                ("term", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        n = t.num_rows
+        docs = t.column("doc").combine_chunks()
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = pc.not_equal(
+                docs.slice(1), docs.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        seg_id = np.cumsum(start) - 1
+        seg_base = np.nonzero(start)[0][seg_id]
+        rank = np.arange(n, dtype=np.int64) - seg_base + 1
+        t = t.append_column("rank", pa.array(rank, type=pa.int64()))
+        out = t.filter(pa.array(rank <= k))
+        return pa.table(
+            {
+                id_col: out.column("doc"),
+                "term": out.column("term"),
+                "tf": out.column("tf"),
+                "df": out.column("df"),
+                "score": out.column("score"),
+                "rank": out.column("rank"),
+            }
+        )
+
+    return (
+        ds.map_batches(tf_route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(attach_df, batch_format="pyarrow")
+        .groupby("_part2")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+def pack_documents(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    pattern: str = r"\s+",
+    span: int = 1 << 20,
+    num_partitions: int = 32,
+):
+    """Sequence packing: assign each document to a training-context pack by
+    concatenating the corpus in ``id_col`` order and chopping at ``budget``
+    tokens — ``pack_id = floor(tokens_before_doc / budget)`` (the
+    concat-then-chunk packing recipe; a doc belongs to the pack its first
+    token lands in).  Token count = non-empty ``pattern`` splits.
+
+    The global running token total is the classic two-phase distributed
+    prefix sum (same shape as the watermark operator): documents
+    range-partition by ``id // span``; pass 1 reduces each range to its
+    token sum (one tiny row per range — n/span scalars at any scale), the
+    driver takes the exclusive prefix sum over the sorted range list, and
+    pass 2 re-scans each range seeded with its prefix, computing
+    within-range exclusive cumsums vectorized.  Assumes ``id_col`` values
+    are unique (primary key); null-text documents are excluded (0 tokens
+    would still consume a pack slot otherwise — matched by the oracle's
+    WHERE).
+    """
+
+    def tokens_of(batch: pa.Table) -> pa.Table:
+        arr = batch.column(text_col)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        t = pa.table({"id": batch.column(id_col), "_t": arr}).filter(
+            arr.is_valid()
+        )
+        toks = pc.split_pattern_regex(t.column("_t").combine_chunks(), pattern)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        counts = np.zeros(t.num_rows, dtype=np.int64)
+        if len(parents):
+            np.add.at(counts, parents[nonempty], 1)
+        return pa.table(
+            {
+                "id": t.column("id"),
+                "n_tokens": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    def range_sums(batch: pa.Table) -> pa.Table:
+        t = tokens_of(batch)
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        rng = ids // span
+        order = np.argsort(rng, kind="stable")
+        rng_s, n_s = rng[order], n[order]
+        start = np.ones(len(rng_s), dtype=bool)
+        start[1:] = rng_s[1:] != rng_s[:-1]
+        si = np.flatnonzero(start)
+        return pa.table(
+            {
+                "rng": pa.array(rng_s[si], type=pa.int64()),
+                "s": pa.array(
+                    np.add.reduceat(n_s, si)
+                    if len(si)
+                    else np.array([], dtype=np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        range_sums, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    agg: dict[int, int] = {}
+    for r in partials:
+        g = int(r["rng"])
+        agg[g] = agg.get(g, 0) + int(r["s"])
+    seeds: dict[int, int] = {}
+    run = 0
+    for g in sorted(agg):
+        seeds[g] = run
+        run += agg[g]
+    seeds_ref = ray.put(seeds)
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = tokens_of(batch)
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        part = (ids // span) % num_partitions
+        return t.append_column("_part", pa.array(part, type=pa.int64()))
+
+    def assign(group: pa.Table) -> pa.Table:
+        sd = ray.get(seeds_ref)
+        t = group.drop_columns(["_part"])
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, n = ids[order], n[order]
+        rng = ids // span
+        start = np.ones(len(ids), dtype=bool)
+        start[1:] = rng[1:] != rng[:-1]
+        si = np.flatnonzero(start)
+        # exclusive within-range cumsum, seeded by the range prefix
+        cum = np.cumsum(n) - n
+        bases = cum[si]
+        seg_id = np.cumsum(start) - 1
+        seed = np.array([sd[int(g)] for g in rng[si]], dtype=np.int64)
+        before = cum - bases[seg_id] + seed[seg_id]
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(n, type=pa.int64()),
+                "pack_id": pa.array(before // budget, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(assign, batch_format="pyarrow")
+    )

@@ -2215,3 +2215,88 @@ def agg_strings_by_key(
         .groupby("_part")
         .map_groups(agg, batch_format="pyarrow")
     )
+
+
+def profile_columns(
+    ds,
+    *,
+    cols: list[str],
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Data-quality profile: per column, ``(n_rows, n_nulls, n_distinct)``
+    — the ingest-audit staple (null-rate drift, cardinality explosions).
+
+    ONE narrow exchange at any scale: each batch emits its per-column
+    distinct values pre-counted (``value_counts``) as ``(col, val, n)``
+    rows with values cast to string (Arrow casts are shortest-roundtrip,
+    hence injective — distinct string counts equal distinct native
+    counts); rows route by ``hash(col, val)``, so every global distinct
+    value lands in exactly ONE partition and per-partition distinct
+    partials are additive.  A final tiny per-column groupby sums the
+    partials.  Null values ride as null ``val`` (counted, never
+    distinct-counted).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        outs = []
+        for i, c in enumerate(cols):
+            arr = batch.column(c).combine_chunks()
+            vc = pc.value_counts(pc.cast(arr, pa.string()))
+            vals, counts = vc.field(0), vc.field(1)
+            outs.append(
+                pa.table(
+                    {
+                        "col_name": pa.array([c] * len(vals), type=pa.string()),
+                        "val": vals,
+                        "n": counts.cast(pa.int64()),
+                    }
+                )
+            )
+        t = pa.concat_tables(outs)
+        mixed = stable_hash_array(t.column("col_name")) ^ stable_hash_array(
+            t.column("val")
+        )
+        parts = (mixed % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["_part"])
+        g = t.group_by(["col_name", "val"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        isnull = pc.is_null(g.column("val")).to_numpy(zero_copy_only=False)
+        n = g.column("n_sum").to_numpy(zero_copy_only=False)
+        stats = pa.table(
+            {
+                "col_name": g.column("col_name"),
+                "rows": pa.array(n, type=pa.int64()),
+                "nulls": pa.array(np.where(isnull, n, 0), type=pa.int64()),
+                "distinct": pa.array(
+                    (~isnull).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+        return stats.group_by("col_name", use_threads=False).aggregate(
+            [("rows", "sum"), ("nulls", "sum"), ("distinct", "sum")]
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.group_by("col_name", use_threads=False).aggregate(
+            [("rows_sum", "sum"), ("nulls_sum", "sum"), ("distinct_sum", "sum")]
+        )
+        return pa.table(
+            {
+                "col_name": g.column("col_name"),
+                "n_rows": g.column("rows_sum_sum"),
+                "n_nulls": g.column("nulls_sum_sum"),
+                "n_distinct": g.column("distinct_sum_sum"),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(per_partition, batch_format="pyarrow")
+        .groupby("col_name")
+        .map_groups(final, batch_format="pyarrow")
+    )

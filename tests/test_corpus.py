@@ -516,3 +516,122 @@ def test_inverted_index_build_and_lookup(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         out2[["term", "doc_id"]], exp2, check_dtype=False
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_top_terms (per-doc tf/df relevance)
+# ---------------------------------------------------------------------------
+
+
+def _docs_ds(rows, blocks=3):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+            }
+        )
+    ).repartition(blocks)
+
+
+def test_doc_top_terms_matches_sql(ray_session):
+    from airbyte_destination_ray.pipelines.corpus import doc_top_terms
+
+    rows = [
+        (1, "alpha beta beta gamma"),
+        (2, "alpha alpha delta"),
+        (3, "beta beta beta"),
+        (4, ""),            # no terms -> no rows
+        (5, None),          # null text -> no rows
+        (6, "unique-term! only; here"),
+    ]
+    out = (
+        doc_top_terms(_docs_ds(rows), k=2, num_partitions=4)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+            }
+        ),
+    )
+    oracle = con.sql(
+        """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split_regex(lower(text),
+                '[^a-z0-9]+')) AS term
+            FROM documents WHERE text IS NOT NULL
+        ), tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) tf FROM tok
+            WHERE term <> '' GROUP BY doc_id, term
+        ), df AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tf GROUP BY term)
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(tf.tf AS DOUBLE)/df.df AS score,
+               CAST(row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf AS DOUBLE)/df.df DESC, tf.term)
+                   AS BIGINT) AS rank
+        FROM tf JOIN df USING (term) QUALIFY rank <= 2
+        """
+    ).df().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[sorted(out.columns)], oracle[sorted(oracle.columns)],
+        check_dtype=False,
+    )
+    assert set(out["doc_id"]) == {1, 2, 3, 6}  # 4 and 5 emit nothing
+
+
+# ---------------------------------------------------------------------------
+# pack_documents (two-phase prefix-sum packing)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_documents_prefix_and_edges(ray_session):
+    from airbyte_destination_ray.pipelines.corpus import pack_documents
+
+    # token counts: 3, 4, 2, (null skipped), 5, 1 -> budget 5
+    rows = [
+        (10, "a b c"),
+        (11, "a b c d"),
+        (12, "x  y"),        # doubled space still 2 tokens
+        (13, None),
+        (14, "1 2 3 4 5"),
+        (15, "z"),
+    ]
+    out = (
+        pack_documents(_docs_ds(rows, blocks=4), budget=5, span=2,
+                       num_partitions=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # prefix-before: 0, 3, 7, 9, 14 -> packs 0, 0, 1, 1, 2
+    assert out["doc_id"].tolist() == [10, 11, 12, 14, 15]
+    assert out["n_tokens"].tolist() == [3, 4, 2, 5, 1]
+    assert out["pack_id"].tolist() == [0, 0, 1, 1, 2]
+
+
+def test_pack_documents_batch_invariant(ray_session):
+    from airbyte_destination_ray.pipelines.corpus import pack_documents
+
+    rng = np.random.default_rng(9)
+    rows = [(i, " ".join(["w"] * int(rng.integers(1, 40)))) for i in range(500)]
+    outs = []
+    for blocks, span in ((2, 1 << 20), (9, 16)):
+        outs.append(
+            pack_documents(
+                _docs_ds(rows, blocks=blocks), budget=64, span=span,
+                num_partitions=5,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])

@@ -714,3 +714,31 @@ def test_agg_strings_by_key_matches_string_agg(ray_session):
     pd.testing.assert_frame_equal(out, oracle, check_dtype=False)
     # all-null key aggregates to null, not empty string
     assert pd.isna(out.loc[out["k"] == 3, "s"]).all()
+
+
+# ---------------------------------------------------------------------------
+# profile_columns (per-column data-quality profile)
+# ---------------------------------------------------------------------------
+
+
+def test_profile_columns_counts(ray_session):
+    from airbyte_destination_ray.pipelines.ops import profile_columns
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 2, 2, None, 3, 3, 3], type=pa.int64()),
+            "b": pa.array(["x", None, "x", None, "y", "x", "z"]),
+            "c": pa.array([1.5, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5]),
+        }
+    )
+    out = (
+        profile_columns(_ds(t, 4), cols=["a", "b", "c"], num_partitions=3)
+        .to_pandas()
+        .sort_values("col_name")
+        .reset_index(drop=True)
+    )
+    assert out["col_name"].tolist() == ["a", "b", "c"]
+    assert out["n_rows"].tolist() == [7, 7, 7]
+    assert out["n_nulls"].tolist() == [1, 2, 0]
+    # distinct NON-NULL values, deduplicated across batches
+    assert out["n_distinct"].tolist() == [3, 3, 1]
