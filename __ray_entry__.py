@@ -2298,6 +2298,28 @@ def _q_events_type_paths(sf_dir: str):
     )
 
 
+def _q_cdc_time_travel(sf_dir: str):
+    """Lake time travel: read the CDC table AS OF source epoch 1 (of 3) —
+    the manifest log is the snapshot index; the oracle recomputes the LWW
+    fold over only the events whose deterministic epoch is ≤ 1."""
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        time_travel_events_table,
+    )
+
+    return time_travel_events_table(sf_dir, as_of_epoch=1)
+
+
+def _q_cdc_gdpr_delete(sf_dir: str):
+    """GDPR right-to-be-forgotten: physically delete 7 user_ids from the
+    synced lake (O(keys) partition rewrites through the compaction manifest
+    lane), then read the final state."""
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        gdpr_delete_events_table,
+    )
+
+    return gdpr_delete_events_table(sf_dir)
+
+
 def _q_doc_top_terms(sf_dir: str):
     """Per-document top-5 distinctive terms by tf/df ranking (monotone-
     equivalent to tf·idf within a doc; single IEEE division keeps the
@@ -2404,6 +2426,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms_tfidf": _q_doc_top_terms,
         "pack_documents_2048": _q_pack_documents,
         "events_profile": _q_events_profile,
+        "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_gdpr_delete": _q_cdc_gdpr_delete,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -2570,6 +2594,26 @@ def oracle_sql() -> dict[str, str]:
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                 ), 0) // 2048 AS pack_id
             FROM t
+        """,
+        "cdc_time_travel": """
+            WITH sub AS (
+                SELECT * FROM events
+                WHERE (event_id * 3) //
+                    (SELECT max(event_id) + 1 FROM events) <= 1
+            )
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM sub
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+                AND event_type <> 'error'
+        """,
+        "cdc_gdpr_delete": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+                AND event_type <> 'error'
+                AND user_id NOT IN (1, 2, 3, 5, 8, 13, 21)
         """,
         "events_profile": """
             SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

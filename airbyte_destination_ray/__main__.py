@@ -80,6 +80,25 @@ def main(argv: list[str] | None = None) -> int:
     p_fsck.add_argument("--lake", required=True)
     p_fsck.add_argument("--table", default="pages")
     p_fsck.add_argument("--no-row-counts", action="store_true")
+    p_delete = sub.add_parser(
+        "delete", help="GDPR: physically remove rows by primary key"
+    )
+    p_delete.add_argument("--lake", required=True)
+    p_delete.add_argument("--table", default="pages")
+    p_delete.add_argument(
+        "--keys", required=True,
+        help="comma-separated pk values, or @file with one key per line",
+    )
+    p_export = sub.add_parser(
+        "export", help="write the table's (optionally as-of) state to parquet"
+    )
+    p_export.add_argument("--lake", required=True)
+    p_export.add_argument("--table", default="pages")
+    p_export.add_argument("--out", required=True)
+    p_export.add_argument(
+        "--as-of-epoch", type=int, default=None,
+        help="time travel: read the state as of this committed source epoch",
+    )
     args = ap.parse_args(argv)
 
     from .catalog import check as check_config
@@ -186,6 +205,43 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 json.dumps(
                     compact_table(args.lake, args.table), separators=(",", ":")
+                )
+            )
+            return 0
+        finally:
+            ray.shutdown()
+
+    if args.command == "delete":
+        try:
+            from .pipelines.cdc import delete_rows
+
+            if args.keys.startswith("@"):
+                with open(args.keys[1:], encoding="utf-8") as f:
+                    keys = [line.strip() for line in f if line.strip()]
+            else:
+                keys = args.keys.split(",")
+            print(
+                json.dumps(
+                    delete_rows(args.lake, args.table, keys),
+                    separators=(",", ":"),
+                )
+            )
+            return 0
+        finally:
+            ray.shutdown()
+
+    if args.command == "export":
+        try:
+            from .pipelines.cdc import read_table
+
+            ds = read_table(
+                args.lake, args.table, as_of_epoch=args.as_of_epoch
+            )
+            ds.write_parquet(args.out)
+            print(
+                json.dumps(
+                    {"out": args.out, "as_of_epoch": args.as_of_epoch},
+                    separators=(",", ":"),
                 )
             )
             return 0

@@ -388,13 +388,20 @@ def read_table(
     include_deleted: bool = False,
     include_meta: bool = False,
     partitions=None,
+    as_of_epoch: int | None = None,
 ):
-    """Dataset over the current committed table state (read view).
+    """Dataset over the committed table state (read view).
 
     Tombstone rows are filtered out; ``_seq``/``_deleted`` meta columns are
     dropped unless requested.  ``partitions`` (set of partition ids) prunes
     the scan to those partition directories via the manifests — the I/O
     primitive behind :func:`lookup_rows`.
+
+    ``as_of_epoch`` = TIME TRAVEL: the table state as of that committed
+    source epoch (manifests covering newer epochs are ignored — the
+    manifest log is the snapshot index, no data copies).  Works for both
+    merge strategies; history lives within the active generation and only
+    until ``vacuum`` reclaims superseded files.
     """
     store = ManifestStore(lake_root, table)
     meta = store.table_meta()
@@ -405,9 +412,11 @@ def read_table(
             include_deleted=include_deleted,
             include_meta=include_meta,
             partitions=partitions,
+            as_of_epoch=as_of_epoch,
         )
     versioned = store.committed_files_versioned(
-        meta["generation"], mode=meta["mode"], partitions=partitions
+        meta["generation"], mode=meta["mode"], partitions=partitions,
+        max_epoch=as_of_epoch,
     )
     if not versioned:
         return ray.data.from_arrow(pa.table({}))
@@ -676,12 +685,17 @@ def table_row_count(lake_root: str, table: str) -> int:
     return sum(latest.values())
 
 
-def _delta_partition_stacks(store: ManifestStore, meta: dict) -> list[dict]:
+def _delta_partition_stacks(
+    store: ManifestStore, meta: dict, *, max_epoch: int | None = None
+) -> list[dict]:
     """Latest manifest per partition → one descriptor row per partition
-    (recency by ``order_key`` so compactions never shadow later epochs)."""
+    (recency by ``order_key`` so compactions never shadow later epochs).
+    ``max_epoch`` = the stack as of that source epoch (time travel)."""
     manifests = store._iter_manifests(meta["generation"])
     latest: dict[int, object] = {}
     for m in manifests:
+        if max_epoch is not None and m.effective_epoch > max_epoch:
+            continue
         cur = latest.get(m.partition)
         if cur is None or m.order_key > cur.order_key:
             latest[m.partition] = m
@@ -739,9 +753,10 @@ def _read_delta_table(
     include_deleted: bool,
     include_meta: bool,
     partitions=None,
+    as_of_epoch: int | None = None,
 ):
     store = ManifestStore(lake_root, table)
-    stacks = _delta_partition_stacks(store, meta)
+    stacks = _delta_partition_stacks(store, meta, max_epoch=as_of_epoch)
     if partitions is not None:
         wanted = set(partitions)
         stacks = [r for r in stacks if r["partition"] in wanted]
@@ -804,3 +819,134 @@ def read_table_arrow(lake_root: str, table: str, **kw) -> pa.Table:
         if drop:
             t = t.drop_columns(drop)
     return t
+
+
+def delete_rows(lake_root: str, table: str, keys) -> dict:
+    """Targeted physical deletion by primary key (the GDPR / right-to-be-
+    forgotten lake rewrite): remove EVERY row of the given keys — current
+    versions AND tombstones — from the partitions they hash to, leaving
+    all other partitions untouched.
+
+    Mechanics mirror :func:`compact_table`: keys route to partitions via
+    the table's persisted hash scheme (O(keys) partitions of I/O at any
+    table size); one Ray task per touched partition reads its current
+    state (snapshot files or delta stack), filters the keys out, and
+    commits the rewritten snapshot through the normal manifest CAS in the
+    COMPACTION epoch lane with ``covers_epoch`` = the partition's current
+    covered source epoch.  Consequences of that ranking:
+
+    - replaying any already-committed source epoch is still a no-op (its
+      manifest exists), and the delete outranks the pre-delete state at
+      the same covered epoch, so replay cannot resurrect deleted keys;
+    - a LATER source epoch outranks the delete — new events for a deleted
+      key reinsert it (deletion removes history, not the key's future);
+    - pre-delete snapshot FILES stay on disk until ``vacuum`` reclaims
+      them — a complete GDPR erasure is ``delete_rows`` + ``vacuum``
+      (time-travel reads older than the delete see the old state until
+      then, same contract as any snapshot lake).
+
+    Idempotent per lane epoch: re-running with the same keys writes a new
+    lane manifest over identical content.  Returns touched-partition and
+    removed-row counts.
+    """
+    from ..functions.hashing import partition_ids
+    from ..state.manifest import COMPACTION_EPOCH_BASE
+
+    store = ManifestStore(lake_root, table)
+    meta = store.table_meta()
+    if meta["mode"] != "append_dedup":
+        raise ValueError(
+            "delete_rows needs a keyed snapshot table (append_dedup); "
+            f"table {table!r} has mode {meta['mode']!r}"
+        )
+    pk = meta["pk"]
+    if not isinstance(pk, str):
+        if len(pk) != 1:
+            raise ValueError("delete_rows supports single-column pks")
+        pk = pk[0]
+    if not isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        keys = pa.array(keys)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    keys = keys.drop_null()
+    num_partitions = int(meta["num_partitions"])
+    wanted = set(partition_ids(keys, num_partitions).tolist())
+
+    gen = meta["generation"]
+    stacks = [
+        s
+        for s in _delta_partition_stacks(store, meta)
+        if s["partition"] in wanted
+    ]
+    if not stacks:
+        return {"partitions_rewritten": 0, "rows_removed": 0}
+    all_manifests = store._iter_manifests(gen)
+    prev_lane = [
+        m.epoch for m in all_manifests if m.epoch >= COMPACTION_EPOCH_BASE
+    ]
+    next_epoch = max(prev_lane, default=COMPACTION_EPOCH_BASE - 1) + 1
+    target_version = max(s["schema_version"] for s in stacks)
+    pk_col, ver = pk, meta["cursor"]
+    keys_ref = ray.put(keys)
+
+    def delete_one(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        key_set = ray.get(keys_ref)
+        out = []
+        for r in batch.to_pylist():
+            stack = pa.concat_tables(
+                pq.read_table(Path(lake_root) / f) for f in r["files"]
+            )
+            stack = _align_lake_table(
+                stack, lake_root, table, r["schema_version"], target_version
+            )
+            col = stack.column(pk_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            hit = pc.fill_null(
+                pc.is_in(col, value_set=key_set.cast(col.type)), False
+            )
+            kept = stack.filter(pc.invert(hit))
+            removed = stack.num_rows - kept.num_rows
+            merger = make_partition_merger(
+                lake_root,
+                table,
+                generation=gen,
+                epoch=next_epoch,
+                mode="append_dedup",
+                pk=pk_col,
+                ver=ver,
+                compute_digest=True,
+                schema_version=target_version,
+                strategy="snapshot",  # the rewrite IS the full merge
+                include_prev=False,
+                covers_epoch=r["covers_epoch"],
+            )
+            kept = kept.append_column(
+                "_part",
+                pa.array(
+                    np.full(kept.num_rows, r["partition"], dtype=np.int64)
+                ),
+            )
+            stats = merger(kept, partition=r["partition"])
+            out.append(
+                stats.append_column(
+                    "rows_removed",
+                    pa.array([removed] * stats.num_rows, type=pa.int64()),
+                )
+            )
+        return pa.concat_tables(out)
+
+    stats = (
+        ray.data.from_items(stacks)
+        .map_batches(delete_one, batch_format="pyarrow", batch_size=1)
+        .to_arrow_refs()
+    )
+    stats = pa.concat_tables(ray.get(stats))
+    return {
+        "partitions_rewritten": stats.num_rows,
+        "rows_removed": int(pc.sum(stats.column("rows_removed")).as_py() or 0),
+        "epoch": next_epoch,
+    }

@@ -274,3 +274,34 @@ def backfill_events_roundtrip(
         sync([1])
 
     return read_table(lake, "events_cdc")
+
+
+def time_travel_events_table(
+    sf_dir: str, *, as_of_epoch: int = 1, workdir: str | Path | None = None
+):
+    """TIME TRAVEL query: sync the 3-epoch events binlog, then read the lake
+    AS OF ``as_of_epoch`` — the manifest log is the snapshot index, so the
+    historical read costs the same I/O as a current read and the oracle is
+    the LWW fold over only the epochs ≤ the target (epoch assignment is a
+    deterministic function of event_id, hence SQL-reproducible)."""
+    from .cdc import read_table
+
+    lake = _ensure_events_lake(sf_dir, workdir)
+    return read_table(str(lake), "events_cdc", as_of_epoch=as_of_epoch)
+
+
+GDPR_DELETE_USER_IDS = [1, 2, 3, 5, 8, 13, 21]
+
+
+def gdpr_delete_events_table(
+    sf_dir: str, *, keys=None, workdir: str | Path | None = None
+):
+    """GDPR deletion query: sync the events binlog, physically delete the
+    requested user_ids (``cdc.delete_rows`` — O(keys) partition rewrites in
+    the compaction manifest lane), then read the final table.  Oracle = the
+    tombstone-LWW snapshot minus the deleted keys."""
+    from .cdc import delete_rows, read_table
+
+    lake = _ensure_events_lake(sf_dir, workdir)
+    delete_rows(str(lake), "events_cdc", keys or GDPR_DELETE_USER_IDS)
+    return read_table(str(lake), "events_cdc")

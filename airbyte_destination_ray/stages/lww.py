@@ -364,8 +364,15 @@ def make_partition_merger(
     output — the replay-equivalence invariant.
     """
 
-    def merge(group: pa.Table) -> pa.Table:
-        part = int(group.column("_part")[0].as_py())
+    def merge(group: pa.Table, *, partition: int | None = None) -> pa.Table:
+        # partition override: maintenance rewrites (delete_rows) may hand in
+        # a 0-row group (every row of the partition removed) where the
+        # usual first-row _part probe has nothing to read
+        part = (
+            partition
+            if partition is not None
+            else int(group.column("_part")[0].as_py())
+        )
         if "_ipc" in group.column_names:
             # packed exchange (make_partitioner(pack=True)): unpack the
             # per-batch IPC envelopes back into lake rows.  Envelope schemas

@@ -247,7 +247,8 @@ class ManifestStore:
         return [f for f, _ in self.committed_files_versioned(generation, mode=mode)]
 
     def committed_files_versioned(
-        self, generation: int, *, mode: str, partitions=None
+        self, generation: int, *, mode: str, partitions=None,
+        max_epoch: int | None = None,
     ) -> list[tuple[str, int]]:
         """Current file set as (path, schema_version) pairs.
 
@@ -260,11 +261,21 @@ class ManifestStore:
         ``partitions`` (a set of partition ids) prunes the listing to those
         partitions — the manifest IS the zone map: a point lookup of k keys
         touches at most k partition directories, never the table.
+
+        ``max_epoch`` = time travel: the file set as of source epoch
+        ``max_epoch`` (manifests whose covered source epoch is newer are
+        ignored — same recency rule as :meth:`latest_snapshot`, so a
+        compaction covering epochs ≤ E serves an as-of-E read).  History
+        exists within the ACTIVE generation only (an overwrite flip starts
+        a new timeline) and only until ``vacuum`` reclaims superseded
+        files.
         """
         manifests = self._iter_manifests(generation)
         if partitions is not None:
             partitions = set(partitions)
             manifests = [m for m in manifests if m.partition in partitions]
+        if max_epoch is not None:
+            manifests = [m for m in manifests if m.effective_epoch <= max_epoch]
         if mode in ("append", "overwrite"):
             files: list[tuple[str, int]] = []
             for m in sorted(manifests, key=lambda m: (m.partition, m.epoch)):

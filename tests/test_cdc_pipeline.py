@@ -447,3 +447,140 @@ def test_lookup_rows_delta_strategy_and_columns(binlog, tmp_path):
 
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert list(got.columns) == ["url", "lang"]
+
+
+# ---------------------------------------------------------------------------
+# time travel (read_table as_of_epoch)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_lww_upto(binlog_dir: str, max_epoch: int) -> pa.Table:
+    globs = ",".join(
+        f"'{binlog_dir}/segment-e{e:05d}-*.parquet'" for e in range(max_epoch + 1)
+    )
+    return duckdb.connect().execute(
+        f"""
+        WITH events AS (SELECT * FROM read_parquet([{globs}])),
+        dedup AS (SELECT DISTINCT ON (seq) * FROM events ORDER BY seq),
+        win AS (SELECT *, row_number() OVER
+                (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) rn FROM dedup)
+        SELECT url, warc_ts, html, text, lang FROM win
+        WHERE rn = 1 AND op <> 'D' ORDER BY url
+        """
+    ).arrow()
+
+
+def _collect_as_of(lake: str, epoch: int, table: str = "pages") -> pa.Table:
+    ds = read_table(lake, table, as_of_epoch=epoch)
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return t.select(["url", "warc_ts", "html", "text", "lang"]).sort_by("url")
+
+
+def test_time_travel_every_epoch_matches_oracle(binlog, tmp_path):
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, binlog, num_partitions=PARTS)
+    for e in range(N_EPOCHS):
+        got = _collect_as_of(lake, e)
+        want = _oracle_lww_upto(binlog, e)
+        assert got.equals(want), f"as_of_epoch={e} mismatch"
+    # as-of the last epoch == the current read
+    assert _collect_as_of(lake, N_EPOCHS - 1).equals(lake_state(lake))
+
+
+def test_time_travel_delta_strategy_matches_snapshot(binlog, tmp_path):
+    snap = str(tmp_path / "snap")
+    delt = str(tmp_path / "delta")
+    run_cdc_sync(snap, binlog, num_partitions=PARTS)
+    run_cdc_sync(delt, binlog, num_partitions=PARTS, merge_strategy="delta")
+    for e in range(N_EPOCHS):
+        assert _collect_as_of(delt, e).equals(_collect_as_of(snap, e))
+
+
+# ---------------------------------------------------------------------------
+# delete_rows (GDPR lake rewrite)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_rows_removes_keys_preserves_rest(binlog, tmp_path):
+    from airbyte_destination_ray.pipelines.cdc import delete_rows
+
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, binlog, num_partitions=PARTS)
+    before = lake_state(lake)
+    victims = before.column("url").to_pylist()[:7]
+    res = delete_rows(lake, "pages", victims)
+    assert res["rows_removed"] >= len(victims)
+    after = lake_state(lake)
+    kept_urls = set(after.column("url").to_pylist())
+    assert kept_urls.isdisjoint(victims)
+    # surviving rows byte-identical to the pre-delete state minus victims
+    import pyarrow.compute as pc
+
+    expected = before.filter(
+        pc.invert(pc.is_in(before.column("url"), value_set=pa.array(victims)))
+    )
+    assert after.equals(expected)
+    # idempotent: deleting the same keys again changes nothing
+    delete_rows(lake, "pages", victims)
+    assert lake_state(lake).equals(expected)
+
+
+def test_delete_rows_later_epoch_reinserts_key(tmp_path, ray_session):
+    """Deletion removes history, not the key's future: a later source epoch
+    outranks the delete manifest and reinserts the key; replaying already-
+    committed epochs stays a no-op (no resurrection)."""
+    from airbyte_destination_ray.pipelines.cdc import delete_rows
+
+    blog = tmp_path / "blog"
+    rows = [
+        dict(seq=1, epoch=0, op="U", url="a", warc_ts=100, text="a0", lang="en"),
+        dict(seq=2, epoch=0, op="U", url="b", warc_ts=100, text="b0", lang="en"),
+        dict(seq=3, epoch=1, op="U", url="a", warc_ts=200, text="a1", lang="en"),
+    ]
+    write_custom_binlog(blog, rows)
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, str(blog), num_partitions=2, epochs=[0])
+    delete_rows(lake, "pages", ["a"])
+    st = lake_state(lake)
+    assert st.column("url").to_pylist() == ["b"]
+    # replay epoch 0 (already committed): still deleted
+    run_cdc_sync(lake, str(blog), num_partitions=2, epochs=[0])
+    assert lake_state(lake).column("url").to_pylist() == ["b"]
+    # apply epoch 1: 'a' comes back with the NEW version only
+    run_cdc_sync(lake, str(blog), num_partitions=2)
+    st = lake_state(lake)
+    assert st.column("url").to_pylist() == ["a", "b"]
+    assert st.column("text").to_pylist() == ["a1", "b0"]
+
+
+def test_delete_rows_can_empty_a_partition(tmp_path, ray_session):
+    from airbyte_destination_ray.pipelines.cdc import delete_rows
+
+    blog = tmp_path / "blog"
+    rows = [
+        dict(seq=i, epoch=0, op="U", url=f"u{i}", warc_ts=100 + i,
+             text=f"t{i}", lang="en")
+        for i in range(6)
+    ]
+    write_custom_binlog(blog, rows)
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, str(blog), num_partitions=2)
+    res = delete_rows(lake, "pages", [f"u{i}" for i in range(6)])
+    assert res["rows_removed"] == 6
+    assert lake_state(lake).num_rows == 0
+
+
+def test_delete_rows_delta_strategy(tmp_path, binlog):
+    from airbyte_destination_ray.pipelines.cdc import delete_rows
+
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, binlog, num_partitions=PARTS, merge_strategy="delta")
+    before = lake_state(lake)
+    victims = before.column("url").to_pylist()[-5:]
+    delete_rows(lake, "pages", victims)
+    import pyarrow.compute as pc
+
+    expected = before.filter(
+        pc.invert(pc.is_in(before.column("url"), value_set=pa.array(victims)))
+    )
+    assert lake_state(lake).equals(expected)
