@@ -2320,6 +2320,88 @@ def _q_cdc_gdpr_delete(sf_dir: str):
     return gdpr_delete_events_table(sf_dir)
 
 
+def _q_cdc_change_feed(sf_dir: str):
+    """Change data feed (Delta-CDF analog): the NET visible-row changes the
+    lake took between its as-of-epoch-0 and as-of-epoch-1 states — two
+    time-travel reads diffed on one co-locating exchange."""
+    from airbyte_destination_ray.pipelines.cdc import change_feed
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        _ensure_events_lake,
+    )
+
+    lake = _ensure_events_lake(sf_dir)
+    return change_feed(
+        str(lake), "events_cdc", epoch=1, compare_cols=["event_type", "value"]
+    )
+
+
+def _q_events_running_distinct(sf_dir: str):
+    """Per-user RUNNING distinct event-type count (the window SQL can't
+    write directly — COUNT(DISTINCT) OVER is invalid; the first-occurrence
+    cumsum rewrite is the oracle)."""
+    from airbyte_destination_ray.pipelines.relational import (
+        running_distinct_by_key,
+    )
+
+    return running_distinct_by_key(
+        _events(sf_dir),
+        key="user_id",
+        value_col="event_type",
+        ts_col="ts",
+        seq="event_id",
+    )
+
+
+def _q_top_bigrams(sf_dir: str):
+    """Global top-15 word bigrams (n-gram LM counts / collocations):
+    vectorized adjacency over flattened tokens, value_counts pre-agg, term
+    exchange only."""
+    from airbyte_destination_ray.pipelines.corpus import top_ngrams
+
+    return top_ngrams(_documents(sf_dir, columns=["text"]), n=2, k=15)
+
+
+def _q_incremental_agg(sf_dir: str):
+    """Incrementally-maintained aggregate view: per-user (count, integer-
+    cents sum) folded epoch by epoch under the same manifest CAS as the row
+    lake — the maintained state is bit-identical to the one-shot SQL
+    GROUP BY at any epoch split."""
+    import os as _os
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.aggview import (
+        read_agg,
+        run_incremental_agg,
+    )
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        build_binlog_from_events,
+    )
+
+    tag = f"agg-{_Path(sf_dir).name}-{_os.getpid()}"
+    base = _Path("/tmp/adr_query") / tag
+    _shutil.rmtree(base, ignore_errors=True)
+    binlog = base / "binlog"
+    build_binlog_from_events(f"{sf_dir}/events.parquet", binlog)
+    lake = str(base / "lake")
+    run_incremental_agg(
+        lake,
+        str(binlog),
+        table="user_totals",
+        key="user_id",
+        value_col="value",
+        num_partitions=8,
+    )
+    ds = read_agg(lake, "user_totals")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["user_id", "n", "sum_cents"])
+
+    return ds.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
 def _q_doc_top_terms(sf_dir: str):
     """Per-document top-5 distinctive terms by tf/df ranking (monotone-
     equivalent to tf·idf within a doc; single IEEE division keeps the
@@ -2428,6 +2510,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": _q_events_profile,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_gdpr_delete": _q_cdc_gdpr_delete,
+        "cdc_change_feed": _q_cdc_change_feed,
+        "events_running_distinct": _q_events_running_distinct,
+        "top_bigrams_documents": _q_top_bigrams,
+        "incremental_agg_user_totals": _q_incremental_agg,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -2614,6 +2700,67 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
                 AND event_type <> 'error'
                 AND user_id NOT IN (1, 2, 3, 5, 8, 13, 21)
+        """,
+        "cdc_change_feed": """
+            WITH old_s AS (
+                SELECT user_id, event_type, value FROM events
+                WHERE (event_id * 3) //
+                    (SELECT max(event_id) + 1 FROM events) <= 0
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+                    AND event_type <> 'error'
+            ), new_s AS (
+                SELECT user_id, event_type, value FROM events
+                WHERE (event_id * 3) //
+                    (SELECT max(event_id) + 1 FROM events) <= 1
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+                    AND event_type <> 'error'
+            )
+            SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+                CASE WHEN o.user_id IS NULL THEN 'I'
+                     WHEN n.user_id IS NULL THEN 'D' ELSE 'U' END AS op,
+                o.event_type AS event_type_old,
+                n.event_type AS event_type_new,
+                o.value AS value_old, n.value AS value_new
+            FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
+            WHERE o.user_id IS NULL OR n.user_id IS NULL
+               OR o.event_type IS DISTINCT FROM n.event_type
+               OR o.value IS DISTINCT FROM n.value
+        """,
+        "events_running_distinct": """
+            SELECT user_id, event_type, ts, event_id,
+                CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING
+                ) AS BIGINT) AS n_distinct_so_far
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type ORDER BY ts, event_id
+                ) AS rn
+                FROM events WHERE user_id IS NOT NULL
+            )
+        """,
+        "top_bigrams_documents": """
+            WITH l AS (
+                SELECT list_filter(string_split_regex(
+                    lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+                FROM documents WHERE text IS NOT NULL
+            ), g AS (
+                SELECT unnest(list_transform(
+                    generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS gram
+                FROM l
+            )
+            SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g
+            GROUP BY gram ORDER BY cnt DESC, gram LIMIT 15
+        """,
+        "incremental_agg_user_totals": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                    AS sum_cents
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id
         """,
         "events_profile": """
             SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

@@ -950,3 +950,62 @@ def delete_rows(lake_root: str, table: str, keys) -> dict:
         "rows_removed": int(pc.sum(stats.column("rows_removed")).as_py() or 0),
         "epoch": next_epoch,
     }
+
+
+def change_feed(
+    lake_root: str,
+    table: str,
+    *,
+    epoch: int,
+    compare_cols: list[str],
+):
+    """Change data feed (Delta-CDF analog): the NET row changes the lake
+    took between its as-of-``epoch-1`` and as-of-``epoch`` states — one
+    ``op`` ∈ {'I','U','D'} row per key whose visible state changed, with
+    old/new values per compared column.  Pure composition: two time-travel
+    reads (manifest index, no data copies) diffed by
+    :func:`relational.table_diff` (one co-locating hash exchange; both
+    snapshots stream).  Tombstones follow the read view: a key whose
+    winning version became a delete in ``epoch`` surfaces as 'D'.
+
+    A key whose newer version carries identical compared values does NOT
+    appear (net-change semantics); include the version column in
+    ``compare_cols`` to surface every touched key instead.
+
+    ``epoch=0`` (or any epoch at the start of the generation's history)
+    has no predecessor state: every visible row is an 'I'.
+    """
+    from .relational import table_diff
+
+    store = ManifestStore(lake_root, table)
+    meta = store.table_meta()
+    pk = meta["pk"]
+    if not isinstance(pk, str):
+        if len(pk) != 1:
+            raise ValueError("change_feed supports single-column pks")
+        pk = pk[0]
+    new = read_table(
+        lake_root, table, columns=[pk, *compare_cols], as_of_epoch=epoch
+    )
+    has_prev = any(
+        m.effective_epoch <= epoch - 1
+        for m in store._iter_manifests(meta["generation"])
+    )
+    if not has_prev:
+        # no predecessor state: the whole epoch-0 view is inserts
+        def as_inserts(batch: pa.Table) -> pa.Table:
+            cols = {pk: batch.column(pk)}
+            cols["op"] = pa.array(["I"] * batch.num_rows, type=pa.string())
+            for c in compare_cols:
+                col = batch.column(c)
+                cols[f"{c}_old"] = pa.nulls(batch.num_rows, col.type)
+                cols[f"{c}_new"] = col
+            return pa.table(cols)
+
+        return new.map_batches(
+            as_inserts, batch_format="pyarrow", batch_size=None
+        )
+    old = read_table(
+        lake_root, table, columns=[pk, *compare_cols], as_of_epoch=epoch - 1
+    )
+    return table_diff(old, new, key=pk, compare_cols=compare_cols)

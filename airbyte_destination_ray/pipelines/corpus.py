@@ -905,3 +905,84 @@ def pack_documents(
         .groupby("_part")
         .map_groups(assign, batch_format="pyarrow")
     )
+
+
+def top_ngrams(
+    ds,
+    *,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+    pattern: str = "[^a-z0-9]+",
+    num_partitions: int = 32,
+):
+    """Global top-k word n-grams (the n-gram LM-counts / collocation
+    staple): lowercase, split on ``pattern``, form every within-document
+    run of ``n`` consecutive non-empty tokens (space-joined), count
+    corpus-wide, return the ``k`` most frequent as ``(gram, cnt)``.
+
+    Same exchange shape as :func:`top_terms` — per-batch Arrow
+    ``value_counts`` pre-aggregation so the shuffle carries one row per
+    distinct gram per batch, then per-partition sum + local top-k + tiny
+    final reduce.  The gram construction is vectorized: flattened tokens
+    with parent indices, adjacency = equal parents on shifted views.
+    """
+    if n < 2:
+        raise ValueError("use top_terms for unigrams")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column(text_col)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        toks = pc.split_pattern_regex(pc.utf8_lower(arr), pattern)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+        m = len(flat)
+        if m >= n:
+            starts = np.nonzero(parents[: m - n + 1] == parents[n - 1:])[0]
+        else:
+            starts = np.array([], dtype=np.int64)
+        if len(starts):
+            pieces = [flat.take(pa.array(starts + j)) for j in range(n)]
+            grams = pc.binary_join_element_wise(*pieces, " ")
+            vc = pc.value_counts(grams)
+            terms, counts = vc.field(0), vc.field(1)
+        else:
+            terms = pa.array([], type=pa.string())
+            counts = pa.array([], type=pa.int64())
+        part = (
+            stable_hash_array(terms) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "gram": terms,
+                "cnt": counts.cast(pa.int64()),
+                "_part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    def local_topk(group: pa.Table) -> pa.Table:
+        g = group.group_by("gram", use_threads=False).aggregate([("cnt", "sum")])
+        t = pa.table({"gram": g.column("gram"), "cnt": g.column("cnt_sum")})
+        order = pc.sort_indices(
+            t, sort_keys=[("cnt", "descending"), ("gram", "ascending")]
+        )
+        return t.take(order[: min(k, t.num_rows)])
+
+    def final(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        order = pc.sort_indices(
+            batch, sort_keys=[("cnt", "descending"), ("gram", "ascending")]
+        )
+        return batch.take(order[: min(k, batch.num_rows)])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(local_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

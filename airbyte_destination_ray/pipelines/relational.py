@@ -2661,3 +2661,108 @@ def temporal_join(
     return joined.map_batches(
         mask_expired, batch_format="pyarrow", batch_size=None
     )
+
+
+def running_distinct_by_key(
+    ds,
+    *,
+    key: str,
+    value_col: str,
+    ts_col: str,
+    seq: str,
+    out_col: str = "n_distinct_so_far",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Per-key RUNNING distinct count: for each event, how many distinct
+    ``value_col`` values its key has produced up to and including it (in
+    ``(ts, seq)`` order) — the engagement-breadth / coverage-over-time
+    window SQL cannot express directly (``COUNT(DISTINCT) OVER`` is not a
+    valid window); the standard SQL rewrite is the oracle::
+
+        first = row_number() OVER (PARTITION BY key, value
+                                   ORDER BY ts, seq) = 1
+        out   = SUM(first::int) OVER (PARTITION BY key ORDER BY ts, seq
+                                      ROWS UNBOUNDED PRECEDING)
+
+    ONE hash exchange on ``key``; the kernel is two vectorized sorts: the
+    ``(key, value, ts, seq)`` order marks first occurrences (null values
+    form their own group, matching the window PARTITION), the
+    ``(key, ts, seq)`` order takes the segmented cumsum.  Null keys are
+    dropped (oracle WHERE parity).
+    """
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key: batch.column(key),
+                value_col: batch.column(value_col),
+                ts_col: batch.column(ts_col),
+                seq: batch.column(seq),
+            }
+        )
+        t = t.filter(t.column(key).combine_chunks().is_valid())
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["_part"])
+        n = t.num_rows
+        # pass 1: first occurrence of each (key, value) pair
+        idx1 = pc.sort_indices(
+            t,
+            sort_keys=[
+                (key, "ascending"),
+                (value_col, "ascending"),
+                (ts_col, "ascending"),
+                (seq, "ascending"),
+            ],
+            null_placement="at_start",
+        ).to_numpy()
+        k1 = t.column(key).combine_chunks().take(pa.array(idx1))
+        v1 = t.column(value_col).combine_chunks().take(pa.array(idx1))
+        pair_start = np.ones(n, dtype=bool)
+        if n > 1:
+            same_k = pc.equal(
+                k1.slice(1), k1.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+            # null-safe value equality: nulls form one group per key
+            v_eq = pc.fill_null(
+                pc.equal(v1.slice(1), v1.slice(0, n - 1)), False
+            ).to_numpy(zero_copy_only=False)
+            both_null = (
+                pc.and_(
+                    pc.is_null(v1.slice(1)), pc.is_null(v1.slice(0, n - 1))
+                )
+            ).to_numpy(zero_copy_only=False)
+            pair_start[1:] = ~(same_k & (v_eq | both_null))
+        first = np.zeros(n, dtype=np.int64)
+        first[idx1] = pair_start.astype(np.int64)
+        # pass 2: segmented running sum of the first-occurrence flags
+        idx2 = pc.sort_indices(
+            t,
+            sort_keys=[
+                (key, "ascending"),
+                (ts_col, "ascending"),
+                (seq, "ascending"),
+            ],
+        ).to_numpy()
+        k2 = t.column(key).combine_chunks().take(pa.array(idx2))
+        seg_start = np.ones(n, dtype=bool)
+        if n > 1:
+            seg_start[1:] = pc.not_equal(
+                k2.slice(1), k2.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        f2 = first[idx2]
+        cum = np.cumsum(f2)
+        # segment base = total BEFORE the segment, carried forward (cum-f2
+        # at starts is nondecreasing, so a running max holds the latest)
+        bases = np.maximum.accumulate(np.where(seg_start, cum - f2, -1))
+        run = cum - bases
+        t2 = t.take(pa.array(idx2))
+        return t2.append_column(out_col, pa.array(run, type=pa.int64()))
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

@@ -584,3 +584,45 @@ def test_delete_rows_delta_strategy(tmp_path, binlog):
         pc.invert(pc.is_in(before.column("url"), value_set=pa.array(victims)))
     )
     assert lake_state(lake).equals(expected)
+
+
+# ---------------------------------------------------------------------------
+# change_feed (CDF between epochs)
+# ---------------------------------------------------------------------------
+
+
+def _feed(lake, epoch):
+    from airbyte_destination_ray.pipelines.cdc import change_feed
+
+    ds = change_feed(lake, "pages", epoch=epoch, compare_cols=["text"])
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return t.sort_by("url")
+
+
+def test_change_feed_insert_update_delete_and_net_change(tmp_path, ray_session):
+    blog = tmp_path / "blog"
+    rows = [
+        dict(seq=1, epoch=0, op="U", url="a", warc_ts=100, text="a0", lang="en"),
+        dict(seq=2, epoch=0, op="U", url="b", warc_ts=100, text="b0", lang="en"),
+        dict(seq=3, epoch=0, op="U", url="c", warc_ts=100, text="c0", lang="en"),
+        # epoch 1: update a, delete b, touch c with IDENTICAL text (net
+        # no-change), insert d
+        dict(seq=4, epoch=1, op="U", url="a", warc_ts=200, text="a1", lang="en"),
+        dict(seq=5, epoch=1, op="D", url="b", warc_ts=200, text=None, lang="en"),
+        dict(seq=6, epoch=1, op="U", url="c", warc_ts=200, text="c0", lang="en"),
+        dict(seq=7, epoch=1, op="U", url="d", warc_ts=200, text="d0", lang="en"),
+    ]
+    write_custom_binlog(blog, rows)
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, str(blog), num_partitions=2)
+    # epoch 0 feed: everything is an insert
+    f0 = _feed(lake, 0)
+    assert f0.column("url").to_pylist() == ["a", "b", "c"]
+    assert f0.column("op").to_pylist() == ["I", "I", "I"]
+    assert f0.column("text_old").to_pylist() == [None, None, None]
+    # epoch 1 feed: a updated, b deleted, c net-unchanged (absent), d inserted
+    f1 = _feed(lake, 1)
+    assert f1.column("url").to_pylist() == ["a", "b", "d"]
+    assert f1.column("op").to_pylist() == ["U", "D", "I"]
+    assert f1.column("text_old").to_pylist() == ["a0", "b0", None]
+    assert f1.column("text_new").to_pylist() == ["a1", None, "d0"]

@@ -635,3 +635,32 @@ def test_pack_documents_batch_invariant(ray_session):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_top_ngrams_no_cross_document_grams(ray_session):
+    from airbyte_destination_ray.pipelines.corpus import top_ngrams
+
+    rows = [
+        (1, "x y"),
+        (2, "y x"),       # 'y x' must NOT merge with doc 1's tail
+        (3, "x y z"),
+        (4, "solo"),      # too short for a bigram
+        (5, None),
+    ]
+    out = (
+        top_ngrams(_docs_ds(rows, blocks=4), n=2, k=10, num_partitions=3)
+        .to_pandas()
+        .sort_values(["cnt", "gram"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out["gram"], out["cnt"]))
+    assert got == {"x y": 2, "y x": 1, "y z": 1}
+
+
+def test_top_ngrams_trigrams(ray_session):
+    from airbyte_destination_ray.pipelines.corpus import top_ngrams
+
+    rows = [(1, "a b c d"), (2, "a b c")]
+    out = top_ngrams(_docs_ds(rows, blocks=2), n=3, k=5).to_pandas()
+    got = dict(zip(out["gram"], out["cnt"]))
+    assert got == {"a b c": 2, "b c d": 1}

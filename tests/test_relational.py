@@ -1997,3 +1997,57 @@ def test_temporal_join_scd2_lookup(ray_session):
             assert g is None or (isinstance(g, float) and math.isnan(g))
         else:
             assert g == e
+
+
+def test_running_distinct_by_key_matches_window_rewrite(ray_session):
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.relational import (
+        running_distinct_by_key,
+    )
+
+    rng = np.random.default_rng(13)
+    nrow = 3000
+    t = pa.table(
+        {
+            "u": pa.array(rng.integers(0, 40, nrow), type=pa.int64()),
+            "v": pa.array(
+                [
+                    None if rng.random() < 0.1 else f"t{rng.integers(0, 6)}"
+                    for _ in range(nrow)
+                ]
+            ),
+            "ts": pa.array(rng.integers(0, 10000, nrow), type=pa.int64()),
+            "s": pa.array(np.arange(nrow), type=pa.int64()),
+        }
+    )
+    out = (
+        running_distinct_by_key(
+            ray.data.from_arrow(t).repartition(5),
+            key="u", value_col="v", ts_col="ts", seq="s", num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["u", "ts", "s"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    oracle = (
+        con.sql(
+            """
+            SELECT u, v, ts, s,
+                CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY u ORDER BY ts, s ROWS UNBOUNDED PRECEDING
+                ) AS BIGINT) AS n_distinct_so_far
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY u, v ORDER BY ts, s) AS rn FROM t)
+            """
+        )
+        .df()
+        .sort_values(["u", "ts", "s"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[sorted(out.columns)], oracle[sorted(oracle.columns)],
+        check_dtype=False,
+    )
