@@ -2370,8 +2370,6 @@ def _q_incremental_agg(sf_dir: str):
     import shutil as _shutil
     from pathlib import Path as _Path
 
-    import pyarrow as pa
-
     from airbyte_destination_ray.pipelines.aggview import (
         read_agg,
         run_incremental_agg,
@@ -2394,12 +2392,7 @@ def _q_incremental_agg(sf_dir: str):
         value_col="value",
         num_partitions=8,
     )
-    ds = read_agg(lake, "user_totals")
-
-    def rename(b: pa.Table) -> pa.Table:
-        return b.rename_columns(["user_id", "n", "sum_cents"])
-
-    return ds.map_batches(rename, batch_format="pyarrow", batch_size=None)
+    return read_agg(lake, "user_totals", key_name="user_id")
 
 
 def _q_doc_top_terms(sf_dir: str):

@@ -186,7 +186,16 @@ def run_incremental_agg(
 
 def read_agg(lake_root: str, table: str = "agg", *, key_name: str = "k"):
     """Dataset over the maintained aggregate state (latest snapshot per
-    partition via the ordinary manifest listing)."""
+    partition via the ordinary manifest listing); ``key_name`` renames the
+    key column for downstream consumers."""
     from .cdc import read_table
 
-    return read_table(lake_root, table)
+    ds = read_table(lake_root, table)
+    if key_name == "k":
+        return ds
+
+    def rename(b: pa.Table) -> pa.Table:
+        names = [key_name if c == "k" else c for c in b.column_names]
+        return b.rename_columns(names)
+
+    return ds.map_batches(rename, batch_format="pyarrow", batch_size=None)

@@ -870,14 +870,25 @@ def delete_rows(lake_root: str, table: str, keys) -> dict:
         keys = keys.combine_chunks()
     keys = keys.drop_null()
     num_partitions = int(meta["num_partitions"])
-    wanted = set(partition_ids(keys, num_partitions).tolist())
-
     gen = meta["generation"]
-    stacks = [
-        s
-        for s in _delta_partition_stacks(store, meta)
-        if s["partition"] in wanted
-    ]
+    all_stacks = _delta_partition_stacks(store, meta)
+    if not all_stacks:
+        return {"partitions_rewritten": 0, "rows_removed": 0}
+    # Route with the pk column's NATIVE type: the lake was partitioned on
+    # it, and the stable hash of '13' (string) differs from 13 (int) — a
+    # type-mismatched key list (e.g. the CLI always passes strings) would
+    # rewrite the wrong partitions and silently delete nothing.  The pk
+    # type comes from a committed file's footer (metadata-only read).
+    import pyarrow.parquet as _pq
+
+    pk_type = (
+        _pq.read_schema(Path(lake_root) / all_stacks[0]["files"][0])
+        .field(pk)
+        .type
+    )
+    keys = keys.cast(pk_type)
+    wanted = set(partition_ids(keys, num_partitions).tolist())
+    stacks = [s for s in all_stacks if s["partition"] in wanted]
     if not stacks:
         return {"partitions_rewritten": 0, "rows_removed": 0}
     all_manifests = store._iter_manifests(gen)
@@ -984,13 +995,16 @@ def change_feed(
         if len(pk) != 1:
             raise ValueError("change_feed supports single-column pks")
         pk = pk[0]
+    manifests = store._iter_manifests(meta["generation"])
+    if not any(m.effective_epoch <= epoch for m in manifests):
+        raise ValueError(
+            f"change_feed: table {table!r} has no committed state as of "
+            f"epoch {epoch} (nothing to diff — sync first)"
+        )
     new = read_table(
         lake_root, table, columns=[pk, *compare_cols], as_of_epoch=epoch
     )
-    has_prev = any(
-        m.effective_epoch <= epoch - 1
-        for m in store._iter_manifests(meta["generation"])
-    )
+    has_prev = any(m.effective_epoch <= epoch - 1 for m in manifests)
     if not has_prev:
         # no predecessor state: the whole epoch-0 view is inserts
         def as_inserts(batch: pa.Table) -> pa.Table:

@@ -802,12 +802,14 @@ def pack_documents(
     token lands in).  Token count = non-empty ``pattern`` splits.
 
     The global running token total is the classic two-phase distributed
-    prefix sum (same shape as the watermark operator): documents
-    range-partition by ``id // span``; pass 1 reduces each range to its
-    token sum (one tiny row per range — n/span scalars at any scale), the
-    driver takes the exclusive prefix sum over the sorted range list, and
-    pass 2 re-scans each range seeded with its prefix, computing
-    within-range exclusive cumsums vectorized.  Assumes ``id_col`` values
+    prefix sum (same shape as the watermark operator): the corpus
+    tokenizes ONCE into a materialized (id, n_tokens) projection (two
+    int64 columns — payloads never held); pass 1 reduces each
+    ``id // span`` range to its token sum (one tiny row per range —
+    n/span scalars at any scale), the driver takes the exclusive prefix
+    sum over the sorted range list, and pass 2 re-reads the projection
+    seeded with each range's prefix, computing within-range exclusive
+    cumsums vectorized.  Assumes ``id_col`` values
     are unique (primary key); null-text documents are excluded (0 tokens
     would still consume a pack slot otherwise — matched by the oracle's
     WHERE).
@@ -833,8 +835,7 @@ def pack_documents(
             }
         )
 
-    def range_sums(batch: pa.Table) -> pa.Table:
-        t = tokens_of(batch)
+    def range_sums(t: pa.Table) -> pa.Table:
         ids = t.column("id").to_numpy(zero_copy_only=False)
         n = t.column("n_tokens").to_numpy(zero_copy_only=False)
         rng = ids // span
@@ -855,7 +856,14 @@ def pack_documents(
             }
         )
 
-    partials = ds.map_batches(
+    # Tokenize ONCE: both the prefix-sum pass and the routing pass feed
+    # from the materialized (id, n_tokens) projection — two int64 columns
+    # in the object store, never payloads; re-running the regex split over
+    # the full corpus text per pass would double the operator's wall.
+    counts = ds.map_batches(
+        tokens_of, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    partials = counts.map_batches(
         range_sums, batch_format="pyarrow", batch_size=None
     ).take_all()
     agg: dict[int, int] = {}
@@ -869,8 +877,7 @@ def pack_documents(
         run += agg[g]
     seeds_ref = ray.put(seeds)
 
-    def route(batch: pa.Table) -> pa.Table:
-        t = tokens_of(batch)
+    def route(t: pa.Table) -> pa.Table:
         ids = t.column("id").to_numpy(zero_copy_only=False)
         part = (ids // span) % num_partitions
         return t.append_column("_part", pa.array(part, type=pa.int64()))
@@ -901,7 +908,7 @@ def pack_documents(
         )
 
     return (
-        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        counts.map_batches(route, batch_format="pyarrow", batch_size=None)
         .groupby("_part")
         .map_groups(assign, batch_format="pyarrow")
     )

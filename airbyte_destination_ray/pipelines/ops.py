@@ -2105,23 +2105,28 @@ def grouped_moments(
         mean = s[0] / n
         e2, e3, e4 = s[1] / n, s[2] / n, s[3] / n
         var = e2 - mean * mean
+        # zero-variance keys (singletons, constant groups): SQL x/0.0 is
+        # NULL in DuckDB — emit null, not numpy's nan/inf
+        ok = var != 0.0
+        safe = np.where(ok, var, 1.0)
         skew = (e3 - 3.0 * mean * e2 + 2.0 * mean * mean * mean) / (
-            var * np.sqrt(var)
+            safe * np.sqrt(safe)
         )
         kurt = (
             e4
             - 4.0 * mean * e3
             + 6.0 * mean * mean * e2
             - 3.0 * mean * mean * mean * mean
-        ) / (var * var)
+        ) / (safe * safe)
+        mask = pa.array(~ok)
         return pa.table(
             {
                 key: g.column("k"),
                 "n": g.column("n_sum_sum"),
                 "mean": pa.array(mean),
                 "var_pop": pa.array(var),
-                "skew_pop": pa.array(skew),
-                "kurt_pop": pa.array(kurt),
+                "skew_pop": pc.if_else(mask, pa.scalar(None, pa.float64()), pa.array(skew)),
+                "kurt_pop": pc.if_else(mask, pa.scalar(None, pa.float64()), pa.array(kurt)),
             }
         )
 

@@ -2708,6 +2708,10 @@ def running_distinct_by_key(
         t = group.drop_columns(["_part"])
         n = t.num_rows
         # pass 1: first occurrence of each (key, value) pair
+        # default NULLS-LAST placement matches the oracle's row_number
+        # ordering (a null ts must not steal the first-occurrence flag);
+        # null VALUES still group contiguously and the explicit both_null
+        # mask below keys their group
         idx1 = pc.sort_indices(
             t,
             sort_keys=[
@@ -2716,7 +2720,6 @@ def running_distinct_by_key(
                 (ts_col, "ascending"),
                 (seq, "ascending"),
             ],
-            null_placement="at_start",
         ).to_numpy()
         k1 = t.column(key).combine_chunks().take(pa.array(idx1))
         v1 = t.column(value_col).combine_chunks().take(pa.array(idx1))

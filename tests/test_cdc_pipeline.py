@@ -626,3 +626,45 @@ def test_change_feed_insert_update_delete_and_net_change(tmp_path, ray_session):
     assert f1.column("op").to_pylist() == ["U", "D", "I"]
     assert f1.column("text_old").to_pylist() == ["a0", "b0", None]
     assert f1.column("text_new").to_pylist() == ["a1", None, "d0"]
+
+
+def test_delete_rows_string_keys_on_int_pk_lake(tmp_path, ray_session):
+    """CLI key lists arrive as strings; routing must cast to the pk's
+    NATIVE type before hashing or the wrong partitions get rewritten and
+    nothing is deleted (stable_hash('13') != stable_hash(13))."""
+    import pyarrow.parquet as pq
+
+    from airbyte_destination_ray.pipelines.cdc import delete_rows
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        build_binlog_from_events,
+    )
+
+    ev = pa.table(
+        {
+            "event_id": pa.array(range(1, 41), type=pa.int64()),
+            "ts": pa.array(
+                [1000 + i for i in range(40)], type=pa.timestamp("us")
+            ),
+            "user_id": pa.array([i % 10 for i in range(40)], type=pa.int64()),
+            "event_type": pa.array(["u"] * 40),
+            "value": pa.array([float(i) for i in range(40)]),
+            "props": pa.array(["{}"] * 40),
+        }
+    )
+    src = tmp_path / "events.parquet"
+    pq.write_table(ev, src)
+    blog = tmp_path / "blog"
+    build_binlog_from_events(str(src), blog)
+    from airbyte_destination_ray.pipelines.cdc import run_cdc_sync
+
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(
+        lake, str(blog), table="ev", pk="user_id", ver="ts",
+        payload_columns=["event_id", "ts", "user_id", "event_type",
+                         "value", "props"],
+        num_partitions=8, compute_digest=False,
+    )
+    res = delete_rows(lake, "ev", ["3", "7"])  # strings, int64 pk
+    assert res["rows_removed"] == 2
+    left = read_table_arrow(lake, "ev")
+    assert set(left.column("user_id").to_pylist()).isdisjoint({3, 7})

@@ -742,3 +742,27 @@ def test_profile_columns_counts(ray_session):
     assert out["n_nulls"].tolist() == [1, 2, 0]
     # distinct NON-NULL values, deduplicated across batches
     assert out["n_distinct"].tolist() == [3, 3, 1]
+
+
+def test_grouped_moments_zero_variance_yields_null(ray_session):
+    """Singleton / constant groups: SQL x/0.0 is NULL in DuckDB — skew and
+    kurtosis must be null, never nan/inf."""
+    from airbyte_destination_ray.pipelines.ops import grouped_moments
+
+    t = pa.table(
+        {
+            "g": pa.array(["solo", "const", "const", "varied", "varied",
+                           "varied"]),
+            "v": pa.array([5.0, 2.0, 2.0, 1.0, 4.0, 9.0]),
+        }
+    )
+    out = (
+        grouped_moments(_ds(t, 2), key="g", value_col="v", num_partitions=3)
+        .to_pandas()
+        .set_index("g")
+    )
+    assert out.loc["solo", "var_pop"] == 0.0
+    assert pd.isna(out.loc["solo", "skew_pop"])
+    assert pd.isna(out.loc["solo", "kurt_pop"])
+    assert pd.isna(out.loc["const", "skew_pop"])
+    assert not pd.isna(out.loc["varied", "skew_pop"])

@@ -2051,3 +2051,52 @@ def test_running_distinct_by_key_matches_window_rewrite(ray_session):
         out[sorted(out.columns)], oracle[sorted(oracle.columns)],
         check_dtype=False,
     )
+
+
+def test_running_distinct_null_ts_matches_oracle(ray_session):
+    """A null ts must not steal the first-occurrence flag (NULLS LAST,
+    matching the SQL window ordering)."""
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.relational import (
+        running_distinct_by_key,
+    )
+
+    t = pa.table(
+        {
+            "u": pa.array([1, 1, 1], type=pa.int64()),
+            "v": pa.array(["a", "a", "b"]),
+            "ts": pa.array([None, 1, 2], type=pa.int64()),
+            "s": pa.array([5, 1, 2], type=pa.int64()),
+        }
+    )
+    out = (
+        running_distinct_by_key(
+            ray.data.from_arrow(t), key="u", value_col="v",
+            ts_col="ts", seq="s", num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("s")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    oracle = (
+        con.sql(
+            """
+            SELECT u, v, ts, s,
+                CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY u ORDER BY ts, s ROWS UNBOUNDED PRECEDING
+                ) AS BIGINT) AS n_distinct_so_far
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY u, v ORDER BY ts, s) AS rn FROM t)
+            """
+        )
+        .df()
+        .sort_values("s")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[sorted(out.columns)], oracle[sorted(oracle.columns)],
+        check_dtype=False,
+    )
