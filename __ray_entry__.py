@@ -2395,6 +2395,106 @@ def _q_incremental_agg(sf_dir: str):
     return read_agg(lake, "user_totals", key_name="user_id")
 
 
+def _q_asof_next_click(sf_dir: str):
+    """FORWARD as-of join: for each purchase, the user's EARLIEST click at
+    or after the purchase timestamp (ties by min event_id) — pandas
+    merge_asof(direction='forward'), one hash exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.relational import asof_join
+
+    def side(value, cols):
+        def fn(b: pa.Table) -> pa.Table:
+            t = b.select(cols + ["event_type"])
+            return t.filter(
+                pc.equal(t.column("event_type"), value)
+            ).drop_columns(["event_type"])
+
+        return fn
+
+    ev = _events(sf_dir)
+    left = ev.map_batches(
+        side("purchase", ["event_id", "ts", "user_id", "value"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    right = ev.map_batches(
+        side("click", ["event_id", "ts", "user_id"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    left_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("value", pa.float64()),
+        ]
+    )
+    right_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+        ]
+    )
+    out = asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_seq="event_id",
+        right_keep=["event_id"],
+        suffix="_next",
+        direction="forward",
+        left_schema=left_schema,
+        right_schema=right_schema,
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(
+            ["event_id", "ts", "user_id", "value", "event_id_next"]
+        ).rename_columns(
+            ["event_id", "ts", "user_id", "value", "next_click_id"]
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+def _q_events_pagerank(sf_dir: str):
+    """Fixed-point PageRank (3 iterations, d=0.85, scale=1e9) over a
+    deterministic interaction graph derived from events — integer floor
+    division + integer sums make the iterative algorithm bit-reproducible
+    in an unrolled SQL CTE chain."""
+    import numpy as np
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.graph import pagerank_fixed_point
+
+    def edges(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"user_id": b.column("user_id"), "event_id": b.column("event_id")}
+        )
+        t = t.filter(t.column("user_id").combine_chunks().is_valid())
+        u = t.column("user_id").combine_chunks()
+        un = u.to_numpy(zero_copy_only=False)
+        en = t.column("event_id").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        dst = (un + (en % 17)) % 150
+        return pa.table({"src": u, "dst": pa.array(dst, type=pa.int64())})
+
+    return pagerank_fixed_point(
+        _events(sf_dir).map_batches(
+            edges, batch_format="pyarrow", batch_size=None
+        ),
+        iters=3,
+        num_partitions=16,
+    )
+
+
 def _q_doc_top_terms(sf_dir: str):
     """Per-document top-5 distinctive terms by tf/df ranking (monotone-
     equivalent to tf·idf within a doc; single IEEE division keeps the
@@ -2505,6 +2605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_gdpr_delete": _q_cdc_gdpr_delete,
         "cdc_change_feed": _q_cdc_change_feed,
         "events_running_distinct": _q_events_running_distinct,
+        "asof_next_click_after_purchase": _q_asof_next_click,
+        "events_pagerank": _q_events_pagerank,
         "top_bigrams_documents": _q_top_bigrams,
         "incremental_agg_user_totals": _q_incremental_agg,
         # --- driver-green in r01/r02 ---
@@ -2720,6 +2822,66 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.user_id IS NULL OR n.user_id IS NULL
                OR o.event_type IS DISTINCT FROM n.event_type
                OR o.value IS DISTINCT FROM n.value
+        """,
+        "events_pagerank": """
+            WITH e AS (
+                SELECT user_id AS src,
+                       (user_id + (event_id % 17)) % 150 AS dst
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e
+                    GROUP BY src),
+            nodes AS (SELECT DISTINCT src AS node FROM e
+                      UNION SELECT DISTINCT dst FROM e),
+            r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+            r1 AS (
+                SELECT n.node, CAST(150000000 + COALESCE(c.s, 0) AS BIGINT)
+                    AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS node,
+                           SUM((r0.r * 85) // (100 * deg.d)) AS s
+                    FROM e JOIN r0 ON r0.node = e.src
+                    JOIN deg ON deg.src = e.src GROUP BY e.dst) c
+                ON c.node = n.node
+            ),
+            r2 AS (
+                SELECT n.node, CAST(150000000 + COALESCE(c.s, 0) AS BIGINT)
+                    AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS node,
+                           SUM((r1.r * 85) // (100 * deg.d)) AS s
+                    FROM e JOIN r1 ON r1.node = e.src
+                    JOIN deg ON deg.src = e.src GROUP BY e.dst) c
+                ON c.node = n.node
+            ),
+            r3 AS (
+                SELECT n.node, CAST(150000000 + COALESCE(c.s, 0) AS BIGINT)
+                    AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS node,
+                           SUM((r2.r * 85) // (100 * deg.d)) AS s
+                    FROM e JOIN r2 ON r2.node = e.src
+                    JOIN deg ON deg.src = e.src GROUP BY e.dst) c
+                ON c.node = n.node
+            )
+            SELECT node, r FROM r3
+        """,
+        "asof_next_click_after_purchase": """
+            WITH l AS (
+                SELECT event_id, ts, user_id, value FROM events
+                WHERE event_type = 'purchase'
+            ), r AS (
+                SELECT event_id, ts, user_id FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT event_id, ts, user_id, value, next_click_id FROM (
+                SELECT l.*, r.event_id AS next_click_id,
+                    row_number() OVER (
+                        PARTITION BY l.event_id ORDER BY r.ts, r.event_id
+                    ) AS rn
+                FROM l LEFT JOIN r
+                  ON l.user_id = r.user_id AND r.ts >= l.ts
+            ) WHERE rn = 1
         """,
         "events_running_distinct": """
             SELECT user_id, event_type, ts, event_id,

@@ -181,3 +181,316 @@ def connected_components(
             "(component diameter exceeds max_iters); raise max_iters"
         )
     return labels
+
+
+def pagerank_fixed_point(
+    edges_ds,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 1_000_000_000,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """PageRank in EXACT fixed-point arithmetic — link analysis for crawl
+    prioritization / host authority, with every iteration bit-reproducible
+    in SQL (which is what makes an iterative graph algorithm
+    oracle-checkable: float power iteration would drift by summation
+    order)::
+
+        r_0(v)     = scale
+        contrib(u) = (r_k(u) · damping_num) // (damping_den · outdeg(u))
+        r_{k+1}(v) = ((damping_den − damping_num) · scale) // damping_den
+                     + Σ_{u→v} contrib(u)
+
+    Integer floor division and integer sums are order-independent, so the
+    distributed fold equals the unrolled SQL CTE chain exactly.  Dangling
+    nodes keep receiving the base term but leak their own mass (the
+    standard simple variant; the reweighted variant adds a global scalar
+    per round).  Parallel edges contribute once each (multigraph
+    semantics, matched by the oracle).
+
+    Per iteration: one shuffle join (ranks onto edges by ``src`` — hot
+    sources replicate via the join's skew split if asked) and one
+    aggregate-sized sum exchange by ``dst``; the edge list is repartitioned
+    + materialized ONCE and re-streamed each round; ranks are O(nodes).
+    Envelope: ``r·damping_num`` must stay under 2⁶³ — with ``scale=10⁹``
+    that allows a node to concentrate ~10⁸× the average mass before
+    overflow, far past any real web graph; lower ``scale`` to widen it.
+    """
+    import numpy as np
+
+    from ..functions.hashing import partition_ids
+
+    def edge_env(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "src": batch.column(src),
+                "dst": batch.column(dst),
+            }
+        )
+        t = t.filter(
+            pc.and_(
+                t.column("src").combine_chunks().is_valid(),
+                t.column("dst").combine_chunks().is_valid(),
+            )
+        )
+        parts = partition_ids(t.column("src"), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    edges = edges_ds.map_batches(
+        edge_env, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    # out-degree per source (one aggregate exchange, reused every round)
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["src", "_part"])
+            .group_by(["src", "_part"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "src": g.column("src"),
+                "d": g.column("count_all").cast(pa.int64()),
+                "_part": g.column("_part"),
+            }
+        )
+
+    def deg_final(group: pa.Table) -> pa.Table:
+        g = group.group_by(["src", "_part"], use_threads=False).aggregate(
+            [("d", "sum")]
+        )
+        return pa.table(
+            {
+                "src": g.column("src"),
+                "d": g.column("d_sum"),
+                "_part": g.column("_part"),
+            }
+        )
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(deg_final, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # node set = distinct src ∪ dst, partitioned by node hash
+    def node_env(batch: pa.Table) -> pa.Table:
+        vals = pa.concat_arrays(
+            [
+                batch.column("src").combine_chunks(),
+                batch.column("dst").combine_chunks(),
+            ]
+        ).unique()
+        parts = partition_ids(vals, num_partitions)
+        return pa.table(
+            {
+                "node": vals,
+                "_npart": pa.array(parts, type=pa.int64()),
+            }
+        )
+
+    def node_dedup(group: pa.Table) -> pa.Table:
+        vals = group.column("node").combine_chunks().unique()
+        return pa.table(
+            {
+                "node": vals,
+                "_npart": pa.array(
+                    np.full(len(vals), group.column("_npart")[0].as_py()),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    nodes = (
+        edges.map_batches(node_env, batch_format="pyarrow", batch_size=None)
+        .groupby("_npart")
+        .map_groups(node_dedup, batch_format="pyarrow")
+        .materialize()
+    )
+
+    base = ((damping_den - damping_num) * scale) // damping_den
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "r": pa.array(
+                    np.full(batch.num_rows, scale, dtype=np.int64)
+                ),
+                "_npart": batch.column("_npart"),
+            }
+        )
+
+    ranks = nodes.map_batches(
+        init_ranks, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    # capture the TYPE, never the Dataset handle, in worker closures
+    _es = edges.schema()
+    dst_type = dict(zip(_es.names, _es.types))["dst"]
+
+    for _ in range(iters):
+        # 1. join ranks+deg onto edges by src (all three share _part on
+        #    hash(src) / hash(node) — one co-locating exchange)
+        def rank_env(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src": batch.column("node"),
+                    "dst": pa.nulls(batch.num_rows, dst_type),
+                    "r": batch.column("r"),
+                    "d": pa.nulls(batch.num_rows, pa.int64()),
+                    "_part": batch.column("_npart"),
+                    "_tag": pa.array(
+                        np.full(batch.num_rows, 1, dtype=np.int8)
+                    ),
+                }
+            )
+
+        def edge_tag(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src": batch.column("src"),
+                    "dst": batch.column("dst"),
+                    "r": pa.nulls(batch.num_rows, pa.int64()),
+                    "d": pa.nulls(batch.num_rows, pa.int64()),
+                    "_part": batch.column("_part"),
+                    "_tag": pa.array(
+                        np.full(batch.num_rows, 0, dtype=np.int8)
+                    ),
+                }
+            )
+
+        def deg_tag(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src": batch.column("src"),
+                    "dst": pa.nulls(batch.num_rows, dst_type),
+                    "r": pa.nulls(batch.num_rows, pa.int64()),
+                    "d": batch.column("d"),
+                    "_part": batch.column("_part"),
+                    "_tag": pa.array(
+                        np.full(batch.num_rows, 2, dtype=np.int8)
+                    ),
+                }
+            )
+
+        env = (
+            edges.map_batches(edge_tag, batch_format="pyarrow", batch_size=None)
+            .union(
+                ranks.map_batches(
+                    rank_env, batch_format="pyarrow", batch_size=None
+                )
+            )
+            .union(
+                deg.map_batches(deg_tag, batch_format="pyarrow", batch_size=None)
+            )
+        )
+
+        def contribs(group: pa.Table) -> pa.Table:
+            tag = group.column("_tag").to_numpy(zero_copy_only=False)
+            e = group.filter(pa.array(tag == 0))
+            rk = group.filter(pa.array(tag == 1))
+            dg = group.filter(pa.array(tag == 2))
+            if e.num_rows == 0:
+                return pa.table(
+                    {
+                        "dst": pa.array([], e.schema.field("dst").type),
+                        "c": pa.array([], pa.int64()),
+                    }
+                )
+            # per-source contribution via sorted lookup
+            r_src = rk.column("src").combine_chunks()
+            r_ord = pc.sort_indices(r_src)
+            r_src_s = r_src.take(r_ord)
+            r_val = rk.column("r").combine_chunks().take(r_ord).to_numpy(
+                zero_copy_only=False
+            )
+            d_src = dg.column("src").combine_chunks()
+            d_ord = pc.sort_indices(d_src)
+            d_src_s = d_src.take(d_ord)
+            d_val = dg.column("d").combine_chunks().take(d_ord).to_numpy(
+                zero_copy_only=False
+            )
+            # ranks and degrees cover exactly the sources present (deg by
+            # construction; ranks cover all nodes) — index both
+            es = e.column("src").combine_chunks()
+            ei = pc.index_in(es, value_set=r_src_s).to_numpy(
+                zero_copy_only=False
+            )
+            di = pc.index_in(es, value_set=d_src_s).to_numpy(
+                zero_copy_only=False
+            )
+            r_e = r_val[ei]
+            d_e = d_val[di]
+            c = (r_e * np.int64(damping_num)) // (
+                np.int64(damping_den) * d_e
+            )
+            return pa.table(
+                {"dst": e.column("dst"), "c": pa.array(c, type=pa.int64())}
+            )
+
+        contrib_ds = env.groupby("_part").map_groups(
+            contribs, batch_format="pyarrow"
+        )
+
+        # 2. sum contributions per dst + base term over ALL nodes
+        def contrib_env(batch: pa.Table) -> pa.Table:
+            g = batch.group_by("dst", use_threads=False).aggregate(
+                [("c", "sum")]
+            )
+            parts = partition_ids(g.column("dst"), num_partitions)
+            return pa.table(
+                {
+                    "node": g.column("dst"),
+                    "c": g.column("c_sum"),
+                    "_npart": pa.array(parts, type=pa.int64()),
+                }
+            )
+
+        def zero_env(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "c": pa.array(
+                        np.zeros(batch.num_rows, dtype=np.int64)
+                    ),
+                    "_npart": batch.column("_npart"),
+                }
+            )
+
+        env2 = contrib_ds.map_batches(
+            contrib_env, batch_format="pyarrow", batch_size=None
+        ).union(
+            nodes.map_batches(zero_env, batch_format="pyarrow", batch_size=None)
+        )
+
+        def fold(group: pa.Table) -> pa.Table:
+            g = group.group_by(["node", "_npart"], use_threads=False).aggregate(
+                [("c", "sum")]
+            )
+            r = g.column("c_sum").to_numpy(zero_copy_only=False) + np.int64(
+                base
+            )
+            return pa.table(
+                {
+                    "node": g.column("node"),
+                    "r": pa.array(r, type=pa.int64()),
+                    "_npart": g.column("_npart"),
+                }
+            )
+
+        ranks = (
+            env2.groupby("_npart")
+            .map_groups(fold, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["node", "r"])
+
+    return ranks.map_batches(project, batch_format="pyarrow", batch_size=None)

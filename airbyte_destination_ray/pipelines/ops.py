@@ -1994,6 +1994,8 @@ def lww_partial_merge(
                 [seg_ends] + [v[v >= 0] for v in last.values()]
             )
         )
+        if len(keep) == s.num_rows:
+            return s  # nothing compacts (keys ~unique): skip the copy
         return s.take(pa.array(keep, type=pa.int64()))
 
     def route(batch: pa.Table) -> pa.Table:

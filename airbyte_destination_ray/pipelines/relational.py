@@ -550,10 +550,17 @@ def asof_join(
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    direction: str = "backward",
 ):
     """As-of (point-in-time) left join: for each left row, attach the most
     recent right row with ``right_ts <= left_ts`` for the same ``on`` key
     (ties on ``right_ts`` broken by max ``right_seq`` — deterministic).
+
+    ``direction="forward"`` flips the match to the EARLIEST right row with
+    ``right_ts >= left_ts`` (ties broken by MIN ``right_seq``) — pandas
+    ``merge_asof(direction="forward")``.  Implemented by negating the
+    envelope's order columns, so the backward kernel serves both
+    directions unchanged.
 
     Ray Data has no as-of join; this is the documented composition
     (build brief "custom operators" (a)): tag the two sides into a common
@@ -567,6 +574,11 @@ def asof_join(
     a null-masked ``take``, so any type — strings, lists, structs — joins
     through.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be backward|forward, got {direction!r}"
+        )
+    sign = 1 if direction == "backward" else -1
     right_out = [f"{c}{suffix}" for c in right_keep]
     # Schema guard (see _prep_join_side): derived inputs materialize once
     # instead of ds.schema() silently re-executing their pipeline; callers
@@ -577,7 +589,9 @@ def asof_join(
     def env_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         cols = {c: batch.column(c) for c in batch.column_names}
-        cols["_ats"] = pc.cast(batch.column(left_ts), pa.int64())
+        cols["_ats"] = pc.multiply(
+            pc.cast(batch.column(left_ts), pa.int64()), sign
+        )
         cols["_aseq"] = pa.nulls(n, pa.int64())
         cols["_side"] = pa.array(np.ones(n, dtype=np.int8))
         for c, oc in zip(right_keep, right_out):
@@ -595,8 +609,12 @@ def asof_join(
                     cols[c] = batch.column(on)
                 else:
                     cols[c] = pa.nulls(n, left_types[c])
-            cols["_ats"] = pc.cast(batch.column(right_ts), pa.int64())
-            cols["_aseq"] = pc.cast(batch.column(right_seq), pa.int64())
+            cols["_ats"] = pc.multiply(
+                pc.cast(batch.column(right_ts), pa.int64()), sign
+            )
+            cols["_aseq"] = pc.multiply(
+                pc.cast(batch.column(right_seq), pa.int64()), sign
+            )
             cols["_side"] = pa.array(np.zeros(n, dtype=np.int8))
             for c, oc in zip(right_keep, right_out):
                 cols[oc] = batch.column(c)

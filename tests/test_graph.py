@@ -82,3 +82,46 @@ def test_connected_components_raises_when_unconverged(ray_session):
         ray.data.from_arrow(edges), src="ia", dst="ib", max_iters=30
     ).to_pandas()
     assert set(out["comp"]) == {0}
+
+
+def test_pagerank_fixed_point_matches_reference(ray_session):
+    """Exact fixed-point PageRank equals the sequential integer reference
+    on a graph with a hub, a chain, parallel edges, and a dangling node."""
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.graph import pagerank_fixed_point
+
+    src = [1, 2, 3, 4, 1, 1, 5, 6]   # 1->2 twice (parallel), 6 dangling src
+    dst = [2, 3, 4, 1, 2, 5, 9, 1]   # 9 has no out-edges (dangling sink)
+    edges = pa.table(
+        {
+            "src": pa.array(src, type=pa.int64()),
+            "dst": pa.array(dst, type=pa.int64()),
+        }
+    )
+    ITERS, DN, DD, SCALE = 4, 85, 100, 10**9
+    out = (
+        pagerank_fixed_point(
+            ray.data.from_arrow(edges).repartition(3),
+            iters=ITERS, num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("node")["r"]
+        .to_dict()
+    )
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s in src:
+        deg[s] += 1
+    nodes = set(src) | set(dst)
+    r = {v: SCALE for v in nodes}
+    base = ((DD - DN) * SCALE) // DD
+    for _ in range(ITERS):
+        acc = {v: 0 for v in nodes}
+        for s, d in zip(src, dst):
+            acc[d] += (r[s] * DN) // (DD * deg[s])
+        r = {v: base + acc[v] for v in nodes}
+    assert out == r
+    # dangling sink 9 accumulates but never emits; hub 2 outranks leaf 5
+    assert out[2] > out[5]

@@ -2100,3 +2100,104 @@ def test_running_distinct_null_ts_matches_oracle(ray_session):
         out[sorted(out.columns)], oracle[sorted(oracle.columns)],
         check_dtype=False,
     )
+
+
+def test_asof_join_forward_direction(ray_session):
+    """direction='forward': earliest right with rts >= lts, equal ts
+    included, ties broken by MIN seq; unmatched lefts keep nulls."""
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.relational import asof_join
+
+    left = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2], type=pa.int64()),
+            "lts": pa.array([100, 200, 300, 100], type=pa.int64()),
+            "lid": pa.array([1, 2, 3, 4], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 1], type=pa.int64()),
+            "rts": pa.array([150, 200, 200, 250], type=pa.int64()),
+            "rid": pa.array([10, 21, 20, 30], type=pa.int64()),
+            "tag": pa.array(["a", "b1", "b0", "c"]),
+        }
+    )
+    out = (
+        asof_join(
+            ray.data.from_arrow(left).repartition(2),
+            ray.data.from_arrow(right),
+            on="u", left_ts="lts", right_ts="rts", right_seq="rid",
+            right_keep=["tag"], direction="forward",
+            left_schema=left.schema, right_schema=right.schema,
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    # lid1 (ts100) -> earliest at/after = 150 'a'; lid2 (ts200) -> equal-ts
+    # tie between rid 20/21 -> MIN rid = 20 'b0'; lid3 (ts300) -> none;
+    # lid4 (user 2) -> none
+    assert out["tag_right"].tolist()[:2] == ["a", "b0"]
+    assert pd.isna(out["tag_right"][2]) and pd.isna(out["tag_right"][3])
+
+
+def test_asof_join_forward_matches_pandas(ray_session):
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.relational import asof_join
+
+    rng = np.random.default_rng(17)
+    nl, nr = 800, 600
+    left = pa.table(
+        {
+            "u": pa.array(rng.integers(0, 20, nl), type=pa.int64()),
+            "lts": pa.array(rng.integers(0, 5000, nl), type=pa.int64()),
+            "lid": pa.array(np.arange(nl), type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "u": pa.array(rng.integers(0, 20, nr), type=pa.int64()),
+            "rts": pa.array(
+                np.sort(rng.integers(0, 5000, nr)), type=pa.int64()
+            ),
+            "rid": pa.array(np.arange(nr), type=pa.int64()),
+        }
+    )
+    out = (
+        asof_join(
+            ray.data.from_arrow(left).repartition(3),
+            ray.data.from_arrow(right).repartition(2),
+            on="u", left_ts="lts", right_ts="rts", right_seq="rid",
+            right_keep=["rid"], direction="forward",
+            left_schema=left.schema, right_schema=right.schema,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    oracle = (
+        con.sql(
+            """
+            SELECT u, lts, lid, rid_right FROM (
+                SELECT l.*, r.rid AS rid_right,
+                    row_number() OVER (
+                        PARTITION BY l.lid ORDER BY r.rts, r.rid) AS rn
+                FROM l LEFT JOIN r ON l.u = r.u AND r.rts >= l.lts
+            ) WHERE rn = 1
+            """
+        )
+        .df()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[sorted(out.columns)], oracle[sorted(oracle.columns)],
+        check_dtype=False,
+    )
