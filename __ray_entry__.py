@@ -2463,6 +2463,66 @@ def _q_asof_next_click(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow", batch_size=None)
 
 
+def _q_click_purchase_window_join(sf_dir: str):
+    """Stream-stream time-window join (Flink interval join): every
+    (click, purchase) pair of the same user with the purchase within 30
+    minutes AFTER the click — one co-locating exchange, vectorized
+    segmented window-bound counts, output = true pair count."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.relational import window_join
+
+    def side(value, cols):
+        def fn(b: pa.Table) -> pa.Table:
+            t = b.select(cols + ["event_type"])
+            return t.filter(
+                pc.equal(t.column("event_type"), value)
+            ).drop_columns(["event_type"])
+
+        return fn
+
+    ev = _events(sf_dir)
+    clicks = ev.map_batches(
+        side("click", ["event_id", "ts", "user_id"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    purchases = ev.map_batches(
+        side("purchase", ["event_id", "ts", "user_id", "value"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    lschema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+        ]
+    )
+    rschema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("value", pa.float64()),
+        ]
+    )
+    return window_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        before_us=0,
+        after_us=30 * 60 * 1_000_000,
+        right_keep=["event_id", "value"],
+        suffix="_purchase",
+        left_schema=lschema,
+        right_schema=rschema,
+    )
+
+
 def _q_events_pagerank(sf_dir: str):
     """Fixed-point PageRank (3 iterations, d=0.85, scale=1e9) over a
     deterministic interaction graph derived from events — integer floor
@@ -2607,6 +2667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_distinct": _q_events_running_distinct,
         "asof_next_click_after_purchase": _q_asof_next_click,
         "events_pagerank": _q_events_pagerank,
+        "click_purchase_window_join": _q_click_purchase_window_join,
         "top_bigrams_documents": _q_top_bigrams,
         "incremental_agg_user_totals": _q_incremental_agg,
         # --- driver-green in r01/r02 ---
@@ -2822,6 +2883,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.user_id IS NULL OR n.user_id IS NULL
                OR o.event_type IS DISTINCT FROM n.event_type
                OR o.value IS DISTINCT FROM n.value
+        """,
+        "click_purchase_window_join": """
+            WITH c AS (
+                SELECT event_id, ts, user_id FROM events
+                WHERE event_type = 'click'
+            ), p AS (
+                SELECT event_id, ts, user_id, value FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT c.event_id, c.ts, c.user_id,
+                   p.event_id AS event_id_purchase,
+                   p.value AS value_purchase
+            FROM c JOIN p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 30 MINUTE
         """,
         "events_pagerank": """
             WITH e AS (

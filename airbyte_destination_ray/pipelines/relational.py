@@ -2787,3 +2787,202 @@ def running_distinct_by_key(
         .groupby("_part")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def window_join(
+    left_ds,
+    right_ds,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    before_us: int = 0,
+    after_us: int = 0,
+    right_keep: list[str],
+    suffix: str = "_right",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+):
+    """Big×big time-window (band) equijoin — the stream-stream join: emit
+    every (left, right) pair sharing ``on`` with
+    ``left_ts − before_us ≤ right_ts ≤ left_ts + after_us`` (inner
+    semantics; unmatched rows drop).  The Flink/Beam interval join, and the
+    shuffle-path sibling of the broadcast :func:`interval_join`.
+
+    ONE co-locating hash exchange (both sides ride the tagged-union
+    envelope, same shape as :func:`shuffle_join`); the per-partition kernel
+    sorts the right side once and turns each left row into a
+    ``searchsorted`` index range, expanding pairs via vectorized
+    repeat/range arithmetic — output size is the true pair count, never a
+    cross product.  Skew note: a key hot on BOTH sides is inherently
+    quadratic (every pair must be emitted); bound ``before/after`` to bound
+    the blowup.  Null keys and null timestamps drop (SQL inner-join
+    parity).
+    """
+    right_out = [f"{c}{suffix}" for c in right_keep]
+    left_ds, lschema = _prep_join_side(left_ds, left_schema, "left")
+    right_ds, rschema = _prep_join_side(right_ds, right_schema, "right")
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    clash = set(lschema.names) & set(right_out)
+    if clash:
+        raise ValueError(f"column name clash: {sorted(clash)}")
+    left_cols = list(lschema.names)
+
+    def env_left(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in left_cols}
+        cols["_wts"] = pc.cast(batch.column(left_ts), pa.int64())
+        for c, oc in zip(right_keep, right_out):
+            cols[oc] = pa.nulls(batch.num_rows, rtypes[c])
+        cols["_side"] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        t = pa.table(cols)
+        t = t.filter(
+            pc.and_(
+                t.column(on).combine_chunks().is_valid(),
+                t.column("_wts").combine_chunks().is_valid(),
+            )
+        )
+        parts = partition_ids(t.column(on), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def env_right(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in left_cols:
+            if c == on:
+                cols[c] = batch.column(on)
+            else:
+                cols[c] = pa.nulls(batch.num_rows, ltypes[c])
+        cols["_wts"] = pc.cast(batch.column(right_ts), pa.int64())
+        for c, oc in zip(right_keep, right_out):
+            cols[oc] = batch.column(c)
+        cols["_side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        t = pa.table(cols)
+        t = t.filter(
+            pc.and_(
+                t.column(on).combine_chunks().is_valid(),
+                t.column("_wts").combine_chunks().is_valid(),
+            )
+        )
+        parts = partition_ids(t.column(on), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        left = group.filter(pa.array(side == 1))
+        right = group.filter(pa.array(side == 0))
+        empty = pa.table(
+            {
+                **{c: pa.array([], ltypes[c]) for c in left_cols},
+                **{
+                    oc: pa.array([], rtypes[c])
+                    for c, oc in zip(right_keep, right_out)
+                },
+            }
+        )
+        if left.num_rows == 0 or right.num_rows == 0:
+            return empty
+        # sort rights by (key, ts) once; per left row the window is a
+        # searchsorted range over its key segment
+        ridx = pc.sort_indices(
+            right, sort_keys=[(on, "ascending"), ("_wts", "ascending")]
+        )
+        right = right.take(ridx)
+        rkey = right.column(on).combine_chunks()
+        rts = right.column("_wts").to_numpy(zero_copy_only=False)
+        m = right.num_rows
+        rstart = np.ones(m, dtype=bool)
+        if m > 1:
+            rstart[1:] = pc.not_equal(
+                rkey.slice(1), rkey.slice(0, m - 1)
+            ).to_numpy(zero_copy_only=False)
+        seg_lo = np.nonzero(rstart)[0]
+        # map each left key to its right segment via index_in against the
+        # segment-start keys (unique by construction)
+        seg_keys = rkey.take(pa.array(seg_lo, type=pa.int64()))
+        li = pc.index_in(
+            left.column(on).combine_chunks(), value_set=seg_keys
+        ).to_numpy(zero_copy_only=False).astype(np.float64)
+        has_seg = ~np.isnan(li)
+        lsel = np.nonzero(has_seg)[0]
+        if len(lsel) == 0:
+            return empty
+        seg = li[lsel].astype(np.int64)
+        lts = left.column("_wts").to_numpy(zero_copy_only=False)[lsel]
+        probe_keys = left.column(on).combine_chunks().take(
+            pa.array(lsel, type=pa.int64())
+        )
+
+        # rts is sorted only WITHIN key segments, so a global searchsorted
+        # is invalid; instead interleave probes with the rights sorted by
+        # (key, value, side) and read each probe's within-segment right
+        # count off an exclusive cumsum (the asof kernel's trick, applied
+        # to both window bounds)
+        def bound_counts(v_probe: np.ndarray, probe_first: bool) -> np.ndarray:
+            n_p = len(v_probe)
+            kcat = pa.concat_arrays(
+                [rkey.combine_chunks() if isinstance(rkey, pa.ChunkedArray)
+                 else rkey, probe_keys.combine_chunks()
+                 if isinstance(probe_keys, pa.ChunkedArray) else probe_keys]
+            )
+            vcat = np.concatenate([rts, v_probe])
+            s_r = np.zeros(m, dtype=np.int8) if not probe_first else np.ones(
+                m, dtype=np.int8
+            )
+            s_p = np.ones(n_p, dtype=np.int8) if not probe_first else np.zeros(
+                n_p, dtype=np.int8
+            )
+            scat = np.concatenate([s_r, s_p])
+            tbl = pa.table(
+                {"k": kcat, "v": pa.array(vcat), "s": pa.array(scat)}
+            )
+            order = pc.sort_indices(
+                tbl,
+                sort_keys=[("k", "ascending"), ("v", "ascending"),
+                           ("s", "ascending")],
+            ).to_numpy()
+            isr = order < m
+            excl = np.cumsum(isr) - isr
+            kk = kcat.take(pa.array(order, type=pa.int64()))
+            tot = m + n_p
+            start = np.ones(tot, dtype=bool)
+            if tot > 1:
+                start[1:] = pc.not_equal(
+                    kk.slice(1), kk.slice(0, tot - 1)
+                ).to_numpy(zero_copy_only=False)
+            base = np.maximum.accumulate(np.where(start, excl, -1))
+            cnt = excl - base
+            res = np.empty(n_p, dtype=np.int64)
+            res[order[~isr] - m] = cnt[~isr]
+            return res
+
+        lo_cnt = bound_counts(lts - before_us, probe_first=True)
+        hi_cnt = bound_counts(lts + after_us, probe_first=False)
+        lo = seg_lo[seg] + lo_cnt
+        hi = seg_lo[seg] + hi_cnt
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        # expand pairs: left row index repeated, right indices as ranges
+        l_rep = np.repeat(lsel, counts)
+        starts = np.repeat(lo, counts)
+        within = np.arange(total) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        r_idx = starts + within
+        out_cols = {}
+        l_take = pa.array(l_rep, type=pa.int64())
+        r_take = pa.array(r_idx, type=pa.int64())
+        for c in left_cols:
+            out_cols[c] = left.column(c).combine_chunks().take(l_take)
+        for oc in right_out:
+            out_cols[oc] = right.column(oc).combine_chunks().take(r_take)
+        return pa.table(out_cols)
+
+    env = left_ds.map_batches(
+        env_left, batch_format="pyarrow", batch_size=None
+    ).union(
+        right_ds.map_batches(env_right, batch_format="pyarrow", batch_size=None)
+    )
+    return env.groupby("_part").map_groups(merge, batch_format="pyarrow")

@@ -2201,3 +2201,88 @@ def test_asof_join_forward_matches_pandas(ray_session):
         out[sorted(out.columns)], oracle[sorted(oracle.columns)],
         check_dtype=False,
     )
+
+
+def test_window_join_matches_band_join_sql(ray_session):
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.relational import window_join
+
+    rng = np.random.default_rng(29)
+    nl, nr = 900, 700
+    left = pa.table(
+        {
+            "u": pa.array(rng.integers(0, 15, nl), type=pa.int64()),
+            "lts": pa.array(rng.integers(0, 2000, nl), type=pa.int64()),
+            "lid": pa.array(np.arange(nl), type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "u": pa.array(rng.integers(0, 15, nr), type=pa.int64()),
+            "rts": pa.array(rng.integers(0, 2000, nr), type=pa.int64()),
+            "rid": pa.array(np.arange(nr), type=pa.int64()),
+        }
+    )
+    out = window_join(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right).repartition(3),
+        on="u", left_ts="lts", right_ts="rts",
+        before_us=25, after_us=60, right_keep=["rid"],
+        left_schema=left.schema, right_schema=right.schema,
+        num_partitions=5,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    oracle = con.sql(
+        """SELECT l.u, l.lts, l.lid, r.rid AS rid_right
+           FROM l JOIN r ON l.u = r.u
+            AND r.rts BETWEEN l.lts - 25 AND l.lts + 60"""
+    ).df()
+    cols = sorted(out.columns)
+    pd.testing.assert_frame_equal(
+        out[cols].sort_values(cols).reset_index(drop=True),
+        oracle[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_window_join_edges(ray_session):
+    """Boundary inclusivity both ends, zero-width window, key with no
+    right rows, empty pair count."""
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.relational import window_join
+
+    left = pa.table(
+        {
+            "u": pa.array([1, 1, 2, 3], type=pa.int64()),
+            "lts": pa.array([100, 500, 100, 100], type=pa.int64()),
+            "lid": pa.array([1, 2, 3, 4], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2], type=pa.int64()),
+            "rts": pa.array([90, 110, 200, 100], type=pa.int64()),
+            "rid": pa.array([10, 11, 12, 13], type=pa.int64()),
+        }
+    )
+    out = (
+        window_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            on="u", left_ts="lts", right_ts="rts",
+            before_us=10, after_us=10, right_keep=["rid"],
+            left_schema=left.schema, right_schema=right.schema,
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values(["lid", "rid_right"])
+        .reset_index(drop=True)
+    )
+    # lid1 [90,110] -> rids 10,11 (both boundary-inclusive); lid2 none;
+    # lid3 (u2, zero offsets around 100) -> rid 13; lid4 (u3) no rights
+    pairs = list(zip(out["lid"], out["rid_right"]))
+    assert pairs == [(1, 10), (1, 11), (3, 13)]
