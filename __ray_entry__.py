@@ -2523,6 +2523,42 @@ def _q_click_purchase_window_join(sf_dir: str):
     )
 
 
+def _q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT / melt: the four lineitem measures to long form — purely
+    per-batch reshape, no shuffle."""
+    from airbyte_destination_ray.pipelines.ops import unpivot
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        ],
+    )
+    return unpivot(
+        ds,
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def _q_events_ohlc(sf_dir: str):
+    """Per-(hour, type) OPEN/HIGH/LOW/CLOSE candlestick rollup — first/
+    last-by-(ts,seq) made associative by carrying the defining order keys
+    in the per-batch partials."""
+    from airbyte_destination_ray.pipelines.relational import windowed_ohlc
+
+    return windowed_ohlc(
+        _events(sf_dir),
+        ts_col="ts",
+        key="event_type",
+        seq="event_id",
+        value_col="value",
+        unit="hour",
+    )
+
+
 def _q_events_pagerank(sf_dir: str):
     """Fixed-point PageRank (3 iterations, d=0.85, scale=1e9) over a
     deterministic interaction graph derived from events — integer floor
@@ -2668,6 +2704,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_next_click_after_purchase": _q_asof_next_click,
         "events_pagerank": _q_events_pagerank,
         "click_purchase_window_join": _q_click_purchase_window_join,
+        "lineitem_unpivot_measures": _q_lineitem_unpivot,
+        "events_ohlc_hourly": _q_events_ohlc,
         "top_bigrams_documents": _q_top_bigrams,
         "incremental_agg_user_totals": _q_incremental_agg,
         # --- driver-green in r01/r02 ---
@@ -2883,6 +2921,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.user_id IS NULL OR n.user_id IS NULL
                OR o.event_type IS DISTINCT FROM n.event_type
                OR o.value IS DISTINCT FROM n.value
+        """,
+        "lineitem_unpivot_measures": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+                   l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        """,
+        "events_ohlc_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                first(value ORDER BY ts, event_id) AS open,
+                max(value) AS high, min(value) AS low,
+                last(value ORDER BY ts, event_id) AS close,
+                CAST(count(*) AS BIGINT) AS n
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+              AND value IS NOT NULL
+            GROUP BY 1, 2
         """,
         "click_purchase_window_join": """
             WITH c AS (

@@ -2307,3 +2307,31 @@ def profile_columns(
         .groupby("col_name")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def unpivot(
+    ds,
+    *,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+    value_type: pa.DataType | None = None,
+):
+    """UNPIVOT / melt: widen-to-long reshape — each input row emits one row
+    per value column as ``(id_cols..., variable, value)``.  Purely
+    per-batch (no shuffle, 1 → len(value_cols) row expansion via column
+    concatenation, no Python row loop); values cast to a common type
+    (float64 default — SQL UNPIVOT requires a unifiable type too)."""
+    vt = value_type or pa.float64()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pieces = []
+        for c in value_cols:
+            cols = {k: batch.column(k) for k in id_cols}
+            cols[var_name] = pa.array([c] * batch.num_rows, type=pa.string())
+            cols[value_name] = pc.cast(batch.column(c), vt)
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -2986,3 +2986,155 @@ def window_join(
         right_ds.map_batches(env_right, batch_format="pyarrow", batch_size=None)
     )
     return env.groupby("_part").map_groups(merge, batch_format="pyarrow")
+
+
+def windowed_ohlc(
+    ds,
+    *,
+    ts_col: str,
+    key: str,
+    seq: str,
+    value_col: str,
+    unit: str = "hour",
+):
+    """Per-(window, key) OPEN/HIGH/LOW/CLOSE aggregate — the candlestick /
+    telemetry-rollup shape: open = first value by ``(ts, seq)`` within the
+    window, close = last, plus min/max/count.  First/last-by-order are
+    associative once each partial carries its defining order key, so the
+    per-batch combiner emits ONE partial row per (window, key, batch)
+    (open + its (ts, seq), close + its (ts, seq), lo, hi, n) and the final
+    exchange merges partials by comparing those order keys — the same
+    pre-reduce shape as the other windowed aggregates; no row-level data
+    ever reaches the final exchange.  Rows with a null window, key, or
+    value are excluded (matched by the oracle's WHERE)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = pc.cast(
+            pc.floor_temporal(batch.column(ts_col), unit=unit), pa.int64()
+        )
+        t = pa.table(
+            {
+                "w": win,
+                "k": batch.column(key),
+                "_ts": pc.cast(batch.column(ts_col), pa.int64()),
+                "_seq": pc.cast(batch.column(seq), pa.int64()),
+                "v": batch.column(value_col),
+            }
+        )
+        t = t.filter(
+            pc.and_(
+                pc.and_(
+                    t.column("w").combine_chunks().is_valid(),
+                    t.column("k").combine_chunks().is_valid(),
+                ),
+                t.column("v").combine_chunks().is_valid(),
+            )
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "w": pa.array([], pa.int64()),
+                    "k": pa.array([], t.schema.field("k").type),
+                    "open_ts": pa.array([], pa.int64()),
+                    "open_seq": pa.array([], pa.int64()),
+                    "open": pa.array([], pa.float64()),
+                    "close_ts": pa.array([], pa.int64()),
+                    "close_seq": pa.array([], pa.int64()),
+                    "close": pa.array([], pa.float64()),
+                    "lo": pa.array([], pa.float64()),
+                    "hi": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("w", "ascending"),
+                ("k", "ascending"),
+                ("_ts", "ascending"),
+                ("_seq", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        n = t.num_rows
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        kk = t.column("k").combine_chunks()
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            same_k = pc.equal(kk.slice(1), kk.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            start[1:] = (w[1:] != w[:-1]) | ~same_k
+        si = np.flatnonzero(start)
+        ei = np.r_[si[1:], n] - 1
+        v = pc.cast(t.column("v"), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        ts = t.column("_ts").to_numpy(zero_copy_only=False)
+        sq = t.column("_seq").to_numpy(zero_copy_only=False)
+        lo = np.minimum.reduceat(v, si)
+        hi = np.maximum.reduceat(v, si)
+        cnt = np.diff(np.r_[si, n])
+        sel_s = pa.array(si, type=pa.int64())
+        return pa.table(
+            {
+                "w": pa.array(w[si]),
+                "k": kk.take(sel_s),
+                "open_ts": pa.array(ts[si]),
+                "open_seq": pa.array(sq[si]),
+                "open": pa.array(v[si]),
+                "close_ts": pa.array(ts[ei]),
+                "close_seq": pa.array(sq[ei]),
+                "close": pa.array(v[ei]),
+                "lo": pa.array(lo),
+                "hi": pa.array(hi),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        # merge partials: open = row with min (open_ts, open_seq), close =
+        # row with max (close_ts, close_seq)
+        oidx = pc.sort_indices(
+            group,
+            sort_keys=[("open_ts", "ascending"), ("open_seq", "ascending")],
+        )[0].as_py()
+        cidx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("close_ts", "descending"),
+                ("close_seq", "descending"),
+            ],
+        )[0].as_py()
+        return pa.table(
+            {
+                "window_start": pa.array(
+                    [group.column("w")[0].as_py()], pa.int64()
+                ).cast(pa.timestamp("us")),
+                key: pa.array(
+                    [group.column("k")[0].as_py()],
+                    group.schema.field("k").type,
+                ),
+                "open": pa.array(
+                    [group.column("open")[oidx].as_py()], pa.float64()
+                ),
+                "high": pa.array(
+                    [pc.max(group.column("hi")).as_py()], pa.float64()
+                ),
+                "low": pa.array(
+                    [pc.min(group.column("lo")).as_py()], pa.float64()
+                ),
+                "close": pa.array(
+                    [group.column("close")[cidx].as_py()], pa.float64()
+                ),
+                "n": pa.array(
+                    [int(pc.sum(group.column("n")).as_py())], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["w", "k"])
+        .map_groups(final, batch_format="pyarrow")
+    )

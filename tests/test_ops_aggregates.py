@@ -766,3 +766,24 @@ def test_grouped_moments_zero_variance_yields_null(ray_session):
     assert pd.isna(out.loc["solo", "kurt_pop"])
     assert pd.isna(out.loc["const", "skew_pop"])
     assert not pd.isna(out.loc["varied", "skew_pop"])
+
+
+def test_unpivot_matches_union_all(ray_session):
+    from airbyte_destination_ray.pipelines.ops import unpivot
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], type=pa.int64()),
+            "x": pa.array([1.5, None]),
+            "y": pa.array([10, 20], type=pa.int64()),
+        }
+    )
+    out = (
+        unpivot(_ds(t, 2), id_cols=["id"], value_cols=["x", "y"])
+        .to_pandas()
+        .sort_values(["id", "variable"])
+        .reset_index(drop=True)
+    )
+    assert out["variable"].tolist() == ["x", "y", "x", "y"]
+    assert out["value"].tolist()[0] == 1.5 and out["value"].tolist()[1] == 10.0
+    assert pd.isna(out["value"][2]) and out["value"][3] == 20.0
