@@ -210,3 +210,115 @@ def test_exact_quantile_disc_random(ray_session, seed):
             f"SELECT quantile_disc(v, {q}) FROM t"
         ).fetchone()[0]
         assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# round-3 ops: partial-update merge, running distinct, window join
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [5, 23, 77])
+def test_lww_partial_merge_random_seeds(ray_session, seed):
+    """Random patch streams (heavy null patterns, duplicate (ver,seq)-free)
+    vs a sequential per-column replay reference, across batch layouts."""
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.ops import lww_partial_merge
+
+    rng = np.random.default_rng(seed)
+    n = 1200
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 60, n), type=pa.int64()),
+            "ver": pa.array(rng.integers(0, 40, n), type=pa.int64()),
+            "seq": pa.array(rng.permutation(n), type=pa.int64()),
+            "a": pa.array(
+                [None if rng.random() < 0.6 else float(i) for i in range(n)]
+            ),
+            "b": pa.array(
+                [None if rng.random() < 0.3 else f"s{rng.integers(0, 9)}"
+                 for _ in range(n)]
+            ),
+        }
+    )
+    got = (
+        lww_partial_merge(
+            ray.data.from_arrow(t).repartition(int(rng.integers(2, 9))),
+            pk="k", ver="ver", seq="seq", patch_cols=["a", "b"],
+            num_partitions=int(rng.integers(2, 7)),
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # sequential replay in (ver, seq) order
+    rows = sorted(
+        zip(*[t.column(c).to_pylist() for c in ("k", "ver", "seq", "a", "b")]),
+        key=lambda r: (r[1], r[2]),
+    )
+    state: dict = {}
+    for k, ver, seq, a, b in rows:
+        cur = state.setdefault(k, {"a": None, "b": None})
+        if a is not None:
+            cur["a"] = a
+        if b is not None:
+            cur["b"] = b
+        cur["ver"], cur["seq"] = ver, seq
+    exp = pd.DataFrame(
+        [
+            {"k": k, "a": v["a"], "b": v["b"], "ver": v["ver"],
+             "seq": v["seq"]}
+            for k, v in sorted(state.items())
+        ]
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)],
+        check_dtype=False,
+    )
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_window_join_random_seeds(ray_session, seed):
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.relational import window_join
+
+    rng = np.random.default_rng(seed)
+    nl, nr = int(rng.integers(50, 600)), int(rng.integers(50, 600))
+    before, after = int(rng.integers(0, 40)), int(rng.integers(0, 40))
+    left = pa.table(
+        {
+            "u": pa.array(rng.integers(0, 12, nl), type=pa.int64()),
+            "lts": pa.array(rng.integers(0, 500, nl), type=pa.int64()),
+            "lid": pa.array(np.arange(nl), type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "u": pa.array(rng.integers(0, 12, nr), type=pa.int64()),
+            "rts": pa.array(rng.integers(0, 500, nr), type=pa.int64()),
+            "rid": pa.array(np.arange(nr), type=pa.int64()),
+        }
+    )
+    got = window_join(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right).repartition(3),
+        on="u", left_ts="lts", right_ts="rts",
+        before_us=before, after_us=after, right_keep=["rid"],
+        left_schema=left.schema, right_schema=right.schema,
+        num_partitions=5,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.sql(
+        f"""SELECT l.u, l.lts, l.lid, r.rid AS rid_right
+            FROM l JOIN r ON l.u = r.u
+             AND r.rts BETWEEN l.lts - {before} AND l.lts + {after}"""
+    ).df()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        exp[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
