@@ -2523,6 +2523,18 @@ def _q_click_purchase_window_join(sf_dir: str):
     )
 
 
+def _q_dedup_keep_longest(sf_dir: str):
+    """Exact dedup on NORMALIZED text with the retention policy flipped:
+    keep the LONGEST duplicate (ties -> min doc_id) instead of the first —
+    the webtext completeness rule.  Hash-only exchange + one extra int64
+    rank per doc."""
+    from airbyte_destination_ray.pipelines.dedup import dedup_exact_hash
+
+    return dedup_exact_hash(
+        _documents(sf_dir), normalize=True, rank_col="n_chars"
+    )
+
+
 def _q_lineitem_unpivot(sf_dir: str):
     """UNPIVOT / melt: the four lineitem measures to long form — purely
     per-batch reshape, no shuffle."""
@@ -2706,6 +2718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_purchase_window_join": _q_click_purchase_window_join,
         "lineitem_unpivot_measures": _q_lineitem_unpivot,
         "events_ohlc_hourly": _q_events_ohlc,
+        "dedup_normalized_keep_longest": _q_dedup_keep_longest,
         "top_bigrams_documents": _q_top_bigrams,
         "incremental_agg_user_totals": _q_incremental_agg,
         # --- driver-green in r01/r02 ---
@@ -2921,6 +2934,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.user_id IS NULL OR n.user_id IS NULL
                OR o.event_type IS DISTINCT FROM n.event_type
                OR o.value IS DISTINCT FROM n.value
+        """,
+        "dedup_normalized_keep_longest": r"""
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                ORDER BY n_chars DESC, doc_id) = 1
         """,
         "lineitem_unpivot_measures": """
             SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,

@@ -170,11 +170,16 @@ def _route_buckets(t: pa.Table, num_partitions: int) -> pa.Table:
     return t.append_column("_part", pa.array(parts, type=pa.int64()))
 
 
-def _resolve_buckets_vectorized(group: pa.Table, verify=None) -> pa.Table:
+def _resolve_buckets_vectorized(
+    group: pa.Table, verify=None, rank_col: str | None = None
+) -> pa.Table:
     """Partition-level bucket resolution: every row that is not its bucket's
-    min-id row is a duplicate candidate; ``verify(t, cand_idx, rep_idx)``
+    winning row is a duplicate candidate; ``verify(t, cand_idx, rep_idx)``
     (row indices into the UNSORTED group, vectorized over all candidates at
-    once) can veto.
+    once) can veto.  The winner is the min-id row by default; with
+    ``rank_col`` the HIGHEST-rank row wins (ties → min id) — the retention
+    policy knob (keep the longest / best-quality duplicate instead of the
+    first).
 
     Only the three 8-byte key columns are sorted — the wide payload
     (signatures / embeddings) is never ``take``n; verify gathers just the
@@ -183,15 +188,15 @@ def _resolve_buckets_vectorized(group: pa.Table, verify=None) -> pa.Table:
     """
     if group.num_rows < 2:
         return pa.table({"dup_id": pa.array([], type=pa.int64())})
-    keys_only = group.select(["band", "key", "id"])
-    order = pc.sort_indices(
-        keys_only,
-        sort_keys=[
-            ("band", "ascending"),
-            ("key", "ascending"),
-            ("id", "ascending"),
-        ],
-    ).to_numpy()
+    sort_cols = ["band", "key"]
+    sort_keys = [("band", "ascending"), ("key", "ascending")]
+    if rank_col is not None:
+        sort_cols.append(rank_col)
+        sort_keys.append((rank_col, "descending"))
+    sort_cols.append("id")
+    sort_keys.append(("id", "ascending"))
+    keys_only = group.select(sort_cols)
+    order = pc.sort_indices(keys_only, sort_keys=sort_keys).to_numpy()
     band = group.column("band").to_numpy(zero_copy_only=False)[order]
     key = group.column("key").to_numpy(zero_copy_only=False)[order]
     n = len(order)
@@ -606,11 +611,18 @@ def dedup_exact_hash(
     id_col: str = "doc_id",
     normalize: bool = False,
     filter_mode: str = "auto",
+    rank_col: str | None = None,
 ):
     """Exact dedup by 64-bit content fingerprint: hash-partition + keep the
     min-id doc per fingerprint.  Collision-unsafe variant of
     :func:`..pipelines.ops.dedup_exact` that never shuffles the text column
     — at web scale the exchange moves 16 bytes/doc instead of the payload.
+
+    ``rank_col`` = the RETENTION POLICY: keep the bucket's highest-rank row
+    (ties → min id) instead of the min-id row — e.g. the longest or
+    best-quality duplicate, the webtext-pipeline default when duplicates
+    differ in completeness.  The rank rides the key exchange as one extra
+    int64 per doc.
 
     ``filter_mode="shuffle"`` applies the dup set with a distributed
     anti-join instead of the collect-and-broadcast filter — for dup sets
@@ -623,19 +635,20 @@ def dedup_exact_hash(
         batch = batch.filter(batch.column(text_col).combine_chunks().is_valid())
         fp = content_fingerprint(batch.column(text_col), normalize=normalize)
         ids = batch.column(id_col)
-        return _route_buckets(
-            pa.table(
-                {
-                    "id": ids.cast(pa.int64()),
-                    "band": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
-                    "key": pc.fill_null(fp, 0),
-                }
-            ),
-            DEDUP_NUM_PARTITIONS,
-        )
+        cols = {
+            "id": ids.cast(pa.int64()),
+            "band": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+            "key": pc.fill_null(fp, 0),
+        }
+        if rank_col is not None:
+            cols["rank"] = batch.column(rank_col).cast(pa.int64())
+        return _route_buckets(pa.table(cols), DEDUP_NUM_PARTITIONS)
 
     def resolve(group: pa.Table) -> pa.Table:
-        return _resolve_buckets_vectorized(group.drop_columns(["_part"]))
+        return _resolve_buckets_vectorized(
+            group.drop_columns(["_part"]),
+            rank_col="rank" if rank_col is not None else None,
+        )
 
     candidates = (
         ds.map_batches(keys, batch_format="pyarrow", batch_size=None)

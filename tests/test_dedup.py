@@ -606,3 +606,30 @@ def test_auto_filter_mode_switches_on_threshold(docs_ds, monkeypatch):
     kept_big = _ids(dd.dedup_exact_hash(docs_ds, filter_mode="auto"))
     assert kept_big == kept_small
     assert calls == {"shuffle": 1, "broadcast": 1}
+
+
+def test_dedup_exact_hash_rank_col_keeps_best(ray_session):
+    """rank_col retention policy: the HIGHEST-rank duplicate survives (ties
+    -> min id), instead of the min-id default."""
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.dedup import dedup_exact_hash
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(["dup", "dup", "dup", "uniq", "tie"]),
+            "quality": pa.array([5, 9, 7, 1, 3], type=pa.int64()),
+        }
+    )
+    kept = _ids(
+        dedup_exact_hash(
+            ray.data.from_arrow(t).repartition(3), rank_col="quality"
+        )
+    )
+    assert kept == [1, 3, 4]  # doc 1 wins the dup bucket on quality 9
+    # default still keeps min id
+    kept_default = _ids(
+        dedup_exact_hash(ray.data.from_arrow(t).repartition(3))
+    )
+    assert kept_default == [0, 3, 4]
