@@ -2523,6 +2523,52 @@ def _q_click_purchase_window_join(sf_dir: str):
     )
 
 
+def _q_incremental_sessions(sf_dir: str):
+    """Streaming sessionization with CROSS-EPOCH state: each binlog epoch
+    extends/closes the previous snapshot's open sessions under the row
+    lake's manifest CAS; the maintained session table equals one-shot
+    batch sessionize (the oracle) at any epoch split."""
+    import os as _os
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.aggview import (
+        run_incremental_sessions,
+    )
+    from airbyte_destination_ray.pipelines.cdc import read_table
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        build_binlog_from_events,
+    )
+
+    tag = f"sess-{_Path(sf_dir).name}-{_os.getpid()}"
+    base = _Path("/tmp/adr_query") / tag
+    _shutil.rmtree(base, ignore_errors=True)
+    binlog = base / "binlog"
+    build_binlog_from_events(f"{sf_dir}/events.parquet", binlog)
+    lake = str(base / "lake")
+    run_incremental_sessions(
+        lake,
+        str(binlog),
+        table="user_sessions",
+        key="user_id",
+        ts_col="ts",
+        seq="seq",
+        gap_minutes=30,
+        num_partitions=8,
+    )
+    ds = read_table(lake, "user_sessions")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["user_id", "session_id", "session_start", "session_end",
+             "n_events"]
+        )
+
+    return ds.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
 def _q_dedup_keep_longest(sf_dir: str):
     """Exact dedup on NORMALIZED text with the retention policy flipped:
     keep the LONGEST duplicate (ties -> min doc_id) instead of the first —
@@ -2719,6 +2765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot_measures": _q_lineitem_unpivot,
         "events_ohlc_hourly": _q_events_ohlc,
         "dedup_normalized_keep_longest": _q_dedup_keep_longest,
+        "incremental_sessions_users": _q_incremental_sessions,
         "top_bigrams_documents": _q_top_bigrams,
         "incremental_agg_user_totals": _q_incremental_agg,
         # --- driver-green in r01/r02 ---
@@ -2934,6 +2981,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.user_id IS NULL OR n.user_id IS NULL
                OR o.event_type IS DISTINCT FROM n.event_type
                OR o.value IS DISTINCT FROM n.value
+        """,
+        "incremental_sessions_users": """
+            WITH x AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), y AS (
+                SELECT user_id, ts,
+                       CAST(sum(CASE WHEN prev IS NULL
+                                      OR ts - prev > INTERVAL 30 MINUTE
+                                     THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_id
+                FROM x
+            )
+            SELECT user_id, session_id,
+                   epoch_us(min(ts)) AS session_start,
+                   epoch_us(max(ts)) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM y GROUP BY user_id, session_id
         """,
         "dedup_normalized_keep_longest": r"""
             SELECT doc_id, text, lang, source, n_chars FROM documents

@@ -199,3 +199,264 @@ def read_agg(lake_root: str, table: str = "agg", *, key_name: str = "k"):
         return b.rename_columns(names)
 
     return ds.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def run_incremental_sessions(
+    lake_root: str,
+    binlog_dir: str,
+    *,
+    table: str = "sessions",
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    seq: str = "seq",
+    gap_minutes: float = 30.0,
+    num_partitions: int = 32,
+    epochs: list[int] | None = None,
+    resume: bool = True,
+) -> dict:
+    """Incrementally-maintained SESSION table — streaming sessionization
+    with cross-epoch state: each epoch extends/closes the previous
+    snapshot's open sessions and appends new ones, under the same manifest
+    CAS as the row lake (replay no-op, resume, epoch-split invariance).
+
+    Maintained state per partition: one row per session
+    ``(key, session_id, session_start, session_end, n_events)`` with
+    1-based per-key ids; the LAST session of a key is implicitly open
+    (a later event within ``gap_minutes`` of its end extends it).  The fold
+    prepends one pseudo-event per open session (its end timestamp, seq −1
+    so it sorts before any real event at the same ts, carrying the
+    session's accumulated start/count/id) and runs the ordinary vectorized
+    gap-boundary sessionizer over pseudo + new events.
+
+    ASSUMPTION (the streaming-sessionizer standard): epoch boundaries are
+    time-ordered per key — every event in epoch e+1 has ``ts`` ≥ the key's
+    last ``ts`` in epochs ≤ e (true for any binlog whose global order is
+    time order).  Late events would extend a session retroactively; route
+    those through the watermark operator instead.  Null key / null ts
+    events are dropped (oracle WHERE parity).  When the assumption holds,
+    the maintained table equals the one-shot batch sessionize at any epoch
+    split — which is what the oracle checks.
+    """
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    store = ManifestStore(lake_root, table)
+    store.root.mkdir(parents=True, exist_ok=True)
+    meta = store.init_table(
+        num_partitions=num_partitions,
+        mode="append_dedup",
+        pk=[key],
+        cursor=ts_col,
+        view="incremental_sessions",
+    )
+    num_partitions = meta["num_partitions"]
+    generation = meta["generation"]
+
+    all_epochs = epochs if epochs is not None else list_epochs(binlog_dir)
+    ckpt = store.last_checkpoint(generation) if resume else None
+    start_after = ckpt["epoch"] if ckpt else -1
+
+    summaries = []
+    for e in all_epochs:
+        if e <= start_after:
+            summaries.append({"epoch": e, "skipped": True})
+            continue
+        segments = list_segments(binlog_dir, e)
+        if not segments:
+            continue
+        ds = ray.data.read_parquet(
+            segments, override_num_blocks=len(segments)
+        )
+
+        def route(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "k": batch.column(key),
+                    "ts": pc.cast(batch.column(ts_col), pa.int64()),
+                    "seq": pc.cast(batch.column(seq), pa.int64()),
+                }
+            )
+            t = t.filter(
+                pc.and_(
+                    t.column("k").combine_chunks().is_valid(),
+                    t.column("ts").combine_chunks().is_valid(),
+                )
+            )
+            parts = partition_ids(t.column("k"), num_partitions)
+            return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+        def fold(group: pa.Table) -> pa.Table:
+            part = int(group.column("_part")[0].as_py())
+            st = ManifestStore(lake_root, table)
+            existing = st.get(generation, e, part)
+            if existing is not None:
+                return _stats_row(
+                    table, e, part,
+                    rows=existing.row_count, nbytes=existing.byte_count,
+                    files=len(existing.files), changes_in=group.num_rows,
+                    skipped=True, digest=existing.digest,
+                )
+            ev = group.drop_columns(["_part"])
+            prev = st.latest_snapshot(generation, part, max_epoch=e - 1)
+            if prev is not None and prev.files:
+                import pyarrow.parquet as pq
+
+                snap = pa.concat_tables(
+                    pq.read_table(Path(lake_root) / f) for f in prev.files
+                )
+            else:
+                snap = pa.table(
+                    {
+                        "k": pa.array([], ev.schema.field("k").type),
+                        "session_id": pa.array([], pa.int64()),
+                        "session_start": pa.array([], pa.int64()),
+                        "session_end": pa.array([], pa.int64()),
+                        "n_events": pa.array([], pa.int64()),
+                    }
+                )
+            # split prev into closed rows (pass through) and open rows
+            # (last session per key)
+            sidx = pc.sort_indices(
+                snap,
+                sort_keys=[("k", "ascending"), ("session_id", "ascending")],
+            )
+            snap = snap.take(sidx)
+            ns = snap.num_rows
+            sk = snap.column("k").combine_chunks()
+            is_open = np.ones(ns, dtype=bool)
+            if ns > 1:
+                is_open[:-1] = pc.not_equal(
+                    sk.slice(1), sk.slice(0, ns - 1)
+                ).to_numpy(zero_copy_only=False)
+            open_rows = snap.filter(pa.array(is_open))
+            closed_rows = snap.filter(pa.array(~is_open))
+            # pseudo-event per open session
+            pseudo = pa.table(
+                {
+                    "k": open_rows.column("k"),
+                    "ts": open_rows.column("session_end"),
+                    "seq": pa.array(
+                        np.full(open_rows.num_rows, -1, dtype=np.int64)
+                    ),
+                    "c_start": open_rows.column("session_start"),
+                    "c_n": open_rows.column("n_events"),
+                    "c_sid": open_rows.column("session_id"),
+                }
+            )
+            evx = pa.table(
+                {
+                    "k": ev.column("k"),
+                    "ts": ev.column("ts"),
+                    "seq": ev.column("seq"),
+                    "c_start": pa.nulls(ev.num_rows, pa.int64()),
+                    "c_n": pa.array(np.ones(ev.num_rows, dtype=np.int64)),
+                    "c_sid": pa.nulls(ev.num_rows, pa.int64()),
+                }
+            )
+            allr = pa.concat_tables([pseudo, evx])
+            idx = pc.sort_indices(
+                allr,
+                sort_keys=[
+                    ("k", "ascending"),
+                    ("ts", "ascending"),
+                    ("seq", "ascending"),
+                ],
+            )
+            allr = allr.take(idx)
+            n = allr.num_rows
+            kk = allr.column("k").combine_chunks()
+            ts = allr.column("ts").to_numpy(zero_copy_only=False)
+            keychg = np.ones(n, dtype=bool)
+            if n > 1:
+                keychg[1:] = pc.not_equal(
+                    kk.slice(1), kk.slice(0, n - 1)
+                ).to_numpy(zero_copy_only=False)
+            gap = np.ones(n, dtype=bool)
+            if n > 1:
+                gap[1:] = (ts[1:] - ts[:-1]) > gap_us
+            newseg = keychg | gap
+            si = np.flatnonzero(newseg)
+            ei = np.r_[si[1:], n] - 1
+            # nullable int64 columns surface as float64-with-nan; all
+            # selected values below are integral floats < 2^53, so the
+            # final int64 casts are exact
+            c_sid = allr.column("c_sid").to_numpy(zero_copy_only=False)
+            c_start = allr.column("c_start").to_numpy(zero_copy_only=False)
+            c_n = allr.column("c_n").to_numpy(zero_copy_only=False)
+            sq = allr.column("seq").to_numpy(zero_copy_only=False)
+            starts_pseudo = sq[si] == -1
+            # per-key segment ordinal: segments since the key's first
+            # segment (a segment starts a key iff its first row does)
+            seg_is_keystart = keychg[si]
+            nseg = len(si)
+            fk = np.maximum.accumulate(
+                np.where(seg_is_keystart, np.arange(nseg), -1)
+            )
+            seg_ord = np.arange(nseg) - fk
+            # base sid per KEY: continuing an open session (its first row
+            # is the pseudo-event) starts numbering at that session's id;
+            # a fresh key starts at 1
+            key_start_rows = si[seg_is_keystart]
+            base_per_key = np.where(
+                sq[key_start_rows] == -1,
+                np.nan_to_num(c_sid[key_start_rows], nan=1.0) - 1.0,
+                0.0,
+            ).astype(np.int64)
+            key_of_seg = np.cumsum(seg_is_keystart) - 1
+            sid = base_per_key[key_of_seg] + seg_ord + 1
+            seg_start = np.where(
+                starts_pseudo, np.nan_to_num(c_start[si], nan=0.0), ts[si]
+            ).astype(np.int64)
+            seg_end = ts[ei]
+            # n_events: sum c_n per segment
+            seg_n = np.add.reduceat(c_n, si) if len(si) else np.array(
+                [], dtype=np.int64
+            )
+            new_sessions = pa.table(
+                {
+                    "k": kk.take(pa.array(si, type=pa.int64())),
+                    "session_id": pa.array(sid, type=pa.int64()),
+                    "session_start": pa.array(seg_start, type=pa.int64()),
+                    "session_end": pa.array(seg_end, type=pa.int64()),
+                    "n_events": pa.array(seg_n, type=pa.int64()),
+                }
+            )
+            merged = pa.concat_tables([closed_rows, new_sessions])
+            merged = merged.take(
+                pc.sort_indices(
+                    merged,
+                    sort_keys=[("k", "ascending"), ("session_id", "ascending")],
+                )
+            )
+            rel = (
+                f"{table}/gen={generation:04d}/parts/p={part:05d}/"
+                f"e{e:06d}.parquet"
+            )
+            nbytes = _atomic_write_parquet(merged, Path(lake_root) / rel)
+            m = PartitionManifest(
+                table=table,
+                generation=generation,
+                epoch=e,
+                partition=part,
+                files=[rel],
+                row_count=merged.num_rows,
+                byte_count=nbytes,
+                max_seq=-1,
+                digest="",
+                mode="append_dedup",
+                schema_version=0,
+            )
+            st.commit(m)
+            return _stats_row(
+                table, e, part,
+                rows=merged.num_rows, nbytes=nbytes, files=1,
+                changes_in=group.num_rows, skipped=False, digest="",
+            )
+
+        stats = (
+            ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+            .groupby("_part")
+            .map_groups(fold, batch_format="pyarrow")
+        )
+        n_parts = stats.count()
+        store.write_checkpoint(generation, e, {"epoch": e})
+        summaries.append({"epoch": e, "partitions": n_parts, "skipped": False})
+    return {"table": table, "epochs": summaries}

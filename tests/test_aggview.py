@@ -85,3 +85,107 @@ def test_incremental_agg_epoch_split_invariance(tmp_path, ray_session):
     run_incremental_agg(l1, str(b1), num_partitions=3)
     run_incremental_agg(l3, str(b3), num_partitions=3)
     assert _state(l1).equals(_state(l3))
+
+
+# ---------------------------------------------------------------------------
+# run_incremental_sessions (streaming sessionization with cross-epoch state)
+# ---------------------------------------------------------------------------
+
+
+def _sessions_state(lake, table="sessions"):
+    from airbyte_destination_ray.pipelines.cdc import read_table
+
+    t = pa.concat_tables(
+        list(read_table(lake, table).iter_batches(batch_format="pyarrow"))
+    )
+    return t.sort_by([("k", "ascending"), ("session_id", "ascending")])
+
+
+def _session_binlog(tmp_path, name, rows):
+    d = tmp_path / name
+    write_custom_binlog(d, rows)
+    return str(d)
+
+
+def test_incremental_sessions_match_batch_oracle(tmp_path, ray_session):
+    """3-epoch incremental fold == one-shot batch sessionize (the SQL
+    oracle), == the same stream in a single epoch; replay is a no-op.
+    Covers sessions spanning epoch boundaries, keys idle for a whole
+    epoch, and single-event sessions."""
+    from airbyte_destination_ray.pipelines.aggview import (
+        run_incremental_sessions,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    ts = np.cumsum(rng.integers(0, 20 * 60 * 1_000_000, n))
+    keys = rng.integers(0, 30, n)
+    rows = [
+        dict(seq=int(i), epoch=int(i * 3 // n), op="U", url=f"u{keys[i]}",
+             warc_ts=int(ts[i]), text="t", lang="en")
+        for i in range(n)
+    ]
+    b3 = _session_binlog(tmp_path, "b3", rows)
+    b1 = _session_binlog(tmp_path, "b1", [dict(r, epoch=0) for r in rows])
+    l3, l1 = str(tmp_path / "l3"), str(tmp_path / "l1")
+    run_incremental_sessions(l3, b3, gap_minutes=30, num_partitions=4)
+    run_incremental_sessions(l1, b1, gap_minutes=30, num_partitions=4)
+    got = _sessions_state(l3)
+    assert got.equals(_sessions_state(l1))
+
+    t = pa.table(
+        {
+            "u": pa.array([r["url"] for r in rows]),
+            "ts": pa.array([r["warc_ts"] for r in rows], type=pa.int64()),
+            "s": pa.array([r["seq"] for r in rows], type=pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    oracle = con.sql(
+        """
+        WITH x AS (SELECT u, ts, s, lag(ts) OVER (
+                       PARTITION BY u ORDER BY ts, s) prev FROM t),
+        y AS (SELECT u, ts, CAST(sum(CASE WHEN prev IS NULL
+                  OR ts - prev > 1800000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY u ORDER BY ts, s
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) sid FROM x)
+        SELECT u AS k, sid AS session_id, min(ts) AS session_start,
+               max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events
+        FROM y GROUP BY u, sid ORDER BY k, session_id
+        """
+    ).arrow()
+    assert got.equals(oracle.cast(got.schema))
+    # replay: no-op
+    run_incremental_sessions(l3, b3, gap_minutes=30, num_partitions=4)
+    assert _sessions_state(l3).equals(got)
+
+
+def test_incremental_sessions_boundary_cases(tmp_path, ray_session):
+    """A session spanning the epoch boundary exactly at the gap limit
+    (gap == limit continues; gap > limit splits), and a key absent from a
+    later epoch keeps its session unchanged."""
+    from airbyte_destination_ray.pipelines.aggview import (
+        run_incremental_sessions,
+    )
+
+    G = 30 * 60 * 1_000_000
+    rows = [
+        dict(seq=1, epoch=0, op="U", url="a", warc_ts=0, text="t", lang="en"),
+        dict(seq=2, epoch=0, op="U", url="b", warc_ts=0, text="t", lang="en"),
+        # epoch 1: 'a' continues exactly AT the gap (ts - prev == G -> same
+        # session), then splits at G+1; 'b' idle
+        dict(seq=3, epoch=1, op="U", url="a", warc_ts=G, text="t", lang="en"),
+        dict(seq=4, epoch=1, op="U", url="a", warc_ts=2 * G + 1, text="t",
+             lang="en"),
+    ]
+    b = _session_binlog(tmp_path, "b", rows)
+    lake = str(tmp_path / "lake")
+    run_incremental_sessions(lake, b, gap_minutes=30, num_partitions=2)
+    st = _sessions_state(lake)
+    recs = st.to_pylist()
+    a = [r for r in recs if r["k"] == "a"]
+    b_rows = [r for r in recs if r["k"] == "b"]
+    assert [(r["session_id"], r["session_start"], r["session_end"],
+             r["n_events"]) for r in a] == [(1, 0, G, 2), (2, 2 * G + 1, 2 * G + 1, 1)]
+    assert [(r["session_id"], r["n_events"]) for r in b_rows] == [(1, 1)]
