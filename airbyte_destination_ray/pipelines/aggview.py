@@ -1,12 +1,13 @@
-"""Incrementally-maintained aggregate view (materialized-view maintenance).
+"""Incrementally-maintained views (materialized-view maintenance).
 
-The CDC tier's other half: instead of upserting ROWS, maintain a per-key
-AGGREGATE table across binlog epochs — each epoch folds its partials into
-the previous committed state, under the same per-(generation, epoch,
-partition) manifest CAS as the row lake, so replay / retry / resume have
-exactly the row-lake guarantees (re-running a committed epoch is a no-op;
-resume skips checkpointed epochs; final state is independent of batch
-composition because the fold is an integer sum).
+The CDC tier's other half: instead of upserting ROWS, maintain DERIVED
+state across binlog epochs — a per-key AGGREGATE table
+(:func:`run_incremental_agg`) and a streaming SESSION table
+(:func:`run_incremental_sessions`) — each epoch folding into the previous
+committed state under the same per-(generation, epoch, partition) manifest
+CAS as the row lake, so replay / retry / resume have exactly the row-lake
+guarantees (re-running a committed epoch is a no-op; resume skips
+checkpointed epochs; final state is independent of batch composition).
 
 Cost shape: per epoch, ONE narrow hash exchange of per-(key, batch)
 partials (never event rows), then O(touched partition) snapshot rewrite —

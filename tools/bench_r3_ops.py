@@ -281,6 +281,25 @@ def main() -> int:
         "sec": round(dt, 2), "events_per_sec": round(20_000_000 / dt, 1),
     }))
 
+    # 6. streaming sessionization with cross-epoch state (same binlog)
+    from airbyte_destination_ray.pipelines.aggview import (
+        run_incremental_sessions,
+    )
+
+    lake2 = Path("/tmp/adr_r3ops_sess_lake")
+    shutil.rmtree(lake2, ignore_errors=True)
+    t0 = time.perf_counter()
+    run_incremental_sessions(
+        str(lake2), str(binlog), key="url", ts_col="warc_ts", seq="seq",
+        gap_minutes=30, num_partitions=128,
+    )
+    dt = time.perf_counter() - t0
+    shutil.rmtree(lake2, ignore_errors=True)
+    print(json.dumps({
+        "stage": "run_incremental_sessions", "events": 20_000_000,
+        "sec": round(dt, 2), "events_per_sec": round(20_000_000 / dt, 1),
+    }))
+
     ray.shutdown()
     return 0
 
