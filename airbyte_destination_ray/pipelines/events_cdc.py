@@ -110,16 +110,29 @@ def lineage_epoch_totals(sf_dir: str, *, workdir: str | Path | None = None) -> p
     )
 
 
-def _ensure_events_lake(sf_dir: str, workdir: str | Path | None = None) -> Path:
-    """Sync the events table into a fresh scratch lake; return its root."""
+def _ensure_events_lake(
+    sf_dir: str,
+    workdir: str | Path | None = None,
+    *,
+    variant: str = "",
+) -> Path:
+    """Sync the events table into a pid-scoped scratch lake; return its
+    root.  CACHED within the process: a second call finds the committed
+    checkpoints and the sync resumes into a no-op, so the read-only CDC
+    queries (full read, time travel, change feed, lookup) share ONE build
+    instead of each paying a full binlog + 3-epoch sync.  Mutating queries
+    (GDPR delete) pass a ``variant`` suffix for an isolated copy — their
+    own re-runs are idempotent (delete of already-deleted keys is a
+    no-op), but they must never touch the shared lake."""
     import os
 
-    tag = f"{Path(sf_dir).name}-{os.getpid()}"  # pid: no cross-process races
+    tag = f"{Path(sf_dir).name}-{os.getpid()}{variant}"
     base = Path(workdir) if workdir else Path("/tmp/adr_query") / tag
     binlog = base / "binlog"
     lake = base / "lake"
-    shutil.rmtree(base, ignore_errors=True)
-    build_binlog_from_events(f"{sf_dir}/events.parquet", binlog)
+    if not (binlog / "_binlog.json").exists():
+        shutil.rmtree(base, ignore_errors=True)
+        build_binlog_from_events(f"{sf_dir}/events.parquet", binlog)
     run_cdc_sync(
         str(lake),
         str(binlog),
@@ -299,9 +312,11 @@ def gdpr_delete_events_table(
     """GDPR deletion query: sync the events binlog, physically delete the
     requested user_ids (``cdc.delete_rows`` — O(keys) partition rewrites in
     the compaction manifest lane), then read the final table.  Oracle = the
-    tombstone-LWW snapshot minus the deleted keys."""
+    tombstone-LWW snapshot minus the deleted keys.  Uses an isolated lake
+    variant — the delete mutates state and must not touch the lake the
+    read-only queries share."""
     from .cdc import delete_rows, read_table
 
-    lake = _ensure_events_lake(sf_dir, workdir)
+    lake = _ensure_events_lake(sf_dir, workdir, variant="-gdpr")
     delete_rows(str(lake), "events_cdc", keys or GDPR_DELETE_USER_IDS)
     return read_table(str(lake), "events_cdc")
