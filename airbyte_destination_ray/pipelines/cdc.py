@@ -985,6 +985,15 @@ def change_feed(
 
     ``epoch=0`` (or any epoch at the start of the generation's history)
     has no predecessor state: every visible row is an 'I'.
+
+    Scale path (snapshot tables at one schema version): the old and new
+    snapshots are co-partitioned on disk by the same key-hash scheme, so the
+    diff needs NO exchange — partitions whose winning manifest did not change
+    at ``epoch`` are pruned from the scan outright (the Delta-CDF changed-file
+    analog), and each touched partition is diffed locally by one task reading
+    only its own old+new snapshot files.  Mixed schema versions and
+    delta-strategy file stacks fall back to the generic two-time-travel-reads
+    + one-exchange composition.
     """
     from .relational import table_diff
 
@@ -1001,6 +1010,11 @@ def change_feed(
             f"change_feed: table {table!r} has no committed state as of "
             f"epoch {epoch} (nothing to diff — sync first)"
         )
+    fast = _change_feed_copartitioned(
+        store, meta, pk=pk, epoch=epoch, compare_cols=compare_cols
+    )
+    if fast is not None:
+        return fast
     new = read_table(
         lake_root, table, columns=[pk, *compare_cols], as_of_epoch=epoch
     )
@@ -1023,3 +1037,114 @@ def change_feed(
         lake_root, table, columns=[pk, *compare_cols], as_of_epoch=epoch - 1
     )
     return table_diff(old, new, key=pk, compare_cols=compare_cols)
+
+
+def _change_feed_copartitioned(
+    store: ManifestStore, meta: dict, *, pk: str, epoch: int,
+    compare_cols: list[str],
+):
+    """Exchange-free change feed over a snapshot table, or ``None`` when the
+    layout can't support it (delta file stacks, mixed schema versions).
+
+    Both snapshots live under the SAME key-hash partitioning, so a key can
+    only change within its own partition: partitions whose winning manifest
+    is identical at ``epoch-1`` and ``epoch`` are pruned from the scan (the
+    Delta-CDF changed-file analog), and each touched partition is diffed by
+    one task that reads just its own old+new snapshot files — zero shuffle,
+    O(touched partitions) work regardless of table size.
+    """
+    import pyarrow.parquet as pq
+
+    if meta["mode"] != "append_dedup" or meta.get("merge_strategy") == "delta":
+        return None
+    lake_root = store.root.parent
+    table = store.root.name
+    gen = meta["generation"]
+    schema_store = SchemaStore(str(lake_root), table)
+    current_version = (
+        schema_store.current_version() if schema_store.exists() else None
+    )
+    plan: list[dict] = []
+    sample_file: str | None = None
+    for p in range(int(meta["num_partitions"])):
+        new_m = store.latest_snapshot(gen, p, max_epoch=epoch)
+        if new_m is None:
+            continue
+        if sample_file is None and new_m.files:
+            sample_file = new_m.files[0]
+        old_m = store.latest_snapshot(gen, p, max_epoch=epoch - 1)
+        if old_m is not None and old_m.order_key == new_m.order_key:
+            continue  # untouched at `epoch` — contributes no changes
+        for m in (old_m, new_m):
+            if (
+                m is not None
+                and current_version is not None
+                and m.schema_version != current_version
+            ):
+                return None  # mixed schema versions → generic aligned path
+        plan.append(
+            {
+                "old": list(old_m.files) if old_m is not None else [],
+                "new": list(new_m.files),
+            }
+        )
+    if sample_file is None:
+        return None  # empty table state — generic path handles it
+    read_cols = list(dict.fromkeys([pk, *compare_cols]))
+    sch = pq.read_schema(Path(lake_root) / sample_file)
+    empty_cols: dict = {
+        pk: pa.array([], type=sch.field(pk).type),
+        "op": pa.array([], type=pa.string()),
+    }
+    for c in compare_cols:
+        typ = sch.field(c).type
+        empty_cols[f"{c}_old"] = pa.array([], type=typ)
+        empty_cols[f"{c}_new"] = pa.array([], type=typ)
+    empty_out = pa.table(empty_cols)
+    if not plan:
+        return ray.data.from_arrow(empty_out)
+
+    lr = str(lake_root)
+    dcol = DELETED_COLUMN
+    file_cols = read_cols + [dcol]
+
+    def diff_partition(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .relational import diff_snapshot_sides
+
+        outs = []
+        for row in range(batch.num_rows):
+            tagged = []
+            for side, colname in ((0, "old"), (1, "new")):
+                files = batch.column(colname)[row].as_py()
+                tabs = [
+                    pq.read_table(str(Path(lr) / f), columns=file_cols)
+                    for f in files
+                ]
+                if not tabs:
+                    continue
+                t = pa.concat_tables(tabs)
+                t = t.filter(pc.fill_null(pc.invert(t.column(dcol)), True))
+                t = t.select(read_cols)
+                t = t.filter(t.column(pk).combine_chunks().is_valid())
+                t = t.append_column(
+                    "_side",
+                    pa.array(np.full(t.num_rows, side, dtype=np.int8)),
+                )
+                tagged.append(t)
+            if not tagged:
+                continue
+            outs.append(
+                diff_snapshot_sides(
+                    pa.concat_tables(tagged), key=pk,
+                    compare_cols=compare_cols,
+                )
+            )
+        if not outs:
+            return empty_out
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(
+        plan, override_num_blocks=len(plan)
+    ).map_batches(diff_partition, batch_format="pyarrow", batch_size=None)

@@ -1833,85 +1833,9 @@ def table_diff(
         return fn
 
     def diff(group: pa.Table) -> pa.Table:
-        g = group.drop_columns(["_part"])
-        idx = pc.sort_indices(
-            g, sort_keys=[(key, "ascending"), ("_side", "ascending")]
+        return diff_snapshot_sides(
+            group.drop_columns(["_part"]), key=key, compare_cols=compare_cols
         )
-        g = g.take(idx)
-        n = g.num_rows
-        if n == 0:
-            cols = {key: g.column(key), "op": pa.array([], type=pa.string())}
-            for c in compare_cols:
-                typ = g.schema.field(c).type
-                cols[f"{c}_old"] = pa.array([], type=typ)
-                cols[f"{c}_new"] = pa.array([], type=typ)
-            return pa.table(cols)
-        keys = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
-        side = g.column("_side").to_numpy(zero_copy_only=False)
-        start = np.ones(n, dtype=bool)
-        if n > 1:
-            start[1:] = keys[1:] != keys[:-1]
-        start_idx = np.nonzero(start)[0]
-        counts = np.diff(np.append(start_idx, n))
-        if (counts > 2).any() or (
-            (counts == 2)
-            & (side[start_idx] != 0)
-        ).any() or (
-            (counts == 2) & (side[np.minimum(start_idx + 1, n - 1)] != 1)
-        ).any():
-            raise ValueError(
-                "table_diff: a side has more than one row for a key — "
-                "inputs must be snapshots (one row per key per side)"
-            )
-        only = counts == 1
-        ins = start_idx[only & (side[start_idx] == 1)]
-        del_ = start_idx[only & (side[start_idx] == 0)]
-        both_old = start_idx[~only]
-        both_new = both_old + 1
-        # null-safe per-column change mask over the paired rows
-        changed = np.zeros(len(both_old), dtype=bool)
-        for c in compare_cols:
-            col = g.column(c).combine_chunks()
-            ov = col.take(pa.array(both_old))
-            nv = col.take(pa.array(both_new))
-            eq = pc.equal(ov, nv)  # null where either side null
-            same = pc.and_kleene(
-                eq, pc.and_(ov.is_valid(), nv.is_valid())
-            )
-            both_null = pc.and_(
-                pc.invert(ov.is_valid()), pc.invert(nv.is_valid())
-            )
-            same = pc.or_(
-                pc.fill_null(same, False), both_null
-            )
-            changed |= pc.invert(same).to_numpy(zero_copy_only=False)
-        upd_old = both_old[changed]
-        upd_new = both_new[changed]
-
-        key_arr = g.column(key).combine_chunks()
-        out_key = pa.concat_arrays(
-            [
-                key_arr.take(pa.array(ins)),
-                key_arr.take(pa.array(upd_old)),
-                key_arr.take(pa.array(del_)),
-            ]
-        )
-        op = pa.array(
-            ["I"] * len(ins) + ["U"] * len(upd_old) + ["D"] * len(del_),
-            type=pa.string(),
-        )
-        cols = {key: out_key, "op": op}
-        for c in compare_cols:
-            col = g.column(c).combine_chunks()
-            null_i = pa.nulls(len(ins), col.type)
-            null_d = pa.nulls(len(del_), col.type)
-            cols[f"{c}_old"] = pa.concat_arrays(
-                [null_i, col.take(pa.array(upd_old)), col.take(pa.array(del_))]
-            )
-            cols[f"{c}_new"] = pa.concat_arrays(
-                [col.take(pa.array(ins)), col.take(pa.array(upd_new)), null_d]
-            )
-        return pa.table(cols)
 
     old_env = old_ds.map_batches(
         tag(0), batch_format="pyarrow", batch_size=None
@@ -1924,6 +1848,94 @@ def table_diff(
         .groupby("_part")
         .map_groups(diff, batch_format="pyarrow")
     )
+
+
+def diff_snapshot_sides(
+    g: pa.Table, *, key: str, compare_cols: list[str]
+) -> pa.Table:
+    """The :func:`table_diff` compare kernel over one co-located slice: a
+    concat of the two snapshots tagged ``_side`` (0 = old, 1 = new), any row
+    order.  Shared by :func:`table_diff` (post-exchange partition groups) and
+    the change-feed co-partitioned fast path (per-partition local diffs with
+    NO exchange — see ``pipelines.cdc.change_feed``)."""
+    idx = pc.sort_indices(
+        g, sort_keys=[(key, "ascending"), ("_side", "ascending")]
+    )
+    g = g.take(idx)
+    n = g.num_rows
+    if n == 0:
+        cols = {key: g.column(key), "op": pa.array([], type=pa.string())}
+        for c in compare_cols:
+            typ = g.schema.field(c).type
+            cols[f"{c}_old"] = pa.array([], type=typ)
+            cols[f"{c}_new"] = pa.array([], type=typ)
+        return pa.table(cols)
+    keys = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+    side = g.column("_side").to_numpy(zero_copy_only=False)
+    start = np.ones(n, dtype=bool)
+    if n > 1:
+        start[1:] = keys[1:] != keys[:-1]
+    start_idx = np.nonzero(start)[0]
+    counts = np.diff(np.append(start_idx, n))
+    if (counts > 2).any() or (
+        (counts == 2)
+        & (side[start_idx] != 0)
+    ).any() or (
+        (counts == 2) & (side[np.minimum(start_idx + 1, n - 1)] != 1)
+    ).any():
+        raise ValueError(
+            "table_diff: a side has more than one row for a key — "
+            "inputs must be snapshots (one row per key per side)"
+        )
+    only = counts == 1
+    ins = start_idx[only & (side[start_idx] == 1)]
+    del_ = start_idx[only & (side[start_idx] == 0)]
+    both_old = start_idx[~only]
+    both_new = both_old + 1
+    # null-safe per-column change mask over the paired rows
+    changed = np.zeros(len(both_old), dtype=bool)
+    for c in compare_cols:
+        col = g.column(c).combine_chunks()
+        ov = col.take(pa.array(both_old))
+        nv = col.take(pa.array(both_new))
+        eq = pc.equal(ov, nv)  # null where either side null
+        same = pc.and_kleene(
+            eq, pc.and_(ov.is_valid(), nv.is_valid())
+        )
+        both_null = pc.and_(
+            pc.invert(ov.is_valid()), pc.invert(nv.is_valid())
+        )
+        same = pc.or_(
+            pc.fill_null(same, False), both_null
+        )
+        changed |= pc.invert(same).to_numpy(zero_copy_only=False)
+    upd_old = both_old[changed]
+    upd_new = both_new[changed]
+
+    key_arr = g.column(key).combine_chunks()
+    out_key = pa.concat_arrays(
+        [
+            key_arr.take(pa.array(ins)),
+            key_arr.take(pa.array(upd_old)),
+            key_arr.take(pa.array(del_)),
+        ]
+    )
+    op = pa.array(
+        ["I"] * len(ins) + ["U"] * len(upd_old) + ["D"] * len(del_),
+        type=pa.string(),
+    )
+    cols = {key: out_key, "op": op}
+    for c in compare_cols:
+        col = g.column(c).combine_chunks()
+        null_i = pa.nulls(len(ins), col.type)
+        null_d = pa.nulls(len(del_), col.type)
+        cols[f"{c}_old"] = pa.concat_arrays(
+            [null_i, col.take(pa.array(upd_old)), col.take(pa.array(del_))]
+        )
+        cols[f"{c}_new"] = pa.concat_arrays(
+            [col.take(pa.array(ins)), col.take(pa.array(upd_new)), null_d]
+        )
+    return pa.table(cols)
 
 
 # ---------------------------------------------------------------------------

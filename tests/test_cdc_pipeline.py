@@ -628,6 +628,48 @@ def test_change_feed_insert_update_delete_and_net_change(tmp_path, ray_session):
     assert f1.column("text_new").to_pylist() == ["a1", None, "d0"]
 
 
+def test_change_feed_copartitioned_fast_path(tmp_path, ray_session, monkeypatch):
+    """The snapshot-table change feed must run exchange-free: no generic
+    time-travel ``read_table`` calls (the co-partitioned per-partition diff
+    reads manifest files directly), and its output must equal the generic
+    two-reads + table_diff composition row-for-row."""
+    import airbyte_destination_ray.pipelines.cdc as cdc_mod
+    from airbyte_destination_ray.pipelines.relational import table_diff
+
+    blog = tmp_path / "blog"
+    synthesize_binlog(blog, n_events=2000, n_keys=300, n_epochs=3, seed=7)
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, str(blog), num_partitions=8)
+
+    def generic(epoch):
+        old = read_table(
+            lake, "pages", columns=["url", "text", "lang"], as_of_epoch=epoch - 1
+        )
+        new = read_table(
+            lake, "pages", columns=["url", "text", "lang"], as_of_epoch=epoch
+        )
+        ds = table_diff(old, new, key="url", compare_cols=["text", "lang"])
+        return pa.concat_tables(
+            list(ds.iter_batches(batch_format="pyarrow"))
+        ).sort_by([("url", "ascending")])
+
+    want = {e: generic(e) for e in (1, 2)}
+
+    def boom(*a, **k):
+        raise AssertionError("generic read_table path used — fast path not taken")
+
+    monkeypatch.setattr(cdc_mod, "read_table", boom)
+    for e in (1, 2):
+        ds = cdc_mod.change_feed(
+            lake, "pages", epoch=e, compare_cols=["text", "lang"]
+        )
+        got = pa.concat_tables(
+            list(ds.iter_batches(batch_format="pyarrow"))
+        ).sort_by([("url", "ascending")])
+        assert got.select(want[e].column_names).equals(want[e]), f"epoch {e}"
+        assert got.num_rows > 0
+
+
 def test_delete_rows_string_keys_on_int_pk_lake(tmp_path, ray_session):
     """CLI key lists arrive as strings; routing must cast to the pk's
     NATIVE type before hashing or the wrong partitions get rewritten and
