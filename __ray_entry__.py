@@ -2309,6 +2309,17 @@ def _q_cdc_time_travel(sf_dir: str):
     return time_travel_events_table(sf_dir, as_of_epoch=1)
 
 
+def _q_cdc_range_scan(sf_dir: str):
+    """Zone-map range scan: manifest per-file min/max stats prune the lake
+    scan to files that can intersect event_id ∈ [3·max//4, max]; bounds come
+    from manifest max_seq metadata (no data pass)."""
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        range_scan_events_table,
+    )
+
+    return range_scan_events_table(sf_dir)
+
+
 def _q_cdc_gdpr_delete(sf_dir: str):
     """GDPR right-to-be-forgotten: physically delete 7 user_ids from the
     synced lake (O(keys) partition rewrites through the compaction manifest
@@ -2818,6 +2829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_events_per_user": _q_top3_events_per_user,
         "events_value_histogram": _q_events_value_histogram,
         "events_distinct_users_approx": _q_events_distinct_users_approx,
+        "cdc_range_scan": _q_cdc_range_scan,
     }
 
 
@@ -3895,6 +3907,15 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rnk <= 2
         """,
     }
+    sql["cdc_range_scan"] = """
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+            AND event_type <> 'error'
+            AND event_id BETWEEN (3 * (SELECT max(event_id) FROM events)) // 4
+                             AND (SELECT max(event_id) FROM events)
+    """
     sql["local_supplier_volume"] = """
         SELECT n_name,
                CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount))

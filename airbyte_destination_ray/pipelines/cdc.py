@@ -380,6 +380,57 @@ def _epoch_winner_seqs(
     return np.sort(np.concatenate(chunks))
 
 
+def _prune_files_by_stats(triples, range_filter) -> list[tuple[str, int]]:
+    """Zone-map file pruning: drop (file, version, stats) entries whose
+    recorded ``[min, max]`` for the filtered column cannot intersect
+    ``[lo, hi]``.  Missing stats (pre-zone-map manifests, compaction
+    rewrites, nested columns) keep the file — pruning is only ever an
+    optimization, never a correctness dependency.  An all-null column
+    (``[None, None]``) can never satisfy a range predicate → pruned."""
+    from ..stages.lww import stat_encode
+
+    col, lo, hi = range_filter
+    lo = stat_encode(lo)
+    hi = stat_encode(hi)
+    kept: list[tuple[str, int]] = []
+    for f, v, st in triples:
+        if st is None or col not in st:
+            kept.append((f, v))
+            continue
+        mn, mx = st[col]
+        if mn is None and mx is None:
+            continue  # all-null column: no row can match a range
+        if lo is not None and mx is not None and mx < lo:
+            continue
+        if hi is not None and mn is not None and mn > hi:
+            continue
+        kept.append((f, v))
+    return kept
+
+
+def _range_filter_batch(batch: pa.Table, col: str, lo, hi) -> pa.Table:
+    """Exact vectorized ``lo <= col <= hi`` row filter (SQL BETWEEN
+    semantics: null values never match; either bound may be None)."""
+    c = batch.column(col)
+    mask = None
+    if lo is not None:
+        mask = pc.greater_equal(c, pa.scalar(lo, type=c.type))
+    if hi is not None:
+        m2 = pc.less_equal(c, pa.scalar(hi, type=c.type))
+        mask = m2 if mask is None else pc.and_(mask, m2)
+    if mask is None:
+        return batch
+    return batch.filter(pc.fill_null(mask, False))
+
+
+def _apply_range_filter(ds, range_filter):
+    col, lo, hi = range_filter
+    return ds.map_batches(
+        lambda b: _range_filter_batch(b, col, lo, hi),
+        batch_format="pyarrow",
+    )
+
+
 def read_table(
     lake_root: str,
     table: str,
@@ -389,6 +440,7 @@ def read_table(
     include_meta: bool = False,
     partitions=None,
     as_of_epoch: int | None = None,
+    range_filter: tuple | None = None,
 ):
     """Dataset over the committed table state (read view).
 
@@ -402,11 +454,22 @@ def read_table(
     manifest log is the snapshot index, no data copies).  Works for both
     merge strategies; history lives within the active generation and only
     until ``vacuum`` reclaims superseded files.
+
+    ``range_filter`` = ``(col, lo, hi)`` (either bound may be None): rows
+    with ``lo <= col <= hi``.  Files whose manifest zone map (per-file
+    column min/max recorded at commit — the manifest IS the index, no
+    footer reads) cannot intersect the range are pruned from the scan
+    entirely; surviving files get an exact vectorized row filter.  On
+    append tables with a commit-correlated column (event ids, timestamps)
+    a narrow range touches only its own epochs' files.  Delta-strategy
+    stacks skip the FILE pruning (a key's winning version may sit in any
+    stack file — pruning pre-merge would change winners) and apply only
+    the exact post-merge row filter.
     """
     store = ManifestStore(lake_root, table)
     meta = store.table_meta()
     if meta.get("merge_strategy") == "delta" and meta["mode"] == "append_dedup":
-        return _read_delta_table(
+        ds = _read_delta_table(
             lake_root, table, meta,
             columns=columns,
             include_deleted=include_deleted,
@@ -414,10 +477,31 @@ def read_table(
             partitions=partitions,
             as_of_epoch=as_of_epoch,
         )
+        if range_filter is not None:
+            ds = _apply_range_filter(ds, range_filter)
+        return ds
     versioned = store.committed_files_versioned(
         meta["generation"], mode=meta["mode"], partitions=partitions,
-        max_epoch=as_of_epoch,
+        max_epoch=as_of_epoch, with_stats=range_filter is not None,
     )
+    if range_filter is not None:
+        unpruned = [(f, v) for f, v, _ in versioned]
+        versioned = _prune_files_by_stats(versioned, range_filter)
+        if not versioned and unpruned:
+            # every file pruned: 0 rows, but keep the real schema (readers
+            # diff/join/compare on columns) — one footer read, no data
+            import pyarrow.parquet as _pq
+
+            sch = _pq.read_schema(Path(lake_root) / unpruned[0][0])
+            names = columns or [
+                n for n in sch.names
+                if include_meta or n not in (SEQ_COLUMN, DELETED_COLUMN)
+            ]
+            return ray.data.from_arrow(
+                pa.table(
+                    {n: pa.array([], type=sch.field(n).type) for n in names}
+                )
+            )
     if not versioned:
         return ray.data.from_arrow(pa.table({}))
     # alignment target = the REGISTRY's current version, not the max over
@@ -437,9 +521,10 @@ def read_table(
     # requested name to a different physical column.
     read_columns = None
     if columns:
-        read_columns = list(
-            dict.fromkeys(list(columns) + [SEQ_COLUMN, DELETED_COLUMN])
-        )
+        extra = [SEQ_COLUMN, DELETED_COLUMN]
+        if range_filter is not None:
+            extra = [range_filter[0], *extra]
+        read_columns = list(dict.fromkeys(list(columns) + extra))
 
     def _read_group(files: list[str], src_version: int):
         paths = [str(Path(lake_root) / f) for f in files]
@@ -479,6 +564,8 @@ def read_table(
             batch = batch.filter(
                 pc.fill_null(pc.invert(batch.column(DELETED_COLUMN)), True)
             )
+        if range_filter is not None:
+            batch = _range_filter_batch(batch, *range_filter)
         if not include_meta:
             drop = [c for c in (SEQ_COLUMN, DELETED_COLUMN) if c in batch.column_names]
             if drop:

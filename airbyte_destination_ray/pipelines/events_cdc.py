@@ -146,6 +146,30 @@ def _ensure_events_lake(
     return lake
 
 
+def range_scan_events_table(sf_dir: str, *, workdir: str | Path | None = None):
+    """Zone-map range scan as a query: read the visible lake state with
+    ``event_id`` in ``[3·max//4, max]`` (LWW winners skew to high event
+    ids, so this range is the populated one).  The bounds come from
+    manifest metadata (``max_seq`` per partition — no data pass), the scan
+    prunes files via the manifests' per-file min/max zone maps before the
+    exact vectorized row filter.  Oracle: the LWW fold with the same
+    BETWEEN."""
+    from ..state.manifest import ManifestStore
+
+    lake = _ensure_events_lake(sf_dir, workdir)
+    store = ManifestStore(str(lake), "events_cdc")
+    meta = store.table_meta()
+    upper = 0
+    for p in range(int(meta["num_partitions"])):
+        m = store.latest_snapshot(meta["generation"], p)
+        if m is not None:
+            upper = max(upper, m.max_seq)
+    return read_table(
+        str(lake), "events_cdc", columns=EVENT_PAYLOAD,
+        range_filter=("event_id", (3 * upper) // 4, upper),
+    )
+
+
 def sync_events_table(sf_dir: str, *, workdir: str | Path | None = None):
     """Run the full CDC engine over the events table; return the compacted
     lake table as a Dataset (columns = the original event columns)."""

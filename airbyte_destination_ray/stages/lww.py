@@ -263,6 +263,55 @@ def _table_digest(t: pa.Table) -> str:
     return h.hexdigest()
 
 
+def stat_encode(v) -> int | float | str | None:
+    """Canonical JSON encoding for one zone-map bound: ints/floats/strings
+    pass through, temporal values become their STORAGE-UNIT integer (us for
+    the lake's timestamp[us] columns, days for date32), bools become 0/1.
+    Both the manifest writer and ``read_table(range_filter=…)`` bounds go
+    through this, so comparisons happen in one consistent domain."""
+    if isinstance(v, pa.Scalar):
+        if pa.types.is_timestamp(v.type) or pa.types.is_date(v.type):
+            return None if v.as_py() is None else v.value
+        v = v.as_py()
+    if isinstance(v, bool):
+        return int(v)
+    if v is None or isinstance(v, (int, float, str)):
+        return v
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return pa.scalar(v, type=pa.timestamp("us")).value
+    if isinstance(v, datetime.date):
+        return pa.scalar(v, type=pa.date32()).value
+    raise TypeError(f"unsupported zone-map bound type: {type(v).__name__}")
+
+
+_STAT_TYPES = (
+    pa.types.is_integer, pa.types.is_floating, pa.types.is_timestamp,
+    pa.types.is_date, pa.types.is_string, pa.types.is_large_string,
+    pa.types.is_boolean,
+)
+
+
+def _file_column_stats(t: pa.Table) -> dict:
+    """Zone-map entry for one committed file: ``{col: [min, max]}`` over
+    every primitive column (nulls skipped; an all-null column records
+    ``[None, None]``, which readers may prune for any range predicate).
+    Nested/binary columns are omitted — readers treat missing as
+    unprunable."""
+    out: dict = {}
+    for name in t.column_names:
+        typ = t.schema.field(name).type
+        if not any(check(typ) for check in _STAT_TYPES):
+            continue
+        if t.num_rows == 0:
+            out[name] = [None, None]
+            continue
+        mm = pc.min_max(t.column(name))
+        out[name] = [stat_encode(mm["min"]), stat_encode(mm["max"])]
+    return out
+
+
 def _atomic_write_parquet(t: pa.Table, path: Path) -> int:
     """Deterministic parquet bytes via fixed writer settings; tmp + rename so
     a crashed/retried task never leaves a partial file visible."""
@@ -464,12 +513,17 @@ def make_partition_merger(
         files: list[str] = []
         nbytes = 0
         max_seq = prev_max_seq
+        # zone map: delta commits retain prev files, so carry their stats
+        file_stats: dict = (
+            dict(prev.stats) if is_delta_commit and prev is not None else {}
+        )
         if merged.num_rows or mode == "append_dedup":
             rel = (
                 f"{table_name}/gen={generation:04d}/parts/p={part:05d}/"
                 f"e{epoch:06d}.parquet"
             )
             nbytes = _atomic_write_parquet(merged, Path(lake_root) / rel)
+            file_stats[rel] = _file_column_stats(merged)
             if is_delta_commit:
                 files = list(prev.files) + [rel]
             else:
@@ -503,6 +557,7 @@ def make_partition_merger(
             mode=mode,
             schema_version=schema_version,
             covers_epoch=covers_epoch,
+            stats=file_stats,
         )
         store.commit(m)  # CAS: losing to a concurrent duplicate is fine
         return _stats_row(

@@ -68,6 +68,11 @@ class PartitionManifest:
     # the epochs folded into them, which is how a later source epoch can
     # outrank an earlier compaction (see _order_key).
     covers_epoch: int = -1
+    # zone map: per-file column [min, max] over this manifest's files
+    # ({rel_path: {col: [lo, hi]}}, temporal values encoded as storage-unit
+    # ints — see stages.lww._file_column_stats).  Readers treat a missing
+    # file/column entry as unprunable, so pre-zone-map manifests stay valid.
+    stats: dict = field(default_factory=dict)
 
     @property
     def effective_epoch(self) -> int:
@@ -248,8 +253,8 @@ class ManifestStore:
 
     def committed_files_versioned(
         self, generation: int, *, mode: str, partitions=None,
-        max_epoch: int | None = None,
-    ) -> list[tuple[str, int]]:
+        max_epoch: int | None = None, with_stats: bool = False,
+    ) -> list:
         """Current file set as (path, schema_version) pairs.
 
         Snapshot tables (append_dedup): latest manifest per partition.
@@ -276,19 +281,26 @@ class ManifestStore:
             manifests = [m for m in manifests if m.partition in partitions]
         if max_epoch is not None:
             manifests = [m for m in manifests if m.effective_epoch <= max_epoch]
+        def rows(m: PartitionManifest):
+            if with_stats:
+                return [
+                    (f, m.schema_version, m.stats.get(f)) for f in m.files
+                ]
+            return [(f, m.schema_version) for f in m.files]
+
         if mode in ("append", "overwrite"):
-            files: list[tuple[str, int]] = []
+            files: list = []
             for m in sorted(manifests, key=lambda m: (m.partition, m.epoch)):
-                files.extend((f, m.schema_version) for f in m.files)
+                files.extend(rows(m))
             return files
         latest: dict[int, PartitionManifest] = {}
         for m in manifests:
             cur = latest.get(m.partition)
             if cur is None or m.order_key > cur.order_key:
                 latest[m.partition] = m
-        out: list[tuple[str, int]] = []
+        out: list = []
         for p in sorted(latest):
-            out.extend((f, latest[p].schema_version) for f in latest[p].files)
+            out.extend(rows(latest[p]))
         return out
 
     # -- checkpoints ---------------------------------------------------------

@@ -628,6 +628,75 @@ def test_change_feed_insert_update_delete_and_net_change(tmp_path, ray_session):
     assert f1.column("text_new").to_pylist() == ["a1", None, "d0"]
 
 
+def test_zone_map_range_scan_prunes_files(tmp_path, ray_session):
+    """Manifest zone maps (per-file column min/max recorded at commit) must
+    prune an append-table range scan to only the epochs whose files can
+    intersect the range — and the surviving files still get an exact row
+    filter.  Snapshot lakes apply the same exact filter (pruning there is
+    best-effort since each partition holds one hash-spread file)."""
+    from airbyte_destination_ray.pipelines.cdc import _prune_files_by_stats
+
+    blog = tmp_path / "blog"
+    rows = []
+    seq = 0
+    for e in range(3):
+        for i in range(20):
+            seq += 1
+            rows.append(
+                dict(seq=seq, epoch=e, op="U", url=f"u{e}-{i:02d}",
+                     warc_ts=e * 1000 + i, text=f"t{seq}", lang="en")
+            )
+    write_custom_binlog(blog, rows)
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, str(blog), mode="append", num_partitions=4)
+    store = ManifestStore(lake, "pages")
+    meta = store.table_meta()
+    triples = store.committed_files_versioned(
+        meta["generation"], mode="append", with_stats=True
+    )
+    assert triples and all(st and "warc_ts" in st for _, _, st in triples)
+    kept = _prune_files_by_stats(triples, ("warc_ts", 1000, 1019))
+    assert 0 < len(kept) < len(triples)
+    assert all("e000001" in f for f, _ in kept), kept
+    ds = read_table(
+        lake, "pages", columns=["url", "warc_ts"],
+        range_filter=("warc_ts", 1000, 1019),
+    )
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    assert set(t.column("url").to_pylist()) == {f"u1-{i:02d}" for i in range(20)}
+    assert sorted(t.column_names) == ["url", "warc_ts"]
+
+    # snapshot (LWW) lake: exact filter over the merged visible state
+    lake2 = str(tmp_path / "lake2")
+    run_cdc_sync(lake2, str(blog), num_partitions=4)
+    full = pa.concat_tables(
+        list(
+            read_table(lake2, "pages", columns=["url", "warc_ts"])
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    ts_type = full.schema.field("warc_ts").type
+    want = full.filter(
+        pa.compute.and_(
+            pa.compute.greater_equal(
+                full.column("warc_ts"), pa.scalar(5, type=ts_type)
+            ),
+            pa.compute.less_equal(
+                full.column("warc_ts"), pa.scalar(2005, type=ts_type)
+            ),
+        )
+    ).sort_by("url")
+    got = pa.concat_tables(
+        list(
+            read_table(
+                lake2, "pages", columns=["url", "warc_ts"],
+                range_filter=("warc_ts", 5, 2005),
+            ).iter_batches(batch_format="pyarrow")
+        )
+    ).sort_by("url")
+    assert got.equals(want)
+
+
 def test_change_feed_copartitioned_fast_path(tmp_path, ray_session, monkeypatch):
     """The snapshot-table change feed must run exchange-free: no generic
     time-travel ``read_table`` calls (the co-partitioned per-partition diff
