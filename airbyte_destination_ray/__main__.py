@@ -72,6 +72,17 @@ def main(argv: list[str] | None = None) -> int:
     p_compact = sub.add_parser("compact")
     p_compact.add_argument("--lake", required=True)
     p_compact.add_argument("--table", default="pages")
+    p_cluster = sub.add_parser(
+        "cluster",
+        help="OPTIMIZE: rewrite each partition's snapshot sorted by a "
+        "column, split into files, so zone maps prune range scans",
+    )
+    p_cluster.add_argument("--lake", required=True)
+    p_cluster.add_argument("--table", default="pages")
+    p_cluster.add_argument("--by", required=True)
+    p_cluster.add_argument(
+        "--target-rows-per-file", type=int, default=1_000_000
+    )
     p_vacuum = sub.add_parser("vacuum")
     p_vacuum.add_argument("--lake", required=True)
     p_vacuum.add_argument("--table", default="pages")
@@ -205,6 +216,23 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 json.dumps(
                     compact_table(args.lake, args.table), separators=(",", ":")
+                )
+            )
+            return 0
+        finally:
+            ray.shutdown()
+
+    if args.command == "cluster":
+        try:
+            from .pipelines.cdc import cluster_table
+
+            print(
+                json.dumps(
+                    cluster_table(
+                        args.lake, args.table, by=args.by,
+                        target_rows_per_file=args.target_rows_per_file,
+                    ),
+                    separators=(",", ":"),
                 )
             )
             return 0

@@ -652,6 +652,135 @@ def compact_table(lake_root: str, table: str) -> dict:
     return {"compacted_partitions": n, "epoch": next_epoch}
 
 
+def cluster_table(
+    lake_root: str,
+    table: str,
+    *,
+    by: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """OPTIMIZE/cluster maintenance (Delta ``OPTIMIZE ZORDER BY`` analog,
+    single column): rewrite each partition's visible snapshot SORTED by
+    ``by`` and split into ~``target_rows_per_file``-row files, so the
+    manifest zone maps (per-file min/max) become selective for
+    ``read_table(range_filter=…)`` on that column — a narrow range then
+    touches one file per partition instead of the whole partition.
+
+    Hash partitioning by pk is untouched (LWW co-location must survive),
+    so clustering is one LOCAL task per partition — no exchange.  Commits
+    ride the compaction manifest lane (``covers_epoch`` = the epochs the
+    rewritten state covers), so a later source epoch outranks the
+    clustered layout; like any OPTIMIZE, re-run after enough new epochs
+    degrade it.  Delta-strategy stacks fold (LWW) before sorting —
+    clustering doubles as compaction there.
+    """
+    from ..state.manifest import COMPACTION_EPOCH_BASE, PartitionManifest
+    from ..stages.lww import (
+        _atomic_write_parquet,
+        _file_column_stats,
+        _table_digest,
+        lww_compact,
+    )
+
+    store = ManifestStore(lake_root, table)
+    meta = store.table_meta()
+    if meta["mode"] != "append_dedup":
+        raise ValueError(
+            "cluster_table needs a keyed snapshot table (append_dedup); "
+            f"table {table!r} has mode {meta['mode']!r}"
+        )
+    gen = meta["generation"]
+    pk, ver = meta["pk"], meta["cursor"]
+    if not isinstance(pk, str):
+        pk = pk[0]
+    is_delta = meta.get("merge_strategy") == "delta"
+    stacks = []
+    for p in range(int(meta["num_partitions"])):
+        m = store.latest_snapshot(gen, p)
+        if m is None or not m.files:
+            continue
+        stacks.append(
+            {
+                "partition": p,
+                "files": list(m.files),
+                "schema_version": m.schema_version,
+                "covers_epoch": m.effective_epoch,
+                "row_count": m.row_count,
+                "max_seq": m.max_seq,
+            }
+        )
+    if not stacks:
+        return {"clustered_partitions": 0}
+    all_manifests = store._iter_manifests(gen)
+    prev_lane = [
+        m.epoch for m in all_manifests if m.epoch >= COMPACTION_EPOCH_BASE
+    ]
+    next_epoch = max(prev_lane, default=COMPACTION_EPOCH_BASE - 1) + 1
+    schema_store = SchemaStore(lake_root, table)
+    target_version = (
+        schema_store.current_version()
+        if schema_store.exists()
+        else max(s["schema_version"] for s in stacks)
+    )
+
+    def cluster_one(batch: pa.Table) -> pa.Table:
+        import math
+
+        import pyarrow.parquet as pq
+
+        out_rows = []
+        for r in batch.to_pylist():
+            part = r["partition"]
+            t = pa.concat_tables(
+                pq.read_table(Path(lake_root) / f) for f in r["files"]
+            )
+            t = _align_lake_table(
+                t, lake_root, table, r["schema_version"], target_version
+            )
+            if is_delta:
+                t = lww_compact(t, pk, ver, SEQ_COLUMN)
+            t = t.sort_by([(by, "ascending")])
+            n = t.num_rows
+            n_files = max(1, math.ceil(n / target_rows_per_file))
+            step = math.ceil(n / n_files) if n else 0
+            files: list[str] = []
+            file_stats: dict = {}
+            nbytes = 0
+            for j in range(n_files):
+                piece = t.slice(j * step, step) if n else t
+                rel = (
+                    f"{table}/gen={gen:04d}/parts/p={part:05d}/"
+                    f"e{next_epoch:06d}-c{j:03d}.parquet"
+                )
+                nbytes += _atomic_write_parquet(piece, Path(lake_root) / rel)
+                file_stats[rel] = _file_column_stats(piece)
+                files.append(rel)
+            m = PartitionManifest(
+                table=table,
+                generation=gen,
+                epoch=next_epoch,
+                partition=part,
+                files=files,
+                row_count=n,
+                byte_count=nbytes,
+                max_seq=r["max_seq"],
+                digest=_table_digest(t),
+                mode="append_dedup",
+                schema_version=target_version,
+                covers_epoch=r["covers_epoch"],
+                stats=file_stats,
+            )
+            ManifestStore(lake_root, table).commit(m)
+            out_rows.append({"partition": part, "n_files": n_files, "rows": n})
+        return pa.Table.from_pylist(out_rows)
+
+    res = ray.data.from_items(
+        stacks, override_num_blocks=len(stacks)
+    ).map_batches(cluster_one, batch_format="pyarrow", batch_size=None)
+    n = res.count()
+    return {"clustered_partitions": n, "epoch": next_epoch, "by": by}
+
+
 def lineage_dataset(lake_root: str, table: str, *, generation: int | None = None):
     """Per-partition lineage/metrics as a metadata Dataset (SURVEY §7.8):
     one row per committed (epoch, partition) manifest — files, row counts,

@@ -697,6 +697,85 @@ def test_zone_map_range_scan_prunes_files(tmp_path, ray_session):
     assert got.equals(want)
 
 
+def test_cluster_table_zone_map_selectivity(tmp_path, ray_session):
+    """OPTIMIZE/cluster: rewriting each partition's snapshot sorted by a
+    column and split into small files must (a) preserve the visible state
+    exactly, (b) make zone maps selective — a narrow range prunes most
+    files, (c) leave the lake fully syncable — the next epoch's LWW merge
+    consumes the multi-file clustered prev state."""
+    from airbyte_destination_ray.pipelines.cdc import (
+        _prune_files_by_stats,
+        cluster_table,
+    )
+
+    def mk_rows(epochs):
+        rows = []
+        for e in epochs:
+            for i in range(200):
+                rows.append(
+                    dict(seq=e * 200 + i + 1, epoch=e, op="U",
+                         url=f"u{i:03d}", warc_ts=(i * 13) % 2000 + e,
+                         text=f"t{e}-{i}", lang="en")
+                )
+        return rows
+
+    blog = tmp_path / "blog"
+    write_custom_binlog(blog, mk_rows([0, 1]))
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, str(blog), num_partitions=4)
+
+    def state(lk):
+        return pa.concat_tables(
+            list(
+                read_table(lk, "pages", columns=["url", "warc_ts", "text"])
+                .iter_batches(batch_format="pyarrow")
+            )
+        ).sort_by("url")
+
+    before = state(lake)
+    res = cluster_table(lake, "pages", by="warc_ts", target_rows_per_file=10)
+    assert res["clustered_partitions"] == 4
+    after = state(lake)
+    assert after.equals(before)
+
+    store = ManifestStore(lake, "pages")
+    meta = store.table_meta()
+    triples = store.committed_files_versioned(
+        meta["generation"], mode=meta["mode"], with_stats=True
+    )
+    assert len(triples) > 8  # split into many small files
+    kept = _prune_files_by_stats(triples, ("warc_ts", 100, 200))
+    assert 0 < len(kept) < len(triples) / 2  # zone maps now selective
+    got = pa.concat_tables(
+        list(
+            read_table(
+                lake, "pages", columns=["url", "warc_ts"],
+                range_filter=("warc_ts", 100, 200),
+            ).iter_batches(batch_format="pyarrow")
+        )
+    ).sort_by("url")
+    ts_type = before.schema.field("warc_ts").type
+    want = before.select(["url", "warc_ts"]).filter(
+        pa.compute.and_(
+            pa.compute.greater_equal(
+                before.column("warc_ts"), pa.scalar(100, type=ts_type)
+            ),
+            pa.compute.less_equal(
+                before.column("warc_ts"), pa.scalar(200, type=ts_type)
+            ),
+        )
+    )
+    assert got.equals(want)
+
+    # next source epoch merges over the multi-file clustered prev state
+    blog2 = tmp_path / "blog2"
+    write_custom_binlog(blog2, mk_rows([0, 1, 2]))
+    run_cdc_sync(lake, str(blog2), num_partitions=4)
+    fresh = str(tmp_path / "fresh")
+    run_cdc_sync(fresh, str(blog2), num_partitions=4)
+    assert state(lake).equals(state(fresh))
+
+
 def test_change_feed_copartitioned_fast_path(tmp_path, ray_session, monkeypatch):
     """The snapshot-table change feed must run exchange-free: no generic
     time-travel ``read_table`` calls (the co-partitioned per-partition diff
