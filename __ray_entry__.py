@@ -1113,6 +1113,17 @@ def _q_decontaminate_documents(sf_dir: str):
     return decontaminate(docs, bench, sep=" ", gram_k=5)
 
 
+def _q_repeated_spans_documents(sf_dir: str):
+    """Exact-substring duplicate spans (Lee et al. 2022): maximal token
+    spans whose every 8-token window occurs ≥ 2× in the corpus — rolling
+    window hashes, one hash exchange for corpus counts, one id exchange
+    merging positions into spans."""
+    from airbyte_destination_ray.pipelines.corpus import repeated_ngram_spans
+
+    docs = _documents(sf_dir, columns=["doc_id", "text"])
+    return repeated_ngram_spans(docs, sep=" ", gram_k=8)
+
+
 def _q_shipping_priority(sf_dir: str):
     """TPC-H Q3-shaped composite (customer ⋈ orders ⋈ lineitem → revenue
     per order → global top 10): broadcast semi-join on the dimension side,
@@ -2830,6 +2841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": _q_events_value_histogram,
         "events_distinct_users_approx": _q_events_distinct_users_approx,
         "cdc_range_scan": _q_cdc_range_scan,
+        "repeated_spans_documents": _q_repeated_spans_documents,
     }
 
 
@@ -3907,6 +3919,32 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rnk <= 2
         """,
     }
+    sql["repeated_spans_documents"] = """
+        WITH docs AS (
+            SELECT doc_id, string_split(text, ' ') AS parts
+            FROM documents WHERE text IS NOT NULL),
+        wins AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                   array_to_string(parts[i:i+7], ' ') AS g
+            FROM docs, unnest(generate_series(1, len(parts) - 7)) AS t(i)),
+        dup AS (
+            SELECT doc_id, pos FROM wins
+            WHERE g IN (SELECT g FROM wins GROUP BY g HAVING count(*) >= 2)),
+        brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                       PARTITION BY doc_id ORDER BY pos) <= 8
+                   THEN 0 ELSE 1 END AS b
+            FROM dup),
+        isl AS (
+            SELECT doc_id, pos,
+                   sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM brk)
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 8 AS BIGINT) AS span_end,
+               CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+        FROM isl GROUP BY doc_id, island
+    """
     sql["cdc_range_scan"] = """
         SELECT event_id, ts, user_id, event_type, value, props
         FROM events

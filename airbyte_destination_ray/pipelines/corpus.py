@@ -474,12 +474,12 @@ _GRAM_FNV = np.uint64(1099511628211)
 def _gram_hashes(text_col, sep: str, k: int):
     """64-bit hashes of every FULL k-token gram per row.
 
-    Returns ``(gram_hash, parent_row)``.  Gram identity is the FNV-style
-    combine of the k token hashes, mixed — equal to string equality of the
-    space-joined gram (tokens cannot contain the separator, so the join is
-    injective for fixed k) up to 64-bit collisions.  Rows with fewer than
-    k tokens (or null text) emit no grams, matching the SQL formulation
-    ``generate_series(1, len(parts) - k + 1)``.
+    Returns ``(gram_hash, parent_row, within_row_pos)``.  Gram identity is
+    the FNV-style combine of the k token hashes, mixed — equal to string
+    equality of the space-joined gram (tokens cannot contain the separator,
+    so the join is injective for fixed k) up to 64-bit collisions.  Rows
+    with fewer than k tokens (or null text) emit no grams, matching the SQL
+    formulation ``generate_series(1, len(parts) - k + 1)``.
     """
     flat, parent, idx, _null, n_rows = _split(text_col, sep)
     h = stable_hash_array(flat)
@@ -493,7 +493,8 @@ def _gram_hashes(text_col, sep: str, k: int):
     with np.errstate(over="ignore"):
         for j in range(k):
             sh = sh * _GRAM_FNV + h[starts + j]
-    return _mix_pairs(sh, np.full(len(sh), k, dtype=np.uint64)), parent[starts]
+    mixed = _mix_pairs(sh, np.full(len(sh), k, dtype=np.uint64))
+    return mixed, parent[starts], idx[starts]
 
 
 def decontaminate(
@@ -546,7 +547,7 @@ def decontaminate(
 
     def keep_clean(batch: pa.Table) -> pa.Table:
         bset = ray.get(bench_ref)
-        gh, gparent = _gram_hashes(batch.column(text_col), sep, gram_k)
+        gh, gparent, _gpos = _gram_hashes(batch.column(text_col), sep, gram_k)
         if len(bset) == 0 or len(gh) == 0:
             return batch
         pos = np.searchsorted(bset, gh)
@@ -557,6 +558,124 @@ def decontaminate(
         return batch.filter(pa.array(~contaminated))
 
     return ds.map_batches(keep_clean, batch_format="pyarrow", batch_size=None)
+
+
+def repeated_ngram_spans(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+    gram_k: int = 8,
+    num_partitions: int = CORPUS_NUM_PARTITIONS,
+):
+    """EXACT-SUBSTRING duplicate-span detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" operator,
+    token-granular): every maximal span of ≥ ``gram_k`` consecutive tokens
+    whose every ``gram_k``-token window occurs at least twice in the WHOLE
+    corpus.  Returns one row per merged span: ``(id_col, span_start,
+    span_end, span_tokens)`` — 0-based token offsets, end exclusive.
+    Feeding the spans to a cut/trim pass is the actual dedup; reporting all
+    occurrences (not "all but one") keeps the policy with the caller.
+
+    Shape: per-batch vectorized rolling window hashes (FNV combine over
+    per-token stable hashes — identical identity rule to
+    :func:`decontaminate`, collisions ~n²/2⁶⁵) emit fixed-width
+    ``(hash, id, pos)`` rows; ONE hash-partitioned exchange finds windows
+    whose corpus count ≥ 2 (document text never rides the exchange); a
+    second id-partitioned exchange merges each document's duplicated
+    window positions into maximal spans (gap ≤ gram_k ⇒ same span) with a
+    sort + run-length pass.  At 100 TB the window stream is
+    O(tokens) × 24 B and both exchanges are fixed-width — a frequency
+    sketch could prefilter singleton windows before the first exchange,
+    but exact hashes keep this oracle-checkable.
+    """
+    from ..functions.hashing import partition_ids
+
+    k = gram_k
+
+    def windows(batch: pa.Table) -> pa.Table:
+        gh, gparent, gpos = _gram_hashes(batch.column(text_col), sep, k)
+        ids = batch.column(id_col).take(pa.array(gparent, type=pa.int64()))
+        part = (gh % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table(
+            {
+                "g": pa.array(gh, type=pa.uint64()),
+                id_col: ids,
+                "pos": pa.array(gpos, type=pa.int64()),
+                "_part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    def dup_occurrences(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("g", "ascending")])
+        gv = g.column("g").to_numpy(zero_copy_only=False)
+        n = len(gv)
+        empty = pa.table(
+            {
+                id_col: g.column(id_col).slice(0, 0),
+                "pos": pa.array([], type=pa.int64()),
+                "_p2": pa.array([], type=pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        start = np.ones(n, dtype=bool)
+        start[1:] = gv[1:] != gv[:-1]
+        run_id = np.cumsum(start) - 1
+        run_len = np.bincount(run_id)
+        keep = run_len[run_id] >= 2
+        if not keep.any():
+            return empty
+        kept = g.filter(pa.array(keep))
+        ids = kept.column(id_col)
+        return pa.table(
+            {
+                id_col: ids,
+                "pos": kept.column("pos"),
+                "_p2": pa.array(
+                    partition_ids(ids, num_partitions), type=pa.int64()
+                ),
+            }
+        )
+
+    def merge_spans(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(id_col, "ascending"), ("pos", "ascending")])
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: g.column(id_col),
+                    "span_start": pa.array([], type=pa.int64()),
+                    "span_end": pa.array([], type=pa.int64()),
+                    "span_tokens": pa.array([], type=pa.int64()),
+                }
+            )
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        pos = g.column("pos").to_numpy(zero_copy_only=False)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (ids[1:] != ids[:-1]) | (pos[1:] - pos[:-1] > k)
+        sidx = np.nonzero(brk)[0]
+        eidx = np.append(sidx[1:], n) - 1
+        return pa.table(
+            {
+                id_col: g.column(id_col).take(pa.array(sidx)),
+                "span_start": pa.array(pos[sidx], type=pa.int64()),
+                "span_end": pa.array(pos[eidx] + k, type=pa.int64()),
+                "span_tokens": pa.array(
+                    pos[eidx] + k - pos[sidx], type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(windows, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(dup_occurrences, batch_format="pyarrow")
+        .groupby("_p2")
+        .map_groups(merge_spans, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -664,3 +664,92 @@ def test_top_ngrams_trigrams(ray_session):
     out = top_ngrams(_docs_ds(rows, blocks=2), n=3, k=5).to_pandas()
     got = dict(zip(out["gram"], out["cnt"]))
     assert got == {"a b c": 2, "b c d": 1}
+
+
+# ---------------------------------------------------------------------------
+# exact-substring repeated spans (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+SPAN_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps far away"),
+    (3, "a b c x y z w a b c"),  # internal repeat, gap > k -> two spans
+    (4, "unique tokens entirely here now"),
+    (5, ""),
+    (6, None),
+    (7, "a b"),  # shorter than k
+]
+
+
+def _spans_sql(k: int) -> str:
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, string_split(text, ' ') AS parts
+            FROM documents WHERE text IS NOT NULL),
+        wins AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                   array_to_string(parts[i:i+{k - 1}], ' ') AS g
+            FROM docs, unnest(generate_series(1, len(parts) - {k - 1})) AS t(i)),
+        dup AS (
+            SELECT doc_id, pos FROM wins
+            WHERE g IN (SELECT g FROM wins GROUP BY g HAVING count(*) >= 2)),
+        brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                       PARTITION BY doc_id ORDER BY pos) <= {k}
+                   THEN 0 ELSE 1 END AS b
+            FROM dup),
+        isl AS (
+            SELECT doc_id, pos,
+                   sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM brk)
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + {k} AS BIGINT) AS span_end,
+               CAST(max(pos) + {k} - min(pos) AS BIGINT) AS span_tokens
+        FROM isl GROUP BY doc_id, island
+    """
+
+
+def test_repeated_ngram_spans_matches_sql(ray_session):
+    from airbyte_destination_ray.pipelines.corpus import repeated_ngram_spans
+
+    out = _sorted_df(
+        repeated_ngram_spans(
+            _docs_ds(SPAN_DOCS, blocks=3), sep=" ", gram_k=3, num_partitions=4
+        )
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", SPAN_DOCS)
+    exp = _sorted_df(con.execute(_spans_sql(3)).fetchdf())
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # cross-doc shared prefix merges into one span per doc; the internal
+    # repeat in doc 3 yields two spans (gap 7 > k=3)
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in out.itertuples(index=False)
+    }
+    assert spans == {(1, 0, 5), (2, 0, 5), (3, 0, 3), (3, 7, 10)}
+
+
+def test_repeated_ngram_spans_batching_invariant(ray_session):
+    from airbyte_destination_ray.pipelines.corpus import repeated_ngram_spans
+
+    ref = _sorted_df(
+        repeated_ngram_spans(_docs_ds(SPAN_DOCS, blocks=1), gram_k=3)
+    )
+    for blocks in (2, 5):
+        got = _sorted_df(
+            repeated_ngram_spans(
+                _docs_ds(SPAN_DOCS, blocks=blocks), gram_k=3, num_partitions=2
+            )
+        )
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_repeated_ngram_spans_no_duplicates_empty(ray_session):
+    from airbyte_destination_ray.pipelines.corpus import repeated_ngram_spans
+
+    rows = [(1, "all words differ here"), (2, "and these too friend")]
+    out = repeated_ngram_spans(_docs_ds(rows, blocks=2), gram_k=3)
+    assert out.count() == 0
