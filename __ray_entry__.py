@@ -1124,6 +1124,17 @@ def _q_repeated_spans_documents(sf_dir: str):
     return repeated_ngram_spans(docs, sep=" ", gram_k=8)
 
 
+def _q_trim_repeated_spans_documents(sf_dir: str):
+    """Exact-substring DEDUP (Lee et al. 2022 released-tool policy): cut
+    every occurrence of every duplicated ≥8-token span out of the corpus —
+    spans + docs ride one id-co-locating exchange, difference-array token
+    coverage, vectorized re-join."""
+    from airbyte_destination_ray.pipelines.corpus import trim_repeated_spans
+
+    docs = _documents(sf_dir, columns=["doc_id", "text"])
+    return trim_repeated_spans(docs, sep=" ", gram_k=8)
+
+
 def _q_shipping_priority(sf_dir: str):
     """TPC-H Q3-shaped composite (customer ⋈ orders ⋈ lineitem → revenue
     per order → global top 10): broadcast semi-join on the dimension side,
@@ -2842,6 +2853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_approx": _q_events_distinct_users_approx,
         "cdc_range_scan": _q_cdc_range_scan,
         "repeated_spans_documents": _q_repeated_spans_documents,
+        "trim_repeated_spans_documents": _q_trim_repeated_spans_documents,
     }
 
 
@@ -3944,6 +3956,46 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(pos) + 8 AS BIGINT) AS span_end,
                CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
         FROM isl GROUP BY doc_id, island
+    """
+    sql["trim_repeated_spans_documents"] = """
+        WITH docs AS (
+            SELECT doc_id, string_split(text, ' ') AS parts
+            FROM documents WHERE text IS NOT NULL),
+        toks AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, parts[i] AS tok
+            FROM docs, unnest(generate_series(1, len(parts))) AS t(i)),
+        wins AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                   array_to_string(parts[i:i+7], ' ') AS g
+            FROM docs, unnest(generate_series(1, len(parts) - 7)) AS t(i)),
+        dup AS (
+            SELECT doc_id, pos FROM wins
+            WHERE g IN (SELECT g FROM wins GROUP BY g HAVING count(*) >= 2)),
+        brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                       PARTITION BY doc_id ORDER BY pos) <= 8
+                   THEN 0 ELSE 1 END AS b
+            FROM dup),
+        isl AS (
+            SELECT doc_id, pos,
+                   sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM brk),
+        spans AS (
+            SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+            FROM isl GROUP BY doc_id, island),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.tok FROM toks t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = t.doc_id AND t.pos >= s.s AND t.pos < s.e)),
+        rebuilt AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+            FROM kept GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE coalesce(r.txt, '') END AS text
+        FROM documents d LEFT JOIN rebuilt r USING (doc_id)
     """
     sql["cdc_range_scan"] = """
         SELECT event_id, ts, user_id, event_type, value, props

@@ -678,6 +678,122 @@ def repeated_ngram_spans(
     )
 
 
+def trim_repeated_spans(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+    gram_k: int = 8,
+    num_partitions: int = CORPUS_NUM_PARTITIONS,
+    doc_schema: pa.Schema | None = None,
+):
+    """EXACT-SUBSTRING dedup — CUT the duplicated spans found by
+    :func:`repeated_ngram_spans` out of every document and return the
+    corpus with ``text`` rewritten (same row count; a fully-duplicated
+    document becomes the empty string, null text stays null).
+
+    Policy: EVERY occurrence of a duplicated span is removed — the behavior
+    of the released Lee et al. 2022 ExactSubstr tool (the paper's
+    keep-one-occurrence variant needs a global canonical-occurrence pick;
+    compose one by anti-joining a keep-list against the spans instead).
+
+    Shape: the span stream (small — only duplicated regions) and the docs
+    ride ONE id-co-locating tagged-union exchange; the per-partition kernel
+    splits each doc once, marks covered tokens with a difference-array
+    cumsum over the flat token space (O(tokens + spans), no per-span loop),
+    and re-joins the survivors.  Note ``ds`` is consumed twice (span
+    detection + trim): fine for a source read, materialize first and pass
+    ``doc_schema`` for a derived input.
+    """
+    from ..functions.hashing import partition_ids
+
+    spans = repeated_ngram_spans(
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        sep=sep,
+        gram_k=gram_k,
+        num_partitions=num_partitions,
+    )
+    if doc_schema is None:
+        doc_schema = ds.schema()
+    types = dict(zip(doc_schema.names, doc_schema.types))
+    text_type = types[text_col]
+
+    def env_docs(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                id_col: batch.column(id_col),
+                text_col: batch.column(text_col),
+                "span_start": pa.nulls(batch.num_rows, pa.int64()),
+                "span_end": pa.nulls(batch.num_rows, pa.int64()),
+                "_side": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            }
+        )
+        parts = partition_ids(t.column(id_col), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def env_spans(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                id_col: batch.column(id_col),
+                text_col: pa.nulls(batch.num_rows, text_type),
+                "span_start": batch.column("span_start"),
+                "span_end": batch.column("span_end"),
+                "_side": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            }
+        )
+        parts = partition_ids(t.column(id_col), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    tagged = ds.map_batches(
+        env_docs, batch_format="pyarrow", batch_size=None
+    ).union(
+        spans.map_batches(env_spans, batch_format="pyarrow", batch_size=None)
+    )
+
+    def trim(group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        docs = group.filter(pa.array(side == 0))
+        sp = group.filter(pa.array(side == 1))
+        out_ids = docs.column(id_col)
+        if sp.num_rows == 0 or docs.num_rows == 0:
+            return pa.table({id_col: out_ids, text_col: docs.column(text_col)})
+        flat, parent, _idx, null_mask, n_rows = _split(
+            docs.column(text_col), sep
+        )
+        counts = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        starts = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        rows = (
+            pc.fill_null(
+                pc.index_in(
+                    sp.column(id_col).combine_chunks(),
+                    value_set=docs.column(id_col).combine_chunks(),
+                ),
+                -1,
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ok = rows >= 0  # spans derive from these docs; guard anyway
+        lo = starts[rows[ok]] + sp.column("span_start").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)[ok]
+        hi = starts[rows[ok]] + sp.column("span_end").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)[ok]
+        diff = np.zeros(len(flat) + 1, dtype=np.int32)
+        np.add.at(diff, lo, 1)
+        np.add.at(diff, hi, -1)
+        keep = np.cumsum(diff[:-1]) == 0
+        joined = _rejoin(flat, parent, keep, n_rows, sep, null_mask)
+        return pa.table({id_col: out_ids, text_col: joined})
+
+    return tagged.groupby("_part").map_groups(trim, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # materialized inverted text index
 # ---------------------------------------------------------------------------

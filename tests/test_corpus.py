@@ -753,3 +753,88 @@ def test_repeated_ngram_spans_no_duplicates_empty(ray_session):
     rows = [(1, "all words differ here"), (2, "and these too friend")]
     out = repeated_ngram_spans(_docs_ds(rows, blocks=2), gram_k=3)
     assert out.count() == 0
+
+
+TRIM_DOCS = SPAN_DOCS + [(8, "p q r"), (9, "p q r")]  # fully-covered docs
+
+
+def _trim_sql(k: int) -> str:
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, string_split(text, ' ') AS parts
+            FROM documents WHERE text IS NOT NULL),
+        toks AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, parts[i] AS tok
+            FROM docs, unnest(generate_series(1, len(parts))) AS t(i)),
+        wins AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                   array_to_string(parts[i:i+{k - 1}], ' ') AS g
+            FROM docs, unnest(generate_series(1, len(parts) - {k - 1})) AS t(i)),
+        dup AS (
+            SELECT doc_id, pos FROM wins
+            WHERE g IN (SELECT g FROM wins GROUP BY g HAVING count(*) >= 2)),
+        spans AS (
+            SELECT doc_id, min(pos) AS s, max(pos) + {k} AS e
+            FROM (
+                SELECT doc_id, pos, sum(b) OVER (
+                    PARTITION BY doc_id ORDER BY pos) AS island
+                FROM (
+                    SELECT doc_id, pos,
+                           CASE WHEN pos - lag(pos) OVER (
+                               PARTITION BY doc_id ORDER BY pos) <= {k}
+                           THEN 0 ELSE 1 END AS b
+                    FROM dup))
+            GROUP BY doc_id, island),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.tok FROM toks t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = t.doc_id AND t.pos >= s.s AND t.pos < s.e)),
+        rebuilt AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+            FROM kept GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE coalesce(r.txt, '') END AS text
+        FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+
+def test_trim_repeated_spans_matches_sql(ray_session):
+    from airbyte_destination_ray.pipelines.corpus import trim_repeated_spans
+
+    out = _sorted_df(
+        trim_repeated_spans(
+            _docs_ds(TRIM_DOCS, blocks=3), sep=" ", gram_k=3, num_partitions=4
+        )
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", TRIM_DOCS)
+    exp = _sorted_df(con.execute(_trim_sql(3)).fetchdf())
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    got = dict(zip(out["doc_id"], out["text"]))
+    # shared prefix cut from both docs; doc 3 keeps only its middle;
+    # fully-duplicated docs 8/9 become EMPTY STRING (not dropped rows);
+    # untouched / empty / null / short docs pass through unchanged
+    assert got[1] == "over the lazy dog"
+    assert got[2] == "far away"
+    assert got[3] == "x y z w"
+    assert got[8] == "" and got[9] == ""
+    assert got[4] == "unique tokens entirely here now"
+    assert got[5] == "" and got[6] is None and got[7] == "a b"
+
+
+def test_trim_repeated_spans_batching_invariant(ray_session):
+    from airbyte_destination_ray.pipelines.corpus import trim_repeated_spans
+
+    ref = _sorted_df(
+        trim_repeated_spans(_docs_ds(TRIM_DOCS, blocks=1), gram_k=3)
+    )
+    for blocks in (2, 5):
+        got = _sorted_df(
+            trim_repeated_spans(
+                _docs_ds(TRIM_DOCS, blocks=blocks), gram_k=3, num_partitions=2
+            )
+        )
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
