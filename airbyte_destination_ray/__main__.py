@@ -83,6 +83,14 @@ def main(argv: list[str] | None = None) -> int:
     p_cluster.add_argument(
         "--target-rows-per-file", type=int, default=1_000_000
     )
+    p_repart = sub.add_parser(
+        "repartition",
+        help="partition evolution: rewrite the table under a new hash-"
+        "bucket count and flip routing for later epochs",
+    )
+    p_repart.add_argument("--lake", required=True)
+    p_repart.add_argument("--table", default="pages")
+    p_repart.add_argument("--num-partitions", type=int, required=True)
     p_vacuum = sub.add_parser("vacuum")
     p_vacuum.add_argument("--lake", required=True)
     p_vacuum.add_argument("--table", default="pages")
@@ -231,6 +239,23 @@ def main(argv: list[str] | None = None) -> int:
                     cluster_table(
                         args.lake, args.table, by=args.by,
                         target_rows_per_file=args.target_rows_per_file,
+                    ),
+                    separators=(",", ":"),
+                )
+            )
+            return 0
+        finally:
+            ray.shutdown()
+
+    if args.command == "repartition":
+        try:
+            from .pipelines.cdc import repartition_table
+
+            print(
+                json.dumps(
+                    repartition_table(
+                        args.lake, args.table,
+                        new_num_partitions=args.num_partitions,
                     ),
                     separators=(",", ":"),
                 )

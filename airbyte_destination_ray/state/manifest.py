@@ -179,6 +179,21 @@ class ManifestStore:
         os.replace(tmp, self.root / "_meta.json")
         return meta["generation"]
 
+    def update_meta(self, **fields) -> dict:
+        """Atomically mutate table metadata (single driver writes meta, like
+        :meth:`bump_generation`).  Used by maintenance ops whose LAST step is
+        a metadata flip — e.g. partition evolution commits its rewritten
+        generation by updating ``generation`` + ``num_partitions`` in one
+        write, so a crash before the flip leaves the old layout fully
+        intact."""
+        meta = self.table_meta()
+        meta.update(fields)
+        tmp = self.root / "_meta.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, sort_keys=True)
+        os.replace(tmp, self.root / "_meta.json")
+        return meta
+
     def drop_table(self) -> None:
         """Full reset (A4; reference deleteAllDataSources destination.go:516-574)."""
         import shutil

@@ -858,3 +858,92 @@ def test_delete_rows_string_keys_on_int_pk_lake(tmp_path, ray_session):
     assert res["rows_removed"] == 2
     left = read_table_arrow(lake, "ev")
     assert set(left.column("user_id").to_pylist()).isdisjoint({3, 7})
+
+
+def test_repartition_table_preserves_state_and_syncs_on(binlog, tmp_path):
+    """Partition evolution: rewrite under a new bucket count mid-stream,
+    then keep syncing — LWW co-location must survive the re-route and the
+    carried-forward checkpoint must keep exactly-once resume."""
+    from airbyte_destination_ray.pipelines.cdc import repartition_table
+
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, binlog, num_partitions=PARTS, epochs=[0, 1])
+    before = lake_state(lake)
+    res = repartition_table(lake, "pages", new_num_partitions=3)
+    assert res["repartitioned"] and res["num_partitions"] == 3
+    meta = ManifestStore(lake, "pages").table_meta()
+    assert meta["num_partitions"] == 3
+    assert meta["generation"] == res["generation"]
+    assert lake_state(lake).equals(before)
+    # continue with the remaining epoch under the NEW routing (the passed
+    # num_partitions is ignored — persisted meta wins)
+    res2 = run_cdc_sync(lake, binlog, num_partitions=PARTS)
+    done = [e["epoch"] for e in res2["epochs"] if e.get("skipped")]
+    assert done == [0, 1]  # carried-forward checkpoint skips synced epochs
+    mine = lake_state(lake)
+    orc = oracle_lww(binlog).cast(mine.schema)
+    assert mine.equals(orc)
+
+
+def test_repartition_table_noop_and_round_trip(binlog, tmp_path):
+    from airbyte_destination_ray.pipelines.cdc import repartition_table
+
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, binlog, num_partitions=PARTS)
+    before = lake_state(lake)
+    assert repartition_table(lake, "pages", new_num_partitions=3)[
+        "repartitioned"
+    ]
+    # same target again → no-op
+    assert repartition_table(lake, "pages", new_num_partitions=3) == {
+        "repartitioned": False,
+        "num_partitions": 3,
+    }
+    # round trip back to the original count
+    assert repartition_table(lake, "pages", new_num_partitions=PARTS)[
+        "repartitioned"
+    ]
+    assert lake_state(lake).equals(before)
+
+
+def test_repartition_table_folds_delta_stacks(binlog, tmp_path):
+    from airbyte_destination_ray.pipelines.cdc import repartition_table
+
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(
+        lake, binlog, num_partitions=PARTS,
+        merge_strategy="delta", compact_every=100,
+    )
+    before = lake_state(lake)
+    res = repartition_table(lake, "pages", new_num_partitions=5)
+    assert res["repartitioned"]
+    assert lake_state(lake).equals(before)
+
+
+def test_repartition_crash_before_flip_leaves_old_layout(
+    binlog, tmp_path, monkeypatch
+):
+    """The metadata flip is the ONLY visibility mutation: a crash anywhere
+    before it leaves the old layout fully intact, and a re-run completes
+    idempotently (manifest CAS makes finished partitions no-ops)."""
+    from airbyte_destination_ray.pipelines.cdc import repartition_table
+
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, binlog, num_partitions=PARTS)
+    before = lake_state(lake)
+    real = ManifestStore.update_meta
+
+    def boom(self, **kw):
+        raise RuntimeError("simulated crash before flip")
+
+    monkeypatch.setattr(ManifestStore, "update_meta", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        repartition_table(lake, "pages", new_num_partitions=3)
+    meta = ManifestStore(lake, "pages").table_meta()
+    assert meta["num_partitions"] == PARTS  # old layout intact
+    assert lake_state(lake).equals(before)
+    monkeypatch.setattr(ManifestStore, "update_meta", real)
+    res = repartition_table(lake, "pages", new_num_partitions=3)
+    assert res["repartitioned"]
+    assert ManifestStore(lake, "pages").table_meta()["num_partitions"] == 3
+    assert lake_state(lake).equals(before)
