@@ -1135,6 +1135,24 @@ def _q_trim_repeated_spans_documents(sf_dir: str):
     return trim_repeated_spans(docs, sep=" ", gram_k=8)
 
 
+def _q_budget_mixture_sample(sf_dir: str):
+    """Token-budget mixture construction (Pile/Dolma-style source mixing):
+    each source contributes documents in deterministic hash order until its
+    char budget is exhausted — greedy prefix packing as a column-pruned
+    keyed exchange + broadcast winner filter; the winner set is bounded by
+    the budgets, never by corpus size."""
+    from airbyte_destination_ray.pipelines.ops import budget_sample_by_key
+
+    return budget_sample_by_key(
+        _documents(sf_dir),
+        key="source",
+        id_col="doc_id",
+        units_col="n_chars",
+        budgets={"src0": 4000, "src1": 2500, "src2": 1500},
+        default_budget=2000,
+    )
+
+
 def _q_shipping_priority(sf_dir: str):
     """TPC-H Q3-shaped composite (customer ⋈ orders ⋈ lineitem → revenue
     per order → global top 10): broadcast semi-join on the dimension side,
@@ -2854,6 +2872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_range_scan": _q_cdc_range_scan,
         "repeated_spans_documents": _q_repeated_spans_documents,
         "trim_repeated_spans_documents": _q_trim_repeated_spans_documents,
+        "budget_mixture_sample": _q_budget_mixture_sample,
     }
 
 
@@ -4345,5 +4364,17 @@ def oracle_sql() -> dict[str, str]:
         FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
         WHERE o.user_id IS NULL OR n.user_id IS NULL
            OR o.value IS DISTINCT FROM n.value
+    """
+    sql["budget_mixture_sample"] = """
+        WITH ranked AS (
+            SELECT doc_id, text, lang, source, n_chars,
+                   SUM(n_chars) OVER (PARTITION BY source
+                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM documents)
+        SELECT doc_id, text, lang, source, n_chars FROM ranked
+        WHERE cum <= CASE source WHEN 'src0' THEN 4000
+                                 WHEN 'src1' THEN 2500
+                                 WHEN 'src2' THEN 1500 ELSE 2000 END
     """
     return sql

@@ -2343,3 +2343,132 @@ def unpivot(
         return pa.concat_tables(pieces)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def budget_sample_by_key(
+    ds,
+    *,
+    key: str,
+    id_col: str,
+    units_col: str,
+    budgets: dict,
+    default_budget: int = 0,
+    multiplier: int = 2654435761,
+    modulus: int = 4_294_967_296,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Token-budget mixture sampling: per-``key`` (source / language) keep
+    documents in deterministic hash order until the key's ``units_col``
+    budget (token / char count) is exhausted — the mixture-construction
+    stage of a training-data pipeline where each source contributes a fixed
+    token budget rather than a fixed row fraction (Pile / Dolma style
+    source mixing).
+
+    Two phases, Ray-Data-first:
+
+    1. a column-pruned keyed exchange of ``(key, id, units)`` only (payloads
+       never shuffle); per key the rows are ordered by the same Knuth hash
+       as :func:`hash_sample` (tie-break ``id``) and kept while the running
+       unit sum stays within the key's budget — greedy prefix packing, so
+       the kept set is exactly ``SUM(units) OVER (PARTITION BY key ORDER BY
+       hash, id) <= budget`` in SQL;
+    2. the winning ids are broadcast (``ray.put`` once) and the full rows
+       pass a zero-shuffle membership filter.
+
+    The broadcast is scale-safe BY CONSTRUCTION: the winner count is
+    bounded by ``sum(budgets) / min_units_per_row`` — a caller-chosen
+    constant independent of corpus size (unlike dedup's dup-id set).
+    Replay- and parallelism-invariant; null ids are dropped, null units
+    count as 0 (SQL SUM-over-window semantics).
+    """
+    import ray
+
+    from ..functions.hashing import partition_ids
+
+    keys = list(budgets)
+    budget_arr = np.array([int(budgets[k]) for k in keys], dtype=np.int64)
+    key_set = pa.array(keys)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        id_arr = batch.column(id_col)
+        if isinstance(id_arr, pa.ChunkedArray):
+            id_arr = id_arr.combine_chunks()
+        valid = id_arr.is_valid()
+        t = pa.table(
+            {
+                key: batch.column(key),
+                id_col: id_arr.cast(pa.int64()),
+                units_col: pc.fill_null(
+                    pc.cast(batch.column(units_col), pa.int64()), 0
+                ),
+            }
+        ).filter(valid)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = (ids * multiplier) % modulus
+        t = t.append_column("_h", pa.array(h, type=pa.int64()))
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def winners(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64())})
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                (key, "ascending"),
+                ("_h", "ascending"),
+                (id_col, "ascending"),
+            ],
+        )
+        t = group.take(idx)
+        keys_np = t.column(key).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        units = t.column(units_col).to_numpy(zero_copy_only=False)
+        n = len(keys_np)
+        pos = np.arange(n, dtype=np.int64)
+        start = np.zeros(n, dtype=bool)
+        start[0] = True
+        if n > 1:
+            start[1:] = keys_np[1:] != keys_np[:-1]
+        run_start = np.maximum.accumulate(np.where(start, pos, 0))
+        cum = np.cumsum(units)
+        cum_ex = cum - units  # exclusive prefix
+        seg_cum = cum - cum_ex[run_start]  # inclusive within-key prefix
+        kidx = (
+            pc.fill_null(pc.index_in(t.column(key), value_set=key_set), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        budget = np.where(
+            kidx >= 0, budget_arr[np.maximum(kidx, 0)], default_budget
+        )
+        kept = t.filter(pa.array(seg_cum <= budget))
+        return pa.table({id_col: kept.column(id_col)})
+
+    winner_ds = (
+        ds.map_batches(prune, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(winners, batch_format="pyarrow")
+    )
+    batches = list(winner_ds.iter_batches(batch_format="pyarrow"))
+    if batches:
+        keep = np.unique(
+            pa.concat_tables(batches).column(id_col).to_numpy(
+                zero_copy_only=False
+            )
+        )
+    else:
+        keep = np.array([], dtype=np.int64)
+    keep_ref = ray.put(keep)
+
+    def keep_filter(batch: pa.Table) -> pa.Table:
+        ids_keep = ray.get(keep_ref)
+        id_arr = batch.column(id_col)
+        valid = id_arr.is_valid().to_numpy(zero_copy_only=False)
+        ids = pc.fill_null(id_arr.cast(pa.int64()), 0).to_numpy(
+            zero_copy_only=False
+        )
+        return batch.filter(pa.array(np.isin(ids, ids_keep) & valid))
+
+    return ds.map_batches(keep_filter, batch_format="pyarrow", batch_size=None)

@@ -800,6 +800,52 @@ def test_weighted_sample_by_key_deterministic(ray_session):
     assert sorted(out.doc_id) == sorted(out2.doc_id)
 
 
+def test_budget_sample_by_key_matches_window_prefix(ray_session):
+    """Greedy prefix packing equals the SQL window form: keep rows while
+    SUM(units) OVER (PARTITION BY key ORDER BY hash, id) <= budget."""
+    import numpy as np
+
+    from airbyte_destination_ray.pipelines.ops import budget_sample_by_key
+
+    n = 600
+    ids = np.arange(n, dtype=np.int64)
+    keys = np.array(["a", "b", "c"])[ids % 3]
+    units = (ids * 37) % 50 + 1
+    t = pa.table(
+        {
+            "id": pa.array(ids),
+            "k": pa.array(keys),
+            "u": pa.array(units, type=pa.int64()),
+        }
+    )
+    budgets = {"a": 300, "b": 150}
+    out = budget_sample_by_key(
+        _ds(t), key="k", id_col="id", units_col="u",
+        budgets=budgets, default_budget=80,
+    ).to_pandas()
+
+    # brute-force expected set
+    h = (ids * 2654435761) % 4_294_967_296
+    expected = set()
+    for kv, budget in [("a", 300), ("b", 150), ("c", 80)]:
+        mask = keys == kv
+        order = np.lexsort((ids[mask], h[mask]))
+        cum = np.cumsum(units[mask][order])
+        expected |= set(ids[mask][order][cum <= budget].tolist())
+    assert set(out.id) == expected
+    # every key respects its budget
+    spent = out.groupby("k").u.sum().to_dict()
+    assert spent.get("a", 0) <= 300
+    assert spent.get("b", 0) <= 150
+    assert spent.get("c", 0) <= 80
+    # parallelism-invariant
+    out2 = budget_sample_by_key(
+        _ds(t, blocks=9), key="k", id_col="id", units_col="u",
+        budgets=budgets, default_budget=80,
+    ).to_pandas()
+    assert sorted(out.id) == sorted(out2.id)
+
+
 def test_asof_join_string_and_float_right_payload(ray_session):
     """right_keep columns join through in their native types (string /
     float) — the former int64-only envelope restriction is gone."""
