@@ -1153,6 +1153,29 @@ def _q_budget_mixture_sample(sf_dir: str):
     )
 
 
+def _q_events_quarantine(sf_dir: str):
+    """Data-quality expectations with a quarantine lane: rows failing any
+    rule land in the side table tagged with the FIRST failed rule (NULL
+    comparisons fail closed — plain SQL CASE chain oracle); one
+    shuffle-free vectorized pass."""
+    from airbyte_destination_ray.pipelines.ops import validate_rows
+
+    return validate_rows(
+        _events(sf_dir),
+        [
+            ("user_not_null", "not_null", "user_id"),
+            (
+                "type_allowed",
+                "in_set",
+                "event_type",
+                ["signup", "click", "view", "purchase"],
+            ),
+            ("value_range", "in_range", "value", 0.0, 300.0),
+        ],
+        emit="quarantine",
+    )
+
+
 def _q_shipping_priority(sf_dir: str):
     """TPC-H Q3-shaped composite (customer ⋈ orders ⋈ lineitem → revenue
     per order → global top 10): broadcast semi-join on the dimension side,
@@ -2873,6 +2896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeated_spans_documents": _q_repeated_spans_documents,
         "trim_repeated_spans_documents": _q_trim_repeated_spans_documents,
         "budget_mixture_sample": _q_budget_mixture_sample,
+        "events_quarantine": _q_events_quarantine,
     }
 
 
@@ -4364,6 +4388,20 @@ def oracle_sql() -> dict[str, str]:
         FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
         WHERE o.user_id IS NULL OR n.user_id IS NULL
            OR o.value IS DISTINCT FROM n.value
+    """
+    sql["events_quarantine"] = """
+        WITH tagged AS (
+            SELECT event_id, ts, user_id, event_type, value, props,
+                   CASE
+                       WHEN user_id IS NULL THEN 'user_not_null'
+                       WHEN NOT COALESCE(event_type IN
+                           ('signup', 'click', 'view', 'purchase'), FALSE)
+                           THEN 'type_allowed'
+                       WHEN NOT COALESCE(value BETWEEN 0.0 AND 300.0, FALSE)
+                           THEN 'value_range'
+                   END AS _rule
+            FROM events)
+        SELECT * FROM tagged WHERE _rule IS NOT NULL
     """
     sql["budget_mixture_sample"] = """
         WITH ranked AS (

@@ -2472,3 +2472,73 @@ def budget_sample_by_key(
         return batch.filter(pa.array(np.isin(ids, ids_keep) & valid))
 
     return ds.map_batches(keep_filter, batch_format="pyarrow", batch_size=None)
+
+
+def validate_rows(
+    ds,
+    rules: list[tuple],
+    *,
+    emit: str = "quarantine",
+    rule_col: str = "_rule",
+):
+    """Data-quality expectations with a quarantine lane (Delta Live Tables
+    / Great Expectations shape): each rule is a vectorized predicate a row
+    must satisfy; rows are tagged with the FIRST rule they fail.  A rule
+    passes only when its predicate is TRUE — NULL comparisons fail closed
+    (SQL ``CASE WHEN`` semantics, so the oracle is a plain CASE chain).
+
+    Rule specs (``(name, kind, col, *args)``):
+
+    - ``(name, "not_null", col)``
+    - ``(name, "in_set", col, values)``
+    - ``(name, "in_range", col, lo, hi)``  (inclusive)
+    - ``(name, "regex", col, pattern)``    (RE2 ``match_substring_regex``)
+
+    ``emit``: ``"quarantine"`` → failing rows + ``rule_col`` (the bad-row
+    side table a CDC sync would route to ``<table>__quarantine``);
+    ``"valid"`` → passing rows only; ``"tagged"`` → every row with
+    ``rule_col`` (null = valid) for downstream routing.  Purely per-batch —
+    no shuffle, one pass, the three emit modes share one kernel.
+    """
+    if emit not in ("quarantine", "valid", "tagged"):
+        raise ValueError(f"emit must be quarantine|valid|tagged, got {emit!r}")
+    names = [r[0] for r in rules]
+
+    def fail_mask(batch: pa.Table, rule: tuple) -> np.ndarray:
+        _, kind, col, *args = rule
+        arr = batch.column(col)
+        if kind == "not_null":
+            ok = arr.is_valid()
+        elif kind == "in_set":
+            ok = pc.is_in(arr, value_set=pa.array(args[0]))
+        elif kind == "in_range":
+            lo, hi = args
+            ok = pc.and_(pc.greater_equal(arr, lo), pc.less_equal(arr, hi))
+        elif kind == "regex":
+            ok = pc.match_substring_regex(arr, args[0])
+        else:
+            raise ValueError(f"unknown rule kind {kind!r}")
+        ok = pc.fill_null(ok, False)  # NULL fails closed
+        if isinstance(ok, pa.ChunkedArray):
+            ok = ok.combine_chunks()
+        return ~ok.to_numpy(zero_copy_only=False)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        rule_idx = np.full(n, -1, dtype=np.int64)
+        for i, rule in enumerate(rules):
+            fails = fail_mask(batch, rule)
+            rule_idx = np.where((rule_idx == -1) & fails, i, rule_idx)
+        # vectorized tag lookup: slot len(names) is the null (valid) slot
+        lookup = pa.array(names + [None], type=pa.string())
+        tag = lookup.take(
+            pa.array(np.where(rule_idx >= 0, rule_idx, len(names)))
+        )
+        t = batch.append_column(rule_col, tag)
+        if emit == "tagged":
+            return t
+        if emit == "valid":
+            return t.filter(pa.array(rule_idx == -1)).drop_columns([rule_col])
+        return t.filter(pa.array(rule_idx >= 0))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

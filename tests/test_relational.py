@@ -846,6 +846,45 @@ def test_budget_sample_by_key_matches_window_prefix(ray_session):
     assert sorted(out.id) == sorted(out2.id)
 
 
+def test_validate_rows_quarantine_first_fail_and_null_closed(ray_session):
+    from airbyte_destination_ray.pipelines.ops import validate_rows
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "u": pa.array([10, None, None, 40, 50], type=pa.int64()),
+            "kind": pa.array(["a", "a", "zz", "zz", "b"]),
+            "v": pa.array([5.0, 5.0, 5.0, None, 99.0]),
+        }
+    )
+    rules = [
+        ("u_not_null", "not_null", "u"),
+        ("kind_set", "in_set", "kind", ["a", "b"]),
+        ("v_range", "in_range", "v", 0.0, 50.0),
+    ]
+    quar = (
+        validate_rows(_ds(t), rules, emit="quarantine")
+        .to_pandas()
+        .set_index("id")
+    )
+    # id=2 fails u first; id=3 fails u FIRST even though kind also bad;
+    # id=4 fails kind before the null v; id=5 fails v_range (99 > 50)
+    assert quar._rule.to_dict() == {
+        2: "u_not_null",
+        3: "u_not_null",
+        4: "kind_set",
+        5: "v_range",
+    }
+    valid = validate_rows(_ds(t), rules, emit="valid").to_pandas()
+    assert sorted(valid.id) == [1]
+    assert "_rule" not in valid.columns
+    tagged = validate_rows(_ds(t), rules, emit="tagged").to_pandas()
+    assert len(tagged) == 5
+    assert tagged.set_index("id")._rule.isna().to_dict() == {
+        1: True, 2: False, 3: False, 4: False, 5: False,
+    }
+
+
 def test_asof_join_string_and_float_right_payload(ray_session):
     """right_keep columns join through in their native types (string /
     float) — the former int64-only envelope restriction is gone."""
