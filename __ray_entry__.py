@@ -46,10 +46,10 @@ def entry() -> Any:
 # -- table loaders ----------------------------------------------------------
 
 
-def _events(sf_dir: str):
+def _events(sf_dir: str, columns=None):
     from airbyte_destination_ray.sources.parquet import read_parquet_sized
 
-    return read_parquet_sized(f"{sf_dir}/events.parquet")
+    return read_parquet_sized(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def _documents(sf_dir: str, columns=None):
@@ -1173,6 +1173,21 @@ def _q_events_quarantine(sf_dir: str):
             ("value_range", "in_range", "value", 0.0, 300.0),
         ],
         emit="quarantine",
+    )
+
+
+def _q_events_global_rank(sf_dir: str):
+    """Exact distributed ROW_NUMBER() over the whole table (ORDER BY value
+    DESC, event_id) — range-histogram offsets + per-bin local sort; no
+    single-node sort, the histogram exchange carries O(bins) ints."""
+    from airbyte_destination_ray.pipelines.relational import global_rank
+
+    return global_rank(
+        _events(sf_dir, columns=["event_id", "value"]),
+        by="value",
+        tie_break="event_id",
+        descending=True,
+        bin_width=1.0,
     )
 
 
@@ -2897,6 +2912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trim_repeated_spans_documents": _q_trim_repeated_spans_documents,
         "budget_mixture_sample": _q_budget_mixture_sample,
         "events_quarantine": _q_events_quarantine,
+        "events_global_rank": _q_events_global_rank,
     }
 
 
@@ -4388,6 +4404,12 @@ def oracle_sql() -> dict[str, str]:
         FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
         WHERE o.user_id IS NULL OR n.user_id IS NULL
            OR o.value IS DISTINCT FROM n.value
+    """
+    sql["events_global_rank"] = """
+        SELECT event_id, value,
+               CAST(ROW_NUMBER() OVER (ORDER BY value DESC, event_id)
+                   AS BIGINT) AS rank
+        FROM events
     """
     sql["events_quarantine"] = """
         WITH tagged AS (

@@ -885,6 +885,63 @@ def test_validate_rows_quarantine_first_fail_and_null_closed(ray_session):
     }
 
 
+def test_global_rank_matches_row_number(ray_session):
+    """Exact global ROW_NUMBER via range-histogram offsets, nulls last."""
+    import numpy as np
+
+    from airbyte_destination_ray.pipelines.relational import global_rank
+
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    vals = ((ids * 17) % 43).astype(np.float64)
+    t = pa.table(
+        {
+            "id": pa.array(ids),
+            "v": pa.array(vals).take(
+                pa.array(np.arange(n))
+            ),
+        }
+    )
+    # inject nulls at a few positions
+    v = t.column("v").to_pylist()
+    for i in (7, 99, 333):
+        v[i] = None
+    t = t.set_column(1, "v", pa.array(v, type=pa.float64()))
+
+    out = (
+        global_rank(_ds(t, blocks=6), by="v", tie_break="id", bin_width=5.0)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    # brute force: ORDER BY v DESC NULLS LAST, id
+    import pandas as pd
+
+    df = t.to_pandas()
+    df = df.sort_values(
+        ["v", "id"], ascending=[False, True], na_position="last"
+    ).reset_index(drop=True)
+    df["rank"] = np.arange(1, n + 1)
+    pd.testing.assert_frame_equal(out[["id", "v", "rank"]], df[["id", "v", "rank"]])
+    # ascending direction too
+    out_asc = (
+        global_rank(
+            _ds(t, blocks=6), by="v", tie_break="id",
+            descending=False, bin_width=5.0,
+        )
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    df2 = t.to_pandas().sort_values(
+        ["v", "id"], ascending=[True, True], na_position="last"
+    ).reset_index(drop=True)
+    df2["rank"] = np.arange(1, n + 1)
+    pd.testing.assert_frame_equal(
+        out_asc[["id", "v", "rank"]], df2[["id", "v", "rank"]]
+    )
+
+
 def test_asof_join_string_and_float_right_payload(ray_session):
     """right_keep columns join through in their native types (string /
     float) — the former int64-only envelope restriction is gone."""
