@@ -1191,6 +1191,44 @@ def _q_events_global_rank(sf_dir: str):
     )
 
 
+def _q_events_triangles(sf_dir: str):
+    """Per-node triangle counts over a deterministic interaction graph —
+    degree-oriented wedge enumeration (O(m^1.5) wedges regardless of
+    skew), canonical edge set materialized once, exact vs the 3-way
+    self-join oracle."""
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.graph import triangle_counts
+
+    def edges(b: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        t = pa.table(
+            {"user_id": b.column("user_id"), "event_id": b.column("event_id")}
+        )
+        t = t.filter(t.column("user_id").combine_chunks().is_valid())
+        un = t.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        en = t.column("event_id").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        src = un % 150
+        dst = (un + en % 17) % 150
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+            }
+        )
+
+    return triangle_counts(
+        _events(sf_dir).map_batches(
+            edges, batch_format="pyarrow", batch_size=None
+        )
+    )
+
+
 def _q_shipping_priority(sf_dir: str):
     """TPC-H Q3-shaped composite (customer ⋈ orders ⋈ lineitem → revenue
     per order → global top 10): broadcast semi-join on the dimension side,
@@ -2913,6 +2951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_mixture_sample": _q_budget_mixture_sample,
         "events_quarantine": _q_events_quarantine,
         "events_global_rank": _q_events_global_rank,
+        "events_triangle_counts": _q_events_triangles,
     }
 
 
@@ -4404,6 +4443,25 @@ def oracle_sql() -> dict[str, str]:
         FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
         WHERE o.user_id IS NULL OR n.user_id IS NULL
            OR o.value IS DISTINCT FROM n.value
+    """
+    sql["events_triangle_counts"] = """
+        WITH raw AS (
+            SELECT user_id % 150 AS s, (user_id + event_id % 17) % 150 AS d
+            FROM events WHERE user_id IS NOT NULL),
+        e0 AS (
+            SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+            FROM raw WHERE s <> d),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e0 e1
+            JOIN e0 e2 ON e2.a = e1.b
+            JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+        corners AS (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY node
     """
     sql["events_global_rank"] = """
         SELECT event_id, value,

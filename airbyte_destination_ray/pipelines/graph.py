@@ -494,3 +494,232 @@ def pagerank_fixed_point(
         return batch.select(["node", "r"])
 
     return ranks.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+def triangle_counts(
+    edges_ds,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Per-node triangle counts via the classic degree-oriented wedge
+    enumeration (Cohen / MapReduce triangle counting; Suri–Vassilvitskii):
+
+    1. canonicalize edges (drop self-loops / nulls, ``a=min, b=max``,
+       distinct) — ONE hash exchange, materialized once and reused for all
+       three downstream passes;
+    2. degrees per node (per-batch combiner, aggregate-sized) — broadcast
+       as the orientation key.  The degree map is O(nodes) ints; for
+       billion-node graphs swap the broadcast for a shuffle join of
+       degrees onto edges (same orientation rule, one more exchange);
+    3. orient each edge from its lower-(degree, id) endpoint — every
+       wedge is then generated at its lowest-degree apex, bounding
+       out-degree by O(√m) and total wedges by O(m^1.5) regardless of
+       skew (a hub of degree d generates 0 wedges as apex once oriented
+       away from it);
+    4. wedge pairs per apex (keyed exchange on apex, vectorized per-apex
+       ``triu_indices`` expansion) union'd with the canonical edge set,
+       co-partitioned by the closing pair ``(a, b)`` — a structured-dtype
+       ``searchsorted`` marks closed wedges = triangles;
+    5. each triangle credits all three corners; a final per-node sum
+       (per-batch combiner) emits ``(node, n_triangles)``.
+
+    Exact (no sampling), SQL-oracle-checkable with the 3-way self-join on
+    the canonical edge list.
+    """
+    import numpy as np
+
+    import ray
+
+    from ..functions.hashing import stable_hash_array
+    from .ops import grouped_sum
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src)
+        d = batch.column(dst)
+        valid = pc.and_(s.is_valid(), d.is_valid())
+        t = pa.table({"s": s, "d": d}).filter(valid)
+        sn = t.column("s").combine_chunks().to_numpy(zero_copy_only=False)
+        dn = t.column("d").combine_chunks().to_numpy(zero_copy_only=False)
+        keep = sn != dn
+        sn, dn = sn[keep], dn[keep]
+        a = np.minimum(sn, dn).astype(np.int64)
+        b = np.maximum(sn, dn).astype(np.int64)
+        t = pa.table({"a": a, "b": b}).group_by(["a", "b"]).aggregate([])
+        an = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bn = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = an ^ (bn * np.uint64(0x9E3779B97F4A7C15))
+        parts = (mixed % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def dedup_part(group: pa.Table) -> pa.Table:
+        return group.group_by(["a", "b"]).aggregate(
+            [("_part", "min")]
+        ).rename_columns(["a", "b", "_part"])
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(dedup_part, batch_format="pyarrow")
+        .materialize()  # reused 3×: degrees, wedges, closing-edge side
+    )
+
+    # --- degrees (aggregate-sized driver reduce, broadcast) ---
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        nodes, counts = np.unique(np.concatenate([a, b]), return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    deg = {}
+    for t in edges.map_batches(
+        deg_partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        for nd, nn in zip(
+            t.column("node").to_numpy(zero_copy_only=False),
+            t.column("n").to_numpy(zero_copy_only=False),
+        ):
+            deg[int(nd)] = deg.get(int(nd), 0) + int(nn)
+    nodes_arr = np.array(sorted(deg), dtype=np.int64)
+    deg_arr = np.array([deg[int(n)] for n in nodes_arr], dtype=np.int64)
+    deg_ref = ray.put((nodes_arr, deg_arr))
+
+    # --- orient + wedge expansion, keyed on the apex ---
+    def orient(batch: pa.Table) -> pa.Table:
+        nodes_b, deg_b = ray.get(deg_ref)
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        da = deg_b[np.searchsorted(nodes_b, a)]
+        db = deg_b[np.searchsorted(nodes_b, b)]
+        # u = lower (deg, id) endpoint → apex side
+        a_first = (da < db) | ((da == db) & (a < b))
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        t = pa.table(
+            {
+                "u": pa.array(u, type=pa.int64()),
+                "v": pa.array(v, type=pa.int64()),
+            }
+        )
+        parts = (stable_hash_array(u) % np.uint64(num_partitions)).astype(
+            np.int64
+        )
+        return t.append_column("_apart", pa.array(parts, type=pa.int64()))
+
+    def wedges(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("u", "ascending"), ("v", "ascending")])
+        t = group.take(idx)
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "apex": pa.array([], type=pa.int64()),
+                }
+            )
+        starts = np.flatnonzero(
+            np.concatenate([[True], u[1:] != u[:-1]])
+        )
+        ends = np.append(starts[1:], n)
+        wa, wb, wapex = [], [], []
+        for s0, e0 in zip(starts, ends):
+            m = e0 - s0
+            if m < 2:
+                continue
+            i, j = np.triu_indices(m, 1)
+            vs = v[s0:e0]
+            wa.append(vs[i])  # v sorted asc per apex → vs[i] < vs[j]
+            wb.append(vs[j])
+            wapex.append(np.full(len(i), u[s0], dtype=np.int64))
+        if not wa:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "apex": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(wa), type=pa.int64()),
+                "b": pa.array(np.concatenate(wb), type=pa.int64()),
+                "apex": pa.array(np.concatenate(wapex), type=pa.int64()),
+            }
+        )
+
+    wedge_ds = (
+        edges.map_batches(orient, batch_format="pyarrow", batch_size=None)
+        .groupby("_apart")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
+
+    # --- co-partition wedges + edges by the closing pair, close wedges ---
+    def env_wedge(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = a ^ (b * np.uint64(0x9E3779B97F4A7C15))
+        parts = (mixed % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column("_cpart", pa.array(parts, type=pa.int64()))
+
+    def env_edge(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "apex": pa.nulls(batch.num_rows, pa.int64()),
+            }
+        )
+        return env_wedge(t)
+
+    pair_dtype = [("a", np.int64), ("b", np.int64)]
+
+    def close(group: pa.Table) -> pa.Table:
+        apex_arr = group.column("apex")
+        is_edge = pc.is_null(apex_arr).to_numpy(zero_copy_only=False)
+        ga = group.column("a").to_numpy(zero_copy_only=False)
+        gb = group.column("b").to_numpy(zero_copy_only=False)
+        ev = np.ascontiguousarray(
+            np.stack([ga[is_edge], gb[is_edge]], 1)
+        ).view(pair_dtype).ravel()
+        wmask = ~is_edge
+        if not wmask.any() or len(ev) == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        wv = np.ascontiguousarray(
+            np.stack([ga[wmask], gb[wmask]], 1)
+        ).view(pair_dtype).ravel()
+        ev.sort()
+        pos = np.minimum(np.searchsorted(ev, wv), len(ev) - 1)
+        closed = ev[pos] == wv
+        apex = pc.fill_null(apex_arr, 0).to_numpy(zero_copy_only=False)[
+            wmask
+        ][closed]
+        ta = ga[wmask][closed]
+        tb = gb[wmask][closed]
+        corners = np.concatenate([apex, ta, tb])
+        nodes_u, counts = np.unique(corners, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(nodes_u, type=pa.int64()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    env = wedge_ds.map_batches(
+        env_wedge, batch_format="pyarrow", batch_size=None
+    ).union(edges.map_batches(env_edge, batch_format="pyarrow", batch_size=None))
+    partials = env.groupby("_cpart").map_groups(close, batch_format="pyarrow")
+    return grouped_sum(partials, key="node", value_col="n", out_col="n_triangles")

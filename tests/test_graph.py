@@ -125,3 +125,51 @@ def test_pagerank_fixed_point_matches_reference(ray_session):
     assert out == r
     # dangling sink 9 accumulates but never emits; hub 2 outranks leaf 5
     assert out[2] > out[5]
+
+
+def test_triangle_counts_exact_vs_bruteforce(ray_session):
+    """Degree-oriented wedge enumeration equals the brute-force triangle
+    count on a mixed graph: K4, a disjoint triangle, a chain (0 triangles),
+    duplicate + reversed + self-loop edges."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.graph import triangle_counts
+
+    edges = (
+        # K4 on {0,1,2,3} → every node in 3 triangles
+        list(itertools.combinations([0, 1, 2, 3], 2))
+        # disjoint triangle {10,11,12}
+        + [(10, 11), (11, 12), (12, 10)]
+        # chain 20-21-22-23: no triangles
+        + [(20, 21), (21, 22), (22, 23)]
+        # noise: duplicates, reversed, self-loop
+        + [(1, 0), (0, 1), (5, 5), (10, 11)]
+    )
+    src = pa.array([e[0] for e in edges], type=pa.int64())
+    dst = pa.array([e[1] for e in edges], type=pa.int64())
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+    out = (
+        triangle_counts(ds, num_partitions=8)
+        .to_pandas()
+        .set_index("node")
+        .n_triangles.to_dict()
+    )
+
+    # brute force over the canonical simple graph
+    canon = {
+        (min(a, b), max(a, b)) for a, b in edges if a != b
+    }
+    nodes = sorted({n for e in canon for n in e})
+    expected = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (
+            (x, y) in canon and (y, z) in canon and (x, z) in canon
+        ):
+            for n in (x, y, z):
+                expected[n] = expected.get(n, 0) + 1
+    assert out == expected
+    assert expected[0] == 3 and expected[10] == 1  # sanity on the fixture
