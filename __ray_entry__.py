@@ -1191,6 +1191,17 @@ def _q_events_global_rank(sf_dir: str):
     )
 
 
+def _q_wap_rebuild_cdc(sf_dir: str):
+    """Write-audit-publish: rebuild the CDC table in a staged generation
+    (readers pinned to the published one), audit, then one atomic metadata
+    flip — final read view equals the plain full-sync LWW state."""
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        wap_rebuild_events_table,
+    )
+
+    return wap_rebuild_events_table(sf_dir)
+
+
 def _q_events_triangles(sf_dir: str):
     """Per-node triangle counts over a deterministic interaction graph —
     degree-oriented wedge enumeration (O(m^1.5) wedges regardless of
@@ -2952,6 +2963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quarantine": _q_events_quarantine,
         "events_global_rank": _q_events_global_rank,
         "events_triangle_counts": _q_events_triangles,
+        "wap_rebuild_cdc": _q_wap_rebuild_cdc,
     }
 
 
@@ -4444,6 +4456,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE o.user_id IS NULL OR n.user_id IS NULL
            OR o.value IS DISTINCT FROM n.value
     """
+    sql["wap_rebuild_cdc"] = _LWW_TOMBSTONE_SQL
     sql["events_triangle_counts"] = """
         WITH raw AS (
             SELECT user_id % 150 AS s, (user_id + event_id % 17) % 150 AS d

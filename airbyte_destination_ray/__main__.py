@@ -108,6 +108,12 @@ def main(argv: list[str] | None = None) -> int:
         "--keys", required=True,
         help="comma-separated pk values, or @file with one key per line",
     )
+    p_wap = sub.add_parser(
+        "wap", help="write-audit-publish: begin/publish/abort a staged generation"
+    )
+    p_wap.add_argument("action", choices=["begin", "publish", "abort"])
+    p_wap.add_argument("--lake", required=True)
+    p_wap.add_argument("--table", default="pages")
     p_export = sub.add_parser(
         "export", help="write the table's (optionally as-of) state to parquet"
     )
@@ -156,6 +162,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps(report, separators=(",", ":")))
         return 0 if report["ok"] else 1
+
+    if args.command == "wap":
+        # pure metadata flips — no Ray session needed
+        from .pipelines.cdc import wap_abort, wap_begin, wap_publish
+
+        fn = {"begin": wap_begin, "publish": wap_publish, "abort": wap_abort}[
+            args.action
+        ]
+        print(json.dumps(fn(args.lake, args.table), separators=(",", ":")))
+        return 0
 
     if args.command == "vacuum":
         # pure filesystem metadata work — no Ray session needed

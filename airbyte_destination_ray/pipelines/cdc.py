@@ -431,6 +431,20 @@ def _apply_range_filter(ds, range_filter):
     )
 
 
+def _pin_read_generation(meta: dict, *, staging: bool = False) -> dict:
+    """Write-audit-publish read pinning: while a staged generation exists
+    (``published_generation`` set by :func:`wap_begin`), every reader sees
+    the PUBLISHED generation; ``staging=True`` is the audit view over the
+    staged (active-writer) generation.  Returns a copy — table meta on disk
+    is never mutated by readers."""
+    pub = meta.get("published_generation")
+    if staging or pub is None:
+        return meta
+    m = dict(meta)
+    m["generation"] = int(pub)
+    return m
+
+
 def read_table(
     lake_root: str,
     table: str,
@@ -441,6 +455,7 @@ def read_table(
     partitions=None,
     as_of_epoch: int | None = None,
     range_filter: tuple | None = None,
+    staging: bool = False,
 ):
     """Dataset over the committed table state (read view).
 
@@ -465,9 +480,12 @@ def read_table(
     stacks skip the FILE pruning (a key's winning version may sit in any
     stack file — pruning pre-merge would change winners) and apply only
     the exact post-merge row filter.
+
+    ``staging`` = the write-audit-publish AUDIT view: read the staged
+    generation instead of the published one (no-op outside a WAP window).
     """
     store = ManifestStore(lake_root, table)
-    meta = store.table_meta()
+    meta = _pin_read_generation(store.table_meta(), staging=staging)
     if meta.get("merge_strategy") == "delta" and meta["mode"] == "append_dedup":
         ds = _read_delta_table(
             lake_root, table, meta,
@@ -1198,7 +1216,9 @@ def read_table_arrow(lake_root: str, table: str, **kw) -> pa.Table:
     import pyarrow.parquet as pq
 
     store = ManifestStore(lake_root, table)
-    meta = store.table_meta()
+    meta = _pin_read_generation(
+        store.table_meta(), staging=kw.pop("staging", False)
+    )
     if meta.get("merge_strategy") == "delta" and meta["mode"] == "append_dedup":
         stacks = _delta_partition_stacks(store, meta)
         if not stacks:
@@ -1564,3 +1584,82 @@ def _change_feed_copartitioned(
     return ray.data.from_items(
         plan, override_num_blocks=len(plan)
     ).map_batches(diff_partition, batch_format="pyarrow", batch_size=None)
+
+
+# -- write-audit-publish (WAP) -------------------------------------------
+
+
+def wap_begin(lake_root: str, table: str) -> dict:
+    """Open a write-audit-publish window (Iceberg WAP shape, generation-
+    based): readers are pinned to the current generation
+    (``published_generation``) while writers move to a fresh staged
+    generation — a subsequent :func:`run_cdc_sync` / write rebuilds the
+    table invisibly.  Audit the staged state with
+    ``read_table(..., staging=True)``; make it visible atomically with
+    :func:`wap_publish` (one metadata write) or discard it with
+    :func:`wap_abort`.  The rollback window is exactly the audit gate:
+    a crash mid-stage leaves the published table untouched.
+    """
+    store = ManifestStore(lake_root, table)
+    meta = store.table_meta()
+    if meta.get("published_generation") is not None:
+        raise RuntimeError(
+            f"table {table!r} already has a staged generation "
+            f"{meta['generation']} (published="
+            f"{meta['published_generation']}); publish or abort it first"
+        )
+    published = int(meta["generation"])
+    staged = published + 1
+    store.update_meta(published_generation=published, generation=staged)
+    return {"table": table, "published": published, "staged": staged}
+
+
+def wap_publish(lake_root: str, table: str) -> dict:
+    """Atomically make the staged generation the readers' view: one
+    metadata write drops the ``published_generation`` pin.  The previous
+    generation's files remain on disk for rollback until ``vacuum``."""
+    store = ManifestStore(lake_root, table)
+    meta = store.table_meta()
+    if meta.get("published_generation") is None:
+        raise RuntimeError(f"table {table!r} has no staged generation")
+    store.update_meta(published_generation=None)
+    return {
+        "table": table,
+        "published": int(meta["generation"]),
+        "superseded": int(meta["published_generation"]),
+    }
+
+
+def wap_abort(lake_root: str, table: str) -> dict:
+    """Discard the staged generation: revert the writer generation to the
+    published one and remove the staged data directory, its manifests and
+    its epoch checkpoints — a later :func:`wap_begin` re-stages from a
+    clean slate (stale checkpoints would otherwise make a resumed sync
+    skip epochs)."""
+    import shutil
+
+    store = ManifestStore(lake_root, table)
+    meta = store.table_meta()
+    pub = meta.get("published_generation")
+    if pub is None:
+        raise RuntimeError(f"table {table!r} has no staged generation")
+    staged = int(meta["generation"])
+    store.update_meta(generation=int(pub), published_generation=None)
+    removed_files = 0
+    gen_dir = store.root / f"gen={staged:04d}"
+    if gen_dir.exists():
+        shutil.rmtree(gen_dir)
+        removed_files += 1
+    prefix = f"g{staged:04d}-"
+    for d in (store.manifest_dir, store.checkpoint_dir):
+        if d.exists():
+            for p in d.iterdir():
+                if p.name.startswith(prefix) and p.name.endswith(".json"):
+                    p.unlink()
+                    removed_files += 1
+    return {
+        "table": table,
+        "published": int(pub),
+        "aborted_generation": staged,
+        "removed": removed_files,
+    }

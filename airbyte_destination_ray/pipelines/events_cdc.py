@@ -344,3 +344,57 @@ def gdpr_delete_events_table(
     lake = _ensure_events_lake(sf_dir, workdir, variant="-gdpr")
     delete_rows(str(lake), "events_cdc", keys or GDPR_DELETE_USER_IDS)
     return read_table(str(lake), "events_cdc")
+
+
+def wap_rebuild_events_table(sf_dir: str, *, workdir: str | Path | None = None):
+    """Write-audit-publish rebuild as a query: publish a PARTIAL state
+    (epoch 0 only), then rebuild the full table inside a staged generation
+    — readers keep the partial state until the audit gate passes and one
+    metadata write publishes the rebuild.  Returns the post-publish read
+    view (= the plain full-sync LWW state, so the whole WAP machinery is
+    hash-checked against the standard LWW oracle)."""
+    import os
+
+    from .cdc import wap_abort, wap_begin, wap_publish
+
+    tag = f"{Path(sf_dir).name}-{os.getpid()}-wap"
+    base = Path(workdir) if workdir else Path("/tmp/adr_query") / tag
+    binlog = base / "binlog"
+    lake = base / "lake"
+    if not (binlog / "_binlog.json").exists():
+        shutil.rmtree(base, ignore_errors=True)
+        build_binlog_from_events(f"{sf_dir}/events.parquet", binlog)
+
+    def sync(epochs=None):
+        return run_cdc_sync(
+            str(lake),
+            str(binlog),
+            table="events_cdc",
+            pk="user_id",
+            ver="ts",
+            payload_columns=EVENT_PAYLOAD,
+            num_partitions=16,
+            compute_digest=False,
+            epochs=epochs,
+        )
+
+    from ..state.manifest import ManifestStore
+
+    store = ManifestStore(str(lake), "events_cdc")
+    if not store.exists():
+        sync(epochs=[0])  # the published (stale) state
+    elif store.table_meta().get("published_generation") is not None:
+        wap_abort(str(lake), "events_cdc")  # crashed previous run
+
+    wap_begin(str(lake), "events_cdc")
+    sync()  # full rebuild, invisible to readers
+    # audit gate: the staged state must cover at least the published rows
+    staged_n = read_table(str(lake), "events_cdc", staging=True).count()
+    published_n = read_table(str(lake), "events_cdc").count()
+    if staged_n < published_n:
+        wap_abort(str(lake), "events_cdc")
+        raise RuntimeError(
+            f"WAP audit failed: staged {staged_n} < published {published_n}"
+        )
+    wap_publish(str(lake), "events_cdc")
+    return read_table(str(lake), "events_cdc")

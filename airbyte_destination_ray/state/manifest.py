@@ -185,9 +185,12 @@ class ManifestStore:
         a metadata flip — e.g. partition evolution commits its rewritten
         generation by updating ``generation`` + ``num_partitions`` in one
         write, so a crash before the flip leaves the old layout fully
-        intact."""
+        intact.  A ``None`` value REMOVES the key (used by write-audit-
+        publish to drop the ``published_generation`` pin in the same
+        atomic write that makes the staged generation visible)."""
         meta = self.table_meta()
         meta.update(fields)
+        meta = {k: v for k, v in meta.items() if v is not None}
         tmp = self.root / "_meta.json.tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f, sort_keys=True)
@@ -339,11 +342,14 @@ class ManifestStore:
 
         meta = self.table_meta()
         current = int(meta["generation"])
+        # during write-audit-publish the READERS' generation is pinned to
+        # published_generation — vacuum must never reclaim it while staged
+        published = meta.get("published_generation")
         removed_dirs = 0
         removed_files = 0
         for d in sorted(self.root.glob("gen=*")):
             gen = int(d.name.split("=")[1])
-            if gen < current - keep_generations:
+            if gen < current - keep_generations and gen != published:
                 shutil.rmtree(d)
                 removed_dirs += 1
         referenced = {
