@@ -1202,6 +1202,17 @@ def _q_wap_rebuild_cdc(sf_dir: str):
     return wap_rebuild_events_table(sf_dir)
 
 
+def _q_copartitioned_join_cdc(sf_dir: str):
+    """Zero-exchange bucket join (SMB / Iceberg-bucket-join shape): two
+    lake tables under the same key-hash layout join per-partition — the
+    lake layout IS the exchange; O(P) tasks at any table size."""
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        copartitioned_join_events,
+    )
+
+    return copartitioned_join_events(sf_dir)
+
+
 def _q_events_triangles(sf_dir: str):
     """Per-node triangle counts over a deterministic interaction graph —
     degree-oriented wedge enumeration (O(m^1.5) wedges regardless of
@@ -2964,6 +2975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_global_rank": _q_events_global_rank,
         "events_triangle_counts": _q_events_triangles,
         "wap_rebuild_cdc": _q_wap_rebuild_cdc,
+        "copartitioned_join_cdc": _q_copartitioned_join_cdc,
     }
 
 
@@ -4457,6 +4469,27 @@ def oracle_sql() -> dict[str, str]:
            OR o.value IS DISTINCT FROM n.value
     """
     sql["wap_rebuild_cdc"] = _LWW_TOMBSTONE_SQL
+    sql["copartitioned_join_cdc"] = """
+        WITH mx AS (SELECT max(event_id) + 1 AS m FROM events),
+        cur AS (
+            SELECT user_id, event_type, value FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+                AND event_type <> 'error'),
+        v1e AS (
+            SELECT e.* FROM events e, mx
+            WHERE (e.event_id * 3) // mx.m <= 1),
+        v1 AS (
+            SELECT user_id, event_type AS event_type_v1,
+                   value AS value_v1
+            FROM v1e
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+                AND event_type <> 'error')
+        SELECT cur.user_id, cur.event_type, cur.value,
+               v1.event_type_v1, v1.value_v1
+        FROM cur JOIN v1 USING (user_id)
+    """
     sql["events_triangle_counts"] = """
         WITH raw AS (
             SELECT user_id % 150 AS s, (user_id + event_id % 17) % 150 AS d

@@ -1663,3 +1663,162 @@ def wap_abort(lake_root: str, table: str) -> dict:
         "aborted_generation": staged,
         "removed": removed_files,
     }
+
+
+def copartitioned_join(
+    lake_root: str,
+    left_table: str,
+    right_table: str,
+    *,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+    right_suffix: str = "_r",
+):
+    """ZERO-EXCHANGE join of two lake tables that share the same key-hash
+    layout (the sort-merge-bucket / Iceberg bucket-join idea): both tables
+    were written with ``partition = stable_hash(pk) % P``, so equal keys
+    can only meet inside the same partition id — each partition is joined
+    by ONE task that reads just its own two snapshot file sets.  No
+    shuffle, no broadcast, O(P) tasks regardless of table size; the lake
+    layout IS the exchange.
+
+    Requirements (validated): both tables are snapshot-strategy
+    ``append_dedup`` with a single pk of the same name, identical
+    ``num_partitions`` and ``hash_scheme``.  ``how`` = ``inner`` | ``left``.
+    Tombstones are filtered per side; reads respect a write-audit-publish
+    pin.  Column collisions on the right take ``right_suffix``.
+    """
+    import pyarrow.parquet as pq
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    ls = ManifestStore(lake_root, left_table)
+    rs = ManifestStore(lake_root, right_table)
+    lm = _pin_read_generation(ls.table_meta())
+    rm = _pin_read_generation(rs.table_meta())
+    for name, m in ((left_table, lm), (right_table, rm)):
+        if m["mode"] != "append_dedup" or m.get("merge_strategy") == "delta":
+            raise ValueError(
+                f"copartitioned_join needs snapshot append_dedup tables; "
+                f"{name!r} is mode={m['mode']!r} "
+                f"strategy={m.get('merge_strategy')!r}"
+            )
+    lpk, rpk = lm["pk"], rm["pk"]
+    lpk = lpk if isinstance(lpk, str) else lpk[0]
+    rpk = rpk if isinstance(rpk, str) else rpk[0]
+    if lpk != rpk:
+        raise ValueError(f"pk mismatch: {lpk!r} vs {rpk!r}")
+    if int(lm["num_partitions"]) != int(rm["num_partitions"]):
+        raise ValueError(
+            "partition-count mismatch: "
+            f"{lm['num_partitions']} vs {rm['num_partitions']} — "
+            "repartition_table one side first"
+        )
+    if lm.get("hash_scheme") != rm.get("hash_scheme"):
+        raise ValueError("hash-scheme mismatch — tables route keys differently")
+    pk = lpk
+    num_partitions = int(lm["num_partitions"])
+
+    plan: list[dict] = []
+    lsample = rsample = None
+    for p in range(num_partitions):
+        lman = ls.latest_snapshot(lm["generation"], p)
+        rman = rs.latest_snapshot(rm["generation"], p)
+        lf = list(lman.files) if lman is not None else []
+        rf = list(rman.files) if rman is not None else []
+        if lsample is None and lf:
+            lsample = lf[0]
+        if rsample is None and rf:
+            rsample = rf[0]
+        if not lf or (how == "inner" and not rf):
+            continue
+        plan.append({"left": lf, "right": rf})
+
+    def side_cols(sample: str | None, want, own_pk: str) -> list[str]:
+        if want is not None:
+            return list(dict.fromkeys([own_pk, *want]))
+        if sample is None:
+            return [own_pk]
+        sch = pq.read_schema(Path(lake_root) / sample)
+        return [
+            n for n in sch.names
+            if n not in (SEQ_COLUMN, DELETED_COLUMN)
+        ]
+
+    lcols = side_cols(lsample, left_cols, pk)
+    rcols = side_cols(rsample, right_cols, pk)
+    rpayload = [c for c in rcols if c != pk]
+    out_names = list(lcols) + [
+        c + (right_suffix if c in lcols else "") for c in rpayload
+    ]
+
+    def empty_table() -> pa.Table:
+        cols = {}
+        lsch = (
+            pq.read_schema(Path(lake_root) / lsample)
+            if lsample is not None
+            else None
+        )
+        rsch = (
+            pq.read_schema(Path(lake_root) / rsample)
+            if rsample is not None
+            else None
+        )
+        for c in lcols:
+            typ = lsch.field(c).type if lsch is not None else pa.int64()
+            cols[c] = pa.array([], type=typ)
+        for c in rpayload:
+            typ = rsch.field(c).type if rsch is not None else pa.int64()
+            cols[c + (right_suffix if c in lcols else "")] = pa.array(
+                [], type=typ
+            )
+        return pa.table(cols)
+
+    empty_out = empty_table()
+    if not plan:
+        return ray.data.from_arrow(empty_out)
+
+    lr = str(lake_root)
+    dcol = DELETED_COLUMN
+    join_type = "inner" if how == "inner" else "left outer"
+
+    def read_side(files: list[str], cols: list[str]) -> pa.Table:
+        tabs = [
+            pq.read_table(str(Path(lr) / f), columns=[*cols, dcol])
+            for f in files
+        ]
+        if not tabs:
+            return empty_out.select([])  # unused; guarded by plan filter
+        t = pa.concat_tables(tabs)
+        t = t.filter(pc.fill_null(pc.invert(t.column(dcol)), True))
+        return t.select(cols)
+
+    def join_partition(batch: pa.Table) -> pa.Table:
+        outs = []
+        for row in range(batch.num_rows):
+            lt = read_side(batch.column("left")[row].as_py(), lcols)
+            rf = batch.column("right")[row].as_py()
+            if not rf:
+                # left join with an empty right side: null-fill payload
+                cols = {c: lt.column(c) for c in lcols}
+                for c in rpayload:
+                    cols[c + (right_suffix if c in lcols else "")] = pa.nulls(
+                        lt.num_rows, empty_out.schema.field(
+                            c + (right_suffix if c in lcols else "")
+                        ).type,
+                    )
+                outs.append(pa.table(cols))
+                continue
+            rt = read_side(rf, rcols)
+            j = lt.join(
+                rt, keys=pk, join_type=join_type, right_suffix=right_suffix
+            )
+            outs.append(j.select(out_names))
+        if not outs:
+            return empty_out
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(
+        plan, override_num_blocks=len(plan)
+    ).map_batches(join_partition, batch_format="pyarrow", batch_size=None)

@@ -398,3 +398,37 @@ def wap_rebuild_events_table(sf_dir: str, *, workdir: str | Path | None = None):
         )
     wap_publish(str(lake), "events_cdc")
     return read_table(str(lake), "events_cdc")
+
+
+def copartitioned_join_events(
+    sf_dir: str, *, workdir: str | Path | None = None
+):
+    """Bucket-join query: the current LWW state joined with the
+    epochs-0..1 state of a SECOND table in the same lake — both written
+    under the same key-hash layout, so the join is per-partition local
+    (zero exchange).  Oracle-expressible because epoch assignment is a
+    deterministic function of event_id."""
+    from .cdc import copartitioned_join
+
+    lake = _ensure_events_lake(sf_dir, workdir)
+    binlog = lake.parent / "binlog"
+    run_cdc_sync(
+        str(lake),
+        str(binlog),
+        table="events_cdc_v1",
+        pk="user_id",
+        ver="ts",
+        payload_columns=EVENT_PAYLOAD,
+        num_partitions=16,
+        compute_digest=False,
+        epochs=[0, 1],
+    )
+    return copartitioned_join(
+        str(lake),
+        "events_cdc",
+        "events_cdc_v1",
+        left_cols=["event_type", "value"],
+        right_cols=["event_type", "value"],
+        how="inner",
+        right_suffix="_v1",
+    )

@@ -105,3 +105,80 @@ def test_vacuum_keeps_pinned_published_generation(staged_lake):
     report = store.vacuum(keep_generations=0)
     assert report["removed_generation_dirs"] == 1
     assert _rows(lake) == [("a", "v2"), ("c", "v2")]
+
+
+def test_copartitioned_join_matches_oracle(tmp_path, ray_session):
+    """Zero-exchange bucket join: two lake tables under the same key-hash
+    layout join per-partition; inner + left match DuckDB; layout mismatch
+    refuses."""
+    import duckdb
+
+    from airbyte_destination_ray.pipelines.cdc import copartitioned_join
+
+    rows_a = [
+        dict(seq=i, epoch=0, op="I", url=f"u{i}", warc_ts=1,
+             text=f"a{i}", lang="en", html=b"")
+        for i in range(20)
+    ] + [  # tombstone u3 + newer version of u4
+        dict(seq=100, epoch=0, op="D", url="u3", warc_ts=5, text="", lang="en", html=b""),
+        dict(seq=101, epoch=0, op="U", url="u4", warc_ts=9, text="A4", lang="en", html=b""),
+    ]
+    rows_b = [
+        dict(seq=i, epoch=0, op="I", url=f"u{i}", warc_ts=1,
+             text=f"b{i}", lang="de", html=b"")
+        for i in range(0, 30, 2)  # only even keys + extras past 20
+    ]
+    ba, bb = str(tmp_path / "ba"), str(tmp_path / "bb")
+    write_custom_binlog(ba, rows_a)
+    write_custom_binlog(bb, rows_b)
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, ba, table="ta", num_partitions=4)
+    run_cdc_sync(lake, bb, table="tb", num_partitions=4)
+
+    con = duckdb.connect()
+    for tname, bdir in (("ea", ba), ("eb", bb)):
+        con.execute(
+            f"CREATE VIEW {tname} AS SELECT * FROM "
+            f"read_parquet('{bdir}/segment-*.parquet')"
+        )
+    oracle = """
+        WITH sa AS (SELECT url, text, lang FROM ea QUALIFY row_number()
+             OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) = 1
+             AND op <> 'D'),
+        sb AS (SELECT url, text, lang FROM eb QUALIFY row_number()
+             OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) = 1
+             AND op <> 'D')
+        SELECT sa.url, sa.text, sa.lang,
+               sb.text AS text_r, sb.lang AS lang_r
+        FROM sa {JOIN} sb USING (url)
+    """
+    for how, sqlj in (("inner", "JOIN"), ("left", "LEFT JOIN")):
+        got = (
+            copartitioned_join(
+                lake, "ta", "tb",
+                left_cols=["text", "lang"], right_cols=["text", "lang"],
+                how=how,
+            )
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        exp = (
+            con.execute(oracle.replace("{JOIN}", sqlj))
+            .df()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got[exp.columns], exp)
+        assert "u3" not in set(got.url)  # tombstone excluded
+        if how == "inner":
+            assert got.loc[got.url == "u4", "text"].item() == "A4"
+
+    # layout mismatch refuses
+    bc = str(tmp_path / "bc")
+    write_custom_binlog(bc, rows_b[:2])
+    run_cdc_sync(lake, bc, table="tc", num_partitions=8)
+    with pytest.raises(ValueError, match="partition-count"):
+        copartitioned_join(lake, "ta", "tc")
