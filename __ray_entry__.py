@@ -1213,6 +1213,17 @@ def _q_copartitioned_join_cdc(sf_dir: str):
     return copartitioned_join_events(sf_dir)
 
 
+def _q_cdc_expectations_quarantine(sf_dir: str):
+    """Expectations-gated CDC sync: rule-failing upserts are excluded from
+    the merge and committed to the co-partitioned quarantine append table
+    (payload + first failed rule), exactly-once on both lanes."""
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        quarantine_events_table,
+    )
+
+    return quarantine_events_table(sf_dir)
+
+
 def _q_events_triangles(sf_dir: str):
     """Per-node triangle counts over a deterministic interaction graph —
     degree-oriented wedge enumeration (O(m^1.5) wedges regardless of
@@ -2976,6 +2987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_triangle_counts": _q_events_triangles,
         "wap_rebuild_cdc": _q_wap_rebuild_cdc,
         "copartitioned_join_cdc": _q_copartitioned_join_cdc,
+        "cdc_expectations_quarantine": _q_cdc_expectations_quarantine,
     }
 
 
@@ -4469,6 +4481,13 @@ def oracle_sql() -> dict[str, str]:
            OR o.value IS DISTINCT FROM n.value
     """
     sql["wap_rebuild_cdc"] = _LWW_TOMBSTONE_SQL
+    sql["cdc_expectations_quarantine"] = """
+        SELECT event_id, ts, user_id, event_type, value, props,
+               'value_range' AS _rule
+        FROM events
+        WHERE event_type <> 'error'
+          AND NOT COALESCE(value BETWEEN 0.0 AND 300.0, FALSE)
+    """
     sql["copartitioned_join_cdc"] = """
         WITH mx AS (SELECT max(event_id) + 1 AS m FROM events),
         cur AS (

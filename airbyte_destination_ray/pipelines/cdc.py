@@ -64,6 +64,7 @@ def run_cdc_sync(
     shuffle: str = "payload",
     key_only_max_winners: int = 20_000_000,
     profile: bool = False,
+    expectations: list[tuple] | None = None,
 ) -> dict:
     """Run (or resume) a sync of the binlog into the lake table.
 
@@ -161,10 +162,48 @@ def run_cdc_sync(
             payload_columns = list(schema_store.get(target_version).schema.names)
         else:
             payload_columns = PAGES_PAYLOAD
+        quarantined = 0
+        if expectations:
+            # Data-quality gate (Delta-Live-Tables shape, ops.validate_rows
+            # kernel): upsert rows failing a rule are EXCLUDED from the
+            # merge (the previous valid version keeps winning) and land in
+            # the co-partitioned append table `<table>__quarantine` tagged
+            # with the first failed rule; tombstones carry no payload and
+            # always pass.  Both lanes commit through the same manifest
+            # CAS, so replays stay exactly-once.
+            from .ops import first_failed_rule
+
+            def keep_valid(batch: pa.Table) -> pa.Table:
+                import numpy as np
+
+                idx = first_failed_rule(batch, expectations)
+                is_del = pc.equal(
+                    batch.column("op"), "D"
+                ).to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array((idx == -1) | is_del))
+
+            quarantined = _commit_quarantine_epoch(
+                lake_root,
+                table,
+                segments,
+                epoch=e,
+                rules=expectations,
+                pk=pk,
+                ver=ver,
+                num_partitions=num_partitions,
+                payload_columns=payload_columns,
+            )
+            ds = ds.map_batches(
+                keep_valid, batch_format="pyarrow", batch_size=None
+            )
         if (
             shuffle == "key_only"
             and mode == "append_dedup"
             and src_version == target_version
+            # winner selection reads only key columns and cannot evaluate
+            # payload expectations — a quarantined winner must not filter
+            # out its older valid loser, so the gate forces payload shuffle
+            and not expectations
         ):
             from .relational import semi_join
 
@@ -238,6 +277,8 @@ def run_cdc_sync(
             "rows": rows,
             "wall_sec": round(time.perf_counter() - t_epoch, 3),
         }
+        if expectations:
+            epoch_summary["quarantined"] = quarantined
         if profile:
             # per-stage wall/cpu/row breakdown from Ray Data's executor —
             # the "read ds.stats() and iterate" feedback loop as data
@@ -1822,3 +1863,77 @@ def copartitioned_join(
     return ray.data.from_items(
         plan, override_num_blocks=len(plan)
     ).map_batches(join_partition, batch_format="pyarrow", batch_size=None)
+
+
+def _commit_quarantine_epoch(
+    lake_root: str,
+    table: str,
+    segments: list[str],
+    *,
+    epoch: int,
+    rules: list[tuple],
+    pk: str,
+    ver: str,
+    num_partitions: int,
+    payload_columns: list[str],
+) -> int:
+    """Commit one epoch's rule-failing upsert rows to the co-partitioned
+    append table ``<table>__quarantine`` (payload + ``_rule`` = first failed
+    rule).  Same manifest CAS as the main lane — re-running a committed
+    epoch is a no-op — and the same pk routing, so a key's quarantined
+    versions sit in the same partition id as its lake rows.  Returns the
+    number of quarantined rows."""
+    from .ops import first_failed_rule
+
+    qtable = f"{table}__quarantine"
+    qstore = ManifestStore(lake_root, qtable)
+    qstore.root.mkdir(parents=True, exist_ok=True)
+    qmeta = qstore.init_table(
+        num_partitions=num_partitions,
+        mode="append",
+        pk=[pk],
+        cursor=ver,
+    )
+
+    def keep_failed(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        idx = first_failed_rule(batch, rules)
+        is_del = pc.equal(batch.column("op"), "D").to_numpy(
+            zero_copy_only=False
+        )
+        keep = (idx != -1) & ~is_del
+        names = [r[0] for r in rules]
+        lookup = pa.array(names + [None], type=pa.string())
+        tag = lookup.take(pa.array(np.where(idx >= 0, idx, len(names))))
+        return batch.append_column("_rule", tag).filter(pa.array(keep))
+
+    ds = ray.data.read_parquet(segments, override_num_blocks=len(segments))
+    partitioner = make_partitioner(
+        pk,
+        num_partitions,
+        ver=ver,
+        pre_reduce=False,  # append lane keeps every failing version
+        payload_columns=[*payload_columns, "_rule"],
+    )
+    merger = make_partition_merger(
+        lake_root,
+        qtable,
+        generation=qmeta["generation"],
+        epoch=epoch,
+        mode="append",
+        pk=pk,
+        ver=ver,
+        compute_digest=False,
+    )
+    stats = (
+        ds.map_batches(keep_failed, batch_format="pyarrow", batch_size=None)
+        .map_batches(partitioner, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(merger, batch_format="pyarrow")
+    )
+    batches = list(stats.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return 0
+    stats_t = pa.concat_tables(batches)
+    return int(pc.sum(stats_t.column("changes_in")).as_py() or 0)

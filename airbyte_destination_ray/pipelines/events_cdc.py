@@ -432,3 +432,36 @@ def copartitioned_join_events(
         how="inner",
         right_suffix="_v1",
     )
+
+
+def quarantine_events_table(
+    sf_dir: str, *, workdir: str | Path | None = None
+):
+    """Expectations-gated sync as a query: run the full CDC engine with a
+    value-range rule and return the quarantine lane — every non-tombstone
+    version failing a rule, tagged with the first failed rule.  Append
+    semantics keep all failing versions, so the lane is exactly the SQL
+    filter over the raw events."""
+    import os
+
+    tag = f"{Path(sf_dir).name}-{os.getpid()}-exp"
+    base = Path(workdir) if workdir else Path("/tmp/adr_query") / tag
+    binlog = base / "binlog"
+    lake = base / "lake"
+    if not (binlog / "_binlog.json").exists():
+        shutil.rmtree(base, ignore_errors=True)
+        build_binlog_from_events(f"{sf_dir}/events.parquet", binlog)
+    run_cdc_sync(
+        str(lake),
+        str(binlog),
+        table="events_cdc",
+        pk="user_id",
+        ver="ts",
+        payload_columns=EVENT_PAYLOAD,
+        num_partitions=16,
+        compute_digest=False,
+        expectations=[
+            ("value_range", "in_range", "value", 0.0, 300.0),
+        ],
+    )
+    return read_table(str(lake), "events_cdc__quarantine")

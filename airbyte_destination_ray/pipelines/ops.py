@@ -2474,6 +2474,39 @@ def budget_sample_by_key(
     return ds.map_batches(keep_filter, batch_format="pyarrow", batch_size=None)
 
 
+def _expectation_fail_mask(batch: pa.Table, rule: tuple) -> np.ndarray:
+    """True where the row FAILS the rule (NULL comparisons fail closed —
+    SQL CASE WHEN semantics)."""
+    _, kind, col, *args = rule
+    arr = batch.column(col)
+    if kind == "not_null":
+        ok = arr.is_valid()
+    elif kind == "in_set":
+        ok = pc.is_in(arr, value_set=pa.array(args[0]))
+    elif kind == "in_range":
+        lo, hi = args
+        ok = pc.and_(pc.greater_equal(arr, lo), pc.less_equal(arr, hi))
+    elif kind == "regex":
+        ok = pc.match_substring_regex(arr, args[0])
+    else:
+        raise ValueError(f"unknown rule kind {kind!r}")
+    ok = pc.fill_null(ok, False)
+    if isinstance(ok, pa.ChunkedArray):
+        ok = ok.combine_chunks()
+    return ~ok.to_numpy(zero_copy_only=False)
+
+
+def first_failed_rule(batch: pa.Table, rules: list[tuple]) -> np.ndarray:
+    """Index of the FIRST rule each row fails, -1 for valid rows — the
+    shared kernel of :func:`validate_rows` and the CDC sync's quarantine
+    lane."""
+    rule_idx = np.full(batch.num_rows, -1, dtype=np.int64)
+    for i, rule in enumerate(rules):
+        fails = _expectation_fail_mask(batch, rule)
+        rule_idx = np.where((rule_idx == -1) & fails, i, rule_idx)
+    return rule_idx
+
+
 def validate_rows(
     ds,
     rules: list[tuple],
@@ -2504,31 +2537,8 @@ def validate_rows(
         raise ValueError(f"emit must be quarantine|valid|tagged, got {emit!r}")
     names = [r[0] for r in rules]
 
-    def fail_mask(batch: pa.Table, rule: tuple) -> np.ndarray:
-        _, kind, col, *args = rule
-        arr = batch.column(col)
-        if kind == "not_null":
-            ok = arr.is_valid()
-        elif kind == "in_set":
-            ok = pc.is_in(arr, value_set=pa.array(args[0]))
-        elif kind == "in_range":
-            lo, hi = args
-            ok = pc.and_(pc.greater_equal(arr, lo), pc.less_equal(arr, hi))
-        elif kind == "regex":
-            ok = pc.match_substring_regex(arr, args[0])
-        else:
-            raise ValueError(f"unknown rule kind {kind!r}")
-        ok = pc.fill_null(ok, False)  # NULL fails closed
-        if isinstance(ok, pa.ChunkedArray):
-            ok = ok.combine_chunks()
-        return ~ok.to_numpy(zero_copy_only=False)
-
     def fn(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        rule_idx = np.full(n, -1, dtype=np.int64)
-        for i, rule in enumerate(rules):
-            fails = fail_mask(batch, rule)
-            rule_idx = np.where((rule_idx == -1) & fails, i, rule_idx)
+        rule_idx = first_failed_rule(batch, rules)
         # vectorized tag lookup: slot len(names) is the null (valid) slot
         lookup = pa.array(names + [None], type=pa.string())
         tag = lookup.take(

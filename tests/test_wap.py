@@ -182,3 +182,65 @@ def test_copartitioned_join_matches_oracle(tmp_path, ray_session):
     run_cdc_sync(lake, bc, table="tc", num_partitions=8)
     with pytest.raises(ValueError, match="partition-count"):
         copartitioned_join(lake, "ta", "tc")
+
+
+def test_sync_expectations_quarantine_lane(tmp_path, ray_session):
+    """Expectations in the CDC sync: rule-failing upserts are excluded from
+    the merge (older valid version keeps winning), land in the
+    co-partitioned `<table>__quarantine` append table tagged with the first
+    failed rule, tombstones bypass rules, and replays are exactly-once."""
+    import duckdb
+    import pandas as pd
+
+    from airbyte_destination_ray.pipelines.cdc import read_table_arrow
+
+    rows = [
+        dict(seq=0, epoch=0, op="I", url="a", warc_ts=1, text="ok", lang="en", html=b""),
+        dict(seq=1, epoch=0, op="I", url="b", warc_ts=1, text="ok", lang="en", html=b""),
+        # newer version of a with unknown lang → quarantined; a keeps v1
+        dict(seq=2, epoch=1, op="U", url="a", warc_ts=2, text="bad", lang="xx", html=b""),
+        # null text → quarantined
+        dict(seq=3, epoch=1, op="I", url="c", warc_ts=2, text=None, lang="en", html=b""),
+        # tombstone with null payload must BYPASS rules and delete b
+        dict(seq=4, epoch=1, op="D", url="b", warc_ts=3, text=None, lang=None, html=b""),
+        dict(seq=5, epoch=1, op="I", url="d", warc_ts=3, text="ok", lang="de", html=b""),
+    ]
+    blog = str(tmp_path / "b")
+    write_custom_binlog(blog, rows)
+    lake = str(tmp_path / "lake")
+    rules = [
+        ("text_not_null", "not_null", "text"),
+        ("lang_known", "in_set", "lang", ["en", "de"]),
+    ]
+    summary = run_cdc_sync(lake, blog, num_partitions=2, expectations=rules)
+    assert sum(e.get("quarantined", 0) for e in summary["epochs"]) == 2
+
+    main = read_table_arrow(lake, "pages")
+    state = dict(zip(main.column("url").to_pylist(), main.column("text").to_pylist()))
+    assert state == {"a": "ok", "d": "ok"}  # a kept v1, b deleted, c never landed
+
+    q = read_table_arrow(lake, "pages__quarantine")
+    qd = dict(zip(q.column("url").to_pylist(), q.column("_rule").to_pylist()))
+    assert qd == {"a": "lang_known", "c": "text_not_null"}
+
+    # replay: re-running the sync is a no-op on BOTH lanes
+    run_cdc_sync(lake, blog, num_partitions=2, expectations=rules, resume=False)
+    assert read_table_arrow(lake, "pages__quarantine").num_rows == 2
+    pd.testing.assert_frame_equal(
+        read_table_arrow(lake, "pages").to_pandas().sort_values("url").reset_index(drop=True),
+        main.to_pandas().sort_values("url").reset_index(drop=True),
+    )
+
+    # oracle: LWW over rows passing the rules, tombstones bypass
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        WITH ev AS (SELECT * FROM read_parquet('{blog}/segment-*.parquet')),
+        valid AS (SELECT * FROM ev WHERE op = 'D'
+                  OR (text IS NOT NULL AND COALESCE(lang IN ('en','de'), FALSE)))
+        SELECT url, text FROM valid
+        QUALIFY row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) = 1
+            AND op <> 'D'
+        ORDER BY url
+    """).df()
+    got = main.to_pandas()[["url", "text"]].sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
