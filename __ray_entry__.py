@@ -1224,6 +1224,163 @@ def _q_cdc_expectations_quarantine(sf_dir: str):
     return quarantine_events_table(sf_dir)
 
 
+def _q_large_volume_orders(sf_dir: str):
+    """TPC-H Q18-shaped composite (GROUP BY + HAVING semi-join + dim join
+    + top-k): lineitem is scanned ONCE into a per-order integer-cents
+    quantity aggregate (combiner pre-reduce); the HAVING filter bounds the
+    qualifying set, which broadcasts onto orders (zero shuffle) together
+    with the customer dim; global top-100 via local-top-k merge — no
+    global sort, no payload exchange anywhere."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from airbyte_destination_ray.pipelines.ops import grouped_sum, top_k_by
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    lineitem = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def to_cents(b: "pa.Table") -> "pa.Table":
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "cents": pa.array(
+                    np.floor(q * 100).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    qty = grouped_sum(
+        lineitem.map_batches(to_cents, batch_format="pyarrow", batch_size=None),
+        key="l_orderkey",
+        value_col="cents",
+        out_col="sum_qty_cents",
+    )
+
+    def having(b: "pa.Table") -> "pa.Table":
+        return b.filter(pc.greater(b.column("sum_qty_cents"), 15000))
+
+    qual_t = pa.concat_tables(
+        list(
+            qty.map_batches(
+                having, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    order_keys = qual_t.column("l_orderkey").to_numpy(zero_copy_only=False)
+    sums = qual_t.column("sum_qty_cents").to_numpy(zero_copy_only=False)
+    srt = np.argsort(order_keys)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    cs = np.argsort(ck)
+    lookup_ref = ray.put(
+        (
+            order_keys[srt],
+            sums[srt],
+            ck[cs],
+            cust.column("c_name").combine_chunks().take(pa.array(cs)),
+        )
+    )
+
+    def enrich(b: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        okeys, osums, ckeys, cnames = ray.get(lookup_ref)
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(okeys, ok), len(okeys) - 1)
+        hit = okeys[pos] == ok
+        t = b.filter(pa.array(hit))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c_name": pa.array([], type=pa.string()),
+                    "o_custkey": pa.array([], type=pa.int64()),
+                    "o_orderkey": pa.array([], type=pa.int64()),
+                    "o_orderdate": pa.array(
+                        [], type=b.schema.field("o_orderdate").type
+                    ),
+                    "o_totalprice": pa.array([], type=pa.float64()),
+                    "sum_qty_cents": pa.array([], type=pa.int64()),
+                }
+            )
+        ok2 = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        qsum = osums[np.searchsorted(okeys, ok2)]
+        cust_k = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        cpos = np.searchsorted(ckeys, cust_k)
+        names = cnames.take(pa.array(cpos))
+        return pa.table(
+            {
+                "c_name": names,
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "o_totalprice": t.column("o_totalprice"),
+                "sum_qty_cents": pa.array(qsum, type=pa.int64()),
+            }
+        )
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    enriched = orders.map_batches(
+        enrich, batch_format="pyarrow", batch_size=None
+    )
+    return top_k_by(
+        enriched, by="o_totalprice", k=100, tie_break="o_orderkey"
+    )
+
+
+def _q_winsorize_event_values(sf_dir: str):
+    """Outlier clamping at EXACT global p01/p99 (winsorization): bounds
+    found by iterative histogram selection (O(1) driver memory, a few
+    column-pruned passes), then one shuffle-free clip pass."""
+    from airbyte_destination_ray.pipelines.ops import winsorize
+
+    return winsorize(
+        _events(sf_dir, columns=["event_id", "value"]),
+        value_col="value",
+        q_lo=0.01,
+        q_hi=0.99,
+        out_col="value_w",
+    )
+
+
+def _q_corpus_mixture_stats(sf_dir: str):
+    """Per-(source, lang) corpus mixture report with char share — exact
+    int partials, one IEEE division per row (hash-identical to SQL)."""
+    from airbyte_destination_ray.pipelines.ops import mixture_stats
+
+    return mixture_stats(
+        _documents(sf_dir, columns=["source", "lang", "n_chars"]),
+        keys=["source", "lang"],
+        units_col="n_chars",
+    )
+
+
+def _q_throttle_events(sf_dir: str):
+    """Debounce filter: drop events arriving < 5 min after the same user's
+    previous event (LAG form) — one key-hash exchange of (seq, key, ts)
+    only, vectorized diff kernel."""
+    from airbyte_destination_ray.pipelines.relational import throttle_by_key
+
+    return throttle_by_key(
+        _events(sf_dir, columns=["event_id", "user_id", "ts"]),
+        key="user_id",
+        ts_col="ts",
+        seq="event_id",
+        min_gap_minutes=5.0,
+    )
+
+
 def _q_events_triangles(sf_dir: str):
     """Per-node triangle counts over a deterministic interaction graph —
     degree-oriented wedge enumeration (O(m^1.5) wedges regardless of
@@ -2988,6 +3145,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wap_rebuild_cdc": _q_wap_rebuild_cdc,
         "copartitioned_join_cdc": _q_copartitioned_join_cdc,
         "cdc_expectations_quarantine": _q_cdc_expectations_quarantine,
+        "large_volume_orders_top100": _q_large_volume_orders,
+        "winsorize_event_values": _q_winsorize_event_values,
+        "corpus_mixture_stats": _q_corpus_mixture_stats,
+        "throttle_events": _q_throttle_events,
     }
 
 
@@ -4481,6 +4642,46 @@ def oracle_sql() -> dict[str, str]:
            OR o.value IS DISTINCT FROM n.value
     """
     sql["wap_rebuild_cdc"] = _LWW_TOMBSTONE_SQL
+    sql["winsorize_event_values"] = """
+        WITH b AS (SELECT quantile_disc(value, 0.01) AS lo,
+                          quantile_disc(value, 0.99) AS hi FROM events)
+        SELECT e.event_id, e.value,
+               LEAST(GREATEST(e.value, b.lo), b.hi) AS value_w
+        FROM events e, b
+    """
+    sql["corpus_mixture_stats"] = """
+        WITH agg AS (
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_units
+            FROM documents GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(n_units) AS BIGINT) AS t FROM agg)
+        SELECT source, lang, n_docs, n_units,
+               CAST(n_units AS DOUBLE) / CAST(t AS DOUBLE) AS unit_share
+        FROM agg, tot
+    """
+    sql["throttle_events"] = """
+        SELECT event_id, user_id FROM (
+            SELECT event_id, user_id, ts,
+                   lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS pts
+            FROM events)
+        WHERE pts IS NULL OR ts - pts >= INTERVAL 5 MINUTE
+    """
+    sql["large_volume_orders_top100"] = """
+        WITH qual AS (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                       AS BIGINT) AS sum_qty_cents
+            FROM lineitem GROUP BY 1
+            HAVING sum(CAST(floor(l_quantity * 100) AS BIGINT)) > 15000)
+        SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, q.sum_qty_cents
+        FROM qual q
+        JOIN orders o ON o.o_orderkey = q.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """
     sql["cdc_expectations_quarantine"] = """
         SELECT event_id, ts, user_id, event_type, value, props,
                'value_range' AS _rule

@@ -2552,3 +2552,95 @@ def validate_rows(
         return t.filter(pa.array(rule_idx >= 0))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def winsorize(
+    ds,
+    *,
+    value_col: str,
+    q_lo: float = 0.01,
+    q_hi: float = 0.99,
+    out_col: str | None = None,
+    num_buckets: int = 4096,
+):
+    """Outlier clamping at exact global quantiles (winsorization — the
+    standard numeric-feature cleaning step): the clamp bounds are EXACT
+    ``quantile_disc`` elements found by :func:`exact_quantile_disc`'s
+    iterative histogram selection (O(1) driver memory at any corpus size),
+    then one shuffle-free vectorized pass clips the column.  Because the
+    bounds are actual column elements, the result is bit-identical to the
+    SQL ``LEAST(GREATEST(v, lo), hi)`` form.  ``ds`` must be re-readable
+    (a source Dataset): the quantile passes and the clamp pass each
+    re-stream it."""
+    lo = exact_quantile_disc(
+        ds, value_col=value_col, q=q_lo, num_buckets=num_buckets
+    )
+    hi = exact_quantile_disc(
+        ds, value_col=value_col, q=q_hi, num_buckets=num_buckets
+    )
+    out = out_col or f"{value_col}_w"
+
+    def clamp(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        if lo is None:
+            return batch.append_column(out, pc.cast(v, pa.float64()))
+        w = pc.min_element_wise(
+            pc.max_element_wise(pc.cast(v, pa.float64()), lo), hi
+        )
+        return batch.append_column(out, w)
+
+    return ds.map_batches(clamp, batch_format="pyarrow", batch_size=None)
+
+
+def mixture_stats(
+    ds,
+    *,
+    keys: list[str],
+    units_col: str,
+):
+    """Corpus-mixture report: per key tuple (source, lang, …) the document
+    count, unit total (chars / tokens) and its share of the corpus —
+    per-batch Arrow group-by partials, one aggregate-sized final reduce,
+    and ONE IEEE float64 division per row for the share (exact ints up to
+    that point, so the result is hash-identical to the SQL form)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                **{k: batch.column(k) for k in keys},
+                "_n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "_u": pc.fill_null(
+                    pc.cast(batch.column(units_col), pa.int64()), 0
+                ),
+            }
+        )
+        return (
+            t.group_by(keys)
+            .aggregate([("_n", "sum"), ("_u", "sum")])
+            .rename_columns([*keys, "_n", "_u"])
+        )
+
+    parts = list(
+        ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow")
+    )
+    if not parts:
+        return pa.table(
+            {
+                **{k: pa.array([], type=pa.string()) for k in keys},
+                "n_docs": pa.array([], type=pa.int64()),
+                "n_units": pa.array([], type=pa.int64()),
+                "unit_share": pa.array([], type=pa.float64()),
+            }
+        )
+    t = (
+        pa.concat_tables(parts)
+        .group_by(keys)
+        .aggregate([("_n", "sum"), ("_u", "sum")])
+        .rename_columns([*keys, "n_docs", "n_units"])
+    )
+    units = t.column("n_units").to_numpy(zero_copy_only=False)
+    total = int(units.sum())
+    share = units.astype(np.float64) / np.float64(total)
+    return t.append_column("unit_share", pa.array(share, type=pa.float64()))

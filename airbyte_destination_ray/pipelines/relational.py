@@ -3244,3 +3244,63 @@ def global_rank(
         .groupby("_bin")
         .map_groups(rank_bin, batch_format="pyarrow")
     )
+
+
+def throttle_by_key(
+    ds,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    seq: str = "event_id",
+    min_gap_minutes: float = 5.0,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Debounce / rate-limit stream filter: per key, drop an event when it
+    arrives less than ``min_gap_minutes`` after the key's PREVIOUS event in
+    ``(ts, seq)`` order (the LAG form — each event is judged against its
+    immediate predecessor, so the SQL window oracle is exact).  Returns
+    ``(seq, key)`` of the kept events.
+
+    Same shape as :func:`sessionize`: one hash-partition shuffle of
+    ``(seq, key, ts)`` only (payloads never move), vectorized diff kernel,
+    no row loop.  Join the survivors back by ``seq`` (broadcast/bloom
+    semi-join) when the full payload is needed downstream.
+    """
+    gap_us = int(min_gap_minutes * 60 * 1_000_000)
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                seq: batch.column(seq),
+                key: batch.column(key),
+                "_ats": pc.cast(batch.column(ts_col), pa.int64()),
+            }
+        )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def keep(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                (key, "ascending"),
+                ("_ats", "ascending"),
+                (seq, "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        keys = g.column(key).to_numpy(zero_copy_only=False)
+        ts = g.column("_ats").to_numpy(zero_copy_only=False)
+        n = len(keys)
+        kept = np.ones(n, dtype=bool)
+        if n > 1:
+            same_key = keys[1:] == keys[:-1]
+            kept[1:] = ~(same_key & ((ts[1:] - ts[:-1]) < gap_us))
+        out = g.filter(pa.array(kept))
+        return pa.table({seq: out.column(seq), key: out.column(key)})
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(keep, batch_format="pyarrow")
+    )

@@ -2485,3 +2485,73 @@ def test_windowed_ohlc_matches_ordered_aggregates(ray_session):
         out[sorted(out.columns)], oracle[sorted(oracle.columns)],
         check_dtype=False,
     )
+
+
+def test_winsorize_clamps_at_exact_quantiles(ray_session):
+    import numpy as np
+
+    from airbyte_destination_ray.pipelines.ops import winsorize
+
+    vals = np.concatenate([np.arange(100, dtype=np.float64), [1e6, -1e6]])
+    t = pa.table({"id": pa.array(range(len(vals)), type=pa.int64()),
+                  "v": pa.array(vals)})
+    out = winsorize(_ds(t, blocks=5), value_col="v", q_lo=0.05, q_hi=0.95)
+    df = out.to_pandas().sort_values("id").reset_index(drop=True)
+    n = len(vals)
+    svals = np.sort(vals)
+    lo = svals[int(np.floor(0.05 * (n - 1)))]
+    hi = svals[int(np.floor(0.95 * (n - 1)))]
+    assert np.array_equal(df.v_w.to_numpy(), np.clip(vals, lo, hi))
+    assert df.v_w.max() == hi and df.v_w.min() == lo  # outliers clamped
+
+
+def test_mixture_stats_shares(ray_session):
+    import numpy as np
+
+    from airbyte_destination_ray.pipelines.ops import mixture_stats
+
+    t = pa.table(
+        {
+            "src": pa.array(["a", "a", "b", "b", "b"]),
+            "lang": pa.array(["en", "en", "en", "de", "de"]),
+            "n": pa.array([10, 20, 30, 5, 35], type=pa.int64()),
+        }
+    )
+    out = mixture_stats(_ds(t, blocks=3), keys=["src", "lang"], units_col="n")
+    df = out.to_pandas().set_index(["src", "lang"]).sort_index()
+    assert df.n_units.to_dict() == {("a", "en"): 30, ("b", "de"): 40, ("b", "en"): 30}
+    assert df.n_docs.sum() == 5
+    assert abs(df.unit_share.sum() - 1.0) < 1e-12
+    assert df.loc[("b", "de"), "unit_share"] == 40 / 100
+
+
+def test_throttle_by_key_lag_semantics(ray_session):
+    import datetime as dt
+
+    from airbyte_destination_ray.pipelines.relational import throttle_by_key
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # u1: 0, 3, 6, 20 → 3min gaps dropped under 5min rule except the 20
+    # u2: 0, 5 → exactly at the gap → kept (>= semantics)
+    rows = [
+        (1, "u1", ts(0)), (2, "u1", ts(3)), (3, "u1", ts(6)), (4, "u1", ts(20)),
+        (5, "u2", ts(0)), (6, "u2", ts(5)),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "user_id": pa.array([r[1] for r in rows]),
+            "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+        }
+    )
+    out = throttle_by_key(
+        _ds(t, blocks=3), key="user_id", ts_col="ts",
+        seq="event_id", min_gap_minutes=5.0,
+    ).to_pandas()
+    # LAG form: event 3 is judged against event 2 (gap 3min) → dropped
+    # even though event 2 itself was dropped
+    assert sorted(out.event_id) == [1, 4, 5, 6]
