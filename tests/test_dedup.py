@@ -633,3 +633,40 @@ def test_dedup_exact_hash_rank_col_keeps_best(ray_session):
         dedup_exact_hash(ray.data.from_arrow(t).repartition(3))
     )
     assert kept_default == [0, 3, 4]
+
+
+def test_embedding_covariance_exact_int_sums(ray_session):
+    """Fixed-point covariance: integer power sums match numpy exactly and
+    the cov float equals the same IEEE sequence over the quantized data."""
+    import numpy as np
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.similarity import (
+        embedding_covariance,
+    )
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(40, 3).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), type=pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in x], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = embedding_covariance(
+        ray.data.from_arrow(t).repartition(4), scale=10_000
+    ).to_pandas().set_index(["i", "j"]).sort_index()
+
+    q = np.floor(x.astype(np.float64) * 10_000).astype(np.int64)
+    g = q.T @ q
+    s = q.sum(axis=0)
+    n = np.float64(40)
+    assert len(out) == 6  # upper triangle of 3×3
+    for (i, j), row in out.iterrows():
+        assert row.sum_ij == g[i, j]
+        assert row.sum_i == s[i] and row.sum_j == s[j]
+        expect = (np.float64(g[i, j]) - np.float64(s[i]) * np.float64(s[j]) / n) / n
+        # row["cov"], not row.cov — .cov is the pandas Series METHOD
+        assert row["cov"] == expect  # bit-exact, not approx
