@@ -21,32 +21,35 @@ import pyarrow.compute as pc
 from .relational import DEFAULT_NUM_PARTITIONS, shuffle_join
 
 
-def _grouped_min(ds, *, key: str, value_col: str):
+def _grouped_min(ds, *, key: str, value_col: str, num_partitions: int = 64):
     """MIN(value) per key with the per-batch combiner — exchange carries
-    one row per (key, batch)."""
+    one row per (key, batch).  PARTITION-LEVEL final reduce (hash route +
+    one vectorized Arrow group_by per partition): keys here are NODES, so
+    a per-key ``map_groups`` would cost one Python call per document in a
+    near-dup graph — and this runs every propagation round."""
+    from ..functions.hashing import partition_ids
 
     def partial(batch: pa.Table) -> pa.Table:
-        return (
+        t = (
             batch.select([key, value_col])
             .group_by(key)
             .aggregate([(value_col, "min")])
             .rename_columns([key, value_col])
         )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_gpart", pa.array(parts, type=pa.int64()))
 
     def final(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                key: [group.column(key)[0].as_py()],
-                value_col: pa.array(
-                    [pc.min(group.column(value_col)).as_py()],
-                    type=group.schema.field(value_col).type,
-                ),
-            }
+        return (
+            group.drop_columns(["_gpart"])
+            .group_by(key)
+            .aggregate([(value_col, "min")])
+            .rename_columns([key, value_col])
         )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby(key)
+        .groupby("_gpart")
         .map_groups(final, batch_format="pyarrow")
     )
 
