@@ -1405,6 +1405,49 @@ def _q_embedding_covariance(sf_dir: str):
     )
 
 
+def _q_consistent_snapshot_cdc(sf_dir: str):
+    """Cross-table snapshot isolation: the fully-synced table read AS OF
+    the highest epoch its lagging sibling also committed (time-travel
+    pinning, no data copies)."""
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        consistent_snapshot_events,
+    )
+
+    return consistent_snapshot_events(sf_dir)
+
+
+def _q_stratified_sample_docs(sf_dir: str):
+    """Stratified fixed-N sample: exactly ≤10 docs per language, chosen in
+    deterministic Knuth-hash order (a seeded random sample that is replay-
+    and parallelism-invariant) — grouped_top_k over the hash, ≤ N rows per
+    (stratum, batch) on the exchange, no global sort."""
+    import numpy as np
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.ops import grouped_top_k
+
+    def add_hash(b: "pa.Table") -> "pa.Table":
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        h = (ids * 2654435761) % 4_294_967_296
+        return b.append_column("_h", pa.array(h, type=pa.int64()))
+
+    sampled = grouped_top_k(
+        _documents(sf_dir).map_batches(
+            add_hash, batch_format="pyarrow", batch_size=None
+        ),
+        key="lang",
+        by="_h",
+        k=10,
+        tie_break="doc_id",
+        descending=False,
+    )
+
+    def drop_h(b: "pa.Table") -> "pa.Table":
+        return b.drop_columns(["_h"])
+
+    return sampled.map_batches(drop_h, batch_format="pyarrow", batch_size=None)
+
+
 def _q_events_triangles(sf_dir: str):
     """Per-node triangle counts over a deterministic interaction graph —
     degree-oriented wedge enumeration (O(m^1.5) wedges regardless of
@@ -3175,6 +3218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "throttle_events": _q_throttle_events,
         "doc_oov_bigram_fraction": _q_doc_oov_fraction,
         "embedding_covariance": _q_embedding_covariance,
+        "stratified_sample_docs": _q_stratified_sample_docs,
+        "consistent_snapshot_cdc": _q_consistent_snapshot_cdc,
     }
 
 
@@ -4668,6 +4713,24 @@ def oracle_sql() -> dict[str, str]:
            OR o.value IS DISTINCT FROM n.value
     """
     sql["wap_rebuild_cdc"] = _LWW_TOMBSTONE_SQL
+    sql["consistent_snapshot_cdc"] = """
+        WITH mx AS (SELECT max(event_id) + 1 AS m FROM events),
+        v1e AS (
+            SELECT e.* FROM events e, mx
+            WHERE (e.event_id * 3) // mx.m <= 1)
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM v1e
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+            AND event_type <> 'error'
+    """
+    sql["stratified_sample_docs"] = """
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= 10
+    """
     sql["embedding_covariance"] = """
         WITH q AS (
             SELECT vec_id, u['i'] AS i,

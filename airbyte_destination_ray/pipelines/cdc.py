@@ -1937,3 +1937,38 @@ def _commit_quarantine_epoch(
         return 0
     stats_t = pa.concat_tables(batches)
     return int(pc.sum(stats_t.column("changes_in")).as_py() or 0)
+
+
+def consistent_snapshot_epoch(lake_root: str, tables: list[str]) -> int:
+    """Highest source epoch checkpointed by EVERY listed table — the
+    cross-table snapshot barrier.  Tables in one lake ingest the same
+    epoch stream but may be at different positions (a lagging sync, a
+    mid-backfill table); reading each table AS OF this epoch yields a
+    mutually consistent snapshot (no table shows data from an epoch
+    another table hasn't committed).  Returns -1 when some table has no
+    completed epoch yet."""
+    best: int | None = None
+    for t in tables:
+        store = ManifestStore(lake_root, t)
+        meta = _pin_read_generation(store.table_meta())
+        ck = store.last_checkpoint(int(meta["generation"]))
+        e = -1 if ck is None else int(ck["epoch"])
+        best = e if best is None else min(best, e)
+    return -1 if best is None else best
+
+
+def consistent_read(lake_root: str, tables: list[str], **read_kw) -> dict:
+    """Cross-table SNAPSHOT-ISOLATED reads: every listed table pinned to
+    the same :func:`consistent_snapshot_epoch` via the time-travel path —
+    the multi-table transactional-read analog (the write side is already
+    per-epoch atomic through checkpoint barriers).  Returns
+    ``{table: Dataset}``."""
+    e = consistent_snapshot_epoch(lake_root, tables)
+    if e < 0:
+        raise RuntimeError(
+            f"no common committed epoch across tables {tables!r}"
+        )
+    return {
+        t: read_table(lake_root, t, as_of_epoch=e, **read_kw)
+        for t in tables
+    }

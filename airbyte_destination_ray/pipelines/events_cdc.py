@@ -465,3 +465,31 @@ def quarantine_events_table(
         ],
     )
     return read_table(str(lake), "events_cdc__quarantine")
+
+
+def consistent_snapshot_events(
+    sf_dir: str, *, workdir: str | Path | None = None
+):
+    """Cross-table consistent snapshot as a query: the fully-synced events
+    table read AS OF the highest epoch its LAGGING sibling (synced through
+    epoch 1 only) has also committed — no table shows an epoch the other
+    hasn't.  The pinned state equals LWW over epochs ≤ 1, which the
+    deterministic epoch assignment makes SQL-expressible."""
+    from .cdc import consistent_read
+
+    lake = _ensure_events_lake(sf_dir, workdir)
+    binlog = lake.parent / "binlog"
+    run_cdc_sync(
+        str(lake),
+        str(binlog),
+        table="events_cdc_v1",
+        pk="user_id",
+        ver="ts",
+        payload_columns=EVENT_PAYLOAD,
+        num_partitions=16,
+        compute_digest=False,
+        epochs=[0, 1],
+    )
+    return consistent_read(str(lake), ["events_cdc", "events_cdc_v1"])[
+        "events_cdc"
+    ]

@@ -244,3 +244,40 @@ def test_sync_expectations_quarantine_lane(tmp_path, ray_session):
     """).df()
     got = main.to_pandas()[["url", "text"]].sort_values("url").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_consistent_read_pins_to_common_epoch(tmp_path, ray_session):
+    """Cross-table snapshot isolation: reads pin to the highest epoch BOTH
+    tables committed; a table with no checkpoint refuses."""
+    from airbyte_destination_ray.pipelines.cdc import (
+        consistent_read,
+        consistent_snapshot_epoch,
+        read_table_arrow,
+    )
+
+    rows = [
+        dict(seq=0, epoch=0, op="I", url="a", warc_ts=1, text="e0", lang="en", html=b""),
+        dict(seq=1, epoch=1, op="U", url="a", warc_ts=2, text="e1", lang="en", html=b""),
+        dict(seq=2, epoch=2, op="U", url="a", warc_ts=3, text="e2", lang="en", html=b""),
+    ]
+    blog = str(tmp_path / "b")
+    write_custom_binlog(blog, rows)
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, blog, table="full", num_partitions=2)
+    run_cdc_sync(lake, blog, table="lagging", num_partitions=2, epochs=[0, 1])
+
+    assert consistent_snapshot_epoch(lake, ["full", "lagging"]) == 1
+    views = consistent_read(lake, ["full", "lagging"])
+    full = pa.concat_tables(list(views["full"].iter_batches(batch_format="pyarrow")))
+    # 'full' is synced through epoch 2 but the consistent view pins to e1
+    assert full.column("text").to_pylist() == ["e1"]
+    assert read_table_arrow(lake, "full").column("text").to_pylist() == ["e2"]
+
+    # no common epoch: a table that never checkpointed
+    from airbyte_destination_ray.state.manifest import ManifestStore
+
+    ManifestStore(lake, "empty").init_table(
+        num_partitions=2, mode="append_dedup", pk=["url"], cursor="warc_ts"
+    )
+    with pytest.raises(RuntimeError, match="no common committed epoch"):
+        consistent_read(lake, ["full", "empty"])
