@@ -59,6 +59,7 @@ def _vals_batch(batch: pa.Table) -> pa.Table:
     )
     return pa.table(
         {
+            "id": pa.array(i.astype(np.int64)),
             "v": pa.array(v),
             "x": pa.array(dbl),
             "arrival": pa.array(arrival.astype(np.int64)),
@@ -196,6 +197,61 @@ def main() -> int:
 
     # fuzzy matching over a 200k-term vocabulary
     from airbyte_destination_ray.pipelines.linkage import fuzzy_pairs
+
+    from airbyte_destination_ray.pipelines.ops import budget_sample_by_key
+    from airbyte_destination_ray.pipelines.relational import global_rank
+
+    # exact global ROW_NUMBER over 100M doubles: range-histogram offsets
+    # (one pruned pass) + one keyed exchange with per-bin local sorts
+    t0 = time.perf_counter()
+    n_ranked = global_rank(
+        ds, by="x", tie_break="arrival", bin_width=1.0
+    ).count()
+    t_r = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "stage": "global_rank",
+                "rows": N,
+                "ranked": int(n_ranked),
+                "sec": round(t_r, 2),
+                "rows_per_sec": round(N / t_r, 0),
+            }
+        )
+    )
+
+    # token-budget mixture packing: 20 sources, winner set bounded by the
+    # budgets (~2.4M ids) — pruned keyed exchange + broadcast filter
+    def mix_cols(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        a = batch.column("arrival").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array((v % 20).astype(np.int64)),
+                "id": batch.column("id"),
+                "units": pa.array((a % 500 + 1).astype(np.int64)),
+            }
+        )
+
+    mix = ds.map_batches(mix_cols, batch_format="pyarrow", batch_size=None)
+    budgets = {k: 50_000_000 for k in range(10)}
+    t0 = time.perf_counter()
+    n_kept = budget_sample_by_key(
+        mix, key="src", id_col="id", units_col="units",
+        budgets=budgets, default_budget=10_000_000,
+    ).count()
+    t_b = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "stage": "budget_sample",
+                "rows": N,
+                "kept": int(n_kept),
+                "sec": round(t_b, 2),
+                "rows_per_sec": round(N / t_b, 0),
+            }
+        )
+    )
 
     def words_batch(batch: pa.Table) -> pa.Table:
         i = batch.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
