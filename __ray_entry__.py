@@ -1416,6 +1416,38 @@ def _q_consistent_snapshot_cdc(sf_dir: str):
     return consistent_snapshot_events(sf_dir)
 
 
+def _q_events_trend_by_type(sf_dir: str):
+    """Per-type OLS value trend over hour indices — exact integer power
+    sums on the exchange, one fixed IEEE finish per key (bit-equal to the
+    spelled-out SQL)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.ops import grouped_trend
+
+    anchor_us = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+
+    def prep(b: "pa.Table") -> "pa.Table":
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "x": pa.array((ts - anchor_us) // 3_600_000_000),
+                "y": pa.array(np.floor(v * 100).astype(np.int64)),
+            }
+        )
+
+    return grouped_trend(
+        _events(sf_dir, columns=["event_type", "ts", "value"]).map_batches(
+            prep, batch_format="pyarrow", batch_size=None
+        ),
+        key="event_type",
+        x_col="x",
+        y_col="y",
+    )
+
+
 def _q_stratified_sample_docs(sf_dir: str):
     """Stratified fixed-N sample: exactly ≤10 docs per language, chosen in
     deterministic Knuth-hash order (a seeded random sample that is replay-
@@ -3220,6 +3252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": _q_embedding_covariance,
         "stratified_sample_docs": _q_stratified_sample_docs,
         "consistent_snapshot_cdc": _q_consistent_snapshot_cdc,
+        "events_trend_by_type": _q_events_trend_by_type,
     }
 
 
@@ -4713,6 +4746,37 @@ def oracle_sql() -> dict[str, str]:
            OR o.value IS DISTINCT FROM n.value
     """
     sql["wap_rebuild_cdc"] = _LWW_TOMBSTONE_SQL
+    sql["events_trend_by_type"] = """
+        WITH q AS (
+            SELECT event_type,
+                   date_diff('hour', TIMESTAMP '2024-01-01', ts) AS x,
+                   CAST(floor(value * 100) AS BIGINT) AS y
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              AND value IS NOT NULL),
+        s AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM q GROUP BY event_type),
+        t AS (
+            SELECT *,
+                   CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+                   CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num
+            FROM s),
+        sl AS (
+            SELECT event_type, n, sx, sy,
+                   CASE WHEN den = 0 THEN NULL ELSE num / den END AS slope
+            FROM t)
+        SELECT event_type, n, slope,
+               (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS intercept
+        FROM sl
+    """
     sql["consistent_snapshot_cdc"] = """
         WITH mx AS (SELECT max(event_id) + 1 AS m FROM events),
         v1e AS (

@@ -2655,3 +2655,102 @@ def mixture_stats(
     total = int(units.sum())
     share = units.astype(np.float64) / np.float64(total)
     return t.append_column("unit_share", pa.array(share, type=pa.float64()))
+
+
+def grouped_trend(
+    ds,
+    *,
+    key: str,
+    x_col: str,
+    y_col: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Per-key OLS linear trend (slope + intercept) from EXACT integer
+    power sums — the time-series trend staple, hash-checkable against SQL.
+
+    The caller supplies pre-quantized integer ``x`` (e.g. hour index) and
+    ``y`` (e.g. value cents); each batch contributes per-key integer sums
+    ``(n, Σx, Σy, Σxy, Σx²)`` (order-independent), one hash exchange moves
+    the aggregate-sized partials, and the float finish runs ONCE per key
+    in a fixed IEEE sequence the spelled-out SQL reproduces::
+
+        den       = n·Σx² − Σx·Σx            (float64)
+        slope     = (n·Σxy − Σx·Σy) / den     (NULL when den = 0)
+        intercept = (Σy − slope·Σx) / n
+
+    Null keys/values are excluded (SQL WHERE parity).  Partition-level
+    final reduce (one vectorized group_by per partition)."""
+    from ..functions.hashing import partition_ids
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key: batch.column(key),
+                "x": pc.cast(batch.column(x_col), pa.int64()),
+                "y": pc.cast(batch.column(y_col), pa.int64()),
+            }
+        )
+        valid = pc.and_(
+            pc.and_(t.column(key).is_valid(), t.column("x").is_valid()),
+            t.column("y").is_valid(),
+        )
+        t = t.filter(valid)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                key: t.column(key),
+                "_n": pa.array(np.ones(len(x), dtype=np.int64)),
+                "_sx": t.column("x"),
+                "_sy": t.column("y"),
+                "_sxy": pa.array(x * y),
+                "_sxx": pa.array(x * x),
+            }
+        )
+        g = t.group_by(key).aggregate(
+            [(c, "sum") for c in ("_n", "_sx", "_sy", "_sxy", "_sxx")]
+        ).rename_columns([key, "_n", "_sx", "_sy", "_sxy", "_sxx"])
+        parts = partition_ids(g.column(key), num_partitions)
+        return g.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        g = (
+            group.drop_columns(["_part"])
+            .group_by(key)
+            .aggregate(
+                [(c, "sum") for c in ("_n", "_sx", "_sy", "_sxy", "_sxx")]
+            )
+            .rename_columns([key, "_n", "_sx", "_sy", "_sxy", "_sxx"])
+        )
+        n = g.column("_n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = g.column("_sx").to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = g.column("_sy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = g.column("_sxy").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        sxx = g.column("_sxx").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        den = n * sxx - sx * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = (n * sxy - sx * sy) / den
+            intercept = (sy - slope * sx) / n
+        bad = den == 0.0
+        slope[bad] = np.nan
+        intercept[bad] = np.nan
+        return pa.table(
+            {
+                key: g.column(key),
+                "n": g.column("_n"),
+                "slope": pa.array(slope, type=pa.float64(), from_pandas=True),
+                "intercept": pa.array(
+                    intercept, type=pa.float64(), from_pandas=True
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -787,3 +787,39 @@ def test_unpivot_matches_union_all(ray_session):
     assert out["variable"].tolist() == ["x", "y", "x", "y"]
     assert out["value"].tolist()[0] == 1.5 and out["value"].tolist()[1] == 10.0
     assert pd.isna(out["value"][2]) and out["value"][3] == 20.0
+
+
+def test_grouped_trend_matches_lstsq(ray_session):
+    """OLS slope/intercept from integer power sums equals numpy polyfit on
+    exact data; constant-x keys get NULL slope."""
+    import numpy as np
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.ops import grouped_trend
+
+    x = np.arange(50, dtype=np.int64)
+    rows = {
+        "k": ["lin"] * 50 + ["flat"] * 50 + ["const_x"] * 3,
+        "x": np.concatenate([x, x, [7, 7, 7]]),
+        "y": np.concatenate([3 * x + 11, np.full(50, 42), [1, 2, 3]]),
+    }
+    t = pa.table(
+        {
+            "k": pa.array(rows["k"]),
+            "x": pa.array(rows["x"], type=pa.int64()),
+            "y": pa.array(rows["y"], type=pa.int64()),
+        }
+    )
+    out = (
+        grouped_trend(
+            ray.data.from_arrow(t).repartition(4), key="k", x_col="x", y_col="y"
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    assert out.loc["lin", "slope"] == 3.0
+    assert out.loc["lin", "intercept"] == 11.0
+    assert out.loc["flat", "slope"] == 0.0
+    assert out.loc["flat", "intercept"] == 42.0
+    assert np.isnan(out.loc["const_x", "slope"])  # den = 0 → NULL
+    assert out.n.to_dict() == {"lin": 50, "flat": 50, "const_x": 3}
