@@ -79,7 +79,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_cluster.add_argument("--lake", required=True)
     p_cluster.add_argument("--table", default="pages")
-    p_cluster.add_argument("--by", required=True)
+    p_cluster.add_argument(
+        "--by", required=True,
+        help="cluster column; comma-separate 2-4 columns for Z-ORDER",
+    )
     p_cluster.add_argument(
         "--target-rows-per-file", type=int, default=1_000_000
     )
@@ -253,7 +256,12 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 json.dumps(
                     cluster_table(
-                        args.lake, args.table, by=args.by,
+                        args.lake, args.table,
+                        by=(
+                            args.by.split(",")
+                            if "," in args.by
+                            else args.by
+                        ),
                         target_rows_per_file=args.target_rows_per_file,
                     ),
                     separators=(",", ":"),

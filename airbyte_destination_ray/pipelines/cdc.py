@@ -711,19 +711,56 @@ def compact_table(lake_root: str, table: str) -> dict:
     return {"compacted_partitions": n, "epoch": next_epoch}
 
 
+def _zorder_values(t: pa.Table, cols: list[str]) -> "np.ndarray":
+    """Morton (Z-order) key per row over ≤4 numeric/temporal columns:
+    each column maps to its 16-bit dense-rank quantile within the
+    partition (rank-space interleaving, the Delta OPTIMIZE ZORDER recipe —
+    rank, not raw value, so skewed distributions still split evenly), and
+    the bits interleave column-round-robin.  Nulls rank first."""
+    import numpy as np
+
+    if len(cols) > 4:
+        raise ValueError("z-order supports at most 4 columns")
+    qs = []
+    for c in cols:
+        arr = t.column(c)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if pa.types.is_temporal(arr.type):
+            arr = arr.cast(pa.int64())  # storage units (µs / days)
+        v = pc.fill_null(arr.cast(pa.float64()), -np.inf).to_numpy(
+            zero_copy_only=False
+        )
+        uniq, inv = np.unique(v, return_inverse=True)
+        nd = max(len(uniq) - 1, 1)
+        qs.append(((inv.astype(np.uint64) * 65535) // np.uint64(nd)))
+    ncols = len(qs)
+    z = np.zeros(len(t), dtype=np.uint64)
+    for b in range(16):
+        for ci, q in enumerate(qs):
+            bit = (q >> np.uint64(b)) & np.uint64(1)
+            z |= bit << np.uint64(b * ncols + ci)
+    return z
+
+
 def cluster_table(
     lake_root: str,
     table: str,
     *,
-    by: str,
+    by: str | list[str],
     target_rows_per_file: int = 1_000_000,
 ) -> dict:
-    """OPTIMIZE/cluster maintenance (Delta ``OPTIMIZE ZORDER BY`` analog,
-    single column): rewrite each partition's visible snapshot SORTED by
-    ``by`` and split into ~``target_rows_per_file``-row files, so the
-    manifest zone maps (per-file min/max) become selective for
-    ``read_table(range_filter=…)`` on that column — a narrow range then
-    touches one file per partition instead of the whole partition.
+    """OPTIMIZE/cluster maintenance (Delta ``OPTIMIZE ZORDER BY`` analog):
+    rewrite each partition's visible snapshot ORDERED by ``by`` and split
+    into ~``target_rows_per_file``-row files, so the manifest zone maps
+    (per-file min/max) become selective for
+    ``read_table(range_filter=…)`` — a narrow range then touches one file
+    per partition instead of the whole partition.
+
+    ``by`` = one column → plain sort; a LIST of 2–4 numeric/temporal
+    columns → true Z-ORDER (rank-space Morton interleave per partition),
+    which keeps the zone maps selective on EVERY listed column at once
+    (a lexicographic multi-column sort would only help the leading one).
 
     Hash partitioning by pk is untouched (LWW co-location must survive),
     so clustering is one LOCAL task per partition — no exchange.  Commits
@@ -785,6 +822,7 @@ def cluster_table(
     def cluster_one(batch: pa.Table) -> pa.Table:
         import math
 
+        import numpy as np
         import pyarrow.parquet as pq
 
         out_rows = []
@@ -798,7 +836,13 @@ def cluster_table(
             )
             if is_delta:
                 t = lww_compact(t, pk, ver, SEQ_COLUMN)
-            t = t.sort_by([(by, "ascending")])
+            if isinstance(by, str):
+                t = t.sort_by([(by, "ascending")])
+            elif len(by) == 1:
+                t = t.sort_by([(by[0], "ascending")])
+            else:
+                z = _zorder_values(t, list(by))
+                t = t.take(pa.array(np.argsort(z, kind="stable")))
             n = t.num_rows
             n_files = max(1, math.ceil(n / target_rows_per_file))
             step = math.ceil(n / n_files) if n else 0

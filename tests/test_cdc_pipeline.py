@@ -947,3 +947,81 @@ def test_repartition_crash_before_flip_leaves_old_layout(
     assert res["repartitioned"]
     assert ManifestStore(lake, "pages").table_meta()["num_partitions"] == 3
     assert lake_state(lake).equals(before)
+
+
+def test_cluster_table_zorder_two_columns(tmp_path, ray_session):
+    """Z-ORDER clustering on (warc_ts, seq-derived value): zone maps become
+    selective on BOTH columns at once — a lexicographic sort would only
+    prune the leading column — and the visible state is preserved."""
+    from airbyte_destination_ray.pipelines.cdc import (
+        _prune_files_by_stats,
+        cluster_table,
+    )
+
+    rows = []
+    for i in range(800):
+        # two independent dimensions: ts cycles one way, "score" another
+        rows.append(
+            dict(seq=i + 1, epoch=0, op="U", url=f"u{i:04d}",
+                 warc_ts=(i * 13) % 800, text=f"t{i}", lang="en",
+                 html=str((i * 31) % 800).encode())
+        )
+    blog = tmp_path / "blog"
+    write_custom_binlog(blog, rows)
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, str(blog), num_partitions=2)
+
+    def state(lk):
+        return pa.concat_tables(
+            list(
+                read_table(lk, "pages", columns=["url", "warc_ts", "_seq"],
+                           include_meta=True)
+                .iter_batches(batch_format="pyarrow")
+            )
+        ).sort_by("url")
+
+    before = state(lake)
+    res = cluster_table(
+        lake, "pages", by=["warc_ts", "_seq"], target_rows_per_file=25
+    )
+    assert res["clustered_partitions"] == 2
+    assert state(lake).equals(before)
+
+    store = ManifestStore(lake, "pages")
+    meta = store.table_meta()
+    triples = store.committed_files_versioned(
+        meta["generation"], mode=meta["mode"], with_stats=True
+    )
+    assert len(triples) >= 30
+    # a 10% range on EACH dimension prunes files (z-order: count-aligned
+    # file splits straddle z boundaries, so expect ~quarter-to-half kept,
+    # not the ideal 1/4)
+    kept_ts = _prune_files_by_stats(triples, ("warc_ts", 100, 180))
+    kept_seq = _prune_files_by_stats(triples, ("_seq", 100, 180))
+    assert 0 < len(kept_ts) <= len(triples) * 0.55
+    assert 0 < len(kept_seq) <= len(triples) * 0.55
+
+    # the property a single-column sort cannot give: re-cluster by
+    # warc_ts ONLY and the _seq dimension stops pruning
+    cluster_table(lake, "pages", by="warc_ts", target_rows_per_file=25)
+    triples2 = store.committed_files_versioned(
+        meta["generation"], mode=meta["mode"], with_stats=True
+    )
+    kept_seq_single = _prune_files_by_stats(triples2, ("_seq", 100, 180))
+    assert len(kept_seq_single) / len(triples2) > len(kept_seq) / len(triples)
+    # and the filtered reads stay exact
+    got = pa.concat_tables(
+        list(
+            read_table(lake, "pages", columns=["url", "warc_ts"],
+                       range_filter=("warc_ts", 100, 180))
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    ts_int = before.column("warc_ts").cast(pa.int64())
+    exp = before.filter(
+        pa.compute.and_(
+            pa.compute.greater_equal(ts_int, 100),
+            pa.compute.less_equal(ts_int, 180),
+        )
+    )
+    assert got.num_rows == exp.num_rows
