@@ -433,6 +433,15 @@ def _q_asof_click_before_purchase(sf_dir: str):
     return asof_conversion(_events(sf_dir))
 
 
+def _q_asof_click_within_1h(sf_dir: str):
+    """As-of join with a TOLERANCE window (pandas merge_asof tolerance):
+    clicks older than one hour are not credited — matches beyond the
+    window null out in a post-pass, the join itself is unchanged."""
+    from airbyte_destination_ray.pipelines.relational import asof_conversion
+
+    return asof_conversion(_events(sf_dir), tolerance_us=3_600_000_000)
+
+
 def _q_events_hourly_by_type(sf_dir: str):
     """Tumbling-window (hour) count per event type — streaming windowed
     aggregate with per-batch partials."""
@@ -3253,6 +3262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": _q_stratified_sample_docs,
         "consistent_snapshot_cdc": _q_consistent_snapshot_cdc,
         "events_trend_by_type": _q_events_trend_by_type,
+        "asof_click_within_1h": _q_asof_click_within_1h,
     }
 
 
@@ -3906,6 +3916,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.event_id, p.ts, p.user_id, p.value,
                    (SELECT c.event_id FROM c
                     WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1)
+                       AS click_event_id
+            FROM p
+        """,
+        "asof_click_within_1h": """
+            WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT * FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.ts, p.user_id, p.value,
+                   (SELECT c.event_id FROM c
+                    WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                      AND c.ts >= p.ts - INTERVAL 1 HOUR
                     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1)
                        AS click_event_id
             FROM p

@@ -551,10 +551,16 @@ def asof_join(
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
     direction: str = "backward",
+    tolerance_us: int | None = None,
 ):
     """As-of (point-in-time) left join: for each left row, attach the most
     recent right row with ``right_ts <= left_ts`` for the same ``on`` key
     (ties on ``right_ts`` broken by max ``right_seq`` — deterministic).
+
+    ``tolerance_us`` (pandas ``merge_asof(tolerance=…)``): a match farther
+    than this many µs from ``left_ts`` is treated as NO match (right
+    columns null) — one post-pass masks the winners, the join itself is
+    unchanged.
 
     ``direction="forward"`` flips the match to the EARLIEST right row with
     ``right_ts >= left_ts`` (ties broken by MIN ``right_seq``) — pandas
@@ -579,6 +585,9 @@ def asof_join(
             f"direction must be backward|forward, got {direction!r}"
         )
     sign = 1 if direction == "backward" else -1
+    added_ts = tolerance_us is not None and right_ts not in right_keep
+    if added_ts:
+        right_keep = [*right_keep, right_ts]
     right_out = [f"{c}{suffix}" for c in right_keep]
     # Schema guard (see _prep_join_side): derived inputs materialize once
     # instead of ds.schema() silently re-executing their pipeline; callers
@@ -708,13 +717,43 @@ def asof_join(
             out_cols[oc] = col.take(idx)
         return pa.table(out_cols)
 
-    return env.groupby("_part").map_groups(merge, batch_format="pyarrow")
+    out = env.groupby("_part").map_groups(merge, batch_format="pyarrow")
+    if tolerance_us is None:
+        return out
+    tcol = f"{right_ts}{suffix}"
+    masked_cols = list(right_out)
+
+    def apply_tolerance(batch: pa.Table) -> pa.Table:
+        lt = pc.cast(batch.column(left_ts), pa.int64())
+        rt = pc.cast(batch.column(tcol), pa.int64())
+        bad = pc.fill_null(
+            pc.greater(pc.abs(pc.subtract(lt, rt)), tolerance_us), False
+        )
+        cols = {}
+        for name in batch.column_names:
+            col = batch.column(name)
+            if name in masked_cols:
+                col = pc.if_else(bad, pa.scalar(None, type=col.type), col)
+            cols[name] = col
+        t = pa.table(cols)
+        return t.drop_columns([tcol]) if added_ts else t
+
+    return out.map_batches(
+        apply_tolerance, batch_format="pyarrow", batch_size=None
+    )
 
 
-def asof_conversion(events_ds, *, left_type="purchase", right_type="click"):
+def asof_conversion(
+    events_ds,
+    *,
+    left_type="purchase",
+    right_type="click",
+    tolerance_us: int | None = None,
+):
     """For each *purchase* event, the user's latest *click* at or before the
     purchase timestamp (classic attribution as-of join), built from one
-    events Dataset split into two sides."""
+    events Dataset split into two sides.  ``tolerance_us`` bounds the
+    attribution window (clicks older than that are not credited)."""
     def side_filter(value):
         def fn(batch: pa.Table) -> pa.Table:
             return batch.filter(pc.equal(batch.column("event_type"), value))
@@ -736,6 +775,7 @@ def asof_conversion(events_ds, *, left_type="purchase", right_type="click"):
         right_seq="event_id",
         right_keep=["event_id"],
         suffix="_click",
+        tolerance_us=tolerance_us,
     )
 
     def project(batch: pa.Table) -> pa.Table:

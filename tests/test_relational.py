@@ -2555,3 +2555,49 @@ def test_throttle_by_key_lag_semantics(ray_session):
     # LAG form: event 3 is judged against event 2 (gap 3min) → dropped
     # even though event 2 itself was dropped
     assert sorted(out.event_id) == [1, 4, 5, 6]
+
+
+def test_asof_join_tolerance(ray_session):
+    """merge_asof tolerance: matches farther than the window null out,
+    in-window matches and exact boundary survive."""
+    import datetime as dt
+
+    from airbyte_destination_ray.pipelines.relational import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 3], type=pa.int64()),
+            "lts": pa.array([ts(60), ts(60), ts(60)], pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 2, 3], type=pa.int64()),
+            "rts": pa.array([ts(50), ts(0), ts(30)], pa.timestamp("us")),
+            "rseq": pa.array([10, 20, 30], type=pa.int64()),
+            "tag": pa.array(["near", "far", "edge"]),
+        }
+    )
+    out = asof_join(
+        _ds(left, blocks=2),
+        _ds(right, blocks=2),
+        on="k",
+        left_ts="lts",
+        right_ts="rts",
+        right_seq="rseq",
+        right_keep=["tag"],
+        tolerance_us=30 * 60 * 1_000_000,  # 30 minutes
+    ).to_pandas().set_index("k").sort_index()
+    import pandas as pd
+
+    # k=1 gap 10min → kept; k=2 gap 60min → nulled; k=3 gap exactly 30min → kept
+    assert out.loc[1, "tag_right"] == "near"
+    assert pd.isna(out.loc[2, "tag_right"])
+    assert out.loc[3, "tag_right"] == "edge"
+    # rts was added internally for masking and must NOT leak
+    assert "rts_right" not in out.columns
