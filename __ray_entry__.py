@@ -1304,8 +1304,11 @@ def _q_large_volume_orders(sf_dir: str):
 
         okeys, osums, ckeys, cnames = ray.get(lookup_ref)
         ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)
-        pos = np.minimum(np.searchsorted(okeys, ok), len(okeys) - 1)
-        hit = okeys[pos] == ok
+        if len(okeys) == 0:  # no order passed the HAVING filter
+            hit = np.zeros(len(ok), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(okeys, ok), len(okeys) - 1)
+            hit = okeys[pos] == ok
         t = b.filter(pa.array(hit))
         if t.num_rows == 0:
             return pa.table(
@@ -1323,8 +1326,16 @@ def _q_large_volume_orders(sf_dir: str):
         ok2 = t.column("o_orderkey").to_numpy(zero_copy_only=False)
         qsum = osums[np.searchsorted(okeys, ok2)]
         cust_k = t.column("o_custkey").to_numpy(zero_copy_only=False)
-        cpos = np.searchsorted(ckeys, cust_k)
-        names = cnames.take(pa.array(cpos))
+        # clamped + verified lookup: a custkey missing from the dim gets a
+        # NULL name instead of a silently-wrong neighbor (TPC-H FKs always
+        # hit, but an unverified searchsorted is the documented crash class)
+        cpos = np.minimum(np.searchsorted(ckeys, cust_k), len(ckeys) - 1)
+        chit = ckeys[cpos] == cust_k
+        names = pc.if_else(
+            pa.array(chit),
+            cnames.take(pa.array(cpos)),
+            pa.scalar(None, type=pa.string()),
+        )
         return pa.table(
             {
                 "c_name": names,
@@ -1437,6 +1448,14 @@ def _q_events_trend_by_type(sf_dir: str):
     anchor_us = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
 
     def prep(b: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        # drop null ts/value BEFORE the numpy conversion: a nullable float
+        # reaches numpy as NaN and floor(NaN).astype(int64) is undefined-
+        # behavior garbage that would contaminate the power sums
+        b = b.filter(
+            pc.and_(b.column("ts").is_valid(), b.column("value").is_valid())
+        )
         ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         v = b.column("value").to_numpy(zero_copy_only=False)
         return pa.table(

@@ -1938,20 +1938,29 @@ def _commit_quarantine_epoch(
         pk=[pk],
         cursor=ver,
     )
+    # route with the quarantine table's OWN persisted count: after a
+    # repartition_table on the main table the two may differ, and routing
+    # with the caller's count would commit partitions the quarantine
+    # table's meta says don't exist
+    num_partitions = int(qmeta["num_partitions"])
 
     def keep_failed(batch: pa.Table) -> pa.Table:
-        import numpy as np
+        from .ops import tag_first_failed
 
         idx = first_failed_rule(batch, rules)
         is_del = pc.equal(batch.column("op"), "D").to_numpy(
             zero_copy_only=False
         )
         keep = (idx != -1) & ~is_del
-        names = [r[0] for r in rules]
-        lookup = pa.array(names + [None], type=pa.string())
-        tag = lookup.take(pa.array(np.where(idx >= 0, idx, len(names))))
-        return batch.append_column("_rule", tag).filter(pa.array(keep))
+        return batch.append_column(
+            "_rule", tag_first_failed(idx, rules)
+        ).filter(pa.array(keep))
 
+    # Accepted cost: the expectations path reads the epoch twice (main
+    # lane + this one) and evaluates the rules twice — the two lanes feed
+    # different exchanges/mergers, and a Dataset cannot split into two
+    # consumers without materializing the epoch; re-decoding the column-
+    # pruned segments is the cheaper side of that trade.
     ds = ray.data.read_parquet(segments, override_num_blocks=len(segments))
     partitioner = make_partitioner(
         pk,

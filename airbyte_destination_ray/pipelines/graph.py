@@ -580,17 +580,26 @@ def triangle_counts(
             }
         )
 
-    deg = {}
-    for t in edges.map_batches(
-        deg_partial, batch_format="pyarrow", batch_size=None
-    ).iter_batches(batch_format="pyarrow"):
-        for nd, nn in zip(
-            t.column("node").to_numpy(zero_copy_only=False),
-            t.column("n").to_numpy(zero_copy_only=False),
-        ):
-            deg[int(nd)] = deg.get(int(nd), 0) + int(nn)
-    nodes_arr = np.array(sorted(deg), dtype=np.int64)
-    deg_arr = np.array([deg[int(n)] for n in nodes_arr], dtype=np.int64)
+    parts = list(
+        edges.map_batches(
+            deg_partial, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow")
+    )
+    if parts:
+        # vectorized fold (a per-row Python dict loop here is the O(nodes)
+        # driver cost the partition-level reduces elsewhere exist to avoid)
+        folded = (
+            pa.concat_tables(parts)
+            .group_by("node")
+            .aggregate([("n", "sum")])
+            .rename_columns(["node", "n"])
+            .sort_by("node")
+        )
+        nodes_arr = folded.column("node").to_numpy(zero_copy_only=False)
+        deg_arr = folded.column("n").to_numpy(zero_copy_only=False)
+    else:
+        nodes_arr = np.array([], dtype=np.int64)
+        deg_arr = np.array([], dtype=np.int64)
     deg_ref = ray.put((nodes_arr, deg_arr))
 
     # --- orient + wedge expansion, keyed on the apex ---

@@ -2518,6 +2518,17 @@ def first_failed_rule(batch: pa.Table, rules: list[tuple]) -> np.ndarray:
     return rule_idx
 
 
+def tag_first_failed(rule_idx: np.ndarray, rules: list[tuple]) -> pa.Array:
+    """Rule indices → string tag array (null = valid), shared between
+    :func:`validate_rows` and the CDC quarantine lane so the two can't
+    drift.  Vectorized lookup: slot ``len(rules)`` is the null slot."""
+    names = [r[0] for r in rules]
+    lookup = pa.array(names + [None], type=pa.string())
+    return lookup.take(
+        pa.array(np.where(rule_idx >= 0, rule_idx, len(names)))
+    )
+
+
 def validate_rows(
     ds,
     rules: list[tuple],
@@ -2546,16 +2557,10 @@ def validate_rows(
     """
     if emit not in ("quarantine", "valid", "tagged"):
         raise ValueError(f"emit must be quarantine|valid|tagged, got {emit!r}")
-    names = [r[0] for r in rules]
 
     def fn(batch: pa.Table) -> pa.Table:
         rule_idx = first_failed_rule(batch, rules)
-        # vectorized tag lookup: slot len(names) is the null (valid) slot
-        lookup = pa.array(names + [None], type=pa.string())
-        tag = lookup.take(
-            pa.array(np.where(rule_idx >= 0, rule_idx, len(names)))
-        )
-        t = batch.append_column(rule_col, tag)
+        t = batch.append_column(rule_col, tag_first_failed(rule_idx, rules))
         if emit == "tagged":
             return t
         if emit == "valid":

@@ -968,7 +968,13 @@ def sessionize(
             ],
         )
         g = group.take(idx)
-        keys = g.column(key).to_numpy(zero_copy_only=False)
+        karr = g.column(key)
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        # null-safe key equality (dictionary codes — see throttle_by_key)
+        keys = pc.fill_null(
+            karr.dictionary_encode().indices.cast(pa.int64()), -1
+        ).to_numpy(zero_copy_only=False)
         ts = g.column("_ats").to_numpy(zero_copy_only=False)
         n = len(keys)
         new_sess = np.ones(n, dtype=np.int64)
@@ -3223,6 +3229,7 @@ def global_rank(
     import ray
 
     null_bin = np.iinfo(np.int64).min  # ranks last in either direction
+    nan_bin = np.iinfo(np.int64).max  # NaN > every value (DuckDB order)
 
     def bins_of(batch: pa.Table) -> np.ndarray:
         arr = batch.column(by)
@@ -3230,7 +3237,16 @@ def global_rank(
         v = pc.fill_null(pc.cast(arr, pa.float64()), 0.0).to_numpy(
             zero_copy_only=False
         )
-        b = np.floor(v / bin_width).astype(np.int64)
+        is_nan = np.isnan(v)
+        # clip before the float→int cast: NaN/overflow casts are undefined
+        # behavior and could collide with the sentinel bins
+        scaled = np.clip(
+            np.floor(np.where(is_nan, 0.0, v) / bin_width),
+            -(2.0**62),
+            2.0**62,
+        )
+        b = scaled.astype(np.int64)
+        b = np.where(is_nan, nan_bin, b)
         return np.where(valid, b, null_bin)
 
     def hist(batch: pa.Table) -> pa.Table:
@@ -3329,7 +3345,15 @@ def throttle_by_key(
             ],
         )
         g = group.take(idx)
-        keys = g.column(key).to_numpy(zero_copy_only=False)
+        # null-safe key equality via dictionary codes: a nullable int key
+        # converts to float64 NaN in numpy and NaN != NaN would split the
+        # SQL NULL partition into singletons (CLAUDE.md nullable-int trap)
+        karr = g.column(key)
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        keys = pc.fill_null(
+            karr.dictionary_encode().indices.cast(pa.int64()), -1
+        ).to_numpy(zero_copy_only=False)
         ts = g.column("_ats").to_numpy(zero_copy_only=False)
         n = len(keys)
         kept = np.ones(n, dtype=bool)

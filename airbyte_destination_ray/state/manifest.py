@@ -190,7 +190,11 @@ class ManifestStore:
         atomic write that makes the staged generation visible)."""
         meta = self.table_meta()
         meta.update(fields)
-        meta = {k: v for k, v in meta.items() if v is not None}
+        # None removal is scoped to the keys passed IN THIS CALL — a
+        # pre-existing legitimately-null field must survive maintenance ops
+        for k, v in fields.items():
+            if v is None:
+                meta.pop(k, None)
         tmp = self.root / "_meta.json.tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f, sort_keys=True)

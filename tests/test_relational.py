@@ -2601,3 +2601,31 @@ def test_asof_join_tolerance(ray_session):
     assert out.loc[3, "tag_right"] == "edge"
     # rts was added internally for masking and must NOT leak
     assert "rts_right" not in out.columns
+
+
+def test_throttle_by_key_null_keys_group_together(ray_session):
+    """SQL PARTITION BY groups NULL keys together: null-key events must
+    debounce against each other (the nullable-int64 → NaN numpy trap would
+    otherwise split them into singletons)."""
+    import datetime as dt
+
+    from airbyte_destination_ray.pipelines.relational import throttle_by_key
+
+    t0 = dt.datetime(2024, 1, 1)
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "user_id": pa.array([None, None, None, 5], type=pa.int64()),
+            "ts": pa.array(
+                [t0, t0 + dt.timedelta(minutes=2),
+                 t0 + dt.timedelta(minutes=10), t0],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    out = throttle_by_key(
+        _ds(t, blocks=2), key="user_id", ts_col="ts",
+        seq="event_id", min_gap_minutes=5.0,
+    ).to_pandas()
+    # event 2 is 2min after event 1 within the NULL partition → dropped
+    assert sorted(out.event_id) == [1, 3, 4]
