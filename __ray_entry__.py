@@ -1476,6 +1476,122 @@ def _q_events_trend_by_type(sf_dir: str):
     )
 
 
+def _q_returned_item_top_customers(sf_dir: str):
+    """TPC-H Q10-shaped composite (returned-item revenue by customer):
+    lineitem pre-aggregates returned revenue to ONE integer-cents row per
+    order (combiner) before the single big×big shuffle join against the
+    date-windowed orders; per-customer sum (partition-level reduce) →
+    global top-20 via local-top-k merge → 20-row dim enrich (customer ⋈
+    nation broadcast).  No payload shuffles, explicit join schemas (the
+    derived-input re-execution trap)."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from airbyte_destination_ray.pipelines.ops import grouped_sum, top_k_by
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1997, 1, 1)
+
+    def rev_cents(b: "pa.Table") -> "pa.Table":
+        b = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        cents = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    pc.multiply(
+                        b.column("l_extendedprice"),
+                        pc.subtract(1.0, b.column("l_discount")),
+                    ),
+                    100.0,
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"l_orderkey": b.column("l_orderkey"), "cents": cents}
+        )
+
+    li = grouped_sum(
+        read_parquet_sized(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount",
+            ],
+        ).map_batches(rev_cents, batch_format="pyarrow", batch_size=None),
+        key="l_orderkey",
+        value_col="cents",
+        out_col="revenue_cents",
+    )
+
+    def window(b: "pa.Table") -> "pa.Table":
+        keep = pc.and_(
+            pc.greater_equal(b.column("o_orderdate"), lo),
+            pc.less(b.column("o_orderdate"), hi),
+        )
+        return b.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    ords = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(window, batch_format="pyarrow", batch_size=None)
+
+    joined = shuffle_join(
+        li,
+        ords,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        select=["o_custkey", "revenue_cents"],
+        hot_keys=None,  # order keys are unique on both sides
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("revenue_cents", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
+    )
+    by_cust = grouped_sum(
+        joined, key="o_custkey", value_col="revenue_cents",
+        out_col="revenue_cents",
+    )
+    top = top_k_by(
+        by_cust, by="revenue_cents", k=20, tie_break="o_custkey"
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    ).sort_by("c_custkey")
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).sort_by("n_nationkey")
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    nk = nation.column("n_nationkey").to_numpy(zero_copy_only=False)
+
+    def enrich(b: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        keys = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        cpos = np.minimum(np.searchsorted(ck, keys), len(ck) - 1)
+        assert (ck[cpos] == keys).all()  # TPC-H FK: every custkey exists
+        nat = cust.column("c_nationkey").to_numpy(zero_copy_only=False)[cpos]
+        npos = np.minimum(np.searchsorted(nk, nat), len(nk) - 1)
+        return pa.table(
+            {
+                "c_custkey": b.column("o_custkey"),
+                "c_name": cust.column("c_name").take(pa.array(cpos)),
+                "n_name": nation.column("n_name").take(pa.array(npos)),
+                "c_acctbal": cust.column("c_acctbal").take(pa.array(cpos)),
+                "revenue_cents": b.column("revenue_cents"),
+            }
+        )
+
+    return top.map_batches(enrich, batch_format="pyarrow", batch_size=None)
+
+
 def _q_stratified_sample_docs(sf_dir: str):
     """Stratified fixed-N sample: exactly ≤10 docs per language, chosen in
     deterministic Knuth-hash order (a seeded random sample that is replay-
@@ -3282,6 +3398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "consistent_snapshot_cdc": _q_consistent_snapshot_cdc,
         "events_trend_by_type": _q_events_trend_by_type,
         "asof_click_within_1h": _q_asof_click_within_1h,
+        "returned_item_top_customers": _q_returned_item_top_customers,
     }
 
 
@@ -4786,6 +4903,24 @@ def oracle_sql() -> dict[str, str]:
            OR o.value IS DISTINCT FROM n.value
     """
     sql["wap_rebuild_cdc"] = _LWW_TOMBSTONE_SQL
+    sql["returned_item_top_customers"] = """
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount))
+                       * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY o_custkey)
+        SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+               r.revenue_cents
+        FROM rev r
+        JOIN customer c ON c.c_custkey = r.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        ORDER BY r.revenue_cents DESC, c.c_custkey
+        LIMIT 20
+    """
     sql["events_trend_by_type"] = """
         WITH q AS (
             SELECT event_type,
