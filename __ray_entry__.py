@@ -1592,6 +1592,24 @@ def _q_returned_item_top_customers(sf_dir: str):
     return top.map_batches(enrich, batch_format="pyarrow", batch_size=None)
 
 
+def _q_median_gap_by_user(sf_dir: str):
+    """Distribution over a WINDOW-DERIVED column: per-user inter-arrival
+    gaps as rows (LAG diff), then exact per-key median (quantile_cont) —
+    two keyed exchanges, payloads never move."""
+    from airbyte_destination_ray.pipelines.ops import grouped_quantiles
+    from airbyte_destination_ray.pipelines.relational import gap_rows
+
+    gaps = gap_rows(
+        _events(sf_dir, columns=["event_id", "user_id", "ts"]),
+        key="user_id",
+        ts_col="ts",
+        seq="event_id",
+    )
+    return grouped_quantiles(
+        gaps, key="user_id", value_col="gap_us", quantiles=(0.5,)
+    )
+
+
 def _q_stratified_sample_docs(sf_dir: str):
     """Stratified fixed-N sample: exactly ≤10 docs per language, chosen in
     deterministic Knuth-hash order (a seeded random sample that is replay-
@@ -3399,6 +3417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend_by_type": _q_events_trend_by_type,
         "asof_click_within_1h": _q_asof_click_within_1h,
         "returned_item_top_customers": _q_returned_item_top_customers,
+        "median_gap_by_user": _q_median_gap_by_user,
     }
 
 
@@ -4903,6 +4922,16 @@ def oracle_sql() -> dict[str, str]:
            OR o.value IS DISTINCT FROM n.value
     """
     sql["wap_rebuild_cdc"] = _LWW_TOMBSTONE_SQL
+    sql["median_gap_by_user"] = """
+        WITH g AS (
+            SELECT user_id,
+                   CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS BIGINT) AS gap_us
+            FROM events)
+        SELECT user_id, quantile_cont(gap_us, 0.5) AS p50
+        FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+    """
     sql["returned_item_top_customers"] = """
         WITH rev AS (
             SELECT o_custkey,

@@ -3368,3 +3368,71 @@ def throttle_by_key(
         .groupby("_part")
         .map_groups(keep, batch_format="pyarrow")
     )
+
+
+def gap_rows(
+    ds,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    seq: str = "event_id",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Per-key inter-arrival gaps as ROWS ``(key, gap_us)`` — the LAG diff
+    itself, for feeding distribution operators (exact per-key quantiles,
+    histograms) rather than the fixed aggregate set of
+    :func:`inter_event_gaps`.  One keyed exchange of ``(key, ts, seq)``;
+    null-safe key grouping via dictionary codes; a key's first event emits
+    no row (SQL ``WHERE gap IS NOT NULL`` parity)."""
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                seq: batch.column(seq),
+                key: batch.column(key),
+                "_ats": pc.cast(batch.column(ts_col), pa.int64()),
+            }
+        )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def gaps(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                (key, "ascending"),
+                ("_ats", "ascending"),
+                (seq, "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        karr = g.column(key)
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        codes = pc.fill_null(
+            karr.dictionary_encode().indices.cast(pa.int64()), -1
+        ).to_numpy(zero_copy_only=False)
+        ts = g.column("_ats").to_numpy(zero_copy_only=False)
+        n = len(codes)
+        if n < 2:
+            return pa.table(
+                {
+                    key: karr.slice(0, 0),
+                    "gap_us": pa.array([], type=pa.int64()),
+                }
+            )
+        same = codes[1:] == codes[:-1]
+        gap = (ts[1:] - ts[:-1])[same]
+        keep_idx = np.nonzero(same)[0] + 1
+        return pa.table(
+            {
+                key: karr.take(pa.array(keep_idx)),
+                "gap_us": pa.array(gap, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(gaps, batch_format="pyarrow")
+    )

@@ -2629,3 +2629,28 @@ def test_throttle_by_key_null_keys_group_together(ray_session):
     ).to_pandas()
     # event 2 is 2min after event 1 within the NULL partition → dropped
     assert sorted(out.event_id) == [1, 3, 4]
+
+
+def test_gap_rows_lag_diffs(ray_session):
+    import datetime as dt
+
+    from airbyte_destination_ray.pipelines.relational import gap_rows
+
+    t0 = dt.datetime(2024, 1, 1)
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "user_id": pa.array(["a", "a", "a", "b", None]),
+            "ts": pa.array(
+                [t0, t0 + dt.timedelta(seconds=10),
+                 t0 + dt.timedelta(seconds=40), t0, t0],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    out = gap_rows(
+        _ds(t, blocks=2), key="user_id", ts_col="ts", seq="event_id"
+    ).to_pandas()
+    # a: gaps 10s and 30s; b and the null key are singletons → no rows
+    assert sorted(out.gap_us) == [10_000_000, 30_000_000]
+    assert set(out.user_id) == {"a"}
