@@ -3260,6 +3260,307 @@ def _q_events_profile(sf_dir: str):
     )
 
 
+def _q_events_ntile(sf_dir: str):
+    """Exact global NTILE(4) over (value, event_id) + per-tile aggregate:
+    rides the distributed sort-rank (O(bins) histogram exchange, per-bin
+    local sort) and folds the 4-row tile summary from per-batch partials —
+    the dataset is never globally sorted on one node."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from airbyte_destination_ray.pipelines.relational import ntile
+
+    n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    tiled = ntile(
+        _events(sf_dir, columns=["event_id", "value"]),
+        by="value",
+        tie_break="event_id",
+        n_tiles=4,
+        total_rows=n,
+        descending=False,
+        bin_width=1.0,
+    )
+
+    def partial(b: "pa.Table") -> "pa.Table":
+        cents = pc.cast(
+            pc.floor(pc.multiply(b.column("value"), 100.0)), pa.int64()
+        )
+        t = pa.table(
+            {
+                "tile": b.column("tile"),
+                "_c": cents,
+                "_v": b.column("value"),
+            }
+        )
+        return (
+            t.group_by("tile")
+            .aggregate(
+                [("_c", "sum"), ("_v", "min"), ("_v", "max"), ("_c", "count")]
+            )
+            .rename_columns(["tile", "_s", "_mn", "_mx", "_n"])
+        )
+
+    parts = pa.concat_tables(
+        list(
+            tiled.map_batches(
+                partial, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    g = parts.group_by("tile").aggregate(
+        [("_n", "sum"), ("_s", "sum"), ("_mn", "min"), ("_mx", "max")]
+    )
+    return pa.table(
+        {
+            "tile": g.column("tile"),
+            "n_rows": g.column("_n_sum").cast(pa.int64()),
+            "value_cents": g.column("_s_sum").cast(pa.int64()),
+            "min_value": g.column("_mn_min"),
+            "max_value": g.column("_mx_max"),
+        }
+    )
+
+
+def _q_event_type_lift(sf_dir: str):
+    """Market-basket pair analysis: which event types co-occur in the same
+    user's history, with lift — distinct-pair exchange + per-partition
+    bitmask fold; the driver folds K² ints, never rows."""
+    from airbyte_destination_ray.pipelines.relational import item_cooccurrence
+
+    return item_cooccurrence(
+        _events(sf_dir, columns=["user_id", "event_type"]),
+        basket="user_id",
+        item="event_type",
+    )
+
+
+def _q_events_max_concurrency(sf_dir: str):
+    """Peak simultaneously-open 30-minute event windows per type — the
+    sweep-line max via the two-phase distributed prefix sum (per-(type,
+    day-bin) delta totals → driver offsets → per-bin local sweep)."""
+    from airbyte_destination_ray.pipelines.relational import (
+        max_concurrency_by_key,
+    )
+
+    return max_concurrency_by_key(
+        _events(sf_dir, columns=["event_type", "ts"]),
+        key="event_type",
+        start_col="ts",
+        duration_us=1_800_000_000,
+    )
+
+
+def _q_events_trimmed_mean(sf_dir: str):
+    """Outlier-robust per-type mean: exact per-key quantile_disc [p10, p90]
+    band (bounds are actual column elements) + integer-cents conditional
+    sums, one IEEE division per key."""
+    from airbyte_destination_ray.pipelines.ops import trimmed_mean_by_key
+
+    return trimmed_mean_by_key(
+        _events(sf_dir, columns=["event_type", "value"]),
+        key="event_type",
+        value_col="value",
+        lo=0.1,
+        hi=0.9,
+    )
+
+
+def _q_events_skyline(sf_dir: str):
+    """Pareto frontier maximizing (value, ts): per-batch local skyline
+    inside map_batches (rows never shuffle), exact refine over the merged
+    O(frontier) candidate set."""
+    from airbyte_destination_ray.pipelines.ops import skyline
+
+    return skyline(
+        _events(sf_dir, columns=["event_id", "ts", "value"]),
+        x="value",
+        y="ts",
+        columns=["event_id", "ts", "value"],
+    )
+
+
+def _q_events_degree_histogram(sf_dir: str):
+    """Degree distribution of the deterministic interaction graph (same
+    edge derivation as the triangle/pagerank queries): canonical distinct
+    edges → exact per-node degrees → aggregate-sized histogram."""
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.graph import degree_histogram
+
+    def edges(b: "pa.Table") -> "pa.Table":
+        import numpy as np
+        import pyarrow as pa
+
+        t = pa.table(
+            {"user_id": b.column("user_id"), "event_id": b.column("event_id")}
+        )
+        t = t.filter(t.column("user_id").combine_chunks().is_valid())
+        un = t.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        en = t.column("event_id").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        src = un % 150
+        dst = (un + en % 17) % 150
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+            }
+        )
+
+    return degree_histogram(
+        _events(sf_dir, columns=["user_id", "event_id"]).map_batches(
+            edges, batch_format="pyarrow", batch_size=None
+        )
+    )
+
+
+def _q_promo_revenue_ratio(sf_dir: str):
+    """TPC-H Q14-shaped promo-revenue share: date-windowed lineitem scan
+    with the part-type flag broadcast (searchsorted lookup, no join
+    exchange), exact integer-cents partials, ONE division at the end."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import datetime as dt
+
+    lo = dt.datetime(1996, 1, 1)
+    hi = dt.datetime(1997, 1, 1)
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    promo_keys = np.sort(
+        part.filter(pc.equal(part.column("p_type"), "PROMO"))
+        .column("p_partkey")
+        .to_numpy(zero_copy_only=False)
+    )
+
+    def partial(b: "pa.Table") -> "pa.Table":
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), lo),
+            pc.less(b.column("l_shipdate"), hi),
+        )
+        b = b.filter(keep)
+        cents = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    pc.multiply(
+                        b.column("l_extendedprice"),
+                        pc.subtract(1.0, b.column("l_discount")),
+                    ),
+                    100.0,
+                )
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(promo_keys, pk)
+        pos_c = np.clip(pos, 0, max(0, len(promo_keys) - 1))
+        is_promo = (
+            (promo_keys[pos_c] == pk) if len(promo_keys) else
+            np.zeros(len(pk), dtype=bool)
+        )
+        return pa.table(
+            {
+                "_p": pa.array(
+                    [int(cents[is_promo].sum())], type=pa.int64()
+                ),
+                "_t": pa.array([int(cents.sum())], type=pa.int64()),
+            }
+        )
+
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    parts = pa.concat_tables(
+        list(
+            read_parquet_sized(
+                f"{sf_dir}/lineitem.parquet",
+                columns=[
+                    "l_partkey",
+                    "l_extendedprice",
+                    "l_discount",
+                    "l_shipdate",
+                ],
+            )
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    promo = int(pc.sum(parts.column("_p")).as_py() or 0)
+    total = int(pc.sum(parts.column("_t")).as_py() or 0)
+    return pa.table(
+        {
+            "promo_cents": pa.array([promo], type=pa.int64()),
+            "total_cents": pa.array([total], type=pa.int64()),
+            "promo_pct": pa.array(
+                [(100.0 * float(promo)) / float(total)], type=pa.float64()
+            ),
+        }
+    )
+
+
+def _q_suppliers_per_brand(sf_dir: str):
+    """TPC-H Q16-shaped supplier diversity: COUNT(DISTINCT supplier) per
+    part brand — brand broadcast onto the lineitem scan (searchsorted, no
+    dimension exchange), then the exact pair-dedup distinct count."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from airbyte_destination_ray.pipelines.relational import distinct_count_by
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    order = np.argsort(part.column("p_partkey").to_numpy(zero_copy_only=False))
+    pk_sorted = part.column("p_partkey").to_numpy(zero_copy_only=False)[order]
+    brands_sorted = np.asarray(
+        part.column("p_brand").to_pylist(), dtype=object
+    )[order]
+
+    def tag(b: "pa.Table") -> "pa.Table":
+        import numpy as np
+        import pyarrow as pa
+
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pk_sorted, pk)
+        pos_c = np.clip(pos, 0, len(pk_sorted) - 1)
+        known = pk_sorted[pos_c] == pk
+        t = pa.table(
+            {
+                "p_brand": pa.array(
+                    brands_sorted[pos_c], type=pa.string()
+                ),
+                "l_suppkey": b.column("l_suppkey"),
+            }
+        )
+        return t.filter(pa.array(known))
+
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    tagged = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(tag, batch_format="pyarrow", batch_size=None)
+    counted = distinct_count_by(
+        tagged, key="p_brand", distinct_col="l_suppkey"
+    )
+
+    def rename(b: "pa.Table") -> "pa.Table":
+        return b.rename_columns(["p_brand", "n_suppliers"])
+
+    return counted.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -3418,6 +3719,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click_within_1h": _q_asof_click_within_1h,
         "returned_item_top_customers": _q_returned_item_top_customers,
         "median_gap_by_user": _q_median_gap_by_user,
+        "events_ntile_quartiles": _q_events_ntile,
+        "event_type_lift": _q_event_type_lift,
+        "events_max_concurrency": _q_events_max_concurrency,
+        "events_trimmed_mean": _q_events_trimmed_mean,
+        "events_skyline": _q_events_skyline,
+        "events_degree_histogram": _q_events_degree_histogram,
+        "promo_revenue_ratio": _q_promo_revenue_ratio,
+        "suppliers_per_brand": _q_suppliers_per_brand,
     }
 
 
@@ -5168,5 +5477,128 @@ def oracle_sql() -> dict[str, str]:
         WHERE cum <= CASE source WHEN 'src0' THEN 4000
                                  WHEN 'src1' THEN 2500
                                  WHEN 'src2' THEN 1500 ELSE 2000 END
+    """
+    sql["events_ntile_quartiles"] = """
+        WITH t AS (
+            SELECT value,
+                   NTILE(4) OVER (ORDER BY value, event_id) AS tile
+            FROM events)
+        SELECT tile,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM t GROUP BY tile
+    """
+    sql["event_type_lift"] = """
+        WITH p AS (
+            SELECT DISTINCT user_id, event_type FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        u AS (SELECT count(DISTINCT user_id) AS nu FROM p),
+        c AS (SELECT event_type, count(*) AS n FROM p GROUP BY 1),
+        co AS (
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   count(*) AS nco
+            FROM p a
+            JOIN p b ON a.user_id = b.user_id
+                    AND a.event_type < b.event_type
+            GROUP BY 1, 2)
+        SELECT co.item_a, co.item_b,
+               CAST(ca.n AS BIGINT) AS n_a,
+               CAST(cb.n AS BIGINT) AS n_b,
+               CAST(co.nco AS BIGINT) AS n_co,
+               CAST(u.nu * co.nco AS DOUBLE) / (ca.n * cb.n) AS lift
+        FROM co, u
+        JOIN c ca ON ca.event_type = co.item_a
+        JOIN c cb ON cb.event_type = co.item_b
+    """
+    sql["events_max_concurrency"] = """
+        WITH d AS (
+            SELECT event_type, ts AS t, 1 AS d FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            UNION ALL
+            SELECT event_type, ts + INTERVAL 1800 SECOND, -1 FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        r AS (
+            SELECT event_type,
+                   SUM(d) OVER (PARTITION BY event_type ORDER BY t, d)
+                       AS run
+            FROM d)
+        SELECT event_type, CAST(max(run) AS BIGINT) AS max_concurrent
+        FROM r GROUP BY event_type
+    """
+    sql["events_trimmed_mean"] = """
+        WITH b AS (
+            SELECT event_type,
+                   quantile_disc(value, 0.1) AS lo,
+                   quantile_disc(value, 0.9) AS hi
+            FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        SELECT e.event_type,
+               CAST(count(*) FILTER (WHERE value BETWEEN lo AND hi)
+                   AS BIGINT) AS n_kept,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                   FILTER (WHERE value BETWEEN lo AND hi) AS BIGINT)
+                   AS kept_cents,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                   FILTER (WHERE value BETWEEN lo AND hi) AS DOUBLE)
+                   / count(*) FILTER (WHERE value BETWEEN lo AND hi)
+                   AS trimmed_mean_cents
+        FROM events e JOIN b USING (event_type)
+        WHERE value IS NOT NULL
+        GROUP BY e.event_type
+    """
+    sql["events_skyline"] = """
+        WITH pts AS (
+            SELECT event_id, ts, value FROM events
+            WHERE value IS NOT NULL AND ts IS NOT NULL),
+        g AS (SELECT value, max(ts) AS gmax FROM pts GROUP BY value),
+        r AS (
+            SELECT value, gmax,
+                   max(gmax) OVER (ORDER BY value DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prevmax
+            FROM g)
+        SELECT p.event_id, p.ts, p.value
+        FROM pts p JOIN r USING (value)
+        WHERE p.ts = r.gmax AND (r.prevmax IS NULL OR r.gmax > r.prevmax)
+    """
+    sql["events_degree_histogram"] = """
+        WITH raw AS (
+            SELECT user_id % 150 AS s, (user_id + event_id % 17) % 150 AS d
+            FROM events WHERE user_id IS NOT NULL),
+        e0 AS (
+            SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+            FROM raw WHERE s <> d),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT a AS node FROM e0
+                  UNION ALL SELECT b FROM e0)
+            GROUP BY node)
+        SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY degree
+    """
+    sql["promo_revenue_ratio"] = """
+        WITH w AS (
+            SELECT l_partkey,
+                   CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT) AS cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'),
+        j AS (
+            SELECT cents, p_type FROM w JOIN part ON p_partkey = l_partkey)
+        SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+                   AS BIGINT) AS promo_cents,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               100.0 * sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+                   / sum(cents) AS promo_pct
+        FROM j
+    """
+    sql["suppliers_per_brand"] = """
+        SELECT p_brand,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY p_brand
     """
     return sql

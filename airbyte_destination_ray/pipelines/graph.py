@@ -499,6 +499,112 @@ def pagerank_fixed_point(
     return ranks.map_batches(project, batch_format="pyarrow", batch_size=None)
 
 
+def canonical_edges(
+    edges_ds,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Canonical distinct undirected edge set ``(a=min, b=max)`` — drops
+    nulls and self-loops, per-batch dedup first, then ONE composite-hash
+    exchange so each edge lands exactly once.  Shared front end of every
+    simple-graph operator (triangles, degree distribution)."""
+    import numpy as np
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src)
+        d = batch.column(dst)
+        valid = pc.and_(s.is_valid(), d.is_valid())
+        t = pa.table({"s": s, "d": d}).filter(valid)
+        sn = t.column("s").combine_chunks().to_numpy(zero_copy_only=False)
+        dn = t.column("d").combine_chunks().to_numpy(zero_copy_only=False)
+        keep = sn != dn
+        sn, dn = sn[keep], dn[keep]
+        a = np.minimum(sn, dn).astype(np.int64)
+        b = np.maximum(sn, dn).astype(np.int64)
+        t = pa.table({"a": a, "b": b}).group_by(["a", "b"]).aggregate([])
+        an = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bn = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = an ^ (bn * np.uint64(0x9E3779B97F4A7C15))
+        parts = (mixed % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def dedup_part(group: pa.Table) -> pa.Table:
+        return group.group_by(["a", "b"]).aggregate(
+            [("_part", "min")]
+        ).rename_columns(["a", "b", "_part"])
+
+    return (
+        edges_ds.map_batches(canon, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(dedup_part, batch_format="pyarrow")
+    )
+
+
+def degree_histogram(
+    edges_ds,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Degree distribution of the simple undirected graph: how many nodes
+    have degree d, for every observed d.
+
+    Pipeline: canonical distinct edges (one composite-hash exchange) →
+    per-batch endpoint-count partials → exact per-node degree via the
+    partition-level ``grouped_sum`` reduce (O(nodes) rows on the exchange,
+    never edges) → a second aggregate-sized ``grouped_sum`` folding degrees
+    into the histogram.  Output: ``(degree, n_nodes)``."""
+    import numpy as np
+
+    from .ops import grouped_sum
+
+    edges = canonical_edges(
+        edges_ds, src=src, dst=dst, num_partitions=num_partitions
+    )
+
+    def endpoint_counts(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        nodes, counts = np.unique(np.concatenate([a, b]), return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "_n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    degrees = grouped_sum(
+        edges.map_batches(
+            endpoint_counts, batch_format="pyarrow", batch_size=None
+        ),
+        key="node",
+        value_col="_n",
+        out_col="degree",
+        num_partitions=num_partitions,
+    )
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "degree": batch.column("degree"),
+                "_one": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    return grouped_sum(
+        degrees.map_batches(ones, batch_format="pyarrow", batch_size=None),
+        key="degree",
+        value_col="_one",
+        out_col="n_nodes",
+        num_partitions=num_partitions,
+    )
+
+
 def triangle_counts(
     edges_ds,
     *,
@@ -538,35 +644,9 @@ def triangle_counts(
     from ..functions.hashing import stable_hash_array
     from .ops import grouped_sum
 
-    def canon(batch: pa.Table) -> pa.Table:
-        s = batch.column(src)
-        d = batch.column(dst)
-        valid = pc.and_(s.is_valid(), d.is_valid())
-        t = pa.table({"s": s, "d": d}).filter(valid)
-        sn = t.column("s").combine_chunks().to_numpy(zero_copy_only=False)
-        dn = t.column("d").combine_chunks().to_numpy(zero_copy_only=False)
-        keep = sn != dn
-        sn, dn = sn[keep], dn[keep]
-        a = np.minimum(sn, dn).astype(np.int64)
-        b = np.maximum(sn, dn).astype(np.int64)
-        t = pa.table({"a": a, "b": b}).group_by(["a", "b"]).aggregate([])
-        an = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        bn = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        mixed = an ^ (bn * np.uint64(0x9E3779B97F4A7C15))
-        parts = (mixed % np.uint64(num_partitions)).astype(np.int64)
-        return t.append_column("_part", pa.array(parts, type=pa.int64()))
-
-    def dedup_part(group: pa.Table) -> pa.Table:
-        return group.group_by(["a", "b"]).aggregate(
-            [("_part", "min")]
-        ).rename_columns(["a", "b", "_part"])
-
-    edges = (
-        edges_ds.map_batches(canon, batch_format="pyarrow", batch_size=None)
-        .groupby("_part")
-        .map_groups(dedup_part, batch_format="pyarrow")
-        .materialize()  # reused 3×: degrees, wedges, closing-edge side
-    )
+    edges = canonical_edges(
+        edges_ds, src=src, dst=dst, num_partitions=num_partitions
+    ).materialize()  # reused 3×: degrees, wedges, closing-edge side
 
     # --- degrees (aggregate-sized driver reduce, broadcast) ---
     def deg_partial(batch: pa.Table) -> pa.Table:

@@ -1621,7 +1621,7 @@ def exact_quantile_disc(
     counted in).  The terminal pass aggregates DISTINCT (value, count)
     partials, so a column where the answer value repeats billions of
     times terminates without collecting rows (the distinct set at
-    terminal width spans ≤ 1 ulp).  Rank = ``floor(q·(n−1))`` (DuckDB
+    terminal width spans ≤ 1 ulp).  Rank = ``ceil(q·n)−1`` (DuckDB
     ``quantile_disc`` semantics, pinned by test); nulls ignored.
     Comparison happens in float64 (int64 beyond 2⁵³ should use the
     integer-cents transform first).  The q-digest path
@@ -1678,7 +1678,10 @@ def exact_quantile_disc(
         return None
     lo = float(pc.min(st.column("lo")).as_py())
     hi = float(pc.max(st.column("hi")).as_py())
-    k = int(np.floor(q * (n - 1)))
+    # DuckDB quantile_disc picks the 0-based rank ceil(q·n)−1 (probed over
+    # n∈{4..10⁴}, q∈{.05..0.9}; floor(q·(n−1)) coincides only when q·n is
+    # integral — it diverged at e.g. n=1282, q=0.9)
+    k = min(n - 1, max(0, int(np.ceil(q * n)) - 1))
     cnt = n
 
     def terminal() -> float:
@@ -2759,3 +2762,268 @@ def grouped_trend(
         .groupby("_part")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def grouped_quantiles_disc(
+    ds,
+    *,
+    key: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.1, 0.9),
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Exact per-group DISCRETE quantiles (SQL ``quantile_disc``: the
+    element at rank ``ceil(q*n)-1``) — one ``(key, value)`` hash
+    exchange, vectorized per-group sort + gather.  Unlike the
+    interpolating ``grouped_quantiles``, every output is an ACTUAL column
+    element, so downstream comparisons against it are bit-exact."""
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {key: batch.column(key), value_col: batch.column(value_col)}
+        )
+        t = t.filter(t.column(value_col).combine_chunks().is_valid())
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    qcols = [f"p{int(q * 100)}" for q in quantiles]
+
+    def compute(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        idx = pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), (value_col, "ascending")]
+        )
+        t = g.take(idx)
+        keys = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        n = len(keys)
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = keys[1:] != keys[:-1]
+        starts = np.nonzero(start)[0]
+        ends = np.append(starts[1:], n)
+        out = {key: pa.array(keys[starts], type=t.schema.field(key).type)}
+        for q, name in zip(quantiles, qcols):
+            seg_n = ends - starts
+            rank = np.minimum(
+                seg_n - 1,
+                np.maximum(0, np.ceil(q * seg_n).astype(np.int64) - 1),
+            )
+            out[name] = pa.array(vals[starts + rank])
+        return pa.table(out)
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(compute, batch_format="pyarrow")
+    )
+
+
+def trimmed_mean_by_key(
+    ds,
+    *,
+    key: str,
+    value_col: str,
+    lo: float = 0.1,
+    hi: float = 0.9,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Robust per-key mean of the values inside the key's own exact
+    [lo, hi] discrete-quantile band — the outlier-insensitive grouped
+    average a quality dashboard wants.
+
+    Two pruned passes: (1) per-key ``quantile_disc`` bounds over a
+    ``(key, value)``-only exchange; the bounds table is O(keys) and is
+    broadcast via ``ray.put`` (group-cardinality keys; for user-cardinality
+    keys route pass 2 through the same hash exchange instead); (2) one
+    streaming pass folding integer-cents partial sums per (key, batch), a
+    tiny keyed final, then ONE IEEE division per key — hash-exact against
+    the SQL ``quantile_disc`` + ``FILTER`` oracle because the bounds are
+    actual column elements and the sums are exact ints."""
+    import ray
+
+    bounds = grouped_quantiles_disc(
+        ds,
+        key=key,
+        value_col=value_col,
+        quantiles=(lo, hi),
+        num_partitions=num_partitions,
+    ).take_all()
+    lo_col, hi_col = f"p{int(lo * 100)}", f"p{int(hi * 100)}"
+    keys_sorted = sorted(r[key] for r in bounds)
+    lo_map = {r[key]: r[lo_col] for r in bounds}
+    hi_map = {r[key]: r[hi_col] for r in bounds}
+    bounds_ref = ray.put(
+        (
+            np.array(keys_sorted),
+            np.array([lo_map[k] for k in keys_sorted], dtype=np.float64),
+            np.array([hi_map[k] for k in keys_sorted], dtype=np.float64),
+        )
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        karr, lo_arr, hi_arr = ray.get(bounds_ref)
+        t = pa.table(
+            {key: batch.column(key), value_col: batch.column(value_col)}
+        )
+        t = t.filter(t.column(value_col).combine_chunks().is_valid())
+        if t.num_rows == 0 or len(karr) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], type=batch.schema.field(key).type),
+                    "_s": pa.array([], type=pa.int64()),
+                    "_n": pa.array([], type=pa.int64()),
+                    "_part": pa.array([], type=pa.int64()),
+                }
+            )
+        keys_np = (
+            t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(karr, keys_np)
+        pos_c = np.clip(pos, 0, len(karr) - 1)
+        known = karr[pos_c] == keys_np
+        inband = known & (vals >= lo_arr[pos_c]) & (vals <= hi_arr[pos_c])
+        t2 = t.filter(pa.array(inband))
+        cents = pc.cast(
+            pc.floor(pc.multiply(t2.column(value_col), 100.0)), pa.int64()
+        )
+        g = (
+            pa.table({key: t2.column(key), "_c": cents, "_one": pa.array(
+                np.ones(t2.num_rows, dtype=np.int64))})
+            .group_by(key)
+            .aggregate([("_c", "sum"), ("_one", "sum")])
+        )
+        parts = partition_ids(g.column(key), num_partitions)
+        return pa.table(
+            {
+                key: g.column(key),
+                "_s": g.column("_c_sum").cast(pa.int64()),
+                "_n": g.column("_one_sum").cast(pa.int64()),
+                "_part": pa.array(parts, type=pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        g = (
+            group.drop_columns(["_part"])
+            .group_by(key)
+            .aggregate([("_s", "sum"), ("_n", "sum")])
+        )
+        s = g.column("_s_sum").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        n = g.column("_n_sum").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                key: g.column(key),
+                "n_kept": g.column("_n_sum").cast(pa.int64()),
+                "kept_cents": g.column("_s_sum").cast(pa.int64()),
+                "trimmed_mean_cents": pa.array(s / n, type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def _skyline_mask(v: "np.ndarray", t: "np.ndarray") -> "np.ndarray":
+    """Non-dominated mask for maximize-(v, t) Pareto dominance: point i is
+    dominated iff some j has v_j ≥ v_i AND t_j ≥ t_i with at least one
+    strict.  Duplicated identical points never dominate each other (SQL
+    NOT-EXISTS-strict semantics).  Vectorized: sort v desc / t desc, the
+    per-v-group max t must strictly exceed the running max t over all
+    strictly-greater v groups."""
+    n = len(v)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-t, -v))
+    vs, ts_ = v[order], t[order]
+    newv = np.ones(n, dtype=bool)
+    newv[1:] = vs[1:] != vs[:-1]
+    gstart = np.nonzero(newv)[0]
+    gmax = ts_[gstart]  # t desc inside each v group → first is the max
+    prev = np.concatenate(
+        ([np.iinfo(np.int64).min], np.maximum.accumulate(gmax)[:-1])
+    )
+    group_survives = gmax > prev
+    gidx = np.cumsum(newv) - 1
+    keep_sorted = group_survives[gidx] & (ts_ == gmax[gidx])
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = keep_sorted
+    return mask
+
+
+def skyline(
+    ds,
+    *,
+    x: str,
+    y: str,
+    columns: list[str] | None = None,
+    max_candidates: int = 5_000_000,
+):
+    """Pareto frontier (skyline) maximizing ``(x, y)``: the rows no other
+    row dominates in both dimensions.
+
+    Distributed decomposition: the global skyline is a subset of the union
+    of per-block skylines, so a vectorized per-batch local skyline runs
+    inside ``map_batches`` (rows never shuffle), the surviving candidates —
+    O(frontier) per block, typically logarithmic in block size on
+    non-adversarial data — are collected, and one exact refine over the
+    merged candidate set finishes.  ``max_candidates`` guards the collect:
+    adversarially-correlated data (everything on the frontier) raises
+    instead of silently materializing the dataset on the driver.
+
+    Rows with a null ``x`` or ``y`` are excluded (SQL comparison
+    semantics).  ``y`` must be an integer-valued or temporal column (int64
+    compare domain); ``x`` may be float."""
+    import ray
+
+    cols = columns or [x, y]
+
+    def local(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        valid = pc.and_(
+            t.column(x).combine_chunks().is_valid(),
+            t.column(y).combine_chunks().is_valid(),
+        )
+        t = t.filter(valid)
+        if t.num_rows == 0:
+            return t
+        v = t.column(x).to_numpy(zero_copy_only=False).astype(np.float64)
+        ty = t.column(y).combine_chunks()
+        tnum = ty.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_skyline_mask(v, tnum)))
+
+    cand_refs = ds.map_batches(
+        local, batch_format="pyarrow", batch_size=None
+    ).to_arrow_refs()
+    tables = [t for t in ray.get(cand_refs) if t.num_rows > 0]
+    if not tables:
+        empty = ds.schema()
+        names = list(empty.names)
+        types = dict(zip(empty.names, empty.types))
+        return pa.table(
+            {c: pa.array([], type=types[c]) for c in cols if c in names}
+        )
+    merged = pa.concat_tables(tables).combine_chunks()
+    if merged.num_rows > max_candidates:
+        raise RuntimeError(
+            f"skyline candidate set {merged.num_rows} exceeds "
+            f"max_candidates={max_candidates}: the frontier itself is "
+            "dataset-sized (correlated dimensions) — bucket by one "
+            "dimension and refine per range instead"
+        )
+    v = merged.column(x).to_numpy(zero_copy_only=False).astype(np.float64)
+    tnum = (
+        merged.column(y)
+        .combine_chunks()
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    return merged.filter(pa.array(_skyline_mask(v, tnum)))

@@ -3436,3 +3436,393 @@ def gap_rows(
         .groupby("_part")
         .map_groups(gaps, batch_format="pyarrow")
     )
+
+
+def ntile(
+    ds,
+    *,
+    by: str,
+    tie_break: str,
+    n_tiles: int,
+    total_rows: int | None = None,
+    descending: bool = False,
+    bin_width: float = 1.0,
+    out_col: str = "tile",
+):
+    """Exact global ``NTILE(n) OVER (ORDER BY by [DESC], tie_break)`` —
+    equal-count tiles with SQL's remainder rule (the first ``n mod k``
+    tiles get one extra row).
+
+    Rides the distributed sort-rank (``global_rank``: O(bins) histogram
+    exchange + per-bin local sort) and converts ranks to tiles with the
+    closed-form boundary formula, so no second exchange is needed.
+    ``total_rows`` lets a source-backed caller pass the Parquet metadata
+    count; ``None`` falls back to ``ds.count()`` (fine on a source read,
+    an extra pass on a derived Dataset — same caveat as ``ds.schema()``)."""
+    if total_rows is None:
+        total_rows = ds.count()
+    n = int(total_rows)
+    q, r = divmod(n, n_tiles)
+    boundary = r * (q + 1)
+
+    ranked = global_rank(
+        ds,
+        by=by,
+        tie_break=tie_break,
+        descending=descending,
+        bin_width=bin_width,
+        rank_col="_rank",
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        rank0 = (
+            batch.column("_rank").to_numpy(zero_copy_only=False) - 1
+        )
+        if q == 0:
+            tile = rank0 + 1
+        else:
+            tile = np.where(
+                rank0 < boundary,
+                rank0 // (q + 1),
+                r + (rank0 - boundary) // q,
+            ) + 1
+        return batch.drop_columns(["_rank"]).append_column(
+            out_col, pa.array(tile.astype(np.int64))
+        )
+
+    return ranked.map_batches(tag, batch_format="pyarrow", batch_size=None)
+
+
+def item_cooccurrence(
+    ds,
+    *,
+    basket: str,
+    item: str,
+    items: list | None = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    max_items: int = 63,
+):
+    """Market-basket pair co-occurrence with lift: for every unordered item
+    pair, the number of baskets containing both, each alone, and
+    ``lift = n_baskets·n_co / (n_a·n_b)``.
+
+    Scale shape: the exchange carries DISTINCT ``(basket, item)`` pairs
+    only (per-batch dedup first), hash-partitioned by basket so each
+    basket's items co-locate; every partition folds its baskets into
+    ≤``max_items``-bit masks (``bitwise_or.reduceat`` over sorted
+    segments) and emits one O(K²) count matrix — the driver folds
+    partition matrices, never rows.  Item vocabulary is collected in a
+    pruned first pass unless passed explicitly (≤``max_items`` items by
+    design: event types, sources, langs — NOT user-cardinality columns).
+
+    The single IEEE division per pair makes the lift hash-exact against
+    the SQL self-join oracle."""
+    if items is None:
+        from .ops import distinct_values
+
+        rows = distinct_values(ds, columns=[item]).take_all()
+        items = sorted(r[item] for r in rows if r[item] is not None)
+    if len(items) > max_items:
+        raise ValueError(
+            f"item_cooccurrence needs a small item vocabulary "
+            f"(got {len(items)} > {max_items})"
+        )
+    vocab = list(items)
+    k_items = len(vocab)
+    vocab_arr = pa.array(vocab)
+    vocab_ref = ray.put(vocab_arr)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {basket: batch.column(basket), item: batch.column(item)}
+        )
+        t = t.filter(
+            pc.and_(
+                t.column(basket).combine_chunks().is_valid(),
+                t.column(item).combine_chunks().is_valid(),
+            )
+        )
+        t = t.group_by([basket, item]).aggregate([])
+        parts = partition_ids(t.column(basket), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def fold(group: pa.Table) -> pa.Table:
+        vb = ray.get(vocab_ref)
+        g = group.drop_columns(["_part"])
+        g = g.group_by([basket, item]).aggregate([])  # cross-batch dedup
+        idx = pc.sort_indices(g, sort_keys=[(basket, "ascending")])
+        g = g.take(idx)
+        # index_in yields NULL (not -1) on a miss; the int32+nulls → float64
+        # numpy trap means fill_null BEFORE to_numpy
+        codes = (
+            pc.fill_null(
+                pc.index_in(g.column(item).combine_chunks(), value_set=vb),
+                -1,
+            )
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = codes >= 0  # items outside an explicit vocabulary drop out
+        codes = codes[keep].astype(np.int64)
+        bkeys = (
+            g.column(basket)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)[keep]
+        )
+        n = len(bkeys)
+        out_i, out_j, out_c = [], [], []
+        n_baskets = 0
+        if n:
+            start = np.ones(n, dtype=bool)
+            start[1:] = bkeys[1:] != bkeys[:-1]
+            starts = np.nonzero(start)[0]
+            masks = np.bitwise_or.reduceat(
+                (np.int64(1) << codes), starts
+            )
+            n_baskets = len(starts)
+            for i in range(k_items):
+                has_i = (masks >> np.int64(i)) & np.int64(1)
+                ci = int(has_i.sum())
+                if ci:
+                    out_i.append(i)
+                    out_j.append(i)
+                    out_c.append(ci)
+                for j in range(i + 1, k_items):
+                    co = int(
+                        (has_i & ((masks >> np.int64(j)) & np.int64(1))).sum()
+                    )
+                    if co:
+                        out_i.append(i)
+                        out_j.append(j)
+                        out_c.append(co)
+        out_i.append(-1)
+        out_j.append(-1)
+        out_c.append(n_baskets)
+        return pa.table(
+            {
+                "_i": pa.array(out_i, type=pa.int64()),
+                "_j": pa.array(out_j, type=pa.int64()),
+                "_c": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
+        .take_all()
+    )
+    total = {}
+    for row in partials:
+        key = (row["_i"], row["_j"])
+        total[key] = total.get(key, 0) + row["_c"]
+    n_baskets = total.get((-1, -1), 0)
+    singles = {i: total.get((i, i), 0) for i in range(k_items)}
+    out = {
+        "item_a": [],
+        "item_b": [],
+        "n_a": [],
+        "n_b": [],
+        "n_co": [],
+        "lift": [],
+    }
+    for i in range(k_items):
+        for j in range(i + 1, k_items):
+            co = total.get((i, j), 0)
+            if not co:
+                continue
+            na, nb = singles[i], singles[j]
+            out["item_a"].append(vocab[i])
+            out["item_b"].append(vocab[j])
+            out["n_a"].append(na)
+            out["n_b"].append(nb)
+            out["n_co"].append(co)
+            out["lift"].append(float(n_baskets * co) / float(na * nb))
+    return pa.table(
+        {
+            "item_a": pa.array(out["item_a"], type=vocab_arr.type),
+            "item_b": pa.array(out["item_b"], type=vocab_arr.type),
+            "n_a": pa.array(out["n_a"], type=pa.int64()),
+            "n_b": pa.array(out["n_b"], type=pa.int64()),
+            "n_co": pa.array(out["n_co"], type=pa.int64()),
+            "lift": pa.array(out["lift"], type=pa.float64()),
+        }
+    )
+
+
+def max_concurrency_by_key(
+    ds,
+    *,
+    key: str,
+    start_col: str,
+    duration_us: int,
+    bin_us: int = 86_400_000_000,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    out_col: str = "max_concurrent",
+):
+    """Peak number of simultaneously-open fixed-length intervals per key —
+    the sweep-line max over ``SUM(±1) OVER (ORDER BY t)`` without ever
+    sorting a key's whole timeline on one worker.
+
+    Two-phase distributed prefix sum (the watermark-op pattern): every
+    interval contributes ``(+1 @ start, −1 @ start+duration)`` delta rows,
+    binned by coarse time range.  Pass 1 exchanges only per-(key, bin)
+    delta TOTALS (O(keys·bins) ints); the driver prefix-sums them into
+    per-bin starting offsets, broadcast via ``ray.put``.  Pass 2 routes
+    delta rows by (key, bin), locally sorts each bin segment by
+    ``(t, delta)`` (ends before starts at the same instant — half-open
+    intervals), cumsums + offset, and emits per-bin maxima; a tiny final
+    max per key finishes.  Ties inside a bin match SQL RANGE-frame window
+    semantics because equal-(t,d) runs are single-signed, so their running
+    max equals the peer-group total.
+
+    NOTE: consumes ``ds`` twice — pass a source-backed Dataset (or
+    materialize a derived one first)."""
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {key: batch.column(key), start_col: batch.column(start_col)}
+        )
+        t = t.filter(
+            pc.and_(
+                t.column(key).combine_chunks().is_valid(),
+                t.column(start_col).combine_chunks().is_valid(),
+            )
+        )
+        starts = (
+            t.column(start_col)
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keys2 = pa.concat_arrays(
+            [t.column(key).combine_chunks()] * 2
+        )
+        tt = np.concatenate([starts, starts + np.int64(duration_us)])
+        dd = np.concatenate(
+            [
+                np.ones(len(starts), dtype=np.int64),
+                -np.ones(len(starts), dtype=np.int64),
+            ]
+        )
+        return pa.table(
+            {
+                key: keys2,
+                "_t": pa.array(tt),
+                "_d": pa.array(dd),
+                "_bin": pa.array(tt // np.int64(bin_us)),
+            }
+        )
+
+    def bin_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            deltas(batch)
+            .group_by([key, "_bin"])
+            .aggregate([("_d", "sum")])
+            .rename_columns([key, "_bin", "_dsum"])
+        )
+        return g
+
+    bin_rows = (
+        ds.map_batches(bin_partial, batch_format="pyarrow", batch_size=None)
+        .groupby([key, "_bin"])
+        .sum("_dsum")
+        .take_all()
+    )
+    per_key: dict = {}
+    for row in bin_rows:
+        per_key.setdefault(row[key], []).append(
+            (row["_bin"], row["sum(_dsum)"])
+        )
+    offsets: dict = {}
+    for k, lst in per_key.items():
+        lst.sort()
+        run = 0
+        for b, s in lst:
+            offsets[(k, b)] = run
+            run += s
+    offsets_ref = ray.put(offsets)
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = deltas(batch)
+        parts = composite_partition_ids(t, [key, "_bin"], num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def sweep(group: pa.Table) -> pa.Table:
+        off = ray.get(offsets_ref)
+        g = group.drop_columns(["_part"])
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                (key, "ascending"),
+                ("_bin", "ascending"),
+                ("_t", "ascending"),
+                ("_d", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        keys_np = (
+            g.column(key).combine_chunks().dictionary_encode().indices
+        ).to_numpy(zero_copy_only=False)
+        bins = g.column("_bin").to_numpy(zero_copy_only=False)
+        dd = g.column("_d").to_numpy(zero_copy_only=False)
+        n = len(dd)
+        if n == 0:
+            return pa.table(
+                {
+                    key: pa.array([], type=g.schema.field(key).type),
+                    "_mx": pa.array([], type=pa.int64()),
+                }
+            )
+        start = np.ones(n, dtype=bool)
+        start[1:] = (keys_np[1:] != keys_np[:-1]) | (bins[1:] != bins[:-1])
+        starts = np.nonzero(start)[0]
+        cs = np.cumsum(dd)
+        seg_base = np.where(starts > 0, cs[starts - 1], 0)
+        seg_id = np.cumsum(start) - 1
+        within = cs - seg_base[seg_id]
+        key_col = g.column(key).combine_chunks()
+        seg_offsets = np.array(
+            [
+                off.get((key_col[int(s)].as_py(), int(bins[s])), 0)
+                for s in starts
+            ],
+            dtype=np.int64,
+        )
+        vals = within + seg_offsets[seg_id]
+        seg_max = np.maximum.reduceat(vals, starts)
+        return pa.table(
+            {
+                key: key_col.take(pa.array(starts)),
+                "_mx": pa.array(seg_max.astype(np.int64)),
+            }
+        )
+
+    per_bin = (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.group_by(key)
+            .aggregate([("_mx", "max")])
+            .rename_columns([key, out_col])
+        )
+        parts = partition_ids(g.column(key), num_partitions)
+        return g.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def final_reduce(group: pa.Table) -> pa.Table:
+        return (
+            group.drop_columns(["_part"])
+            .group_by(key)
+            .aggregate([(out_col, "max")])
+            .rename_columns([key, out_col])
+        )
+
+    return (
+        per_bin.map_batches(final, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(final_reduce, batch_format="pyarrow")
+    )

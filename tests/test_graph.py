@@ -173,3 +173,43 @@ def test_triangle_counts_exact_vs_bruteforce(ray_session):
                 expected[n] = expected.get(n, 0) + 1
     assert out == expected
     assert expected[0] == 3 and expected[10] == 1  # sanity on the fixture
+
+
+def test_degree_histogram_vs_bruteforce(ray_session):
+    """Dedup + self-loop/null handling + exact degrees: random multigraph
+    with planted duplicate and reversed edges."""
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.graph import degree_histogram
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 40, 500)
+    dst = rng.integers(0, 40, 500)
+    edges = pa.table(
+        {
+            "src": pa.array(
+                np.concatenate([src, dst, [5, None]]), type=pa.int64()
+            ),
+            "dst": pa.array(
+                np.concatenate([dst, src, [5, 3]]), type=pa.int64()
+            ),
+        }
+    )
+    out = degree_histogram(ray.data.from_arrow(edges).repartition(5))
+    got = {
+        r["degree"]: r["n_nodes"]
+        for r in out.take_all()
+    }
+    canon = {
+        (min(a, b), max(a, b))
+        for a, b in zip(src.tolist(), dst.tolist())
+        if a != b
+    }
+    deg: dict[int, int] = {}
+    for a, b in canon:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    exp: dict[int, int] = {}
+    for d in deg.values():
+        exp[d] = exp.get(d, 0) + 1
+    assert got == exp

@@ -823,3 +823,149 @@ def test_grouped_trend_matches_lstsq(ray_session):
     assert out.loc["flat", "intercept"] == 42.0
     assert np.isnan(out.loc["const_x", "slope"])  # den = 0 → NULL
     assert out.n.to_dict() == {"lin": 50, "flat": 50, "const_x": 3}
+
+
+# --- trimmed mean ---------------------------------------------------------
+
+
+def test_trimmed_mean_matches_sql(ray_session):
+    from airbyte_destination_ray.pipelines.ops import trimmed_mean_by_key
+
+    rng = np.random.default_rng(23)
+    n = 700
+    t = pa.table(
+        {
+            "k": pa.array(
+                np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+            ),
+            "v": pa.array(
+                np.where(
+                    rng.uniform(size=n) < 0.05,
+                    None,
+                    np.round(rng.uniform(0, 50, n), 3),
+                ),
+                type=pa.float64(),
+                from_pandas=True,
+            ),
+        }
+    )
+    out = trimmed_mean_by_key(_ds(t), key="k", value_col="v", lo=0.1, hi=0.9)
+    _assert_matches(
+        out,
+        """
+        WITH b AS (
+            SELECT k, quantile_disc(v, 0.1) AS lo,
+                   quantile_disc(v, 0.9) AS hi
+            FROM t WHERE v IS NOT NULL GROUP BY k)
+        SELECT t.k,
+               CAST(count(*) FILTER (WHERE v BETWEEN lo AND hi) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(CAST(floor(v * 100) AS BIGINT))
+                   FILTER (WHERE v BETWEEN lo AND hi) AS BIGINT)
+                   AS kept_cents,
+               CAST(sum(CAST(floor(v * 100) AS BIGINT))
+                   FILTER (WHERE v BETWEEN lo AND hi) AS DOUBLE)
+                   / count(*) FILTER (WHERE v BETWEEN lo AND hi)
+                   AS trimmed_mean_cents
+        FROM t JOIN b USING (k) WHERE v IS NOT NULL GROUP BY t.k
+        """,
+        {"t": t},
+    )
+
+
+def test_trimmed_mean_single_value_key(ray_session):
+    """A one-row key: both bounds equal the value, the row is kept."""
+    from airbyte_destination_ray.pipelines.ops import trimmed_mean_by_key
+
+    t = pa.table(
+        {"k": pa.array(["x"]), "v": pa.array([7.25])}
+    )
+    out = trimmed_mean_by_key(
+        _ds(t, blocks=1), key="k", value_col="v"
+    ).take_all()
+    assert out == [
+        {
+            "k": "x",
+            "n_kept": 1,
+            "kept_cents": 725,
+            "trimmed_mean_cents": 725.0,
+        }
+    ]
+
+
+# --- skyline ---------------------------------------------------------------
+
+
+def test_skyline_vs_bruteforce(ray_session):
+    from airbyte_destination_ray.pipelines.ops import skyline
+
+    rng = np.random.default_rng(3)
+    n = 900
+    v = np.round(rng.uniform(0, 100, n), 2)
+    ts = rng.integers(0, 10_000, n).astype(np.int64)
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n), type=pa.int64()),
+            "v": pa.array(v),
+            "ts": pa.array(ts),
+        }
+    )
+    out = skyline(_ds(t), x="v", y="ts", columns=["id", "v", "ts"])
+    keep = []
+    for i in range(n):
+        dominated = np.any(
+            (v >= v[i])
+            & (ts >= ts[i])
+            & ((v > v[i]) | (ts > ts[i]))
+        )
+        if not dominated:
+            keep.append(i)
+    assert sorted(out.column("id").to_pylist()) == keep
+
+
+def test_skyline_duplicate_points_all_kept(ray_session):
+    """Identical points never dominate each other; dominated duplicates
+    all drop; null coordinates are excluded."""
+    from airbyte_destination_ray.pipelines.ops import skyline
+
+    t = pa.table(
+        {
+            "id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+            "v": pa.array([5.0, 5.0, 1.0, 1.0, 9.0, None]),
+            "ts": pa.array([10, 10, 3, 3, 10, 99], type=pa.int64()),
+        }
+    )
+    out = skyline(_ds(t, blocks=2), x="v", y="ts", columns=["id", "v", "ts"])
+    assert sorted(out.column("id").to_pylist()) == [4]
+
+    t2 = pa.table(
+        {
+            "id": pa.array([0, 1, 2], type=pa.int64()),
+            "v": pa.array([5.0, 5.0, 1.0]),
+            "ts": pa.array([10, 10, 3], type=pa.int64()),
+        }
+    )
+    out2 = skyline(_ds(t2, blocks=2), x="v", y="ts", columns=["id", "v", "ts"])
+    assert sorted(out2.column("id").to_pylist()) == [0, 1]
+
+
+def test_skyline_candidate_cap_raises(ray_session):
+    from airbyte_destination_ray.pipelines.ops import skyline
+
+    # anti-correlated dims: every point is on the frontier
+    n = 50
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n), type=pa.int64()),
+            "v": pa.array(np.arange(n, dtype=np.float64)),
+            "ts": pa.array(np.arange(n)[::-1].copy(), type=pa.int64()),
+        }
+    )
+    with pytest.raises(RuntimeError, match="candidate set"):
+        skyline(
+            _ds(t, blocks=2),
+            x="v",
+            y="ts",
+            columns=["id", "v", "ts"],
+            max_candidates=10,
+        )

@@ -2497,10 +2497,13 @@ def test_winsorize_clamps_at_exact_quantiles(ray_session):
                   "v": pa.array(vals)})
     out = winsorize(_ds(t, blocks=5), value_col="v", q_lo=0.05, q_hi=0.95)
     df = out.to_pandas().sort_values("id").reset_index(drop=True)
-    n = len(vals)
-    svals = np.sort(vals)
-    lo = svals[int(np.floor(0.05 * (n - 1)))]
-    hi = svals[int(np.floor(0.95 * (n - 1)))]
+    # bounds must equal DuckDB quantile_disc (rank = ceil(q·n)−1) exactly —
+    # the oracle-side formulation the sf-scale gate compares against
+    con = duckdb.connect()
+    con.register("t", t)
+    lo, hi = con.execute(
+        "SELECT quantile_disc(v, 0.05), quantile_disc(v, 0.95) FROM t"
+    ).fetchone()
     assert np.array_equal(df.v_w.to_numpy(), np.clip(vals, lo, hi))
     assert df.v_w.max() == hi and df.v_w.min() == lo  # outliers clamped
 
@@ -2654,3 +2657,238 @@ def test_gap_rows_lag_diffs(ray_session):
     # a: gaps 10s and 30s; b and the null key are singletons → no rows
     assert sorted(out.gap_us) == [10_000_000, 30_000_000]
     assert set(out.user_id) == {"a"}
+
+
+# --- ntile -------------------------------------------------------------
+
+
+def test_ntile_matches_sql(events):
+    from airbyte_destination_ray.pipelines.relational import ntile
+
+    out = ntile(
+        _ds(events),
+        by="value",
+        tie_break="event_id",
+        n_tiles=4,
+        total_rows=events.num_rows,
+    )
+    _assert_matches(
+        out,
+        """
+        SELECT event_id, ts, user_id, event_type, value,
+               CAST(NTILE(4) OVER (ORDER BY value, event_id) AS BIGINT)
+                   AS tile
+        FROM events
+        """,
+        {"events": events},
+    )
+
+
+def test_ntile_more_tiles_than_rows(ray_session):
+    """q == 0 path: each row its own tile, NTILE leaves the rest empty."""
+    from airbyte_destination_ray.pipelines.relational import ntile
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], type=pa.int64()),
+            "value": pa.array([30.0, 10.0, 20.0]),
+        }
+    )
+    out = ntile(
+        _ds(t, blocks=2),
+        by="value",
+        tie_break="event_id",
+        n_tiles=7,
+        total_rows=3,
+    )
+    _assert_matches(
+        out,
+        """
+        SELECT event_id, value,
+               CAST(NTILE(7) OVER (ORDER BY value, event_id) AS BIGINT)
+                   AS tile
+        FROM t
+        """,
+        {"t": t},
+    )
+
+
+def test_ntile_remainder_rule(ray_session):
+    """n=10, k=4 → tiles of 3,3,2,2 (SQL remainder-first rule)."""
+    from airbyte_destination_ray.pipelines.relational import ntile
+
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(10)), type=pa.int64()),
+            "value": pa.array([float(9 - i) for i in range(10)]),
+        }
+    )
+    out = ntile(
+        _ds(t, blocks=3),
+        by="value",
+        tie_break="event_id",
+        n_tiles=4,
+        total_rows=10,
+    ).take_all()
+    sizes: dict[int, int] = {}
+    for r in out:
+        sizes[r["tile"]] = sizes.get(r["tile"], 0) + 1
+    assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}
+
+
+# --- item co-occurrence --------------------------------------------------
+
+
+_COOC_SQL = """
+    WITH p AS (
+        SELECT DISTINCT user_id, event_type FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    u AS (SELECT count(DISTINCT user_id) AS nu FROM p),
+    c AS (SELECT event_type, count(*) AS n FROM p GROUP BY 1),
+    co AS (
+        SELECT a.event_type AS item_a, b.event_type AS item_b,
+               count(*) AS nco
+        FROM p a JOIN p b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+    SELECT co.item_a, co.item_b,
+           CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+           CAST(co.nco AS BIGINT) AS n_co,
+           CAST(u.nu * co.nco AS DOUBLE) / (ca.n * cb.n) AS lift
+    FROM co, u
+    JOIN c ca ON ca.event_type = co.item_a
+    JOIN c cb ON cb.event_type = co.item_b
+"""
+
+
+def test_item_cooccurrence_matches_sql(events):
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.relational import (
+        item_cooccurrence,
+    )
+
+    out = item_cooccurrence(
+        _ds(events), basket="user_id", item="event_type"
+    )
+    _assert_matches(
+        ray.data.from_arrow(out), _COOC_SQL, {"events": events}
+    )
+
+
+def test_item_cooccurrence_null_rows_dropped(ray_session):
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.relational import (
+        item_cooccurrence,
+    )
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 2, None, 3], type=pa.int64()),
+            "event_type": pa.array(["a", "b", "a", "b", "a", None]),
+        }
+    )
+    out = item_cooccurrence(_ds(t, blocks=2), basket="user_id", item="event_type")
+    _assert_matches(
+        ray.data.from_arrow(out), _COOC_SQL.replace("events", "t"), {"t": t}
+    )
+
+
+def test_item_cooccurrence_explicit_vocab_filters(ray_session):
+    from airbyte_destination_ray.pipelines.relational import (
+        item_cooccurrence,
+    )
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+            "event_type": pa.array(["a", "b", "zz", "a", "b"]),
+        }
+    )
+    out = item_cooccurrence(
+        _ds(t, blocks=2),
+        basket="user_id",
+        item="event_type",
+        items=["a", "b"],
+    )
+    assert out.column("item_a").to_pylist() == ["a"]
+    assert out.column("n_co").to_pylist() == [2]
+
+
+# --- max concurrency -----------------------------------------------------
+
+
+def _concurrency_sql(dur_s: int) -> str:
+    return f"""
+        WITH d AS (
+            SELECT event_type, ts AS t, 1 AS d FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            UNION ALL
+            SELECT event_type, ts + INTERVAL {dur_s} SECOND, -1 FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        r AS (
+            SELECT event_type,
+                   SUM(d) OVER (PARTITION BY event_type ORDER BY t, d)
+                       AS run
+            FROM d)
+        SELECT event_type, CAST(max(run) AS BIGINT) AS max_concurrent
+        FROM r GROUP BY event_type
+    """
+
+
+def test_max_concurrency_matches_sql(events):
+    from airbyte_destination_ray.pipelines.relational import (
+        max_concurrency_by_key,
+    )
+
+    out = max_concurrency_by_key(
+        _ds(events),
+        key="event_type",
+        start_col="ts",
+        duration_us=3_600_000_000,
+    )
+    _assert_matches(out, _concurrency_sql(3600), {"events": events})
+
+
+def test_max_concurrency_tiny_bins_cross_boundaries(events):
+    """bin_us far smaller than the interval length: every interval spans
+    many bins, so correctness rests entirely on the cross-bin offsets."""
+    from airbyte_destination_ray.pipelines.relational import (
+        max_concurrency_by_key,
+    )
+
+    out = max_concurrency_by_key(
+        _ds(events),
+        key="event_type",
+        start_col="ts",
+        duration_us=3_600_000_000,
+        bin_us=600_000_000,  # 10-minute bins under 1-hour intervals
+    )
+    _assert_matches(out, _concurrency_sql(3600), {"events": events})
+
+
+def test_max_concurrency_end_before_start_tie(ray_session):
+    """Half-open intervals: an interval ending exactly when another starts
+    does not overlap it (the -1 sorts before the +1 at the same t)."""
+    from airbyte_destination_ray.pipelines.relational import (
+        max_concurrency_by_key,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    t = pa.table(
+        {
+            "event_type": pa.array(["k"] * 2),
+            "ts": pa.array(
+                [base, base + dt.timedelta(seconds=60)],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    out = max_concurrency_by_key(
+        _ds(t, blocks=1),
+        key="event_type",
+        start_col="ts",
+        duration_us=60_000_000,
+    ).take_all()
+    assert out == [{"event_type": "k", "max_concurrent": 1}]
