@@ -3561,6 +3561,61 @@ def _q_suppliers_per_brand(sf_dir: str):
     return counted.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
+def _q_dedup_lines_within_docs(sf_dir: str):
+    """INTRA-document segment dedup (C4's "dedup lines within a page"):
+    zero-exchange — one vectorized map_batches pass (split → lexsort →
+    rejoin); SQL row_number() OVER (PARTITION BY doc_id, seg ORDER BY
+    idx) = 1 with string_agg reconstruction."""
+    from airbyte_destination_ray.pipelines.corpus import (
+        dedup_segments_within,
+    )
+
+    return dedup_segments_within(
+        _documents(sf_dir, columns=["doc_id", "text"]), sep=" "
+    )
+
+
+def _q_events_hhi_by_type(sf_dir: str):
+    """Herfindahl concentration of user activity per event type: two
+    fixed-width pre-reduced exchanges (pair counts by hash(key, member),
+    then per-key partials), all-integer until one IEEE division."""
+    from airbyte_destination_ray.pipelines.ops import hhi_by_key
+
+    return hhi_by_key(
+        _events(sf_dir, columns=["event_type", "user_id"]),
+        key="event_type",
+        member_col="user_id",
+    )
+
+
+def _q_source_quality_gate(sf_dir: str):
+    """Host/source-level quality blocklist derived from corpus statistics:
+    per-source integer partials → cross-multiply accept test in Python
+    ints (no float ratio), broadcast allowed-source set, filter — document
+    text never rides an exchange."""
+    from airbyte_destination_ray.pipelines.ops import source_quality_gate
+
+    return source_quality_gate(
+        _documents(sf_dir), source_col="source", text_col="text"
+    )
+
+
+def _q_user_longest_streak(sf_dir: str):
+    """Longest run of consecutive active days (>= 2 events/day) per user —
+    gaps-and-islands via ONE keyed exchange of pre-reduced (key, day,
+    count) rows + segmented run detection (reduceat, no Python per key)."""
+    from airbyte_destination_ray.pipelines.relational import (
+        longest_streak_by_key,
+    )
+
+    return longest_streak_by_key(
+        _events(sf_dir, columns=["user_id", "ts"]),
+        key="user_id",
+        ts_col="ts",
+        min_events=2,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -3727,6 +3782,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_degree_histogram": _q_events_degree_histogram,
         "promo_revenue_ratio": _q_promo_revenue_ratio,
         "suppliers_per_brand": _q_suppliers_per_brand,
+        "dedup_lines_within_docs": _q_dedup_lines_within_docs,
+        "events_hhi_by_type": _q_events_hhi_by_type,
+        "source_quality_gate_docs": _q_source_quality_gate,
+        "user_longest_streak": _q_user_longest_streak,
     }
 
 
@@ -5600,5 +5659,74 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
         FROM lineitem JOIN part ON p_partkey = l_partkey
         GROUP BY p_brand
+    """
+    sql["dedup_lines_within_docs"] = """
+        WITH segs AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+                   generate_subscripts(string_split(text, ' '), 1) AS idx
+            FROM documents
+        ), w AS (
+            SELECT doc_id, idx, seg, row_number() OVER (
+                PARTITION BY doc_id, seg ORDER BY idx) AS rn
+            FROM segs
+        )
+        SELECT d.doc_id,
+               COALESCE(k.t2, CASE WHEN d.text IS NULL THEN NULL
+                                   ELSE '' END) AS text
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS t2
+                   FROM w WHERE rn = 1 GROUP BY doc_id) k USING (doc_id)
+    """
+    sql["events_hhi_by_type"] = """
+        WITH c AS (
+            SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY event_type, user_id
+        )
+        SELECT event_type,
+               CAST(sum(n * n) AS BIGINT) AS sum_sq,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(CAST(sum(n * n) AS BIGINT) AS DOUBLE)
+                   / (CAST(CAST(sum(n) AS BIGINT) AS DOUBLE)
+                      * CAST(CAST(sum(n) AS BIGINT) AS DOUBLE)) AS hhi
+        FROM c GROUP BY event_type
+    """
+    sql["source_quality_gate_docs"] = r"""
+        WITH s AS (
+            SELECT source,
+                   CAST(length(text) AS BIGINT) AS c,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                       AS BIGINT) AS a
+            FROM documents
+        ), per AS (
+            SELECT source, sum(c) AS sc, sum(a) AS sa, count(c) AS v
+            FROM s GROUP BY source
+        ), tot AS (
+            SELECT sum(c) AS tc, sum(a) AS ta FROM s
+        ), ok AS (
+            SELECT source FROM per, tot
+            WHERE source IS NOT NULL AND v > 0 AND sa * tc >= ta * sc
+        )
+        SELECT d.* FROM documents d JOIN ok USING (source)
+    """
+    sql["user_longest_streak"] = """
+        WITH d AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            GROUP BY user_id, day HAVING count(*) >= 2
+        ), i AS (
+            SELECT user_id, day,
+                datediff('day', DATE '1970-01-01', day)
+                  - row_number() OVER (
+                        PARTITION BY user_id ORDER BY day) AS grp
+            FROM d
+        ), r AS (
+            SELECT user_id, grp, count(*) AS run_len
+            FROM i GROUP BY user_id, grp
+        )
+        SELECT user_id, CAST(max(run_len) AS BIGINT) AS longest_streak
+        FROM r GROUP BY user_id
     """
     return sql

@@ -36,6 +36,7 @@ CORPUS_NUM_PARTITIONS = 64
 __all__ = [
     "remove_frequent_segments",
     "dedup_segments_first",
+    "dedup_segments_within",
     "top_terms",
     "chunk_documents",
     "decontaminate",
@@ -334,6 +335,50 @@ def dedup_segments_first(
         )
 
     return env.groupby("_part").map_groups(rebuild, batch_format="pyarrow")
+
+
+def dedup_segments_within(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+):
+    """INTRA-document first-occurrence segment dedup (the C4/RefinedWeb
+    "remove duplicate lines within a page" cleanup): inside each document,
+    every segment survives only at its first position; later repeats of the
+    same segment are dropped and the document is re-joined.
+
+    Unlike the corpus-wide variants this needs NO exchange at all — the
+    decision for a segment depends only on its own row, so the whole
+    operator is one vectorized ``map_batches`` pass (split → one lexsort
+    per batch → rejoin) that streams at read speed and scales embarrassingly.
+
+    Segment identity is the same 64-bit stable hash as the corpus-wide
+    ops (collision odds documented in the module docstring).  Matches SQL
+    ``row_number() OVER (PARTITION BY id, seg ORDER BY idx) = 1`` with the
+    ``string_agg`` reconstruction; null text stays null, empty text stays
+    empty.
+    """
+
+    def clean(batch: pa.Table) -> pa.Table:
+        flat, parent, idx, null_mask, n = _split(batch.column(text_col), sep)
+        h = stable_hash_array(flat)
+        order = np.lexsort((idx, h, parent))
+        hs = h[order]
+        ps = parent[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (ps[1:] != ps[:-1])
+        keep = np.zeros(len(flat), dtype=bool)
+        keep[order[first]] = True
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "text": _rejoin(flat, parent, keep, n, sep, null_mask),
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow", batch_size=None)
 
 
 def top_terms(

@@ -3027,3 +3027,187 @@ def skyline(
         .to_numpy(zero_copy_only=False)
     )
     return merged.filter(pa.array(_skyline_mask(v, tnum)))
+
+
+def hhi_by_key(
+    ds,
+    *,
+    key: str,
+    member_col: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Herfindahl–Hirschman concentration index per key: with c_m the row
+    count of member m inside a key group, ``hhi = Σ c_m² / (Σ c_m)²`` —
+    1.0 when one member owns the group, → 1/M under a uniform split.
+    The classic "is this event type dominated by a few users / this host
+    by one URL pattern" skew probe.
+
+    Two exchanges, both fixed-width and pre-reduced: (1) per-batch
+    ``(key, member)`` counts route by ``hash(key, member)`` so the exact
+    per-member counts finalize partition-locally, then collapse to
+    per-partition ``(key, Σc², Σc)`` partials; (2) the aggregate-sized
+    partials re-route by key and sum.  All integer arithmetic until the
+    single IEEE division ``float(ss) / (float(s) * float(s))`` — hash-exact
+    against the SQL rewrite (int64 bounds: Σc² overflows past ~3·10⁹ rows
+    in ONE key group; salt the member hash first at that scale).
+
+    Output ``(key, sum_sq, n_rows, hhi)``; null keys/members dropped.
+    """
+    from ..functions.hashing import composite_partition_ids, partition_ids
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, member_col])
+        t = t.filter(
+            pc.and_(
+                t.column(key).combine_chunks().is_valid(),
+                t.column(member_col).combine_chunks().is_valid(),
+            )
+        )
+        g = t.group_by([key, member_col], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        g = g.rename_columns([key, member_col, "_n"])
+        parts = composite_partition_ids(g, [key, member_col], num_partitions)
+        return g.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def pair_final(group: pa.Table) -> pa.Table:
+        g = (
+            group.drop_columns(["_part"])
+            .group_by([key, member_col], use_threads=False)
+            .aggregate([("_n", "sum")])
+        )
+        g = g.rename_columns([key, member_col, "_n"])
+        n = g.column("_n").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                key: g.column(key),
+                "_ss": pa.array(n * n, type=pa.int64()),
+                "_s": pa.array(n, type=pa.int64()),
+            }
+        )
+        out = t.group_by(key, use_threads=False).aggregate(
+            [("_ss", "sum"), ("_s", "sum")]
+        )
+        out = out.rename_columns([key, "_ss", "_s"])
+        parts = partition_ids(out.column(key), num_partitions)
+        return out.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def key_final(group: pa.Table) -> pa.Table:
+        g = (
+            group.drop_columns(["_part"])
+            .group_by(key, use_threads=False)
+            .aggregate([("_ss", "sum"), ("_s", "sum")])
+        )
+        g = g.rename_columns([key, "_ss", "_s"])
+        ss = g.column("_ss").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        s = g.column("_s").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hhi = ss.astype(np.float64) / (s.astype(np.float64) * s.astype(np.float64))
+        return pa.table(
+            {
+                key: g.column(key),
+                "sum_sq": pa.array(ss, type=pa.int64()),
+                "n_rows": pa.array(s, type=pa.int64()),
+                "hhi": pa.array(hhi, type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(pair_final, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(key_final, batch_format="pyarrow")
+    )
+
+
+def source_quality_gate(
+    ds,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Domain/source-level quality gate (the "derive a host blocklist from
+    corpus statistics, then filter" pattern of crawl curation): keep only
+    documents whose SOURCE's aggregate alphabetic-character ratio is at or
+    above the global corpus ratio.  Group-level quality, unlike the per-doc
+    rules of :func:`quality_filter_exact`, catches boilerplate farms whose
+    individual pages look fine.
+
+    Pass 1: per-batch integer partial sums ``(source, Σchars, Σalpha,
+    n_valid)`` → one aggregate-sized exchange keyed on source.  The
+    per-source table is bounded by source cardinality (hosts, not
+    documents) so it collects to the driver; the accept decision is the
+    integer cross-multiply ``Σalpha_s · Σchars_global ≥ Σalpha_global ·
+    Σchars_s`` evaluated in arbitrary-precision Python ints (no float
+    ratio, no overflow at any scale).  Sources with zero non-null texts
+    are rejected, matching SQL ``SUM`` → NULL comparison semantics.
+    Pass 2: broadcast the accepted-source set, filter — document text
+    never rides an exchange.
+    """
+    import ray as _ray
+
+    from ..functions.hashing import partition_ids
+    from ..functions.text import quality_subscores
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sub = quality_subscores(batch.column(text_col))
+        t = pa.table(
+            {
+                source_col: batch.column(source_col),
+                "_c": pc.fill_null(sub["qf_chars"], 0),
+                "_a": pc.fill_null(sub["qf_alpha"], 0),
+                "_v": pc.cast(sub["qf_chars"].is_valid(), pa.int64()),
+            }
+        )
+        g = t.group_by(source_col, use_threads=False).aggregate(
+            [("_c", "sum"), ("_a", "sum"), ("_v", "sum")]
+        )
+        g = g.rename_columns([source_col, "_c", "_a", "_v"])
+        parts = partition_ids(g.column(source_col), num_partitions)
+        return g.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        g = (
+            group.drop_columns(["_part"])
+            .group_by(source_col, use_threads=False)
+            .aggregate([("_c", "sum"), ("_a", "sum"), ("_v", "sum")])
+        )
+        return g.rename_columns([source_col, "_c", "_a", "_v"])
+
+    per_source = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+    rows = [
+        b
+        for b in per_source.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    allowed: list = []
+    if rows:
+        t = pa.concat_tables(
+            [r if isinstance(r, pa.Table) else pa.Table.from_batches([r]) for r in rows]
+        )
+        srcs = t.column(source_col).to_pylist()
+        cs = t.column("_c").to_pylist()
+        als = t.column("_a").to_pylist()
+        vs = t.column("_v").to_pylist()
+        tot_c = sum(cs)
+        tot_a = sum(als)
+        allowed = [
+            s
+            for s, c, a, v in zip(srcs, cs, als, vs)
+            if s is not None and v > 0 and a * tot_c >= tot_a * c
+        ]
+    allowed_ref = _ray.put(
+        pa.array(sorted(set(allowed)), type=pa.string())
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = _ray.get(allowed_ref)
+        mask = pc.is_in(batch.column(source_col), value_set=ok)
+        return batch.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)

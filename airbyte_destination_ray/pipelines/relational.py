@@ -3826,3 +3826,116 @@ def max_concurrency_by_key(
         .groupby("_part")
         .map_groups(final_reduce, batch_format="pyarrow")
     )
+
+
+def longest_streak_by_key(
+    ds,
+    *,
+    key: str,
+    ts_col: str,
+    min_events: int = 1,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Longest run of CONSECUTIVE calendar days with >= ``min_events``
+    events per key — the gaps-and-islands pattern (SQL: per-(key, day)
+    counts with ``HAVING count(*) >= t`` -> ``day_int - row_number() OVER
+    (PARTITION BY key ORDER BY day)`` island id -> ``max(count(*))`` per
+    key).
+
+    ONE keyed exchange of fixed-width ``(key, day, partial_count)`` rows,
+    pre-reduced inside each batch so the shuffle carries at most
+    ``keys x active-days`` rows regardless of event volume.  The
+    per-partition kernel is a lexsort + segmented run detection: duplicate
+    ``(key, day)`` pairs from different batches merge with one
+    ``add.reduceat``, the activity threshold filters, a run breaks where
+    the key changes or the day gap is not exactly 1; run lengths come from
+    one ``diff`` over run starts and the per-key max from one
+    ``maximum.reduceat`` — no Python per key.  Null keys/timestamps are
+    dropped (SQL ``WHERE key IS NOT NULL AND ts IS NOT NULL`` parity);
+    keys with no qualifying day emit no row (SQL ``HAVING`` parity).
+
+    Output ``(key, longest_streak)``; order-independent, oracle-exact
+    (integer day arithmetic only).
+    """
+
+    def route(batch: pa.Table) -> pa.Table:
+        days = pc.cast(
+            pc.cast(pc.floor_temporal(batch.column(ts_col), unit="day"),
+                    pa.date32()),
+            pa.int32(),
+        )
+        t = pa.table({key: batch.column(key), "_day": days})
+        t = t.filter(
+            pc.and_(
+                t.column(key).combine_chunks().is_valid(),
+                t.column("_day").combine_chunks().is_valid(),
+            )
+        )
+        t = t.group_by([key, "_day"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        t = t.rename_columns([key, "_day", "_n"])
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def streaks(group: pa.Table) -> pa.Table:
+        ktype = group.schema.field(key).type
+        karr = group.column(key)
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        keys = karr.to_numpy(zero_copy_only=False)
+        days = group.column("_day").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cnts = group.column("_n").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if len(keys) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], type=ktype),
+                    "longest_streak": pa.array([], type=pa.int64()),
+                }
+            )
+        order = np.lexsort((days, keys))
+        k = keys[order]
+        d = days[order]
+        c = cnts[order]
+        # merge cross-batch partial counts of the same (key, day) pair
+        pair_start = np.ones(len(k), dtype=bool)
+        pair_start[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        ps = np.nonzero(pair_start)[0]
+        merged = np.add.reduceat(c, ps)
+        k = k[ps]
+        d = d[ps]
+        active = merged >= min_events
+        k = k[active]
+        d = d[active]
+        if len(k) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], type=ktype),
+                    "longest_streak": pa.array([], type=pa.int64()),
+                }
+            )
+        run_start = np.ones(len(k), dtype=bool)
+        run_start[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1] + 1)
+        rs = np.nonzero(run_start)[0]
+        run_len = np.diff(np.append(rs, len(k)))
+        rk = k[rs]
+        key_start = np.ones(len(rs), dtype=bool)
+        key_start[1:] = rk[1:] != rk[:-1]
+        ks = np.nonzero(key_start)[0]
+        maxs = np.maximum.reduceat(run_len, ks)
+        return pa.table(
+            {
+                key: pa.array(rk[ks]).cast(ktype),
+                "longest_streak": pa.array(maxs, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(streaks, batch_format="pyarrow")
+    )

@@ -874,3 +874,77 @@ def test_doc_oov_fraction_counts(ray_session):
     assert out.loc[1, "oov_frac"] == 1 / 2
     assert out.loc[2, "oov_frac"] == 2 / 3
     assert np.isnan(out.loc[3, "oov_frac"]) and np.isnan(out.loc[4, "oov_frac"])
+
+
+WITHIN_SQL = """
+    WITH segs AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+               generate_subscripts(string_split(text, ' '), 1) AS idx
+        FROM documents
+    ), w AS (
+        SELECT doc_id, idx, seg, row_number() OVER (
+            PARTITION BY doc_id, seg ORDER BY idx) AS rn
+        FROM segs
+    )
+    SELECT d.doc_id,
+           COALESCE(k.t2, CASE WHEN d.text IS NULL THEN NULL ELSE '' END)
+               AS text
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS t2
+               FROM w WHERE rn = 1 GROUP BY doc_id) k USING (doc_id)
+"""
+
+
+def test_dedup_segments_within_matches_sql(ray_session):
+    from airbyte_destination_ray.pipelines.corpus import (
+        dedup_segments_within,
+    )
+
+    out = dedup_segments_within(_edge_ds(), sep=" ")
+    oracle = _edge_con().execute(WITHIN_SQL).df()
+    pd.testing.assert_frame_equal(
+        _sorted_df(out), _sorted_df(oracle), check_dtype=False
+    )
+
+
+def test_dedup_segments_within_semantics(ray_session):
+    from airbyte_destination_ray.pipelines.corpus import (
+        dedup_segments_within,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "a b a c b a",   # repeats collapse in place
+                    "x  x  y",       # doubled sep: '' repeats too
+                    "",              # splits to [''] -> stays ''
+                    None,            # stays null
+                ],
+                type=pa.string(),
+            ),
+        }
+    )
+    out = (
+        dedup_segments_within(
+            ray.data.from_arrow(t).repartition(2), sep=" "
+        )
+        .to_pandas()
+        .set_index("doc_id")["text"]
+        .to_dict()
+    )
+    assert out[1] == "a b c"
+    assert out[2] == "x  y"  # first '' kept, later '' dropped
+    assert out[3] == ""
+    assert pd.isna(out[4])
+    # zero-exchange invariant: results identical regardless of blocking
+    out1 = dedup_segments_within(
+        ray.data.from_arrow(t).repartition(1), sep=" "
+    ).to_pandas()
+    out4 = dedup_segments_within(
+        ray.data.from_arrow(t).repartition(4), sep=" "
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        _sorted_df(out1), _sorted_df(out4), check_dtype=False
+    )

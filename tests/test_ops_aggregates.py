@@ -969,3 +969,107 @@ def test_skyline_candidate_cap_raises(ray_session):
             columns=["id", "v", "ts"],
             max_candidates=10,
         )
+
+
+HHI_SQL = """
+    WITH c AS (
+        SELECT k, m, CAST(count(*) AS BIGINT) AS n FROM t
+        WHERE k IS NOT NULL AND m IS NOT NULL
+        GROUP BY k, m
+    )
+    SELECT k, CAST(sum(n * n) AS BIGINT) AS sum_sq,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(CAST(sum(n * n) AS BIGINT) AS DOUBLE)
+               / (CAST(CAST(sum(n) AS BIGINT) AS DOUBLE)
+                  * CAST(CAST(sum(n) AS BIGINT) AS DOUBLE)) AS hhi
+    FROM c GROUP BY k
+"""
+
+
+def test_hhi_by_key_matches_sql(ray_session):
+    from airbyte_destination_ray.pipelines.ops import hhi_by_key
+
+    t = pa.table(
+        {
+            "k": pa.array(
+                ["a", "a", "a", "b", "b", "b", "c", "c", "c", None, "d"],
+                type=pa.string(),
+            ),
+            "m": pa.array(
+                [1, 1, 1, 1, 2, 3, 1, 1, 2, 1, None], type=pa.int64()
+            ),
+        }
+    )
+    out = hhi_by_key(_ds(t, blocks=4), key="k", member_col="m",
+                     num_partitions=3)
+    _assert_matches(out, HHI_SQL, {"t": t})
+    got = {
+        r["k"]: r["hhi"]
+        for r in out.to_pandas().to_dict("records")
+    }
+    assert got["a"] == 1.0  # one member owns the group
+    assert abs(got["b"] - 3.0 / 9.0) < 1e-15  # uniform over 3 members
+    assert abs(got["c"] - 5.0 / 9.0) < 1e-15
+    assert "d" not in got  # null member was its only row
+
+
+def test_hhi_by_key_random_vs_sql(ray_session):
+    from airbyte_destination_ray.pipelines.ops import hhi_by_key
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 8, n), type=pa.int64()),
+            "m": pa.array(rng.zipf(1.5, n) % 20, type=pa.int64()),
+        }
+    )
+    out = hhi_by_key(_ds(t, blocks=5), key="k", member_col="m",
+                     num_partitions=4)
+    _assert_matches(out, HHI_SQL, {"t": t})
+
+
+SOURCE_GATE_SQL = r"""
+    WITH s AS (
+        SELECT source,
+               CAST(length(text) AS BIGINT) AS c,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS a
+        FROM documents
+    ), per AS (
+        SELECT source, sum(c) AS sc, sum(a) AS sa, count(c) AS v
+        FROM s GROUP BY source
+    ), tot AS (SELECT sum(c) AS tc, sum(a) AS ta FROM s),
+    ok AS (
+        SELECT source FROM per, tot
+        WHERE source IS NOT NULL AND v > 0 AND sa * tc >= ta * sc
+    )
+    SELECT d.* FROM documents d JOIN ok USING (source)
+"""
+
+
+def test_source_quality_gate_matches_sql(ray_session):
+    from airbyte_destination_ray.pipelines.ops import source_quality_gate
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(10)), type=pa.int64()),
+            "source": pa.array(
+                ["good", "good", "bad", "bad", "mid", "mid",
+                 None, "nulls", "nulls", "good"],
+                type=pa.string(),
+            ),
+            "text": pa.array(
+                ["clean prose here", "more words", "12345 67890",
+                 "999 000 111", "half 12345 clean", "words 99",
+                 "orphan text", None, None, "all alphabetic text"],
+                type=pa.string(),
+            ),
+        }
+    )
+    out = source_quality_gate(
+        _ds(t, blocks=4), source_col="source", text_col="text"
+    )
+    _assert_matches(out, SOURCE_GATE_SQL, {"documents": t})
+    kept = set(out.to_pandas()["source"])
+    assert "good" in kept and "bad" not in kept
+    assert "nulls" not in kept  # zero non-null texts -> rejected

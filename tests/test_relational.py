@@ -2892,3 +2892,106 @@ def test_max_concurrency_end_before_start_tie(ray_session):
         duration_us=60_000_000,
     ).take_all()
     assert out == [{"event_type": "k", "max_concurrent": 1}]
+
+
+STREAK_SQL = """
+    WITH d AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY user_id, day HAVING count(*) >= {m}
+    ), i AS (
+        SELECT user_id, day,
+            datediff('day', DATE '1970-01-01', day)
+              - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        FROM d
+    ), r AS (
+        SELECT user_id, grp, count(*) AS run_len FROM i GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(max(run_len) AS BIGINT) AS longest_streak
+    FROM r GROUP BY user_id
+"""
+
+
+def _streak_table():
+    import datetime as dt
+
+    def ts(day, hour):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(days=day, hours=hour)
+
+    rows = [
+        # user 1: days 0,1 active (2 ev), day 2 single, day 4,5 active
+        (1, ts(0, 1)), (1, ts(0, 2)), (1, ts(1, 1)), (1, ts(1, 23)),
+        (1, ts(2, 5)), (1, ts(4, 0)), (1, ts(4, 1)), (1, ts(5, 3)),
+        (1, ts(5, 4)),
+        # user 2: one active day
+        (2, ts(10, 0)), (2, ts(10, 1)),
+        # user 3: never reaches 2 events on any day -> no row at m=2
+        (3, ts(0, 0)), (3, ts(1, 0)),
+        # null user dropped
+        (None, ts(0, 0)), (None, ts(0, 1)),
+        # user 4: 5-day unbroken streak
+        *[(4, ts(d, h)) for d in range(20, 25) for h in (1, 2)],
+    ]
+    return pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                [r[1] for r in rows], type=pa.timestamp("us")
+            ),
+        }
+    )
+
+
+@pytest.mark.parametrize("min_events", [1, 2])
+def test_longest_streak_matches_sql(ray_session, min_events):
+    from airbyte_destination_ray.pipelines.relational import (
+        longest_streak_by_key,
+    )
+
+    t = _streak_table()
+    out = longest_streak_by_key(
+        _ds(t, blocks=5), key="user_id", ts_col="ts",
+        min_events=min_events, num_partitions=3,
+    )
+    con = duckdb.connect()
+    con.register("events", t)
+    exp = con.execute(STREAK_SQL.format(m=min_events)).fetchdf()
+    got = out.to_pandas()
+    cols = ["user_id", "longest_streak"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        exp[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+    if min_events == 2:
+        d = dict(zip(got["user_id"], got["longest_streak"]))
+        assert d == {1: 2, 2: 1, 4: 5}
+
+
+def test_longest_streak_cross_batch_day_merge(ray_session):
+    """The same (user, day) pair split across MANY blocks must merge its
+    partial counts before the threshold test."""
+    import datetime as dt
+
+    from airbyte_destination_ray.pipelines.relational import (
+        longest_streak_by_key,
+    )
+
+    base = dt.datetime(2024, 6, 1)
+    # 8 events on one day, one per block: qualifies at min_events=8 only
+    # if partials merge.
+    t = pa.table(
+        {
+            "user_id": pa.array([7] * 8, type=pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(hours=h) for h in range(8)],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    out = longest_streak_by_key(
+        _ds(t, blocks=8), key="user_id", ts_col="ts", min_events=8,
+        num_partitions=2,
+    ).to_pandas()
+    assert list(out["user_id"]) == [7]
+    assert list(out["longest_streak"]) == [1]
