@@ -3616,6 +3616,173 @@ def _q_user_longest_streak(sf_dir: str):
     )
 
 
+def _q_events_transition_matrix(sf_dir: str):
+    """Per-user event-type Markov transitions (LAG adjacency counts) —
+    one keyed exchange + per-partition Arrow group_by partials, tiny
+    composite-key fold."""
+    from airbyte_destination_ray.pipelines.relational import (
+        transition_counts,
+    )
+
+    return transition_counts(
+        _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"]),
+        key="user_id",
+        ts_col="ts",
+        seq="event_id",
+        state_col="event_type",
+        out_from="from_type",
+        out_to="to_type",
+        out_n="n",
+    )
+
+
+def _q_events_interval_coverage(sf_dir: str):
+    """Union-of-intervals covered time per user (each event opens a
+    [ts, ts + floor(value·1e6) µs) window; overlaps merge) — sweep-line
+    over ±1 deltas, one keyed exchange, integer-exact vs the SQL islands
+    running-max formulation."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.relational import (
+        interval_coverage_by_key,
+    )
+
+    def bounds(b: "pa.Table") -> "pa.Table":
+        s = pc.cast(b.column("ts"), pa.int64())
+        dur = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    b.column("value"), pa.scalar(1_000_000.0, pa.float64())
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"user_id": b.column("user_id"), "_s": s, "_e": pc.add(s, dur)}
+        )
+
+    iv = _events(sf_dir, columns=["user_id", "ts", "value"]).map_batches(
+        bounds, batch_format="pyarrow", batch_size=None
+    )
+    return interval_coverage_by_key(
+        iv, key="user_id", start_col="_s", end_col="_e"
+    )
+
+
+def _q_events_resample_hourly(sf_dir: str):
+    """Regular hourly grid per user with forward-filled value (max-seq
+    tie-break, null before a user's first event) — structured-dtype
+    searchsorted fill, one keyed exchange, grids built with repeat/arange
+    (no Python per user)."""
+    from airbyte_destination_ray.pipelines.relational import resample_ffill
+
+    return resample_ffill(
+        _events(sf_dir, columns=["event_id", "ts", "user_id", "value"]),
+        key="user_id",
+        ts_col="ts",
+        value_col="value",
+        seq="event_id",
+        step_us=3_600_000_000,
+    )
+
+
+def _q_wmedian_price_by_flag(sf_dir: str):
+    """Quantity-weighted median extended price per return flag — exact
+    cumulative-weight threshold on the value-sorted group (int64 weights,
+    bit-exact vs the SQL window formulation)."""
+    from airbyte_destination_ray.pipelines.ops import weighted_median_by_key
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    return weighted_median_by_key(
+        li,
+        key="l_returnflag",
+        value_col="l_extendedprice",
+        weight_col="l_quantity",
+        out_col="wmedian",
+    )
+
+
+def _q_explode_doc_words(sf_dir: str):
+    """Documents exploded to (doc_id, 1-based ordinal, word) long format —
+    zero-exchange flat_map with string_split edge-case parity."""
+    from airbyte_destination_ray.pipelines.corpus import explode_segments
+
+    return explode_segments(
+        _documents(sf_dir, columns=["doc_id", "text"]),
+        id_col="doc_id",
+        text_col="text",
+        sep=" ",
+    )
+
+
+def _q_events_iqr_outliers(sf_dir: str):
+    """Tukey-fence outlier counts per event type: exact per-type discrete
+    quartiles (one small exchange), bounds broadcast into a second
+    column-pruned scan, per-batch partial counts + tiny fold.  Bound
+    arithmetic is the same IEEE expression on both sides
+    (q1 − 1.5·(q3−q1)), so the comparison set is bit-identical."""
+    import numpy as np
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.ops import grouped_quantiles_disc
+
+    qd = grouped_quantiles_disc(
+        _events(sf_dir, columns=["event_type", "value"]),
+        key="event_type",
+        value_col="value",
+        quantiles=(0.25, 0.75),
+    ).take_all()
+    fences = {}
+    for row in qd:
+        k = row["event_type"]
+        if k is None:
+            continue
+        q1, q3 = row["p25"], row["p75"]
+        iqr = q3 - q1
+        fences[k] = (q1 - 1.5 * iqr, q3 + 1.5 * iqr)
+
+    def partial(b: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        types = b.column("event_type").combine_chunks()
+        vals = b.column("value").to_numpy(zero_copy_only=False)
+        out_k, out_n = [], []
+        for k, (lo, hi) in fences.items():
+            m = pc.fill_null(pc.equal(types, k), False).to_numpy(
+                zero_copy_only=False
+            )
+            sel = vals[m]
+            n = int(np.count_nonzero((sel < lo) | (sel > hi)))
+            if n:
+                out_k.append(k)
+                out_n.append(n)
+        return pa.table(
+            {
+                "event_type": pa.array(out_k, type=pa.string()),
+                "n_outliers": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    def fold(group: "pa.Table") -> "pa.Table":
+        return (
+            group.group_by("event_type", use_threads=False)
+            .aggregate([("n_outliers", "sum")])
+            .rename_columns(["event_type", "n_outliers"])
+        )
+
+    return (
+        _events(sf_dir, columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -3786,6 +3953,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hhi_by_type": _q_events_hhi_by_type,
         "source_quality_gate_docs": _q_source_quality_gate,
         "user_longest_streak": _q_user_longest_streak,
+        "events_transition_matrix": _q_events_transition_matrix,
+        "events_interval_coverage": _q_events_interval_coverage,
+        "events_resample_hourly": _q_events_resample_hourly,
+        "wmedian_price_by_flag": _q_wmedian_price_by_flag,
+        "explode_doc_words": _q_explode_doc_words,
+        "events_iqr_outliers": _q_events_iqr_outliers,
     }
 
 
@@ -5728,5 +5901,98 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT user_id, CAST(max(run_len) AS BIGINT) AS longest_streak
         FROM r GROUP BY user_id
+    """
+    sql["events_transition_matrix"] = """
+        WITH s AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        SELECT prev AS from_type, event_type AS to_type,
+               count(*) AS n
+        FROM s WHERE prev IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    """
+    sql["events_interval_coverage"] = """
+        WITH iv AS (
+            SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + GREATEST(
+                       CAST(floor(value * 1000000.0) AS BIGINT), 0) AS e
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND value IS NOT NULL),
+        m AS (
+            SELECT user_id, s, e,
+                   max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS pmax
+            FROM iv)
+        SELECT user_id,
+               SUM(CASE WHEN pmax IS NULL OR pmax < s THEN e - s
+                        WHEN e > pmax THEN e - pmax ELSE 0 END)
+                   AS covered_us
+        FROM m GROUP BY user_id
+    """
+    sql["events_resample_hourly"] = """
+        WITH ev AS (
+            SELECT user_id, ts, max_by(value, event_id) AS value
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND value IS NOT NULL
+            GROUP BY user_id, ts),
+        b AS (
+            SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND value IS NOT NULL
+            GROUP BY user_id),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS gts
+            FROM b)
+        SELECT g.user_id, g.gts, e.value
+        FROM grid g ASOF LEFT JOIN ev e
+          ON g.user_id = e.user_id AND g.gts >= e.ts
+    """
+    sql["wmedian_price_by_flag"] = """
+        WITH w AS (
+            SELECT l_returnflag, l_extendedprice AS v,
+                   CAST(l_quantity AS BIGINT) AS wt
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        c AS (
+            SELECT l_returnflag, v,
+                   SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+                   SUM(wt) OVER (PARTITION BY l_returnflag) AS total
+            FROM w)
+        SELECT l_returnflag, MIN(v) AS wmedian
+        FROM c WHERE 2 * cw >= total GROUP BY l_returnflag
+    """
+    sql["explode_doc_words"] = """
+        WITH p AS (
+            SELECT doc_id, string_split(text, ' ') AS parts
+            FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id,
+               unnest(range(1, len(parts) + 1)) AS seg_idx,
+               unnest(parts) AS segment
+        FROM p
+    """
+    sql["events_iqr_outliers"] = """
+        WITH b AS (
+            SELECT event_type,
+                   quantile_disc(value, 0.25) AS q1,
+                   quantile_disc(value, 0.75) AS q3
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY event_type)
+        SELECT e.event_type, count(*) AS n_outliers
+        FROM events e JOIN b USING (event_type)
+        WHERE e.value IS NOT NULL
+          AND (e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+               OR e.value > b.q3 + 1.5 * (b.q3 - b.q1))
+        GROUP BY e.event_type
     """
     return sql

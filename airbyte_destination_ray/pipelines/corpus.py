@@ -1358,3 +1358,57 @@ def doc_oov_fraction(
         )
 
     return ds.map_batches(per_doc, batch_format="pyarrow", batch_size=None)
+
+
+def explode_segments(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+    out_idx: str = "seg_idx",
+    out_seg: str = "segment",
+):
+    """Explode each document into one row per separator-delimited segment
+    with a 1-based ordinal — the ``unnest(...) WITH ORDINALITY`` long
+    format (SQL parity: ``unnest(string_split(text, sep))`` zipped with
+    ``range(1, len+1)``), preserving ``string_split``'s edge cases
+    (``''`` → one empty segment; doubled separators → empty segments;
+    null text → zero rows).
+
+    Pure per-batch ``flat_map`` shape — ``pc.split_pattern`` +
+    ``list_flatten`` + repeat/arange ordinals, ZERO exchange and zero
+    Python per row; output order within a document is positional, so any
+    downstream keyed op can rely on ``(id, seg_idx)`` uniqueness."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        arr = batch.column(text_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        valid = arr.is_valid()
+        if not pc.all(valid).as_py():
+            batch = batch.filter(valid)
+            arr = batch.column(text_col)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+        lst = pc.split_pattern(arr, sep)
+        lengths = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+        lengths = lengths.astype(np.int64)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        rep = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        total = int(lengths.sum())
+        csum0 = np.concatenate(([0], np.cumsum(lengths)))[: len(lengths)]
+        ordinal = (
+            np.arange(total, dtype=np.int64) - np.repeat(csum0, lengths) + 1
+        )
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(rep)),
+                out_idx: pa.array(ordinal, type=pa.int64()),
+                out_seg: pc.list_flatten(lst),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

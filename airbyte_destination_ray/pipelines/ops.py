@@ -3211,3 +3211,94 @@ def source_quality_gate(
         return batch.filter(pc.fill_null(mask, False))
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def weighted_median_by_key(
+    ds,
+    *,
+    key: str,
+    value_col: str,
+    weight_col: str,
+    out_col: str = "wmedian",
+    num_partitions: int = 64,
+):
+    """Exact per-group WEIGHTED median: the smallest value ``v`` whose
+    running weight reaches half the group's total (``2·cumw ≥ total`` on
+    the value-sorted group — the SQL cumulative-window formulation, so the
+    result is always an actual column element and the comparison against
+    the oracle is bit-exact).
+
+    Weights must be integers (cast upstream): the threshold test is then
+    pure int64 arithmetic with no float accumulation-order hazard.  ONE
+    ``(key, value, weight)`` hash exchange; the per-partition kernel is a
+    vectorized sort + segment-reset cumsum + ``minimum.reduceat`` first-hit
+    — no Python per key.  Null values/weights are dropped."""
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key: batch.column(key),
+                value_col: batch.column(value_col),
+                "_w": pc.cast(batch.column(weight_col), pa.int64()),
+            }
+        )
+        t = t.filter(
+            pc.and_(
+                t.column(value_col).combine_chunks().is_valid(),
+                t.column("_w").combine_chunks().is_valid(),
+            )
+        )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def compute(group: pa.Table) -> pa.Table:
+        ktype = group.schema.field(key).type
+        vtype = group.schema.field(value_col).type
+        empty = pa.table(
+            {
+                key: pa.array([], type=ktype),
+                out_col: pa.array([], type=vtype),
+            }
+        )
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[(key, "ascending"), (value_col, "ascending")],
+        )
+        g = group.take(idx)
+        karr = g.column(key)
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        codes = pc.fill_null(
+            karr.dictionary_encode().indices.cast(pa.int64()), -1
+        ).to_numpy(zero_copy_only=False)
+        w = g.column("_w").to_numpy(zero_copy_only=False)
+        n = len(codes)
+        if n == 0:
+            return empty
+        start = np.ones(n, dtype=bool)
+        start[1:] = codes[1:] != codes[:-1]
+        starts = np.nonzero(start)[0]
+        ends = np.append(starts[1:], n)
+        seg_id = np.cumsum(start) - 1
+        cw = np.cumsum(w)
+        base = np.where(starts > 0, cw[starts - 1], 0)
+        cw = cw - base[seg_id]
+        total = cw[ends - 1]
+        cond = 2 * cw >= total[seg_id]
+        cand = np.where(cond, np.arange(n, dtype=np.int64), n)
+        first = np.minimum.reduceat(cand, starts)
+        varr = g.column(value_col)
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        return pa.table(
+            {
+                key: karr.take(pa.array(starts)),
+                out_col: varr.take(pa.array(first)),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(compute, batch_format="pyarrow")
+    )

@@ -3939,3 +3939,375 @@ def longest_streak_by_key(
         .groupby("_part")
         .map_groups(streaks, batch_format="pyarrow")
     )
+
+def transition_counts(
+    ds,
+    *,
+    key: str,
+    ts_col: str,
+    seq: str,
+    state_col: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    out_from: str = "from_state",
+    out_to: str = "to_state",
+    out_n: str = "n",
+):
+    """Markov transition matrix of a per-key ordered state stream — the
+    count of each ``(prev_state, state)`` adjacent pair under
+    ``LAG(state) OVER (PARTITION BY key ORDER BY ts, seq)``.
+
+    One keyed exchange of fixed-width ``(key, ts, seq, state)`` rows
+    co-locates each key's timeline; the per-partition kernel is a sort +
+    dictionary-code adjacency mask (a key's first row emits nothing —
+    SQL ``WHERE prev IS NOT NULL`` parity), pre-reduced to per-partition
+    ``(from, to, n)`` partials with one Arrow ``group_by``, so the final
+    fold exchanges at most ``partitions × |states|²`` rows regardless of
+    event volume.  Null keys/timestamps are dropped; null STATES are kept
+    as real states only when non-null (a null prev or next pair is
+    dropped, matching the SQL lag+filter).  Integer counts only —
+    oracle-exact."""
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key: batch.column(key),
+                state_col: batch.column(state_col),
+                seq: batch.column(seq),
+                "_ats": pc.cast(batch.column(ts_col), pa.int64()),
+            }
+        )
+        t = t.filter(
+            pc.and_(
+                t.column(key).combine_chunks().is_valid(),
+                t.column("_ats").combine_chunks().is_valid(),
+            )
+        )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        stype = group.schema.field(state_col).type
+        empty = pa.table(
+            {
+                out_from: pa.array([], type=stype),
+                out_to: pa.array([], type=stype),
+                out_n: pa.array([], type=pa.int64()),
+            }
+        )
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                (key, "ascending"),
+                ("_ats", "ascending"),
+                (seq, "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        karr = g.column(key)
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        codes = pc.fill_null(
+            karr.dictionary_encode().indices.cast(pa.int64()), -1
+        ).to_numpy(zero_copy_only=False)
+        n = len(codes)
+        if n < 2:
+            return empty
+        sarr = g.column(state_col)
+        if isinstance(sarr, pa.ChunkedArray):
+            sarr = sarr.combine_chunks()
+        same = codes[1:] == codes[:-1]
+        valid = (
+            sarr.slice(0, n - 1).is_valid().to_numpy(zero_copy_only=False)
+            & sarr.slice(1, n - 1).is_valid().to_numpy(zero_copy_only=False)
+            & same
+        )
+        keep = np.nonzero(valid)[0]
+        if len(keep) == 0:
+            return empty
+        t = pa.table(
+            {
+                out_from: sarr.take(pa.array(keep)),
+                out_to: sarr.take(pa.array(keep + 1)),
+            }
+        )
+        t = (
+            t.group_by([out_from, out_to], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns([out_from, out_to, out_n])
+        )
+        return t.set_column(
+            2, out_n, t.column(out_n).cast(pa.int64())
+        )
+
+    partials = (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+
+    def route_fold(batch: pa.Table) -> pa.Table:
+        parts = composite_partition_ids(batch, [out_from, out_to], 16)
+        return batch.append_column("_pp", pa.array(parts, type=pa.int64()))
+
+    def fold(group: pa.Table) -> pa.Table:
+        return (
+            group.drop_columns(["_pp"])
+            .group_by([out_from, out_to], use_threads=False)
+            .aggregate([(out_n, "sum")])
+            .rename_columns([out_from, out_to, out_n])
+        )
+
+    return (
+        partials.map_batches(
+            route_fold, batch_format="pyarrow", batch_size=None
+        )
+        .groupby("_pp")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def interval_coverage_by_key(
+    ds,
+    *,
+    key: str,
+    start_col: str,
+    end_col: str,
+    out_col: str = "covered_us",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Length of the UNION of half-open intervals ``[start, end)`` per key
+    (total covered time, overlaps merged) — the gaps-and-islands coverage
+    aggregate, computed as a sweep line instead of a running-max window.
+
+    Every interval contributes two fixed-width delta points ``(+1 @ start,
+    −1 @ end)``; ONE keyed exchange co-locates a key's points, then the
+    per-partition kernel sorts ``(key, t, d)``, per-key-resets the cumsum
+    (subtract the segment base — O(1) extra work, unlike a running max),
+    and sums ``t[i+1] − t[i]`` wherever the active count is ≥ 1.  The
+    result is order-invariant and integer-exact, so it hash-matches the
+    SQL islands formulation (running ``max(e) OVER (... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``) — both compute the same union
+    measure.  Zero/negative-length intervals contribute 0.  Null keys or
+    bounds are dropped."""
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key: batch.column(key),
+                "_s": pc.cast(batch.column(start_col), pa.int64()),
+                "_e": pc.cast(batch.column(end_col), pa.int64()),
+            }
+        )
+        t = t.filter(
+            pc.and_(
+                pc.and_(
+                    t.column(key).combine_chunks().is_valid(),
+                    t.column("_s").combine_chunks().is_valid(),
+                ),
+                t.column("_e").combine_chunks().is_valid(),
+            )
+        )
+        s = t.column("_s").to_numpy(zero_copy_only=False)
+        e = np.maximum(t.column("_e").to_numpy(zero_copy_only=False), s)
+        karr = t.column(key).combine_chunks()
+        points = pa.table(
+            {
+                key: pa.concat_arrays([karr, karr]),
+                "_t": pa.array(np.concatenate([s, e])),
+                "_d": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(len(s), dtype=np.int64),
+                            -np.ones(len(s), dtype=np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+        parts = partition_ids(points.column(key), num_partitions)
+        return points.append_column(
+            "_part", pa.array(parts, type=pa.int64())
+        )
+
+    def sweep(group: pa.Table) -> pa.Table:
+        ktype = group.schema.field(key).type
+        empty = pa.table(
+            {
+                key: pa.array([], type=ktype),
+                out_col: pa.array([], type=pa.int64()),
+            }
+        )
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                (key, "ascending"),
+                ("_t", "ascending"),
+                ("_d", "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        karr = g.column(key)
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        codes = pc.fill_null(
+            karr.dictionary_encode().indices.cast(pa.int64()), -1
+        ).to_numpy(zero_copy_only=False)
+        t = g.column("_t").to_numpy(zero_copy_only=False)
+        d = g.column("_d").to_numpy(zero_copy_only=False)
+        n = len(codes)
+        if n == 0:
+            return empty
+        start = np.ones(n, dtype=bool)
+        start[1:] = codes[1:] != codes[:-1]
+        starts = np.nonzero(start)[0]
+        cs = np.cumsum(d)
+        seg_base = np.where(starts > 0, cs[starts - 1], 0)
+        seg_id = np.cumsum(start) - 1
+        active = cs - seg_base[seg_id]
+        contrib = np.zeros(n, dtype=np.int64)
+        same_next = codes[1:] == codes[:-1]
+        contrib[:-1] = np.where(
+            same_next & (active[:-1] >= 1), t[1:] - t[:-1], 0
+        )
+        covered = np.add.reduceat(contrib, starts)
+        return pa.table(
+            {
+                key: karr.take(pa.array(starts)),
+                out_col: pa.array(covered, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+
+
+def resample_ffill(
+    ds,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    seq: str,
+    step_us: int = 3_600_000_000,
+    out_ts: str = "gts",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Resample each key's irregular timeline onto a regular grid with
+    forward fill: one row per ``step_us`` tick from ``floor(min ts)`` to
+    ``floor(max ts)`` per key, carrying the value of the LATEST event at
+    or before the tick (ties on timestamp broken by max ``seq`` — the
+    ``max_by(value, seq)`` rule), null when the tick precedes the key's
+    first event (the truncated first tick).
+
+    ONE keyed exchange of ``(key, ts, seq, value)``; the per-partition
+    kernel sorts ``(key, ts, seq)`` and builds every key's grid with
+    repeat/arange (no Python per key), then fills all grid points in one
+    structured-dtype ``searchsorted`` over the sorted ``(key_code, ts)``
+    pairs (``side="right"`` lands after equal timestamps, so the max-seq
+    row wins).  Null values are dropped before the fill (IGNORE NULLS
+    semantics).  Grid size is ``keys × span/step`` — choose ``step_us``
+    so that product stays bounded (it is the OUTPUT size, not a shuffle).
+    """
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key: batch.column(key),
+                seq: batch.column(seq),
+                value_col: batch.column(value_col),
+                "_ats": pc.cast(batch.column(ts_col), pa.int64()),
+            }
+        )
+        t = t.filter(
+            pc.and_(
+                pc.and_(
+                    t.column(key).combine_chunks().is_valid(),
+                    t.column("_ats").combine_chunks().is_valid(),
+                ),
+                t.column(value_col).combine_chunks().is_valid(),
+            )
+        )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    step = np.int64(step_us)
+
+    def fill(group: pa.Table) -> pa.Table:
+        ktype = group.schema.field(key).type
+        vtype = group.schema.field(value_col).type
+        empty = pa.table(
+            {
+                key: pa.array([], type=ktype),
+                out_ts: pa.array([], type=pa.timestamp("us")),
+                value_col: pa.array([], type=vtype),
+            }
+        )
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                (key, "ascending"),
+                ("_ats", "ascending"),
+                (seq, "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        karr = g.column(key)
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        codes = pc.fill_null(
+            karr.dictionary_encode().indices.cast(pa.int64()), -1
+        ).to_numpy(zero_copy_only=False)
+        ts = g.column("_ats").to_numpy(zero_copy_only=False)
+        n = len(codes)
+        if n == 0:
+            return empty
+        start = np.ones(n, dtype=bool)
+        start[1:] = codes[1:] != codes[:-1]
+        starts = np.nonzero(start)[0]
+        ends = np.append(starts[1:], n)
+        h0 = ts[starts] // step
+        h1 = ts[ends - 1] // step
+        cnt = h1 - h0 + 1
+        total = int(cnt.sum())
+        seg_of = np.repeat(np.arange(len(starts)), cnt)
+        base = np.repeat(h0, cnt)
+        csum0 = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        within = np.arange(total, dtype=np.int64) - np.repeat(csum0, cnt)
+        gts = (base + within) * step
+        ev = np.empty(n, dtype=[("k", np.int64), ("t", np.int64)])
+        ev["k"] = codes
+        ev["t"] = ts
+        probe = np.empty(total, dtype=ev.dtype)
+        probe["k"] = codes[starts][seg_of]
+        probe["t"] = gts
+        pos = np.searchsorted(ev, probe, side="right") - 1
+        valid = (pos >= 0) & (codes[np.maximum(pos, 0)] == probe["k"])
+        vals = g.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        filled = vals.take(
+            pa.array(np.where(valid, pos, 0), type=pa.int64())
+        )
+        out_vals = (
+            filled
+            if valid.all()
+            else pc.if_else(
+                pa.array(valid), filled, pa.scalar(None, type=vtype)
+            )
+        )
+        return pa.table(
+            {
+                key: karr.take(pa.array(starts[seg_of])),
+                out_ts: pa.array(gts).cast(pa.timestamp("us")),
+                value_col: out_vals,
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(fill, batch_format="pyarrow")
+    )
