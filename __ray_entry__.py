@@ -3783,6 +3783,250 @@ def _q_events_iqr_outliers(sf_dir: str):
     )
 
 
+def _q_lineitem_fk_orphans(sf_dir: str):
+    """Referential-integrity audit: lineitem rows whose order is not an
+    URGENT-priority order, counted per return flag — the distributed
+    NOT EXISTS anti-join over pre-reduced (key, batch) partials."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.relational import fk_violations
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    def urgent(b: "pa.Table") -> "pa.Table":
+        return b.filter(
+            pc.equal(b.column("o_orderpriority"), "1-URGENT")
+        ).select(["o_orderkey"])
+
+    parents = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(urgent, batch_format="pyarrow", batch_size=None)
+    return fk_violations(
+        read_parquet_sized(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag"],
+        ),
+        parents,
+        fk="l_orderkey",
+        pk="o_orderkey",
+        report_col="l_returnflag",
+        child_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_returnflag", pa.string())]
+        ),
+        parent_schema=pa.schema([("o_orderkey", pa.int64())]),
+    )
+
+
+def _q_benford_extendedprice(sf_dir: str):
+    """Benford first-significant-digit profile of lineitem extended price —
+    per-batch digit-peel combiner, aggregate-sized exchange, single-division
+    fractions."""
+    from airbyte_destination_ray.pipelines.ops import first_digit_counts
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    return first_digit_counts(
+        read_parquet_sized(
+            f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+        ),
+        value_col="l_extendedprice",
+    )
+
+
+def _q_events_minmax_by_type(sf_dir: str):
+    """Per-type min-max feature scaling of event values — one keyed
+    exchange, exact integer extrema, one IEEE division per row."""
+    from airbyte_destination_ray.pipelines.ops import minmax_scale_by_key
+
+    return minmax_scale_by_key(
+        _events(sf_dir, columns=["event_id", "event_type", "value"]),
+        key="event_type",
+        seq="event_id",
+        value_col="value",
+        out_col="scaled",
+    )
+
+
+def _q_first_touch_attribution(sf_dir: str):
+    """First-touch attribution: each user's FIRST event type (min ts, min
+    event_id — LWW over negated order columns) credited with the user's
+    total purchase cents.  Two pre-reduced keyed exchanges + one unique-key
+    shuffle join with explicit schemas; final rollup is per-type."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.ops import grouped_sum, lww_latest
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+
+    def neg_order(b: "pa.Table") -> "pa.Table":
+        t = b.filter(b.column("ts").combine_chunks().is_valid())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "_nts": pc.negate(pc.cast(t.column("ts"), pa.int64())),
+                "_nseq": pc.negate(t.column("event_id")),
+            }
+        )
+
+    first = lww_latest(
+        _events(
+            sf_dir, columns=["user_id", "event_type", "ts", "event_id"]
+        ).map_batches(neg_order, batch_format="pyarrow", batch_size=None),
+        pk="user_id",
+        ver="_nts",
+        seq="_nseq",
+    ).map_batches(
+        lambda b: b.select(["user_id", "event_type"]).rename_columns(
+            ["user_id", "first_type"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def purchase_cents(b: "pa.Table") -> "pa.Table":
+        t = b.filter(
+            pc.and_(
+                pc.fill_null(pc.equal(b.column("event_type"), "purchase"), False),
+                b.column("user_id").combine_chunks().is_valid(),
+            )
+        )
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "_c": pc.cast(
+                    pc.floor(pc.multiply(t.column("value"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    purchases = grouped_sum(
+        _events(sf_dir, columns=["user_id", "event_type", "value"]).map_batches(
+            purchase_cents, batch_format="pyarrow", batch_size=None
+        ),
+        key="user_id",
+        value_col="_c",
+        out_col="cents",
+    )
+
+    joined = shuffle_join(
+        first,
+        purchases,
+        left_on="user_id",
+        right_on="user_id",
+        join_type="left outer",
+        select=["first_type", "cents"],
+        hot_keys=None,  # user keys unique on both sides
+        left_schema=pa.schema(
+            [("user_id", pa.int64()), ("first_type", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("user_id", pa.int64()), ("cents", pa.int64())]
+        ),
+    )
+
+    def partial(b: "pa.Table") -> "pa.Table":
+        return (
+            pa.table(
+                {
+                    "first_type": b.column("first_type"),
+                    "_c": pc.fill_null(b.column("cents"), 0),
+                }
+            )
+            .group_by("first_type")
+            .aggregate([("_c", "sum"), ([], "count_all")])
+            .rename_columns(["first_type", "_c", "_n"])
+        )
+
+    def final(group: "pa.Table") -> "pa.Table":
+        return pa.table(
+            {
+                "first_type": pa.array(
+                    [group.column("first_type")[0].as_py()],
+                    type=pa.string(),
+                ),
+                "n_users": pa.array(
+                    [int(pc.sum(group.column("_n")).as_py())],
+                    type=pa.int64(),
+                ),
+                "purchase_cents": pa.array(
+                    [int(pc.sum(group.column("_c")).as_py())],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("first_type")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def _q_clicks_unconverted_1h(sf_dir: str):
+    """Absence detection (the anti-as-of): clicks NOT followed by a
+    purchase by the same user within one hour, counted per user — forward
+    as-of join with tolerance, null-match filter, keyed count."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.ops import grouped_count
+    from airbyte_destination_ray.pipelines.relational import asof_join
+
+    def pick(kind: str):
+        def fn(b: "pa.Table") -> "pa.Table":
+            keep = pc.and_(
+                pc.and_(
+                    pc.fill_null(pc.equal(b.column("event_type"), kind), False),
+                    b.column("ts").combine_chunks().is_valid(),
+                ),
+                b.column("user_id").combine_chunks().is_valid(),
+            )
+            return b.filter(keep).select(["event_id", "ts", "user_id"])
+
+        return fn
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    side_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+        ]
+    )
+    clicks = _events(sf_dir, columns=cols).map_batches(
+        pick("click"), batch_format="pyarrow", batch_size=None
+    )
+    purchases = _events(sf_dir, columns=cols).map_batches(
+        pick("purchase"), batch_format="pyarrow", batch_size=None
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_seq="event_id",
+        right_keep=["event_id"],
+        direction="forward",
+        tolerance_us=3_600_000_000,
+        left_schema=side_schema,
+        right_schema=side_schema,
+    )
+
+    def unmatched(b: "pa.Table") -> "pa.Table":
+        return b.filter(
+            pc.invert(b.column("event_id_right").combine_chunks().is_valid())
+        ).select(["user_id"])
+
+    return grouped_count(
+        j.map_batches(unmatched, batch_format="pyarrow", batch_size=None),
+        key="user_id",
+        out_col="n_unconverted",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -3869,6 +4113,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_sessions_users": _q_incremental_sessions,
         "top_bigrams_documents": _q_top_bigrams,
         "incremental_agg_user_totals": _q_incremental_agg,
+        "lineitem_fk_orphans": _q_lineitem_fk_orphans,
+        "benford_extendedprice": _q_benford_extendedprice,
+        "events_minmax_by_type": _q_events_minmax_by_type,
+        "first_touch_attribution": _q_first_touch_attribution,
+        "clicks_unconverted_1h": _q_clicks_unconverted_1h,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -5994,5 +6243,78 @@ def oracle_sql() -> dict[str, str]:
           AND (e.value < b.q1 - 1.5 * (b.q3 - b.q1)
                OR e.value > b.q3 + 1.5 * (b.q3 - b.q1))
         GROUP BY e.event_type
+    """
+    sql["lineitem_fk_orphans"] = """
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_violations
+        FROM lineitem l
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_orderkey = l.l_orderkey
+              AND o.o_orderpriority = '1-URGENT')
+        GROUP BY 1
+    """
+    sql["benford_extendedprice"] = """
+        WITH u AS (
+            SELECT CAST(floor(abs(l_extendedprice) * 100.0) AS BIGINT) AS v
+            FROM lineitem),
+        f AS (
+            SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM u WHERE v > 0),
+        c AS (SELECT digit, count(*) AS n FROM f GROUP BY 1),
+        t AS (SELECT sum(n) AS total FROM c)
+        SELECT digit, CAST(n AS BIGINT) AS n,
+               CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS frac
+        FROM c, t
+    """
+    sql["events_minmax_by_type"] = """
+        WITH b AS (
+            SELECT event_id, event_type,
+                   CAST(floor(value * 100.0) AS BIGINT) AS c
+            FROM events WHERE event_type IS NOT NULL),
+        m AS (
+            SELECT event_type, min(c) AS mn, max(c) AS mx
+            FROM b WHERE c IS NOT NULL GROUP BY 1)
+        SELECT b.event_id, b.event_type,
+               CASE WHEN b.c IS NOT NULL AND m.mx > m.mn
+                    THEN CAST(b.c - m.mn AS DOUBLE)
+                         / CAST(m.mx - m.mn AS DOUBLE)
+               END AS scaled
+        FROM b LEFT JOIN m USING (event_type)
+    """
+    sql["first_touch_attribution"] = """
+        WITH f AS (
+            SELECT user_id, event_type AS first_type
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC) = 1),
+        p AS (
+            SELECT user_id,
+                   sum(CAST(floor(value * 100.0) AS BIGINT)) AS cents
+            FROM events
+            WHERE event_type = 'purchase' AND user_id IS NOT NULL
+            GROUP BY 1)
+        SELECT first_type, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(coalesce(p.cents, 0)) AS BIGINT) AS purchase_cents
+        FROM f LEFT JOIN p USING (user_id)
+        GROUP BY 1
+    """
+    sql["clicks_unconverted_1h"] = """
+        WITH c AS (
+            SELECT event_id, ts, user_id FROM events
+            WHERE event_type = 'click' AND ts IS NOT NULL
+              AND user_id IS NOT NULL),
+        p AS (
+            SELECT ts, user_id FROM events
+            WHERE event_type = 'purchase' AND ts IS NOT NULL
+              AND user_id IS NOT NULL)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_unconverted
+        FROM c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = c.user_id
+              AND p.ts >= c.ts
+              AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        GROUP BY 1
     """
     return sql

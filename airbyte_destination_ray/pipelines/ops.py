@@ -3302,3 +3302,153 @@ def weighted_median_by_key(
         .groupby("_part")
         .map_groups(compute, batch_format="pyarrow")
     )
+
+
+def first_digit_counts(
+    ds,
+    *,
+    value_col: str,
+    scale: float = 100.0,
+    out_digit: str = "digit",
+):
+    """Benford-style first-significant-digit profile of a numeric column —
+    the data-quality / fraud-screening primitive.
+
+    Per-batch combiner: values fixed-point to integer units
+    (``floor(|v|·scale)``, matching the oracle's
+    ``CAST(floor(abs(v)*scale) AS BIGINT)``), the leading digit peeled with
+    a vectorized divide-by-10 loop (≤19 passes, O(n) each), and the batch
+    collapses to ≤9 partial rows — the exchange is aggregate-sized, and
+    the final is one ≤9-row group.  ``frac`` is a single IEEE division
+    n/total, hash-exact vs the spelled-out SQL.  Zero/null values carry no
+    leading digit and are excluded.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        units = pc.cast(
+            pc.floor(pc.multiply(pc.abs(batch.column(value_col)), scale)),
+            pa.int64(),
+        )
+        x = pc.fill_null(units, 0).to_numpy(zero_copy_only=False)
+        x = x[x > 0].copy()
+        while x.size and int(x.max()) >= 10:
+            m = x >= 10
+            x[m] //= 10
+        counts = np.bincount(x, minlength=10)[1:10]
+        keep = counts > 0
+        nk = int(keep.sum())
+        return pa.table(
+            {
+                out_digit: pa.array(
+                    np.arange(1, 10, dtype=np.int64)[keep], type=pa.int64()
+                ),
+                "_n": pa.array(counts[keep], type=pa.int64()),
+                "_k": pa.array(np.zeros(nk, dtype=np.int64)),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        t = (
+            group.select([out_digit, "_n"])
+            .group_by(out_digit)
+            .aggregate([("_n", "sum")])
+            .rename_columns([out_digit, "n"])
+        )
+        t = t.take(pc.sort_indices(t, sort_keys=[(out_digit, "ascending")]))
+        total = float(pc.sum(t.column("n")).as_py() or 0)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                out_digit: t.column(out_digit),
+                "n": t.column("n"),
+                "frac": pa.array(n / total, type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_k")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def minmax_scale_by_key(
+    ds,
+    *,
+    key: str,
+    seq: str,
+    value_col: str,
+    out_col: str = "scaled",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """PER-KEY min-max feature scaling ``(v − min) / (max − min)`` — the
+    bounded-range sibling of :func:`standardize_by_key`.
+
+    Same single hash exchange of ``(key, seq, cents)``: co-locating each
+    key makes the per-partition segmented min/max the global per-key
+    extrema.  Fixed-point cents keep the extrema exact; the finalization
+    is an integer subtraction and ONE IEEE division — bit-identical to
+    ``CAST(c - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)``.  Null values
+    keep their row with a null output and contribute nothing to the
+    extrema; degenerate keys (max == min) yield null.  Null keys are
+    dropped (SQL keyed-kernel policy).
+    """
+
+    def route(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(batch.column(value_col), 100.0)),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                key: batch.column(key),
+                seq: batch.column(seq),
+                "_c": cents,
+            }
+        )
+        t = t.filter(t.column(key).combine_chunks().is_valid())
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def rescale(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[(key, "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    seq: g.column(seq),
+                    key: g.column(key),
+                    out_col: pa.array([], type=pa.float64()),
+                }
+            )
+        keys = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        c_arr = g.column("_c").combine_chunks()
+        valid = c_arr.is_valid().to_numpy(zero_copy_only=False)
+        c = pc.fill_null(c_arr, 0).to_numpy(zero_copy_only=False)
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = keys[1:] != keys[:-1]
+        si = np.flatnonzero(start)
+        seg_id = np.cumsum(start) - 1
+        big = np.int64(2**62)
+        mn = np.minimum.reduceat(np.where(valid, c, big), si)
+        mx = np.maximum.reduceat(np.where(valid, c, -big), si)
+        span = (mx - mn).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scaled = (c - mn[seg_id]).astype(np.float64) / span[seg_id]
+        ok = valid & (mx[seg_id] > mn[seg_id])
+        return pa.table(
+            {
+                seq: g.column(seq),
+                key: g.column(key),
+                out_col: pa.array(scaled, type=pa.float64(), mask=~ok),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(rescale, batch_format="pyarrow")
+    )

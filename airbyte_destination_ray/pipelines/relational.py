@@ -4311,3 +4311,131 @@ def resample_ffill(
         .groupby("_part")
         .map_groups(fill, batch_format="pyarrow")
     )
+
+
+def fk_violations(
+    child_ds,
+    parent_ds,
+    *,
+    fk: str,
+    pk: str,
+    report_col: str,
+    out_col: str = "n_violations",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    child_schema: pa.Schema | None = None,
+    parent_schema: pa.Schema | None = None,
+):
+    """Referential-integrity audit: count child rows whose ``fk`` has no
+    matching parent ``pk``, grouped by ``report_col`` — the distributed
+    NOT EXISTS anti-join as a data-quality primitive.
+
+    Both sides pre-reduce per batch before the exchange: child →
+    ``(fk, report_col, n)`` partial counts, parent → distinct ``pk`` —
+    the single hash shuffle moves one row per (key, batch), never child
+    payloads.  The per-partition anti check is one vectorized ``is_in``;
+    surviving counts collapse to an aggregate-sized second exchange keyed
+    on ``report_col`` (envelope: report_col is a LOW-cardinality dimension
+    — the final is one Python call per report value).  A null FK never
+    matches (SQL three-valued NOT EXISTS) and is counted as a violation;
+    null parent PKs match nothing.
+    """
+    child_ds, cschema = _prep_join_side(child_ds, child_schema, "child")
+    parent_ds, pschema = _prep_join_side(parent_ds, parent_schema, "parent")
+    ctypes = dict(zip(cschema.names, cschema.types))
+    ptypes = dict(zip(pschema.names, pschema.types))
+    key_type = ctypes[fk]
+    if ptypes[pk] != key_type:
+        raise ValueError(
+            f"fk/pk type mismatch: {fk}={key_type} vs {pk}={ptypes[pk]}"
+        )
+    report_type = ctypes[report_col]
+
+    def child_partial(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select([fk, report_col])
+            .group_by([fk, report_col])
+            .aggregate([([], "count_all")])
+            .rename_columns([fk, report_col, "_n"])
+        )
+        n = t.num_rows
+        t = pa.table(
+            {
+                "_k": t.column(fk),
+                report_col: t.column(report_col),
+                "_n": pc.cast(t.column("_n"), pa.int64()),
+                "_side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+        parts = partition_ids(t.column("_k"), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def parent_partial(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(
+            pc.drop_null(batch.column(pk).combine_chunks())
+        )
+        n = len(keys)
+        t = pa.table(
+            {
+                "_k": keys,
+                report_col: pa.nulls(n, report_type),
+                "_n": pa.nulls(n, pa.int64()),
+                "_side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+        parts = partition_ids(t.column("_k"), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    env = child_ds.map_batches(
+        child_partial, batch_format="pyarrow", batch_size=None
+    ).union(
+        parent_ds.map_batches(
+            parent_partial, batch_format="pyarrow", batch_size=None
+        )
+    )
+
+    def check(group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        lmask = pa.array(side == 1)
+        child = group.filter(lmask)
+        pkeys = group.filter(pc.invert(lmask)).column("_k").combine_chunks()
+        ck = child.column("_k").combine_chunks()
+        if len(pkeys):
+            matched = pc.fill_null(
+                pc.is_in(ck, value_set=pc.unique(pkeys)), False
+            )
+            viol = child.filter(pc.invert(matched))
+        else:
+            viol = child
+        if viol.num_rows == 0:
+            return pa.table(
+                {
+                    report_col: pa.array([], type=report_type),
+                    "_n": pa.array([], type=pa.int64()),
+                }
+            )
+        return (
+            viol.select([report_col, "_n"])
+            .group_by(report_col)
+            .aggregate([("_n", "sum")])
+            .rename_columns([report_col, "_n"])
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                report_col: pa.array(
+                    [group.column(report_col)[0].as_py()], type=report_type
+                ),
+                out_col: pa.array(
+                    [int(pc.sum(group.column("_n")).as_py())],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        env.groupby("_part")
+        .map_groups(check, batch_format="pyarrow")
+        .groupby(report_col)
+        .map_groups(final, batch_format="pyarrow")
+    )
