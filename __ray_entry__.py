@@ -4027,6 +4027,91 @@ def _q_clicks_unconverted_1h(sf_dir: str):
     )
 
 
+def _q_source_vocab_overlap(sf_dir: str):
+    """Pairwise exact Jaccard vocabulary overlap between document sources —
+    bitmask-per-term fold, aggregate-sized mask histogram, single-division
+    Jaccard."""
+    from airbyte_destination_ray.pipelines.corpus import source_vocab_overlap
+
+    return source_vocab_overlap(
+        _documents(sf_dir, columns=["source", "text"]),
+        group_col="source",
+        text_col="text",
+    )
+
+
+def _q_events_hourly_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the hourly event-count series — bucketed
+    pre-reduce, one tiny fold, fixed-IEEE corr finalization."""
+    from airbyte_destination_ray.pipelines.relational import series_autocorr
+
+    return series_autocorr(_events(sf_dir, columns=["ts"]), ts_col="ts")
+
+
+def _q_priority_late_orders(sf_dir: str):
+    """TPC-H Q4-shaped composite: orders with ANY lineitem shipped more
+    than 60 days after the order date, counted per priority.  EXISTS is
+    rewritten as per-order MAX(shipdate) (partition-level grouped max) →
+    one unique-key shuffle join → vectorized date filter → tiny rollup."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.ops import grouped_count, grouped_max
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    li_max = grouped_max(
+        read_parquet_sized(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_shipdate"],
+        ),
+        key="l_orderkey",
+        value_col="l_shipdate",
+        out_col="max_ship",
+    )
+    ords = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    joined = shuffle_join(
+        ords,
+        li_max,
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        select=["o_orderdate", "o_orderpriority", "max_ship"],
+        hot_keys=None,  # order keys unique on both sides
+        left_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("max_ship", pa.timestamp("us"))]
+        ),
+    )
+
+    def late(b: "pa.Table") -> "pa.Table":
+        keep = pc.fill_null(
+            pc.greater(
+                pc.cast(b.column("max_ship"), pa.int64()),
+                pc.add(
+                    pc.cast(b.column("o_orderdate"), pa.int64()),
+                    60 * 86_400_000_000,
+                ),
+            ),
+            False,
+        )
+        return b.filter(keep).select(["o_orderpriority"])
+
+    return grouped_count(
+        joined.map_batches(late, batch_format="pyarrow", batch_size=None),
+        key="o_orderpriority",
+        out_col="n_orders",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -4118,6 +4203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_minmax_by_type": _q_events_minmax_by_type,
         "first_touch_attribution": _q_first_touch_attribution,
         "clicks_unconverted_1h": _q_clicks_unconverted_1h,
+        "source_vocab_overlap": _q_source_vocab_overlap,
+        "events_hourly_autocorr": _q_events_hourly_autocorr,
+        "priority_late_orders": _q_priority_late_orders,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -6315,6 +6403,63 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.user_id = c.user_id
               AND p.ts >= c.ts
               AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        GROUP BY 1
+    """
+    sql["source_vocab_overlap"] = """
+        WITH raw AS (
+            SELECT source,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                       AS term
+            FROM documents
+            WHERE text IS NOT NULL AND source IS NOT NULL),
+        w AS (SELECT DISTINCT source, term FROM raw WHERE term <> ''),
+        sizes AS (SELECT source, count(*) AS n FROM w GROUP BY 1),
+        inter AS (
+            SELECT a.source AS group_a, b.source AS group_b,
+                   count(*) AS n_common
+            FROM w a JOIN w b
+              ON a.term = b.term AND a.source < b.source
+            GROUP BY 1, 2)
+        SELECT group_a, group_b,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(sa.n + sb.n - n_common AS BIGINT) AS n_union,
+               CAST(n_common AS DOUBLE)
+                   / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.source = inter.group_a
+        JOIN sizes sb ON sb.source = inter.group_b
+    """
+    sql["events_hourly_autocorr"] = """
+        WITH c AS (
+            SELECT epoch_us(ts) // 3600000000 AS b, count(*) AS n
+            FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        p AS (SELECT n AS y, lag(n) OVER (ORDER BY b) AS x FROM c),
+        s AS (
+            SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy,
+                   sum(x * y) AS sxy
+            FROM p WHERE x IS NOT NULL)
+        SELECT CAST(n AS BIGINT) AS n_pairs,
+               CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                     AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+               THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               ELSE NULL END AS autocorr
+        FROM s
+    """
+    sql["priority_late_orders"] = """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         GROUP BY 1
     """
     return sql

@@ -1412,3 +1412,169 @@ def explode_segments(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def source_vocab_overlap(
+    ds,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    pattern: str = "[^a-z0-9]+",
+    num_partitions: int = CORPUS_NUM_PARTITIONS,
+    groups: list[str] | None = None,
+):
+    """Pairwise EXACT Jaccard overlap of word vocabularies between document
+    groups — the corpus-mixture diagnostic ("how much of source A's
+    vocabulary does source B share?").  Returns
+    ``(group_a, group_b, n_common, n_union, jaccard)`` for every group
+    pair with a non-empty intersection.
+
+    Never all-pairs over terms: (1) the distinct group values (a
+    LOW-cardinality dimension, ≤ 62 for the int64 bitmask) are collected
+    once and broadcast as a sorted group→bit mapping; (2) each batch
+    pre-reduces to distinct ``(term, groupmask)`` partials — within a
+    batch the per-term mask sum IS the bitwise OR — then ONE hash exchange
+    on term, a segmented ``bitwise_or.reduceat`` fold per partition, and a
+    ≤2^k-row mask histogram; every pair statistic is a sum over that
+    histogram (|A∩B| = Σ n over masks with both bits), so the driver only
+    ever touches aggregate-sized data.  ``jaccard`` is ONE IEEE division —
+    hash-exact vs the spelled-out SQL.  Null text/group rows and empty
+    terms are excluded, matching the oracle's filters.
+
+    Pass ``groups`` explicitly when ``ds`` is a DERIVED Dataset — the
+    discovery scan otherwise executes the upstream pipeline a second time
+    (the documented re-execution trap).
+    """
+    if groups is None:
+        groups_tbl = (
+            ds.map_batches(
+                lambda b: b.select([group_col])
+                .drop_null()
+                .group_by(group_col)
+                .aggregate([]),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .groupby(group_col)
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+            .take_all()
+        )
+        groups = sorted(
+            r[group_col] for r in groups_tbl if r[group_col] is not None
+        )
+    else:
+        groups = sorted(groups)
+    if len(groups) > 62:
+        raise ValueError(
+            f"{len(groups)} groups exceed the int64 bitmask (max 62)"
+        )
+    bit_of = {g: 1 << i for i, g in enumerate(groups)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col).combine_chunks()
+        garr = batch.column(group_col).combine_chunks()
+        keep = pc.and_(txt.is_valid(), garr.is_valid())
+        txt, garr = txt.filter(keep), garr.filter(keep)
+        lst = pc.split_pattern_regex(pc.utf8_lower(txt), pattern)
+        flat = pc.list_flatten(lst)
+        parent = pc.list_parent_indices(lst)
+        ok = pc.not_equal(flat, "")
+        flat, parent = flat.filter(ok), parent.filter(ok)
+        gvals = garr.take(parent)
+        gi = pc.index_in(gvals, value_set=pa.array(groups, type=pa.string()))
+        idx = pc.fill_null(gi, -1).to_numpy(zero_copy_only=False)
+        known = idx >= 0
+        shift = np.clip(idx, 0, None).astype(np.int64)
+        masks = np.where(known, np.int64(1) << shift, np.int64(0))
+        if not known.all():
+            # group value outside the provided list: drop (caller's list
+            # defines the universe)
+            keep2 = pa.array(known)
+            flat = flat.filter(keep2)
+            masks = masks[known]
+        t = pa.table({"term": flat, "_m": pa.array(masks, type=pa.int64())})
+        # distinct (term, mask) then per-term sum == OR (each bit once)
+        t = (
+            t.group_by(["term", "_m"])
+            .aggregate([])
+            .group_by("term")
+            .aggregate([("_m", "sum")])
+            .rename_columns(["term", "_m"])
+        )
+        parts = (
+            stable_hash_array(t.column("term"))
+            % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[("term", "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "_mask": pa.array([], type=pa.int64()),
+                    "_n": pa.array([], type=pa.int64()),
+                }
+            )
+        terms = g.column("term").combine_chunks()
+        m = g.column("_m").to_numpy(zero_copy_only=False)
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            eq = pc.equal(terms.slice(1, n - 1), terms.slice(0, n - 1))
+            start[1:] = np.invert(
+                pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+            )
+        si = np.flatnonzero(start)
+        seg_mask = np.bitwise_or.reduceat(m, si)
+        vals, cnt = np.unique(seg_mask, return_counts=True)
+        return pa.table(
+            {
+                "_mask": pa.array(vals, type=pa.int64()),
+                "_n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.group_by("_mask")
+            .aggregate([("_n", "sum")])
+            .rename_columns(["_mask", "_n"])
+        )
+        mask = t.column("_mask").to_numpy(zero_copy_only=False)
+        cnt = t.column("_n").to_numpy(zero_copy_only=False)
+        ga, gb, ncom, nuni, jac = [], [], [], [], []
+        for i, a in enumerate(groups):
+            in_a = (mask & bit_of[a]) != 0
+            na = int(cnt[in_a].sum())
+            for b in groups[i + 1 :]:
+                in_b = (mask & bit_of[b]) != 0
+                nb = int(cnt[in_b].sum())
+                inter = int(cnt[in_a & in_b].sum())
+                if inter == 0:
+                    continue
+                union = na + nb - inter
+                ga.append(a)
+                gb.append(b)
+                ncom.append(inter)
+                nuni.append(union)
+                jac.append(float(inter) / float(union))
+        return pa.table(
+            {
+                "group_a": pa.array(ga, type=pa.string()),
+                "group_b": pa.array(gb, type=pa.string()),
+                "n_common": pa.array(ncom, type=pa.int64()),
+                "n_union": pa.array(nuni, type=pa.int64()),
+                "jaccard": pa.array(jac, type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

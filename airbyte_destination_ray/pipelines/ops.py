@@ -3452,3 +3452,47 @@ def minmax_scale_by_key(
         .groupby("_part")
         .map_groups(rescale, batch_format="pyarrow")
     )
+
+
+def grouped_max(
+    ds,
+    *,
+    key: str,
+    value_col: str,
+    out_col: str = "max",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Exact per-key MAX for any orderable Arrow type (ints, timestamps,
+    strings) — per-batch combiner, PARTITION-LEVEL final (one Arrow
+    group_by per partition, never a Python call per key; see
+    :func:`grouped_sum` for the measured O(keys) trap).  SQL null
+    semantics: nulls skipped, all-null keys yield null."""
+    from ..functions.hashing import partition_ids
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select([key, value_col])
+            .group_by(key)
+            .aggregate([(value_col, "max")])
+        )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        g = (
+            group.drop_columns(["_part"])
+            .group_by(key)
+            .aggregate([(f"{value_col}_max", "max")])
+        )
+        return pa.table(
+            {
+                key: g.column(key),
+                out_col: g.column(f"{value_col}_max_max"),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -4439,3 +4439,94 @@ def fk_violations(
         .groupby(report_col)
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def series_autocorr(
+    ds,
+    *,
+    ts_col: str,
+    unit_us: int = 3_600_000_000,
+    out_col: str = "autocorr",
+    num_partitions: int = 16,
+):
+    """Lag-1 autocorrelation of the event-count time series at a fixed
+    bucket width — the seasonality / burstiness diagnostic, returned as a
+    single (n_pairs, autocorr) row.
+
+    Phase 1 pre-reduces every batch to ``(bucket, n)`` partials and routes
+    by hash(bucket): the exchange and every intermediate are
+    aggregate-sized (≤ #buckets rows — hours over years ≪ memory).
+    Phase 2 is ONE final task over the folded series: sort buckets, pair
+    ``count[i]`` with ``count[i−1]`` (SQL ``lag`` over PRESENT buckets,
+    not calendar-filled), exact int64 moment sums, then the same
+    fixed-IEEE corr finalization as :func:`.ops.grouped_corr` — hash-exact
+    vs the spelled-out SQL.  Envelope: per-pair products must fit int64
+    (bucket counts ≤ ~3·10⁹).  Null timestamps are skipped.
+    """
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).combine_chunks().drop_null()
+        b = (
+            pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+            // unit_us
+        )
+        vals, cnt = np.unique(b, return_counts=True)
+        t = pa.table(
+            {
+                "_b": pa.array(vals, type=pa.int64()),
+                "_n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+        parts = partition_ids(t.column("_b"), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def fold(group: pa.Table) -> pa.Table:
+        return (
+            group.drop_columns(["_part"])
+            .group_by("_b")
+            .aggregate([("_n", "sum")])
+            .rename_columns(["_b", "_n"])
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        t = batch.take(
+            pc.sort_indices(batch, sort_keys=[("_b", "ascending")])
+        )
+        cnt = t.column("_n").to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = cnt[:-1], cnt[1:]
+        n = len(x)
+        if n == 0:
+            return pa.table(
+                {
+                    "n_pairs": pa.array([0], type=pa.int64()),
+                    out_col: pa.array([None], type=pa.float64()),
+                }
+            )
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = int((x * x).sum())
+        syy = int((y * y).sum())
+        sxy = int((x * y).sum())
+        fn = float(n)
+        num = fn * float(sxy) - float(sx) * float(sy)
+        dx = fn * float(sxx) - float(sx) * float(sx)
+        dy = fn * float(syy) - float(sy) * float(sy)
+        corr = (
+            num / (math.sqrt(dx) * math.sqrt(dy))
+            if dx > 0.0 and dy > 0.0
+            else None
+        )
+        return pa.table(
+            {
+                "n_pairs": pa.array([n], type=pa.int64()),
+                out_col: pa.array([corr], type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

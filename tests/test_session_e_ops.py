@@ -234,3 +234,162 @@ def test_fk_violations_type_mismatch_raises():
             child_schema=child.schema,
             parent_schema=parent.schema,
         )
+
+
+# --- grouped_max ------------------------------------------------------------
+
+
+def test_grouped_max_timestamps_and_nulls():
+    from airbyte_destination_ray.pipelines.ops import grouped_max
+
+    ts = pd.to_datetime(
+        ["2024-01-01", "2024-03-05", None, "2024-02-02", None, None]
+    )
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2, 3], type=pa.int64()),
+            "t": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+    got = _sorted_df(
+        grouped_max(_ds(tbl, 3), key="k", value_col="t", out_col="mx"),
+        ["k"],
+    )
+    exp = (
+        duckdb.sql("SELECT k, max(t) AS mx FROM tbl GROUP BY 1 ORDER BY 1")
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+# --- series_autocorr --------------------------------------------------------
+
+
+def test_series_autocorr_matches_sql():
+    from airbyte_destination_ray.pipelines.relational import series_autocorr
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    base = pd.Timestamp("2024-01-01").value // 1000
+    us = base + rng.integers(0, 200 * 3_600_000_000, n)
+    null_mask = rng.random(n) < 0.02
+    tbl = pa.table(
+        {"ts": pa.array(us, type=pa.int64()).cast(pa.timestamp("us"))}
+    )
+    tbl = pa.table(
+        {"ts": pa.array(tbl.column("ts").to_pandas(), type=pa.timestamp("us"), mask=null_mask)}
+    )
+    got = series_autocorr(_ds(tbl, 5), ts_col="ts").to_pandas()
+    exp = duckdb.sql(
+        """
+        WITH c AS (
+            SELECT epoch_us(ts) // 3600000000 AS b, count(*) AS n
+            FROM tbl WHERE ts IS NOT NULL GROUP BY 1),
+        p AS (SELECT n AS y, lag(n) OVER (ORDER BY b) AS x FROM c),
+        s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+              FROM p WHERE x IS NOT NULL)
+        SELECT CAST(n AS BIGINT) AS n_pairs,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   AS autocorr
+        FROM s
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_series_autocorr_single_bucket_null():
+    from airbyte_destination_ray.pipelines.relational import series_autocorr
+
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                [1_700_000_000_000_000, 1_700_000_000_500_000],
+                type=pa.int64(),
+            ).cast(pa.timestamp("us"))
+        }
+    )
+    got = series_autocorr(_ds(tbl, 1), ts_col="ts").to_pandas()
+    assert got["n_pairs"].iloc[0] == 0
+    assert got["autocorr"].isna().all()
+
+
+# --- source_vocab_overlap ---------------------------------------------------
+
+
+def _vocab_corpus():
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(200)]
+    rows_text, rows_src = [], []
+    for src, lo, hi in [("a", 0, 120), ("b", 60, 180), ("c", 100, 200)]:
+        for _ in range(40):
+            words = rng.choice(vocab[lo:hi], size=12)
+            rows_text.append(" ".join(words))
+            rows_src.append(src)
+    rows_text.append(None)
+    rows_src.append("a")
+    rows_text.append("orphan words")
+    rows_src.append(None)
+    return pa.table({"source": rows_src, "text": rows_text})
+
+
+def test_source_vocab_overlap_matches_sql():
+    from airbyte_destination_ray.pipelines.corpus import source_vocab_overlap
+
+    tbl = _vocab_corpus()
+    got = _sorted_df(
+        source_vocab_overlap(_ds(tbl, 4), group_col="source"),
+        ["group_a", "group_b"],
+    )
+    exp = (
+        duckdb.sql(
+            """
+        WITH raw AS (
+            SELECT source,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                       AS term
+            FROM tbl WHERE text IS NOT NULL AND source IS NOT NULL),
+        w AS (SELECT DISTINCT source, term FROM raw WHERE term <> ''),
+        sizes AS (SELECT source, count(*) AS n FROM w GROUP BY 1),
+        inter AS (
+            SELECT a.source AS group_a, b.source AS group_b,
+                   count(*) AS n_common
+            FROM w a JOIN w b ON a.term = b.term AND a.source < b.source
+            GROUP BY 1, 2)
+        SELECT group_a, group_b, CAST(n_common AS BIGINT) AS n_common,
+               CAST(sa.n + sb.n - n_common AS BIGINT) AS n_union,
+               CAST(n_common AS DOUBLE)
+                   / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.source = inter.group_a
+        JOIN sizes sb ON sb.source = inter.group_b
+        ORDER BY 1, 2
+        """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_source_vocab_overlap_explicit_groups_and_batch_invariance():
+    from airbyte_destination_ray.pipelines.corpus import source_vocab_overlap
+
+    tbl = _vocab_corpus()
+    a = _sorted_df(
+        source_vocab_overlap(_ds(tbl, 1), group_col="source"),
+        ["group_a", "group_b"],
+    )
+    b = _sorted_df(
+        source_vocab_overlap(
+            _ds(tbl, 7), group_col="source", groups=["c", "a", "b"]
+        ),
+        ["group_a", "group_b"],
+    )
+    pd.testing.assert_frame_equal(a, b)
