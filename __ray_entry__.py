@@ -4112,6 +4112,30 @@ def _q_priority_late_orders(sf_dir: str):
     )
 
 
+def _q_events_spearman_by_user(sf_dir: str):
+    """Per-user Spearman rank correlation of value vs time — distributed
+    row_number ranks (two segmented sorts) + exact int rank moments +
+    fixed-IEEE Pearson finalization."""
+    from airbyte_destination_ray.pipelines.ops import spearman_by_key
+
+    return spearman_by_key(
+        _events(sf_dir, columns=["user_id", "value", "ts", "event_id"]),
+        key="user_id",
+        x_col="value",
+        y_col="ts",
+        seq="event_id",
+        out_col="spearman",
+    )
+
+
+def _q_events_daily_delta(sf_dir: str):
+    """Day-over-day event volume report (count, delta, ratio vs previous
+    present day) — aggregate-sized bucket fold + one final lag pass."""
+    from airbyte_destination_ray.pipelines.relational import period_delta
+
+    return period_delta(_events(sf_dir, columns=["ts"]), ts_col="ts")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -4206,6 +4230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": _q_source_vocab_overlap,
         "events_hourly_autocorr": _q_events_hourly_autocorr,
         "priority_late_orders": _q_priority_late_orders,
+        "events_spearman_by_user": _q_events_spearman_by_user,
+        "events_daily_delta": _q_events_daily_delta,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -6461,5 +6487,48 @@ def oracle_sql() -> dict[str, str]:
             WHERE l.l_orderkey = o.o_orderkey
               AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         GROUP BY 1
+    """
+    sql["events_spearman_by_user"] = """
+        WITH r AS (
+            SELECT user_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY value, event_id) AS x,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS y
+            FROM events
+            WHERE user_id IS NOT NULL AND value IS NOT NULL
+              AND ts IS NOT NULL),
+        s AS (
+            SELECT user_id, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy,
+                   sum(x * y) AS sxy
+            FROM r GROUP BY 1)
+        SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+               CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                     AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+               THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               ELSE NULL END AS spearman
+        FROM s
+    """
+    sql["events_daily_delta"] = """
+        WITH c AS (
+            SELECT epoch_us(ts) // 86400000000 AS b, count(*) AS n
+            FROM events WHERE ts IS NOT NULL GROUP BY 1)
+        SELECT make_timestamp(b * 86400000000) AS bucket_ts,
+               CAST(n AS BIGINT) AS n,
+               CAST(n - lag(n) OVER (ORDER BY b) AS BIGINT) AS delta,
+               CASE WHEN lag(n) OVER (ORDER BY b) <> 0
+                    THEN CAST(n AS DOUBLE)
+                         / CAST(lag(n) OVER (ORDER BY b) AS DOUBLE)
+               END AS ratio
+        FROM c
     """
     return sql

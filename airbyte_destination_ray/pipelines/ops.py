@@ -3496,3 +3496,127 @@ def grouped_max(
         .groupby("_part")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def spearman_by_key(
+    ds,
+    *,
+    key: str,
+    x_col: str,
+    y_col: str,
+    seq: str,
+    out_col: str = "spearman",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """PER-KEY Spearman rank correlation between two columns — the
+    monotonic-association sibling of :func:`grouped_corr` (Pearson), for
+    "does this user's metric trend with time/order?" style diagnostics.
+
+    Ranks are ``row_number`` ranks with a deterministic ``seq`` tie-break
+    (matching ``row_number() OVER (PARTITION BY key ORDER BY col, seq)``),
+    so they are exact int64 and the per-key moment sums are exact — the
+    finalization is the same fixed-IEEE Pearson expression as
+    :func:`grouped_corr`, applied to the ranks, hence hash-exact vs the
+    spelled-out SQL.  ONE hash exchange of ``(key, x, y, seq)``
+    co-locates each key; both rankings and the segmented moment sums are
+    vectorized (two sorts + reduceat, no Python per key or per row).
+    Rows with a null key, x or y are excluded (three-valued ORDER BY
+    would otherwise make ranks engine-specific).  Envelope: per-key
+    Σrank² must fit int64 → keys up to ~2M rows.
+    """
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key: batch.column(key),
+                "_x": batch.column(x_col),
+                "_y": batch.column(y_col),
+                seq: batch.column(seq),
+            }
+        )
+        keep = pc.and_(
+            pc.and_(
+                t.column(key).combine_chunks().is_valid(),
+                t.column("_x").combine_chunks().is_valid(),
+            ),
+            t.column("_y").combine_chunks().is_valid(),
+        )
+        t = t.filter(keep)
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def rho(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        n = g.num_rows
+        key_type = g.schema.field(key).type
+        if n == 0:
+            return pa.table(
+                {
+                    key: pa.array([], type=key_type),
+                    "n_pairs": pa.array([], type=pa.int64()),
+                    out_col: pa.array([], type=pa.float64()),
+                }
+            )
+        # canonical order: by key, then seq (stable row identity)
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[(key, "ascending"), (seq, "ascending")]
+            )
+        )
+        keys = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = keys[1:] != keys[:-1]
+        si = np.flatnonzero(start)
+        seg_id = np.cumsum(start) - 1
+        seg_start = si[seg_id]
+
+        def ranks(col: str) -> np.ndarray:
+            order = pc.sort_indices(
+                g,
+                sort_keys=[
+                    (key, "ascending"),
+                    (col, "ascending"),
+                    (seq, "ascending"),
+                ],
+            ).to_numpy(zero_copy_only=False)
+            r = np.empty(n, dtype=np.int64)
+            # position within the key segment (+1) = row_number
+            r[order] = np.arange(n, dtype=np.int64)
+            return r - seg_start + 1
+
+        rx = ranks("_x")
+        ry = ranks("_y")
+        cnt = np.add.reduceat(np.ones(n, dtype=np.int64), si)
+        sx = np.add.reduceat(rx, si)
+        sy = np.add.reduceat(ry, si)
+        sxx = np.add.reduceat(rx * rx, si)
+        syy = np.add.reduceat(ry * ry, si)
+        sxy = np.add.reduceat(rx * ry, si)
+        fn = cnt.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            num = fn * sxy.astype(np.float64) - sx.astype(
+                np.float64
+            ) * sy.astype(np.float64)
+            dx = fn * sxx.astype(np.float64) - sx.astype(
+                np.float64
+            ) * sx.astype(np.float64)
+            dy = fn * syy.astype(np.float64) - sy.astype(
+                np.float64
+            ) * sy.astype(np.float64)
+            rho_v = num / (np.sqrt(dx) * np.sqrt(dy))
+        ok = (dx > 0.0) & (dy > 0.0)
+        karr = g.column(key).combine_chunks()
+        return pa.table(
+            {
+                key: karr.take(pa.array(si)),
+                "n_pairs": pa.array(cnt, type=pa.int64()),
+                out_col: pa.array(rho_v, type=pa.float64(), mask=~ok),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(rho, batch_format="pyarrow")
+    )

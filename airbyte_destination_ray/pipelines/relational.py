@@ -4441,29 +4441,10 @@ def fk_violations(
     )
 
 
-def series_autocorr(
-    ds,
-    *,
-    ts_col: str,
-    unit_us: int = 3_600_000_000,
-    out_col: str = "autocorr",
-    num_partitions: int = 16,
-):
-    """Lag-1 autocorrelation of the event-count time series at a fixed
-    bucket width — the seasonality / burstiness diagnostic, returned as a
-    single (n_pairs, autocorr) row.
-
-    Phase 1 pre-reduces every batch to ``(bucket, n)`` partials and routes
-    by hash(bucket): the exchange and every intermediate are
-    aggregate-sized (≤ #buckets rows — hours over years ≪ memory).
-    Phase 2 is ONE final task over the folded series: sort buckets, pair
-    ``count[i]`` with ``count[i−1]`` (SQL ``lag`` over PRESENT buckets,
-    not calendar-filled), exact int64 moment sums, then the same
-    fixed-IEEE corr finalization as :func:`.ops.grouped_corr` — hash-exact
-    vs the spelled-out SQL.  Envelope: per-pair products must fit int64
-    (bucket counts ≤ ~3·10⁹).  Null timestamps are skipped.
-    """
-    import math
+def _bucket_counts(ds, *, ts_col: str, unit_us: int, num_partitions: int):
+    """Shared phase-1 for the time-series report ops: pre-reduce every
+    batch to ``(bucket, n)`` partials, ONE hash exchange on bucket,
+    partition-level sums — aggregate-sized throughout (≤ #buckets rows)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column(ts_col).combine_chunks().drop_null()
@@ -4488,6 +4469,38 @@ def series_autocorr(
             .aggregate([("_n", "sum")])
             .rename_columns(["_b", "_n"])
         )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
+        .repartition(1)
+    )
+
+
+def series_autocorr(
+    ds,
+    *,
+    ts_col: str,
+    unit_us: int = 3_600_000_000,
+    out_col: str = "autocorr",
+    num_partitions: int = 16,
+):
+    """Lag-1 autocorrelation of the event-count time series at a fixed
+    bucket width — the seasonality / burstiness diagnostic, returned as a
+    single (n_pairs, autocorr) row.
+
+    Phase 1 pre-reduces every batch to ``(bucket, n)`` partials and routes
+    by hash(bucket): the exchange and every intermediate are
+    aggregate-sized (≤ #buckets rows — hours over years ≪ memory).
+    Phase 2 is ONE final task over the folded series: sort buckets, pair
+    ``count[i]`` with ``count[i−1]`` (SQL ``lag`` over PRESENT buckets,
+    not calendar-filled), exact int64 moment sums, then the same
+    fixed-IEEE corr finalization as :func:`.ops.grouped_corr` — hash-exact
+    vs the spelled-out SQL.  Envelope: per-pair products must fit int64
+    (bucket counts ≤ ~3·10⁹).  Null timestamps are skipped.
+    """
+    import math
 
     def final(batch: pa.Table) -> pa.Table:
         t = batch.take(
@@ -4523,10 +4536,57 @@ def series_autocorr(
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("_part")
-        .map_groups(fold, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(final, batch_format="pyarrow", batch_size=None)
-    )
+    return _bucket_counts(
+        ds, ts_col=ts_col, unit_us=unit_us, num_partitions=num_partitions
+    ).map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def period_delta(
+    ds,
+    *,
+    ts_col: str,
+    unit_us: int = 86_400_000_000,
+    out_ts: str = "bucket_ts",
+    num_partitions: int = 16,
+):
+    """Period-over-period report: event counts per fixed time bucket with
+    the previous PRESENT bucket's count, absolute delta and ratio — the
+    day-over-day / week-over-week dashboard staple.
+
+    Phase 1 is the shared aggregate-sized bucket-count fold
+    (:func:`_bucket_counts`); phase 2 is one final task: sort buckets,
+    shift by one (SQL ``lag`` over present buckets, not calendar-filled),
+    exact int64 delta, and ONE IEEE division for the ratio — hash-exact
+    vs the spelled-out SQL.  The first bucket's delta/ratio are null.
+    """
+
+    def final(batch: pa.Table) -> pa.Table:
+        t = batch.take(
+            pc.sort_indices(batch, sort_keys=[("_b", "ascending")])
+        )
+        b = t.column("_b").to_numpy(zero_copy_only=False)
+        n = t.column("_n").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(b)
+        prev = np.zeros(m, dtype=np.int64)
+        has_prev = np.zeros(m, dtype=bool)
+        if m > 1:
+            prev[1:] = n[:-1]
+            has_prev[1:] = True
+        delta = np.where(has_prev, n - prev, 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = n.astype(np.float64) / prev.astype(np.float64)
+        ok = has_prev & (prev != 0)
+        return pa.table(
+            {
+                out_ts: pa.array(b * unit_us, type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n": pa.array(n, type=pa.int64()),
+                "delta": pa.array(delta, type=pa.int64(), mask=~has_prev),
+                "ratio": pa.array(ratio, type=pa.float64(), mask=~ok),
+            }
+        )
+
+    return _bucket_counts(
+        ds, ts_col=ts_col, unit_us=unit_us, num_partitions=num_partitions
+    ).map_batches(final, batch_format="pyarrow", batch_size=None)

@@ -393,3 +393,117 @@ def test_source_vocab_overlap_explicit_groups_and_batch_invariance():
         ["group_a", "group_b"],
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+# --- spearman_by_key --------------------------------------------------------
+
+
+def test_spearman_by_key_matches_sql():
+    from airbyte_destination_ray.pipelines.ops import spearman_by_key
+
+    rng = np.random.default_rng(13)
+    n = 900
+    tbl = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 40, n), type=pa.int64()),
+            "x": pa.array(
+                np.round(rng.uniform(-5, 5, n), 1), type=pa.float64()
+            ),  # coarse → real ties exercise the seq tie-break
+            "y": pa.array(rng.integers(0, 50, n), type=pa.int64()),
+            "seq": pa.array(np.arange(n), type=pa.int64()),
+        }
+    )
+    got = _sorted_df(
+        spearman_by_key(
+            _ds(tbl, 5), key="k", x_col="x", y_col="y", seq="seq"
+        ),
+        ["k"],
+    )
+    exp = (
+        duckdb.sql(
+            """
+        WITH r AS (
+            SELECT k,
+                row_number() OVER (PARTITION BY k ORDER BY x, seq) AS rx,
+                row_number() OVER (PARTITION BY k ORDER BY y, seq) AS ry
+            FROM tbl),
+        s AS (SELECT k, count(*) AS n, sum(rx) sx, sum(ry) sy,
+                     sum(rx*rx) sxx, sum(ry*ry) syy, sum(rx*ry) sxy
+              FROM r GROUP BY 1)
+        SELECT k, CAST(n AS BIGINT) AS n_pairs,
+               CASE WHEN (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) > 0
+                     AND (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) > 0
+               THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                    / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+               ELSE NULL END AS spearman
+        FROM s ORDER BY k
+        """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_spearman_single_row_key_null():
+    from airbyte_destination_ray.pipelines.ops import spearman_by_key
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 2, 2], type=pa.int64()),
+            "x": pa.array([1.0, 2.0, 3.0]),
+            "y": pa.array([5, 6, 4], type=pa.int64()),
+            "seq": pa.array([0, 1, 2], type=pa.int64()),
+        }
+    )
+    got = _sorted_df(
+        spearman_by_key(_ds(tbl, 1), key="k", x_col="x", y_col="y", seq="seq"),
+        ["k"],
+    )
+    assert got.loc[got["k"] == 1, "spearman"].isna().all()  # dx == 0
+    assert got.loc[got["k"] == 2, "spearman"].iloc[0] == -1.0
+
+
+# --- period_delta -----------------------------------------------------------
+
+
+def test_period_delta_matches_sql():
+    from airbyte_destination_ray.pipelines.relational import period_delta
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    base = pd.Timestamp("2024-01-01").value // 1000
+    us = base + rng.integers(0, 45 * 86_400_000_000, n)
+    tbl = pa.table({"ts": pa.array(us, type=pa.int64()).cast(pa.timestamp("us"))})
+    got = (
+        period_delta(_ds(tbl, 5), ts_col="ts")
+        .to_pandas()
+        .sort_values("bucket_ts")
+        .reset_index(drop=True)
+    )
+    exp = (
+        duckdb.sql(
+            """
+        WITH c AS (
+            SELECT epoch_us(ts) // 86400000000 AS b, count(*) AS n
+            FROM tbl WHERE ts IS NOT NULL GROUP BY 1)
+        SELECT make_timestamp(b * 86400000000) AS bucket_ts,
+               CAST(n AS BIGINT) AS n,
+               CAST(n - lag(n) OVER (ORDER BY b) AS BIGINT) AS delta,
+               CASE WHEN lag(n) OVER (ORDER BY b) <> 0
+                    THEN CAST(n AS DOUBLE)
+                         / CAST(lag(n) OVER (ORDER BY b) AS DOUBLE)
+               END AS ratio
+        FROM c ORDER BY bucket_ts
+        """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
