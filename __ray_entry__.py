@@ -4136,6 +4136,51 @@ def _q_events_daily_delta(sf_dir: str):
     return period_delta(_events(sf_dir, columns=["ts"]), ts_col="ts")
 
 
+def _q_cdc_txn_two_tables(sf_dir: str):
+    """Multi-table atomic transaction (cross-table WAP): two tables staged
+    and published at ONE commit point; returns the post-publish per-table
+    summary."""
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        txn_sync_events_tables,
+    )
+
+    return txn_sync_events_tables(sf_dir)
+
+
+def _q_token_quantiles_by_source(sf_dir: str):
+    """Per-source word-count quartiles (exact discrete quantiles over the
+    RE2 token counter) — the corpus length-profile diagnostic."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.ops import grouped_quantiles_disc
+
+    def words(b: "pa.Table") -> "pa.Table":
+        keep = pc.and_(
+            b.column("source").combine_chunks().is_valid(),
+            b.column("text").combine_chunks().is_valid(),
+        )
+        t = b.filter(keep)
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_words": pc.cast(
+                    pc.count_substring_regex(t.column("text"), r"\S+"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return grouped_quantiles_disc(
+        _documents(sf_dir, columns=["source", "text"]).map_batches(
+            words, batch_format="pyarrow", batch_size=None
+        ),
+        key="source",
+        value_col="n_words",
+        quantiles=(0.25, 0.5, 0.75),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -4232,6 +4277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_late_orders": _q_priority_late_orders,
         "events_spearman_by_user": _q_events_spearman_by_user,
         "events_daily_delta": _q_events_daily_delta,
+        "cdc_txn_two_tables": _q_cdc_txn_two_tables,
+        "token_quantiles_by_source": _q_token_quantiles_by_source,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -6530,5 +6577,52 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(lag(n) OVER (ORDER BY b) AS DOUBLE)
                END AS ratio
         FROM c
+    """
+    sql["cdc_txn_two_tables"] = """
+        WITH mx AS (SELECT max(event_id) + 1 AS m FROM events),
+        full_t AS (
+            SELECT event_id FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+                AND event_type <> 'error'),
+        v1e AS (
+            SELECT e.* FROM events e, mx
+            WHERE (e.event_id * 3) // mx.m <= 1),
+        v1_t AS (
+            SELECT event_id FROM v1e
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+                AND event_type <> 'error')
+        SELECT 'events_txn_full' AS table_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(event_id) AS BIGINT) AS sum_event_id
+        FROM full_t
+        UNION ALL
+        SELECT 'events_txn_v1',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(event_id) AS BIGINT)
+        FROM v1_t
+    """
+    sql["token_quantiles_by_source"] = r"""
+        WITH s AS (
+            SELECT source,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_words
+            FROM documents
+            WHERE source IS NOT NULL AND text IS NOT NULL),
+        r AS (
+            SELECT source, n_words,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY n_words) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM s)
+        SELECT source,
+               max(CASE WHEN rn = least(n, greatest(1,
+                   CAST(ceil(0.25 * n) AS BIGINT))) THEN n_words END) AS p25,
+               max(CASE WHEN rn = least(n, greatest(1,
+                   CAST(ceil(0.5 * n) AS BIGINT))) THEN n_words END) AS p50,
+               max(CASE WHEN rn = least(n, greatest(1,
+                   CAST(ceil(0.75 * n) AS BIGINT))) THEN n_words END) AS p75
+        FROM r GROUP BY source
     """
     return sql

@@ -117,6 +117,24 @@ def main(argv: list[str] | None = None) -> int:
     p_wap.add_argument("action", choices=["begin", "publish", "abort"])
     p_wap.add_argument("--lake", required=True)
     p_wap.add_argument("--table", default="pages")
+    p_txn = sub.add_parser(
+        "txn",
+        help="multi-table transaction: begin/publish/abort a shared WAP "
+        "window, or recover committed-but-unapplied transactions",
+    )
+    p_txn.add_argument(
+        "action", choices=["begin", "publish", "abort", "recover"]
+    )
+    p_txn.add_argument("--lake", required=True)
+    p_txn.add_argument(
+        "--tables", default=None,
+        help="comma-separated table names (begin)",
+    )
+    p_txn.add_argument(
+        "--txn", default=None,
+        help="transaction handle: inline JSON from `txn begin`, or @file "
+        "(publish/abort)",
+    )
     p_export = sub.add_parser(
         "export", help="write the table's (optionally as-of) state to parquet"
     )
@@ -174,6 +192,34 @@ def main(argv: list[str] | None = None) -> int:
             args.action
         ]
         print(json.dumps(fn(args.lake, args.table), separators=(",", ":")))
+        return 0
+
+    if args.command == "txn":
+        # pure metadata flips — no Ray session needed
+        from .pipelines.cdc import (
+            txn_abort,
+            txn_begin,
+            txn_publish,
+            txn_recover,
+        )
+
+        if args.action == "begin":
+            if not args.tables:
+                ap.error("txn begin requires --tables a,b,…")
+            out = txn_begin(args.lake, args.tables.split(","))
+        elif args.action == "recover":
+            out = txn_recover(args.lake)
+        else:
+            if not args.txn:
+                ap.error(f"txn {args.action} requires --txn")
+            raw = args.txn
+            if raw.startswith("@"):
+                with open(raw[1:]) as f:
+                    raw = f.read()
+            handle = json.loads(raw)
+            fn = {"publish": txn_publish, "abort": txn_abort}[args.action]
+            out = fn(args.lake, handle)
+        print(json.dumps(out, separators=(",", ":")))
         return 0
 
     if args.command == "vacuum":

@@ -2025,3 +2025,119 @@ def consistent_read(lake_root: str, tables: list[str], **read_kw) -> dict:
         t: read_table(lake_root, t, as_of_epoch=e, **read_kw)
         for t in tables
     }
+
+
+# -- multi-table atomic transactions (cross-table WAP) -----------------------
+
+
+def _txn_dir(lake_root: str) -> Path:
+    return Path(lake_root) / "_txns"
+
+
+def txn_begin(lake_root: str, tables: list[str]) -> dict:
+    """Open ONE write-audit-publish window across SEVERAL tables — the
+    multi-stream analog of :func:`wap_begin` (an Airbyte sync writes many
+    streams; cross-table atomicity means a reader never sees stream A's
+    new data next to stream B's old data).
+
+    All-or-nothing begin: if any table refuses (e.g. an unfinished WAP),
+    the already-begun tables are aborted before re-raising.  The returned
+    handle carries the deterministic ``txn_id`` (derived from the staged
+    generations — unique because generations are monotonic) that
+    :func:`txn_publish` / :func:`txn_abort` take.
+    """
+    begun: list[dict] = []
+    try:
+        for t in tables:
+            begun.append(wap_begin(lake_root, t))
+    except Exception:
+        for b in begun:
+            wap_abort(lake_root, b["table"])
+        raise
+    txn_id = "txn-" + "-".join(
+        f"{b['table']}.g{b['staged']:04d}" for b in begun
+    )
+    return {
+        "txn_id": txn_id,
+        "tables": {b["table"]: b["staged"] for b in begun},
+    }
+
+
+def _txn_apply(lake_root: str, tables: dict) -> int:
+    """Idempotently drop each table's reader pin IF its staged generation
+    matches the transaction record; already-applied tables are skipped."""
+    n = 0
+    for t, staged in tables.items():
+        store = ManifestStore(lake_root, t)
+        meta = store.table_meta()
+        if (
+            meta.get("published_generation") is not None
+            and int(meta["generation"]) == int(staged)
+        ):
+            store.update_meta(published_generation=None)
+            n += 1
+    return n
+
+
+def txn_publish(lake_root: str, txn: dict) -> dict:
+    """Atomically publish every table staged under ``txn``: the CAS write
+    of the transaction record (``os.link`` create-if-absent, same
+    primitive as the commit manifests) IS the single commit point — the
+    per-table pin drops that follow are idempotent replays, and a crash
+    between them is healed by :func:`txn_recover` (readers see either NO
+    table published or, transiently, a prefix that recovery completes —
+    never a mix that can't converge).  Re-calling publish on a committed
+    transaction just re-applies (no-op when done)."""
+    import json
+    import os
+
+    from ..state.manifest import _atomic_write_json
+
+    d = _txn_dir(lake_root)
+    rec = d / f"{txn['txn_id']}.json"
+    done = d / f"{txn['txn_id']}.applied.json"
+    if not done.exists():
+        _atomic_write_json(rec, {"tables": txn["tables"]})
+    applied = _txn_apply(lake_root, txn["tables"])
+    if rec.exists():
+        os.replace(rec, done)
+    return {"txn_id": txn["txn_id"], "applied": applied}
+
+
+def txn_recover(lake_root: str) -> dict:
+    """Crash recovery: re-apply every committed-but-unretired transaction
+    record under ``<lake>/_txns`` (publish crashed between the commit
+    point and the last pin drop).  Safe to run any time — application is
+    idempotent and guarded by the staged-generation match."""
+    import json
+    import os
+
+    d = _txn_dir(lake_root)
+    out: dict[str, int] = {}
+    if d.exists():
+        for p in sorted(d.glob("txn-*.json")):
+            if p.name.endswith(".applied.json"):
+                continue
+            with open(p) as f:
+                rec = json.load(f)
+            out[p.stem] = _txn_apply(lake_root, rec["tables"])
+            os.replace(p, p.with_name(p.stem + ".applied.json"))
+    return out
+
+
+def txn_abort(lake_root: str, txn: dict) -> dict:
+    """Roll back a transaction that has NOT passed its commit point:
+    aborts every member table's staged generation (staged data, manifests
+    and checkpoints removed).  Refused once the transaction record exists
+    — after the commit point the only forward path is
+    :func:`txn_publish` / :func:`txn_recover`."""
+    d = _txn_dir(lake_root)
+    if (d / f"{txn['txn_id']}.json").exists() or (
+        d / f"{txn['txn_id']}.applied.json"
+    ).exists():
+        raise RuntimeError(
+            f"transaction {txn['txn_id']} already committed; cannot abort"
+        )
+    for t in txn["tables"]:
+        wap_abort(lake_root, t)
+    return {"txn_id": txn["txn_id"], "aborted": list(txn["tables"])}

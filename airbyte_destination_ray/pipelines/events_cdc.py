@@ -493,3 +493,84 @@ def consistent_snapshot_events(
     return consistent_read(str(lake), ["events_cdc", "events_cdc_v1"])[
         "events_cdc"
     ]
+
+
+def txn_sync_events_tables(
+    sf_dir: str, *, workdir: str | Path | None = None
+) -> pa.Table:
+    """Cross-table ATOMIC publish as a query: two event-derived tables
+    (the full LWW state and the epochs≤1 LWW state) both start published
+    at an epoch-0-only snapshot, are rebuilt inside ONE transaction
+    (:func:`.cdc.txn_begin` — a shared WAP window), and become visible
+    together at the single commit point.  Returns a per-table
+    ``(table_name, n_rows, sum_event_id)`` summary of the post-publish
+    read views — reproducible in SQL because the binlog's epoch
+    assignment is deterministic, which makes the whole transaction
+    machinery (begin, staged syncs, commit record, pin drops)
+    hash-checkable."""
+    import os
+
+    from .cdc import read_table, run_cdc_sync, txn_begin, txn_publish
+
+    tag = f"{Path(sf_dir).name}-{os.getpid()}-txn2"
+    base = Path(workdir) if workdir else Path("/tmp/adr_query") / tag
+    binlog = base / "binlog"
+    lake = base / "lake"
+    if not (binlog / "_binlog.json").exists():
+        shutil.rmtree(base, ignore_errors=True)
+        build_binlog_from_events(f"{sf_dir}/events.parquet", binlog)
+
+    tables = {"events_txn_full": None, "events_txn_v1": [0, 1]}
+
+    def sync(table: str, epochs):
+        return run_cdc_sync(
+            str(lake),
+            str(binlog),
+            table=table,
+            pk="user_id",
+            ver="ts",
+            payload_columns=EVENT_PAYLOAD,
+            num_partitions=16,
+            compute_digest=False,
+            epochs=epochs,
+        )
+
+    from ..state.manifest import ManifestStore
+
+    fresh = not ManifestStore(str(lake), "events_txn_full").exists()
+    if fresh:
+        for t in tables:
+            sync(t, epochs=[0])  # the published (stale) starting state
+        txn = txn_begin(str(lake), list(tables))
+        for t, epochs in tables.items():
+            sync(t, epochs)  # staged rebuilds, invisible to readers
+        txn_publish(str(lake), txn)
+    # else: committed scratch state from an earlier call in this process —
+    # the published views below are already final (publish is idempotent)
+
+    names, rows, sums = [], [], []
+    for t in sorted(tables):
+        ds = read_table(str(lake), t)
+        parts = ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "n": pa.array([b.num_rows], type=pa.int64()),
+                    "s": pa.array(
+                        [int(pc.sum(b.column("event_id")).as_py() or 0)],
+                        type=pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).take_all()
+        names.append(t)
+        rows.append(sum(r["n"] for r in parts))
+        sums.append(sum(r["s"] for r in parts))
+    return pa.table(
+        {
+            "table_name": pa.array(names, type=pa.string()),
+            "n_rows": pa.array(rows, type=pa.int64()),
+            "sum_event_id": pa.array(sums, type=pa.int64()),
+        }
+    )
