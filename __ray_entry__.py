@@ -4181,6 +4181,93 @@ def _q_token_quantiles_by_source(sf_dir: str):
     )
 
 
+def _q_events_k_core(sf_dir: str):
+    """4-core of a deterministic sparse interaction graph (10k edges /
+    3000 nodes at sf0.01) — iterative distributed peeling, converges in
+    ~3 rounds; oracle is the unrolled-round SQL (extra rounds are
+    no-ops)."""
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.graph import k_core
+
+    def edges(b: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        t = pa.table(
+            {"user_id": b.column("user_id"), "event_id": b.column("event_id")}
+        )
+        t = t.filter(t.column("user_id").combine_chunks().is_valid())
+        un = t.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        en = t.column("event_id").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        src = en % 3000
+        dst = (en // 7 + un * 13) % 3000
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+            }
+        )
+
+    return k_core(
+        _events(sf_dir, columns=["user_id", "event_id"]).map_batches(
+            edges, batch_format="pyarrow", batch_size=None
+        ),
+        k=4,
+    )
+
+
+def _q_events_assortativity(sf_dir: str):
+    """Degree assortativity (Newman mixing) of the sparse interaction
+    graph — shared canonical-edge/degree kernels, two unique-key joins,
+    exact int moment partials, fixed-IEEE corr finalization."""
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.graph import degree_assortativity
+
+    def edges(b: "pa.Table") -> "pa.Table":
+        t = pa.table(
+            {"user_id": b.column("user_id"), "event_id": b.column("event_id")}
+        )
+        t = t.filter(t.column("user_id").combine_chunks().is_valid())
+        un = t.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        en = t.column("event_id").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "src": pa.array(en % 3000, type=pa.int64()),
+                "dst": pa.array((en // 7 + un * 13) % 3000, type=pa.int64()),
+            }
+        )
+
+    return degree_assortativity(
+        _events(sf_dir, columns=["user_id", "event_id"]).map_batches(
+            edges, batch_format="pyarrow", batch_size=None
+        )
+    )
+
+
+def _q_events_moving_max(sf_dir: str):
+    """Per-user 5-row moving maximum of event cents — the alerting window
+    as segment-guarded shift-and-maximum passes."""
+    from airbyte_destination_ray.pipelines.relational import moving_max_by_key
+
+    return moving_max_by_key(
+        _events(sf_dir, columns=["event_id", "user_id", "ts", "value"]),
+        key="user_id",
+        ts_col="ts",
+        seq="event_id",
+        value_col="value",
+        window_rows=5,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -4279,6 +4366,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_delta": _q_events_daily_delta,
         "cdc_txn_two_tables": _q_cdc_txn_two_tables,
         "token_quantiles_by_source": _q_token_quantiles_by_source,
+        "events_k_core": _q_events_k_core,
+        "events_assortativity": _q_events_assortativity,
+        "events_moving_max_by_user": _q_events_moving_max,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -6624,5 +6714,73 @@ def oracle_sql() -> dict[str, str]:
                max(CASE WHEN rn = least(n, greatest(1,
                    CAST(ceil(0.75 * n) AS BIGINT))) THEN n_words END) AS p75
         FROM r GROUP BY source
+    """
+    sql["events_k_core"] = """
+        WITH raw AS (
+            SELECT event_id % 3000 AS x,
+                   (event_id // 7 + user_id * 13) % 3000 AS y
+            FROM events WHERE user_id IS NOT NULL),
+        und AS (SELECT x AS a, y AS b FROM raw
+                UNION SELECT y, x FROM raw),
+        e0 AS (SELECT a, b FROM und WHERE a <> b),
+        a0 AS (SELECT a AS node FROM e0 GROUP BY a HAVING count(*) >= 4),
+        e1 AS (SELECT e.a, e.b FROM e0 e
+               JOIN a0 p ON e.a = p.node JOIN a0 q ON e.b = q.node),
+        a1 AS (SELECT a AS node FROM e1 GROUP BY a HAVING count(*) >= 4),
+        e2 AS (SELECT e.a, e.b FROM e1 e
+               JOIN a1 p ON e.a = p.node JOIN a1 q ON e.b = q.node),
+        a2 AS (SELECT a AS node FROM e2 GROUP BY a HAVING count(*) >= 4),
+        e3 AS (SELECT e.a, e.b FROM e2 e
+               JOIN a2 p ON e.a = p.node JOIN a2 q ON e.b = q.node),
+        a3 AS (SELECT a AS node FROM e3 GROUP BY a HAVING count(*) >= 4),
+        e4 AS (SELECT e.a, e.b FROM e3 e
+               JOIN a3 p ON e.a = p.node JOIN a3 q ON e.b = q.node),
+        a4 AS (SELECT a AS node FROM e4 GROUP BY a HAVING count(*) >= 4),
+        e5 AS (SELECT e.a, e.b FROM e4 e
+               JOIN a4 p ON e.a = p.node JOIN a4 q ON e.b = q.node),
+        a5 AS (SELECT a AS node FROM e5 GROUP BY a HAVING count(*) >= 4),
+        e6 AS (SELECT e.a, e.b FROM e5 e
+               JOIN a5 p ON e.a = p.node JOIN a5 q ON e.b = q.node)
+        SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM e6 GROUP BY a
+    """
+    sql["events_assortativity"] = """
+        WITH raw AS (
+            SELECT event_id % 3000 AS x,
+                   (event_id // 7 + user_id * 13) % 3000 AS y
+            FROM events WHERE user_id IS NOT NULL),
+        und AS (SELECT x AS a, y AS b FROM raw
+                UNION SELECT y, x FROM raw),
+        e0 AS (SELECT a, b FROM und WHERE a <> b),
+        deg AS (SELECT a AS node, count(*) AS d FROM e0 GROUP BY 1),
+        j AS (SELECT da.d AS x, db.d AS y
+              FROM e0 e
+              JOIN deg da ON e.a = da.node
+              JOIN deg db ON e.b = db.node),
+        s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy,
+                     sum(x * y) AS sxy
+              FROM j)
+        SELECT CAST(n AS BIGINT) AS n_half_edges,
+               CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                     AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+               THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               ELSE NULL END AS assortativity
+        FROM s
+    """
+    sql["events_moving_max_by_user"] = """
+        SELECT event_id, user_id,
+               max(CAST(floor(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                   AS win_max_cents
+        FROM events
     """
     return sql

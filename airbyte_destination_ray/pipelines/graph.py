@@ -815,3 +815,300 @@ def triangle_counts(
     ).union(edges.map_batches(env_edge, batch_format="pyarrow", batch_size=None))
     partials = env.groupby("_cpart").map_groups(close, batch_format="pyarrow")
     return grouped_sum(partials, key="node", value_col="n", out_col="n_triangles")
+
+
+def _canonical_edges(
+    edges_ds,
+    *,
+    src: str,
+    dst: str,
+    num_partitions: int,
+    blocks: int,
+):
+    """Symmetrized simple half-edge list ``(a, b)``: self-loops and null
+    endpoints dropped, per-batch pre-dedup, global distinct per hash(a)
+    partition (one exchange), materialized at a bounded block count."""
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column(src).cast(pa.int64())
+        b = batch.column(dst).cast(pa.int64())
+        t = pa.table({"a": a, "b": b})
+        keep = pc.and_(
+            pc.and_(pc.is_valid(a), pc.is_valid(b)),
+            pc.not_equal(a, b),
+        )
+        t = t.filter(keep)
+        rev = pa.table({"a": t.column("b"), "b": t.column("a")})
+        both = pa.concat_tables([t, rev])
+        both = both.group_by(["a", "b"]).aggregate([])
+        from ..functions.hashing import partition_ids
+
+        parts = partition_ids(both.column("a"), num_partitions)
+        return both.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def distinct(group: pa.Table) -> pa.Table:
+        return (
+            group.drop_columns(["_part"])
+            .group_by(["a", "b"])
+            .aggregate([])
+        )
+
+    return (
+        edges_ds.map_batches(sym, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(distinct, batch_format="pyarrow")
+        .repartition(blocks)
+        .materialize()
+    )
+
+
+def _degree_counts(eds, *, num_partitions: int):
+    """Per-node degree over canonical half-edges — per-batch combiner +
+    partition-level fold, returns ``(node, n)``."""
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["a"]).group_by("a").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "node": g.column("a"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def deg_route(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import partition_ids
+
+        parts = partition_ids(batch.column("node"), num_partitions)
+        return batch.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def deg_fold(group: pa.Table) -> pa.Table:
+        g = (
+            group.drop_columns(["_part"])
+            .group_by("node")
+            .aggregate([("n", "sum")])
+        )
+        return pa.table(
+            {
+                "node": g.column("node"),
+                "n": g.column("n_sum").cast(pa.int64()),
+            }
+        )
+
+    return (
+        eds.map_batches(deg_partial, batch_format="pyarrow", batch_size=None)
+        .map_batches(deg_route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(deg_fold, batch_format="pyarrow")
+    )
+
+
+def k_core(
+    edges_ds,
+    *,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 100,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """k-core membership: iteratively peel nodes of degree < ``k`` from
+    the undirected simple graph until the remaining subgraph has minimum
+    degree ≥ k; returns ``(node, degree)`` for the surviving core (empty
+    when the graph has no k-core) — the community/spam-ring density
+    primitive.
+
+    Canonical half-edges (symmetrized, self-loops dropped, distinct per
+    hash(a) partition — one exchange) are materialized once.  Per round:
+    degrees from a partition-level grouped count, the alive set (deg ≥ k,
+    O(nodes), materialized like the components labels), and TWO unique-key
+    shuffle joins that keep only edges with both endpoints alive —
+    O(edges) work per round, no node set ever on the driver.  Peeling is
+    monotone, so an unchanged edge count is the fixpoint; exhausting
+    ``max_iters`` raises rather than returning a half-peeled graph.
+    """
+    blocks = max(4, num_partitions // 4)
+    edges = _canonical_edges(
+        edges_ds, src=src, dst=dst,
+        num_partitions=num_partitions, blocks=blocks,
+    )
+
+    edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    node_schema = pa.schema([("node", pa.int64())])
+
+    prev_m = edges.count()
+    for _ in range(max_iters):
+        deg = _degree_counts(edges, num_partitions=num_partitions)
+        alive = (
+            deg.map_batches(
+                lambda b: b.filter(
+                    pc.greater_equal(b.column("n"), k)
+                ).select(["node"]),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .repartition(blocks)
+            .materialize()
+        )
+        e1 = shuffle_join(
+            edges,
+            alive,
+            left_on="a",
+            right_on="node",
+            select=["a", "b"],
+            hot_keys=None,
+            num_partitions=num_partitions,
+            left_schema=edge_schema,
+            right_schema=node_schema,
+        )
+        edges_new = (
+            shuffle_join(
+                e1,
+                alive,
+                left_on="b",
+                right_on="node",
+                select=["a", "b"],
+                hot_keys=None,
+                num_partitions=num_partitions,
+                left_schema=edge_schema,
+                right_schema=node_schema,
+            )
+            .repartition(blocks)
+            .materialize()
+        )
+        m = edges_new.count()
+        edges = edges_new
+        if m == prev_m:
+            break
+        prev_m = m
+        if m == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"k_core did not converge in {max_iters} rounds; raise max_iters"
+        )
+
+    return _degree_counts(
+        edges, num_partitions=num_partitions
+    ).map_batches(
+        lambda b: b.rename_columns(["node", "degree"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def degree_assortativity(
+    edges_ds,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Pearson degree assortativity of the undirected simple graph —
+    corr(deg(a), deg(b)) over all directed half-edges (the Newman mixing
+    coefficient): do hubs link to hubs (>0) or to leaves (<0)?  Returns a
+    single ``(n_half_edges, assortativity)`` row.
+
+    Canonical half-edges + partition-level degrees (shared kernels), then
+    degrees join back onto the edges by each endpoint (two unique-key
+    shuffle joins), exact int64 moment partials per batch, and one
+    aggregate-sized fold with the same fixed-IEEE corr finalization as
+    ``ops.grouped_corr`` — hash-exact vs the spelled-out SQL.  Envelope:
+    Σd(a)·d(b) over edges must fit int64 (max degree ~3·10⁶ at 10⁹
+    half-edges).
+    """
+    import math
+
+    blocks = max(4, num_partitions // 4)
+    edges = _canonical_edges(
+        edges_ds, src=src, dst=dst,
+        num_partitions=num_partitions, blocks=blocks,
+    )
+    deg = (
+        _degree_counts(edges, num_partitions=num_partitions)
+        .repartition(blocks)
+        .materialize()
+    )
+    edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    deg_schema = pa.schema([("node", pa.int64()), ("n", pa.int64())])
+
+    with_da = shuffle_join(
+        edges,
+        deg.map_batches(
+            lambda b: b.rename_columns(["node", "da"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        left_on="a",
+        right_on="node",
+        select=["b", "da"],
+        hot_keys=None,
+        num_partitions=num_partitions,
+        left_schema=edge_schema,
+        right_schema=pa.schema([("node", pa.int64()), ("da", pa.int64())]),
+    )
+    pairs = shuffle_join(
+        with_da,
+        deg.map_batches(
+            lambda b: b.rename_columns(["node", "db"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        left_on="b",
+        right_on="node",
+        select=["da", "db"],
+        hot_keys=None,
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("b", pa.int64()), ("da", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("db", pa.int64())]),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        x = batch.column("da").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch.column("db").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_k": pa.array([0], type=pa.int64()),
+                "n": pa.array([len(x)], type=pa.int64()),
+                "sx": pa.array([int(x.sum())], type=pa.int64()),
+                "sy": pa.array([int(y.sum())], type=pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+                "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        def tot(col: str) -> int:
+            return int(pc.sum(group.column(col)).as_py() or 0)
+
+        n = tot("n")
+        sx, sy = tot("sx"), tot("sy")
+        sxx, syy, sxy = tot("sxx"), tot("syy"), tot("sxy")
+        fn = float(n)
+        num = fn * float(sxy) - float(sx) * float(sy)
+        dx = fn * float(sxx) - float(sx) * float(sx)
+        dy = fn * float(syy) - float(sy) * float(sy)
+        corr = (
+            num / (math.sqrt(dx) * math.sqrt(dy))
+            if dx > 0.0 and dy > 0.0
+            else None
+        )
+        return pa.table(
+            {
+                "n_half_edges": pa.array([n], type=pa.int64()),
+                "assortativity": pa.array([corr], type=pa.float64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_k")
+        .map_groups(final, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.select(["n_half_edges", "assortativity"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )

@@ -4590,3 +4590,87 @@ def period_delta(
     return _bucket_counts(
         ds, ts_col=ts_col, unit_us=unit_us, num_partitions=num_partitions
     ).map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def moving_max_by_key(
+    ds,
+    *,
+    key: str,
+    ts_col: str,
+    seq: str,
+    value_col: str,
+    window_rows: int,
+    out_col: str = "win_max_cents",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Per-key moving-window MAX over the last ``window_rows`` rows —
+    ``MAX(cents) OVER (PARTITION BY key ORDER BY ts, seq ROWS BETWEEN
+    window_rows-1 PRECEDING AND CURRENT ROW)`` (the alerting / peak-load
+    window sibling of :func:`moving_window_sum`).
+
+    Same ONE-exchange shape; the window max is computed with
+    ``window_rows − 1`` vectorized shift-and-maximum passes guarded by the
+    segment id (O(w·n), no per-row loop — sized for the small windows this
+    frame is used with; document w ≲ 64).  Values go to exact integer
+    cents; SQL null semantics: null values occupy a window slot but
+    contribute nothing, and a window of only nulls yields null.
+    """
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    SENTINEL = np.int64(-(2**62))
+
+    def route(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(batch.column(value_col), 100.0)), pa.int64()
+        ).combine_chunks()
+        t = pa.table(
+            {
+                seq: batch.column(seq),
+                key: batch.column(key),
+                "_ats": pc.cast(batch.column(ts_col), pa.int64()),
+                "_cents": cents.fill_null(int(SENTINEL)),
+            }
+        )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def window(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                (key, "ascending"),
+                ("_ats", "ascending"),
+                (seq, "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        keys = g.column(key).to_numpy(zero_copy_only=False)
+        x = g.column("_cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(keys)
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = keys[1:] != keys[:-1]
+        seg_id = np.cumsum(start) - 1
+        acc = x.copy()
+        for j in range(1, window_rows):
+            if j >= n:
+                break
+            shifted = np.full(n, SENTINEL, dtype=np.int64)
+            shifted[j:] = x[:-j]
+            same = np.zeros(n, dtype=bool)
+            same[j:] = seg_id[j:] == seg_id[:-j]
+            np.maximum(acc, np.where(same, shifted, SENTINEL), out=acc)
+        ok = acc != SENTINEL
+        return pa.table(
+            {
+                seq: g.column(seq),
+                key: g.column(key),
+                out_col: pa.array(acc, type=pa.int64(), mask=~ok),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(window, batch_format="pyarrow")
+    )

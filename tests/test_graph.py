@@ -213,3 +213,77 @@ def test_degree_histogram_vs_bruteforce(ray_session):
     for d in deg.values():
         exp[d] = exp.get(d, 0) + 1
     assert got == exp
+
+
+# --- k_core -----------------------------------------------------------------
+
+
+def _peel_reference(edges, k):
+    """Driver-side reference peel over a list of (a, b) tuples."""
+    import collections
+
+    es = set()
+    for a, b in edges:
+        if a is None or b is None or a == b:
+            continue
+        es.add((a, b))
+        es.add((b, a))
+    while True:
+        deg = collections.Counter(a for a, _ in es)
+        alive = {n for n, d in deg.items() if d >= k}
+        ne = {(a, b) for a, b in es if a in alive and b in alive}
+        if ne == es:
+            break
+        es = ne
+    return collections.Counter(a for a, _ in es)
+
+
+def test_k_core_matches_reference(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from airbyte_destination_ray.pipelines.graph import k_core
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    src = rng.integers(0, 300, n)
+    dst = (src + 1 + rng.integers(0, 40, n)) % 300
+    # a few self-loops and dup edges to exercise canonicalization
+    src[:20] = dst[:20]
+    tbl = pa.table(
+        {
+            "src": pa.array(src, type=pa.int64()),
+            "dst": pa.array(dst, type=pa.int64()),
+        }
+    )
+    got = (
+        k_core(ray.data.from_arrow(tbl).repartition(4), k=6)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    ref = _peel_reference(list(zip(src.tolist(), dst.tolist())), 6)
+    assert dict(zip(got["node"], got["degree"])) == dict(ref)
+    assert (got["degree"] >= 6).all()
+
+
+def test_k_core_empty_when_k_too_high(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from airbyte_destination_ray.pipelines.graph import k_core
+
+    tbl = pa.table(
+        {
+            "src": pa.array([0, 1, 2], type=pa.int64()),
+            "dst": pa.array([1, 2, 0], type=pa.int64()),
+        }
+    )
+    # triangle: every node has degree 2 → 3-core is empty
+    got = k_core(ray.data.from_arrow(tbl), k=3).to_pandas()
+    assert len(got) == 0
+    # 2-core is the whole triangle
+    got2 = k_core(ray.data.from_arrow(tbl), k=2).to_pandas()
+    assert sorted(got2["node"]) == [0, 1, 2]
+    assert (got2["degree"] == 2).all()

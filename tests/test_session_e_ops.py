@@ -507,3 +507,111 @@ def test_period_delta_matches_sql():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+# --- moving_max_by_key ------------------------------------------------------
+
+
+def test_moving_max_matches_sql():
+    from airbyte_destination_ray.pipelines.relational import moving_max_by_key
+
+    rng = np.random.default_rng(23)
+    n = 700
+    vals = rng.uniform(-30, 30, n)
+    null_mask = rng.random(n) < 0.15
+    tbl = pa.table(
+        {
+            "seq": pa.array(np.arange(n), type=pa.int64()),
+            "k": pa.array(rng.integers(0, 25, n), type=pa.int64()),
+            "ts": pa.array(rng.integers(0, 500, n), type=pa.int64()),
+            "v": pa.array(vals, type=pa.float64(), mask=null_mask),
+        }
+    )
+    got = _sorted_df(
+        moving_max_by_key(
+            _ds(tbl, 4), key="k", ts_col="ts", seq="seq", value_col="v",
+            window_rows=4,
+        ),
+        ["seq"],
+    )
+    exp = (
+        duckdb.sql(
+            """
+        SELECT seq, k,
+               max(CAST(floor(v * 100) AS BIGINT)) OVER (
+                   PARTITION BY k ORDER BY ts, seq
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                   AS win_max_cents
+        FROM tbl ORDER BY seq
+        """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["seq", "k", "win_max_cents"]], exp)
+
+
+def test_moving_max_window_one_is_identity():
+    from airbyte_destination_ray.pipelines.relational import moving_max_by_key
+
+    tbl = pa.table(
+        {
+            "seq": pa.array([0, 1, 2], type=pa.int64()),
+            "k": pa.array([1, 1, 1], type=pa.int64()),
+            "ts": pa.array([0, 1, 2], type=pa.int64()),
+            "v": pa.array([5.0, None, 1.0], type=pa.float64()),
+        }
+    )
+    got = _sorted_df(
+        moving_max_by_key(
+            _ds(tbl, 1), key="k", ts_col="ts", seq="seq", value_col="v",
+            window_rows=1,
+        ),
+        ["seq"],
+    )
+    assert got["win_max_cents"].tolist()[0] == 500
+    assert pd.isna(got["win_max_cents"].tolist()[1])
+    assert got["win_max_cents"].tolist()[2] == 100
+
+
+# --- degree_assortativity ---------------------------------------------------
+
+
+def test_degree_assortativity_matches_sql():
+    from airbyte_destination_ray.pipelines.graph import degree_assortativity
+
+    rng = np.random.default_rng(29)
+    n = 1500
+    src = rng.integers(0, 200, n)
+    dst = (src * 3 + rng.integers(1, 60, n)) % 200
+    src[:10] = dst[:10]  # self-loops dropped
+    tbl = pa.table(
+        {
+            "src": pa.array(src, type=pa.int64()),
+            "dst": pa.array(dst, type=pa.int64()),
+        }
+    )
+    got = degree_assortativity(_ds(tbl, 4)).to_pandas()
+    exp = duckdb.sql(
+        """
+        WITH und AS (SELECT src AS a, dst AS b FROM tbl
+                     UNION SELECT dst, src FROM tbl),
+        e0 AS (SELECT a, b FROM und WHERE a <> b),
+        deg AS (SELECT a AS node, count(*) AS d FROM e0 GROUP BY 1),
+        j AS (SELECT da.d AS x, db.d AS y FROM e0 e
+              JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+        s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+              FROM j)
+        SELECT CAST(n AS BIGINT) AS n_half_edges,
+               (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                   AS assortativity
+        FROM s
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
