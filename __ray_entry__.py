@@ -3859,7 +3859,12 @@ def _q_first_touch_attribution(sf_dir: str):
     from airbyte_destination_ray.pipelines.relational import shuffle_join
 
     def neg_order(b: "pa.Table") -> "pa.Table":
-        t = b.filter(b.column("ts").combine_chunks().is_valid())
+        t = b.filter(
+            pc.and_(
+                b.column("ts").combine_chunks().is_valid(),
+                b.column("user_id").combine_chunks().is_valid(),
+            )
+        )
         return pa.table(
             {
                 "user_id": t.column("user_id"),
@@ -3939,27 +3944,32 @@ def _q_first_touch_attribution(sf_dir: str):
             .rename_columns(["first_type", "_c", "_n"])
         )
 
+    def route(b: "pa.Table") -> "pa.Table":
+        # hash-route the fold: Ray's groupby cannot sort a null group key,
+        # and SQL keeps the NULL first_type group
+        from airbyte_destination_ray.functions.hashing import partition_ids
+
+        parts = partition_ids(b.column("first_type"), 8)
+        return b.append_column("_rpart", pa.array(parts, type=pa.int64()))
+
     def final(group: "pa.Table") -> "pa.Table":
+        g = (
+            group.drop_columns(["_rpart"])
+            .group_by("first_type")
+            .aggregate([("_c", "sum"), ("_n", "sum")])
+        )
         return pa.table(
             {
-                "first_type": pa.array(
-                    [group.column("first_type")[0].as_py()],
-                    type=pa.string(),
-                ),
-                "n_users": pa.array(
-                    [int(pc.sum(group.column("_n")).as_py())],
-                    type=pa.int64(),
-                ),
-                "purchase_cents": pa.array(
-                    [int(pc.sum(group.column("_c")).as_py())],
-                    type=pa.int64(),
-                ),
+                "first_type": g.column("first_type"),
+                "n_users": g.column("_n_sum").cast(pa.int64()),
+                "purchase_cents": g.column("_c_sum").cast(pa.int64()),
             }
         )
 
     return (
         joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("first_type")
+        .map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_rpart")
         .map_groups(final, batch_format="pyarrow")
     )
 
@@ -4037,6 +4047,7 @@ def _q_source_vocab_overlap(sf_dir: str):
         _documents(sf_dir, columns=["source", "text"]),
         group_col="source",
         text_col="text",
+        groups_ds=_documents(sf_dir, columns=["source"]),
     )
 
 
@@ -4156,6 +4167,8 @@ def _q_token_quantiles_by_source(sf_dir: str):
     from airbyte_destination_ray.pipelines.ops import grouped_quantiles_disc
 
     def words(b: "pa.Table") -> "pa.Table":
+        from airbyte_destination_ray.functions.text import fast_word_count
+
         keep = pc.and_(
             b.column("source").combine_chunks().is_valid(),
             b.column("text").combine_chunks().is_valid(),
@@ -4164,9 +4177,10 @@ def _q_token_quantiles_by_source(sf_dir: str):
         return pa.table(
             {
                 "source": t.column("source"),
-                "n_words": pc.cast(
-                    pc.count_substring_regex(t.column("text"), r"\S+"),
-                    pa.int64(),
+                # byte-level \S+ run counter — RE2-exact (pinned in
+                # tests), ~5× the char-class regex throughput
+                "n_words": fast_word_count(
+                    t.column("text").combine_chunks()
                 ),
             }
         )
@@ -4181,74 +4195,50 @@ def _q_token_quantiles_by_source(sf_dir: str):
     )
 
 
-def _q_events_k_core(sf_dir: str):
-    """4-core of a deterministic sparse interaction graph (10k edges /
-    3000 nodes at sf0.01) — iterative distributed peeling, converges in
-    ~3 rounds; oracle is the unrolled-round SQL (extra rounds are
-    no-ops)."""
+def _interaction_edges_3000(b):
+    """Deterministic sparse interaction graph shared by the k-core and
+    assortativity queries (10k edges / 3000 nodes at sf0.01) — the formula
+    is load-bearing: it must match BOTH oracles' SQL exactly, so it lives
+    in exactly one place."""
     import pyarrow as pa
 
+    t = pa.table(
+        {"user_id": b.column("user_id"), "event_id": b.column("event_id")}
+    )
+    t = t.filter(t.column("user_id").combine_chunks().is_valid())
+    un = t.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+    en = t.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "src": pa.array(en % 3000, type=pa.int64()),
+            "dst": pa.array((en // 7 + un * 13) % 3000, type=pa.int64()),
+        }
+    )
+
+
+def _q_events_k_core(sf_dir: str):
+    """4-core of the shared sparse interaction graph — iterative
+    distributed peeling, converges in ~3 rounds; oracle is the
+    unrolled-round SQL (extra rounds are no-ops)."""
     from airbyte_destination_ray.pipelines.graph import k_core
-
-    def edges(b: "pa.Table") -> "pa.Table":
-        import numpy as np
-
-        t = pa.table(
-            {"user_id": b.column("user_id"), "event_id": b.column("event_id")}
-        )
-        t = t.filter(t.column("user_id").combine_chunks().is_valid())
-        un = t.column("user_id").combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
-        en = t.column("event_id").combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
-        src = en % 3000
-        dst = (en // 7 + un * 13) % 3000
-        return pa.table(
-            {
-                "src": pa.array(src, type=pa.int64()),
-                "dst": pa.array(dst, type=pa.int64()),
-            }
-        )
 
     return k_core(
         _events(sf_dir, columns=["user_id", "event_id"]).map_batches(
-            edges, batch_format="pyarrow", batch_size=None
+            _interaction_edges_3000, batch_format="pyarrow", batch_size=None
         ),
         k=4,
     )
 
 
 def _q_events_assortativity(sf_dir: str):
-    """Degree assortativity (Newman mixing) of the sparse interaction
-    graph — shared canonical-edge/degree kernels, two unique-key joins,
-    exact int moment partials, fixed-IEEE corr finalization."""
-    import pyarrow as pa
-
+    """Degree assortativity (Newman mixing) of the shared sparse
+    interaction graph — canonical-edge/degree kernels, two unique-key
+    joins, exact int moment partials, fixed-IEEE corr finalization."""
     from airbyte_destination_ray.pipelines.graph import degree_assortativity
-
-    def edges(b: "pa.Table") -> "pa.Table":
-        t = pa.table(
-            {"user_id": b.column("user_id"), "event_id": b.column("event_id")}
-        )
-        t = t.filter(t.column("user_id").combine_chunks().is_valid())
-        un = t.column("user_id").combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
-        en = t.column("event_id").combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
-        return pa.table(
-            {
-                "src": pa.array(en % 3000, type=pa.int64()),
-                "dst": pa.array((en // 7 + un * 13) % 3000, type=pa.int64()),
-            }
-        )
 
     return degree_assortativity(
         _events(sf_dir, columns=["user_id", "event_id"]).map_batches(
-            edges, batch_format="pyarrow", batch_size=None
+            _interaction_edges_3000, batch_format="pyarrow", batch_size=None
         )
     )
 

@@ -409,6 +409,25 @@ def fast_token_count(texts) -> pa.Array:
     return _apply_null_mask(pa.array(n, type=pa.int64()), texts)
 
 
+def fast_word_count(texts) -> pa.Array:
+    """RE2-``\\S+`` word count at memory speed: one word per maximal run
+    of non-space bytes.  The space set is EXACTLY RE2's ASCII ``\\s`` =
+    ``[\\t\\n\\f\\r ]`` — note NO ``\\v`` (0x0B), which RE2 treats as
+    non-space — so this is byte-for-byte equal to
+    ``pc.count_substring_regex(texts, r"\\S+")`` (pinned in tests) at
+    ~5× the char-class regex throughput."""
+    data, starts, ends = _utf8_view(texts)
+    is_space = (
+        (data == 0x20)
+        | (data == 0x09)
+        | (data == 0x0A)
+        | (data == 0x0C)
+        | (data == 0x0D)
+    )
+    n = _segment_counts(_run_starts(~is_space, starts), starts, ends)
+    return _apply_null_mask(pa.array(n, type=pa.int64()), texts)
+
+
 def annotate(texts, *, lang_prefix_chars: int = 256) -> dict[str, pa.Array]:
     """Fused annotator: ``lang_id, quality, n_tokens, fingerprint`` in one
     pass set with shared byte masks — the ingest-hot-path version of calling

@@ -2113,15 +2113,22 @@ def txn_recover(lake_root: str) -> dict:
     import os
 
     d = _txn_dir(lake_root)
-    out: dict[str, int] = {}
+    out: dict[str, int | str] = {}
     if d.exists():
         for p in sorted(d.glob("txn-*.json")):
             if p.name.endswith(".applied.json"):
                 continue
-            with open(p) as f:
-                rec = json.load(f)
-            out[p.stem] = _txn_apply(lake_root, rec["tables"])
-            os.replace(p, p.with_name(p.stem + ".applied.json"))
+            # one bad record (corrupt JSON, dropped table dir) must not
+            # wedge the sweep for every later record: report and move on,
+            # leaving the record in place for a retry after the operator
+            # fixes the underlying state
+            try:
+                with open(p) as f:
+                    rec = json.load(f)
+                out[p.stem] = _txn_apply(lake_root, rec["tables"])
+                os.replace(p, p.with_name(p.stem + ".applied.json"))
+            except Exception as ex:  # noqa: BLE001
+                out[p.stem] = f"error: {type(ex).__name__}: {ex}"
     return out
 
 

@@ -1422,6 +1422,7 @@ def source_vocab_overlap(
     pattern: str = "[^a-z0-9]+",
     num_partitions: int = CORPUS_NUM_PARTITIONS,
     groups: list[str] | None = None,
+    groups_ds=None,
 ):
     """Pairwise EXACT Jaccard overlap of word vocabularies between document
     groups — the corpus-mixture diagnostic ("how much of source A's
@@ -1443,25 +1444,26 @@ def source_vocab_overlap(
 
     Pass ``groups`` explicitly when ``ds`` is a DERIVED Dataset — the
     discovery scan otherwise executes the upstream pipeline a second time
-    (the documented re-execution trap).
+    (the documented re-execution trap).  ``groups_ds`` lets the caller
+    hand a column-pruned reader for the discovery pass so it does not
+    drag the text column through a second full scan.
     """
     if groups is None:
-        groups_tbl = (
-            ds.map_batches(
-                lambda b: b.select([group_col])
-                .drop_null()
-                .group_by(group_col)
-                .aggregate([]),
-                batch_format="pyarrow",
-                batch_size=None,
-            )
-            .groupby(group_col)
-            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-            .take_all()
-        )
-        groups = sorted(
-            r[group_col] for r in groups_tbl if r[group_col] is not None
-        )
+        src_ds = groups_ds if groups_ds is not None else ds
+        # per-batch distinct partials + driver fold — no exchange, and the
+        # aggregate is one short row per (batch, group)
+        parts_tbl = src_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    group_col: pc.drop_null(
+                        b.column(group_col).combine_chunks()
+                    ).unique()
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).take_all()
+        groups = sorted({r[group_col] for r in parts_tbl})
     else:
         groups = sorted(groups)
     if len(groups) > 62:

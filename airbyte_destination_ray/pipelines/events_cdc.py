@@ -537,16 +537,38 @@ def txn_sync_events_tables(
 
     from ..state.manifest import ManifestStore
 
-    fresh = not ManifestStore(str(lake), "events_txn_full").exists()
-    if fresh:
-        for t in tables:
-            sync(t, epochs=[0])  # the published (stale) starting state
+    from .cdc import txn_recover, wap_abort
+
+    def stage_and_publish():
         txn = txn_begin(str(lake), list(tables))
         for t, epochs in tables.items():
             sync(t, epochs)  # staged rebuilds, invisible to readers
         txn_publish(str(lake), txn)
-    # else: committed scratch state from an earlier call in this process —
-    # the published views below are already final (publish is idempotent)
+
+    fresh = not ManifestStore(str(lake), "events_txn_full").exists()
+    if fresh:
+        for t in tables:
+            sync(t, epochs=[0])  # the published (stale) starting state
+        stage_and_publish()
+    else:
+        # committed scratch state from an earlier call in this process —
+        # but a crash mid-transaction leaves pins that would silently pin
+        # the stale epoch-0 view: heal committed-but-unapplied records,
+        # then abort + restage anything still pinned (crash BEFORE the
+        # commit point)
+        txn_recover(str(lake))
+        pinned = [
+            t
+            for t in tables
+            if ManifestStore(str(lake), t)
+            .table_meta()
+            .get("published_generation")
+            is not None
+        ]
+        if pinned:
+            for t in pinned:
+                wap_abort(str(lake), t)
+            stage_and_publish()
 
     names, rows, sums = [], [], []
     for t in sorted(tables):

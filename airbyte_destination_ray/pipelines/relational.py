@@ -1676,7 +1676,14 @@ def moving_window_sum(
             ],
         )
         g = group.take(idx)
-        keys = g.column(key).to_numpy(zero_copy_only=False)
+        # null-safe key equality (see moving_max_by_key): NaN != NaN would
+        # split the SQL NULL partition
+        keys = pc.fill_null(
+            g.column(key).combine_chunks().dictionary_encode().indices.cast(
+                pa.int64()
+            ),
+            -1,
+        ).to_numpy(zero_copy_only=False)
         cents = g.column("_cents").to_numpy(zero_copy_only=False)
         n = len(keys)
         cs0 = np.zeros(n + 1, dtype=np.int64)
@@ -4420,23 +4427,31 @@ def fk_violations(
             .rename_columns([report_col, "_n"])
         )
 
+    def route_report(batch: pa.Table) -> pa.Table:
+        # Ray's groupby cannot sort a null group key; route by hash (nulls
+        # canonicalized) and fold with Arrow group_by, which keeps the SQL
+        # NULL group
+        parts = partition_ids(batch.column(report_col), 16)
+        return batch.append_column("_rpart", pa.array(parts, type=pa.int64()))
+
     def final(group: pa.Table) -> pa.Table:
+        g = (
+            group.drop_columns(["_rpart"])
+            .group_by(report_col)
+            .aggregate([("_n", "sum")])
+        )
         return pa.table(
             {
-                report_col: pa.array(
-                    [group.column(report_col)[0].as_py()], type=report_type
-                ),
-                out_col: pa.array(
-                    [int(pc.sum(group.column("_n")).as_py())],
-                    type=pa.int64(),
-                ),
+                report_col: g.column(report_col),
+                out_col: g.column("_n_sum").cast(pa.int64()),
             }
         )
 
     return (
         env.groupby("_part")
         .map_groups(check, batch_format="pyarrow")
-        .groupby(report_col)
+        .map_batches(route_report, batch_format="pyarrow", batch_size=None)
+        .groupby("_rpart")
         .map_groups(final, batch_format="pyarrow")
     )
 
@@ -4644,12 +4659,20 @@ def moving_max_by_key(
             ],
         )
         g = group.take(idx)
-        keys = g.column(key).to_numpy(zero_copy_only=False)
+        # null-safe key equality: dictionary codes with a -1 null sentinel
+        # (a nullable int64 column reaches numpy as float64 NaN, and
+        # NaN != NaN would split the SQL NULL partition into 1-row runs)
+        kcodes = pc.fill_null(
+            g.column(key).combine_chunks().dictionary_encode().indices.cast(
+                pa.int64()
+            ),
+            -1,
+        ).to_numpy(zero_copy_only=False)
         x = g.column("_cents").to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(keys)
+        n = len(kcodes)
         start = np.ones(n, dtype=bool)
         if n > 1:
-            start[1:] = keys[1:] != keys[:-1]
+            start[1:] = kcodes[1:] != kcodes[:-1]
         seg_id = np.cumsum(start) - 1
         acc = x.copy()
         for j in range(1, window_rows):

@@ -615,3 +615,163 @@ def test_degree_assortativity_matches_sql():
         """
     ).df()
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+# --- review regressions (session E) -----------------------------------------
+
+
+def test_fk_violations_null_report_group():
+    from airbyte_destination_ray.pipelines.relational import fk_violations
+
+    child = pa.table(
+        {
+            "fk": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "grp": pa.array(["A", None, "B", None]),
+        }
+    )
+    parent = pa.table({"pk": pa.array([1], type=pa.int64())})
+    got = (
+        fk_violations(
+            _ds(child, 2),
+            _ds(parent, 1),
+            fk="fk",
+            pk="pk",
+            report_col="grp",
+            child_schema=child.schema,
+            parent_schema=parent.schema,
+        )
+        .to_pandas()
+        .sort_values("grp", na_position="last")
+        .reset_index(drop=True)
+    )
+    # SQL: fk 2,3,4 violate; groups B->1, A->0(absent), NULL->2
+    as_map = {
+        (None if pd.isna(k) else k): v
+        for k, v in zip(got["grp"], got["n_violations"])
+    }
+    assert as_map == {"B": 1, None: 2}
+
+
+def test_moving_windows_null_key_partition():
+    from airbyte_destination_ray.pipelines.relational import (
+        moving_max_by_key,
+        moving_window_sum,
+    )
+
+    tbl = pa.table(
+        {
+            "seq": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "k": pa.array([None, None, None, 7], type=pa.int64()),
+            "ts": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "v": pa.array([5.0, 2.0, 1.0, 9.0], type=pa.float64()),
+        }
+    )
+    mx = _sorted_df(
+        moving_max_by_key(
+            _ds(tbl, 2), key="k", ts_col="ts", seq="seq", value_col="v",
+            window_rows=3,
+        ),
+        ["seq"],
+    )
+    # nulls form ONE SQL partition: maxima 500, 500, 500; key 7 alone: 900
+    assert mx["win_max_cents"].tolist() == [500, 500, 500, 900]
+    ms = _sorted_df(
+        moving_window_sum(
+            _ds(tbl, 2), key="k", ts_col="ts", seq="seq", value_col="v",
+            window_rows=3,
+        ),
+        ["seq"],
+    )
+    assert ms["win_sum_cents"].tolist() == [500, 700, 800, 900]
+
+
+def test_fast_word_count_matches_re2():
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.functions.text import fast_word_count
+
+    texts = pa.array(
+        [
+            "plain words here",
+            "  leading and trailing  ",
+            "tabs\tand\nnewlines\rand\fform",
+            "vertical\x0btab is NOT a separator in RE2",
+            "unicode héllo wörld  nbsp-is-not-space",
+            "",
+            None,
+            "one",
+        ]
+    )
+    got = fast_word_count(texts)
+    exp = pc.cast(pc.count_substring_regex(texts, r"\S+"), pa.int64())
+    assert got.equals(exp)
+
+
+def test_txn_query_heals_crashed_transaction(tmp_path, ray_session):
+    """A crash between txn_begin and txn_publish must not pin the stale
+    state for later same-process calls."""
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        txn_sync_events_tables,
+    )
+    from airbyte_destination_ray.pipelines import events_cdc as ec
+    from airbyte_destination_ray.pipelines.cdc import run_cdc_sync, txn_begin
+
+    sf = "/root/testdata/sf0.001"
+    base = tmp_path / "txnheal"
+    # manual "crashed" first attempt: published epoch-0 state + begun txn,
+    # no publish
+    binlog = base / "binlog"
+    lake = base / "lake"
+    ec.build_binlog_from_events(f"{sf}/events.parquet", binlog)
+    for t in ["events_txn_full", "events_txn_v1"]:
+        run_cdc_sync(
+            str(lake), str(binlog), table=t, pk="user_id", ver="ts",
+            payload_columns=ec.EVENT_PAYLOAD, num_partitions=4,
+            compute_digest=False, epochs=[0],
+        )
+    txn_begin(str(lake), ["events_txn_full", "events_txn_v1"])
+    # crashed here.  The query must heal: abort pins, restage, publish.
+    healed = txn_sync_events_tables(sf, workdir=base).to_pandas()
+    fresh = txn_sync_events_tables(
+        sf, workdir=tmp_path / "txnfresh"
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        healed.sort_values("table_name").reset_index(drop=True),
+        fresh.sort_values("table_name").reset_index(drop=True),
+    )
+
+
+def test_txn_recover_skips_bad_record(tmp_path, ray_session):
+    import json
+
+    from airbyte_destination_ray.pipelines.cdc import (
+        run_cdc_sync,
+        txn_begin,
+        txn_publish,
+        txn_recover,
+        _txn_dir,
+    )
+    from airbyte_destination_ray.sources.synth import write_custom_binlog
+
+    b = str(tmp_path / "b")
+    write_custom_binlog(b, [
+        dict(seq=0, epoch=0, op="I", url="a", warc_ts=1, text="v1",
+             lang="en", html=b""),
+    ])
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, b, table="t1", num_partitions=2)
+    d = _txn_dir(lake)
+    d.mkdir(parents=True, exist_ok=True)
+    # a corrupt record and a record naming a dropped table
+    (d / "txn-aaa.json").write_text("{not json")
+    (d / "txn-bbb.json").write_text(json.dumps({"tables": {"ghost": 1}}))
+    # plus a real committed-but-unapplied transaction
+    txn = txn_begin(lake, ["t1"])
+    run_cdc_sync(lake, b, table="t1", num_partitions=2)
+    from airbyte_destination_ray.state.manifest import _atomic_write_json
+
+    _atomic_write_json(d / f"{txn['txn_id']}.json", {"tables": txn["tables"]})
+    out = txn_recover(lake)
+    assert str(out["txn-aaa"]).startswith("error:")
+    assert out[txn["txn_id"]] == 1  # the real one applied despite bad peers
