@@ -4258,6 +4258,42 @@ def _q_events_moving_max(sf_dir: str):
     )
 
 
+def _q_events_gini_by_type(sf_dir: str):
+    """Per-type Gini coefficient of positive event cents — rank-weighted
+    integer sums after one keyed exchange, single cast-then-divide."""
+    from airbyte_destination_ray.pipelines.ops import gini_by_key
+
+    return gini_by_key(
+        _events(sf_dir, columns=["event_type", "event_id", "value"]),
+        key="event_type",
+        seq="event_id",
+        value_col="value",
+        out_col="gini",
+    )
+
+
+def _q_doc_frequency_spectrum(sf_dir: str):
+    """Corpus frequency spectrum (hapax/Zipf profile): distinct-term count
+    per occurrence frequency — top_terms-shaped exchange, aggregate-sized
+    output."""
+    from airbyte_destination_ray.pipelines.corpus import frequency_spectrum
+
+    return frequency_spectrum(_documents(sf_dir, columns=["text"]))
+
+
+def _q_events_type_dow_chi2(sf_dir: str):
+    """Event-type × day-of-week contingency cells with expected counts and
+    per-cell χ² contributions — combiner partials, one aggregate-sized
+    final, fixed-expression float math."""
+    from airbyte_destination_ray.pipelines.ops import contingency_cells
+
+    return contingency_cells(
+        _events(sf_dir, columns=["event_type", "ts"]),
+        key_col="event_type",
+        ts_col="ts",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -4359,6 +4395,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_k_core": _q_events_k_core,
         "events_assortativity": _q_events_assortativity,
         "events_moving_max_by_user": _q_events_moving_max,
+        "events_gini_by_type": _q_events_gini_by_type,
+        "doc_frequency_spectrum": _q_doc_frequency_spectrum,
+        "events_type_dow_chi2": _q_events_type_dow_chi2,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -6772,5 +6811,60 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
                    AS win_max_cents
         FROM events
+    """
+    sql["events_gini_by_type"] = """
+        WITH b AS (
+            SELECT event_type, event_id,
+                   CAST(floor(value * 100.0) AS BIGINT) AS c
+            FROM events
+            WHERE event_type IS NOT NULL),
+        p AS (SELECT * FROM b WHERE c > 0),
+        r AS (
+            SELECT event_type, c,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY c, event_id) AS rn
+            FROM p),
+        s AS (
+            SELECT event_type, count(*) AS n, sum(c) AS sx,
+                   sum(rn * c) AS srx
+            FROM r GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n_values,
+               CASE WHEN n > 1 AND sx > 0
+                    THEN CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+               END AS gini
+        FROM s
+    """
+    sql["doc_frequency_spectrum"] = """
+        WITH w AS (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                       AS term
+            FROM documents WHERE text IS NOT NULL),
+        t AS (SELECT term, count(*) AS n FROM w
+              WHERE term <> '' GROUP BY 1)
+        SELECT n AS frequency, CAST(count(*) AS BIGINT) AS n_terms
+        FROM t GROUP BY 1
+    """
+    sql["events_type_dow_chi2"] = """
+        WITH c AS (
+            SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+                   count(*) AS o
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1, 2),
+        m AS (
+            SELECT *, sum(o) OVER (PARTITION BY event_type) AS rt,
+                   sum(o) OVER (PARTITION BY dow) AS ct,
+                   sum(o) OVER () AS tot
+            FROM c)
+        SELECT event_type, dow, CAST(o AS BIGINT) AS observed,
+               CAST(rt * ct AS DOUBLE) / CAST(tot AS DOUBLE) AS expected,
+               ((CAST(o AS DOUBLE)
+                 - CAST(rt * ct AS DOUBLE) / CAST(tot AS DOUBLE))
+                * (CAST(o AS DOUBLE)
+                   - CAST(rt * ct AS DOUBLE) / CAST(tot AS DOUBLE)))
+               / (CAST(rt * ct AS DOUBLE) / CAST(tot AS DOUBLE))
+                   AS cell_chi2
+        FROM m
     """
     return sql

@@ -1580,3 +1580,71 @@ def source_vocab_overlap(
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def frequency_spectrum(
+    ds,
+    *,
+    text_col: str = "text",
+    pattern: str = "[^a-z0-9]+",
+    num_partitions: int = CORPUS_NUM_PARTITIONS,
+):
+    """Corpus frequency spectrum: for each occurrence count ``f``, the
+    number of DISTINCT terms occurring exactly ``f`` times — the
+    Zipf/hapax-legomena profile that sizes vocabulary pruning and
+    type-token diagnostics.
+
+    Same exchange shape as :func:`top_terms`: per-batch term
+    ``value_counts`` partials (one row per distinct term per batch), ONE
+    hash exchange on term, per-partition sums — then each partition
+    collapses its term counts to a ≤#distinct-frequencies histogram and a
+    tiny final fold adds them.  No stage holds more than the
+    per-partition distinct-term set; the output is aggregate-sized
+    (distinct frequencies ≤ a few hundred even at corpus scale).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column(text_col)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(arr), pattern)
+        )
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        terms, counts = vc.field(0), vc.field(1)
+        part = (
+            stable_hash_array(terms) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "term": terms,
+                "n": counts.cast(pa.int64()),
+                "_part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    def spectrum_partial(group: pa.Table) -> pa.Table:
+        g = group.group_by("term", use_threads=False).aggregate([("n", "sum")])
+        freqs = g.column("n_sum").to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(freqs, return_counts=True)
+        return pa.table(
+            {
+                "frequency": pa.array(vals.astype(np.int64), type=pa.int64()),
+                "n_terms": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by("frequency")
+            .aggregate([("n_terms", "sum")])
+            .rename_columns(["frequency", "n_terms"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(spectrum_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -3620,3 +3620,191 @@ def spearman_by_key(
         .groupby("_part")
         .map_groups(rho, batch_format="pyarrow")
     )
+
+
+def gini_by_key(
+    ds,
+    *,
+    key: str,
+    seq: str,
+    value_col: str,
+    out_col: str = "gini",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """PER-KEY Gini coefficient of a positive metric — the
+    inequality/concentration diagnostic (sibling of :func:`hhi_by_key`
+    at the individual-value rather than member-share level)::
+
+        G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)   over x sorted ascending,
+                                               i = 1-based rank
+
+    ONE hash exchange of ``(key, seq, cents)`` (same shape as
+    :func:`standardize_by_key`); the within-key sort gives ranks, and the
+    rank-weighted sums are segmented ``reduceat`` — all int64-exact, with
+    the deterministic ``(value, seq)`` tie-break making ranks equal to the
+    oracle's ``row_number``.  The finalization is the integer expression
+    above with ONE cast-then-divide — hash-exact vs SQL.  Non-positive
+    and null values are excluded (Gini is defined on positive mass);
+    keys left with fewer than 2 values yield null.  Null keys dropped
+    (keyed-kernel policy).  Envelope: Σ rank·cents must fit int64 — keys
+    up to ~10⁶ rows at |cents| ≤ 3·10⁴.
+    """
+
+    def route(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(batch.column(value_col), 100.0)),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                key: batch.column(key),
+                seq: batch.column(seq),
+                "_c": cents,
+            }
+        )
+        keep = pc.and_(
+            t.column(key).combine_chunks().is_valid(),
+            pc.fill_null(pc.greater(t.column("_c"), 0), False),
+        )
+        t = t.filter(keep)
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def compute(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                (key, "ascending"),
+                ("_c", "ascending"),
+                (seq, "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        n = g.num_rows
+        key_type = g.schema.field(key).type
+        if n == 0:
+            return pa.table(
+                {
+                    key: pa.array([], type=key_type),
+                    "n_values": pa.array([], type=pa.int64()),
+                    out_col: pa.array([], type=pa.float64()),
+                }
+            )
+        keys = g.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        x = g.column("_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = keys[1:] != keys[:-1]
+        si = np.flatnonzero(start)
+        seg_id = np.cumsum(start) - 1
+        rank = np.arange(n, dtype=np.int64) - si[seg_id] + 1
+        cnt = np.add.reduceat(np.ones(n, dtype=np.int64), si)
+        sx = np.add.reduceat(x, si)
+        srx = np.add.reduceat(rank * x, si)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gini = (2 * srx - (cnt + 1) * sx).astype(np.float64) / (
+                cnt.astype(np.float64) * sx.astype(np.float64)
+            )
+        ok = (cnt > 1) & (sx > 0)
+        karr = g.column(key).combine_chunks()
+        return pa.table(
+            {
+                key: karr.take(pa.array(si)),
+                "n_values": pa.array(cnt, type=pa.int64()),
+                out_col: pa.array(gini, type=pa.float64(), mask=~ok),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(compute, batch_format="pyarrow")
+    )
+
+
+def contingency_cells(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    out_dow: str = "dow",
+):
+    """Contingency table of ``key_col`` × day-of-week with expected counts
+    and the per-cell χ² contribution — the independence screen ("does
+    event mix depend on weekday?") WITHOUT the order-dependent global χ²
+    sum (each cell's statistic is a fixed expression, so the whole table
+    is hash-exact; the caller can sum client-side if a single number is
+    wanted).
+
+    Per-batch ``(key, dow, n)`` combiner partials (≤ keys×7 rows per
+    batch), one aggregate-sized fold in a single final task: margins via
+    numpy, ``expected = (row·col)/total`` as cast-then-divide, and
+    ``cell_chi2 = ((o−e)·(o−e))/e`` in exactly the oracle's expression
+    order.  Day-of-week is Sunday=0 (DuckDB ``dayofweek``).  Null key or
+    timestamp rows are excluded.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key_col: batch.column(key_col),
+                out_dow: pc.cast(
+                    pc.day_of_week(
+                        batch.column(ts_col),
+                        week_start=7,
+                        count_from_zero=True,
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+        keep = pc.and_(
+            t.column(key_col).combine_chunks().is_valid(),
+            t.column(out_dow).combine_chunks().is_valid(),
+        )
+        g = (
+            t.filter(keep)
+            .group_by([key_col, out_dow])
+            .aggregate([([], "count_all")])
+            .rename_columns([key_col, out_dow, "_n"])
+        )
+        return g.set_column(2, "_n", g.column("_n").cast(pa.int64()))
+
+    def final(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.group_by([key_col, out_dow])
+            .aggregate([("_n", "sum")])
+            .rename_columns([key_col, out_dow, "_n"])
+        )
+        keys = g.column(key_col).combine_chunks()
+        dows = g.column(out_dow).to_numpy(zero_copy_only=False)
+        o = g.column("_n").to_numpy(zero_copy_only=False).astype(np.int64)
+        kcodes = keys.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_keys = int(kcodes.max()) + 1 if len(kcodes) else 0
+        row_tot = np.zeros(n_keys, dtype=np.int64)
+        np.add.at(row_tot, kcodes, o)
+        col_tot = np.zeros(7, dtype=np.int64)
+        np.add.at(col_tot, dows, o)
+        total = float(o.sum())
+        rc = row_tot[kcodes] * col_tot[dows]
+        e = rc.astype(np.float64) / total
+        od = o.astype(np.float64)
+        chi = ((od - e) * (od - e)) / e
+        return pa.table(
+            {
+                key_col: keys,
+                out_dow: g.column(out_dow),
+                "observed": pa.array(o, type=pa.int64()),
+                "expected": pa.array(e, type=pa.float64()),
+                "cell_chi2": pa.array(chi, type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

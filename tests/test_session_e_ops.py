@@ -775,3 +775,147 @@ def test_txn_recover_skips_bad_record(tmp_path, ray_session):
     out = txn_recover(lake)
     assert str(out["txn-aaa"]).startswith("error:")
     assert out[txn["txn_id"]] == 1  # the real one applied despite bad peers
+
+
+# --- gini_by_key ------------------------------------------------------------
+
+
+def test_gini_by_key_matches_sql():
+    from airbyte_destination_ray.pipelines.ops import gini_by_key
+
+    rng = np.random.default_rng(37)
+    n = 800
+    keys = [["a", "b", "c", None][i] for i in rng.integers(0, 4, n)]
+    vals = rng.uniform(-10, 90, n)  # negatives/zeros excluded by the op
+    null_mask = rng.random(n) < 0.05
+    tbl = pa.table(
+        {
+            "k": pa.array(keys),
+            "seq": pa.array(np.arange(n), type=pa.int64()),
+            "v": pa.array(vals, type=pa.float64(), mask=null_mask),
+        }
+    )
+    got = _sorted_df(
+        gini_by_key(_ds(tbl, 4), key="k", seq="seq", value_col="v"),
+        ["k"],
+    )
+    exp = (
+        duckdb.sql(
+            """
+        WITH b AS (SELECT k, seq, CAST(floor(v * 100.0) AS BIGINT) AS c
+                   FROM tbl WHERE k IS NOT NULL),
+        p AS (SELECT * FROM b WHERE c > 0),
+        r AS (SELECT k, c, row_number() OVER (
+                  PARTITION BY k ORDER BY c, seq) AS rn FROM p),
+        s AS (SELECT k, count(*) AS n, sum(c) AS sx, sum(rn*c) AS srx
+              FROM r GROUP BY 1)
+        SELECT k, CAST(n AS BIGINT) AS n_values,
+               CASE WHEN n > 1 AND sx > 0
+                    THEN CAST(2*srx - (n+1)*sx AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+               END AS gini
+        FROM s ORDER BY k
+        """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_gini_known_values():
+    from airbyte_destination_ray.pipelines.ops import gini_by_key
+
+    tbl = pa.table(
+        {
+            "k": pa.array(["eq"] * 4 + ["uneq"] * 4),
+            "seq": pa.array(np.arange(8), type=pa.int64()),
+            "v": pa.array([5.0, 5.0, 5.0, 5.0, 0.01, 0.01, 0.01, 20.0]),
+        }
+    )
+    got = _sorted_df(
+        gini_by_key(_ds(tbl, 1), key="k", seq="seq", value_col="v"), ["k"]
+    )
+    by = dict(zip(got["k"], got["gini"]))
+    assert by["eq"] == 0.0  # perfect equality
+    assert by["uneq"] > 0.7  # one value holds nearly all mass
+
+
+# --- frequency_spectrum -----------------------------------------------------
+
+
+def test_frequency_spectrum_matches_sql():
+    from airbyte_destination_ray.pipelines.corpus import frequency_spectrum
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(80)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 25)))
+        for _ in range(120)
+    ] + [None, "", "W0 w0 W0"]
+    tbl = pa.table({"text": pa.array(texts)})
+    got = _sorted_df(frequency_spectrum(_ds(tbl, 5)), ["frequency"])
+    exp = (
+        duckdb.sql(
+            """
+        WITH w AS (SELECT unnest(
+                string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+            FROM tbl WHERE text IS NOT NULL),
+        t AS (SELECT term, count(*) AS n FROM w
+              WHERE term <> '' GROUP BY 1)
+        SELECT n AS frequency, CAST(count(*) AS BIGINT) AS n_terms
+        FROM t GROUP BY 1 ORDER BY 1
+        """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+# --- contingency_cells ------------------------------------------------------
+
+
+def test_contingency_cells_matches_sql():
+    from airbyte_destination_ray.pipelines.ops import contingency_cells
+
+    rng = np.random.default_rng(43)
+    n = 1200
+    base = pd.Timestamp("2024-01-01").value // 1000
+    us = base + rng.integers(0, 60 * 86_400_000_000, n)
+    keys = [["x", "y", "z", None][i] for i in rng.integers(0, 4, n)]
+    null_ts = rng.random(n) < 0.03
+    tbl = pa.table(
+        {
+            "k": pa.array(keys),
+            "ts": pa.array(us, type=pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    tbl = tbl.set_column(
+        1, "ts", pa.array(tbl.column("ts").to_pandas(), type=pa.timestamp("us"), mask=null_ts)
+    )
+    got = _sorted_df(
+        contingency_cells(_ds(tbl, 4), key_col="k", ts_col="ts"),
+        ["k", "dow"],
+    )
+    exp = (
+        duckdb.sql(
+            """
+        WITH c AS (
+            SELECT k, CAST(dayofweek(ts) AS BIGINT) AS dow, count(*) AS o
+            FROM tbl WHERE k IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        m AS (SELECT *, sum(o) OVER (PARTITION BY k) AS rt,
+                     sum(o) OVER (PARTITION BY dow) AS ct,
+                     sum(o) OVER () AS tot FROM c)
+        SELECT k, dow, CAST(o AS BIGINT) AS observed,
+               CAST(rt*ct AS DOUBLE)/CAST(tot AS DOUBLE) AS expected,
+               ((CAST(o AS DOUBLE) - CAST(rt*ct AS DOUBLE)/CAST(tot AS DOUBLE))
+                * (CAST(o AS DOUBLE) - CAST(rt*ct AS DOUBLE)/CAST(tot AS DOUBLE)))
+               / (CAST(rt*ct AS DOUBLE)/CAST(tot AS DOUBLE)) AS cell_chi2
+        FROM m ORDER BY k, dow
+        """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
