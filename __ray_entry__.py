@@ -4294,6 +4294,216 @@ def _q_events_type_dow_chi2(sf_dir: str):
     )
 
 
+def _q_events_ks_drift(sf_dir: str):
+    """Two-sample KS statistic between even- and odd-user event values —
+    exact integer ECDF cross-products, single final division."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.ops import ks_two_sample
+
+    def prep(b: "pa.Table") -> "pa.Table":
+        t = b.filter(b.column("user_id").combine_chunks().is_valid())
+        return pa.table(
+            {
+                "value": t.column("value"),
+                "grp": pc.equal(
+                    pc.bit_wise_and(t.column("user_id"), 1), 0
+                ),
+            }
+        )
+
+    return ks_two_sample(
+        _events(sf_dir, columns=["user_id", "value"]).map_batches(
+            prep, batch_format="pyarrow", batch_size=None
+        ),
+        value_col="value",
+        group_mask_col="grp",
+    )
+
+
+def _q_nation_trade_by_year(sf_dir: str):
+    """TPC-H Q7-shaped composite (two-nation trade volume by ship year):
+    supplier side resolved with a broadcast tag lookup (supplier is the
+    small dimension), customer side through a shuffle join (customer
+    scales with the fact tables), lineitem pre-aggregated to integer
+    cents per (order, year, supplier-nation) before its exchange, final
+    rollup partition-level over the tiny (pair, year) key space."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    keys = dict(
+        zip(
+            nation.column("n_name").to_pylist(),
+            nation.column("n_nationkey").to_pylist(),
+        )
+    )
+    nk1, nk2 = keys["NATION_1"], keys["NATION_2"]
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    snk = supp.column("s_nationkey").to_numpy(zero_copy_only=False)
+    skeys = supp.column("s_suppkey").to_numpy(zero_copy_only=False)
+    supp1 = pa.array(np.sort(skeys[snk == nk1]), type=pa.int64())
+    supp2 = pa.array(np.sort(skeys[snk == nk2]), type=pa.int64())
+
+    def li_partial(b: "pa.Table") -> "pa.Table":
+        sk = b.column("l_suppkey").combine_chunks()
+        t1 = pc.fill_null(pc.is_in(sk, value_set=supp1), False)
+        t2 = pc.fill_null(pc.is_in(sk, value_set=supp2), False)
+        stag = pc.add(
+            pc.cast(t1, pa.int64()),
+            pc.multiply(pc.cast(t2, pa.int64()), 2),
+        )
+        keep = pc.greater(stag, 0)
+        t = pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "_stag": stag,
+                "_year": pc.cast(pc.year(b.column("l_shipdate")), pa.int64()),
+                "_cents": pc.cast(
+                    pc.floor(
+                        pc.multiply(
+                            pc.multiply(
+                                b.column("l_extendedprice"),
+                                pc.subtract(1.0, b.column("l_discount")),
+                            ),
+                            100.0,
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ).filter(keep)
+        return (
+            t.group_by(["l_orderkey", "_stag", "_year"])
+            .aggregate([("_cents", "sum")])
+            .rename_columns(["l_orderkey", "_stag", "_year", "_cents"])
+        )
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_suppkey", "l_shipdate",
+            "l_extendedprice", "l_discount",
+        ],
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=None)
+
+    def cust_tag(b: "pa.Table") -> "pa.Table":
+        nkv = pc.cast(b.column("c_nationkey"), pa.int64())
+        t1 = pc.fill_null(pc.equal(nkv, nk1), False)
+        t2 = pc.fill_null(pc.equal(nkv, nk2), False)
+        ctag = pc.add(
+            pc.cast(t1, pa.int64()),
+            pc.multiply(pc.cast(t2, pa.int64()), 2),
+        )
+        return pa.table(
+            {"c_custkey": b.column("c_custkey"), "_ctag": ctag}
+        ).filter(pc.greater(ctag, 0))
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_tag, batch_format="pyarrow", batch_size=None)
+
+    ords = shuffle_join(
+        read_parquet_sized(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ),
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        select=["o_orderkey", "_ctag"],
+        hot_keys=None,  # custkeys unique on the right, FK on the left
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("_ctag", pa.int64())]
+        ),
+    )
+
+    joined = shuffle_join(
+        li,
+        ords,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        select=["_stag", "_ctag", "_year", "_cents"],
+        hot_keys=None,
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("_stag", pa.int64()),
+                ("_year", pa.int64()),
+                ("_cents", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("_ctag", pa.int64())]
+        ),
+    )
+
+    name1, name2 = "NATION_1", "NATION_2"
+
+    def rollup_partial(b: "pa.Table") -> "pa.Table":
+        keep = pc.and_(
+            pc.not_equal(b.column("_stag"), b.column("_ctag")),
+            pc.and_(
+                pc.less_equal(b.column("_stag"), 2),
+                pc.less_equal(b.column("_ctag"), 2),
+            ),
+        )
+        t = b.filter(keep)
+        return (
+            t.group_by(["_stag", "_ctag", "_year"])
+            .aggregate([("_cents", "sum")])
+            .rename_columns(["_stag", "_ctag", "_year", "_cents"])
+        )
+
+    def final(group: "pa.Table") -> "pa.Table":
+        g = (
+            group.drop_columns(["_rpart"])
+            .group_by(["_stag", "_ctag", "_year"])
+            .aggregate([("_cents", "sum")])
+            .rename_columns(["_stag", "_ctag", "_year", "_cents"])
+        )
+        stag = g.column("_stag").to_numpy(zero_copy_only=False)
+        ctag = g.column("_ctag").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "supp_nation": pa.array(
+                    np.where(stag == 1, name1, name2), type=pa.string()
+                ),
+                "cust_nation": pa.array(
+                    np.where(ctag == 1, name1, name2), type=pa.string()
+                ),
+                "l_year": g.column("_year"),
+                "revenue_cents": g.column("_cents").cast(pa.int64()),
+            }
+        )
+
+    def route(b: "pa.Table") -> "pa.Table":
+        from airbyte_destination_ray.functions.hashing import partition_ids
+
+        parts = partition_ids(b.column("_year"), 8)
+        return b.append_column("_rpart", pa.array(parts, type=pa.int64()))
+
+    return (
+        joined.map_batches(rollup_partial, batch_format="pyarrow", batch_size=None)
+        .map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_rpart")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -4398,6 +4608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gini_by_type": _q_events_gini_by_type,
         "doc_frequency_spectrum": _q_doc_frequency_spectrum,
         "events_type_dow_chi2": _q_events_type_dow_chi2,
+        "events_ks_drift": _q_events_ks_drift,
+        "nation_trade_by_year": _q_nation_trade_by_year,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -6866,5 +7078,45 @@ def oracle_sql() -> dict[str, str]:
                / (CAST(rt * ct AS DOUBLE) / CAST(tot AS DOUBLE))
                    AS cell_chi2
         FROM m
+    """
+    sql["events_ks_drift"] = """
+        WITH v AS (
+            SELECT CAST(floor(value * 100.0) AS BIGINT) AS c,
+                   (user_id % 2 = 0) AS grp
+            FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        d AS (
+            SELECT c,
+                   sum(CASE WHEN grp THEN 1 ELSE 0 END) AS a,
+                   sum(CASE WHEN NOT grp THEN 1 ELSE 0 END) AS b
+            FROM v GROUP BY 1),
+        cum AS (
+            SELECT c, sum(a) OVER (ORDER BY c) AS ca,
+                   sum(b) OVER (ORDER BY c) AS cb
+            FROM d),
+        tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM d),
+        m AS (
+            SELECT max(abs(nb * ca - na * cb)) AS dnum
+            FROM cum, tot)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CAST(dnum AS BIGINT) AS d_num,
+               CAST(dnum AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks
+        FROM m, tot
+    """
+    sql["nation_trade_by_year"] = """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum(CAST(floor(
+                   l_extendedprice * (1 - l_discount) * 100.0
+               ) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+           OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
     """
     return sql

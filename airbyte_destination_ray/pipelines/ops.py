@@ -3808,3 +3808,109 @@ def contingency_cells(
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def ks_two_sample(
+    ds,
+    *,
+    value_col: str,
+    group_mask_col: str,
+    num_partitions: int = 32,
+):
+    """Two-sample Kolmogorov–Smirnov statistic between the rows where
+    ``group_mask_col`` is true (sample A) and false (sample B) — the
+    distribution-drift detector (new crawl vs old crawl, treatment vs
+    control) as one exact number.
+
+    Everything stays integer until ONE final division:
+    ``D = max |n_b·cum_a(x) − n_a·cum_b(x)| / (n_a·n_b)`` over the sorted
+    distinct fixed-point values.  Per-batch ``(cents, a, b)`` count
+    partials, one hash exchange on cents, per-partition folds, then a
+    single aggregate-sized final task (distinct cents values are bounded
+    by the metric's range, not the row count) sorts and takes the
+    cumulative max.  Null values and null masks are excluded.  Envelope:
+    ``n_a·n_b`` must fit int64 (≈3·10⁹ rows per side).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(batch.column(value_col), 100.0)),
+            pa.int64(),
+        ).combine_chunks()
+        m = batch.column(group_mask_col).combine_chunks()
+        keep = pc.and_(cents.is_valid(), m.is_valid())
+        cents, m = cents.filter(keep), m.filter(keep)
+        t = pa.table(
+            {
+                "_c": cents,
+                "_a": pc.cast(m, pa.int64()),
+                "_b": pc.cast(pc.invert(m), pa.int64()),
+            }
+        )
+        g = (
+            t.group_by("_c")
+            .aggregate([("_a", "sum"), ("_b", "sum")])
+            .rename_columns(["_c", "_a", "_b"])
+        )
+        g = pa.table(
+            {
+                "_c": g.column("_c"),
+                "_a": g.column("_a").cast(pa.int64()),
+                "_b": g.column("_b").cast(pa.int64()),
+            }
+        )
+        parts = partition_ids(g.column("_c"), num_partitions)
+        return g.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = (
+            group.drop_columns(["_part"])
+            .group_by("_c")
+            .aggregate([("_a", "sum"), ("_b", "sum")])
+            .rename_columns(["_c", "_a", "_b"])
+        )
+        return pa.table(
+            {
+                "_c": g.column("_c"),
+                "_a": g.column("_a").cast(pa.int64()),
+                "_b": g.column("_b").cast(pa.int64()),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        t = batch.take(
+            pc.sort_indices(batch, sort_keys=[("_c", "ascending")])
+        )
+        a = t.column("_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        na, nb = int(a.sum()), int(b.sum())
+        if na == 0 or nb == 0:
+            return pa.table(
+                {
+                    "n_a": pa.array([na], type=pa.int64()),
+                    "n_b": pa.array([nb], type=pa.int64()),
+                    "d_num": pa.array([None], type=pa.int64()),
+                    "ks": pa.array([None], type=pa.float64()),
+                }
+            )
+        ca = np.cumsum(a)
+        cb = np.cumsum(b)
+        d_num = int(np.abs(nb * ca - na * cb).max())
+        return pa.table(
+            {
+                "n_a": pa.array([na], type=pa.int64()),
+                "n_b": pa.array([nb], type=pa.int64()),
+                "d_num": pa.array([d_num], type=pa.int64()),
+                "ks": pa.array(
+                    [float(d_num) / float(na * nb)], type=pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

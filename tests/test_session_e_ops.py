@@ -919,3 +919,65 @@ def test_contingency_cells_matches_sql():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+# --- ks_two_sample ----------------------------------------------------------
+
+
+def test_ks_two_sample_matches_scipy_style_reference():
+    from airbyte_destination_ray.pipelines.ops import ks_two_sample
+
+    rng = np.random.default_rng(47)
+    n = 3000
+    vals = np.where(
+        rng.random(n) < 0.5, rng.normal(0, 5, n), rng.normal(2, 5, n)
+    )
+    grp = rng.random(n) < 0.5
+    null_mask = rng.random(n) < 0.02
+    tbl = pa.table(
+        {
+            "v": pa.array(vals, type=pa.float64(), mask=null_mask),
+            "grp": pa.array(grp),
+        }
+    )
+    got = ks_two_sample(
+        _ds(tbl, 5), value_col="v", group_mask_col="grp"
+    ).to_pandas()
+    exp = duckdb.sql(
+        """
+        WITH v AS (SELECT CAST(floor(v * 100.0) AS BIGINT) AS c, grp
+                   FROM tbl WHERE v IS NOT NULL),
+        d AS (SELECT c, sum(CASE WHEN grp THEN 1 ELSE 0 END) AS a,
+                     sum(CASE WHEN NOT grp THEN 1 ELSE 0 END) AS b
+              FROM v GROUP BY 1),
+        cum AS (SELECT c, sum(a) OVER (ORDER BY c) ca,
+                       sum(b) OVER (ORDER BY c) cb FROM d),
+        tot AS (SELECT sum(a) na, sum(b) nb FROM d),
+        m AS (SELECT max(abs(nb*ca - na*cb)) dnum FROM cum, tot)
+        SELECT CAST(na AS BIGINT) n_a, CAST(nb AS BIGINT) n_b,
+               CAST(dnum AS BIGINT) d_num,
+               CAST(dnum AS DOUBLE)/CAST(na*nb AS DOUBLE) ks
+        FROM m, tot
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+    # cross-check the statistic against the classic ECDF definition
+    cents = np.floor(vals * 100.0).astype(np.int64)
+    keep = ~null_mask
+    ca, cb = cents[keep & grp], cents[keep & ~grp]
+    xs = np.unique(np.concatenate([ca, cb]))
+    f1 = np.searchsorted(np.sort(ca), xs, side="right") / len(ca)
+    f2 = np.searchsorted(np.sort(cb), xs, side="right") / len(cb)
+    assert abs(got["ks"].iloc[0] - np.abs(f1 - f2).max()) < 1e-12
+
+
+def test_ks_identical_samples_zero():
+    from airbyte_destination_ray.pipelines.ops import ks_two_sample
+
+    v = np.tile(np.arange(50, dtype=np.float64), 2)
+    grp = np.repeat([True, False], 50)
+    tbl = pa.table({"v": pa.array(v), "grp": pa.array(grp)})
+    got = ks_two_sample(
+        _ds(tbl, 3), value_col="v", group_mask_col="grp"
+    ).to_pandas()
+    assert got["ks"].iloc[0] == 0.0
