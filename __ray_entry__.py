@@ -4504,6 +4504,226 @@ def _q_nation_trade_by_year(sf_dir: str):
     )
 
 
+def _q_market_share_by_year(sf_dir: str):
+    """TPC-H Q8-shaped composite (NATION_3 suppliers' market share of
+    PROMO-part revenue among ASIA customers, by order year): part filter
+    through a bloom-prefiltered shuffle join (part scales with the
+    facts), orders enriched with year, ASIA customers through a second
+    shuffle join, supplier nation as a broadcast tag, conditional cents
+    sums per year, ONE IEEE division for the share."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rk_asia = region.column("r_regionkey")[
+        region.column("r_name").to_pylist().index("ASIA")
+    ].as_py()
+    nmap = dict(
+        zip(
+            nation.column("n_name").to_pylist(),
+            nation.column("n_nationkey").to_pylist(),
+        )
+    )
+    nk3 = nmap["NATION_3"]
+    asia_nations = pa.array(
+        sorted(
+            nation.filter(
+                pc.equal(nation.column("n_regionkey"), rk_asia)
+            ).column("n_nationkey").to_pylist()
+        ),
+        type=pa.int64(),
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    snk = supp.column("s_nationkey").to_numpy(zero_copy_only=False)
+    skeys = supp.column("s_suppkey").to_numpy(zero_copy_only=False)
+    supp3 = pa.array(np.sort(skeys[snk == nk3]), type=pa.int64())
+
+    def li_prep(b: "pa.Table") -> "pa.Table":
+        hit = pc.fill_null(
+            pc.is_in(b.column("l_suppkey").combine_chunks(), value_set=supp3),
+            False,
+        )
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "l_orderkey": b.column("l_orderkey"),
+                "_is3": pc.cast(hit, pa.int64()),
+                "_cents": pc.cast(
+                    pc.floor(
+                        pc.multiply(
+                            pc.multiply(
+                                b.column("l_extendedprice"),
+                                pc.subtract(1.0, b.column("l_discount")),
+                            ),
+                            100.0,
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_partkey", "l_orderkey", "l_suppkey",
+            "l_extendedprice", "l_discount",
+        ],
+    ).map_batches(li_prep, batch_format="pyarrow", batch_size=None)
+
+    promo = read_parquet_sized(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.fill_null(pc.equal(b.column("p_type"), "PROMO"), False)
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    li_promo = shuffle_join(
+        li,
+        promo,
+        left_on="l_partkey",
+        right_on="p_partkey",
+        select=["l_orderkey", "_is3", "_cents"],
+        hot_keys=None,
+        prefilter="bloom",
+        left_schema=pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("l_orderkey", pa.int64()),
+                ("_is3", pa.int64()),
+                ("_cents", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("p_partkey", pa.int64())]),
+    )
+
+    def cust_asia(b: "pa.Table") -> "pa.Table":
+        hit = pc.fill_null(
+            pc.is_in(
+                pc.cast(b.column("c_nationkey"), pa.int64()),
+                value_set=asia_nations,
+            ),
+            False,
+        )
+        return b.filter(hit).select(["c_custkey"])
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_asia, batch_format="pyarrow", batch_size=None)
+
+    ords = shuffle_join(
+        read_parquet_sized(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ),
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        select=["o_orderkey", "o_orderdate"],
+        hot_keys=None,
+        left_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+            ]
+        ),
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "_year": pc.cast(pc.year(b.column("o_orderdate")), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    joined = shuffle_join(
+        li_promo,
+        ords,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        select=["_is3", "_cents", "_year"],
+        hot_keys=None,
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("_is3", pa.int64()),
+                ("_cents", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("_year", pa.int64())]
+        ),
+    )
+
+    def partial(b: "pa.Table") -> "pa.Table":
+        t = pa.table(
+            {
+                "_year": b.column("_year"),
+                "_nat": pc.multiply(b.column("_is3"), b.column("_cents")),
+                "_tot": b.column("_cents"),
+            }
+        )
+        return (
+            t.group_by("_year")
+            .aggregate([("_nat", "sum"), ("_tot", "sum")])
+            .rename_columns(["_year", "_nat", "_tot"])
+        )
+
+    def final(group: "pa.Table") -> "pa.Table":
+        g = (
+            group.drop_columns(["_rpart"])
+            .group_by("_year")
+            .aggregate([("_nat", "sum"), ("_tot", "sum")])
+            .rename_columns(["_year", "_nat", "_tot"])
+        )
+        nat = g.column("_nat").to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = g.column("_tot").to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            share = nat.astype(np.float64) / tot.astype(np.float64)
+        ok = tot != 0
+        return pa.table(
+            {
+                "o_year": g.column("_year"),
+                "nation_cents": pa.array(nat, type=pa.int64()),
+                "total_cents": pa.array(tot, type=pa.int64()),
+                "mkt_share": pa.array(share, type=pa.float64(), mask=~ok),
+            }
+        )
+
+    def route(b: "pa.Table") -> "pa.Table":
+        from airbyte_destination_ray.functions.hashing import partition_ids
+
+        parts = partition_ids(b.column("_year"), 8)
+        return b.append_column("_rpart", pa.array(parts, type=pa.int64()))
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_rpart")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -4610,6 +4830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_dow_chi2": _q_events_type_dow_chi2,
         "events_ks_drift": _q_events_ks_drift,
         "nation_trade_by_year": _q_nation_trade_by_year,
+        "market_share_by_year": _q_market_share_by_year,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -7118,5 +7339,32 @@ def oracle_sql() -> dict[str, str]:
         WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
            OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
         GROUP BY 1, 2, 3
+    """
+    sql["market_share_by_year"] = """
+        WITH rev AS (
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(floor(
+                       l.l_extendedprice * (1 - l.l_discount) * 100.0
+                   ) AS BIGINT) AS cents,
+                   s.s_nationkey
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+                       AND p.p_type = 'PROMO'
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN region r ON cn.n_regionkey = r.r_regionkey
+                         AND r.r_name = 'ASIA'
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        nk AS (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+        SELECT o_year,
+               CAST(sum(CASE WHEN s_nationkey = (SELECT n_nationkey FROM nk)
+                             THEN cents ELSE 0 END) AS BIGINT)
+                   AS nation_cents,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(CASE WHEN s_nationkey = (SELECT n_nationkey FROM nk)
+                             THEN cents ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(cents) AS DOUBLE) AS mkt_share
+        FROM rev GROUP BY 1
     """
     return sql
