@@ -4724,6 +4724,268 @@ def _q_market_share_by_year(sf_dir: str):
     )
 
 
+def _q_discount_revenue_q6(sf_dir: str):
+    """TPC-H Q6-shaped forecast-revenue scan: pure column-pruned filter +
+    per-batch integer-cents partial sums, ONE tiny fold — the zero-shuffle
+    aggregate baseline."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    lo, hi = dt.datetime(1997, 1, 1), dt.datetime(1998, 1, 1)
+
+    def partial(b: "pa.Table") -> "pa.Table":
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(b.column("l_shipdate"), lo),
+                    pc.less(b.column("l_shipdate"), hi),
+                ),
+                pc.and_(
+                    pc.greater_equal(b.column("l_discount"), 0.05),
+                    pc.less_equal(b.column("l_discount"), 0.07),
+                ),
+            ),
+            pc.less(b.column("l_quantity"), 24.0),
+        )
+        t = b.filter(pc.fill_null(keep, False))
+        cents = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    pc.multiply(
+                        t.column("l_extendedprice"), t.column("l_discount")
+                    ),
+                    100.0,
+                )
+            ),
+            pa.int64(),
+        )
+        s = pc.sum(cents).as_py()
+        return pa.table(
+            {
+                "_k": pa.array([0], type=pa.int64()),
+                "_s": pa.array([int(s or 0)], type=pa.int64()),
+            }
+        )
+
+    def final(group: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc2
+
+        return pa.table(
+            {
+                "revenue_cents": pa.array(
+                    [int(pc2.sum(group.column("_s")).as_py() or 0)],
+                    type=pa.int64(),
+                )
+            }
+        )
+
+    return (
+        read_parquet_sized(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_k")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def _q_customer_order_histogram(sf_dir: str):
+    """TPC-H Q13-shaped customer order-count distribution (including the
+    zero-order bucket): partition-level per-customer counts, per-batch
+    count histograms, zero bucket from two aggregate scalars — no
+    customer⋈orders join needed (order custkeys are FK-valid, pinned by
+    the fk audit query)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.ops import grouped_count
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    counts = grouped_count(
+        read_parquet_sized(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
+        key="o_custkey",
+        out_col="c_count",
+    )
+    n_customers = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    n_with_orders = counts.count()
+    n_zero = n_customers - n_with_orders
+
+    def hist_partial(b: "pa.Table") -> "pa.Table":
+        v = b.column("c_count").to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "c_count": pa.array(vals.astype(np.int64), type=pa.int64()),
+                "_n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def final(batch: "pa.Table") -> "pa.Table":
+        g = (
+            batch.group_by("c_count")
+            .aggregate([("_n", "sum")])
+            .rename_columns(["c_count", "n_customers"])
+        )
+        g = pa.table(
+            {
+                "c_count": g.column("c_count"),
+                "n_customers": g.column("n_customers").cast(pa.int64()),
+            }
+        )
+        if n_zero > 0:
+            g = pa.concat_tables(
+                [
+                    g,
+                    pa.table(
+                        {
+                            "c_count": pa.array([0], type=pa.int64()),
+                            "n_customers": pa.array(
+                                [n_zero], type=pa.int64()
+                            ),
+                        }
+                    ),
+                ]
+            )
+        return g
+
+    return (
+        counts.map_batches(hist_partial, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def _q_small_qty_revenue_q17(sf_dir: str):
+    """TPC-H Q17-shaped small-quantity revenue: Brand#13 lineitems through
+    a bloom-prefiltered shuffle join, then ONE partkey exchange whose
+    groups compute the per-part quantity mean AND apply the
+    below-one-fifth filter in place (co-location makes the correlated
+    aggregate local — no second pass, no threshold join)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    def li_prep(b: "pa.Table") -> "pa.Table":
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "_qi": pc.cast(
+                    pc.floor(pc.multiply(b.column("l_quantity"), 100.0)),
+                    pa.int64(),
+                ),
+                "_pc": pc.cast(
+                    pc.floor(
+                        pc.multiply(b.column("l_extendedprice"), 100.0)
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(li_prep, batch_format="pyarrow", batch_size=None)
+
+    brand = read_parquet_sized(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.fill_null(pc.equal(b.column("p_brand"), "Brand#13"), False)
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    li_brand = shuffle_join(
+        li,
+        brand,
+        left_on="l_partkey",
+        right_on="p_partkey",
+        select=["l_partkey", "_qi", "_pc"],
+        hot_keys=None,
+        prefilter="bloom",
+        left_schema=pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("_qi", pa.int64()),
+                ("_pc", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("p_partkey", pa.int64())]),
+    )
+
+    def route(b: "pa.Table") -> "pa.Table":
+        from airbyte_destination_ray.functions.hashing import partition_ids
+
+        parts = partition_ids(b.column("l_partkey"), 64)
+        return b.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def group_filter(group: "pa.Table") -> "pa.Table":
+        g = group.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[("l_partkey", "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"_s": pa.array([], type=pa.int64())})
+        keys = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        qi = g.column("_qi").to_numpy(zero_copy_only=False).astype(np.int64)
+        pcv = g.column("_pc").to_numpy(zero_copy_only=False).astype(np.int64)
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = keys[1:] != keys[:-1]
+        si = np.flatnonzero(start)
+        seg_id = np.cumsum(start) - 1
+        cnt = np.add.reduceat(np.ones(n, dtype=np.int64), si)
+        sq = np.add.reduceat(qi, si)
+        thr = 0.2 * (sq.astype(np.float64) / cnt.astype(np.float64))
+        keep = qi.astype(np.float64) < thr[seg_id]
+        if not keep.any():
+            return pa.table({"_s": pa.array([], type=pa.int64())})
+        return pa.table(
+            {"_s": pa.array([int(pcv[keep].sum())], type=pa.int64())}
+        )
+
+    def final(batch: "pa.Table") -> "pa.Table":
+        if batch.num_rows == 0:
+            # SQL SUM over the empty set is NULL
+            return pa.table(
+                {
+                    "revenue_cents": pa.array([None], type=pa.int64()),
+                    "avg_yearly_cents": pa.array([None], type=pa.float64()),
+                }
+            )
+        tot = int(batch.column("_s").to_numpy(zero_copy_only=False).sum())
+        return pa.table(
+            {
+                "revenue_cents": pa.array([tot], type=pa.int64()),
+                "avg_yearly_cents": pa.array(
+                    [float(tot) / 7.0], type=pa.float64()
+                ),
+            }
+        )
+
+    return (
+        li_brand.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(group_filter, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -4831,6 +5093,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ks_drift": _q_events_ks_drift,
         "nation_trade_by_year": _q_nation_trade_by_year,
         "market_share_by_year": _q_market_share_by_year,
+        "discount_revenue_q6": _q_discount_revenue_q6,
+        "customer_order_histogram": _q_customer_order_histogram,
+        "small_qty_revenue_q17": _q_small_qty_revenue_q17,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -7366,5 +7631,41 @@ def oracle_sql() -> dict[str, str]:
                              THEN cents ELSE 0 END) AS DOUBLE)
                    / CAST(sum(cents) AS DOUBLE) AS mkt_share
         FROM rev GROUP BY 1
+    """
+    sql["discount_revenue_q6"] = """
+        SELECT CAST(sum(CAST(floor(
+                   l_extendedprice * l_discount * 100.0
+               ) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24.0
+    """
+    sql["customer_order_histogram"] = """
+        WITH c AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY 1)
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM c GROUP BY 1
+    """
+    sql["small_qty_revenue_q17"] = """
+        WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+        li AS (
+            SELECT l.l_partkey,
+                   CAST(floor(l_quantity * 100.0) AS BIGINT) AS qi,
+                   CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS pc
+            FROM lineitem l JOIN bp ON l.l_partkey = bp.p_partkey),
+        s AS (SELECT l_partkey, count(*) AS cnt, sum(qi) AS sq
+              FROM li GROUP BY 1),
+        f AS (
+            SELECT li.pc FROM li JOIN s USING (l_partkey)
+            WHERE CAST(qi AS DOUBLE)
+                  < 0.2 * (CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE)))
+        SELECT CAST(sum(pc) AS BIGINT) AS revenue_cents,
+               CAST(sum(pc) AS DOUBLE) / 7.0 AS avg_yearly_cents
+        FROM f
     """
     return sql
