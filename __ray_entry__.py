@@ -4986,6 +4986,122 @@ def _q_small_qty_revenue_q17(sf_dir: str):
     )
 
 
+def _q_indexed_term_lookup(sf_dir: str):
+    """Incrementally-maintained inverted index as a query: documents sync
+    through 3 CDC epochs (base inserts, '... updated' rewrites for
+    doc_id%5==0, deletes for doc_id%7==3), the index advances epoch by
+    epoch from the change feed (old+new text → posting deltas), and the
+    probe lookup reads ONLY the probed buckets, resolving
+    last-writer-wins per (term, doc).  The deterministic epoch/update/
+    delete assignment makes the final posting set SQL-expressible — the
+    whole maintenance machinery is hash-checked."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from airbyte_destination_ray.pipelines.cdc import run_cdc_sync
+    from airbyte_destination_ray.pipelines.index import (
+        lookup_term_docs,
+        sync_text_index,
+    )
+
+    tag = f"docsidx-{Path(sf_dir).name}-{os.getpid()}"
+    base = Path("/tmp/adr_query") / tag
+    binlog, lake, idx = base / "binlog", base / "lake", base / "index"
+
+    if not (binlog / "_binlog.json").exists():
+        shutil.rmtree(base, ignore_errors=True)
+        binlog.mkdir(parents=True)
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text")
+        m = int(ids.max()) + 1
+        e0 = ((ids * 3) // m).astype(np.int64)
+        rows = {
+            "seq": [], "epoch": [], "op": [],
+            "doc_id": [], "ver": [], "text": [],
+        }
+        upd_text = pa.array(
+            [
+                (s + " updated") if s is not None else None
+                for s in texts.to_pylist()
+            ],
+            type=pa.string(),
+        )
+        for i in range(len(ids)):
+            d = int(ids[i])
+            rows["seq"].append(d * 4)
+            rows["epoch"].append(int(e0[i]))
+            rows["op"].append("U")
+            rows["doc_id"].append(d)
+            rows["ver"].append(0)
+            rows["text"].append(texts[i].as_py())
+            if d % 5 == 0:
+                rows["seq"].append(d * 4 + 1)
+                rows["epoch"].append(min(int(e0[i]) + 1, 2))
+                rows["op"].append("U")
+                rows["doc_id"].append(d)
+                rows["ver"].append(1)
+                rows["text"].append(upd_text[i].as_py())
+            if d % 7 == 3:
+                rows["seq"].append(d * 4 + 2)
+                rows["epoch"].append(2)
+                rows["op"].append("D")
+                rows["doc_id"].append(d)
+                rows["ver"].append(2)
+                rows["text"].append(None)
+        env = pa.table(
+            {
+                "seq": pa.array(rows["seq"], type=pa.int64()),
+                "epoch": pa.array(rows["epoch"], type=pa.int32()),
+                "op": pa.array(rows["op"], type=pa.string()),
+                "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+                "ver": pa.array(rows["ver"], type=pa.int64()),
+                "text": pa.array(rows["text"], type=pa.string()),
+            }
+        )
+        segments = []
+        for e in range(3):
+            chunk = env.filter(
+                pa.compute.equal(env.column("epoch"), e)
+            )
+            name = f"segment-e{e:05d}-0000.parquet"
+            pq.write_table(chunk, binlog / name, compression="zstd")
+            segments.append(name)
+        with open(binlog / "_binlog.json", "w") as f:
+            _json.dump(
+                {
+                    "n_events": env.num_rows,
+                    "n_epochs": 3,
+                    "segments": segments,
+                },
+                f,
+                sort_keys=True,
+            )
+
+    run_cdc_sync(
+        str(lake),
+        str(binlog),
+        table="docs",
+        pk="doc_id",
+        ver="ver",
+        payload_columns=["doc_id", "ver", "text"],
+        num_partitions=8,
+        compute_digest=False,
+    )
+    sync_text_index(
+        str(lake), "docs", idx, upto_epoch=2, text_col="text", num_buckets=16
+    )
+    return lookup_term_docs(idx, ["updated", "join", "spark"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -5096,6 +5212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_revenue_q6": _q_discount_revenue_q6,
         "customer_order_histogram": _q_customer_order_histogram,
         "small_qty_revenue_q17": _q_small_qty_revenue_q17,
+        "indexed_term_lookup": _q_indexed_term_lookup,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -7667,5 +7784,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(sum(pc) AS BIGINT) AS revenue_cents,
                CAST(sum(pc) AS DOUBLE) / 7.0 AS avg_yearly_cents
         FROM f
+    """
+    sql["indexed_term_lookup"] = """
+        WITH final AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 7 <> 3),
+        raw AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                       AS term
+            FROM final),
+        w AS (SELECT DISTINCT doc_id, term FROM raw WHERE term <> '')
+        SELECT term, CAST(doc_id AS BIGINT) AS doc_id
+        FROM w WHERE term IN ('updated', 'join', 'spark')
     """
     return sql

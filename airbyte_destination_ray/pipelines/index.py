@@ -1,0 +1,335 @@
+"""Incrementally-maintained inverted text index over a lake table — the
+derived-data (secondary index) sibling of the incremental aggregate view:
+instead of re-tokenizing the whole corpus after every sync, each committed
+epoch's NET row changes (from :func:`.cdc.change_feed`, which carries the
+old AND new text) become posting DELTAS:
+
+- insert  → ``present=1`` postings for the new text's terms,
+- update  → ``present=0`` for terms the doc LOST, ``present=1`` for the
+  new text's terms,
+- delete  → ``present=0`` for the old text's terms.
+
+Postings live as one Parquet delta file per (term-hash bucket, epoch); a
+term lookup reads ONLY its bucket's files (the same prune shape as the
+static ``corpus.build_inverted_index``) and resolves last-writer-wins per
+``(term, doc)`` by epoch — exactly the lake's merge philosophy applied to
+the index.  Re-running an epoch rewrites the same delta file
+(tmp + ``os.replace``), so maintenance is idempotent; the meta commit
+(``last_epoch``) is the atomic progress marker.
+
+Postings store the term STRING (not just the hash): the bucket hash only
+routes, equality at lookup is exact — no collision false-positives.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.hashing import stable_hash_array
+
+DEFAULT_BUCKETS = 32
+TOKEN_PATTERN = "[^a-z0-9]+"
+
+_POSTING_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("doc", pa.int64()),
+        ("present", pa.int8()),
+        ("epoch", pa.int64()),
+    ]
+)
+
+
+def _meta_path(index_root: str | Path) -> Path:
+    return Path(index_root) / "_index_meta.json"
+
+
+def index_meta(index_root: str | Path) -> dict:
+    p = _meta_path(index_root)
+    if not p.exists():
+        # fresh index: bucket count is fixed by the FIRST sync call
+        return {"last_epoch": -1, "num_buckets": None}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_meta(index_root: str | Path, meta: dict) -> None:
+    root = Path(index_root)
+    root.mkdir(parents=True, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=root, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.replace(tmp, _meta_path(index_root))
+
+
+def _terms_per_row(texts: pa.Array, pattern: str):
+    """(flat_terms, parent_row) distinct per row — corpus tokenizer
+    conventions (lowercase, regex split, empties dropped)."""
+    lst = pc.split_pattern_regex(pc.utf8_lower(texts), pattern)
+    flat = pc.list_flatten(lst)
+    parent = pc.list_parent_indices(lst)
+    ok = pc.not_equal(flat, "")
+    flat, parent = flat.filter(ok), parent.filter(ok)
+    # distinct (row, term): group on both
+    t = (
+        pa.table({"_p": parent, "term": flat})
+        .group_by(["_p", "term"])
+        .aggregate([])
+    )
+    return t.column("term"), t.column("_p")
+
+
+def sync_text_index(
+    lake_root: str,
+    table: str,
+    index_root: str | Path,
+    *,
+    upto_epoch: int,
+    text_col: str = "text",
+    num_buckets: int | None = None,
+    pattern: str = TOKEN_PATTERN,
+) -> dict:
+    """Advance the index from its committed ``last_epoch`` to
+    ``upto_epoch``, one change-feed delta per epoch.  Returns per-epoch
+    posting counts.  Scale shape per epoch: the change feed streams (net
+    changes only, changed-partition pruned on the fast path), tokenizing
+    is per-batch vectorized, and the ONLY exchange is the bucket groupby
+    over fixed-width ``(term, doc, present)`` rows — document text never
+    rides it twice."""
+    from .cdc import change_feed
+
+    root = Path(index_root)
+    meta = index_meta(root)
+    committed = meta.get("num_buckets")
+    if committed is not None:
+        # bucket routing is part of the on-disk layout: an explicit
+        # different count would mis-route lookups — refuse
+        if num_buckets is not None and num_buckets != committed:
+            raise ValueError(
+                f"index at {root} was built with {committed} buckets"
+            )
+        num_buckets = committed
+    elif num_buckets is None:
+        num_buckets = DEFAULT_BUCKETS
+    meta["num_buckets"] = num_buckets
+    stats: dict[str, int] = {}
+    old_col, new_col = f"{text_col}_old", f"{text_col}_new"
+
+    for epoch in range(int(meta["last_epoch"]) + 1, upto_epoch + 1):
+        cf = change_feed(
+            lake_root, table, epoch=epoch, compare_cols=[text_col]
+        )
+        def to_postings(batch: pa.Table) -> pa.Table:
+            # batch columns: <pk>, op, {text}_old, {text}_new
+            names = batch.column_names
+            pk = next(
+                c for c in names if c not in ("op", old_col, new_col)
+            )
+            ops = batch.column("op").combine_chunks()
+            docs = batch.column(pk).combine_chunks().cast(pa.int64())
+            olds = batch.column(old_col).combine_chunks()
+            news = batch.column(new_col).combine_chunks()
+
+            pieces = []
+            # additions: I and U rows tokenize the NEW text
+            add_mask = pc.fill_null(pc.not_equal(ops, "D"), False)
+            add_docs = docs.filter(add_mask)
+            terms, parent = _terms_per_row(news.filter(add_mask), pattern)
+            pieces.append(
+                pa.table(
+                    {
+                        "term": terms,
+                        "doc": add_docs.take(parent),
+                        "present": pa.array(
+                            np.ones(len(terms), dtype=np.int8)
+                        ),
+                    }
+                )
+            )
+            # removals: U and D rows tokenize the OLD text; terms the doc
+            # still has are re-asserted by the addition rows, so only the
+            # LOST terms need a tombstone — emit old−new per row
+            rm_mask = pc.fill_null(pc.not_equal(ops, "I"), False)
+            rm_docs = docs.filter(rm_mask)
+            oterms, oparent = _terms_per_row(olds.filter(rm_mask), pattern)
+            if len(oterms):
+                nterms, nparent = _terms_per_row(
+                    news.filter(rm_mask), pattern
+                )
+                # set-difference per row: (parent, term) pairs of old not
+                # present in new — vectorized via a join on (row, term)
+                old_t = pa.table({"_p": oparent, "term": oterms})
+                new_t = pa.table(
+                    {"_p": nparent, "term": nterms}
+                ).append_column(
+                    "_keep", pa.array(np.zeros(len(nterms), dtype=np.int8))
+                )
+                joined = old_t.join(
+                    new_t,
+                    keys=["_p", "term"],
+                    join_type="left outer",
+                )
+                lost = joined.filter(
+                    pc.is_null(joined.column("_keep"))
+                )
+                pieces.append(
+                    pa.table(
+                        {
+                            "term": lost.column("term"),
+                            "doc": rm_docs.take(lost.column("_p")),
+                            "present": pa.array(
+                                np.zeros(lost.num_rows, dtype=np.int8)
+                            ),
+                        }
+                    )
+                )
+            out = pa.concat_tables(pieces)
+            out = out.append_column(
+                "epoch",
+                pa.array(
+                    np.full(out.num_rows, epoch, dtype=np.int64)
+                ),
+            )
+            bucket = (
+                stable_hash_array(out.column("term"))
+                % np.uint64(num_buckets)
+            ).astype(np.int64)
+            return out.append_column(
+                "_bucket", pa.array(bucket, type=pa.int64())
+            )
+
+        def write_bucket(group: pa.Table) -> pa.Table:
+            b = int(group.column("_bucket")[0].as_py())
+            t = group.drop_columns(["_bucket"]).cast(_POSTING_SCHEMA)
+            bdir = root / f"bucket={b:04d}"
+            bdir.mkdir(parents=True, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=bdir, suffix=".tmp")
+            os.close(fd)
+            pq.write_table(t, tmp, compression="zstd")
+            os.replace(tmp, bdir / f"epoch-{epoch:06d}.parquet")
+            return pa.table(
+                {"n_postings": pa.array([t.num_rows], type=pa.int64())}
+            )
+
+        written = (
+            cf.map_batches(
+                to_postings, batch_format="pyarrow", batch_size=None
+            )
+            .groupby("_bucket")
+            .map_groups(write_bucket, batch_format="pyarrow")
+            .take_all()
+        )
+        stats[str(epoch)] = int(sum(r["n_postings"] for r in written))
+        meta["last_epoch"] = epoch
+        _write_meta(root, meta)
+    return stats
+
+
+def probed_files(index_root: str | Path, terms: list[str]) -> list[str]:
+    """The delta files a lookup for ``terms`` reads — ONLY the probed
+    buckets (exposed so tests can pin the prune)."""
+    root = Path(index_root)
+    meta = index_meta(root)
+    if meta.get("num_buckets") is None:
+        return []  # never synced
+    nb = int(meta["num_buckets"])
+    probes = pa.array(sorted(set(terms)), type=pa.string())
+    buckets = sorted(
+        {
+            int(b)
+            for b in (
+                stable_hash_array(probes) % np.uint64(nb)
+            ).astype(np.int64)
+        }
+    )
+    files: list[str] = []
+    for b in buckets:
+        bdir = root / f"bucket={b:04d}"
+        if bdir.exists():
+            files.extend(str(f) for f in sorted(bdir.glob("epoch-*.parquet")))
+    return files
+
+
+def lookup_term_docs(
+    index_root: str | Path,
+    terms: list[str],
+    *,
+    num_partitions: int = 16,
+):
+    """Resolve the CURRENT doc set of each probe term as a Dataset: read
+    ONLY the probed buckets' delta files (bucket prune), filter to the
+    probe terms per batch, ONE hash exchange co-locating each
+    ``(term, doc)``, per-partition last-writer-wins by epoch (within an
+    epoch a pair is unique by construction: additions and tombstones are
+    disjoint per row), keep survivors with ``present=1``.  Returns
+    ``(term, doc_id)``; an index with no matching bucket files yields an
+    empty Dataset with the right schema."""
+    import ray.data
+
+    from ..functions.hashing import partition_ids
+    from ..sources.parquet import read_parquet_sized
+
+    probes = pa.array(sorted(set(terms)), type=pa.string())
+    files = probed_files(index_root, terms)
+    empty = pa.table(
+        {
+            "term": pa.array([], type=pa.string()),
+            "doc_id": pa.array([], type=pa.int64()),
+        }
+    )
+    if not files:
+        return ray.data.from_arrow(empty)
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.fill_null(
+                pc.is_in(batch.column("term"), value_set=probes), False
+            )
+        )
+        parts = partition_ids(t.column("term"), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def resolve(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["_part"])
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("term", "ascending"),
+                ("doc", "ascending"),
+                ("epoch", "descending"),
+            ],
+        )
+        t = t.take(idx)
+        n = t.num_rows
+        if n == 0:
+            return empty
+        terms_np = t.column("term").to_numpy(zero_copy_only=False)
+        docs_np = t.column("doc").to_numpy(zero_copy_only=False)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = (terms_np[1:] != terms_np[:-1]) | (
+                docs_np[1:] != docs_np[:-1]
+            )
+        winners = t.filter(pa.array(first))
+        alive = winners.filter(pc.equal(winners.column("present"), 1))
+        return pa.table(
+            {
+                "term": alive.column("term"),
+                "doc_id": alive.column("doc"),
+            }
+        )
+
+    return (
+        read_parquet_sized(files)
+        .map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

@@ -1,0 +1,137 @@
+"""Incrementally-maintained inverted index: change-feed deltas (adds,
+lost-term tombstones, delete tombstones), LWW lookup, resume from the
+committed epoch, idempotent re-sync, bucket prune."""
+
+import pyarrow as pa
+import pytest
+
+from airbyte_destination_ray.pipelines.cdc import run_cdc_sync
+from airbyte_destination_ray.pipelines.index import (
+    index_meta,
+    lookup_term_docs,
+    probed_files,
+    sync_text_index,
+)
+
+
+def _pairs(ds):
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return sorted(
+        zip(t.column("term").to_pylist(), t.column("doc_id").to_pylist())
+    )
+
+
+def _build_docs_lake(tmp_path, rows):
+    import json
+
+    import pyarrow.parquet as pq
+
+    binlog = tmp_path / "binlog"
+    binlog.mkdir()
+    epochs = sorted({r["epoch"] for r in rows})
+    segments = []
+    for e in epochs:
+        chunk = [r for r in rows if r["epoch"] == e]
+        t = pa.table(
+            {
+                "seq": pa.array([r["seq"] for r in chunk], pa.int64()),
+                "epoch": pa.array([r["epoch"] for r in chunk], pa.int32()),
+                "op": pa.array([r["op"] for r in chunk], pa.string()),
+                "doc_id": pa.array([r["doc_id"] for r in chunk], pa.int64()),
+                "ver": pa.array([r["ver"] for r in chunk], pa.int64()),
+                "text": pa.array([r.get("text") for r in chunk], pa.string()),
+            }
+        )
+        name = f"segment-e{e:05d}-0000.parquet"
+        pq.write_table(t, binlog / name)
+        segments.append(name)
+    with open(binlog / "_binlog.json", "w") as f:
+        json.dump(
+            {
+                "n_events": len(rows),
+                "n_epochs": max(epochs) + 1,
+                "segments": segments,
+            },
+            f,
+        )
+    lake = tmp_path / "lake"
+    run_cdc_sync(
+        str(lake),
+        str(binlog),
+        table="docs",
+        pk="doc_id",
+        ver="ver",
+        payload_columns=["doc_id", "ver", "text"],
+        num_partitions=4,
+        compute_digest=False,
+    )
+    return lake
+
+
+ROWS = [
+    dict(seq=0, epoch=0, op="U", doc_id=1, ver=0, text="alpha beta gamma"),
+    dict(seq=1, epoch=0, op="U", doc_id=2, ver=0, text="beta delta"),
+    dict(seq=2, epoch=0, op="U", doc_id=3, ver=0, text="alpha alone"),
+    # epoch 1: doc 1 loses beta+gamma, keeps alpha, gains omega;
+    # doc 3 deleted
+    dict(seq=3, epoch=1, op="U", doc_id=1, ver=1, text="alpha omega"),
+    dict(seq=4, epoch=1, op="D", doc_id=3, ver=1, text=None),
+]
+
+EXPECTED = sorted(
+    [
+        ("alpha", 1),
+        ("omega", 1),
+        ("beta", 2),
+        ("delta", 2),
+    ]
+)
+
+
+def test_index_adds_tombstones_and_lookup(tmp_path, ray_session):
+    lake = _build_docs_lake(tmp_path, ROWS)
+    idx = tmp_path / "index"
+    stats = sync_text_index(
+        str(lake), "docs", idx, upto_epoch=1, num_buckets=8
+    )
+    assert set(stats) == {"0", "1"}
+    got = _pairs(
+        lookup_term_docs(
+            idx, ["alpha", "beta", "gamma", "delta", "omega", "alone"]
+        )
+    )
+    assert got == EXPECTED
+    assert index_meta(idx)["last_epoch"] == 1
+
+
+def test_index_resume_equals_oneshot(tmp_path, ray_session):
+    lake = _build_docs_lake(tmp_path, ROWS)
+    idx = tmp_path / "index"
+    sync_text_index(str(lake), "docs", idx, upto_epoch=0, num_buckets=8)
+    assert index_meta(idx)["last_epoch"] == 0
+    # epoch-0 view: all three docs present with base text
+    got0 = _pairs(lookup_term_docs(idx, ["alpha", "beta", "gamma"]))
+    assert got0 == sorted([("alpha", 1), ("alpha", 3), ("beta", 1), ("beta", 2), ("gamma", 1)])
+    # resume to epoch 1: identical to the one-shot build
+    sync_text_index(str(lake), "docs", idx, upto_epoch=1, num_buckets=8)
+    got = _pairs(
+        lookup_term_docs(
+            idx, ["alpha", "beta", "gamma", "delta", "omega", "alone"]
+        )
+    )
+    assert got == EXPECTED
+    # re-sync with nothing new is a no-op
+    assert sync_text_index(str(lake), "docs", idx, upto_epoch=1) == {}
+
+
+def test_index_bucket_prune_and_bucket_guard(tmp_path, ray_session):
+    lake = _build_docs_lake(tmp_path, ROWS)
+    idx = tmp_path / "index"
+    sync_text_index(str(lake), "docs", idx, upto_epoch=1, num_buckets=8)
+    one = probed_files(idx, ["alpha"])
+    all_files = probed_files(
+        idx, ["alpha", "beta", "gamma", "delta", "omega", "alone"]
+    )
+    assert one and set(one) < set(all_files)  # strict subset: prune real
+    with pytest.raises(ValueError, match="buckets"):
+        sync_text_index(str(lake), "docs", idx, upto_epoch=1, num_buckets=4)
