@@ -5102,6 +5102,23 @@ def _q_indexed_term_lookup(sf_dir: str):
     return lookup_term_docs(idx, ["updated", "join", "spark"])
 
 
+def _q_events_range_window_sum(sf_dir: str):
+    """Per-user 1-hour RANGE moving sum (SQL RANGE frame incl. peers) —
+    interleaved-probe lower bounds, run-end upper bounds, prefix sums."""
+    from airbyte_destination_ray.pipelines.relational import (
+        range_window_sum_by_key,
+    )
+
+    return range_window_sum_by_key(
+        _events(sf_dir, columns=["event_id", "user_id", "ts", "value"]),
+        key="user_id",
+        ts_col="ts",
+        seq="event_id",
+        value_col="value",
+        window_us=3_600_000_000,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -5213,6 +5230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_histogram": _q_customer_order_histogram,
         "small_qty_revenue_q17": _q_small_qty_revenue_q17,
         "indexed_term_lookup": _q_indexed_term_lookup,
+        "events_range_window_sum": _q_events_range_window_sum,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -7799,5 +7817,18 @@ def oracle_sql() -> dict[str, str]:
         w AS (SELECT DISTINCT doc_id, term FROM raw WHERE term <> '')
         SELECT term, CAST(doc_id AS BIGINT) AS doc_id
         FROM w WHERE term IN ('updated', 'join', 'spark')
+    """
+    sql["events_range_window_sum"] = """
+        WITH e AS (
+            SELECT event_id, user_id, ts,
+                   COALESCE(CAST(floor(value * 100) AS BIGINT), 0) AS cents
+            FROM events WHERE ts IS NOT NULL)
+        SELECT event_id, user_id,
+               CAST(sum(cents) OVER w AS BIGINT) AS win_sum_cents,
+               CAST(count(*) OVER w AS BIGINT) AS win_n
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW)
     """
     return sql

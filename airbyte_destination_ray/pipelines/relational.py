@@ -4697,3 +4697,124 @@ def moving_max_by_key(
         .groupby("_part")
         .map_groups(window, batch_format="pyarrow")
     )
+
+
+def range_window_sum_by_key(
+    ds,
+    *,
+    key: str,
+    ts_col: str,
+    seq: str,
+    value_col: str,
+    window_us: int,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Per-key TIME-RANGE moving sum/count — ``SUM(cents) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN <window> PRECEDING AND
+    CURRENT ROW)``: the frame holds every row whose timestamp lies in
+    ``[ts − window, ts]``, INCLUDING peers of the current row (SQL RANGE
+    semantics — unlike the ROWS frame of :func:`moving_window_sum`, ties
+    share one frame, so no seq tie-break enters the result).
+
+    ONE keyed exchange; per partition: sort by (key, ts, seq), prefix
+    sums, the frame's upper bound from (key, ts) run ends, and the lower
+    bound via the interleaved probe trick (rows + ``ts − window`` probes
+    lexsorted together, within-segment counts off an exclusive cumsum) —
+    ``rts`` is only sorted within key segments, so a global searchsorted
+    would be invalid (the :func:`window_join` lesson).  Null-safe keys
+    (dictionary codes); null timestamps are excluded (a RANGE frame needs
+    an order value); null values occupy their frame slot with 0
+    (``COALESCE`` in the oracle).
+    """
+
+    def route(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(batch.column(value_col), 100.0)), pa.int64()
+        ).combine_chunks()
+        t = pa.table(
+            {
+                seq: batch.column(seq),
+                key: batch.column(key),
+                "_ats": pc.cast(batch.column(ts_col), pa.int64()),
+                "_cents": cents.fill_null(0),
+            }
+        )
+        t = t.filter(t.column("_ats").combine_chunks().is_valid())
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def window(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                (key, "ascending"),
+                ("_ats", "ascending"),
+                (seq, "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    seq: g.column(seq),
+                    key: g.column(key),
+                    "win_sum_cents": pa.array([], type=pa.int64()),
+                    "win_n": pa.array([], type=pa.int64()),
+                }
+            )
+        kc = pc.fill_null(
+            g.column(key).combine_chunks().dictionary_encode().indices.cast(
+                pa.int64()
+            ),
+            -1,
+        ).to_numpy(zero_copy_only=False)
+        ts = g.column("_ats").to_numpy(zero_copy_only=False)
+        cents = g.column("_cents").to_numpy(zero_copy_only=False)
+        cs0 = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cents, out=cs0[1:])
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = kc[1:] != kc[:-1]
+        si = np.flatnonzero(start)
+        seg_id = np.cumsum(start) - 1
+        # upper bound: end of the (key, ts) run (peers share the frame)
+        new_run = start.copy()
+        if n > 1:
+            new_run[1:] |= ts[1:] != ts[:-1]
+        rb = np.flatnonzero(new_run)
+        run_end = np.append(rb[1:], n)
+        run_id = np.cumsum(new_run) - 1
+        hi = run_end[run_id]
+        # lower bound: per-segment count of rows with ts < ts_i − window,
+        # via the interleaved-probe exclusive cumsum
+        kcat = np.concatenate([kc, kc])
+        vcat = np.concatenate([ts, ts - window_us])
+        tag = np.concatenate(
+            [np.ones(n, dtype=np.int8), np.zeros(n, dtype=np.int8)]
+        )  # probes sort BEFORE equal row values → strict < count
+        order = np.lexsort((tag, vcat, kcat))
+        isr = order < n
+        excl = np.cumsum(isr) - isr
+        kk = kcat[order]
+        startm = np.ones(2 * n, dtype=bool)
+        startm[1:] = kk[1:] != kk[:-1]
+        base = np.maximum.accumulate(np.where(startm, excl, -1))
+        cnt = excl - base
+        lo_cnt = np.empty(n, dtype=np.int64)
+        lo_cnt[order[~isr] - n] = cnt[~isr]
+        lo = si[seg_id] + lo_cnt
+        return pa.table(
+            {
+                seq: g.column(seq),
+                key: g.column(key),
+                "win_sum_cents": pa.array(cs0[hi] - cs0[lo], type=pa.int64()),
+                "win_n": pa.array(hi - lo, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(window, batch_format="pyarrow")
+    )

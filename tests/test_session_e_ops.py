@@ -981,3 +981,81 @@ def test_ks_identical_samples_zero():
         _ds(tbl, 3), value_col="v", group_mask_col="grp"
     ).to_pandas()
     assert got["ks"].iloc[0] == 0.0
+
+
+# --- range_window_sum_by_key ------------------------------------------------
+
+
+def test_range_window_sum_matches_sql():
+    from airbyte_destination_ray.pipelines.relational import (
+        range_window_sum_by_key,
+    )
+
+    rng = np.random.default_rng(53)
+    n = 900
+    keys = rng.integers(0, 20, n).astype(object)
+    keys[rng.random(n) < 0.05] = None  # null keys = one SQL partition
+    ts = rng.integers(0, 5000, n)  # dense → plenty of RANGE peers/ties
+    vals = rng.uniform(-40, 40, n)
+    null_v = rng.random(n) < 0.1
+    tbl = pa.table(
+        {
+            "seq": pa.array(np.arange(n), type=pa.int64()),
+            "k": pa.array(list(keys), type=pa.int64()),
+            "ts": pa.array(ts, type=pa.int64()),
+            "v": pa.array(vals, type=pa.float64(), mask=null_v),
+        }
+    )
+    got = _sorted_df(
+        range_window_sum_by_key(
+            _ds(tbl, 4), key="k", ts_col="ts", seq="seq", value_col="v",
+            window_us=500,
+        ),
+        ["seq"],
+    )
+    exp = (
+        duckdb.sql(
+            """
+        WITH e AS (SELECT seq, k, ts,
+                          COALESCE(CAST(floor(v*100) AS BIGINT), 0) AS cents
+                   FROM tbl)
+        SELECT seq, k,
+               CAST(sum(cents) OVER w AS BIGINT) AS win_sum_cents,
+               CAST(count(*) OVER w AS BIGINT) AS win_n
+        FROM e
+        WINDOW w AS (PARTITION BY k ORDER BY ts
+                     RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)
+        ORDER BY seq
+        """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["seq", "k", "win_sum_cents", "win_n"]], exp
+    )
+
+
+def test_range_window_peers_share_frame():
+    from airbyte_destination_ray.pipelines.relational import (
+        range_window_sum_by_key,
+    )
+
+    # three rows at the SAME ts: every one sees all three (RANGE peers)
+    tbl = pa.table(
+        {
+            "seq": pa.array([0, 1, 2], type=pa.int64()),
+            "k": pa.array([1, 1, 1], type=pa.int64()),
+            "ts": pa.array([100, 100, 100], type=pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0], type=pa.float64()),
+        }
+    )
+    got = _sorted_df(
+        range_window_sum_by_key(
+            _ds(tbl, 1), key="k", ts_col="ts", seq="seq", value_col="v",
+            window_us=10,
+        ),
+        ["seq"],
+    )
+    assert got["win_sum_cents"].tolist() == [600, 600, 600]
+    assert got["win_n"].tolist() == [3, 3, 3]
