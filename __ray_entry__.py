@@ -4507,8 +4507,10 @@ def _q_nation_trade_by_year(sf_dir: str):
 def _q_market_share_by_year(sf_dir: str):
     """TPC-H Q8-shaped composite (NATION_3 suppliers' market share of
     PROMO-part revenue among ASIA customers, by order year): part filter
-    through a bloom-prefiltered shuffle join (part scales with the
-    facts), orders enriched with year, ASIA customers through a second
+    through a streaming shuffle join (part scales with the facts; no
+    bloom — the filtered part side is the SMALL one, so a bloom of the
+    huge lineitem keys would cost more than it prunes), orders enriched
+    with year, ASIA customers through a second
     shuffle join, supplier nation as a broadcast tag, conditional cents
     sums per year, ONE IEEE division for the share."""
     import numpy as np
@@ -4601,7 +4603,6 @@ def _q_market_share_by_year(sf_dir: str):
         right_on="p_partkey",
         select=["l_orderkey", "_is3", "_cents"],
         hot_keys=None,
-        prefilter="bloom",
         left_schema=pa.schema(
             [
                 ("l_partkey", pa.int64()),
@@ -4752,6 +4753,10 @@ def _q_discount_revenue_q6(sf_dir: str):
             pc.less(b.column("l_quantity"), 24.0),
         )
         t = b.filter(pc.fill_null(keep, False))
+        if t.num_rows == 0:
+            # no partial row: SQL SUM over the empty set is NULL, so an
+            # all-miss dataset must fold to a null, not 0
+            return pa.table({"_s": pa.array([], type=pa.int64())})
         cents = pc.cast(
             pc.floor(
                 pc.multiply(
@@ -4764,23 +4769,16 @@ def _q_discount_revenue_q6(sf_dir: str):
             pa.int64(),
         )
         s = pc.sum(cents).as_py()
-        return pa.table(
-            {
-                "_k": pa.array([0], type=pa.int64()),
-                "_s": pa.array([int(s or 0)], type=pa.int64()),
-            }
-        )
+        return pa.table({"_s": pa.array([int(s or 0)], type=pa.int64())})
 
-    def final(group: "pa.Table") -> "pa.Table":
-        import pyarrow.compute as pc2
-
+    def final(batch: "pa.Table") -> "pa.Table":
+        if batch.num_rows == 0:
+            return pa.table(
+                {"revenue_cents": pa.array([None], type=pa.int64())}
+            )
+        tot = int(batch.column("_s").to_numpy(zero_copy_only=False).sum())
         return pa.table(
-            {
-                "revenue_cents": pa.array(
-                    [int(pc2.sum(group.column("_s")).as_py() or 0)],
-                    type=pa.int64(),
-                )
-            }
+            {"revenue_cents": pa.array([tot], type=pa.int64())}
         )
 
     return (
@@ -4791,8 +4789,8 @@ def _q_discount_revenue_q6(sf_dir: str):
             ],
         )
         .map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("_k")
-        .map_groups(final, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -4812,7 +4810,7 @@ def _q_customer_order_histogram(sf_dir: str):
         read_parquet_sized(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
         key="o_custkey",
         out_col="c_count",
-    )
+    ).materialize()  # consumed twice: the scalar count + the histogram
     n_customers = read_parquet_sized(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"]
     ).count()
@@ -4866,7 +4864,8 @@ def _q_customer_order_histogram(sf_dir: str):
 
 def _q_small_qty_revenue_q17(sf_dir: str):
     """TPC-H Q17-shaped small-quantity revenue: Brand#13 lineitems through
-    a bloom-prefiltered shuffle join, then ONE partkey exchange whose
+    a streaming shuffle join (both sides stream — see the Q8 bloom note),
+    then ONE partkey exchange whose
     groups compute the per-part quantity mean AND apply the
     below-one-fifth filter in place (co-location makes the correlated
     aggregate local — no second pass, no threshold join)."""
@@ -4916,7 +4915,6 @@ def _q_small_qty_revenue_q17(sf_dir: str):
         right_on="p_partkey",
         select=["l_partkey", "_qi", "_pc"],
         hot_keys=None,
-        prefilter="bloom",
         left_schema=pa.schema(
             [
                 ("l_partkey", pa.int64()),
@@ -5010,81 +5008,91 @@ def _q_indexed_term_lookup(sf_dir: str):
         sync_text_index,
     )
 
+    # pid-scoped scratch + dead-pid sweep (the incremental-dedup
+    # convention): a recycled pid must never serve a stale lake/index,
+    # so THIS pid's dir is rebuilt unconditionally
+    for stale in Path("/tmp/adr_query").glob("docsidx-*"):
+        try:
+            pid = int(stale.name.rsplit("-", 1)[1])
+            os.kill(pid, 0)
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass
     tag = f"docsidx-{Path(sf_dir).name}-{os.getpid()}"
     base = Path("/tmp/adr_query") / tag
     binlog, lake, idx = base / "binlog", base / "lake", base / "index"
 
-    if not (binlog / "_binlog.json").exists():
-        shutil.rmtree(base, ignore_errors=True)
-        binlog.mkdir(parents=True)
-        t = pq.read_table(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = t.column("text")
-        m = int(ids.max()) + 1
-        e0 = ((ids * 3) // m).astype(np.int64)
-        rows = {
-            "seq": [], "epoch": [], "op": [],
-            "doc_id": [], "ver": [], "text": [],
-        }
-        upd_text = pa.array(
-            [
-                (s + " updated") if s is not None else None
-                for s in texts.to_pylist()
-            ],
-            type=pa.string(),
-        )
-        for i in range(len(ids)):
-            d = int(ids[i])
-            rows["seq"].append(d * 4)
-            rows["epoch"].append(int(e0[i]))
+    shutil.rmtree(base, ignore_errors=True)
+    binlog.mkdir(parents=True)
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = t.column("text")
+    m = int(ids.max()) + 1
+    e0 = ((ids * 3) // m).astype(np.int64)
+    rows = {
+        "seq": [], "epoch": [], "op": [],
+        "doc_id": [], "ver": [], "text": [],
+    }
+    upd_text = pa.array(
+        [
+            (s + " updated") if s is not None else None
+            for s in texts.to_pylist()
+        ],
+        type=pa.string(),
+    )
+    for i in range(len(ids)):
+        d = int(ids[i])
+        rows["seq"].append(d * 4)
+        rows["epoch"].append(int(e0[i]))
+        rows["op"].append("U")
+        rows["doc_id"].append(d)
+        rows["ver"].append(0)
+        rows["text"].append(texts[i].as_py())
+        if d % 5 == 0:
+            rows["seq"].append(d * 4 + 1)
+            rows["epoch"].append(min(int(e0[i]) + 1, 2))
             rows["op"].append("U")
             rows["doc_id"].append(d)
-            rows["ver"].append(0)
-            rows["text"].append(texts[i].as_py())
-            if d % 5 == 0:
-                rows["seq"].append(d * 4 + 1)
-                rows["epoch"].append(min(int(e0[i]) + 1, 2))
-                rows["op"].append("U")
-                rows["doc_id"].append(d)
-                rows["ver"].append(1)
-                rows["text"].append(upd_text[i].as_py())
-            if d % 7 == 3:
-                rows["seq"].append(d * 4 + 2)
-                rows["epoch"].append(2)
-                rows["op"].append("D")
-                rows["doc_id"].append(d)
-                rows["ver"].append(2)
-                rows["text"].append(None)
-        env = pa.table(
-            {
-                "seq": pa.array(rows["seq"], type=pa.int64()),
-                "epoch": pa.array(rows["epoch"], type=pa.int32()),
-                "op": pa.array(rows["op"], type=pa.string()),
-                "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
-                "ver": pa.array(rows["ver"], type=pa.int64()),
-                "text": pa.array(rows["text"], type=pa.string()),
-            }
+            rows["ver"].append(1)
+            rows["text"].append(upd_text[i].as_py())
+        if d % 7 == 3:
+            rows["seq"].append(d * 4 + 2)
+            rows["epoch"].append(2)
+            rows["op"].append("D")
+            rows["doc_id"].append(d)
+            rows["ver"].append(2)
+            rows["text"].append(None)
+    env = pa.table(
+        {
+            "seq": pa.array(rows["seq"], type=pa.int64()),
+            "epoch": pa.array(rows["epoch"], type=pa.int32()),
+            "op": pa.array(rows["op"], type=pa.string()),
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "ver": pa.array(rows["ver"], type=pa.int64()),
+            "text": pa.array(rows["text"], type=pa.string()),
+        }
+    )
+    segments = []
+    for e in range(3):
+        chunk = env.filter(
+            pa.compute.equal(env.column("epoch"), e)
         )
-        segments = []
-        for e in range(3):
-            chunk = env.filter(
-                pa.compute.equal(env.column("epoch"), e)
-            )
-            name = f"segment-e{e:05d}-0000.parquet"
-            pq.write_table(chunk, binlog / name, compression="zstd")
-            segments.append(name)
-        with open(binlog / "_binlog.json", "w") as f:
-            _json.dump(
-                {
-                    "n_events": env.num_rows,
-                    "n_epochs": 3,
-                    "segments": segments,
-                },
-                f,
-                sort_keys=True,
-            )
+        name = f"segment-e{e:05d}-0000.parquet"
+        pq.write_table(chunk, binlog / name, compression="zstd")
+        segments.append(name)
+    with open(binlog / "_binlog.json", "w") as f:
+        _json.dump(
+            {
+                "n_events": env.num_rows,
+                "n_epochs": 3,
+                "segments": segments,
+            },
+            f,
+            sort_keys=True,
+        )
 
     run_cdc_sync(
         str(lake),

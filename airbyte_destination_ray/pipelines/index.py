@@ -38,16 +38,6 @@ from ..functions.hashing import stable_hash_array
 DEFAULT_BUCKETS = 32
 TOKEN_PATTERN = "[^a-z0-9]+"
 
-_POSTING_SCHEMA = pa.schema(
-    [
-        ("term", pa.string()),
-        ("doc", pa.int64()),
-        ("present", pa.int8()),
-        ("epoch", pa.int64()),
-    ]
-)
-
-
 def _meta_path(index_root: str | Path) -> Path:
     return Path(index_root) / "_index_meta.json"
 
@@ -134,7 +124,7 @@ def sync_text_index(
                 c for c in names if c not in ("op", old_col, new_col)
             )
             ops = batch.column("op").combine_chunks()
-            docs = batch.column(pk).combine_chunks().cast(pa.int64())
+            docs = batch.column(pk).combine_chunks()
             olds = batch.column(old_col).combine_chunks()
             news = batch.column(new_col).combine_chunks()
 
@@ -208,7 +198,7 @@ def sync_text_index(
 
         def write_bucket(group: pa.Table) -> pa.Table:
             b = int(group.column("_bucket")[0].as_py())
-            t = group.drop_columns(["_bucket"]).cast(_POSTING_SCHEMA)
+            t = group.drop_columns(["_bucket"])
             bdir = root / f"bucket={b:04d}"
             bdir.mkdir(parents=True, exist_ok=True)
             fd, tmp = tempfile.mkstemp(dir=bdir, suffix=".tmp")
@@ -250,11 +240,18 @@ def probed_files(index_root: str | Path, terms: list[str]) -> list[str]:
             ).astype(np.int64)
         }
     )
+    last = int(meta.get("last_epoch", -1))
     files: list[str] = []
     for b in buckets:
         bdir = root / f"bucket={b:04d}"
-        if bdir.exists():
-            files.extend(str(f) for f in sorted(bdir.glob("epoch-*.parquet")))
+        if not bdir.exists():
+            continue
+        for f in sorted(bdir.glob("epoch-*.parquet")):
+            # a crash mid-epoch leaves SOME buckets' delta files on disk
+            # before the meta commit; serving them would apply partial
+            # tombstones — the committed last_epoch is the read barrier
+            if int(f.stem.split("-")[1]) <= last:
+                files.append(str(f))
     return files
 
 
@@ -279,14 +276,15 @@ def lookup_term_docs(
 
     probes = pa.array(sorted(set(terms)), type=pa.string())
     files = probed_files(index_root, terms)
-    empty = pa.table(
-        {
-            "term": pa.array([], type=pa.string()),
-            "doc_id": pa.array([], type=pa.int64()),
-        }
-    )
     if not files:
-        return ray.data.from_arrow(empty)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        )
 
     def route(batch: pa.Table) -> pa.Table:
         t = batch.filter(
@@ -310,7 +308,12 @@ def lookup_term_docs(
         t = t.take(idx)
         n = t.num_rows
         if n == 0:
-            return empty
+            return pa.table(
+                {
+                    "term": t.column("term"),
+                    "doc_id": t.column("doc"),
+                }
+            )
         terms_np = t.column("term").to_numpy(zero_copy_only=False)
         docs_np = t.column("doc").to_numpy(zero_copy_only=False)
         first = np.ones(n, dtype=bool)

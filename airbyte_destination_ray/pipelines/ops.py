@@ -295,33 +295,43 @@ def grouped_count(
     *,
     key: str,
     out_col: str = "n",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
 ):
     """Plain COUNT(*) per key with the per-batch combiner (the exchange
-    carries one row per (key, batch), never per input row)."""
+    carries one row per (key, batch), never per input row).
+
+    PARTITION-LEVEL final reduce (hash route + one vectorized Arrow
+    group_by per partition) — a per-key ``map_groups`` costs one Python
+    call per distinct key, the measured O(keys) trap on user/customer
+    cardinality keys (see :func:`grouped_sum`).  Null keys survive as
+    their own group (hash routing canonicalizes them)."""
+    from ..functions.hashing import partition_ids
 
     def partial(batch: pa.Table) -> pa.Table:
-        return batch.select([key]).group_by(key).aggregate([([], "count_all")])
+        t = (
+            batch.select([key])
+            .group_by(key)
+            .aggregate([([], "count_all")])
+        )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
 
     def final(group: pa.Table) -> pa.Table:
+        g = (
+            group.drop_columns(["_part"])
+            .group_by(key)
+            .aggregate([("count_all", "sum")])
+        )
         return pa.table(
             {
-                key: [group.column(key)[0].as_py()],
-                out_col: pa.array(
-                    [int(pc.sum(group.column("count_all")).as_py())],
-                    type=pa.int64(),
-                ),
-            },
-            schema=pa.schema(
-                [
-                    pa.field(key, group.schema.field(key).type),
-                    pa.field(out_col, pa.int64()),
-                ]
-            ),
+                key: g.column(key),
+                out_col: g.column("count_all_sum").cast(pa.int64()),
+            }
         )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby(key)
+        .groupby("_part")
         .map_groups(final, batch_format="pyarrow")
     )
 
@@ -3885,11 +3895,15 @@ def ks_two_sample(
         b = t.column("_b").to_numpy(zero_copy_only=False).astype(np.int64)
         na, nb = int(a.sum()), int(b.sum())
         if na == 0 or nb == 0:
+            # matches the oracle on one-sided inputs: the cross-products
+            # are all zero (d_num 0) while ks = 0/0 stays null
             return pa.table(
                 {
                     "n_a": pa.array([na], type=pa.int64()),
                     "n_b": pa.array([nb], type=pa.int64()),
-                    "d_num": pa.array([None], type=pa.int64()),
+                    "d_num": pa.array(
+                        [0 if len(a) else None], type=pa.int64()
+                    ),
                     "ks": pa.array([None], type=pa.float64()),
                 }
             )

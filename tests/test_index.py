@@ -135,3 +135,53 @@ def test_index_bucket_prune_and_bucket_guard(tmp_path, ray_session):
     assert one and set(one) < set(all_files)  # strict subset: prune real
     with pytest.raises(ValueError, match="buckets"):
         sync_text_index(str(lake), "docs", idx, upto_epoch=1, num_buckets=4)
+
+
+def test_lookup_ignores_uncommitted_epoch_files(tmp_path, ray_session):
+    """A crash mid-epoch leaves SOME buckets' delta files on disk before
+    the meta commit — the committed last_epoch is the read barrier."""
+    import shutil
+
+    lake = _build_docs_lake(tmp_path, ROWS)
+    idx = tmp_path / "index"
+    sync_text_index(str(lake), "docs", idx, upto_epoch=1, num_buckets=8)
+    full = _pairs(lookup_term_docs(idx, ["alpha", "beta", "omega"]))
+
+    # simulate the crash: keep epoch-1 delta files but roll meta back
+    import json
+
+    meta = index_meta(idx)
+    meta["last_epoch"] = 0
+    with open(idx / "_index_meta.json", "w") as f:
+        json.dump(meta, f)
+    partial = _pairs(lookup_term_docs(idx, ["alpha", "beta", "omega"]))
+    # epoch-0 view: no omega yet, doc 3 still alive
+    assert ("omega", 1) not in partial
+    assert ("alpha", 3) in partial
+    # recovery: re-sync rewrites epoch 1 idempotently and recommits
+    sync_text_index(str(lake), "docs", idx, upto_epoch=1)
+    assert _pairs(lookup_term_docs(idx, ["alpha", "beta", "omega"])) == [
+        p for p in full
+    ]
+
+
+def test_index_string_pk(tmp_path, ray_session):
+    """The index is pk-type agnostic: a string-pk lake (the engine's
+    default pages table shape) indexes and looks up cleanly."""
+    from airbyte_destination_ray.sources.synth import write_custom_binlog
+
+    b = str(tmp_path / "b")
+    write_custom_binlog(b, [
+        dict(seq=0, epoch=0, op="I", url="a.com", warc_ts=1,
+             text="hello shared", lang="en", html=b""),
+        dict(seq=1, epoch=0, op="I", url="b.com", warc_ts=1,
+             text="shared world", lang="en", html=b""),
+    ])
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, b, num_partitions=2)  # pages table, pk=url (string)
+    idx = tmp_path / "index"
+    sync_text_index(lake, "pages", idx, upto_epoch=0, num_buckets=4)
+    got = lookup_term_docs(idx, ["shared", "hello"]).to_pandas()
+    pairs = sorted(zip(got["term"], got["doc_id"]))
+    assert pairs == [("hello", "a.com"), ("shared", "a.com"),
+                     ("shared", "b.com")]
