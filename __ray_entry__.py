@@ -5127,6 +5127,35 @@ def _q_events_range_window_sum(sf_dir: str):
     )
 
 
+def _q_events_mannwhitney(sf_dir: str):
+    """Mann-Whitney U / AUC between even- and odd-user event values —
+    integer midrank cross-products over the shared two-sample count
+    table, single division."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.ops import mannwhitney_two_sample
+
+    def prep(b: "pa.Table") -> "pa.Table":
+        t = b.filter(b.column("user_id").combine_chunks().is_valid())
+        return pa.table(
+            {
+                "value": t.column("value"),
+                "grp": pc.equal(
+                    pc.bit_wise_and(t.column("user_id"), 1), 0
+                ),
+            }
+        )
+
+    return mannwhitney_two_sample(
+        _events(sf_dir, columns=["user_id", "value"]).map_batches(
+            prep, batch_format="pyarrow", batch_size=None
+        ),
+        value_col="value",
+        group_mask_col="grp",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -5239,6 +5268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue_q17": _q_small_qty_revenue_q17,
         "indexed_term_lookup": _q_indexed_term_lookup,
         "events_range_window_sum": _q_events_range_window_sum,
+        "events_mannwhitney_drift": _q_events_mannwhitney,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -7838,5 +7868,27 @@ def oracle_sql() -> dict[str, str]:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                            AND CURRENT ROW)
+    """
+    sql["events_mannwhitney_drift"] = """
+        WITH v AS (
+            SELECT CAST(floor(value * 100.0) AS BIGINT) AS c,
+                   (user_id % 2 = 0) AS grp
+            FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        d AS (
+            SELECT c,
+                   sum(CASE WHEN grp THEN 1 ELSE 0 END) AS a,
+                   sum(CASE WHEN NOT grp THEN 1 ELSE 0 END) AS b
+            FROM v GROUP BY 1),
+        cum AS (
+            SELECT c, a, b,
+                   sum(b) OVER (ORDER BY c) - b AS cb_excl
+            FROM d),
+        tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM d),
+        u AS (SELECT sum(2 * a * cb_excl + a * b) AS u2 FROM cum)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CAST(u2 AS BIGINT) AS u2,
+               CAST(u2 AS DOUBLE) / CAST(2 * na * nb AS DOUBLE) AS auc
+        FROM u, tot
     """
     return sql

@@ -3842,6 +3842,57 @@ def ks_two_sample(
     ``n_a·n_b`` must fit int64 (≈3·10⁹ rows per side).
     """
 
+    def final(batch: pa.Table) -> pa.Table:
+        t = batch.take(
+            pc.sort_indices(batch, sort_keys=[("_c", "ascending")])
+        )
+        a = t.column("_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        na, nb = int(a.sum()), int(b.sum())
+        if na == 0 or nb == 0:
+            # matches the oracle on one-sided inputs: the cross-products
+            # are all zero (d_num 0) while ks = 0/0 stays null
+            return pa.table(
+                {
+                    "n_a": pa.array([na], type=pa.int64()),
+                    "n_b": pa.array([nb], type=pa.int64()),
+                    "d_num": pa.array(
+                        [0 if len(a) else None], type=pa.int64()
+                    ),
+                    "ks": pa.array([None], type=pa.float64()),
+                }
+            )
+        ca = np.cumsum(a)
+        cb = np.cumsum(b)
+        d_num = int(np.abs(nb * ca - na * cb).max())
+        return pa.table(
+            {
+                "n_a": pa.array([na], type=pa.int64()),
+                "n_b": pa.array([nb], type=pa.int64()),
+                "d_num": pa.array([d_num], type=pa.int64()),
+                "ks": pa.array(
+                    [float(d_num) / float(na * nb)], type=pa.float64()
+                ),
+            }
+        )
+
+    return _mask_value_counts(
+        ds,
+        value_col=value_col,
+        group_mask_col=group_mask_col,
+        num_partitions=num_partitions,
+    ).map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def _mask_value_counts(
+    ds, *, value_col: str, group_mask_col: str, num_partitions: int
+):
+    """Shared two-sample build: distinct fixed-point values with per-side
+    counts ``(_c, _a, _b)`` — per-batch combiner, one hash exchange,
+    partition-level folds, repartitioned to one aggregate-sized block
+    (consumed by :func:`ks_two_sample` and
+    :func:`mannwhitney_two_sample`)."""
+
     def partial(batch: pa.Table) -> pa.Table:
         cents = pc.cast(
             pc.floor(pc.multiply(batch.column(value_col), 100.0)),
@@ -3887,6 +3938,34 @@ def ks_two_sample(
             }
         )
 
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
+        .repartition(1)
+    )
+
+
+def mannwhitney_two_sample(
+    ds,
+    *,
+    value_col: str,
+    group_mask_col: str,
+    num_partitions: int = 32,
+):
+    """Mann-Whitney U (rank-sum) between the mask-true (A) and mask-false
+    (B) samples — the median-shift drift test beside
+    :func:`ks_two_sample`'s max-deviation.  Ties take the standard
+    midrank correction, kept integer by doubling::
+
+        U2 = 2·U_A = Σ_x ( 2·a(x)·cumB(<x) + a(x)·b(x) )
+
+    over the shared distinct fixed-point count table; ``auc`` (the
+    probability-of-superiority estimate U_A/(n_a·n_b)) is ONE division of
+    exact integers — hash-exact vs the spelled-out SQL.  Null values and
+    masks are excluded.  Envelope: U2 ≤ 2·n_a·n_b must fit int64.
+    """
+
     def final(batch: pa.Table) -> pa.Table:
         t = batch.take(
             pc.sort_indices(batch, sort_keys=[("_c", "ascending")])
@@ -3895,36 +3974,32 @@ def ks_two_sample(
         b = t.column("_b").to_numpy(zero_copy_only=False).astype(np.int64)
         na, nb = int(a.sum()), int(b.sum())
         if na == 0 or nb == 0:
-            # matches the oracle on one-sided inputs: the cross-products
-            # are all zero (d_num 0) while ks = 0/0 stays null
             return pa.table(
                 {
                     "n_a": pa.array([na], type=pa.int64()),
                     "n_b": pa.array([nb], type=pa.int64()),
-                    "d_num": pa.array(
+                    "u2": pa.array(
                         [0 if len(a) else None], type=pa.int64()
                     ),
-                    "ks": pa.array([None], type=pa.float64()),
+                    "auc": pa.array([None], type=pa.float64()),
                 }
             )
-        ca = np.cumsum(a)
-        cb = np.cumsum(b)
-        d_num = int(np.abs(nb * ca - na * cb).max())
+        cb_excl = np.cumsum(b) - b
+        u2 = int((2 * a * cb_excl + a * b).sum())
         return pa.table(
             {
                 "n_a": pa.array([na], type=pa.int64()),
                 "n_b": pa.array([nb], type=pa.int64()),
-                "d_num": pa.array([d_num], type=pa.int64()),
-                "ks": pa.array(
-                    [float(d_num) / float(na * nb)], type=pa.float64()
+                "u2": pa.array([u2], type=pa.int64()),
+                "auc": pa.array(
+                    [float(u2) / float(2 * na * nb)], type=pa.float64()
                 ),
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("_part")
-        .map_groups(fold, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(final, batch_format="pyarrow", batch_size=None)
-    )
+    return _mask_value_counts(
+        ds,
+        value_col=value_col,
+        group_mask_col=group_mask_col,
+        num_partitions=num_partitions,
+    ).map_batches(final, batch_format="pyarrow", batch_size=None)

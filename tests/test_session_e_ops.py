@@ -1059,3 +1059,45 @@ def test_range_window_peers_share_frame():
     )
     assert got["win_sum_cents"].tolist() == [600, 600, 600]
     assert got["win_n"].tolist() == [3, 3, 3]
+
+
+# --- mannwhitney_two_sample -------------------------------------------------
+
+
+def test_mannwhitney_matches_scipy_definition():
+    from airbyte_destination_ray.pipelines.ops import mannwhitney_two_sample
+
+    rng = np.random.default_rng(59)
+    n = 2500
+    vals = np.where(
+        rng.random(n) < 0.5, rng.normal(0, 4, n), rng.normal(1, 4, n)
+    )
+    grp = rng.random(n) < 0.5
+    tbl = pa.table({"v": pa.array(vals), "grp": pa.array(grp)})
+    got = mannwhitney_two_sample(
+        _ds(tbl, 4), value_col="v", group_mask_col="grp"
+    ).to_pandas()
+    # classic U via midranks over the fixed-point values
+    cents = np.floor(vals * 100.0).astype(np.int64)
+    ca, cb = np.sort(cents[grp]), np.sort(cents[~grp])
+    u = 0.0
+    # U_A = sum over a of (# b < a) + 0.5*(# b == a)
+    lt = np.searchsorted(cb, ca, side="left")
+    eq = np.searchsorted(cb, ca, side="right") - lt
+    u = lt.sum() + 0.5 * eq.sum()
+    assert got["u2"].iloc[0] == int(2 * u)
+    assert abs(
+        got["auc"].iloc[0] - u / (len(ca) * len(cb))
+    ) < 1e-12
+
+
+def test_mannwhitney_identical_distributions_auc_half():
+    from airbyte_destination_ray.pipelines.ops import mannwhitney_two_sample
+
+    v = np.tile(np.arange(40, dtype=np.float64), 2)
+    grp = np.repeat([True, False], 40)
+    tbl = pa.table({"v": pa.array(v), "grp": pa.array(grp)})
+    got = mannwhitney_two_sample(
+        _ds(tbl, 2), value_col="v", group_mask_col="grp"
+    ).to_pandas()
+    assert got["auc"].iloc[0] == 0.5
