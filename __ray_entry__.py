@@ -1642,42 +1642,104 @@ def _q_stratified_sample_docs(sf_dir: str):
     return sampled.map_batches(drop_h, batch_format="pyarrow", batch_size=None)
 
 
+def _interaction_edges_150(b):
+    """Deterministic DENSE interaction graph (150 nodes) shared by the
+    triangle and clustering-coefficient queries — the formula is
+    load-bearing for both oracles, so it lives in exactly one place."""
+    import numpy as np
+    import pyarrow as pa
+
+    t = pa.table(
+        {"user_id": b.column("user_id"), "event_id": b.column("event_id")}
+    )
+    t = t.filter(t.column("user_id").combine_chunks().is_valid())
+    un = t.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+    en = t.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "src": pa.array(un % 150, type=pa.int64()),
+            "dst": pa.array((un + en % 17) % 150, type=pa.int64()),
+        }
+    )
+
+
 def _q_events_triangles(sf_dir: str):
     """Per-node triangle counts over a deterministic interaction graph —
     degree-oriented wedge enumeration (O(m^1.5) wedges regardless of
     skew), canonical edge set materialized once, exact vs the 3-way
     self-join oracle."""
-    import pyarrow as pa
-
     from airbyte_destination_ray.pipelines.graph import triangle_counts
-
-    def edges(b: "pa.Table") -> "pa.Table":
-        import numpy as np
-
-        t = pa.table(
-            {"user_id": b.column("user_id"), "event_id": b.column("event_id")}
-        )
-        t = t.filter(t.column("user_id").combine_chunks().is_valid())
-        un = t.column("user_id").combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
-        en = t.column("event_id").combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
-        src = un % 150
-        dst = (un + en % 17) % 150
-        return pa.table(
-            {
-                "src": pa.array(src, type=pa.int64()),
-                "dst": pa.array(dst, type=pa.int64()),
-            }
-        )
 
     return triangle_counts(
         _events(sf_dir).map_batches(
-            edges, batch_format="pyarrow", batch_size=None
+            _interaction_edges_150, batch_format="pyarrow", batch_size=None
         )
     )
+
+
+def _q_events_clustering_coef(sf_dir: str):
+    """Local clustering coefficient per node (2T / d(d−1)) — composes the
+    triangle counter with the shared degree kernel through one unique-key
+    left join; single fixed-IEEE division per node."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.graph import (
+        _canonical_edges,
+        _degree_counts,
+        triangle_counts,
+    )
+    from airbyte_destination_ray.pipelines.relational import shuffle_join
+
+    edges_ds = _events(sf_dir, columns=["user_id", "event_id"]).map_batches(
+        _interaction_edges_150, batch_format="pyarrow", batch_size=None
+    )
+    deg = _degree_counts(
+        _canonical_edges(
+            edges_ds, src="src", dst="dst", num_partitions=32, blocks=8
+        ),
+        num_partitions=32,
+    )
+    tri = triangle_counts(
+        _events(sf_dir, columns=["user_id", "event_id"]).map_batches(
+            _interaction_edges_150, batch_format="pyarrow", batch_size=None
+        )
+    )
+    joined = shuffle_join(
+        deg,
+        tri,
+        left_on="node",
+        right_on="node",
+        join_type="left outer",
+        select=["node", "n", "n_triangles"],
+        hot_keys=None,
+        left_schema=pa.schema([("node", pa.int64()), ("n", pa.int64())]),
+        right_schema=pa.schema(
+            [("node", pa.int64()), ("n_triangles", pa.int64())]
+        ),
+    )
+
+    def coef(b: "pa.Table") -> "pa.Table":
+        d = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = (
+            pc.fill_null(b.column("n_triangles"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = (2 * t).astype(np.float64) / (d * (d - 1)).astype(np.float64)
+        ok = d >= 2
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "degree": pa.array(d, type=pa.int64()),
+                "n_triangles": pa.array(t, type=pa.int64()),
+                "clustering": pa.array(c, type=pa.float64(), mask=~ok),
+            }
+        )
+
+    return joined.map_batches(coef, batch_format="pyarrow", batch_size=None)
 
 
 def _q_shipping_priority(sf_dir: str):
@@ -5269,6 +5331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "indexed_term_lookup": _q_indexed_term_lookup,
         "events_range_window_sum": _q_events_range_window_sum,
         "events_mannwhitney_drift": _q_events_mannwhitney,
+        "events_clustering_coef": _q_events_clustering_coef,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -7890,5 +7953,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(u2 AS BIGINT) AS u2,
                CAST(u2 AS DOUBLE) / CAST(2 * na * nb AS DOUBLE) AS auc
         FROM u, tot
+    """
+    sql["events_clustering_coef"] = """
+        WITH raw AS (
+            SELECT user_id % 150 AS s, (user_id + event_id % 17) % 150 AS d
+            FROM events WHERE user_id IS NOT NULL),
+        e0 AS (
+            SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+            FROM raw WHERE s <> d),
+        und AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        deg AS (SELECT a AS node, count(*) AS degree FROM und GROUP BY 1),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e0 e1
+            JOIN e0 e2 ON e2.a = e1.b
+            JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+        corners AS (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri),
+        tcnt AS (SELECT node, count(*) AS nt FROM corners GROUP BY 1)
+        SELECT deg.node, CAST(degree AS BIGINT) AS degree,
+               CAST(coalesce(nt, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN degree >= 2
+                    THEN CAST(2 * coalesce(nt, 0) AS DOUBLE)
+                         / CAST(degree * (degree - 1) AS DOUBLE)
+               END AS clustering
+        FROM deg LEFT JOIN tcnt USING (node)
     """
     return sql
