@@ -135,6 +135,17 @@ def main(argv: list[str] | None = None) -> int:
         help="transaction handle: inline JSON from `txn begin`, or @file "
         "(publish/abort)",
     )
+    p_profile = sub.add_parser(
+        "profile",
+        help="data-quality profile of a lake table (rows/nulls/distinct "
+        "per column)",
+    )
+    p_profile.add_argument("--lake", required=True)
+    p_profile.add_argument("--table", default="pages")
+    p_profile.add_argument(
+        "--columns", default=None,
+        help="comma-separated column names (default: all)",
+    )
     p_export = sub.add_parser(
         "export", help="write the table's (optionally as-of) state to parquet"
     )
@@ -192,6 +203,30 @@ def main(argv: list[str] | None = None) -> int:
             args.action
         ]
         print(json.dumps(fn(args.lake, args.table), separators=(",", ":")))
+        return 0
+
+    if args.command == "profile":
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(
+                address="local",
+                include_dashboard=False,
+                logging_level="ERROR",
+            )
+        from .pipelines.cdc import read_table
+        from .pipelines.ops import profile_columns
+
+        ds = read_table(args.lake, args.table)
+        cols = (
+            args.columns.split(",")
+            if args.columns
+            else list(ds.schema().names)
+        )
+        rows = profile_columns(ds, cols=cols).take_all()
+        for r in sorted(rows, key=lambda r: r["col_name"]):
+            print(json.dumps(r, separators=(",", ":"), default=str))
+        ray.shutdown()
         return 0
 
     if args.command == "txn":
