@@ -5218,6 +5218,21 @@ def _q_events_mannwhitney(sf_dir: str):
     )
 
 
+def _q_events_dwell_by_type(sf_dir: str):
+    """Dwell-time attribution (LEAD gap credited to the current event's
+    type) — one keyed exchange, segment-guarded shift, tiny per-type
+    fold."""
+    from airbyte_destination_ray.pipelines.relational import dwell_time_by_attr
+
+    return dwell_time_by_attr(
+        _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type"]),
+        key="user_id",
+        ts_col="ts",
+        seq="event_id",
+        attr_col="event_type",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -5332,6 +5347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_window_sum": _q_events_range_window_sum,
         "events_mannwhitney_drift": _q_events_mannwhitney,
         "events_clustering_coef": _q_events_clustering_coef,
+        "events_dwell_by_type": _q_events_dwell_by_type,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -7980,5 +7996,21 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(degree * (degree - 1) AS DOUBLE)
                END AS clustering
         FROM deg LEFT JOIN tcnt USING (node)
+    """
+    sql["events_dwell_by_type"] = """
+        WITH s AS (
+            SELECT event_type, ts,
+                   lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+            FROM events WHERE ts IS NOT NULL),
+        g AS (
+            SELECT event_type,
+                   epoch_us(nxt) - epoch_us(ts) AS gap
+            FROM s WHERE nxt IS NOT NULL)
+        SELECT event_type AS attr,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(gap) AS BIGINT) AS total_us,
+               CAST(max(gap) AS BIGINT) AS max_us
+        FROM g GROUP BY 1
     """
     return sql

@@ -4818,3 +4818,122 @@ def range_window_sum_by_key(
         .groupby("_part")
         .map_groups(window, batch_format="pyarrow")
     )
+
+
+def dwell_time_by_attr(
+    ds,
+    *,
+    key: str,
+    ts_col: str,
+    seq: str,
+    attr_col: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Dwell-time attribution: each event's duration is the gap to the
+    SAME key's next event (SQL ``lead(ts) − ts``), credited to the
+    current event's attribute — "how long do users stay on each page
+    type" without a sessionizer.  Returns per-attribute
+    ``(n_spans, total_us, max_us)``; each key's last event has no
+    successor and contributes nothing (LEAD semantics).
+
+    ONE hash exchange of ``(key, ts, seq, attr)``; per partition: sort by
+    (key, ts, seq), vectorized shift for the successor timestamp with a
+    null-safe segment guard, then an aggregate-sized per-attribute fold.
+    Null keys form one SQL partition (dictionary-code equality); null
+    timestamps are excluded (no order position).
+    """
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key: batch.column(key),
+                seq: batch.column(seq),
+                "_ats": pc.cast(batch.column(ts_col), pa.int64()),
+                "_attr": batch.column(attr_col),
+            }
+        )
+        t = t.filter(t.column("_ats").combine_chunks().is_valid())
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def spans(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                (key, "ascending"),
+                ("_ats", "ascending"),
+                (seq, "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        n = g.num_rows
+        attr_type = g.schema.field("_attr").type
+        if n == 0:
+            return pa.table(
+                {
+                    "_attr": pa.array([], type=attr_type),
+                    "_n": pa.array([], type=pa.int64()),
+                    "_sum": pa.array([], type=pa.int64()),
+                    "_max": pa.array([], type=pa.int64()),
+                }
+            )
+        kc = pc.fill_null(
+            g.column(key).combine_chunks().dictionary_encode().indices.cast(
+                pa.int64()
+            ),
+            -1,
+        ).to_numpy(zero_copy_only=False)
+        ts = g.column("_ats").to_numpy(zero_copy_only=False)
+        gap = np.zeros(n, dtype=np.int64)
+        has = np.zeros(n, dtype=bool)
+        if n > 1:
+            same = kc[1:] == kc[:-1]
+            gap[:-1] = np.where(same, ts[1:] - ts[:-1], 0)
+            has[:-1] = same
+        t = pa.table(
+            {
+                "_attr": g.column("_attr"),
+                "_gap": pa.array(gap, type=pa.int64()),
+            }
+        ).filter(pa.array(has))
+        out = (
+            t.group_by("_attr")
+            .aggregate([([], "count_all"), ("_gap", "sum"), ("_gap", "max")])
+            .rename_columns(["_attr", "_n", "_sum", "_max"])
+        )
+        return pa.table(
+            {
+                "_attr": out.column("_attr"),
+                "_n": out.column("_n").cast(pa.int64()),
+                "_sum": out.column("_sum").cast(pa.int64()),
+                "_max": out.column("_max").cast(pa.int64()),
+            }
+        )
+
+    def fold_route(batch: pa.Table) -> pa.Table:
+        parts = partition_ids(batch.column("_attr"), 8)
+        return batch.append_column("_rpart", pa.array(parts, type=pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        g = (
+            group.drop_columns(["_rpart"])
+            .group_by("_attr")
+            .aggregate([("_n", "sum"), ("_sum", "sum"), ("_max", "max")])
+        )
+        return pa.table(
+            {
+                "attr": g.column("_attr"),
+                "n_spans": g.column("_n_sum").cast(pa.int64()),
+                "total_us": g.column("_sum_sum").cast(pa.int64()),
+                "max_us": g.column("_max_max").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(spans, batch_format="pyarrow")
+        .map_batches(fold_route, batch_format="pyarrow", batch_size=None)
+        .groupby("_rpart")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -1101,3 +1101,50 @@ def test_mannwhitney_identical_distributions_auc_half():
         _ds(tbl, 2), value_col="v", group_mask_col="grp"
     ).to_pandas()
     assert got["auc"].iloc[0] == 0.5
+
+
+# --- dwell_time_by_attr -----------------------------------------------------
+
+
+def test_dwell_time_matches_sql():
+    from airbyte_destination_ray.pipelines.relational import dwell_time_by_attr
+
+    rng = np.random.default_rng(61)
+    n = 700
+    keys = rng.integers(0, 30, n).astype(object)
+    keys[rng.random(n) < 0.05] = None
+    attrs = [["x", "y", None][i] for i in rng.integers(0, 3, n)]
+    tbl = pa.table(
+        {
+            "k": pa.array(list(keys), type=pa.int64()),
+            "seq": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(rng.integers(0, 100000, n), type=pa.int64()),
+            "attr": pa.array(attrs),
+        }
+    )
+    got = (
+        dwell_time_by_attr(
+            _ds(tbl, 4), key="k", ts_col="ts", seq="seq", attr_col="attr"
+        )
+        .to_pandas()
+        .sort_values("attr", na_position="last")
+        .reset_index(drop=True)
+    )
+    exp = (
+        duckdb.sql(
+            """
+        WITH s AS (
+            SELECT attr, ts,
+                   lead(ts) OVER (PARTITION BY k ORDER BY ts, seq) AS nxt
+            FROM tbl WHERE ts IS NOT NULL),
+        g AS (SELECT attr, nxt - ts AS gap FROM s WHERE nxt IS NOT NULL)
+        SELECT attr, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(gap) AS BIGINT) AS total_us,
+               CAST(max(gap) AS BIGINT) AS max_us
+        FROM g GROUP BY 1 ORDER BY attr NULLS LAST
+        """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
