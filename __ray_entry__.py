@@ -5233,6 +5233,18 @@ def _q_events_dwell_by_type(sf_dir: str):
     )
 
 
+def _q_dup_rate_by_source(sf_dir: str):
+    """Duplication profile per source (docs, distinct contents, dup
+    fraction) — hash-only fingerprint exchange, single-division rate."""
+    from airbyte_destination_ray.pipelines.dedup import dup_rate_by_group
+
+    return dup_rate_by_group(
+        _documents(sf_dir, columns=["source", "text"]),
+        group_col="source",
+        text_col="text",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -5348,6 +5360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mannwhitney_drift": _q_events_mannwhitney,
         "events_clustering_coef": _q_events_clustering_coef,
         "events_dwell_by_type": _q_events_dwell_by_type,
+        "dup_rate_by_source": _q_dup_rate_by_source,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -8012,5 +8025,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(gap) AS BIGINT) AS total_us,
                CAST(max(gap) AS BIGINT) AS max_us
         FROM g GROUP BY 1
+    """
+    sql["dup_rate_by_source"] = """
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+               CASE WHEN count(*) > 0
+                    THEN CAST(count(*) - count(DISTINCT text) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE)
+               END AS dup_fraction
+        FROM documents GROUP BY source
     """
     return sql

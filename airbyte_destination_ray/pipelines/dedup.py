@@ -927,3 +927,145 @@ def jaccard_pairs(
         max_shingle_freq=max_shingle_freq,
         emit="pairs",
     )
+
+
+def dup_rate_by_group(
+    ds,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_partitions: int = 64,
+):
+    """Duplication profile per group: total docs, distinct contents and
+    the duplicate fraction — the "how much would dedup save per source"
+    planning diagnostic.  Returns ``(group, n_docs, n_distinct,
+    dup_fraction)`` with ONE IEEE division per group.
+
+    Hash-only: per-batch distinct ``(group, fingerprint)`` partials plus
+    per-group row counts ride one fixed-width exchange routed by
+    ``hash(group, fingerprint)``; per-partition distinct → per-group
+    partial distinct counts → aggregate-sized fold keyed on the group.
+    Content identity is the dedup family's 64-bit stable hash (collision
+    odds n²/2⁶⁵ — the documented envelope).  Null text counts as a doc
+    but carries no fingerprint (SQL ``COUNT(DISTINCT text)`` skips
+    nulls); null groups are kept as their own SQL group.
+    """
+    from ..functions.hashing import partition_ids, stable_hash_array
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).combine_chunks()
+        txt = batch.column(text_col).combine_chunks()
+        h = stable_hash_array(txt).astype(np.int64)
+        valid = txt.is_valid().to_numpy(zero_copy_only=False)
+        # distinct (group, fingerprint) within the batch
+        fp = pa.table(
+            {
+                "_g": g.filter(pa.array(valid)),
+                "_h": pa.array(h[valid], type=pa.int64()),
+            }
+        ).group_by(["_g", "_h"]).aggregate([])
+        fp = fp.append_column(
+            "_n", pa.nulls(fp.num_rows, pa.int64())
+        )
+        # per-group row-count partials (every doc, null text included)
+        cnt = (
+            pa.table({"_g": g})
+            .group_by("_g")
+            .aggregate([([], "count_all")])
+            .rename_columns(["_g", "_n"])
+        )
+        cnt = pa.table(
+            {
+                "_g": cnt.column("_g"),
+                "_h": pa.nulls(cnt.num_rows, pa.int64()),
+                "_n": cnt.column("_n").cast(pa.int64()),
+            }
+        )
+        fp = fp.select(["_g", "_h", "_n"])
+        both = pa.concat_tables([fp, cnt])
+        # route fingerprints by (group, hash) so per-partition distinct is
+        # global; count partials ride on hash(group, null) — same key
+        # space, no extra exchange
+        mix = stable_hash_array(both.column("_g")).astype(
+            np.uint64
+        ) ^ np.uint64(0x9E3779B97F4A7C15) * pc.fill_null(
+            both.column("_h"), 0
+        ).to_numpy(zero_copy_only=False).astype(np.uint64)
+        parts = (mix % np.uint64(num_partitions)).astype(np.int64)
+        return both.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def fold(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["_part"])
+        is_cnt = pc.is_null(t.column("_h"))
+        cnts = t.filter(is_cnt)
+        fps = t.filter(pc.invert(is_cnt))
+        n_part = (
+            cnts.group_by("_g")
+            .aggregate([("_n", "sum")])
+            .rename_columns(["_g", "_docs"])
+        )
+        d_part = (
+            fps.group_by(["_g", "_h"])
+            .aggregate([])
+            .group_by("_g")
+            .aggregate([([], "count_all")])
+            .rename_columns(["_g", "_distinct"])
+        )
+        out_n = pa.table(
+            {
+                "_g": n_part.column("_g"),
+                "_docs": n_part.column("_docs").cast(pa.int64()),
+                "_distinct": pa.nulls(n_part.num_rows, pa.int64()),
+            }
+        )
+        out_d = pa.table(
+            {
+                "_g": d_part.column("_g"),
+                "_docs": pa.nulls(d_part.num_rows, pa.int64()),
+                "_distinct": d_part.column("_distinct").cast(pa.int64()),
+            }
+        )
+        return pa.concat_tables([out_n, out_d])
+
+    def final_route(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import partition_ids as pids
+
+        parts = pids(batch.column("_g"), 8)
+        return batch.append_column("_rpart", pa.array(parts, type=pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        g = (
+            group.drop_columns(["_rpart"])
+            .group_by("_g")
+            .aggregate([("_docs", "sum"), ("_distinct", "sum")])
+        )
+        docs = (
+            pc.fill_null(g.column("_docs_sum"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        dist = (
+            pc.fill_null(g.column("_distinct_sum"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = (docs - dist).astype(np.float64) / docs.astype(np.float64)
+        ok = docs > 0
+        return pa.table(
+            {
+                group_col: g.column("_g"),
+                "n_docs": pa.array(docs, type=pa.int64()),
+                "n_distinct": pa.array(dist, type=pa.int64()),
+                "dup_fraction": pa.array(frac, type=pa.float64(), mask=~ok),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
+        .map_batches(final_route, batch_format="pyarrow", batch_size=None)
+        .groupby("_rpart")
+        .map_groups(final, batch_format="pyarrow")
+    )

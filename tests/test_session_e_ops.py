@@ -1148,3 +1148,41 @@ def test_dwell_time_matches_sql():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+# --- dup_rate_by_group ------------------------------------------------------
+
+
+def test_dup_rate_matches_sql_with_real_dups():
+    from airbyte_destination_ray.pipelines.dedup import dup_rate_by_group
+
+    rng = np.random.default_rng(67)
+    n = 500
+    srcs = [["a", "b", None][i] for i in rng.integers(0, 3, n)]
+    # heavy duplication: only 40 distinct contents + some null texts
+    texts = [
+        None if rng.random() < 0.05 else f"content-{rng.integers(0, 40)}"
+        for _ in range(n)
+    ]
+    tbl = pa.table({"source": pa.array(srcs), "text": pa.array(texts)})
+    got = (
+        dup_rate_by_group(_ds(tbl, 4), group_col="source", text_col="text")
+        .to_pandas()
+        .sort_values("source", na_position="last")
+        .reset_index(drop=True)
+    )
+    exp = (
+        duckdb.sql(
+            """
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+               CASE WHEN count(*) > 0
+                    THEN CAST(count(*) - count(DISTINCT text) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE) END AS dup_fraction
+        FROM tbl GROUP BY source ORDER BY source NULLS LAST
+        """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
