@@ -5327,6 +5327,75 @@ def _q_gap_cv_by_user(sf_dir: str):
     )
 
 
+def _q_user_growth_curve(sf_dir: str):
+    """Cumulative user acquisition curve: each user's FIRST event day
+    (partition-level grouped min), new-user counts per day
+    (aggregate-sized), and the running total in one final task."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.ops import grouped_min
+
+    def prep(b: "pa.Table") -> "pa.Table":
+        t = b.filter(
+            pc.and_(
+                b.column("user_id").combine_chunks().is_valid(),
+                b.column("ts").combine_chunks().is_valid(),
+            )
+        )
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()), 86_400_000_000)
+        return pa.table({"user_id": t.column("user_id"), "_day": day})
+
+    first = grouped_min(
+        _events(sf_dir, columns=["user_id", "ts"]).map_batches(
+            prep, batch_format="pyarrow", batch_size=None
+        ),
+        key="user_id",
+        value_col="_day",
+        out_col="first_day",
+    )
+
+    def day_counts(b: "pa.Table") -> "pa.Table":
+        g = (
+            b.select(["first_day"])
+            .group_by("first_day")
+            .aggregate([([], "count_all")])
+            .rename_columns(["first_day", "_n"])
+        )
+        return g.set_column(1, "_n", g.column("_n").cast(pa.int64()))
+
+    def final(batch: "pa.Table") -> "pa.Table":
+        g = (
+            batch.group_by("first_day")
+            .aggregate([("_n", "sum")])
+            .rename_columns(["first_day", "_n"])
+        )
+        g = g.take(
+            pc.sort_indices(g, sort_keys=[("first_day", "ascending")])
+        )
+        n = g.column("_n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "day": pa.array(
+                    g.column("first_day")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    * 86_400_000_000,
+                    type=pa.int64(),
+                ).cast(pa.timestamp("us")),
+                "new_users": pa.array(n, type=pa.int64()),
+                "cum_users": pa.array(np.cumsum(n), type=pa.int64()),
+            }
+        )
+
+    return (
+        first.map_batches(day_counts, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -5444,6 +5513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dwell_by_type": _q_events_dwell_by_type,
         "dup_rate_by_source": _q_dup_rate_by_source,
         "gap_cv_by_user": _q_gap_cv_by_user,
+        "user_growth_curve": _q_user_growth_curve,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -8139,5 +8209,20 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN mean > 0
                     THEN sqrt(e2 - mean * mean) / mean END AS cv
         FROM m
+    """
+    sql["user_growth_curve"] = """
+        WITH f AS (
+            SELECT user_id,
+                   min(epoch_us(ts) // 86400000000) AS first_day
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1),
+        d AS (SELECT first_day, count(*) AS new_users
+              FROM f GROUP BY 1)
+        SELECT make_timestamp(first_day * 86400000000) AS day,
+               CAST(new_users AS BIGINT) AS new_users,
+               CAST(sum(new_users) OVER (ORDER BY first_day) AS BIGINT)
+                   AS cum_users
+        FROM d
     """
     return sql

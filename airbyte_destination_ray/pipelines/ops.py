@@ -3508,6 +3508,47 @@ def grouped_max(
     )
 
 
+def grouped_min(
+    ds,
+    *,
+    key: str,
+    value_col: str,
+    out_col: str = "min",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Exact per-key MIN — the twin of :func:`grouped_max` (per-batch
+    combiner, PARTITION-LEVEL final; SQL null semantics)."""
+    from ..functions.hashing import partition_ids
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select([key, value_col])
+            .group_by(key)
+            .aggregate([(value_col, "min")])
+        )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        g = (
+            group.drop_columns(["_part"])
+            .group_by(key)
+            .aggregate([(f"{value_col}_min", "min")])
+        )
+        return pa.table(
+            {
+                key: g.column(key),
+                out_col: g.column(f"{value_col}_min_min"),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def spearman_by_key(
     ds,
     *,

@@ -1186,3 +1186,27 @@ def test_dup_rate_matches_sql_with_real_dups():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+# --- grouped_min ------------------------------------------------------------
+
+
+def test_grouped_min_matches_sql():
+    from airbyte_destination_ray.pipelines.ops import grouped_min
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 2, 3], type=pa.int64()),
+            "v": pa.array([5, None, 7, 2, None], type=pa.int64()),
+        }
+    )
+    got = _sorted_df(
+        grouped_min(_ds(tbl, 2), key="k", value_col="v", out_col="mn"),
+        ["k"],
+    )
+    exp = (
+        duckdb.sql("SELECT k, min(v) AS mn FROM tbl GROUP BY 1 ORDER BY 1")
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
