@@ -5396,6 +5396,19 @@ def _q_user_growth_curve(sf_dir: str):
     )
 
 
+def _q_top_terms_by_source(sf_dir: str):
+    """Per-source top-5 vocabulary — (group, term) exchange with a valid
+    partition-local top-k prune, deterministic (n DESC, term ASC) ties."""
+    from airbyte_destination_ray.pipelines.corpus import top_terms_by_group
+
+    return top_terms_by_group(
+        _documents(sf_dir, columns=["source", "text"]),
+        group_col="source",
+        text_col="text",
+        k=5,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -5514,6 +5527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": _q_dup_rate_by_source,
         "gap_cv_by_user": _q_gap_cv_by_user,
         "user_growth_curve": _q_user_growth_curve,
+        "top_terms_by_source": _q_top_terms_by_source,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -8224,5 +8238,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(new_users) OVER (ORDER BY first_day) AS BIGINT)
                    AS cum_users
         FROM d
+    """
+    sql["top_terms_by_source"] = """
+        WITH w AS (
+            SELECT source,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                       AS term
+            FROM documents
+            WHERE text IS NOT NULL AND source IS NOT NULL),
+        t AS (SELECT source, term, count(*) AS n FROM w
+              WHERE term <> '' GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY source ORDER BY n DESC, term ASC) AS rn
+              FROM t)
+        SELECT source, term, CAST(n AS BIGINT) AS n
+        FROM r WHERE rn <= 5
     """
     return sql

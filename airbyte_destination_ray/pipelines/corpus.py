@@ -1648,3 +1648,90 @@ def frequency_spectrum(
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def top_terms_by_group(
+    ds,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+    pattern: str = "[^a-z0-9]+",
+    num_partitions: int = CORPUS_NUM_PARTITIONS,
+):
+    """Per-group top-k vocabulary (the grouped sibling of
+    :func:`top_terms`): the ``k`` most frequent terms of every group with
+    a deterministic ``(n DESC, term ASC)`` tie-break.
+
+    One hash exchange keyed on ``(group, term)`` so each partition holds
+    COMPLETE counts for its terms; the per-partition per-group local
+    top-k is therefore a valid prune (every global winner lives wholly in
+    one partition and survives its local cut), and the final merge works
+    on ≤ k rows per (group, partition) — aggregate-sized.  Null group or
+    text rows and empty terms are excluded.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col).combine_chunks()
+        grp = batch.column(group_col).combine_chunks()
+        keep = pc.and_(txt.is_valid(), grp.is_valid())
+        txt, grp = txt.filter(keep), grp.filter(keep)
+        lst = pc.split_pattern_regex(pc.utf8_lower(txt), pattern)
+        flat = pc.list_flatten(lst)
+        parent = pc.list_parent_indices(lst)
+        ok = pc.not_equal(flat, "")
+        flat, parent = flat.filter(ok), parent.filter(ok)
+        t = (
+            pa.table({group_col: grp.take(parent), "term": flat})
+            .group_by([group_col, "term"])
+            .aggregate([([], "count_all")])
+            .rename_columns([group_col, "term", "n"])
+        )
+        t = t.set_column(2, "n", t.column("n").cast(pa.int64()))
+        mix = stable_hash_array(t.column("term")) ^ stable_hash_array(
+            t.column(group_col)
+        )
+        parts = (mix % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def local_topk(group: pa.Table) -> pa.Table:
+        g = (
+            group.drop_columns(["_part"])
+            .group_by([group_col, "term"])
+            .aggregate([("n", "sum")])
+            .rename_columns([group_col, "term", "n"])
+        )
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                (group_col, "ascending"),
+                ("n", "descending"),
+                ("term", "ascending"),
+            ],
+        )
+        g = g.take(order)
+        keys = g.column(group_col).combine_chunks()
+        ngrp = g.num_rows
+        start = np.ones(ngrp, dtype=bool)
+        if ngrp > 1:
+            eq = pc.equal(keys.slice(1), keys.slice(0, ngrp - 1))
+            start[1:] = np.invert(
+                pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+            )
+        si = np.flatnonzero(start)
+        seg_id = np.cumsum(start) - 1
+        pos = np.arange(ngrp, dtype=np.int64) - si[seg_id]
+        return g.filter(pa.array(pos < k))
+
+    def final(batch: pa.Table) -> pa.Table:
+        return local_topk(batch.append_column(
+            "_part", pa.array(np.zeros(batch.num_rows, dtype=np.int64))
+        ))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(local_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

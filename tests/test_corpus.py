@@ -948,3 +948,53 @@ def test_dedup_segments_within_semantics(ray_session):
     pd.testing.assert_frame_equal(
         _sorted_df(out1), _sorted_df(out4), check_dtype=False
     )
+
+
+def test_top_terms_by_group_matches_sql(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from airbyte_destination_ray.pipelines.corpus import top_terms_by_group
+
+    rng = np.random.default_rng(71)
+    vocab = [f"w{i}" for i in range(60)]
+    texts, srcs = [], []
+    for src in ["a", "b", "c"]:
+        for _ in range(50):
+            texts.append(" ".join(rng.choice(vocab, size=10)))
+            srcs.append(src)
+    texts += [None, "tie tie one"]
+    srcs += ["a", None]
+    tbl = pa.table({"source": pa.array(srcs), "text": pa.array(texts)})
+    got = (
+        top_terms_by_group(
+            ray.data.from_arrow(tbl).repartition(5),
+            group_col="source",
+            text_col="text",
+            k=4,
+        )
+        .to_pandas()
+        .sort_values(["source", "n", "term"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    exp = (
+        duckdb.sql(
+            """
+        WITH w AS (SELECT source, unnest(
+                string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+            FROM tbl WHERE text IS NOT NULL AND source IS NOT NULL),
+        t AS (SELECT source, term, count(*) AS n FROM w
+              WHERE term <> '' GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY source ORDER BY n DESC, term ASC) rn FROM t)
+        SELECT source, term, CAST(n AS BIGINT) AS n FROM r WHERE rn <= 4
+        ORDER BY source, n DESC, term
+        """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
