@@ -5409,6 +5409,19 @@ def _q_top_terms_by_source(sf_dir: str):
     )
 
 
+def _q_lang_mix_by_source(sf_dir: str):
+    """Language mix per source as a wide pivot (one count column per
+    language) — the corpus-composition dashboard view."""
+    from airbyte_destination_ray.pipelines.ops import pivot_counts
+
+    return pivot_counts(
+        _documents(sf_dir, columns=["source", "lang"]),
+        row_key="source",
+        col_key="lang",
+        col_values=["de", "en", "es", "fr", "zh"],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -5528,6 +5541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_cv_by_user": _q_gap_cv_by_user,
         "user_growth_curve": _q_user_growth_curve,
         "top_terms_by_source": _q_top_terms_by_source,
+        "lang_mix_by_source": _q_lang_mix_by_source,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -8253,5 +8267,15 @@ def oracle_sql() -> dict[str, str]:
               FROM t)
         SELECT source, term, CAST(n AS BIGINT) AS n
         FROM r WHERE rn <= 5
+    """
+    sql["lang_mix_by_source"] = """
+        SELECT source,
+               CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS n_de,
+               CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_en,
+               CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS n_es,
+               CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS n_fr,
+               CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS n_zh
+        FROM documents
+        GROUP BY source
     """
     return sql
