@@ -5422,6 +5422,56 @@ def _q_lang_mix_by_source(sf_dir: str):
     )
 
 
+def _q_events_value_share(sf_dir: str):
+    """Each event type's share of total positive cents — per-batch
+    combiner to ≤types rows, one tiny fold, single IEEE division per
+    type."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b: "pa.Table") -> "pa.Table":
+        cents = pc.cast(
+            pc.floor(pc.multiply(b.column("value"), 100.0)), pa.int64()
+        )
+        t = pa.table({"event_type": b.column("event_type"), "_c": cents})
+        keep = pc.and_(
+            t.column("event_type").combine_chunks().is_valid(),
+            pc.fill_null(pc.greater(t.column("_c"), 0), False),
+        )
+        return (
+            t.filter(keep)
+            .group_by("event_type")
+            .aggregate([("_c", "sum")])
+            .rename_columns(["event_type", "_c"])
+        )
+
+    def final(batch: "pa.Table") -> "pa.Table":
+        g = (
+            batch.group_by("event_type")
+            .aggregate([("_c", "sum")])
+            .rename_columns(["event_type", "_c"])
+        )
+        c = g.column("_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = float(c.sum())
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "cents": pa.array(c, type=pa.int64()),
+                "share": pa.array(
+                    c.astype(np.float64) / total, type=pa.float64()
+                ),
+            }
+        )
+
+    return (
+        _events(sf_dir, columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -5542,6 +5592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_growth_curve": _q_user_growth_curve,
         "top_terms_by_source": _q_top_terms_by_source,
         "lang_mix_by_source": _q_lang_mix_by_source,
+        "events_value_share_by_type": _q_events_value_share,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -8277,5 +8328,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS n_zh
         FROM documents
         GROUP BY source
+    """
+    sql["events_value_share_by_type"] = """
+        WITH c AS (
+            SELECT event_type,
+                   CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events
+            WHERE event_type IS NOT NULL
+              AND CAST(floor(value * 100.0) AS BIGINT) > 0
+            GROUP BY 1),
+        t AS (SELECT sum(cents) AS total FROM c)
+        SELECT event_type, cents,
+               CAST(cents AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        FROM c, t
     """
     return sql
