@@ -5472,6 +5472,23 @@ def _q_events_value_share(sf_dir: str):
     )
 
 
+def _q_order_value_quartiles_by_status(sf_dir: str):
+    """Order-value quartiles per order status — exact discrete quantiles
+    with the rank-rule-exact spelled-out oracle."""
+    from airbyte_destination_ray.pipelines.ops import grouped_quantiles_disc
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    return grouped_quantiles_disc(
+        read_parquet_sized(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderstatus", "o_totalprice"],
+        ),
+        key="o_orderstatus",
+        value_col="o_totalprice",
+        quantiles=(0.25, 0.5, 0.75),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
     # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
@@ -5593,6 +5610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_by_source": _q_top_terms_by_source,
         "lang_mix_by_source": _q_lang_mix_by_source,
         "events_value_share_by_type": _q_events_value_share,
+        "order_value_quartiles_by_status": _q_order_value_quartiles_by_status,
         # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
@@ -8342,5 +8360,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, cents,
                CAST(cents AS DOUBLE) / CAST(total AS DOUBLE) AS share
         FROM c, t
+    """
+    sql["order_value_quartiles_by_status"] = """
+        WITH s AS (
+            SELECT o_orderstatus, o_totalprice AS v
+            FROM orders WHERE o_totalprice IS NOT NULL),
+        r AS (
+            SELECT o_orderstatus, v,
+                   row_number() OVER (
+                       PARTITION BY o_orderstatus ORDER BY v) AS rn,
+                   count(*) OVER (PARTITION BY o_orderstatus) AS n
+            FROM s)
+        SELECT o_orderstatus,
+               max(CASE WHEN rn = least(n, greatest(1,
+                   CAST(ceil(0.25 * n) AS BIGINT))) THEN v END) AS p25,
+               max(CASE WHEN rn = least(n, greatest(1,
+                   CAST(ceil(0.5 * n) AS BIGINT))) THEN v END) AS p50,
+               max(CASE WHEN rn = least(n, greatest(1,
+                   CAST(ceil(0.75 * n) AS BIGINT))) THEN v END) AS p75
+        FROM r GROUP BY o_orderstatus
     """
     return sql
