@@ -5491,14 +5491,117 @@ def _q_order_value_quartiles_by_status(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
-    # FIRST 50 entries per round.  Round-3 window = the CDC sentinel, the
-    # 3 multimodal exact-stats queries (oracle casts fixed this round),
-    # then the queries with no driver row in CORRECTNESS_r01/r02.  Entries
-    # after the window already have a green row (or are same-family
-    # siblings of an in-window entry) from earlier rounds.
+    # FIRST 50 entries per round.  Round-4 window = the CDC sentinel +
+    # 49 queries with no driver row across CORRECTNESS_r01-r03 (the
+    # CLAUDE.md rotation list); the remaining never-checked queries sit
+    # directly below for the round-5 rotation.  Entries after those
+    # already have a green driver row from earlier rounds.
     return {
-        # --- round-3 driver window (first 50) ---
+        # --- round-4 driver window (first 50) ---
         "cdc_sync_events_full": _q_cdc_sync_events_full,
+        "events_cube_type_day": _q_events_cube_type_day,
+        "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
+        "users_snapshot_diff": _q_users_snapshot_diff,
+        "events_user_zscore": _q_events_user_zscore,
+        "multimodal_audio_dedup": _q_multimodal_audio_dedup,
+        "cdc_partial_updates_users": _q_cdc_partial_updates,
+        "events_scd2_enrich": _q_events_scd2_enrich,
+        "events_moments_by_type": _q_events_moments_by_type,
+        "events_type_paths": _q_events_type_paths,
+        "doc_top_terms_tfidf": _q_doc_top_terms,
+        "pack_documents_2048": _q_pack_documents,
+        "events_profile": _q_events_profile,
+        "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_gdpr_delete": _q_cdc_gdpr_delete,
+        "cdc_change_feed": _q_cdc_change_feed,
+        "events_running_distinct": _q_events_running_distinct,
+        "asof_next_click_after_purchase": _q_asof_next_click,
+        "events_pagerank": _q_events_pagerank,
+        "click_purchase_window_join": _q_click_purchase_window_join,
+        "lineitem_unpivot_measures": _q_lineitem_unpivot,
+        "events_ohlc_hourly": _q_events_ohlc,
+        "dedup_normalized_keep_longest": _q_dedup_keep_longest,
+        "incremental_sessions_users": _q_incremental_sessions,
+        "top_bigrams_documents": _q_top_bigrams,
+        "incremental_agg_user_totals": _q_incremental_agg,
+        "lineitem_fk_orphans": _q_lineitem_fk_orphans,
+        "benford_extendedprice": _q_benford_extendedprice,
+        "events_minmax_by_type": _q_events_minmax_by_type,
+        "first_touch_attribution": _q_first_touch_attribution,
+        "clicks_unconverted_1h": _q_clicks_unconverted_1h,
+        "source_vocab_overlap": _q_source_vocab_overlap,
+        "events_hourly_autocorr": _q_events_hourly_autocorr,
+        "priority_late_orders": _q_priority_late_orders,
+        "events_spearman_by_user": _q_events_spearman_by_user,
+        "events_daily_delta": _q_events_daily_delta,
+        "cdc_txn_two_tables": _q_cdc_txn_two_tables,
+        "token_quantiles_by_source": _q_token_quantiles_by_source,
+        "events_k_core": _q_events_k_core,
+        "events_assortativity": _q_events_assortativity,
+        "events_moving_max_by_user": _q_events_moving_max,
+        "events_gini_by_type": _q_events_gini_by_type,
+        "doc_frequency_spectrum": _q_doc_frequency_spectrum,
+        "events_type_dow_chi2": _q_events_type_dow_chi2,
+        "events_ks_drift": _q_events_ks_drift,
+        "nation_trade_by_year": _q_nation_trade_by_year,
+        "market_share_by_year": _q_market_share_by_year,
+        "discount_revenue_q6": _q_discount_revenue_q6,
+        "customer_order_histogram": _q_customer_order_histogram,
+        "small_qty_revenue_q17": _q_small_qty_revenue_q17,
+        # --- round-5 rotation: remaining never-checked queries ---
+        "indexed_term_lookup": _q_indexed_term_lookup,
+        "events_range_window_sum": _q_events_range_window_sum,
+        "events_mannwhitney_drift": _q_events_mannwhitney,
+        "events_clustering_coef": _q_events_clustering_coef,
+        "cdc_range_scan": _q_cdc_range_scan,
+        "repeated_spans_documents": _q_repeated_spans_documents,
+        "trim_repeated_spans_documents": _q_trim_repeated_spans_documents,
+        "budget_mixture_sample": _q_budget_mixture_sample,
+        "events_quarantine": _q_events_quarantine,
+        "events_global_rank": _q_events_global_rank,
+        "events_triangle_counts": _q_events_triangles,
+        "wap_rebuild_cdc": _q_wap_rebuild_cdc,
+        "copartitioned_join_cdc": _q_copartitioned_join_cdc,
+        "cdc_expectations_quarantine": _q_cdc_expectations_quarantine,
+        "large_volume_orders_top100": _q_large_volume_orders,
+        "winsorize_event_values": _q_winsorize_event_values,
+        "corpus_mixture_stats": _q_corpus_mixture_stats,
+        "throttle_events": _q_throttle_events,
+        "doc_oov_bigram_fraction": _q_doc_oov_fraction,
+        "embedding_covariance": _q_embedding_covariance,
+        "stratified_sample_docs": _q_stratified_sample_docs,
+        "consistent_snapshot_cdc": _q_consistent_snapshot_cdc,
+        "events_trend_by_type": _q_events_trend_by_type,
+        "asof_click_within_1h": _q_asof_click_within_1h,
+        "returned_item_top_customers": _q_returned_item_top_customers,
+        "median_gap_by_user": _q_median_gap_by_user,
+        "events_ntile_quartiles": _q_events_ntile,
+        "event_type_lift": _q_event_type_lift,
+        "events_max_concurrency": _q_events_max_concurrency,
+        "events_trimmed_mean": _q_events_trimmed_mean,
+        "events_skyline": _q_events_skyline,
+        "events_degree_histogram": _q_events_degree_histogram,
+        "promo_revenue_ratio": _q_promo_revenue_ratio,
+        "suppliers_per_brand": _q_suppliers_per_brand,
+        "dedup_lines_within_docs": _q_dedup_lines_within_docs,
+        "events_hhi_by_type": _q_events_hhi_by_type,
+        "source_quality_gate_docs": _q_source_quality_gate,
+        "user_longest_streak": _q_user_longest_streak,
+        "events_transition_matrix": _q_events_transition_matrix,
+        "events_interval_coverage": _q_events_interval_coverage,
+        "events_resample_hourly": _q_events_resample_hourly,
+        "wmedian_price_by_flag": _q_wmedian_price_by_flag,
+        "explode_doc_words": _q_explode_doc_words,
+        "events_iqr_outliers": _q_events_iqr_outliers,
+        "events_dwell_by_type": _q_events_dwell_by_type,
+        "dup_rate_by_source": _q_dup_rate_by_source,
+        "gap_cv_by_user": _q_gap_cv_by_user,
+        "user_growth_curve": _q_user_growth_curve,
+        "top_terms_by_source": _q_top_terms_by_source,
+        "lang_mix_by_source": _q_lang_mix_by_source,
+        "events_value_share_by_type": _q_events_value_share,
+        "order_value_quartiles_by_status": _q_order_value_quartiles_by_status,
+        # --- driver-green in r01/r02/r03 ---
         "multimodal_image_stats_exact": _q_multimodal_image_stats_exact,
         "multimodal_audio_stats_exact": _q_multimodal_audio_stats_exact,
         "multimodal_video_stats_exact": _q_multimodal_video_stats_exact,
@@ -5548,70 +5651,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode_by_user": _q_events_mode_by_user,
         "events_percent_rank": _q_events_percent_rank,
         "events_mad_by_type": _q_events_mad_by_type,
-        # --- overflow: no driver row yet, same-family sibling in window ---
-        "events_cube_type_day": _q_events_cube_type_day,
-        "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
-        "users_snapshot_diff": _q_users_snapshot_diff,
-        "events_user_zscore": _q_events_user_zscore,
-        "multimodal_audio_dedup": _q_multimodal_audio_dedup,
-        # --- new this round (round-4 driver window candidates) ---
-        "cdc_partial_updates_users": _q_cdc_partial_updates,
-        "events_scd2_enrich": _q_events_scd2_enrich,
-        "events_moments_by_type": _q_events_moments_by_type,
-        "events_type_paths": _q_events_type_paths,
-        "doc_top_terms_tfidf": _q_doc_top_terms,
-        "pack_documents_2048": _q_pack_documents,
-        "events_profile": _q_events_profile,
-        "cdc_time_travel": _q_cdc_time_travel,
-        "cdc_gdpr_delete": _q_cdc_gdpr_delete,
-        "cdc_change_feed": _q_cdc_change_feed,
-        "events_running_distinct": _q_events_running_distinct,
-        "asof_next_click_after_purchase": _q_asof_next_click,
-        "events_pagerank": _q_events_pagerank,
-        "click_purchase_window_join": _q_click_purchase_window_join,
-        "lineitem_unpivot_measures": _q_lineitem_unpivot,
-        "events_ohlc_hourly": _q_events_ohlc,
-        "dedup_normalized_keep_longest": _q_dedup_keep_longest,
-        "incremental_sessions_users": _q_incremental_sessions,
-        "top_bigrams_documents": _q_top_bigrams,
-        "incremental_agg_user_totals": _q_incremental_agg,
-        "lineitem_fk_orphans": _q_lineitem_fk_orphans,
-        "benford_extendedprice": _q_benford_extendedprice,
-        "events_minmax_by_type": _q_events_minmax_by_type,
-        "first_touch_attribution": _q_first_touch_attribution,
-        "clicks_unconverted_1h": _q_clicks_unconverted_1h,
-        "source_vocab_overlap": _q_source_vocab_overlap,
-        "events_hourly_autocorr": _q_events_hourly_autocorr,
-        "priority_late_orders": _q_priority_late_orders,
-        "events_spearman_by_user": _q_events_spearman_by_user,
-        "events_daily_delta": _q_events_daily_delta,
-        "cdc_txn_two_tables": _q_cdc_txn_two_tables,
-        "token_quantiles_by_source": _q_token_quantiles_by_source,
-        "events_k_core": _q_events_k_core,
-        "events_assortativity": _q_events_assortativity,
-        "events_moving_max_by_user": _q_events_moving_max,
-        "events_gini_by_type": _q_events_gini_by_type,
-        "doc_frequency_spectrum": _q_doc_frequency_spectrum,
-        "events_type_dow_chi2": _q_events_type_dow_chi2,
-        "events_ks_drift": _q_events_ks_drift,
-        "nation_trade_by_year": _q_nation_trade_by_year,
-        "market_share_by_year": _q_market_share_by_year,
-        "discount_revenue_q6": _q_discount_revenue_q6,
-        "customer_order_histogram": _q_customer_order_histogram,
-        "small_qty_revenue_q17": _q_small_qty_revenue_q17,
-        "indexed_term_lookup": _q_indexed_term_lookup,
-        "events_range_window_sum": _q_events_range_window_sum,
-        "events_mannwhitney_drift": _q_events_mannwhitney,
-        "events_clustering_coef": _q_events_clustering_coef,
-        "events_dwell_by_type": _q_events_dwell_by_type,
-        "dup_rate_by_source": _q_dup_rate_by_source,
-        "gap_cv_by_user": _q_gap_cv_by_user,
-        "user_growth_curve": _q_user_growth_curve,
-        "top_terms_by_source": _q_top_terms_by_source,
-        "lang_mix_by_source": _q_lang_mix_by_source,
-        "events_value_share_by_type": _q_events_value_share,
-        "order_value_quartiles_by_status": _q_order_value_quartiles_by_status,
-        # --- driver-green in r01/r02 ---
         "cdc_lww_latest_by_user": _q_cdc_lww_latest,
         "cdc_lww_latest_salted": _q_cdc_lww_salted,
         "cdc_lww_tombstones": _q_cdc_lww_tombstones,
@@ -5661,46 +5700,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_events_per_user": _q_top3_events_per_user,
         "events_value_histogram": _q_events_value_histogram,
         "events_distinct_users_approx": _q_events_distinct_users_approx,
-        "cdc_range_scan": _q_cdc_range_scan,
-        "repeated_spans_documents": _q_repeated_spans_documents,
-        "trim_repeated_spans_documents": _q_trim_repeated_spans_documents,
-        "budget_mixture_sample": _q_budget_mixture_sample,
-        "events_quarantine": _q_events_quarantine,
-        "events_global_rank": _q_events_global_rank,
-        "events_triangle_counts": _q_events_triangles,
-        "wap_rebuild_cdc": _q_wap_rebuild_cdc,
-        "copartitioned_join_cdc": _q_copartitioned_join_cdc,
-        "cdc_expectations_quarantine": _q_cdc_expectations_quarantine,
-        "large_volume_orders_top100": _q_large_volume_orders,
-        "winsorize_event_values": _q_winsorize_event_values,
-        "corpus_mixture_stats": _q_corpus_mixture_stats,
-        "throttle_events": _q_throttle_events,
-        "doc_oov_bigram_fraction": _q_doc_oov_fraction,
-        "embedding_covariance": _q_embedding_covariance,
-        "stratified_sample_docs": _q_stratified_sample_docs,
-        "consistent_snapshot_cdc": _q_consistent_snapshot_cdc,
-        "events_trend_by_type": _q_events_trend_by_type,
-        "asof_click_within_1h": _q_asof_click_within_1h,
-        "returned_item_top_customers": _q_returned_item_top_customers,
-        "median_gap_by_user": _q_median_gap_by_user,
-        "events_ntile_quartiles": _q_events_ntile,
-        "event_type_lift": _q_event_type_lift,
-        "events_max_concurrency": _q_events_max_concurrency,
-        "events_trimmed_mean": _q_events_trimmed_mean,
-        "events_skyline": _q_events_skyline,
-        "events_degree_histogram": _q_events_degree_histogram,
-        "promo_revenue_ratio": _q_promo_revenue_ratio,
-        "suppliers_per_brand": _q_suppliers_per_brand,
-        "dedup_lines_within_docs": _q_dedup_lines_within_docs,
-        "events_hhi_by_type": _q_events_hhi_by_type,
-        "source_quality_gate_docs": _q_source_quality_gate,
-        "user_longest_streak": _q_user_longest_streak,
-        "events_transition_matrix": _q_events_transition_matrix,
-        "events_interval_coverage": _q_events_interval_coverage,
-        "events_resample_hourly": _q_events_resample_hourly,
-        "wmedian_price_by_flag": _q_wmedian_price_by_flag,
-        "explode_doc_words": _q_explode_doc_words,
-        "events_iqr_outliers": _q_events_iqr_outliers,
     }
 
 
