@@ -293,12 +293,25 @@ _STAT_TYPES = (
 )
 
 
+# Long string columns (html/text payloads) are poor zone-map candidates:
+# nobody range-filters on them, pc.min_max pays full-column bandwidth, and
+# the stored bounds would put multi-KB strings in every manifest.  Skip
+# string columns whose average value exceeds this many bytes (cheap O(1)
+# check via Arrow buffer sizes); short keys like url/event_type stay.
+_STRING_STAT_MAX_AVG_BYTES = 64
+# Hard cap on a stored string bound — a column whose min/max exceeds this
+# is dropped from the zone map entirely (omitted = unprunable; truncating
+# a max bound without incrementing it would be UNSAFE).
+_STRING_STAT_MAX_BOUND = 256
+
+
 def _file_column_stats(t: pa.Table) -> dict:
     """Zone-map entry for one committed file: ``{col: [min, max]}`` over
-    every primitive column (nulls skipped; an all-null column records
+    primitive columns (nulls skipped; an all-null column records
     ``[None, None]``, which readers may prune for any range predicate).
-    Nested/binary columns are omitted — readers treat missing as
-    unprunable."""
+    Nested/binary columns — and string columns with long payloads, see
+    ``_STRING_STAT_MAX_AVG_BYTES`` — are omitted; readers treat missing
+    as unprunable."""
     out: dict = {}
     for name in t.column_names:
         typ = t.schema.field(name).type
@@ -307,8 +320,24 @@ def _file_column_stats(t: pa.Table) -> dict:
         if t.num_rows == 0:
             out[name] = [None, None]
             continue
-        mm = pc.min_max(t.column(name))
-        out[name] = [stat_encode(mm["min"]), stat_encode(mm["max"])]
+        col = t.column(name)
+        is_str = pa.types.is_string(typ) or pa.types.is_large_string(typ)
+        if is_str:
+            # value-buffer bytes only (exclude offsets/validity): sum of
+            # the last buffer of each chunk — O(chunks), no data pass.
+            data_bytes = sum(
+                b.size for c in col.chunks for b in (c.buffers()[-1],) if b
+            )
+            if data_bytes / t.num_rows > _STRING_STAT_MAX_AVG_BYTES:
+                continue
+        mm = pc.min_max(col)
+        lo, hi = stat_encode(mm["min"]), stat_encode(mm["max"])
+        if is_str and any(
+            isinstance(b, str) and len(b) > _STRING_STAT_MAX_BOUND
+            for b in (lo, hi)
+        ):
+            continue
+        out[name] = [lo, hi]
     return out
 
 
