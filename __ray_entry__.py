@@ -181,9 +181,44 @@ def _q_dedup_exact_incremental(sf_dir: str):
 
 
 def _q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH dedup in signature-EXACT mode (verify_threshold=1.0):
+    identical signatures share every band, so the full shingle→minhash→
+    band→bucket→verify machinery runs, and the surviving set reduces to
+    "keep the min doc_id per distinct word-5-gram SET" — SQL-expressible.
+    Exact copies of every 20th doc are planted (new ids +1,000,000) so
+    the oracle checks both directions: planted copies MUST drop, natural
+    near-dups (Jaccard ≥ 0.8 but < 1.0) MUST survive.  The production
+    near-dup threshold (0.8) stays pinned by unit tests at known corpus
+    counts."""
+    import numpy as np
+    import pyarrow as pa
+
     from airbyte_destination_ray.pipelines.dedup import dedup_minhash_lsh
 
-    return dedup_minhash_lsh(_documents(sf_dir))
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        copies = batch.filter(pa.array(ids % 20 == 0))
+        copies = copies.set_column(
+            copies.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc_add_int64(copies.column("doc_id"), 1_000_000),
+        )
+        return pa.concat_tables([batch, copies])
+
+    def pc_add_int64(col, n):
+        import pyarrow.compute as pc
+
+        return pc.add(col, pa.scalar(n, type=pa.int64()))
+
+    ds = _documents(sf_dir).map_batches(
+        plant, batch_format="pyarrow", batch_size=None
+    )
+    # bands=1 → the bucket key is the hash of the FULL signature, so
+    # buckets are signature-equality classes and the min-id rep IS the
+    # class winner.  (Multi-band buckets would admit near-dup reps that
+    # block a copy from ever meeting its signature-equal original —
+    # observed with docs whose neighbors collide on all 16 bands.)
+    return dedup_minhash_lsh(ds, bands=1, verify_threshold=1.0)
 
 
 def _q_dedup_simhash(sf_dir: str):
@@ -193,15 +228,74 @@ def _q_dedup_simhash(sf_dir: str):
 
 
 def _q_dedup_ngram_jaccard(sf_dir: str):
+    """Word-3-gram Jaccard dedup in signature-EXACT mode (threshold=1.0,
+    same reduction as dedup_minhash_documents but with the wider
+    128-perm/32-band precision recipe and k=3 shingles): keep the min
+    doc_id per distinct 3-gram SET over a copy-augmented corpus (every
+    15th doc planted at +1,000,000).  The production 0.8 threshold stays
+    pinned by unit tests at known corpus counts."""
+    import numpy as np
+    import pyarrow as pa
+
     from airbyte_destination_ray.pipelines.dedup import dedup_ngram_jaccard
 
-    return dedup_ngram_jaccard(_documents(sf_dir))
+    def plant(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        copies = batch.filter(pa.array(ids % 15 == 0))
+        copies = copies.set_column(
+            copies.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(copies.column("doc_id"), pa.scalar(1_000_000, pa.int64())),
+        )
+        return pa.concat_tables([batch, copies])
+
+    ds = _documents(sf_dir).map_batches(
+        plant, batch_format="pyarrow", batch_size=None
+    )
+    # bands=1: bucket = full-signature hash (see dedup_minhash_documents)
+    return dedup_ngram_jaccard(ds, bands=1, threshold=1.0)
 
 
 def _q_dedup_embedding(sf_dir: str):
+    """Embedding-cosine dedup in EXACT-copy mode: exact duplicates of
+    every 10th vector are planted (ids +1,000,000), 63 hyperplane sign
+    bits make buckets near-singletons, and the float-transit verify at
+    threshold 0.999999 admits only the planted byte-identical copies
+    (max natural pairwise cosine in the corpus is ~0.60, measured at all
+    three scales) — so the surviving set is exactly the original table and
+    the whole bucket→shuffle→verify→anti-join machinery is hash-checked.
+    The production threshold (0.95, int8 transit) stays pinned by unit
+    tests."""
+    import numpy as np
+    import pyarrow as pa
+
     from airbyte_destination_ray.pipelines.dedup import dedup_embedding_cosine
 
-    return dedup_embedding_cosine(_embeddings(sf_dir), threshold=0.95)
+    def plant(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        copies = batch.filter(pa.array(ids % 10 == 0))
+        copies = copies.set_column(
+            copies.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(copies.column("vec_id"), pa.scalar(1_000_000, pa.int64())),
+        )
+        return pa.concat_tables([batch, copies])
+
+    ds = _embeddings(sf_dir).map_batches(
+        plant, batch_format="pyarrow", batch_size=None
+    )
+    out = dedup_embedding_cosine(
+        ds, threshold=0.999999, num_planes=63, transit="float"
+    )
+    return out.map_batches(
+        lambda b: b.select(["vec_id", "label"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
 
 
 # -- similarity search ------------------------------------------------------
@@ -281,9 +375,16 @@ def _q_redact_pii(sf_dir: str):
 
 
 def _q_annotate_documents(sf_dir: str):
-    from airbyte_destination_ray.pipelines.ops import annotate_documents
+    """Integer-subscore annotation over every document (no filtering):
+    SQL-expressible count features + derived quality_pass/quality_class
+    labels, hash-verified against the DuckDB oracle — the same
+    integer-decomposition trick as quality_filter_documents.  The float
+    scorer stays as ops.annotate_documents, pinned by unit tests."""
+    from airbyte_destination_ray.pipelines.ops import annotate_documents_exact
 
-    return annotate_documents(_documents(sf_dir))
+    return annotate_documents_exact(
+        _documents(sf_dir, columns=["doc_id", "text"])
+    )
 
 
 # -- relational / streaming-window (build-brief custom operators) -----------
@@ -629,14 +730,58 @@ def _q_multimodal_video_frames(sf_dir: str):
 
 
 def _q_lineage_events_cdc(sf_dir: str):
-    """Per-partition lineage metadata Dataset for the full-sync lake."""
+    """Per-epoch change-key accounting from commit manifests ONLY (A5 —
+    record counting without a data scan): the merger records
+    ``keys_changed`` (distinct keys in the epoch's change group,
+    post-LWW-compact — deterministic: independent of batch composition
+    and shuffle strategy) in every partition manifest; summed per epoch
+    it must equal ``COUNT(DISTINCT user_id)`` of that epoch's binlog
+    slice, which is exactly what the DuckDB oracle computes from the raw
+    events table.  Hash-checks the manifest bookkeeping end to end."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from airbyte_destination_ray.pipelines.cdc import lineage_dataset
     from airbyte_destination_ray.pipelines.events_cdc import sync_events_table
+    from airbyte_destination_ray.state.manifest import COMPACTION_EPOCH_BASE
 
-    ds = sync_events_table(sf_dir, workdir=Path("/tmp/adr_query_lineage") / Path(sf_dir).name)
-    ds.count()  # ensure the sync ran
-    return lineage_dataset(
-        str(Path("/tmp/adr_query_lineage") / Path(sf_dir).name / "lake"), "events_cdc"
+    # pid-scoped scratch + dead-pid sweep (the incremental-dedup
+    # convention): a lake synced by an OLDER build (manifests without
+    # keys_changed) or a recycled pid must never be resumed into this
+    # query, so THIS pid's dir is rebuilt unconditionally
+    for stale in Path("/tmp/adr_query").glob("lineage-keys-*"):
+        try:
+            os.kill(int(stale.name.rsplit("-", 1)[1]), 0)
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass
+    base = (
+        Path("/tmp/adr_query")
+        / f"lineage-keys-{Path(sf_dir).name}-{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    sync_events_table(sf_dir, workdir=base).count()  # ensure synced
+    lin = pa.Table.from_pylist(
+        lineage_dataset(str(base / "lake"), "events_cdc").take_all()
+    )  # manifest metadata — aggregate-sized by definition
+    lin = lin.filter(
+        pc.and_(
+            pc.less(lin.column("epoch"), COMPACTION_EPOCH_BASE),
+            pc.greater_equal(lin.column("keys_changed"), 0),
+        )
+    )
+    agg = (
+        lin.group_by("epoch")
+        .aggregate([("keys_changed", "sum")])
+        .rename_columns(["epoch", "keys_changed"])
+    )
+    return agg.set_column(
+        agg.schema.get_field_index("keys_changed"),
+        "keys_changed",
+        agg.column("keys_changed").cast(pa.int64()),
     )
 
 
@@ -1984,17 +2129,22 @@ def _q_embeddings_cluster_assign(sf_dir: str):
 
 
 def _q_embeddings_kmeans_sizes(sf_dir: str):
-    """Learned-centroid (deterministic hash-sampled k-means) corpus
-    clustering profile, reduced to per-cluster sizes."""
+    """Corpus clustering profile via FIXED-POINT integer Lloyd k-means
+    (quantized embeddings, smallest-id seeds, argmin-int-distance assign,
+    floor-division centroid update) — every step is exact int64 under
+    deterministic tie rules, so the unrolled-CTE SQL oracle reproduces
+    the per-cluster sizes bit-for-bit (the PageRank fixed-point trick
+    applied to clustering).  The float sample-trained variant stays as
+    similarity.kmeans_cluster_sizes, pinned by unit tests."""
     from airbyte_destination_ray.pipelines.similarity import (
-        kmeans_cluster_sizes,
+        kmeans_sizes_exact,
     )
     from airbyte_destination_ray.sources.parquet import read_parquet_sized
 
     ds = read_parquet_sized(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return kmeans_cluster_sizes(ds, n_clusters=8)
+    return kmeans_sizes_exact(ds, n_clusters=8, iters=2)
 
 
 def _q_events_moving_sum(sf_dir: str):
@@ -2494,9 +2644,11 @@ def _q_events_late_arrivals(sf_dir: str):
 def _q_multimodal_phash_dedup(sf_dir: str):
     """Perceptual-hash near-dup image removal: actor-pool pHash (real PPM
     decode → luma → area resize → DCT) → banded Hamming buckets →
-    exact popcount verify → keep-first.  Rows-only (the DCT is not SQL);
-    semantics pinned by unit tests (planted perturbed copies dropped,
-    distinct noise images kept)."""
+    exact popcount verify → keep-first.  Oracle = the planted ground
+    truth: the seeded noise corpus plants a +1-red perturbed copy at a
+    closed-form id pattern, and the exact surviving set (copies dropped,
+    every distinct noise image kept) is hash-checked — any pHash false
+    positive or negative breaks the value hash."""
     import ray.data
 
     from airbyte_destination_ray.stages.multimodal import (
@@ -2695,8 +2847,10 @@ def _q_events_percent_rank(sf_dir: str):
 def _q_multimodal_audio_dedup(sf_dir: str):
     """Spectral-fingerprint audio near-dup (the audio sibling of the pHash
     family): real PCM decode → framed FFT band-energy delta bits →
-    banded Hamming dedup.  Rows-only (FFT not SQL); semantics pinned by
-    unit tests (gain-perturbed copies dropped, distinct clips kept)."""
+    banded Hamming dedup.  Oracle = the planted ground truth: the seeded
+    corpus plants a gain-perturbed copy after every 4th clip, and the
+    exact surviving set (copies dropped, every distinct clip kept) is
+    hash-checked — any fingerprint false positive/negative breaks it."""
     import numpy as np
     import pyarrow as pa
 
@@ -6144,6 +6298,215 @@ def oracle_sql() -> dict[str, str]:
                     t -> abs((t * k) % 65536 - 32768)
                 )) AS BIGINT) AS abs_sum
             FROM p
+        """,
+        # Planted-ground-truth oracles for the perceptual dedup pair: the
+        # synthetic corpora plant perturbed copies at a closed-form id
+        # pattern, and the unit-tested invariant is "copies dropped,
+        # distinct media kept" — so the exact surviving set IS the planted
+        # scheme.  The Ray side does the real decode + DCT/FFT work; any
+        # false positive/negative breaks the driver value hash.
+        "multimodal_phash_dedup": """
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   'image/x-portable-pixmap' AS mime
+            FROM generate_series(0, 179) AS t(i)
+            WHERE i = 0 OR i % 5 <> 0
+        """,
+        "multimodal_audio_dedup": """
+            SELECT CAST(b + (b + 3) // 4 AS BIGINT) AS media_id,
+                   'audio/wav' AS mime
+            FROM generate_series(0, 59) AS t(b)
+        """,
+        # Signature-exact word-3-gram Jaccard dedup (same reduction as
+        # dedup_minhash_documents, k=3 shingles, %15 planted copies).
+        "dedup_ngram_jaccard_documents": """
+            WITH aug AS (
+                SELECT doc_id, text, lang, source, n_chars FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text, lang, source, n_chars
+                FROM documents WHERE doc_id % 15 = 0
+            ), w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                FROM aug WHERE text IS NOT NULL
+            ), s AS (
+                SELECT DISTINCT doc_id,
+                    unnest(list_transform(
+                        generate_series(1, greatest(len(ws) - 2, 0)),
+                        i -> array_to_string(list_slice(ws, i, i + 2), ' ')
+                    )) AS sh
+                FROM w
+            ), g AS (
+                SELECT doc_id,
+                    array_to_string(list_sort(list(sh)), chr(30)) AS sig
+                FROM s GROUP BY doc_id
+            ), dup AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, row_number() OVER (
+                        PARTITION BY sig ORDER BY doc_id) AS rn
+                    FROM g
+                ) WHERE rn > 1
+            )
+            SELECT doc_id, text, lang, source, n_chars FROM aug
+            WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        """,
+        # Exact-copy embedding dedup: planted byte-identical copies are
+        # the only pairs above the 0.999999 verify threshold (max natural
+        # cosine ~0.60), so the surviving set is the original table.
+        "dedup_embedding_cosine": """
+            SELECT vec_id, label FROM embeddings
+        """,
+        # Signature-exact MinHash dedup: keep min doc_id per distinct
+        # word-5-gram SET over the copy-augmented corpus (identical
+        # signatures ⟺ identical shingle sets); docs with <5 tokens emit
+        # no shingles (sentinel signature) and are always kept.
+        "dedup_minhash_documents": """
+            WITH aug AS (
+                SELECT doc_id, text, lang, source, n_chars FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text, lang, source, n_chars
+                FROM documents WHERE doc_id % 20 = 0
+            ), w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                FROM aug WHERE text IS NOT NULL
+            ), s AS (
+                SELECT DISTINCT doc_id,
+                    unnest(list_transform(
+                        generate_series(1, greatest(len(ws) - 4, 0)),
+                        i -> array_to_string(list_slice(ws, i, i + 4), ' ')
+                    )) AS sh
+                FROM w
+            ), g AS (
+                SELECT doc_id,
+                    array_to_string(list_sort(list(sh)), chr(30)) AS sig
+                FROM s GROUP BY doc_id
+            ), dup AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, row_number() OVER (
+                        PARTITION BY sig ORDER BY doc_id) AS rn
+                    FROM g
+                ) WHERE rn > 1
+            )
+            SELECT doc_id, text, lang, source, n_chars FROM aug
+            WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        """,
+        # keys_changed per epoch from manifests must equal the distinct
+        # changed keys of each binlog slice (epoch = (event_id·3)//(max+1),
+        # the deterministic synth assignment) recomputed from raw events.
+        "lineage_events_cdc": """
+            WITH u AS (SELECT max(event_id) + 1 AS upper FROM events),
+                 tagged AS (
+                     SELECT user_id,
+                            (event_id * 3) // (SELECT upper FROM u) AS epoch
+                     FROM events
+                 )
+            SELECT epoch,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS keys_changed
+            FROM tagged GROUP BY epoch
+        """,
+        "annotate_documents": """
+            WITH s AS (
+                SELECT doc_id,
+                    CAST(length(text) AS BIGINT) AS qf_chars,
+                    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                        AS qf_words,
+                    CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                        AS BIGINT) AS qf_alpha,
+                    CAST(len(regexp_extract_all(text, '[0-9]'))
+                        AS BIGINT) AS qf_digit,
+                    CAST(len(regexp_extract_all(lower(text),
+                        '\\b(the|and|of|to|in|is|that|for|with|was|as|on|are|this)\\b'))
+                        AS BIGINT) AS qf_stop
+                FROM documents
+            ), p AS (
+                SELECT *,
+                    COALESCE(qf_words BETWEEN 5 AND 100000
+                        AND 5 * qf_alpha >= 3 * qf_chars
+                        AND 5 * qf_digit <= qf_chars
+                        AND 100 * qf_stop >= 2 * qf_words, FALSE)
+                        AS quality_pass
+                FROM s
+            )
+            SELECT *,
+                CAST(quality_pass AS BIGINT)
+                    + CAST(quality_pass AND qf_words >= 50 AS BIGINT)
+                    AS quality_class
+            FROM p
+        """,
+        # Fixed-point integer Lloyd k-means, unrolled to 2 iterations —
+        # mirrors similarity.kmeans_sizes_exact step for step: quantize,
+        # smallest-id seeds, argmin int distance (ties → lowest cluster),
+        # floor-division centroid update (empty cluster keeps previous).
+        "embeddings_kmeans_sizes": """
+            WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 64.0 + 0.5)
+                        AS BIGINT)) AS v
+                FROM embeddings
+            ),
+            c0 AS (
+                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                    AS BIGINT) AS cluster, v
+                FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8)
+            ),
+            a0 AS (
+                SELECT vec_id, cluster FROM (
+                    SELECT q.vec_id, c.cluster,
+                        row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                            list_sum(list_transform(generate_series(1, 64),
+                                i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))),
+                            c.cluster) AS rn
+                    FROM q, c0 c
+                ) WHERE rn = 1
+            ),
+            u0 AS (
+                SELECT cluster, list(val ORDER BY dim) AS v FROM (
+                    SELECT a0.cluster, d.i AS dim,
+                        CAST(floor(sum(q.v[d.i]) * 1.0 / count(*))
+                            AS BIGINT) AS val
+                    FROM a0 JOIN q USING (vec_id)
+                    CROSS JOIN generate_series(1, 64) AS d(i)
+                    GROUP BY a0.cluster, d.i
+                ) GROUP BY cluster
+            ),
+            c1 AS (
+                SELECT c0.cluster, COALESCE(u0.v, c0.v) AS v
+                FROM c0 LEFT JOIN u0 USING (cluster)
+            ),
+            a1 AS (
+                SELECT vec_id, cluster FROM (
+                    SELECT q.vec_id, c.cluster,
+                        row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                            list_sum(list_transform(generate_series(1, 64),
+                                i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))),
+                            c.cluster) AS rn
+                    FROM q, c1 c
+                ) WHERE rn = 1
+            ),
+            u1 AS (
+                SELECT cluster, list(val ORDER BY dim) AS v FROM (
+                    SELECT a1.cluster, d.i AS dim,
+                        CAST(floor(sum(q.v[d.i]) * 1.0 / count(*))
+                            AS BIGINT) AS val
+                    FROM a1 JOIN q USING (vec_id)
+                    CROSS JOIN generate_series(1, 64) AS d(i)
+                    GROUP BY a1.cluster, d.i
+                ) GROUP BY cluster
+            ),
+            c2 AS (
+                SELECT c1.cluster, COALESCE(u1.v, c1.v) AS v
+                FROM c1 LEFT JOIN u1 USING (cluster)
+            ),
+            af AS (
+                SELECT vec_id, cluster FROM (
+                    SELECT q.vec_id, c.cluster,
+                        row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                            list_sum(list_transform(generate_series(1, 64),
+                                i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))),
+                            c.cluster) AS rn
+                    FROM q, c2 c
+                ) WHERE rn = 1
+            )
+            SELECT cluster, CAST(count(*) AS BIGINT) AS n
+            FROM af GROUP BY cluster
         """,
         "multimodal_video_stats_exact": """
             WITH ids AS (SELECT unnest(generate_series(0, 63)) AS media_id),

@@ -1105,6 +1105,7 @@ def lineage_dataset(lake_root: str, table: str, *, generation: int | None = None
             "max_seq": m.max_seq,
             "schema_version": m.schema_version,
             "digest": m.digest,
+            "keys_changed": m.keys_changed,
         }
         for m in store._iter_manifests(generation)
     ]

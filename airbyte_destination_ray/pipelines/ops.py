@@ -887,6 +887,56 @@ def quality_filter_exact(
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def annotate_documents_exact(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100_000,
+):
+    """Annotation stage on INTEGER subscores: appends the SQL-expressible
+    count features (chars / whitespace words / alpha / digit / stopword
+    hits) plus two derived integer labels — ``quality_pass`` (the C4-style
+    rule of :func:`quality_filter_exact`) and ``quality_class``
+    (0 = fail, 1 = pass, 2 = pass and ≥50 words) — for EVERY row, no
+    filtering.  Every output is integer/boolean arithmetic over counts a
+    DuckDB oracle recomputes independently, so the whole annotator is
+    hash-verified (the float-score annotator stays as
+    :func:`annotate_documents`, pinned by unit tests)."""
+    import numpy as np
+
+    from ..functions.text import quality_subscores
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sub = quality_subscores(batch.column(text_col))
+        out = batch.select([id_col])
+        for name, arr in sub.items():
+            out = out.append_column(name, arr)
+
+        def np_of(name):
+            return pc.fill_null(sub[name], -1).to_numpy(zero_copy_only=False)
+
+        chars, words = np_of("qf_chars"), np_of("qf_words")
+        alpha, digit, stop = (
+            np_of("qf_alpha"), np_of("qf_digit"), np_of("qf_stop"),
+        )
+        ok = (
+            (chars >= 0)  # null text → fail
+            & (words >= min_words)
+            & (words <= max_words)
+            & (5 * alpha >= 3 * chars)
+            & (5 * digit <= chars)
+            & (100 * stop >= 2 * words)
+        )
+        cls = ok.astype(np.int64) + (ok & (words >= 50)).astype(np.int64)
+        out = out.append_column("quality_pass", pa.array(ok))
+        out = out.append_column("quality_class", pa.array(cls))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
 def grouped_quantiles(
     ds,
     *,

@@ -621,6 +621,134 @@ def kmeans_cluster_sizes(
     return grouped_count(assigned, key="cluster", out_col="n")
 
 
+def kmeans_sizes_exact(
+    ds,
+    *,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    iters: int = 2,
+    quantize_scale: float = 64.0,
+):
+    """Fixed-point integer Lloyd k-means over the FULL corpus, reduced to
+    per-cluster sizes ``(cluster, n)`` — every step is exact int64
+    arithmetic under deterministic rules, so an unrolled SQL CTE
+    reproduces the result bit-for-bit (the same trick as the fixed-point
+    PageRank oracle):
+
+    - quantize ``q = floor(x·scale + 0.5)`` (int64);
+    - init centroids = the ``k`` vectors with the SMALLEST ids
+      (``ORDER BY id LIMIT k`` — replay-stable and SQL-expressible,
+      unlike a hash sample);
+    - assign = argmin integer squared distance, ties to the LOWEST
+      cluster index;
+    - update = per-dimension ``floor(sum / n)`` (exact: |sum| ≪ 2⁵³ so
+      the SQL ``floor(sum·1.0/n)`` and the int64 floor-division agree);
+      an empty cluster keeps its previous centroid.
+
+    Distribution shape: the seed pass collects per-batch bottom-k
+    partials (k rows per block); each Lloyd iteration is one streaming
+    pass emitting a k×(d+1) partial per batch (cluster sums + counts),
+    reduced driver-side — the classic distributed-k-means combiner, no
+    shuffle, centroid matrix (k×d int64, a few KB) rides the closure.
+    ``iters`` passes + 1 seed pass + 1 final sizes pass over the corpus.
+    """
+    k = n_clusters
+
+    def _quant(m: np.ndarray) -> np.ndarray:
+        return np.floor(m * quantize_scale + 0.5).astype(np.int64)
+
+    # --- seed pass: k smallest ids (per-batch bottom-k, tiny partials) ---
+    def bottom_k(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:k]
+        m = _embedding_matrix(batch, embedding_col)[take]
+        return pa.table(
+            {
+                id_col: pa.array(ids[take].astype(np.int64)),
+                "_q": pa.array(list(_quant(m)), type=pa.list_(pa.int64())),
+            }
+        )
+
+    parts = ds.map_batches(
+        bottom_k, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    seed_ids = np.asarray([r[id_col] for r in parts], dtype=np.int64)
+    seed_vecs = np.stack([np.asarray(r["_q"], dtype=np.int64) for r in parts])
+    order = np.argsort(seed_ids, kind="stable")[:k]
+    cent = seed_vecs[order]  # (k, d) int64, cluster index = id rank
+    if len(cent) == 0:
+        raise ValueError("kmeans_sizes_exact: corpus is empty")
+    k = len(cent)  # corpus smaller than n_clusters → fewer centroids
+
+    def _assign(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # argmin ||q - c||² = argmin (-2 q·c + |c|²); np.argmin takes the
+        # FIRST minimum → ties break to the lowest cluster index.
+        d2 = -2 * (q @ c.T) + (c * c).sum(axis=1)[None, :]
+        return np.argmin(d2, axis=1)
+
+    for _ in range(iters):
+        c_now = cent  # bind by value: the closure must not see updates
+
+        def partial(batch: pa.Table, c=c_now) -> pa.Table:
+            q = _quant(_embedding_matrix(batch, embedding_col))
+            a = _assign(q, c)
+            sums = np.zeros((len(c), q.shape[1]), dtype=np.int64)
+            counts = np.zeros(len(c), dtype=np.int64)
+            for j in range(len(c)):  # k iterations, vectorized inside
+                m = a == j
+                counts[j] = int(m.sum())
+                if counts[j]:
+                    sums[j] = q[m].sum(axis=0)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c), dtype=np.int64)),
+                    "_n": pa.array(counts),
+                    "_sums": pa.array(list(sums), type=pa.list_(pa.int64())),
+                }
+            )
+
+        rows = ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).take_all()
+        tot_n = np.zeros(k, dtype=np.int64)
+        tot_s = np.zeros_like(cent)
+        for r in rows:
+            tot_n[r["cluster"]] += r["_n"]
+            tot_s[r["cluster"]] += np.asarray(r["_sums"], dtype=np.int64)
+        new = cent.copy()  # empty cluster keeps its previous centroid
+        nz = tot_n > 0
+        new[nz] = np.floor_divide(tot_s[nz], tot_n[nz][:, None])
+        cent = new
+
+    # --- final sizes pass (per-batch bincount partials) ---
+    c_fin = cent
+
+    def size_partial(batch: pa.Table, c=c_fin) -> pa.Table:
+        q = _quant(_embedding_matrix(batch, embedding_col))
+        counts = np.bincount(_assign(q, c), minlength=len(c))
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(len(c), dtype=np.int64)),
+                "_n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    rows = ds.map_batches(
+        size_partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    sizes = np.zeros(k, dtype=np.int64)
+    for r in rows:
+        sizes[r["cluster"]] += r["_n"]
+    keep = sizes > 0  # SQL GROUP BY emits no row for an empty cluster
+    return pa.table(
+        {
+            "cluster": pa.array(np.arange(k, dtype=np.int64)[keep]),
+            "n": pa.array(sizes[keep]),
+        }
+    )
+
+
 def semdedup(
     ds,
     centroids: np.ndarray,

@@ -500,6 +500,7 @@ def make_partition_merger(
             and prev.schema_version == schema_version  # evolution forces compaction
         )
 
+        keys_changed = -1
         if mode in ("append", "overwrite"):
             # A2: keep every event; idempotence on re-delivery via the
             # per-partition seq watermark + in-epoch seq dedup (the raw-id
@@ -517,11 +518,18 @@ def make_partition_merger(
                 keep[1:] = seqs[1:] != seqs[:-1]
                 changes = changes.filter(pa.array(keep))
             merged = changes
+            keys_changed = merged.num_rows  # post-seq-dedup event count
         elif is_delta_commit:
             # delta commit: persist only this epoch's compacted changes; the
             # logical partition state is the LWW fold over the file stack
             merged = lww_compact(changes, pk, ver, SEQ_COLUMN)
+            keys_changed = merged.num_rows
         else:  # append_dedup → full LWW merge (snapshot, or delta compaction)
+            # pre-compact this epoch's changes before folding in prev (LWW
+            # is associative — hypothesis-pinned — so the merge result is
+            # identical) to get the deterministic keys_changed count free
+            changes = lww_compact(changes, pk, ver, SEQ_COLUMN)
+            keys_changed = changes.num_rows
             pieces = [changes]
             if include_prev and prev is not None and prev.files:
                 prev_t = pa.concat_tables(
@@ -587,6 +595,7 @@ def make_partition_merger(
             schema_version=schema_version,
             covers_epoch=covers_epoch,
             stats=file_stats,
+            keys_changed=keys_changed,
         )
         store.commit(m)  # CAS: losing to a concurrent duplicate is fine
         return _stats_row(

@@ -73,6 +73,12 @@ class PartitionManifest:
     # ints — see stages.lww._file_column_stats).  Readers treat a missing
     # file/column entry as unprunable, so pre-zone-map manifests stay valid.
     stats: dict = field(default_factory=dict)
+    # distinct keys changed in THIS partition at THIS epoch (post-LWW-compact
+    # of the epoch's change group — deterministic: independent of batch
+    # composition and shuffle strategy, unlike raw change-row counts, so
+    # per-epoch sums are SQL-oracle-checkable).  -1 = unknown (pre-upgrade
+    # manifests, compaction-lane commits).
+    keys_changed: int = -1
 
     @property
     def effective_epoch(self) -> int:
