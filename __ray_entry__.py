@@ -3103,6 +3103,19 @@ def _q_cdc_range_scan(sf_dir: str):
     return range_scan_events_table(sf_dir)
 
 
+def _q_cdc_merge_apply(sf_dir: str):
+    """MERGE INTO analog (cdc.apply_changes): one set-oriented merge of
+    upserts + deletes computed from the lake's own visible state, applied
+    binlog-free as a new epoch through the ordinary pre-reduce → exchange
+    → per-partition LWW merge → manifest-CAS path; equal-version changes
+    win on the deterministic synthetic seq (MERGE overwrite rule)."""
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        merge_apply_events_table,
+    )
+
+    return merge_apply_events_table(sf_dir)
+
+
 def _q_cdc_gdpr_delete(sf_dir: str):
     """GDPR right-to-be-forgotten: physically delete 7 user_ids from the
     synced lake (O(keys) partition rewrites through the compaction manifest
@@ -5703,6 +5716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_histogram": _q_customer_order_histogram,
         "small_qty_revenue_q17": _q_small_qty_revenue_q17,
         # --- round-5 rotation: remaining never-checked queries ---
+        "cdc_merge_apply": _q_cdc_merge_apply,
         "indexed_term_lookup": _q_indexed_term_lookup,
         "events_range_window_sum": _q_events_range_window_sum,
         "events_mannwhitney_drift": _q_events_mannwhitney,
@@ -6387,6 +6401,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, text, lang, source, n_chars FROM aug
             WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        """,
+        # MERGE INTO: LWW snapshot, then the same set-oriented merge in SQL
+        # (upsert value+1000 for user_id%7=0 outside the delete set,
+        # delete user_id%31=0).
+        "cdc_merge_apply": """
+            WITH snap AS (
+                SELECT event_id, ts, user_id, event_type, value, props
+                FROM events
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+                    AND event_type <> 'error'
+            )
+            SELECT event_id, ts, user_id, event_type,
+                CASE WHEN user_id % 7 = 0 THEN value + 1000.0
+                     ELSE value END AS value,
+                props
+            FROM snap WHERE user_id % 31 <> 0
         """,
         # keys_changed per epoch from manifests must equal the distinct
         # changed keys of each binlog slice (epoch = (event_id·3)//(max+1),

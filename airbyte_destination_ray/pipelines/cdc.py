@@ -294,6 +294,148 @@ def run_cdc_sync(
     }
 
 
+def apply_changes(
+    lake_root: str,
+    table: str,
+    changes,
+    *,
+    pk: str = "url",
+    ver: str = "warc_ts",
+    op_col: str | None = "op",
+    payload_columns: list[str] | None = None,
+    num_partitions: int = 32,
+    mode: str = "append_dedup",
+    epoch: int | None = None,
+    compute_digest: bool = True,
+) -> dict:
+    """MERGE INTO analog: apply a computed Dataset of upserts/deletes to a
+    lake table as ONE new epoch — the binlog-free mutation surface (the
+    reference's per-request POST body, re-expressed as a set-oriented
+    merge).  ``changes`` carries the payload columns plus, optionally, an
+    ``op_col`` ('U'/'I' upsert, 'D' delete; absent → all upserts).
+
+    Rows are assigned a deterministic synthetic seq
+    ``(epoch+1)·2⁴⁰ + stable_hash(pk)·mod 2⁴⁰`` — batch-composition
+    independent, monotone across epochs (so append-mode watermarks hold),
+    and unique per key within the epoch, which makes LWW against existing
+    rows well-defined: an applied change with a version EQUAL to the
+    stored row's wins on seq (MERGE overwrite semantics).  Two source
+    rows with the same (pk, ver) in one apply are a caller error (the
+    standard SQL MERGE 'cannot update the same row twice' contract) and
+    resolve in unspecified order.
+
+    ``epoch=None`` auto-assigns the next epoch after the last checkpoint —
+    each call is a new merge.  Pass an explicit ``epoch`` for replay
+    safety: committed (epoch, partition) pairs are CAS no-ops, so a
+    crashed apply can be re-run with the same epoch id and the same
+    change set to complete exactly-once.
+
+    Distribution shape: identical to the sync path — per-batch LWW
+    pre-reduce, one hash exchange, per-partition Arrow merge + manifest
+    CAS; nothing driver-side but the tiny stats fold.
+    """
+    import numpy as np
+
+    from ..functions.hashing import stable_hash_array
+
+    store = ManifestStore(lake_root, table)
+    store.root.mkdir(parents=True, exist_ok=True)
+    meta = store.init_table(
+        num_partitions=num_partitions, mode=mode, pk=[pk], cursor=ver
+    )
+    num_partitions = meta["num_partitions"]
+    generation = meta["generation"]
+    if epoch is None:
+        ckpt = store.last_checkpoint(generation)
+        epoch = (int(ckpt["epoch"]) + 1) if ckpt else 0
+    if payload_columns is None:
+        schema_store = SchemaStore(lake_root, table)
+        if schema_store.exists():
+            payload_columns = list(
+                schema_store.get(schema_store.current_version()).schema.names
+            )
+        else:
+            # derive from the changes schema (executes the upstream
+            # pipeline to its first block — pass payload_columns to keep
+            # a derived input fully streaming)
+            payload_columns = [
+                c for c in changes.schema().names if c != op_col
+            ]
+    schema_store = SchemaStore(lake_root, table)
+    target_version = (
+        schema_store.current_version() if schema_store.exists() else 0
+    )
+    e = int(epoch)
+    seq_base = np.int64((e + 1) << 40)
+
+    def to_envelope(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in payload_columns}
+        h = stable_hash_array(batch.column(pk))
+        seq = (
+            seq_base
+            + (h % np.uint64(1 << 40)).astype(np.int64)
+        )
+        cols["seq"] = pa.array(seq)
+        if op_col is not None and op_col in batch.column_names:
+            cols["op"] = batch.column(op_col)
+        else:
+            cols["op"] = pa.array(["U"] * batch.num_rows, type=pa.string())
+        return pa.table(cols)
+
+    env = changes.map_batches(
+        to_envelope, batch_format="pyarrow", batch_size=None
+    )
+    partitioner = make_partitioner(
+        pk,
+        num_partitions,
+        ver=ver,
+        pre_reduce=(mode == "append_dedup"),
+        payload_columns=payload_columns,
+    )
+    merger = make_partition_merger(
+        lake_root,
+        table,
+        generation=generation,
+        epoch=e,
+        mode=mode,
+        pk=pk,
+        ver=ver,
+        compute_digest=compute_digest,
+        schema_version=target_version,
+        strategy=meta.get("merge_strategy", "snapshot"),
+        compact_every=meta.get("compact_every", 8),
+    )
+    stats = (
+        env.map_batches(partitioner, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(merger, batch_format="pyarrow")
+    )
+    batches = list(stats.iter_batches(batch_format="pyarrow"))
+    stats_t = (
+        pa.concat_tables(batches) if batches else STATS_SCHEMA.empty_table()
+    )
+    changes_in = int(pc.sum(stats_t.column("changes_in")).as_py() or 0)
+    rows = int(pc.sum(stats_t.column("rows")).as_py() or 0)
+    store.write_checkpoint(
+        generation,
+        e,
+        {
+            "partitions": stats_t.num_rows,
+            "changes_in": changes_in,
+            "rows": rows,
+            "segments": ["<apply_changes>"],
+        },
+    )
+    return {
+        "table": table,
+        "generation": generation,
+        "epoch": e,
+        "partitions": stats_t.num_rows,
+        "changes_in": changes_in,
+        "rows": rows,
+    }
+
+
 def tail_binlog(
     lake_root: str,
     binlog_dir: str,

@@ -346,6 +346,59 @@ def gdpr_delete_events_table(
     return read_table(str(lake), "events_cdc")
 
 
+def merge_apply_events_table(sf_dir: str, *, workdir: str | Path | None = None):
+    """MERGE INTO as a query: sync the events binlog, then apply ONE
+    set-oriented merge computed FROM the lake's own visible state —
+    upsert ``value + 1000`` for users with ``user_id % 7 = 0`` (and not in
+    the delete set) and delete users with ``user_id % 31 = 0`` — through
+    :func:`cdc.apply_changes` (deterministic synthetic seqs, same
+    pre-reduce → exchange → merge → CAS path as the sync), then read the
+    final table.  The applied versions carry the SAME ``ts`` as the stored
+    winners, so they win on the synthetic seq — pinning the
+    equal-version MERGE-overwrite tie rule.  Uses an isolated lake
+    variant (mutating query)."""
+    from .cdc import apply_changes, read_table
+
+    lake = _ensure_events_lake(sf_dir, workdir, variant="-merge")
+    state = read_table(str(lake), "events_cdc", columns=EVENT_PAYLOAD)
+
+    def to_changes(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        is_del = uid % 31 == 0
+        is_up = (uid % 7 == 0) & ~is_del
+        keep = is_del | is_up
+        out = batch.filter(pa.array(keep))
+        uid_k = out.column("user_id").to_numpy(zero_copy_only=False)
+        del_k = uid_k % 31 == 0
+        val = out.column("value").to_numpy(zero_copy_only=False)
+        out = out.set_column(
+            out.schema.get_field_index("value"),
+            "value",
+            pa.array(np.where(del_k, val, val + 1000.0)),
+        )
+        return out.append_column(
+            "op", pa.array(np.where(del_k, "D", "U")).cast(pa.string())
+        )
+
+    changes = state.map_batches(
+        to_changes, batch_format="pyarrow", batch_size=None
+    )
+    # explicit epoch → re-running this query in the same process is a
+    # CAS no-op instead of applying the merge a second time
+    apply_changes(
+        str(lake),
+        "events_cdc",
+        changes,
+        pk="user_id",
+        ver="ts",
+        payload_columns=EVENT_PAYLOAD,
+        epoch=1000,
+    )
+    return read_table(str(lake), "events_cdc", columns=EVENT_PAYLOAD)
+
+
 def wap_rebuild_events_table(sf_dir: str, *, workdir: str | Path | None = None):
     """Write-audit-publish rebuild as a query: publish a PARTIAL state
     (epoch 0 only), then rebuild the full table inside a staged generation

@@ -160,3 +160,63 @@ def test_signature_exact_dedup_drops_only_identical_sets(ray_session):
     # 1 is an exact copy of 0 → dropped; 2 (near) and 3 (permuted 5-gram
     # sets differ) survive
     assert sorted(out.doc_id) == [0, 2, 3]
+
+
+def test_apply_changes_merge_semantics(binlog, tmp_path):
+    """MERGE INTO analog: upserts overwrite at equal version (synthetic
+    seq wins), deletes tombstone, explicit-epoch replay is a no-op."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.cdc import (
+        apply_changes,
+        read_table_arrow,
+        run_cdc_sync,
+    )
+
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, binlog, num_partitions=PARTS)
+    before = read_table_arrow(lake, "pages")
+    urls = before.column("url").to_pylist()
+    up_url, del_url = urls[0], urls[1]
+    up_row = before.filter(pc.equal(before.column("url"), up_url))
+    del_row = before.filter(pc.equal(before.column("url"), del_url))
+
+    changes = pa.concat_tables(
+        [
+            up_row.append_column("op", pa.array(["U"])),
+            del_row.append_column("op", pa.array(["D"])),
+        ]
+    )
+    # upsert with the SAME version (warc_ts) but new text: must win on seq
+    idx = changes.schema.get_field_index("text")
+    changes = changes.set_column(
+        idx, "text", pa.array(["MERGED", del_row.column("text")[0].as_py()])
+    )
+    payload = [c for c in before.column_names]
+    res = apply_changes(
+        lake, "pages", ray.data.from_arrow(changes),
+        pk="url", ver="warc_ts", payload_columns=payload, epoch=100,
+    )
+    assert res["epoch"] == 100 and res["changes_in"] == 2
+
+    after = read_table_arrow(lake, "pages")
+    assert after.num_rows == before.num_rows - 1  # delete applied
+    got = after.filter(pc.equal(after.column("url"), up_url))
+    assert got.column("text")[0].as_py() == "MERGED"  # equal-ver overwrite
+    assert del_url not in after.column("url").to_pylist()
+
+    # replay with the same epoch: CAS no-op, state unchanged
+    res2 = apply_changes(
+        lake, "pages", ray.data.from_arrow(changes),
+        pk="url", ver="warc_ts", payload_columns=payload, epoch=100,
+    )
+    again = read_table_arrow(lake, "pages")
+    assert again.sort_by("url").equals(after.sort_by("url"))
+
+    # auto-epoch: next call lands at 101
+    res3 = apply_changes(
+        lake, "pages", ray.data.from_arrow(changes.slice(0, 1)),
+        pk="url", ver="warc_ts", payload_columns=payload,
+    )
+    assert res3["epoch"] == 101
