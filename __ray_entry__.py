@@ -3103,6 +3103,113 @@ def _q_cdc_range_scan(sf_dir: str):
     return range_scan_events_table(sf_dir)
 
 
+def _q_profit_by_nation_year_q9(sf_dir: str):
+    """TPC-H Q9-shaped composite (see pipelines.tpch): part-name filter →
+    broadcast semi join, supplier⋈nation broadcast, one big×big order-
+    year exchange, (nation × year) cents fold."""
+    from airbyte_destination_ray.pipelines.tpch import q9_profit_by_nation_year
+
+    return q9_profit_by_nation_year(sf_dir)
+
+
+def _q_late_shipments_by_flag_q12(sf_dir: str):
+    """TPC-H Q12-shaped composite: one lineitem⋈orders exchange +
+    high/low-priority CASE counts per returnflag."""
+    from airbyte_destination_ray.pipelines.tpch import (
+        q12_late_shipments_by_flag,
+    )
+
+    return q12_late_shipments_by_flag(sf_dir)
+
+
+def _q_special_revenue_q19(sf_dir: str):
+    """TPC-H Q19-shaped composite: broadcast part dim + OR-of-ANDs
+    vectorized predicate → single global cents sum."""
+    from airbyte_destination_ray.pipelines.tpch import q19_special_revenue
+
+    return q19_special_revenue(sf_dir)
+
+
+def _q_idle_customer_balance_q22(sf_dir: str):
+    """TPC-H Q22-shaped composite: positive-balance average (exact cents,
+    one IEEE division) + low-activity filter (distributed per-custkey
+    count, ≤2 orders — the synthetic corpus gives nearly every customer
+    an order so a strict NOT EXISTS is degenerate) + per-nation fold."""
+    from airbyte_destination_ray.pipelines.tpch import (
+        q22_idle_customer_balance,
+    )
+
+    return q22_idle_customer_balance(sf_dir)
+
+
+def _q_multimodal_image_tiles_exact(sf_dir: str):
+    """REAL PPM decode → 8×8 area-partition tile sums (the exact integer
+    form of thumbnail/resize feature extraction): tile boundaries are
+    ``(t·dim)//8`` so every pixel lands in exactly one tile, and the
+    closed-form corpus lets the DuckDB oracle recompute every tile sum —
+    any defect in decode, stride math, or tiling breaks the hash."""
+    import ray.data
+
+    from airbyte_destination_ray.stages.multimodal import (
+        image_tile_sums,
+        synthesize_media_table_exact,
+    )
+
+    ds = ray.data.from_arrow(synthesize_media_table_exact(256))
+    return image_tile_sums(ds, grid=8, concurrency=2, batch_size=32)
+
+
+def _q_multimodal_video_sample_exact(sf_dir: str):
+    """REAL Y4M demux + evenly-spaced frame SAMPLING, hash-checked: the
+    sampler picks frame ``(i·(nf−1))//(k−1)`` of each clip and the oracle
+    recomputes each sampled frame's closed-form byte sum — pinning the
+    demux offsets, the sampling formula, and the frame payload bytes."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from airbyte_destination_ray.stages.multimodal import (
+        sample_video_frames,
+        synthesize_video_table_exact,
+    )
+
+    ds = ray.data.from_arrow(synthesize_video_table_exact(64))
+    frames = sample_video_frames(
+        ds, frames_per_video=3, concurrency=2, strict=True
+    )
+
+    def byte_sums(batch: pa.Table) -> pa.Table:
+        col = batch.column("frame").combine_chunks()
+        if len(col) == 0:
+            return pa.table(
+                {
+                    "media_id": batch.column("media_id"),
+                    "sample_idx": batch.column("frame_idx"),
+                    "byte_sum": pa.array([], type=pa.int64()),
+                }
+            )
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset : col.offset + len(col) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[
+            offs[0] : offs[-1]
+        ].astype(np.int64)
+        starts = offs[:-1] - offs[0]
+        sums = np.add.reduceat(data, starts)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "sample_idx": batch.column("frame_idx"),
+                "byte_sum": pa.array(sums),
+            }
+        )
+
+    return frames.map_batches(
+        byte_sums, batch_format="pyarrow", batch_size=None
+    )
+
+
 def _q_cdc_merge_apply(sf_dir: str):
     """MERGE INTO analog (cdc.apply_changes): one set-oriented merge of
     upserts + deletes computed from the lake's own visible state, applied
@@ -5717,6 +5824,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue_q17": _q_small_qty_revenue_q17,
         # --- round-5 rotation: remaining never-checked queries ---
         "cdc_merge_apply": _q_cdc_merge_apply,
+        "multimodal_image_tiles_exact": _q_multimodal_image_tiles_exact,
+        "multimodal_video_sample_exact": _q_multimodal_video_sample_exact,
+        "profit_by_nation_year_q9": _q_profit_by_nation_year_q9,
+        "late_shipments_by_flag_q12": _q_late_shipments_by_flag_q12,
+        "special_revenue_q19": _q_special_revenue_q19,
+        "idle_customer_balance_q22": _q_idle_customer_balance_q22,
         "indexed_term_lookup": _q_indexed_term_lookup,
         "events_range_window_sum": _q_events_range_window_sum,
         "events_mannwhitney_drift": _q_events_mannwhitney,
@@ -6402,6 +6515,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, lang, source, n_chars FROM aug
             WHERE doc_id NOT IN (SELECT doc_id FROM dup)
         """,
+        "profit_by_nation_year_q9": """
+            SELECT n.n_name,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(floor((l.l_extendedprice
+                       * (1 - l.l_discount)) * 100) AS BIGINT)) AS BIGINT)
+                       AS profit_cents
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+               AND p.p_name LIKE '%red%'
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        """,
+        "late_shipments_by_flag_q12": """
+            SELECT l_returnflag,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+            GROUP BY 1
+        """,
+        "special_revenue_q19": """
+            SELECT CAST(COALESCE(sum(CAST(floor((l_extendedprice
+                       * (1 - l_discount)) * 100) AS BIGINT)), 0) AS BIGINT)
+                   AS revenue_cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "idle_customer_balance_q22": """
+            WITH avgbal AS (
+                SELECT sum(CAST(floor(c_acctbal * 100) AS BIGINT)) * 1.0
+                       / count(*) AS t
+                FROM customer WHERE c_acctbal > 0.0
+            )
+            SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
+                CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                    AS totacctbal_cents
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE CAST(floor(c_acctbal * 100) AS BIGINT)
+                      > (SELECT t FROM avgbal)
+              AND c_custkey NOT IN (
+                  SELECT o_custkey FROM orders
+                  GROUP BY o_custkey HAVING count(*) > 2)
+            GROUP BY 1
+        """,
         # MERGE INTO: LWW snapshot, then the same set-oriented merge in SQL
         # (upsert value+1000 for user_id%7=0 outside the delete set,
         # delete user_id%31=0).
@@ -6538,6 +6704,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cluster, CAST(count(*) AS BIGINT) AS n
             FROM af GROUP BY cluster
+        """,
+        # 8×8 area-partition tile sums over the closed-form gradient
+        # corpus: R separable over x, G over y, B needs the nested sum.
+        "multimodal_image_tiles_exact": """
+            WITH ids AS (SELECT unnest(generate_series(0, 255)) AS media_id),
+            dims AS (
+                SELECT media_id, 16 + media_id % 48 AS w,
+                       16 + (7 * media_id) % 48 AS h
+                FROM ids
+            ),
+            tiles AS (
+                SELECT media_id, w, h,
+                       ty.i AS tile_y, tx.i AS tile_x,
+                       (ty.i * h) // 8 AS y0, ((ty.i + 1) * h) // 8 AS y1,
+                       (tx.i * w) // 8 AS x0, ((tx.i + 1) * w) // 8 AS x1
+                FROM dims, generate_series(0, 7) ty(i),
+                     generate_series(0, 7) tx(i)
+            )
+            SELECT media_id, tile_y, tile_x,
+                CAST(
+                    (y1 - y0) * list_sum(list_transform(
+                        generate_series(x0, x1 - 1), x -> (x * 255) // (w - 1)
+                    ))
+                    + (x1 - x0) * list_sum(list_transform(
+                        generate_series(y0, y1 - 1), y -> (y * 255) // (h - 1)
+                    ))
+                    + list_sum(list_transform(generate_series(y0, y1 - 1),
+                        y -> list_sum(list_transform(
+                            generate_series(x0, x1 - 1), x -> (x + y) % 256
+                        ))
+                    ))
+                AS BIGINT) AS px_sum
+            FROM tiles
+        """,
+        # Sampled-frame byte sums: sampler picks frame (i·(nf−1))//(k−1),
+        # k=3 samples per clip over the closed-form Y4M corpus.
+        "multimodal_video_sample_exact": """
+            WITH ids AS (SELECT unnest(generate_series(0, 63)) AS media_id),
+            p AS (SELECT media_id, 4 + media_id % 9 AS nf FROM ids),
+            s AS (
+                SELECT media_id, i.i AS sample_idx,
+                       (i.i * (nf - 1)) // 2 AS f
+                FROM p, generate_series(0, 2) i(i)
+            )
+            SELECT media_id, sample_idx,
+                CAST(list_sum(list_transform(generate_series(0, 287),
+                    j -> (31 * f + 7 * j + media_id) % 256)) AS BIGINT)
+                    AS byte_sum
+            FROM s
         """,
         "multimodal_video_stats_exact": """
             WITH ids AS (SELECT unnest(generate_series(0, 63)) AS media_id),

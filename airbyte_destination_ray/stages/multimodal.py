@@ -558,15 +558,20 @@ def extract_audio_features(
 
 def sample_video_frames(
     ds, *, frames_per_video: int = 4, concurrency: int = 4,
-    batch_size: int = DEFAULT_MEDIA_BATCH_SIZE,
+    batch_size: int = DEFAULT_MEDIA_BATCH_SIZE, strict: bool = False,
 ):
-    """Actor-pool frame sampling (fan-out) over a media Dataset."""
+    """Actor-pool frame sampling (fan-out) over a media Dataset.
+    ``strict=True`` refuses the byte-window fallback for non-Y4M payloads
+    (real demux only — the exact-oracle mode)."""
     return ds.map_batches(
         VideoFrameSampleStage,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        fn_constructor_kwargs={"frames_per_video": frames_per_video},
+        fn_constructor_kwargs={
+            "frames_per_video": frames_per_video,
+            "strict": strict,
+        },
     )
 
 
@@ -646,6 +651,83 @@ def image_channel_sums(
     """Actor-pool exact channel-sum decode over a media Dataset."""
     return ds.map_batches(
         ImageChannelSumStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class ImageTileSumStage:
+    """payload → ``grid×grid`` tile grid of integer pixel sums from the
+    REAL decode — the exact (hash-comparable) form of thumbnail / resize
+    feature extraction: tile ``(ty, tx)`` covers rows
+    ``[(ty·h)//g, ((ty+1)·h)//g) × cols [(tx·w)//g, ((tx+1)·w)//g)``
+    (area-partition boundaries, so every pixel lands in exactly one tile
+    and the tile sums are pure integers; dividing by the tile areas
+    yields the float area-mean downscale).  One output row per tile:
+    ``(media_id, tile_y, tile_x, px_sum)`` with ``px_sum = Σ(r+g+b)``.
+
+    Actor-pool stage: the per-image Python loop is inherent (images have
+    per-row variable dimensions); the per-image work is vectorized
+    (channel fold + two ``np.add.reduceat`` passes)."""
+
+    def __init__(self, *, grid: int = 8, strict: bool = True):
+        self.grid = grid
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.grid
+        ids = batch.column("media_id").to_pylist()
+        out_id: list[int] = []
+        tiles: list[np.ndarray] = []
+        for mid, payload in zip(ids, batch.column("payload").to_pylist()):
+            px = decode_ppm(payload)
+            if px is None:
+                if self.strict:
+                    raise ValueError(f"media_id={mid}: not a P6 PPM")
+                continue
+            h, w = px.shape[0], px.shape[1]
+            if h < g or w < g:
+                if self.strict:
+                    raise ValueError(
+                        f"media_id={mid}: {w}x{h} smaller than {g}x{g} grid"
+                    )
+                continue
+            a = px.astype(np.int64).sum(axis=2)
+            yb = (np.arange(g, dtype=np.int64) * h) // g
+            xb = (np.arange(g, dtype=np.int64) * w) // g
+            t = np.add.reduceat(np.add.reduceat(a, yb, axis=0), xb, axis=1)
+            out_id.append(mid)
+            tiles.append(t)
+        n = len(out_id)
+        return pa.table(
+            {
+                "media_id": pa.array(
+                    np.repeat(np.asarray(out_id, dtype=np.int64), g * g)
+                ),
+                "tile_y": pa.array(np.tile(np.arange(g * g) // g, n)),
+                "tile_x": pa.array(np.tile(np.arange(g * g) % g, n)),
+                "px_sum": pa.array(
+                    np.concatenate([t.ravel() for t in tiles])
+                    if tiles
+                    else np.array([], dtype=np.int64)
+                ),
+            }
+        )
+
+
+def image_tile_sums(
+    ds,
+    *,
+    grid: int = 8,
+    concurrency: int = 4,
+    batch_size: int = DEFAULT_MEDIA_BATCH_SIZE,
+):
+    """Actor-pool exact tile-sum (resize-feature) decode over a media
+    Dataset."""
+    return ds.map_batches(
+        ImageTileSumStage,
+        fn_constructor_kwargs={"grid": grid},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
