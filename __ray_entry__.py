@@ -3103,6 +3103,21 @@ def _q_cdc_range_scan(sf_dir: str):
     return range_scan_events_table(sf_dir)
 
 
+def _q_target_encode_user(sf_dir: str):
+    """Smoothed target encoding of event value per user (the categorical-
+    feature trick): exact rational (Σ_key·N + m·Σ_global)/(N·(n_key+m))
+    over integer cents — one float division per key, bit-identical to the
+    SQL oracle.  High-cardinality key → partition-level final."""
+    from airbyte_destination_ray.pipelines.ops import target_encode_by_key
+
+    return target_encode_by_key(
+        _events(sf_dir, columns=["user_id", "value"]),
+        key="user_id",
+        target_col="value",
+        smoothing=10,
+    )
+
+
 def _q_profit_by_nation_year_q9(sf_dir: str):
     """TPC-H Q9-shaped composite (see pipelines.tpch): part-name filter →
     broadcast semi join, supplier⋈nation broadcast, one big×big order-
@@ -4579,6 +4594,78 @@ def _q_events_assortativity(sf_dir: str):
     )
 
 
+def _q_events_hopping_distinct(sf_dir: str):
+    """Hopping-window distinct users (60-min window, 15-min slide): each
+    event expands to exactly 4 window starts (vectorized repeat), then
+    the exact pair-dedup COUNT(DISTINCT) exchange per window — O(distinct
+    pairs) shuffle, never O(rows × windows)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.relational import distinct_count_by
+
+    STEP = 900_000_000  # 15 min in µs
+
+    def expand(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"ts": batch.column("ts"), "user_id": batch.column("user_id")}
+        )
+        t = t.filter(t.column("user_id").combine_chunks().is_valid())
+        ts = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        base = (ts // STEP) * STEP
+        k = np.tile(np.arange(4, dtype=np.int64), len(ts))
+        ws = np.repeat(base, 4) - k * STEP
+        return pa.table(
+            {
+                "window_us": pa.array(ws),
+                "user_id": pa.array(np.repeat(uid, 4), type=pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir, columns=["ts", "user_id"]).map_batches(
+        expand, batch_format="pyarrow", batch_size=None
+    )
+    return distinct_count_by(ds, key="window_us", distinct_col="user_id")
+
+
+def _q_events_link_prediction(sf_dir: str):
+    """Common-neighbor link prediction over the shared sparse interaction
+    graph: non-edge pairs with ≥3 shared neighbors + exact integer score
+    (canonical edges → center-keyed wedge expansion → pair-keyed fold
+    with edge exclusion; see graph.common_neighbors_link_prediction)."""
+    from airbyte_destination_ray.pipelines.graph import (
+        common_neighbors_link_prediction,
+    )
+
+    import pyarrow as pa
+
+    out = common_neighbors_link_prediction(
+        _events(sf_dir, columns=["user_id", "event_id"]).map_batches(
+            _interaction_edges_3000, batch_format="pyarrow", batch_size=None
+        ),
+        min_common=3,
+    )
+    # collect to a TYPED table: an all-empty Ray result loses its schema
+    # through union/map_groups, and the driver compares column sets
+    parts = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in out.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "u": pa.array([], type=pa.int64()),
+                "v": pa.array([], type=pa.int64()),
+                "common_neighbors": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.concat_tables(parts)
+
+
 def _q_events_moving_max(sf_dir: str):
     """Per-user 5-row moving maximum of event cents — the alerting window
     as segment-guarded shift-and-maximum passes."""
@@ -5826,6 +5913,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_merge_apply": _q_cdc_merge_apply,
         "multimodal_image_tiles_exact": _q_multimodal_image_tiles_exact,
         "multimodal_video_sample_exact": _q_multimodal_video_sample_exact,
+        "target_encode_user_value": _q_target_encode_user,
+        "events_link_prediction": _q_events_link_prediction,
+        "events_hopping_distinct_users": _q_events_hopping_distinct,
         "profit_by_nation_year_q9": _q_profit_by_nation_year_q9,
         "late_shipments_by_flag_q12": _q_late_shipments_by_flag_q12,
         "special_revenue_q19": _q_special_revenue_q19,
@@ -6514,6 +6604,59 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, text, lang, source, n_chars FROM aug
             WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        """,
+        # Hopping windows: every event lands in exactly 4 window starts
+        # (60-min window / 15-min slide), distinct users per window.
+        "events_hopping_distinct_users": """
+            WITH e AS (
+                SELECT user_id,
+                       (epoch_us(ts) // 900000000) * 900000000 AS base
+                FROM events WHERE user_id IS NOT NULL
+            ), w AS (
+                SELECT user_id, base - k.k * 900000000 AS window_us
+                FROM e, generate_series(0, 3) k(k)
+            )
+            SELECT window_us,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM w GROUP BY window_us
+        """,
+        # Common-neighbor link prediction over the shared interaction
+        # graph: count per canonical non-edge pair via adjacency self-join.
+        "events_link_prediction": """
+            WITH raw AS (
+                SELECT event_id % 3000 AS x,
+                       (event_id // 7 + user_id * 13) % 3000 AS y
+                FROM events WHERE user_id IS NOT NULL),
+            e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+                  FROM raw WHERE x <> y),
+            adj AS (SELECT a AS w, b AS n FROM e
+                    UNION ALL SELECT b, a FROM e),
+            cand AS (
+                SELECT x.n AS u, y.n AS v,
+                       CAST(count(*) AS BIGINT) AS common_neighbors
+                FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n
+                GROUP BY 1, 2
+            )
+            SELECT u, v, common_neighbors FROM cand
+            WHERE common_neighbors >= 3
+              AND NOT EXISTS (SELECT 1 FROM e
+                              WHERE e.a = cand.u AND e.b = cand.v)
+        """,
+        # Exact-rational smoothed target encoding: one float division per
+        # key over exactly-represented int64 products.
+        "target_encode_user_value": """
+            WITH c AS (
+                SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS c
+                FROM events WHERE value IS NOT NULL
+            ), g AS (SELECT sum(c) AS gs, count(*) AS gn FROM c),
+            k AS (
+                SELECT user_id, sum(c) AS ks, count(*) AS kn
+                FROM c GROUP BY user_id
+            )
+            SELECT k.user_id, CAST(kn AS BIGINT) AS n,
+                   CAST(ks * gn + 10 * gs AS DOUBLE)
+                       / CAST(gn * (kn + 10) AS DOUBLE) AS te_value
+            FROM k, g
         """,
         "profit_by_nation_year_q9": """
             SELECT n.n_name,

@@ -484,6 +484,102 @@ def grouped_sum(
     )
 
 
+def target_encode_by_key(
+    ds,
+    *,
+    key: str,
+    target_col: str,
+    smoothing: int = 10,
+    out_col: str = "te_value",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Smoothed target encoding (the standard categorical-feature trick
+    for tabular ML): per key,
+    ``te = (Σ_key + m·global_mean) / (n_key + m)``, evaluated as the
+    EXACT rational ``(Σ_key·N + m·Σ_global) / (N·(n_key + m))`` over
+    integer cents — one float division per key over exactly-represented
+    int64 products, so a SQL oracle spelling the same expression is
+    bit-identical (no composed float ops, no libm).
+
+    Two streaming passes: pass 1 folds one ``(Σ, n)`` scalar row per
+    batch driver-side (the global prior); pass 2 is the standard
+    per-key combiner exchange (one row per (key, batch)) with a
+    partition-level vectorized finalize — O(partitions) Python calls.
+    Null keys form their own group (SQL GROUP BY semantics); null
+    targets are excluded pairwise.
+
+    Envelope: ``Σ_key·N`` must fit int64 — at cents ≤ 10⁹ per row this
+    bounds rows·N at ~9·10¹⁸; beyond that pre-scale to coarser units.
+    """
+    from ..functions.hashing import partition_ids
+
+    def cents_col(batch: pa.Table):
+        return pc.cast(
+            pc.floor(pc.multiply(batch.column(target_col), 100.0)),
+            pa.int64(),
+        )
+
+    def global_partial(batch: pa.Table) -> pa.Table:
+        c = pc.drop_null(cents_col(batch))
+        s = pc.sum(c).as_py()
+        return pa.table(
+            {
+                "s": pa.array([0 if s is None else int(s)]),
+                "n": pa.array([len(c)], type=pa.int64()),
+            }
+        )
+
+    rows = [
+        r
+        for b in ds.map_batches(
+            global_partial, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    ]
+    gsum = sum(r["s"] for r in rows)
+    gn = sum(r["n"] for r in rows)
+    if gn == 0:
+        raise ValueError("target_encode_by_key: no non-null target values")
+    m = int(smoothing)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch.column(key), "_c": cents_col(batch)})
+        t = t.filter(t.column("_c").combine_chunks().is_valid())
+        g = t.group_by(key).aggregate([("_c", "sum"), ("_c", "count")])
+        parts = partition_ids(g.column(key), num_partitions)
+        return g.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        g = (
+            group.drop_columns(["_part"])
+            .group_by(key)
+            .aggregate([("_c_sum", "sum"), ("_c_count", "sum")])
+        )
+        ksum = g.column("_c_sum_sum").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        kn = g.column("_c_count_sum").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        num = (ksum * gn + m * gsum).astype(np.float64)
+        den = (gn * (kn + m)).astype(np.float64)
+        return pa.table(
+            {
+                key: g.column(key),
+                "n": pa.array(kn),
+                out_col: pa.array(num / den),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def grouped_corr(
     ds,
     *,

@@ -220,3 +220,55 @@ def test_apply_changes_merge_semantics(binlog, tmp_path):
         pk="url", ver="warc_ts", payload_columns=payload,
     )
     assert res3["epoch"] == 101
+
+
+def test_common_neighbors_link_prediction_planted(ray_session):
+    """Star 0-{1,2,3} plus edge 1-2: non-edge pairs sharing the hub are
+    predicted; the existing edge (1,2) is excluded."""
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.graph import (
+        common_neighbors_link_prediction,
+    )
+
+    t = pa.table(
+        {
+            "src": pa.array([0, 0, 0, 1], type=pa.int64()),
+            "dst": pa.array([1, 2, 3, 2], type=pa.int64()),
+        }
+    )
+    out = (
+        common_neighbors_link_prediction(
+            ray.data.from_arrow(t), min_common=1
+        )
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    got = set(map(tuple, out[["u", "v", "common_neighbors"]].to_numpy()))
+    # (1,3) and (2,3) share hub 0; (1,2) is an edge -> excluded;
+    # (0,?) pairs: 0-1,0-2,0-3 all edges; non-edge (0,x) none.
+    assert got == {(1, 3, 1), (2, 3, 1)}
+
+
+def test_target_encode_smoothing_pull(ray_session):
+    """A single-row key is pulled toward the global mean by m=10."""
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.ops import target_encode_by_key
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 98 + ["b", "b"]),
+            "v": pa.array([1.0] * 98 + [100.0, None]),
+        }
+    )
+    out = (
+        target_encode_by_key(ray.data.from_arrow(t), key="k", target_col="v")
+        .to_pandas()
+        .set_index("k")
+    )
+    # global: 99 values, sum = 98*100 + 10000 cents = 19800c
+    # a: (9800*99 + 10*19800) / (99*(98+10))
+    assert out.loc["a", "te_value"] == (9800 * 99 + 10 * 19800) / (99 * 108)
+    assert out.loc["b", "n"] == 1  # null target excluded
