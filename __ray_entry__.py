@@ -3225,6 +3225,18 @@ def _q_multimodal_video_sample_exact(sf_dir: str):
     )
 
 
+def _q_cdc_repartition(sf_dir: str):
+    """Lake partition-count resize (16 → 32) through a WAP window: the
+    full internal state (tombstones, seq watermarks) re-hashes in one
+    exchange; publish flips generation + partition count in ONE metadata
+    write.  Oracle = the plain LWW snapshot (resize must be invisible)."""
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        repartition_events_table,
+    )
+
+    return repartition_events_table(sf_dir)
+
+
 def _q_cdc_merge_apply(sf_dir: str):
     """MERGE INTO analog (cdc.apply_changes): one set-oriented merge of
     upserts + deletes computed from the lake's own visible state, applied
@@ -5911,6 +5923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue_q17": _q_small_qty_revenue_q17,
         # --- round-5 rotation: remaining never-checked queries ---
         "cdc_merge_apply": _q_cdc_merge_apply,
+        "cdc_repartition": _q_cdc_repartition,
         "multimodal_image_tiles_exact": _q_multimodal_image_tiles_exact,
         "multimodal_video_sample_exact": _q_multimodal_video_sample_exact,
         "target_encode_user_value": _q_target_encode_user,
@@ -6711,6 +6724,9 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY o_custkey HAVING count(*) > 2)
             GROUP BY 1
         """,
+        # Repartition must be invisible: the oracle is the plain LWW
+        # tombstone snapshot.
+        "cdc_repartition": _LWW_TOMBSTONE_SQL,
         # MERGE INTO: LWW snapshot, then the same set-oriented merge in SQL
         # (upsert value+1000 for user_id%7=0 outside the delete set,
         # delete user_id%31=0).

@@ -1893,6 +1893,123 @@ def wap_abort(lake_root: str, table: str) -> dict:
     }
 
 
+def repartition_table(
+    lake_root: str,
+    table: str,
+    new_partitions: int,
+    *,
+    compute_digest: bool = True,
+) -> dict:
+    """Re-hash a merge table to a new partition count — the lake-resize
+    operation a growing table needs (more partitions = more merge / read
+    parallelism; the hash layout is also the co-partitioned-join and
+    point-lookup index, so it must change atomically for the WHOLE
+    table).
+
+    Runs as a WAP window: readers stay pinned to the published
+    generation while the full internal state — including tombstones and
+    per-row ``_seq`` (late older updates must still lose after the
+    rebuild) — streams through one re-routing hash exchange into the
+    staged generation at ``new_partitions``; the publish is ONE metadata
+    write that flips the generation and the partition count together.
+    The rebuild commits at the published generation's checkpoint epoch,
+    so a later binlog sync resumes exactly where the old layout stopped.
+
+    No driver-side materialization: read (manifest-pruned) → route →
+    per-partition merge + manifest CAS, the sync path's own shape.
+    Same-count calls are no-ops.  Only snapshot-merge tables qualify
+    (append tables' manifests are additive per epoch; delta stacks
+    compact on their own lane first).
+    """
+    store = ManifestStore(lake_root, table)
+    meta = store.table_meta()
+    if int(meta["num_partitions"]) == int(new_partitions):
+        return {
+            "table": table,
+            "num_partitions": int(new_partitions),
+            "skipped": True,
+        }
+    if meta.get("mode", "append_dedup") not in ("append_dedup", "overwrite"):
+        raise ValueError(
+            "repartition_table supports merge (append_dedup/overwrite) "
+            f"tables; {table!r} is mode={meta.get('mode')!r}"
+        )
+    pk = meta["pk"]
+    pk = pk[0] if isinstance(pk, list) and len(pk) == 1 else pk
+    ver = meta["cursor"]
+    published = int(meta["generation"])
+    ckpt = store.last_checkpoint(published)
+    rebuild_epoch = int(ckpt["epoch"]) if ckpt else 0
+
+    wap_begin(lake_root, table)
+    try:
+        staged = int(store.table_meta()["generation"])
+        snap = read_table(
+            lake_root, table, include_deleted=True, include_meta=True
+        )
+        partitioner = make_partitioner(
+            pk,
+            int(new_partitions),
+            ver=ver,
+            pre_reduce=False,  # already one winner per key per partition
+            payload_columns=None,  # rows are lake rows (_seq/_deleted) already
+        )
+        merger = make_partition_merger(
+            lake_root,
+            table,
+            generation=staged,
+            epoch=rebuild_epoch,
+            mode="append_dedup",
+            pk=pk,
+            ver=ver,
+            compute_digest=compute_digest,
+            schema_version=(
+                SchemaStore(lake_root, table).current_version()
+                if SchemaStore(lake_root, table).exists()
+                else 0
+            ),
+        )
+        stats = (
+            snap.map_batches(
+                partitioner, batch_format="pyarrow", batch_size=None
+            )
+            .groupby("_part")
+            .map_groups(merger, batch_format="pyarrow")
+        )
+        batches = list(stats.iter_batches(batch_format="pyarrow"))
+        stats_t = (
+            pa.concat_tables(batches)
+            if batches
+            else STATS_SCHEMA.empty_table()
+        )
+        rows = int(pc.sum(stats_t.column("rows")).as_py() or 0)
+        store.write_checkpoint(
+            staged,
+            rebuild_epoch,
+            {
+                "partitions": stats_t.num_rows,
+                "rows": rows,
+                "segments": [f"<repartition {meta['num_partitions']}->"
+                             f"{new_partitions}>"],
+            },
+        )
+    except Exception:
+        wap_abort(lake_root, table)
+        raise
+    # ONE metadata write: drop the reader pin AND flip the partition count
+    store.update_meta(
+        published_generation=None, num_partitions=int(new_partitions)
+    )
+    return {
+        "table": table,
+        "generation": staged,
+        "num_partitions": int(new_partitions),
+        "rows": rows,
+        "epoch": rebuild_epoch,
+        "skipped": False,
+    }
+
+
 def copartitioned_join(
     lake_root: str,
     left_table: str,

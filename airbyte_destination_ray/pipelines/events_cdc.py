@@ -399,6 +399,23 @@ def merge_apply_events_table(sf_dir: str, *, workdir: str | Path | None = None):
     return read_table(str(lake), "events_cdc", columns=EVENT_PAYLOAD)
 
 
+def repartition_events_table(
+    sf_dir: str, *, new_partitions: int = 32,
+    workdir: str | Path | None = None,
+):
+    """Lake repartition as a query: sync at 16 partitions, re-hash the
+    whole table (tombstones + seq watermarks included) to 32 through a
+    WAP window, then read the final state — byte-equal to the plain LWW
+    snapshot, so the entire resize machinery is hash-checked.  Isolated
+    lake variant (mutating query); re-runs no-op on the matching
+    partition count."""
+    from .cdc import read_table, repartition_table
+
+    lake = _ensure_events_lake(sf_dir, workdir, variant="-repart")
+    repartition_table(str(lake), "events_cdc", new_partitions)
+    return read_table(str(lake), "events_cdc", columns=EVENT_PAYLOAD)
+
+
 def wap_rebuild_events_table(sf_dir: str, *, workdir: str | Path | None = None):
     """Write-audit-publish rebuild as a query: publish a PARTIAL state
     (epoch 0 only), then rebuild the full table inside a staged generation

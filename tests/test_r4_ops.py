@@ -272,3 +272,52 @@ def test_target_encode_smoothing_pull(ray_session):
     # a: (9800*99 + 10*19800) / (99*(98+10))
     assert out.loc["a", "te_value"] == (9800 * 99 + 10 * 19800) / (99 * 108)
     assert out.loc["b", "n"] == 1  # null target excluded
+
+
+def test_repartition_table_preserves_state_and_resumes(binlog, tmp_path):
+    """Repartition 8 -> 16: byte-equal visible state (tombstones + seq
+    watermarks carried), meta flips, point lookups route with the new
+    hash, and a later epoch sync resumes cleanly on the new layout."""
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.cdc import (
+        lookup_rows,
+        read_table_arrow,
+        repartition_table,
+        run_cdc_sync,
+    )
+    from airbyte_destination_ray.state.manifest import ManifestStore
+
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, binlog, num_partitions=PARTS, epochs=[0, 1])
+    before = read_table_arrow(lake, "pages").sort_by("url")
+
+    res = repartition_table(lake, "pages", 16)
+    assert res["num_partitions"] == 16 and not res["skipped"]
+    store = ManifestStore(lake, "pages")
+    assert store.table_meta()["num_partitions"] == 16
+    after = read_table_arrow(lake, "pages").sort_by("url")
+    assert after.equals(before)
+
+    # same-count call is a no-op
+    assert repartition_table(lake, "pages", 16)["skipped"]
+
+    # point lookup routes with the NEW hash layout
+    url0 = before.column("url")[0].as_py()
+    hit = lookup_rows(lake, "pages", [url0])
+    got = pa.concat_tables(
+        [
+            pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+            for b in hit.iter_batches(batch_format="pyarrow")
+        ]
+    )
+    assert got.num_rows == 1 and got.column("url")[0].as_py() == url0
+
+    # the remaining binlog epoch applies on the new layout and matches a
+    # fresh full sync at 16 partitions
+    run_cdc_sync(lake, binlog, num_partitions=16)
+    lake2 = str(tmp_path / "lake2")
+    run_cdc_sync(lake2, binlog, num_partitions=16)
+    a = read_table_arrow(lake, "pages").sort_by("url")
+    b = read_table_arrow(lake2, "pages").sort_by("url")
+    assert a.equals(b)
