@@ -3225,6 +3225,45 @@ def _q_multimodal_video_sample_exact(sf_dir: str):
     )
 
 
+def _q_indexed_value_lookup(sf_dir: str):
+    """Equality SECONDARY index on a non-pk column (event_type),
+    incrementally maintained from the change feed (whole-value terms,
+    tombstoned old values): lookup 'purchase' reads only the probed
+    bucket's delta files + the partitions the matching pks hash to.
+    Oracle = the LWW snapshot filtered on the same predicate, so stale
+    postings or missed tombstones break the hash."""
+    import os
+
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        EVENT_PAYLOAD,
+        _ensure_events_lake,
+    )
+    from airbyte_destination_ray.pipelines.index import (
+        lookup_value_rows,
+        sync_value_index,
+    )
+
+    for stale in Path("/tmp/adr_query").glob("valueidx-*"):
+        try:
+            os.kill(int(stale.name.rsplit("-", 1)[1]), 0)
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass
+    lake = _ensure_events_lake(sf_dir)
+    idx = (
+        Path("/tmp/adr_query")
+        / f"valueidx-{Path(sf_dir).name}-{os.getpid()}"
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    sync_value_index(
+        str(lake), "events_cdc", idx, upto_epoch=2, column="event_type"
+    )
+    return lookup_value_rows(
+        str(lake), "events_cdc", idx, ["purchase"], columns=EVENT_PAYLOAD
+    )
+
+
 def _q_cdc_repartition(sf_dir: str):
     """Lake partition-count resize (16 → 32) through a WAP window: the
     full internal state (tombstones, seq watermarks) re-hashes in one
@@ -4606,6 +4645,24 @@ def _q_events_assortativity(sf_dir: str):
     )
 
 
+def _q_events_locf_daily(sf_dir: str):
+    """Per-user daily snapshot with last-observation-carried-forward:
+    every day between a user's first and last event gets the value of
+    the last event at or before that day's end (exact cents) — one keyed
+    exchange + the interleaved-probe LOCF kernel."""
+    from airbyte_destination_ray.pipelines.relational import (
+        locf_resample_by_key,
+    )
+
+    return locf_resample_by_key(
+        _events(sf_dir, columns=["user_id", "ts", "event_id", "value"]),
+        key="user_id",
+        ts_col="ts",
+        seq="event_id",
+        value_col="value",
+    )
+
+
 def _q_events_hopping_distinct(sf_dir: str):
     """Hopping-window distinct users (60-min window, 15-min slide): each
     event expands to exactly 4 window starts (vectorized repeat), then
@@ -5924,11 +5981,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-5 rotation: remaining never-checked queries ---
         "cdc_merge_apply": _q_cdc_merge_apply,
         "cdc_repartition": _q_cdc_repartition,
+        "indexed_value_lookup": _q_indexed_value_lookup,
         "multimodal_image_tiles_exact": _q_multimodal_image_tiles_exact,
         "multimodal_video_sample_exact": _q_multimodal_video_sample_exact,
         "target_encode_user_value": _q_target_encode_user,
         "events_link_prediction": _q_events_link_prediction,
         "events_hopping_distinct_users": _q_events_hopping_distinct,
+        "events_locf_daily": _q_events_locf_daily,
         "profit_by_nation_year_q9": _q_profit_by_nation_year_q9,
         "late_shipments_by_flag_q12": _q_late_shipments_by_flag_q12,
         "special_revenue_q19": _q_special_revenue_q19,
@@ -6618,6 +6677,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, lang, source, n_chars FROM aug
             WHERE doc_id NOT IN (SELECT doc_id FROM dup)
         """,
+        # Daily LOCF snapshot per user: the last event at or before each
+        # day's end (ties by event_id), days spanning first→last event.
+        "events_locf_daily": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS tus, event_id,
+                       CAST(floor(value * 100) AS BIGINT) AS c
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+            ), b AS (
+                SELECT user_id, min(tus) // 86400000000 AS d0,
+                       max(tus) // 86400000000 AS d1
+                FROM e GROUP BY user_id
+            ), g AS (
+                SELECT user_id, unnest(generate_series(d0, d1)) AS day
+                FROM b
+            )
+            SELECT g.user_id, g.day * 86400000000 AS day_us,
+                (SELECT c FROM e
+                 WHERE e.user_id = g.user_id
+                   AND e.tus < (g.day + 1) * 86400000000
+                 ORDER BY e.tus DESC, e.event_id DESC LIMIT 1)
+                    AS value_cents
+            FROM g
+        """,
         # Hopping windows: every event lands in exactly 4 window starts
         # (60-min window / 15-min slide), distinct users per window.
         "events_hopping_distinct_users": """
@@ -6727,6 +6811,15 @@ def oracle_sql() -> dict[str, str]:
         # Repartition must be invisible: the oracle is the plain LWW
         # tombstone snapshot.
         "cdc_repartition": _LWW_TOMBSTONE_SQL,
+        # Secondary-index equality lookup = the LWW snapshot filtered on
+        # the indexed column's CURRENT value.
+        "indexed_value_lookup": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+                AND event_type = 'purchase'
+        """,
         # MERGE INTO: LWW snapshot, then the same set-oriented merge in SQL
         # (upsert value+1000 for user_id%7=0 outside the delete set,
         # delete user_id%31=0).

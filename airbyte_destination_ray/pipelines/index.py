@@ -77,6 +77,17 @@ def _terms_per_row(texts: pa.Array, pattern: str):
     return t.column("term"), t.column("_p")
 
 
+def _whole_value_terms(vals: pa.Array, pattern: str):
+    """Value-index 'tokenizer': the raw column value IS the single term
+    (no case folding, no splitting; nulls emit nothing) — turns the
+    incremental text-index machinery into an equality secondary index."""
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    ok = vals.is_valid()
+    parent = pc.indices_nonzero(ok)
+    return vals.filter(ok).cast(pa.string()), parent
+
+
 def sync_text_index(
     lake_root: str,
     table: str,
@@ -86,6 +97,7 @@ def sync_text_index(
     text_col: str = "text",
     num_buckets: int | None = None,
     pattern: str = TOKEN_PATTERN,
+    tokenizer=None,
 ) -> dict:
     """Advance the index from its committed ``last_epoch`` to
     ``upto_epoch``, one change-feed delta per epoch.  Returns per-epoch
@@ -112,8 +124,25 @@ def sync_text_index(
     meta["num_buckets"] = num_buckets
     stats: dict[str, int] = {}
     old_col, new_col = f"{text_col}_old", f"{text_col}_new"
+    tok = tokenizer if tokenizer is not None else _terms_per_row
+
+    from ..state.manifest import COMPACTION_EPOCH_BASE, ManifestStore
+
+    store = ManifestStore(lake_root, table)
+    committed_epochs = {
+        m.effective_epoch
+        for m in store._iter_manifests(store.table_meta()["generation"])
+        if m.epoch < COMPACTION_EPOCH_BASE
+    }
 
     for epoch in range(int(meta["last_epoch"]) + 1, upto_epoch + 1):
+        if epoch not in committed_epochs:
+            # nothing committed at this epoch → the table state is
+            # unchanged and the delta is empty by construction; advance
+            # the watermark without paying a change-feed diff
+            meta["last_epoch"] = epoch
+            _write_meta(root, meta)
+            continue
         cf = change_feed(
             lake_root, table, epoch=epoch, compare_cols=[text_col]
         )
@@ -132,7 +161,7 @@ def sync_text_index(
             # additions: I and U rows tokenize the NEW text
             add_mask = pc.fill_null(pc.not_equal(ops, "D"), False)
             add_docs = docs.filter(add_mask)
-            terms, parent = _terms_per_row(news.filter(add_mask), pattern)
+            terms, parent = tok(news.filter(add_mask), pattern)
             pieces.append(
                 pa.table(
                     {
@@ -149,9 +178,9 @@ def sync_text_index(
             # LOST terms need a tombstone — emit old−new per row
             rm_mask = pc.fill_null(pc.not_equal(ops, "I"), False)
             rm_docs = docs.filter(rm_mask)
-            oterms, oparent = _terms_per_row(olds.filter(rm_mask), pattern)
+            oterms, oparent = tok(olds.filter(rm_mask), pattern)
             if len(oterms):
-                nterms, nparent = _terms_per_row(
+                nterms, nparent = tok(
                     news.filter(rm_mask), pattern
                 )
                 # set-difference per row: (parent, term) pairs of old not
@@ -336,3 +365,62 @@ def lookup_term_docs(
         .groupby("_part")
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+def sync_value_index(
+    lake_root: str,
+    table: str,
+    index_root: str | Path,
+    *,
+    upto_epoch: int,
+    column: str,
+    num_buckets: int | None = None,
+) -> dict:
+    """Incrementally-maintained EQUALITY secondary index on a non-pk
+    column: the text-index machinery with the whole raw value as the
+    single term (no tokenizing, no case folding).  Same epoch deltas,
+    bucket layout, idempotent rewrites, and LWW lookup resolution — an
+    updated row's old value gets a tombstone posting, so lookups never
+    return stale matches."""
+    return sync_text_index(
+        lake_root,
+        table,
+        index_root,
+        upto_epoch=upto_epoch,
+        text_col=column,
+        num_buckets=num_buckets,
+        tokenizer=_whole_value_terms,
+    )
+
+
+def lookup_value_rows(
+    lake_root: str,
+    table: str,
+    index_root: str | Path,
+    values: list[str],
+    *,
+    columns: list[str] | None = None,
+):
+    """Equality lookup through the value index: resolve the CURRENT pk
+    set of each probe value (bucket-pruned delta read + LWW fold), then
+    fetch the rows via :func:`.cdc.lookup_rows` — which reads ONLY the
+    partitions those pks hash to.  Total I/O is O(probed buckets +
+    matching partitions) at ANY table size; a full scan touches neither
+    the index nor non-matching partitions."""
+    from .cdc import lookup_rows
+
+    docs = lookup_term_docs(index_root, [str(v) for v in values])
+    pks = sorted(
+        {
+            r["doc_id"]
+            for b in docs.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        }
+    )
+    if not pks:
+        import ray.data
+
+        # empty but schema-typed: read zero partitions via lookup_rows on
+        # an impossible key would still need a key; return empty Dataset
+        return ray.data.from_items([])
+    return lookup_rows(lake_root, table, pks, columns=columns)

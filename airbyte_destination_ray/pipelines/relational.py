@@ -1295,6 +1295,128 @@ def inter_event_gaps(
     )
 
 
+def locf_resample_by_key(
+    ds,
+    *,
+    key: str,
+    ts_col: str,
+    seq: str,
+    value_col: str,
+    unit_us: int = 86_400_000_000,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Per-key time-grid resample with last-observation-carried-forward
+    (the daily-snapshot / gap-filling op): for every key and every grid
+    unit between its first and last event, emit the value of the LAST
+    event at or before the unit's end (ties broken by ``seq``), in exact
+    integer cents.
+
+    ONE keyed hash exchange; the per-partition kernel sorts once by
+    (key, ts, seq), expands each key's grid via repeat/range arithmetic,
+    and resolves every grid point with the interleaved-probe trick
+    (events s=0 before probes s=1 at equal timestamp, probe ts =
+    unit end − 1 µs, one ``np.lexsort`` over dictionary key codes —
+    ts is only sorted WITHIN key segments, so a global ``searchsorted``
+    would be invalid).  Output is O(keys × grid-span) rows; bound the
+    span upstream for sparse keys with multi-year gaps.
+    """
+    import numpy as np
+
+    from ..functions.hashing import partition_ids
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key: batch.column(key),
+                "_ts": pc.cast(batch.column(ts_col), pa.int64()),
+                "_seq": pc.cast(batch.column(seq), pa.int64()),
+                "_c": pc.cast(
+                    pc.floor(pc.multiply(batch.column(value_col), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+        valid = pc.and_(
+            t.column(key).combine_chunks().is_valid(),
+            pc.and_(
+                t.column("_ts").combine_chunks().is_valid(),
+                t.column("_c").combine_chunks().is_valid(),
+            ),
+        )
+        t = t.filter(valid)
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def resolve(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key: pa.array([], type=group.schema.field(key).type),
+                "day_us": pa.array([], type=pa.int64()),
+                "value_cents": pa.array([], type=pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        codes_arr = (
+            group.column(key).combine_chunks().dictionary_encode()
+        )
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ts = group.column("_ts").to_numpy(zero_copy_only=False)
+        sq = group.column("_seq").to_numpy(zero_copy_only=False)
+        cents = group.column("_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sq, ts, codes))
+        codes, ts, cents = codes[order], ts[order], cents[order]
+        n = len(codes)
+        starts = np.flatnonzero(
+            np.concatenate([[True], codes[1:] != codes[:-1]])
+        )
+        ends = np.append(starts[1:], n)
+        d0 = ts[starts] // unit_us
+        d1 = ts[ends - 1] // unit_us
+        span = (d1 - d0 + 1).astype(np.int64)
+        total = int(span.sum())
+        seg_of = np.repeat(np.arange(len(starts)), span)
+        within = np.arange(total) - np.repeat(
+            np.cumsum(span) - span, span
+        )
+        day = d0[seg_of] + within
+        probe_ts = (day + 1) * unit_us - 1  # inclusive end of the unit
+        probe_codes = codes[starts][seg_of]
+        # interleave: events (s=0) before probes (s=1) at equal ts →
+        # events with ts ≤ probe count; probes sorted within key anyway
+        kcat = np.concatenate([codes, probe_codes])
+        vcat = np.concatenate([ts, probe_ts])
+        scat = np.concatenate(
+            [np.zeros(n, np.int8), np.ones(total, np.int8)]
+        )
+        oo = np.lexsort((scat, vcat, kcat))
+        ise = scat[oo] == 0
+        excl = np.cumsum(ise) - ise
+        cnt = np.empty(total, dtype=np.int64)
+        cnt[oo[~ise] - n] = excl[~ise]
+        # count is GLOBAL events ≤ probe; subtract the segment's offset
+        idx = cnt - 1  # grid starts at the first event's unit → cnt ≥ 1
+        vals = cents[idx]
+        keys_out = codes_arr.dictionary.take(
+            pa.array(probe_codes, type=pa.int32())
+        )
+        return pa.table(
+            {
+                key: keys_out,
+                "day_us": pa.array(day * unit_us),
+                "value_cents": pa.array(vals),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
 def distinct_count_by(
     ds,
     *,

@@ -321,3 +321,57 @@ def test_repartition_table_preserves_state_and_resumes(binlog, tmp_path):
     a = read_table_arrow(lake, "pages").sort_by("url")
     b = read_table_arrow(lake2, "pages").sort_by("url")
     assert a.equals(b)
+
+
+def test_value_index_tracks_updates(binlog, tmp_path):
+    """Secondary value index: an update tombstones the OLD value's
+    posting, so lookups never return stale matches."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.cdc import (
+        apply_changes,
+        read_table_arrow,
+        run_cdc_sync,
+    )
+    from airbyte_destination_ray.pipelines.index import (
+        lookup_value_rows,
+        sync_value_index,
+    )
+
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, binlog, num_partitions=PARTS)
+    state = read_table_arrow(lake, "pages")
+    # flip one row's lang via MERGE, then index lang through the new epoch
+    row = state.slice(0, 1)
+    old_lang = row.column("lang")[0].as_py()
+    row = row.set_column(
+        row.schema.get_field_index("lang"), "lang", pa.array(["zz"])
+    )
+    res = apply_changes(
+        lake, "pages", ray.data.from_arrow(row),
+        pk="url", ver="warc_ts",
+        payload_columns=state.column_names, epoch=50,
+    )
+    idx = str(tmp_path / "idx")
+    sync_value_index(
+        lake, "pages", idx, upto_epoch=50, column="lang", num_buckets=8
+    )
+    url0 = row.column("url")[0].as_py()
+
+    hit = pa.concat_tables(
+        [
+            pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+            for b in lookup_value_rows(lake, "pages", idx, ["zz"])
+            .iter_batches(batch_format="pyarrow")
+        ]
+    )
+    assert hit.num_rows == 1 and hit.column("url")[0].as_py() == url0
+    # the OLD value no longer returns this url (tombstoned posting)
+    stale = lookup_value_rows(lake, "pages", idx, [old_lang])
+    urls = [
+        r["url"]
+        for b in stale.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    ]
+    assert url0 not in urls
