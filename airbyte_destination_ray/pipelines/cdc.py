@@ -1026,206 +1026,6 @@ def cluster_table(
     return {"clustered_partitions": n, "epoch": next_epoch, "by": by}
 
 
-def repartition_table(
-    lake_root: str,
-    table: str,
-    *,
-    new_num_partitions: int,
-) -> dict:
-    """PARTITION EVOLUTION (Iceberg `ALTER TABLE ... PARTITION` analog for
-    a hash-bucketed lake): rewrite the table's visible snapshot under a new
-    partition count and flip the persisted routing, so every LATER epoch
-    routes by ``hash(pk) % new_num_partitions`` while LWW co-location is
-    preserved — grow a lake that outgrew its bucket count (hot partitions,
-    too-coarse parallelism) or shrink an over-bucketed one without losing
-    exactly-once resume.
-
-    Unlike :func:`cluster_table` this IS one all-to-all exchange (rows must
-    move buckets — that's the operation): one task per old partition reads
-    its stack (delta stacks fold first — old co-location still holds),
-    aligns to the current registry schema, and routes by the new modulus;
-    one ``groupby`` co-locates each new partition, which is written sorted
-    by pk (deterministic layout + selective zone maps) and committed via
-    the usual manifest CAS.
-
-    Crash safety / idempotence: all data + manifests + the carried-forward
-    checkpoint land in generation ``g+1`` FIRST; the ONLY step that makes
-    them visible is the final atomic metadata flip (``generation`` and
-    ``num_partitions`` in one write).  A crash anywhere earlier leaves the
-    old layout fully intact, and a re-run redoes the rewrite into the same
-    target generation where the manifest CAS makes completed partitions
-    no-ops.  Re-running after success is a no-op.
-
-    Like overwrite, the new generation starts fresh history: time-travel
-    reads older than the rewrite epoch are collapsed into it (the old
-    generation's files remain on disk for manual rollback until vacuumed).
-    """
-    from ..functions.hashing import composite_partition_ids, partition_ids
-    from ..state.manifest import PartitionManifest
-    from ..stages.lww import (
-        SEQ_COLUMN,
-        _atomic_write_parquet,
-        _file_column_stats,
-        _table_digest,
-        lww_compact,
-    )
-
-    store = ManifestStore(lake_root, table)
-    meta = store.table_meta()
-    if meta["mode"] != "append_dedup":
-        raise ValueError(
-            "repartition_table needs a keyed snapshot table (append_dedup); "
-            f"table {table!r} has mode {meta['mode']!r}"
-        )
-    old_n = int(meta["num_partitions"])
-    new_n = int(new_num_partitions)
-    if new_n < 1:
-        raise ValueError(f"new_num_partitions must be >= 1, got {new_n}")
-    if new_n == old_n:
-        return {"repartitioned": False, "num_partitions": old_n}
-    gen = int(meta["generation"])
-    new_gen = gen + 1
-    pk, ver = meta["pk"], meta["cursor"]
-    pk_list = [pk] if isinstance(pk, str) else list(pk)
-    is_delta = meta.get("merge_strategy") == "delta"
-
-    stacks = []
-    for p in range(old_n):
-        m = store.latest_snapshot(gen, p)
-        if m is None or not m.files:
-            continue
-        stacks.append(
-            {
-                "partition": p,
-                "files": list(m.files),
-                "schema_version": m.schema_version,
-                "covers_epoch": m.effective_epoch,
-                "max_seq": m.max_seq,
-            }
-        )
-    ckpt = store.last_checkpoint(gen)
-    covered = max(
-        [s["covers_epoch"] for s in stacks]
-        + ([ckpt["epoch"]] if ckpt else [])
-        + [0]
-    )
-    global_max_seq = max([s["max_seq"] for s in stacks] + [-1])
-    schema_store = SchemaStore(lake_root, table)
-    target_version = (
-        schema_store.current_version()
-        if schema_store.exists()
-        else max([s["schema_version"] for s in stacks] + [0])
-    )
-
-    rows_moved = 0
-    new_parts = 0
-    if stacks:
-
-        def route_one(batch: pa.Table) -> pa.Table:
-            import pyarrow.parquet as pq
-
-            out = []
-            for r in batch.to_pylist():
-                t = pa.concat_tables(
-                    pq.read_table(Path(lake_root) / f) for f in r["files"]
-                )
-                t = _align_lake_table(
-                    t, lake_root, table, r["schema_version"], target_version
-                )
-                if is_delta:
-                    t = lww_compact(t, pk, ver, SEQ_COLUMN)
-                if len(pk_list) > 1:
-                    parts = composite_partition_ids(t, pk_list, new_n)
-                else:
-                    parts = partition_ids(t.column(pk_list[0]), new_n)
-                out.append(
-                    t.append_column("_part", pa.array(parts, type=pa.int64()))
-                )
-            return pa.concat_tables(out, promote_options="permissive")
-
-        def write_one(group: pa.Table) -> pa.Table:
-            part = int(group.column("_part")[0].as_py())
-            t = group.drop_columns(["_part"]).sort_by(
-                [(c, "ascending") for c in pk_list]
-            )
-            st = ManifestStore(lake_root, table)
-            existing = st.get(new_gen, covered, part)
-            if existing is not None:
-                return pa.table(
-                    {
-                        "partition": pa.array([part], type=pa.int64()),
-                        "rows": pa.array(
-                            [existing.row_count], type=pa.int64()
-                        ),
-                    }
-                )
-            rel = (
-                f"{table}/gen={new_gen:04d}/parts/p={part:05d}/"
-                f"e{covered:06d}-r000.parquet"
-            )
-            nbytes = _atomic_write_parquet(t, Path(lake_root) / rel)
-            st.commit(
-                PartitionManifest(
-                    table=table,
-                    generation=new_gen,
-                    epoch=covered,
-                    partition=part,
-                    files=[rel],
-                    row_count=t.num_rows,
-                    byte_count=nbytes,
-                    max_seq=global_max_seq,
-                    digest=_table_digest(t),
-                    mode="append_dedup",
-                    schema_version=target_version,
-                    covers_epoch=covered,
-                    stats={rel: _file_column_stats(t)},
-                )
-            )
-            return pa.table(
-                {
-                    "partition": pa.array([part], type=pa.int64()),
-                    "rows": pa.array([t.num_rows], type=pa.int64()),
-                }
-            )
-
-        res = (
-            ray.data.from_items(stacks, override_num_blocks=len(stacks))
-            .map_batches(route_one, batch_format="pyarrow", batch_size=None)
-            .groupby("_part")
-            .map_groups(write_one, batch_format="pyarrow")
-        )
-        parts_t = pa.concat_tables(
-            list(res.iter_batches(batch_format="pyarrow"))
-        )
-        new_parts = parts_t.num_rows
-        rows_moved = int(pc.sum(parts_t.column("rows")).as_py() or 0)
-
-    # carry exactly-once resume forward: the new generation is "complete
-    # through `covered`" so the next sync continues with covered+1
-    store.write_checkpoint(
-        new_gen,
-        covered,
-        {
-            "partitions": new_parts,
-            "changes_in": 0,
-            "rows": rows_moved,
-            "segments": [],
-            "repartitioned_from": old_n,
-        },
-    )
-    # the visibility flip — the one and only mutation of the live layout
-    store.update_meta(generation=new_gen, num_partitions=new_n)
-    return {
-        "repartitioned": True,
-        "old_num_partitions": old_n,
-        "num_partitions": new_n,
-        "generation": new_gen,
-        "epoch": covered,
-        "rows": rows_moved,
-        "new_partitions_written": new_parts,
-    }
-
-
 def lineage_dataset(lake_root: str, table: str, *, generation: int | None = None):
     """Per-partition lineage/metrics as a metadata Dataset (SURVEY §7.8):
     one row per committed (epoch, partition) manifest — files, row counts,
@@ -1896,8 +1696,9 @@ def wap_abort(lake_root: str, table: str) -> dict:
 def repartition_table(
     lake_root: str,
     table: str,
-    new_partitions: int,
+    new_partitions: int | None = None,
     *,
+    new_num_partitions: int | None = None,
     compute_digest: bool = True,
 ) -> dict:
     """Re-hash a merge table to a new partition count — the lake-resize
@@ -1921,6 +1722,14 @@ def repartition_table(
     (append tables' manifests are additive per epoch; delta stacks
     compact on their own lane first).
     """
+    if (new_partitions is None) == (new_num_partitions is None):
+        raise TypeError(
+            "pass exactly one of new_partitions / new_num_partitions"
+        )
+    if new_partitions is None:
+        new_partitions = new_num_partitions
+    if int(new_partitions) < 1:
+        raise ValueError(f"new partition count must be >= 1, got {new_partitions}")
     store = ManifestStore(lake_root, table)
     meta = store.table_meta()
     if int(meta["num_partitions"]) == int(new_partitions):
@@ -1928,6 +1737,7 @@ def repartition_table(
             "table": table,
             "num_partitions": int(new_partitions),
             "skipped": True,
+            "repartitioned": False,
         }
     if meta.get("mode", "append_dedup") not in ("append_dedup", "overwrite"):
         raise ValueError(
@@ -2004,9 +1814,11 @@ def repartition_table(
         "table": table,
         "generation": staged,
         "num_partitions": int(new_partitions),
+        "old_num_partitions": int(meta["num_partitions"]),
         "rows": rows,
         "epoch": rebuild_epoch,
         "skipped": False,
+        "repartitioned": True,
     }
 
 

@@ -374,8 +374,10 @@ def main() -> None:
     # Emit the full line first (for logs + the sidecar file), then a compact
     # summary guaranteed to fit the tail budget as the FINAL line.
     print(full_line)
+    # Scaling runs must not clobber the full-sweep record.
+    sidecar = "BENCH_SCALING.json" if args.scaling else "BENCH_FULL.json"
     try:
-        (_REPO / "BENCH_FULL.json").write_text(full_line + "\n")
+        (_REPO / sidecar).write_text(full_line + "\n")
     except OSError:
         pass
     if len(full_line) > 1800:

@@ -895,10 +895,9 @@ def test_repartition_table_noop_and_round_trip(binlog, tmp_path):
         "repartitioned"
     ]
     # same target again → no-op
-    assert repartition_table(lake, "pages", new_num_partitions=3) == {
-        "repartitioned": False,
-        "num_partitions": 3,
-    }
+    noop = repartition_table(lake, "pages", new_num_partitions=3)
+    assert noop["repartitioned"] is False and noop["skipped"] is True
+    assert noop["num_partitions"] == 3
     # round trip back to the original count
     assert repartition_table(lake, "pages", new_num_partitions=PARTS)[
         "repartitioned"
