@@ -3157,6 +3157,40 @@ def _q_idle_customer_balance_q22(sf_dir: str):
     return q22_idle_customer_balance(sf_dir)
 
 
+def _q_top_supplier_q15(sf_dir: str):
+    """TPC-H Q15 composite (faithful): quarter-window revenue per
+    supplier (dim-sized fold), max-revenue winner(s) + name join."""
+    from airbyte_destination_ray.pipelines.tpch import q15_top_supplier
+
+    return q15_top_supplier(sf_dir)
+
+
+def _q_min_cost_supplier_q2(sf_dir: str):
+    """TPC-H Q2-shaped composite: per-part argmin supplier (cheapest
+    single lineitem) with Q2's tie order, via one partkey-keyed
+    exchange of (part, supp, min-cents) partials."""
+    from airbyte_destination_ray.pipelines.tpch import q2_min_cost_supplier
+
+    return q2_min_cost_supplier(sf_dir)
+
+
+def _q_important_parts_q11(sf_dir: str):
+    """TPC-H Q11-shaped composite: parts whose revenue exceeds a
+    fraction of the global total (HAVING vs a global scalar)."""
+    from airbyte_destination_ray.pipelines.tpch import q11_important_parts
+
+    return q11_important_parts(sf_dir)
+
+
+def _q_waiting_suppliers_q21(sf_dir: str):
+    """TPC-H Q21-shaped composite: unique latest shipper of finished
+    multi-supplier orders (EXISTS + NOT EXISTS), tagged-union orderkey
+    exchange + vectorized per-order kernel, top-20 by numwait."""
+    from airbyte_destination_ray.pipelines.tpch import q21_waiting_suppliers
+
+    return q21_waiting_suppliers(sf_dir)
+
+
 def _q_multimodal_image_tiles_exact(sf_dir: str):
     """REAL PPM decode → 8×8 area-partition tile sums (the exact integer
     form of thumbnail/resize feature extraction): tile boundaries are
@@ -5992,6 +6026,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_shipments_by_flag_q12": _q_late_shipments_by_flag_q12,
         "special_revenue_q19": _q_special_revenue_q19,
         "idle_customer_balance_q22": _q_idle_customer_balance_q22,
+        "top_supplier_q15": _q_top_supplier_q15,
+        "min_cost_supplier_q2": _q_min_cost_supplier_q2,
+        "important_parts_q11": _q_important_parts_q11,
+        "waiting_suppliers_q21": _q_waiting_suppliers_q21,
         "indexed_term_lookup": _q_indexed_term_lookup,
         "events_range_window_sum": _q_events_range_window_sum,
         "events_mannwhitney_drift": _q_events_mannwhitney,
@@ -6807,6 +6845,69 @@ def oracle_sql() -> dict[str, str]:
                   SELECT o_custkey FROM orders
                   GROUP BY o_custkey HAVING count(*) > 2)
             GROUP BY 1
+        """,
+        "top_supplier_q15": """
+            WITH revenue AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(floor((l_extendedprice
+                           * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT)
+                           AS total_revenue_cents
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue_cents
+            FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+            WHERE total_revenue_cents =
+                  (SELECT max(total_revenue_cents) FROM revenue)
+        """,
+        "min_cost_supplier_q2": """
+            WITH cost AS (
+                SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                       CAST(min(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                            AS BIGINT) AS cost_cents
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey AND p_size = 15
+                GROUP BY 1, 2)
+            SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+                   cost_cents
+            FROM cost JOIN supplier USING (s_suppkey)
+            JOIN nation ON s_nationkey = n_nationkey
+            QUALIFY row_number() OVER (
+                PARTITION BY p_partkey
+                ORDER BY cost_cents, s_acctbal DESC, s_suppkey) = 1
+        """,
+        "important_parts_q11": """
+            WITH v AS (
+                SELECT l_partkey AS p_partkey,
+                       CAST(sum(CAST(floor((l_extendedprice
+                           * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT)
+                           AS value_cents
+                FROM lineitem GROUP BY 1)
+            SELECT p_partkey, value_cents FROM v
+            WHERE value_cents > 0.0006
+                  * (SELECT CAST(sum(value_cents) AS DOUBLE) FROM v)
+        """,
+        "waiting_suppliers_q21": """
+            WITH f AS (
+                SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+                JOIN orders ON o_orderkey = l_orderkey
+                   AND o_orderstatus = 'F'),
+            agg AS (
+                SELECT l_orderkey, max(l_shipdate) AS ms,
+                       count(DISTINCT l_suppkey) AS ns
+                FROM f GROUP BY 1),
+            winners AS (
+                SELECT f.l_orderkey, f.l_suppkey FROM f
+                JOIN agg ON f.l_orderkey = agg.l_orderkey
+                   AND f.l_shipdate = agg.ms
+                WHERE agg.ns >= 2 GROUP BY 1, 2),
+            solo AS (
+                SELECT l_orderkey, min(l_suppkey) AS w FROM winners
+                GROUP BY 1 HAVING count(*) = 1)
+            SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM solo JOIN supplier ON s_suppkey = w GROUP BY 1, 2
+            ORDER BY numwait DESC, s_suppkey LIMIT 20
         """,
         # Repartition must be invisible: the oracle is the plain LWW
         # tombstone snapshot.

@@ -24,9 +24,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = [
+    "q2_min_cost_supplier",
     "q9_profit_by_nation_year",
+    "q11_important_parts",
     "q12_late_shipments_by_flag",
+    "q15_top_supplier",
     "q19_special_revenue",
+    "q21_waiting_suppliers",
     "q22_idle_customer_balance",
 ]
 
@@ -420,3 +424,414 @@ def q22_idle_customer_balance(sf_dir: str, *, max_orders: int = 2):
             }
         )
     return out
+
+
+def q15_top_supplier(
+    sf_dir: str,
+    *,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+):
+    """Q15 (top supplier — faithful: lineitem + supplier only): revenue
+    per supplier over a one-quarter shipdate window, return the
+    supplier(s) achieving the MAX revenue (ties all kept, like the
+    reference query's ``= (SELECT max(...))``).
+
+    Shape: one column-pruned lineitem scan → vectorized date filter →
+    per-batch (suppkey → cents) partials; the fold is dim-sized
+    (one row per supplier per batch), so the max + winner select +
+    name join all happen on aggregate-sized data driver-side — zero
+    payload exchanges, exact integer cents end-to-end."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    from ..sources.parquet import read_parquet_sized
+
+    lo = _dt.datetime.fromisoformat(start)
+    hi = _dt.datetime.fromisoformat(end)
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), lo),
+            pc.less(b.column("l_shipdate"), hi),
+        )
+        t = b.filter(m)
+        rev = _cents(
+            t.column("l_extendedprice"),
+            pc.subtract(1.0, t.column("l_discount")),
+        )
+        return (
+            pa.table({"s_suppkey": t.column("l_suppkey"), "_rev": rev})
+            .group_by("s_suppkey")
+            .aggregate([("_rev", "sum")])
+            .rename_columns(["s_suppkey", "_rev"])
+        )
+
+    rev = _fold_partials(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["s_suppkey"],
+        ["_rev"],
+    )
+    if rev is None:
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], type=pa.int64()),
+                "s_name": pa.array([], type=pa.string()),
+                "total_revenue_cents": pa.array([], type=pa.int64()),
+            }
+        )
+    best = pc.max(rev.column("_rev"))
+    winners = rev.filter(pc.equal(rev.column("_rev"), best))
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    out = winners.join(supp, keys="s_suppkey").sort_by("s_suppkey")
+    return pa.table(
+        {
+            "s_suppkey": out.column("s_suppkey"),
+            "s_name": out.column("s_name"),
+            "total_revenue_cents": out.column("_rev"),
+        }
+    )
+
+
+def q2_min_cost_supplier(
+    sf_dir: str,
+    *,
+    size: int = 15,
+    num_partitions: int = 32,
+):
+    """Q2 analog (no partsupp in the synthetic schema, so a supplier's
+    "cost" for a part is its cheapest single lineitem extendedprice):
+    for every part of the probed size, the supplier offering the minimum
+    cost — tie-broken like Q2's ORDER BY (higher ``s_acctbal`` first,
+    then lower ``s_suppkey``) — with the supplier's nation attached.
+
+    Shape: broadcast part-subset semi join (zero shuffle) → per-batch
+    (part, supp) min-cents partials → broadcast supplier⋈nation dim onto
+    the partial stream → ONE hash exchange keyed on partkey → a
+    partition-LEVEL vectorized argmin (lexsort + first-per-part mask, no
+    per-key Python).  The exchange carries one row per (part, supplier,
+    batch) — never per lineitem."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import partition_ids
+    from ..sources.parquet import read_parquet_sized
+    from .relational import broadcast_join, semi_join
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"]
+    )
+    wanted = part.filter(
+        pc.equal(part.column("p_size"), size)
+    ).column("p_partkey")
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    sn = supp.join(
+        nation, keys="s_nationkey", right_keys="n_nationkey"
+    ).select(["s_suppkey", "s_name", "s_acctbal", "n_name"])
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+    li = semi_join(li, wanted, on="l_partkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "p_partkey": b.column("l_partkey"),
+                "s_suppkey": b.column("l_suppkey"),
+                "cost_cents": _cents(b.column("l_extendedprice")),
+            }
+        )
+        agg = (
+            t.group_by(["p_partkey", "s_suppkey"])
+            .aggregate([("cost_cents", "min")])
+            .rename_columns(["p_partkey", "s_suppkey", "cost_cents"])
+        )
+        parts = partition_ids(agg.column("p_partkey"), num_partitions)
+        return agg.append_column(
+            "_part", pa.array(parts, type=pa.int64())
+        )
+
+    partials = broadcast_join(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        sn,
+        left_on="s_suppkey",
+        right_on="s_suppkey",
+        select=[
+            "p_partkey", "s_suppkey", "cost_cents",
+            "s_name", "s_acctbal", "n_name", "_part",
+        ],
+    )
+
+    def argmin(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        # re-min across batch partials, then argmin per part with the Q2
+        # tie order (cost asc, acctbal desc, suppkey asc)
+        g = (
+            g.group_by(["p_partkey", "s_suppkey", "s_name", "n_name"])
+            .aggregate([("cost_cents", "min"), ("s_acctbal", "min")])
+            .rename_columns(
+                [
+                    "p_partkey", "s_suppkey", "s_name", "n_name",
+                    "cost_cents", "s_acctbal",
+                ]
+            )
+        )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("p_partkey", "ascending"),
+                ("cost_cents", "ascending"),
+                ("s_acctbal", "descending"),
+                ("s_suppkey", "ascending"),
+            ],
+        )
+        t = g.take(idx)
+        pk = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        first = np.ones(len(pk), dtype=bool)
+        if len(pk) > 1:
+            first[1:] = pk[1:] != pk[:-1]
+        t = t.filter(pa.array(first))
+        return t.select(
+            [
+                "p_partkey", "s_suppkey", "s_name",
+                "s_acctbal", "n_name", "cost_cents",
+            ]
+        )
+
+    return (
+        partials.groupby("_part")
+        .map_groups(argmin, batch_format="pyarrow")
+    )
+
+
+def q11_important_parts(sf_dir: str, *, fraction: float = 0.0006):
+    """Q11 analog (no partsupp: a part's "value" is its total lineitem
+    revenue): parts whose value exceeds ``fraction`` of the corpus-wide
+    total value.
+
+    Shape: per-batch (partkey → cents) partials → ONE hash exchange →
+    partition-level per-part sums, materialized ONCE; the global total
+    folds the per-part stream's aggregate-sized partition sums
+    driver-side, and the threshold filter re-streams the same
+    materialized per-part Dataset — the fact table is scanned exactly
+    once and the comparison is int-vs-one-IEEE-product on both sides."""
+    import numpy as np
+
+    from ..functions.hashing import partition_ids
+    from ..sources.parquet import read_parquet_sized
+
+    num_partitions = 32
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "p_partkey": b.column("l_partkey"),
+                "value_cents": _cents(
+                    b.column("l_extendedprice"),
+                    pc.subtract(1.0, b.column("l_discount")),
+                ),
+            }
+        )
+        agg = (
+            t.group_by("p_partkey")
+            .aggregate([("value_cents", "sum")])
+            .rename_columns(["p_partkey", "value_cents"])
+        )
+        parts = partition_ids(agg.column("p_partkey"), num_partitions)
+        return agg.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def per_part(group: pa.Table) -> pa.Table:
+        return (
+            group.drop_columns(["_part"])
+            .group_by("p_partkey")
+            .aggregate([("value_cents", "sum")])
+            .rename_columns(["p_partkey", "value_cents"])
+        )
+
+    values = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .materialize()
+    )
+    total = 0
+    for b in values.iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        s = pc.sum(t.column("value_cents")).as_py()
+        total += 0 if s is None else int(s)
+    thresh = fraction * float(total)  # ONE IEEE product, same on both sides
+
+    return values.map_batches(
+        lambda b: b.filter(pc.greater(b.column("value_cents"), thresh)),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def q21_waiting_suppliers(
+    sf_dir: str,
+    *,
+    top_n: int = 20,
+    num_partitions: int = 32,
+):
+    """Q21 analog (no commit/receipt dates: the "waiting" supplier of a
+    finished multi-supplier order is the UNIQUE latest shipper): for
+    every finished ('F') order with ≥2 distinct suppliers where exactly
+    one supplier ships on the order's max shipdate, credit that
+    supplier; output the top-N suppliers by count (Q21's numwait),
+    ordered count desc then suppkey asc.
+
+    Shape: lineitem rows and order-status rows ride ONE tagged-union
+    hash exchange keyed on orderkey (no broadcast of the fact-sized
+    order set); the per-partition kernel is fully vectorized
+    (sort + run masks + reduceat, no per-order Python); the winner
+    stream is dim-sized, so the count + name join + top-N run on
+    aggregate-sized data driver-side."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import partition_ids
+    from ..sources.parquet import read_parquet_sized
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+
+    def tag_lines(b: pa.Table) -> pa.Table:
+        parts = partition_ids(b.column("l_orderkey"), num_partitions)
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "_ship": pc.cast(b.column("l_shipdate"), pa.int64()),
+                "_tag": pa.array([0] * b.num_rows, type=pa.int8()),
+                "_part": pa.array(parts, type=pa.int64()),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("o_orderstatus"), "F"))
+        parts = partition_ids(t.column("o_orderkey"), num_partitions)
+        return pa.table(
+            {
+                "l_orderkey": t.column("o_orderkey"),
+                "l_suppkey": pa.array([0] * t.num_rows, type=pa.int64()),
+                "_ship": pa.array([0] * t.num_rows, type=pa.int64()),
+                "_tag": pa.array([1] * t.num_rows, type=pa.int8()),
+                "_part": pa.array(parts, type=pa.int64()),
+            }
+        )
+
+    union = li.map_batches(
+        tag_lines, batch_format="pyarrow", batch_size=None
+    ).union(
+        orders.map_batches(tag_orders, batch_format="pyarrow", batch_size=None)
+    )
+
+    def winners(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "s_suppkey": pa.array([], type=pa.int64()),
+                "numwait": pa.array([], type=pa.int64()),
+            }
+        )
+        tags = group.column("_tag").to_numpy(zero_copy_only=False)
+        fkeys = group.filter(pa.array(tags == 1)).column("l_orderkey")
+        lines = group.filter(pa.array(tags == 0))
+        if fkeys.length() == 0 or lines.num_rows == 0:
+            return empty
+        fset = np.unique(fkeys.to_numpy(zero_copy_only=False))
+        ok = lines.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(fset, ok)
+        m = pos < len(fset)
+        m &= fset[np.clip(pos, 0, len(fset) - 1)] == ok
+        lines = lines.filter(pa.array(m))
+        if lines.num_rows == 0:
+            return empty
+        t = lines.sort_by(
+            [("l_orderkey", "ascending"), ("l_suppkey", "ascending")]
+        )
+        okey = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        skey = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        ship = t.column("_ship").to_numpy(zero_copy_only=False)
+        n = len(okey)
+        ostart = np.ones(n, dtype=bool)
+        ostart[1:] = okey[1:] != okey[:-1]
+        oid = np.cumsum(ostart) - 1
+        n_orders = oid[-1] + 1
+        # distinct suppliers per order
+        sstart = ostart.copy()
+        sstart[1:] |= skey[1:] != skey[:-1]
+        nsupp = np.bincount(oid[sstart], minlength=n_orders)
+        # per-order max shipdate (orders are contiguous after the sort, so
+        # reduceat beats ufunc.at by orders of magnitude)
+        maxship = np.maximum.reduceat(ship, np.nonzero(ostart)[0])
+        at_max = ship == maxship[oid]
+        # sstart marks the first row of each (order, supp) run, but the max
+        # may occur on a later row of the run — mark (order, supp) runs
+        # that contain ANY at_max row.
+        run_id = np.cumsum(sstart) - 1
+        run_hit = np.zeros(run_id[-1] + 1, dtype=bool)
+        np.logical_or.at(run_hit, run_id[at_max], True)
+        runs_first = np.nonzero(sstart)[0]
+        hit_rows = runs_first[run_hit]  # one row per (order, supp) at max
+        hit_oid = oid[hit_rows]
+        n_at_max = np.bincount(hit_oid, minlength=n_orders)
+        solo = (n_at_max == 1) & (nsupp >= 2)
+        if not solo.any():
+            return empty
+        win_rows = hit_rows[solo[hit_oid]]
+        win_supp = skey[win_rows]
+        sup, cnt = np.unique(win_supp, return_counts=True)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(sup, type=pa.int64()),
+                "numwait": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    counts = _fold_partials(
+        union.groupby("_part").map_groups(winners, batch_format="pyarrow"),
+        ["s_suppkey"],
+        ["numwait"],
+    )
+    if counts is None:
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], type=pa.int64()),
+                "s_name": pa.array([], type=pa.string()),
+                "numwait": pa.array([], type=pa.int64()),
+            }
+        )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    out = counts.join(supp, keys="s_suppkey").sort_by(
+        [("numwait", "descending"), ("s_suppkey", "ascending")]
+    )
+    out = out.slice(0, top_n)
+    return out.select(["s_suppkey", "s_name", "numwait"])

@@ -375,3 +375,78 @@ def test_value_index_tracks_updates(binlog, tmp_path):
         for r in b.to_pylist()
     ]
     assert url0 not in urls
+
+
+def test_tpch_q2_q21_composites_sf0001(ray_session):
+    """Q2-analog argmin tie order + Q21-analog unique-latest-shipper
+    kernel vs DuckDB at sf0.001 (the sf0.01 oracle gate re-pins both)."""
+    import pandas as pd
+
+    from airbyte_destination_ray.pipelines.tpch import (
+        q2_min_cost_supplier,
+        q21_waiting_suppliers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["supplier", "part", "orders", "lineitem", "nation"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+
+    got = (
+        q2_min_cost_supplier(sf)
+        .to_pandas()
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+    want = con.execute(
+        """
+        WITH cost AS (
+            SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                   CAST(min(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS cost_cents
+            FROM lineitem JOIN part ON p_partkey = l_partkey AND p_size = 15
+            GROUP BY 1, 2)
+        SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name, cost_cents
+        FROM cost JOIN supplier USING (s_suppkey)
+        JOIN nation ON s_nationkey = n_nationkey
+        QUALIFY row_number() OVER (
+            PARTITION BY p_partkey
+            ORDER BY cost_cents, s_acctbal DESC, s_suppkey) = 1
+        ORDER BY p_partkey
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False,
+    )
+
+    got21 = q21_waiting_suppliers(sf).to_pandas().reset_index(drop=True)
+    want21 = con.execute(
+        """
+        WITH f AS (
+            SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'),
+        agg AS (
+            SELECT l_orderkey, max(l_shipdate) AS ms,
+                   count(DISTINCT l_suppkey) AS ns
+            FROM f GROUP BY 1),
+        winners AS (
+            SELECT f.l_orderkey, f.l_suppkey FROM f
+            JOIN agg ON f.l_orderkey = agg.l_orderkey
+               AND f.l_shipdate = agg.ms
+            WHERE agg.ns >= 2 GROUP BY 1, 2),
+        solo AS (
+            SELECT l_orderkey, min(l_suppkey) AS w FROM winners
+            GROUP BY 1 HAVING count(*) = 1)
+        SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM solo JOIN supplier ON s_suppkey = w GROUP BY 1, 2
+        ORDER BY numwait DESC, s_suppkey LIMIT 20
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got21[sorted(got21.columns)], want21[sorted(want21.columns)],
+        check_dtype=False,
+    )
