@@ -4784,6 +4784,23 @@ def _q_events_moving_max(sf_dir: str):
     )
 
 
+def _q_events_moving_median(sf_dir: str):
+    """Per-user 5-row moving MEDIAN of event values — robust rolling
+    baseline; interpolation formula pinned bit-exact to quantile_cont."""
+    from airbyte_destination_ray.pipelines.relational import (
+        moving_median_by_key,
+    )
+
+    return moving_median_by_key(
+        _events(sf_dir, columns=["event_id", "user_id", "ts", "value"]),
+        key="user_id",
+        ts_col="ts",
+        seq="event_id",
+        value_col="value",
+        window_rows=5,
+    )
+
+
 def _q_events_gini_by_type(sf_dir: str):
     """Per-type Gini coefficient of positive event cents — rank-weighted
     integer sums after one keyed exchange, single cast-then-divide."""
@@ -6030,6 +6047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_cost_supplier_q2": _q_min_cost_supplier_q2,
         "important_parts_q11": _q_important_parts_q11,
         "waiting_suppliers_q21": _q_waiting_suppliers_q21,
+        "events_moving_median": _q_events_moving_median,
         "indexed_term_lookup": _q_indexed_term_lookup,
         "events_range_window_sum": _q_events_range_window_sum,
         "events_mannwhitney_drift": _q_events_mannwhitney,
@@ -8984,6 +9002,14 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
                    AS win_max_cents
+        FROM events
+    """
+    sql["events_moving_median"] = """
+        SELECT event_id, user_id,
+               quantile_cont(value, 0.5) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                   AS win_median
         FROM events
     """
     sql["events_gini_by_type"] = """

@@ -4828,6 +4828,106 @@ def moving_max_by_key(
     )
 
 
+def moving_median_by_key(
+    ds,
+    *,
+    key: str,
+    ts_col: str,
+    seq: str,
+    value_col: str,
+    window_rows: int,
+    out_col: str = "win_median",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Per-key moving-window MEDIAN over the last ``window_rows`` rows —
+    ``quantile_cont(value, 0.5) OVER (PARTITION BY key ORDER BY ts, seq
+    ROWS BETWEEN window_rows-1 PRECEDING AND CURRENT ROW)`` (the robust
+    smoothing sibling of :func:`moving_max_by_key` — spike-resistant
+    rolling baselines for alerting/quality streams).
+
+    Same ONE-exchange shape; per partition the window values form an
+    (n × w) matrix of segment-guarded shifts (NaN outside the segment /
+    for SQL nulls), one ``np.sort`` along the window axis pushes NaNs to
+    the end, and the interpolated median uses the group-relative rank
+    formula ``v[lo]·(1−frac) + v[hi]·frac`` already pinned bit-exact
+    against DuckDB ``quantile_cont`` by :func:`..ops.grouped_quantiles`.
+    O(w·n) memory and O(n·w log w) compute — sized for the small windows
+    this frame is used with (document w ≲ 64).  SQL null semantics:
+    null values occupy a window slot but are ignored by the aggregate;
+    an all-null window yields null.
+    """
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                seq: batch.column(seq),
+                key: batch.column(key),
+                "_ats": pc.cast(batch.column(ts_col), pa.int64()),
+                "_v": pc.cast(batch.column(value_col), pa.float64()),
+            }
+        )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def window(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                (key, "ascending"),
+                ("_ats", "ascending"),
+                (seq, "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        kcodes = pc.fill_null(
+            g.column(key).combine_chunks().dictionary_encode().indices.cast(
+                pa.int64()
+            ),
+            -1,
+        ).to_numpy(zero_copy_only=False)
+        x = g.column("_v").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(kcodes)
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = kcodes[1:] != kcodes[:-1]
+        seg_id = np.cumsum(start) - 1
+        w = window_rows
+        m = np.full((n, w), np.nan, dtype=np.float64)
+        m[:, 0] = x
+        for j in range(1, w):
+            if j >= n:
+                break
+            same = seg_id[j:] == seg_id[:-j]
+            col = m[j:, j]
+            np.copyto(col, x[:-j], where=same)
+        s = np.sort(m, axis=1)  # NaNs sort to the end of each row
+        valid = w - np.isnan(m).sum(axis=1)
+        ok = valid > 0
+        med = np.full(n, np.nan, dtype=np.float64)
+        if ok.any():
+            rel = 0.5 * (valid[ok] - 1)
+            lo = np.floor(rel).astype(np.int64)
+            hi = np.ceil(rel).astype(np.int64)
+            frac = rel - lo
+            rows = np.nonzero(ok)[0]
+            med[ok] = s[rows, lo] * (1 - frac) + s[rows, hi] * frac
+        return pa.table(
+            {
+                seq: g.column(seq),
+                key: g.column(key),
+                out_col: pa.array(med, type=pa.float64(), mask=~ok),
+            }
+        )
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(window, batch_format="pyarrow")
+    )
+
+
 def range_window_sum_by_key(
     ds,
     *,

@@ -450,3 +450,69 @@ def test_tpch_q2_q21_composites_sf0001(ray_session):
         got21[sorted(got21.columns)], want21[sorted(want21.columns)],
         check_dtype=False,
     )
+
+
+def test_moving_median_by_key_nulls_and_window_edges(ray_session):
+    """ROWS-frame median vs DuckDB quantile_cont on a corpus with null
+    keys (one SQL NULL partition), null values (slot occupied, value
+    ignored), and an all-null window."""
+    import pandas as pd
+    import ray.data
+
+    from airbyte_destination_ray.pipelines.relational import (
+        moving_median_by_key,
+    )
+
+    rows = []
+    vals = [3.0, None, 1.0, None, None, 7.5, 2.25, None, 4.0, 0.5]
+    for i in range(40):
+        rows.append(
+            {
+                "seq": i,
+                "k": None if i % 7 == 3 else f"u{i % 3}",
+                "ts": 1_000_000 * (i // 2),  # duplicate ts → seq tie-break
+                "v": vals[i % len(vals)],
+            }
+        )
+    t = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("seq", pa.int64()),
+                ("k", pa.string()),
+                ("ts", pa.timestamp("us")),
+                ("v", pa.float64()),
+            ]
+        ),
+    )
+    got = (
+        moving_median_by_key(
+            ray.data.from_arrow(t),
+            key="k",
+            ts_col="ts",
+            seq="seq",
+            value_col="v",
+            window_rows=3,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("seq")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """
+        SELECT seq, k,
+               quantile_cont(v, 0.5) OVER (
+                   PARTITION BY k ORDER BY ts, seq
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS win_median
+        FROM t ORDER BY seq
+        """
+    ).df()
+    assert list(got["seq"]) == list(want["seq"])
+    for a, b in zip(got["win_median"], want["win_median"]):
+        if pd.isna(a) or pd.isna(b):
+            assert pd.isna(a) and pd.isna(b)
+        else:
+            assert a == b, (a, b)  # EXACT, not approx — the driver hashes
