@@ -3191,6 +3191,14 @@ def _q_waiting_suppliers_q21(sf_dir: str):
     return q21_waiting_suppliers(sf_dir)
 
 
+def _q_excess_suppliers_q20(sf_dir: str):
+    """TPC-H Q20-shaped composite: suppliers shipping more than half of a
+    name-filtered part's 1996 quantity (correlated threshold, exact
+    integer 2*qty > total), one partkey exchange + dim-sized final."""
+    from airbyte_destination_ray.pipelines.tpch import q20_excess_suppliers
+
+    return q20_excess_suppliers(sf_dir)
+
 def _q_multimodal_image_tiles_exact(sf_dir: str):
     """REAL PPM decode → 8×8 area-partition tile sums (the exact integer
     form of thumbnail/resize feature extraction): tile boundaries are
@@ -6047,6 +6055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_cost_supplier_q2": _q_min_cost_supplier_q2,
         "important_parts_q11": _q_important_parts_q11,
         "waiting_suppliers_q21": _q_waiting_suppliers_q21,
+        "excess_suppliers_q20": _q_excess_suppliers_q20,
         "events_moving_median": _q_events_moving_median,
         "indexed_term_lookup": _q_indexed_term_lookup,
         "events_range_window_sum": _q_events_range_window_sum,
@@ -6926,6 +6935,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
             FROM solo JOIN supplier ON s_suppkey = w GROUP BY 1, 2
             ORDER BY numwait DESC, s_suppkey LIMIT 20
+        """,
+        "excess_suppliers_q20": """
+            WITH pq AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+                FROM lineitem
+                WHERE year(l_shipdate) = 1996
+                  AND l_partkey IN (
+                      SELECT p_partkey FROM part
+                      WHERE p_name LIKE '%widget%')
+                GROUP BY 1, 2),
+            tot AS (
+                SELECT l_partkey, sum(qty) AS total FROM pq GROUP BY 1)
+            SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+            FROM pq JOIN tot USING (l_partkey)
+            JOIN supplier s ON s.s_suppkey = pq.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE 2 * pq.qty > tot.total
         """,
         # Repartition must be invisible: the oracle is the plain LWW
         # tombstone snapshot.

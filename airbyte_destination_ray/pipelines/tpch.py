@@ -30,6 +30,7 @@ __all__ = [
     "q12_late_shipments_by_flag",
     "q15_top_supplier",
     "q19_special_revenue",
+    "q20_excess_suppliers",
     "q21_waiting_suppliers",
     "q22_idle_customer_balance",
 ]
@@ -835,3 +836,127 @@ def q21_waiting_suppliers(
     )
     out = out.slice(0, top_n)
     return out.select(["s_suppkey", "s_name", "numwait"])
+
+
+def q20_excess_suppliers(
+    sf_dir: str,
+    *,
+    name_token: str = "widget",
+    year: int = 1996,
+    num_partitions: int = 32,
+):
+    """Q20 analog (no partsupp in the synthetic schema, so a supplier's
+    "stock position" for a part is its shipped quantity that year):
+    suppliers who, for at least one part whose name contains
+    ``name_token``, shipped MORE THAN HALF of that part's total shipped
+    quantity in ``year`` — the Q20 correlated threshold
+    ``ps_availqty > 0.5 * sum(l_quantity)`` made exact in integers as
+    ``2·qty > total`` (quantities are integral-valued doubles; cast).
+
+    Shape (reference: Q20's nested EXISTS chain, TPC-H spec §B.20):
+    part-name filter → broadcast partkey set (semi join, zero shuffle);
+    fact scan prunes to 4 columns and the year window; per-batch
+    (partkey, suppkey) integer-qty partials → ONE hash exchange keyed on
+    partkey → partition-level vectorized correlated compare (sorted
+    reduceat totals per part, no per-key Python); qualifying suppkeys are
+    dim-bounded, so the final distinct + supplier⋈nation name join folds
+    driver-side."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import partition_ids
+    from ..sources.parquet import read_parquet_sized
+    from .relational import semi_join
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    wanted = part.filter(
+        pc.match_substring(part.column("p_name"), name_token)
+    ).column("p_partkey")
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+    li = semi_join(li, wanted, on="l_partkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        mask = pc.equal(pc.year(b.column("l_shipdate")), year)
+        b = b.filter(mask)
+        t = pa.table(
+            {
+                "p_partkey": b.column("l_partkey"),
+                "s_suppkey": b.column("l_suppkey"),
+                "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+            }
+        )
+        agg = (
+            t.group_by(["p_partkey", "s_suppkey"])
+            .aggregate([("qty", "sum")])
+            .rename_columns(["p_partkey", "s_suppkey", "qty"])
+        )
+        parts = partition_ids(agg.column("p_partkey"), num_partitions)
+        return agg.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def qualify(group: pa.Table) -> pa.Table:
+        g = (
+            group.drop_columns(["_part"])
+            .group_by(["p_partkey", "s_suppkey"])
+            .aggregate([("qty", "sum")])
+            .rename_columns(["p_partkey", "s_suppkey", "qty"])
+        )
+        idx = pc.sort_indices(g, sort_keys=[("p_partkey", "ascending")])
+        g = g.take(idx)
+        pk = g.column("p_partkey").to_numpy(zero_copy_only=False)
+        qty = g.column("qty").to_numpy(zero_copy_only=False)
+        if len(pk) == 0:
+            return pa.table({"s_suppkey": pa.array([], type=pa.int64())})
+        starts = np.flatnonzero(
+            np.concatenate(([True], pk[1:] != pk[:-1]))
+        )
+        totals = np.add.reduceat(qty, starts)
+        per_row_total = np.repeat(totals, np.diff(np.append(starts, len(pk))))
+        keep = 2 * qty > per_row_total
+        sk = g.column("s_suppkey").filter(pa.array(keep))
+        return pa.table({"s_suppkey": pc.unique(sk)})
+
+    partials = li.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    winners = _fold_partials(
+        partials.groupby("_part").map_groups(
+            qualify, batch_format="pyarrow"
+        ).map_batches(
+            # dummy count column so _fold_partials' group-by dedups suppkeys
+            lambda b: b.append_column(
+                "_one", pa.array(np.ones(b.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        ["s_suppkey"],
+        ["_one"],
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    sn = supp.join(
+        nation, keys="s_nationkey", right_keys="n_nationkey"
+    ).select(["s_suppkey", "s_name", "n_name"])
+    if winners is None:
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], type=pa.int64()),
+                "s_name": pa.array([], type=pa.string()),
+                "n_name": pa.array([], type=pa.string()),
+            }
+        )
+    out = winners.select(["s_suppkey"]).join(sn, keys="s_suppkey")
+    return out.sort_by(
+        [("s_name", "ascending"), ("s_suppkey", "ascending")]
+    ).select(["s_suppkey", "s_name", "n_name"])

@@ -516,3 +516,49 @@ def test_moving_median_by_key_nulls_and_window_edges(ray_session):
             assert pd.isna(a) and pd.isna(b)
         else:
             assert a == b, (a, b)  # EXACT, not approx — the driver hashes
+
+
+def test_tpch_q20_excess_suppliers_sf0001(ray_session):
+    """Q20-analog correlated-threshold kernel (2*qty > part total) vs
+    DuckDB at sf0.001 (the sf0.01 oracle gate re-pins it)."""
+    import pandas as pd
+
+    from airbyte_destination_ray.pipelines.tpch import q20_excess_suppliers
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["supplier", "part", "lineitem", "nation"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    got = (
+        q20_excess_suppliers(sf)
+        .to_pandas()
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+    want = con.execute(
+        """
+        WITH pq AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem
+            WHERE year(l_shipdate) = 1996
+              AND l_partkey IN (
+                  SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+            GROUP BY 1, 2),
+        tot AS (SELECT l_partkey, sum(qty) AS total FROM pq GROUP BY 1)
+        SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+        FROM pq JOIN tot USING (l_partkey)
+        JOIN supplier s ON s.s_suppkey = pq.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE 2 * pq.qty > tot.total
+        ORDER BY s_suppkey
+        """
+    ).df()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False,
+    )
