@@ -3199,6 +3199,56 @@ def _q_excess_suppliers_q20(sf_dir: str):
 
     return q20_excess_suppliers(sf_dir)
 
+def _q_embedding_radius_pairs(sf_dir: str):
+    """Cosine range query (radius search): all corpus vectors within
+    similarity >= 0.3 of the 4 query vectors — broadcast matrix + per-batch
+    matmul mask, ZERO shuffle; pairs only (scores are fp-rounding-sensitive
+    across engines, the >=-threshold set is not at this corpus's margin)."""
+    from airbyte_destination_ray.pipelines.similarity import radius_search
+
+    q, ids = _query_vectors(sf_dir)
+    return radius_search(_embeddings(sf_dir), q, ids, threshold=0.3)
+
+
+def _q_events_reciprocal_edges(sf_dir: str):
+    """Mutual (reciprocated) edges of the shared sparse interaction graph:
+    unordered pairs with BOTH directions present — per-batch distinct
+    (lo, hi, dir) triples, one lo-keyed exchange, vectorized both-dirs
+    group filter."""
+    from airbyte_destination_ray.pipelines.graph import reciprocal_edges
+
+    edges = _events(sf_dir, columns=["user_id", "event_id"]).map_batches(
+        _interaction_edges_3000, batch_format="pyarrow", batch_size=None
+    )
+    return reciprocal_edges(edges)
+
+
+def _q_ttr_by_source(sf_dir: str):
+    """Type-token ratio (lexical diversity) per source: distinct terms /
+    total terms — term-keyed distinct exchange + additive token counts,
+    final ttr is ONE IEEE division of two exact ints (hash-safe)."""
+    from airbyte_destination_ray.pipelines.corpus import (
+        type_token_ratio_by_group,
+    )
+
+    return type_token_ratio_by_group(
+        _documents(sf_dir, columns=["source", "text"])
+    )
+
+
+def _q_events_cume_dist(sf_dir: str):
+    """SQL cume_dist() OVER (PARTITION BY user ORDER BY value): tie-group
+    LAST position / n, one keyed exchange + segmented sort; null values
+    keep a null cd (oracle CASE), null users dropped."""
+    from airbyte_destination_ray.pipelines.relational import cume_dist_by_key
+
+    return cume_dist_by_key(
+        _events(sf_dir, columns=["event_id", "user_id", "value"]),
+        key="user_id",
+        value_col="value",
+        seq="event_id",
+    )
+
 def _q_multimodal_image_tiles_exact(sf_dir: str):
     """REAL PPM decode → 8×8 area-partition tile sums (the exact integer
     form of thumbnail/resize feature extraction): tile boundaries are
@@ -6056,6 +6106,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts_q11": _q_important_parts_q11,
         "waiting_suppliers_q21": _q_waiting_suppliers_q21,
         "excess_suppliers_q20": _q_excess_suppliers_q20,
+        "embedding_radius_pairs": _q_embedding_radius_pairs,
+        "events_reciprocal_edges": _q_events_reciprocal_edges,
+        "ttr_by_source": _q_ttr_by_source,
+        "events_cume_dist": _q_events_cume_dist,
         "events_moving_median": _q_events_moving_median,
         "indexed_term_lookup": _q_indexed_term_lookup,
         "events_range_window_sum": _q_events_range_window_sum,
@@ -6953,6 +7007,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON s.s_suppkey = pq.l_suppkey
             JOIN nation n ON n.n_nationkey = s.s_nationkey
             WHERE 2 * pq.qty > tot.total
+        """,
+        "embedding_radius_pairs": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 4)
+            SELECT q.query_id, e.vec_id
+            FROM embeddings e, q
+            WHERE list_cosine_similarity(q.qe, e.embedding) >= 0.3
+        """,
+        "events_reciprocal_edges": """
+            WITH e AS (
+                SELECT DISTINCT (event_id % 3000) AS src,
+                       ((event_id // 7 + user_id * 13) % 3000) AS dst
+                FROM events
+                WHERE user_id IS NOT NULL
+                  AND (event_id % 3000)
+                      != ((event_id // 7 + user_id * 13) % 3000))
+            SELECT e1.src AS a, e1.dst AS b
+            FROM e e1 JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src
+            WHERE e1.src < e1.dst
+        """,
+        "ttr_by_source": """
+            WITH w AS (
+                SELECT source,
+                       unnest(string_split_regex(
+                           lower(text), '[^a-z0-9]+')) AS term
+                FROM documents)
+            SELECT source,
+                   CAST(count(DISTINCT term) AS BIGINT) AS n_types,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT term) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS ttr
+            FROM w WHERE term != '' GROUP BY 1
+        """,
+        "events_cume_dist": """
+            SELECT event_id, user_id,
+                   CASE WHEN value IS NULL THEN NULL ELSE
+                       cume_dist() OVER (
+                           PARTITION BY user_id ORDER BY value) END AS cd
+            FROM events WHERE user_id IS NOT NULL
         """,
         # Repartition must be invisible: the oracle is the plain LWW
         # tombstone snapshot.

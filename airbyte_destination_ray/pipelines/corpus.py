@@ -1735,3 +1735,114 @@ def top_terms_by_group(
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def type_token_ratio_by_group(
+    ds,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    pattern: str = "[^a-z0-9]+",
+    num_partitions: int = 32,
+):
+    """Lexical diversity (type–token ratio) per group: distinct terms /
+    total terms — the corpus-quality staple that separates templated or
+    repetitive sources from diverse ones.
+
+    Shape: per batch, tokens collapse to (group, term, n) via Arrow
+    group-by (the exchange carries one row per distinct pair per batch,
+    never per token); ONE hash exchange keyed on term co-locates every
+    occurrence of a pair; the partition-level final re-distincts pairs
+    and emits aggregate-sized (group, types, tokens) partials that fold
+    driver-side into ``ttr = types / tokens`` — a single IEEE division of
+    two exact integers, so the result hash-matches SQL bit-for-bit.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        arr = batch.column(text_col)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        toks = pc.split_pattern_regex(pc.utf8_lower(arr), pattern)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        t = pa.table({"g": g.take(parents), "term": flat})
+        t = t.filter(
+            pc.and_(
+                pc.not_equal(t.column("term"), ""),
+                t.column("g").combine_chunks().is_valid(),
+            )
+        )
+        agg = (
+            t.group_by(["g", "term"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["g", "term", "n"])
+        )
+        part = (
+            stable_hash_array(agg.column("term")) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "g": agg.column("g"),
+                "term": agg.column("term"),
+                "n": agg.column("n").cast(pa.int64()),
+                "_part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    def per_part(group: pa.Table) -> pa.Table:
+        pairs = (
+            group.drop_columns(["_part"])
+            .group_by(["g", "term"], use_threads=False)
+            .aggregate([("n", "sum")])
+            .rename_columns(["g", "term", "n"])
+        )
+        out = (
+            pairs.group_by("g", use_threads=False)
+            .aggregate([([], "count_all"), ("n", "sum")])
+            .rename_columns(["g", "types", "tokens"])
+        )
+        return pa.table(
+            {
+                "g": out.column("g"),
+                "types": out.column("types").cast(pa.int64()),
+                "tokens": out.column("tokens").cast(pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+    chunks = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    chunks = [c for c in chunks if c.num_rows]
+    if not chunks:
+        return pa.table(
+            {
+                group_col: pa.array([], type=pa.string()),
+                "n_types": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "ttr": pa.array([], type=pa.float64()),
+            }
+        )
+    t = pa.concat_tables(chunks, promote_options="permissive")
+    agg = (
+        t.group_by("g", use_threads=False)
+        .aggregate([("types", "sum"), ("tokens", "sum")])
+        .rename_columns(["g", "n_types", "n_tokens"])
+    )
+    types = agg.column("n_types").to_numpy(zero_copy_only=False)
+    tokens = agg.column("n_tokens").to_numpy(zero_copy_only=False)
+    ttr = types.astype(np.float64) / tokens.astype(np.float64)
+    return pa.table(
+        {
+            group_col: agg.column("g"),
+            "n_types": agg.column("n_types").cast(pa.int64()),
+            "n_tokens": agg.column("n_tokens").cast(pa.int64()),
+            "ttr": pa.array(ttr, type=pa.float64()),
+        }
+    )

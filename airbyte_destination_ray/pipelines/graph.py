@@ -1270,3 +1270,63 @@ def degree_assortativity(
             batch_size=None,
         )
     )
+
+
+def reciprocal_edges(
+    edges_ds,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int = 64,
+):
+    """Mutual-edge detection on a DIRECTED edge stream: every unordered
+    pair {a, b} (a < b) where BOTH a→b and b→a appear (self-loops and
+    null endpoints dropped) — the reciprocity kernel of follower-graph
+    analysis.
+
+    Shape: per batch, directed edges collapse to distinct
+    (lo, hi, dir) triples (dir = "was the edge oriented low→high"), so
+    duplicate edges never ride the exchange; ONE hash exchange keyed on
+    ``lo`` co-locates both orientations of a pair; the partition-level
+    final is a vectorized group-by — pairs whose dir set contains both
+    orientations win.  No driver-side state, pair output streams."""
+
+    def triples(batch: pa.Table) -> pa.Table:
+        a = batch.column(src).cast(pa.int64())
+        b = batch.column(dst).cast(pa.int64())
+        t = pa.table({"a": a, "b": b})
+        keep = pc.and_(
+            pc.and_(pc.is_valid(a), pc.is_valid(b)), pc.not_equal(a, b)
+        )
+        t = t.filter(keep)
+        lo = pc.min_element_wise(t.column("a"), t.column("b"))
+        hi = pc.max_element_wise(t.column("a"), t.column("b"))
+        fwd = pc.cast(pc.equal(t.column("a"), lo), pa.int64())
+        tri = (
+            pa.table({"lo": lo, "hi": hi, "dir": fwd})
+            .group_by(["lo", "hi", "dir"])
+            .aggregate([])
+        )
+        from ..functions.hashing import partition_ids
+
+        parts = partition_ids(tri.column("lo"), num_partitions)
+        return tri.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def mutual(group: pa.Table) -> pa.Table:
+        g = (
+            group.drop_columns(["_part"])
+            .group_by(["lo", "hi"])
+            .aggregate([("dir", "min"), ("dir", "max")])
+            .rename_columns(["lo", "hi", "dmin", "dmax"])
+        )
+        both = pc.and_(
+            pc.equal(g.column("dmin"), 0), pc.equal(g.column("dmax"), 1)
+        )
+        g = g.filter(both)
+        return pa.table({"a": g.column("lo"), "b": g.column("hi")})
+
+    return (
+        edges_ds.map_batches(triples, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(mutual, batch_format="pyarrow")
+    )

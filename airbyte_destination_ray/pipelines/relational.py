@@ -2766,10 +2766,115 @@ def percent_rank_by_key(
             )
         return pa.concat_tables(out_parts)
 
+    routed = ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+    return routed.groupby("_part").map_groups(rank, batch_format="pyarrow")
+
+
+def cume_dist_by_key(
+    ds,
+    *,
+    key: str,
+    value_col: str,
+    seq: str,
+    out_col: str = "cd",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """SQL ``cume_dist() OVER (PARTITION BY key ORDER BY value)`` —
+    (rows with value ≤ current, ties counted HIGH) / n; the companion of
+    :func:`percent_rank_by_key` with the tie group's LAST position in the
+    numerator instead of its first.
+
+    Same shape: ONE keyed exchange, segmented sort + tie-boundary gather
+    per partition, one IEEE division of two small exact integers.  Null
+    values get a null ``cd`` (mirrored by the oracle's CASE); null keys
+    are dropped.
+    """
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key: batch.column(key),
+                seq: batch.column(seq),
+                "_v": batch.column(value_col),
+            }
+        )
+        t = t.filter(t.column(key).combine_chunks().is_valid())
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def dist(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        valid = g.column("_v").combine_chunks().is_valid()
+        nulls = g.filter(pc.invert(valid))
+        g = g.filter(valid)
+        n = g.num_rows
+        out_parts = []
+        if n:
+            idx = pc.sort_indices(
+                g, sort_keys=[(key, "ascending"), ("_v", "ascending")]
+            )
+            g = g.take(idx)
+            keys = g.column(key).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            vals = g.column("_v").combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            start = np.ones(n, dtype=bool)
+            if n > 1:
+                start[1:] = keys[1:] != keys[:-1]
+            si = np.flatnonzero(start)
+            seg_id = np.cumsum(start) - 1
+            seg_len = np.diff(np.append(si, n))
+            tie_start = start.copy()
+            if n > 1:
+                changed = vals[1:] != vals[:-1]
+                if vals.dtype.kind == "f":
+                    both_nan = np.isnan(vals[1:]) & np.isnan(vals[:-1])
+                    changed &= ~both_nan
+                tie_start[1:] |= changed
+            # last global position of each row's tie group = (next tie
+            # start) − 1, taken from a reversed cummin over tie starts
+            ti = np.flatnonzero(tie_start)
+            tie_id = np.cumsum(tie_start) - 1
+            tie_end = np.append(ti[1:], n) - 1  # per tie group
+            last_pos = tie_end[tie_id]
+            cd = (last_pos - si[seg_id] + 1).astype(np.float64) / seg_len[
+                seg_id
+            ].astype(np.float64)
+            out_parts.append(
+                pa.table(
+                    {
+                        seq: g.column(seq),
+                        key: g.column(key),
+                        out_col: pa.array(cd, type=pa.float64()),
+                    }
+                )
+            )
+        if nulls.num_rows:
+            out_parts.append(
+                pa.table(
+                    {
+                        seq: nulls.column(seq),
+                        key: nulls.column(key),
+                        out_col: pa.nulls(nulls.num_rows, pa.float64()),
+                    }
+                )
+            )
+        if not out_parts:
+            return pa.table(
+                {
+                    seq: g.column(seq),
+                    key: g.column(key),
+                    out_col: pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.concat_tables(out_parts)
+
     return (
         ds.map_batches(route, batch_format="pyarrow", batch_size=None)
         .groupby("_part")
-        .map_groups(rank, batch_format="pyarrow")
+        .map_groups(dist, batch_format="pyarrow")
     )
 
 

@@ -933,3 +933,53 @@ def embedding_covariance(
             "cov": pa.array(cov, type=pa.float64()),
         }
     )
+
+
+def radius_search(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    threshold: float = 0.3,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Cosine range query: every (query, vector) pair with similarity
+    ≥ ``threshold`` (the radius/range-search dual of ``knn_brute_force``
+    — fixed similarity bound instead of fixed k).
+
+    Shape: the query matrix broadcasts once via ``ray.put``; each batch
+    is one matmul + one boolean mask — per-pair, embarrassingly
+    parallel, ZERO shuffle (no per-query reduce exists: the predicate is
+    local).  Returns (query_id, vec_id) pairs only; scores are withheld
+    because cross-engine fp rounding makes them hash-unsafe while the
+    ≥-threshold set is stable whenever the corpus has margin around the
+    bound (pick thresholds away from realized scores).
+    """
+    q_norm = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put((q_norm, np.asarray(query_ids, dtype=np.int64)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        qm, qids = ray.get(qref)
+        emb = _normalize(_embedding_matrix(batch, embedding_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        scores = qm @ emb.T  # (q, n)
+        qi, ci = np.nonzero(scores >= threshold)
+        if len(qi) == 0:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(qids[qi], type=pa.int64()),
+                "vec_id": pa.array(ids[ci], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow", batch_size=None)

@@ -10,6 +10,21 @@ import pytest
 PARTS = 8
 
 
+def _collect(ds) -> pa.Table:
+    if isinstance(ds, pa.Table):
+        return ds
+    batches = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in ds.iter_batches(batch_format="pyarrow")
+    ]
+    batches = [b for b in batches if b.num_rows]
+    return (
+        pa.concat_tables(batches, promote_options="permissive")
+        if batches
+        else pa.table({})
+    )
+
+
 @pytest.fixture(scope="module")
 def binlog(tmp_path_factory, ray_session):
     from airbyte_destination_ray.sources.synth import synthesize_binlog
@@ -558,6 +573,144 @@ def test_tpch_q20_excess_suppliers_sf0001(ray_session):
         """
     ).df()
     assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False,
+    )
+
+
+def test_cume_dist_by_key_sf0001(ray_session):
+    """cume_dist (tie-group LAST position / n) vs DuckDB window fn,
+    including null-value rows keeping a null cd."""
+    import pandas as pd
+
+    from airbyte_destination_ray.pipelines.relational import cume_dist_by_key
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_parquet_sized(
+        f"{sf}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    got = (
+        _collect(cume_dist_by_key(ev, key="user_id", value_col="value", seq="event_id"))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            f"""
+            SELECT event_id, user_id,
+                   CASE WHEN value IS NULL THEN NULL ELSE
+                       cume_dist() OVER (
+                           PARTITION BY user_id ORDER BY value) END AS cd
+            FROM read_parquet('{sf}/events.parquet')
+            WHERE user_id IS NOT NULL ORDER BY event_id
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False,
+    )
+
+
+def test_radius_search_threshold_set_sf0001(ray_session):
+    """Cosine range query pair set vs DuckDB list_cosine_similarity."""
+    import numpy as np
+
+    from airbyte_destination_ray.pipelines.similarity import radius_search
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    sf = "/root/testdata/sf0.001"
+    qt = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet') "
+        "WHERE vec_id < 4 ORDER BY vec_id"
+    ).arrow()
+    qm = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+    qids = np.array(qt.column("vec_id").to_pylist(), dtype=np.int64)
+    got = _collect(
+        radius_search(
+            read_parquet_sized(f"{sf}/embeddings.parquet"), qm, qids,
+            threshold=0.3,
+        )
+    )
+    want = duckdb.sql(
+        f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding qe
+                   FROM read_parquet('{sf}/embeddings.parquet')
+                   WHERE vec_id < 4)
+        SELECT q.query_id, e.vec_id
+        FROM read_parquet('{sf}/embeddings.parquet') e, q
+        WHERE list_cosine_similarity(q.qe, e.embedding) >= 0.3
+        """
+    ).arrow()
+    a = sorted(zip(got.column("query_id").to_pylist(), got.column("vec_id").to_pylist()))
+    b = sorted(zip(want.column("query_id").to_pylist(), want.column("vec_id").to_pylist()))
+    assert a == b and len(a) >= 4  # at least the self-pairs
+
+
+def test_reciprocal_edges_handles_dups_selfloops_nulls(ray_session):
+    """Reciprocity kernel on a hand-built directed edge list: duplicate
+    edges, self-loops, null endpoints, and one-directional pairs must all
+    be excluded; batch composition must not matter."""
+    import ray.data
+
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.graph import reciprocal_edges
+
+    rows = [
+        {"src": 1, "dst": 2}, {"src": 2, "dst": 1},   # mutual
+        {"src": 1, "dst": 2},                          # dup of fwd
+        {"src": 3, "dst": 4},                          # one-way
+        {"src": 5, "dst": 5},                          # self-loop
+        {"src": None, "dst": 7}, {"src": 7, "dst": None},
+        {"src": 8, "dst": 9}, {"src": 9, "dst": 8},   # mutual
+    ]
+    for nblocks in (1, 4):
+        ds = ray.data.from_items(rows, override_num_blocks=nblocks)
+        got = _collect(reciprocal_edges(ds, num_partitions=4))
+        pairs = sorted(zip(got.column("a").to_pylist(), got.column("b").to_pylist()))
+        assert pairs == [(1, 2), (8, 9)], (nblocks, pairs)
+
+
+def test_type_token_ratio_by_group_sf0001(ray_session):
+    import pandas as pd
+
+    from airbyte_destination_ray.pipelines.corpus import (
+        type_token_ratio_by_group,
+    )
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        type_token_ratio_by_group(
+            read_parquet_sized(f"{sf}/documents.parquet", columns=["source", "text"])
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            f"""
+            WITH w AS (
+                SELECT source, unnest(string_split_regex(
+                    lower(text), '[^a-z0-9]+')) AS term
+                FROM read_parquet('{sf}/documents.parquet'))
+            SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS n_types,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT term) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS ttr
+            FROM w WHERE term != '' GROUP BY 1 ORDER BY source
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)],
         check_dtype=False,
