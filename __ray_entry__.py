@@ -3249,6 +3249,104 @@ def _q_events_cume_dist(sf_dir: str):
         seq="event_id",
     )
 
+def _q_page_change_rate_by_host(sf_dir: str):
+    """Crawl-recency report (CDC x webtext): diff yesterday's page
+    snapshot (LWW over even event_ids) against today's, bucket the I/U/D
+    changelog by page host (urls_for_keys: host = user_id % 997), and
+    report per-host insert/update/delete counts — which hosts are
+    churning vs static, the recrawl-scheduling signal.  Host cardinality
+    is bounded (<=997), so per-batch indicator partials fold driver-side;
+    the diff itself is the one-exchange streaming table_diff."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.ops import lww_latest
+    from airbyte_destination_ray.pipelines.relational import table_diff
+
+    def even_only(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.equal(pc.bit_wise_and(b.column("event_id"), 1), 0)
+        )
+
+    old_snap = lww_latest(
+        _events(sf_dir).map_batches(
+            even_only, batch_format="pyarrow", batch_size=None
+        ),
+        pk="user_id",
+        ver="ts",
+        seq="event_id",
+    )
+    new_snap = lww_latest(
+        _events(sf_dir), pk="user_id", ver="ts", seq="event_id"
+    )
+    diff = table_diff(
+        old_snap, new_snap, key="user_id", compare_cols=["value"]
+    )
+
+    def host_partial(b: pa.Table) -> pa.Table:
+        host_id = pc.cast(
+            pc.bit_wise_and(b.column("user_id"), -1), pa.int64()
+        )  # copy as int64
+        host_id = pc.subtract(
+            host_id, pc.multiply(pc.divide(host_id, 997), 997)
+        )
+        host = pc.binary_join_element_wise(
+            "site-", pc.cast(host_id, pa.string()), ".example.com", ""
+        )
+        op = b.column("op")
+        t = pa.table(
+            {
+                "host": host,
+                "n_insert": pc.cast(pc.equal(op, "I"), pa.int64()),
+                "n_update": pc.cast(pc.equal(op, "U"), pa.int64()),
+                "n_delete": pc.cast(pc.equal(op, "D"), pa.int64()),
+            }
+        )
+        return (
+            t.group_by("host", use_threads=False)
+            .aggregate(
+                [("n_insert", "sum"), ("n_update", "sum"), ("n_delete", "sum")]
+            )
+            .rename_columns(["host", "n_insert", "n_update", "n_delete"])
+        )
+
+    parts = [
+        pa.Table.from_batches([x]) if isinstance(x, pa.RecordBatch) else x
+        for x in diff.map_batches(
+            host_partial, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "host": pa.array([], type=pa.string()),
+                "n_insert": pa.array([], type=pa.int64()),
+                "n_update": pa.array([], type=pa.int64()),
+                "n_delete": pa.array([], type=pa.int64()),
+            }
+        )
+    t = pa.concat_tables(parts, promote_options="permissive")
+    return (
+        t.group_by("host", use_threads=False)
+        .aggregate(
+            [("n_insert", "sum"), ("n_update", "sum"), ("n_delete", "sum")]
+        )
+        .rename_columns(["host", "n_insert", "n_update", "n_delete"])
+    )
+
+def _q_session_size_histogram(sf_dir: str):
+    """Engagement-depth report: events-per-session distribution under the
+    30-minute gap rule (n_sessions at size 1 = the bounce count) — one
+    keyed exchange, vectorized boundary kernel, dim-sized driver fold."""
+    from airbyte_destination_ray.pipelines.relational import (
+        session_size_histogram,
+    )
+
+    return session_size_histogram(
+        _events(sf_dir, columns=["event_id", "user_id", "ts"])
+    )
+
 def _q_multimodal_image_tiles_exact(sf_dir: str):
     """REAL PPM decode → 8×8 area-partition tile sums (the exact integer
     form of thumbnail/resize feature extraction): tile boundaries are
@@ -6110,6 +6208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_reciprocal_edges": _q_events_reciprocal_edges,
         "ttr_by_source": _q_ttr_by_source,
         "events_cume_dist": _q_events_cume_dist,
+        "page_change_rate_by_host": _q_page_change_rate_by_host,
+        "session_size_histogram": _q_session_size_histogram,
         "events_moving_median": _q_events_moving_median,
         "indexed_term_lookup": _q_indexed_term_lookup,
         "events_range_window_sum": _q_events_range_window_sum,
@@ -7047,6 +7147,52 @@ def oracle_sql() -> dict[str, str]:
                        cume_dist() OVER (
                            PARTITION BY user_id ORDER BY value) END AS cd
             FROM events WHERE user_id IS NOT NULL
+        """,
+        "page_change_rate_by_host": """
+            WITH old_s AS (
+                SELECT user_id, value FROM events WHERE event_id % 2 = 0
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+            new_s AS (
+                SELECT user_id, value FROM events
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+            d AS (
+                SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+                       CASE WHEN o.user_id IS NULL THEN 'I'
+                            WHEN n.user_id IS NULL THEN 'D'
+                            ELSE 'U' END AS op
+                FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
+                WHERE o.user_id IS NULL OR n.user_id IS NULL
+                   OR o.value IS DISTINCT FROM n.value)
+            SELECT 'site-' || (user_id % 997) || '.example.com' AS host,
+                   CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_insert,
+                   CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_update,
+                   CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_delete
+            FROM d GROUP BY 1
+        """,
+        "session_size_histogram": """
+            WITH s AS (
+                SELECT event_id, user_id,
+                       CAST(sum(CASE WHEN prev_ts IS NULL
+                                       OR ts - prev_ts > INTERVAL 30 MINUTE
+                                     THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_id
+                FROM (SELECT event_id, user_id, ts,
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_ts
+                      FROM events)),
+            sz AS (
+                SELECT user_id, session_id, count(*) AS session_events
+                FROM s GROUP BY 1, 2)
+            SELECT CAST(session_events AS BIGINT) AS session_events,
+                   CAST(count(*) AS BIGINT) AS n_sessions
+            FROM sz GROUP BY 1
         """,
         # Repartition must be invisible: the oracle is the plain LWW
         # tombstone snapshot.

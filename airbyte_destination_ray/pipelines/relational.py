@@ -1005,6 +1005,106 @@ def sessionize(
     )
 
 
+def session_size_histogram(
+    ds,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    seq: str = "event_id",
+    gap_minutes: float = 30.0,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+):
+    """Distribution of session sizes (events per session) under the same
+    gap rule as :func:`sessionize` — the bounce-rate / engagement-depth
+    report (``n_sessions`` at ``session_events = 1`` IS the bounce
+    count).
+
+    Same single keyed exchange as sessionize; the per-partition kernel
+    computes session boundaries vectorized and emits ``(size, n)`` value
+    counts — session sizes are tiny-cardinality, so the partials fold
+    driver-side into the final histogram.  Null keys form one SQL-style
+    session partition (dictionary-code equality, like sessionize).
+    """
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+
+    def route(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                seq: batch.column(seq),
+                key: batch.column(key),
+                "_ats": pc.cast(batch.column(ts_col), pa.int64()),
+            }
+        )
+        parts = partition_ids(t.column(key), num_partitions)
+        return t.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def sizes(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                (key, "ascending"),
+                ("_ats", "ascending"),
+                (seq, "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        karr = g.column(key)
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        keys = pc.fill_null(
+            karr.dictionary_encode().indices.cast(pa.int64()), -1
+        ).to_numpy(zero_copy_only=False)
+        ts = g.column("_ats").to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n == 0:
+            return pa.table(
+                {
+                    "session_events": pa.array([], type=pa.int64()),
+                    "n_sessions": pa.array([], type=pa.int64()),
+                }
+            )
+        new_sess = np.ones(n, dtype=bool)
+        if n > 1:
+            same_key = keys[1:] == keys[:-1]
+            small_gap = (ts[1:] - ts[:-1]) <= gap_us
+            new_sess[1:] = ~(same_key & small_gap)
+        starts = np.flatnonzero(new_sess)
+        seg_len = np.diff(np.append(starts, n))
+        vals, counts = np.unique(seg_len, return_counts=True)
+        return pa.table(
+            {
+                "session_events": pa.array(vals, type=pa.int64()),
+                "n_sessions": pa.array(
+                    counts.astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    partials = (
+        ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(sizes, batch_format="pyarrow")
+    )
+    chunks = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    chunks = [c for c in chunks if c.num_rows]
+    if not chunks:
+        return pa.table(
+            {
+                "session_events": pa.array([], type=pa.int64()),
+                "n_sessions": pa.array([], type=pa.int64()),
+            }
+        )
+    t = pa.concat_tables(chunks, promote_options="permissive")
+    return (
+        t.group_by("session_events", use_threads=False)
+        .aggregate([("n_sessions", "sum")])
+        .rename_columns(["session_events", "n_sessions"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # distinct count
 # ---------------------------------------------------------------------------

@@ -715,3 +715,77 @@ def test_type_token_ratio_by_group_sf0001(ray_session):
         got[sorted(got.columns)], want[sorted(want.columns)],
         check_dtype=False,
     )
+
+
+def test_session_size_histogram_sf0001(ray_session):
+    """Events-per-session distribution vs DuckDB gaps-and-islands,
+    including the null-user SQL partition."""
+    import pandas as pd
+
+    from airbyte_destination_ray.pipelines.relational import (
+        session_size_histogram,
+    )
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        session_size_histogram(
+            read_parquet_sized(
+                f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]
+            )
+        )
+        .to_pandas()
+        .sort_values("session_events")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            f"""
+            WITH s AS (
+                SELECT event_id, user_id,
+                       sum(CASE WHEN prev_ts IS NULL
+                                  OR ts - prev_ts > INTERVAL 30 MINUTE
+                                THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM (SELECT event_id, user_id, ts,
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_ts
+                      FROM read_parquet('{sf}/events.parquet'))),
+            sz AS (SELECT user_id, session_id, count(*) AS session_events
+                   FROM s GROUP BY 1, 2)
+            SELECT CAST(session_events AS BIGINT) AS session_events,
+                   CAST(count(*) AS BIGINT) AS n_sessions
+            FROM sz GROUP BY 1 ORDER BY 1
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert got["n_sessions"].sum() > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_page_change_rate_query_batch_invariance(ray_session):
+    """The host change-rate query's totals must equal the plain snapshot
+    diff's op counts (same machinery, bucketed by host)."""
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    hosts = E.queries()["page_change_rate_by_host"](sf)
+    diff = _collect(E.queries()["users_snapshot_diff"](sf))
+    import pyarrow.compute as pc
+
+    ops = diff.column("op")
+    assert (
+        int(pc.sum(hosts.column("n_insert")).as_py() or 0)
+        == pc.sum(pc.cast(pc.equal(ops, "I"), pa.int64())).as_py()
+    )
+    assert (
+        int(pc.sum(hosts.column("n_update")).as_py() or 0)
+        == pc.sum(pc.cast(pc.equal(ops, "U"), pa.int64())).as_py()
+    )
+    assert (
+        int(pc.sum(hosts.column("n_delete")).as_py() or 0)
+        == pc.sum(pc.cast(pc.equal(ops, "D"), pa.int64())).as_py()
+    )
