@@ -3347,6 +3347,101 @@ def _q_session_size_histogram(sf_dir: str):
         _events(sf_dir, columns=["event_id", "user_id", "ts"])
     )
 
+def _q_events_wow_growth(sf_dir: str):
+    """Week-over-week growth: events per ISO week (iso_year*100 + iso_week,
+    Arrow iso_week == DuckDB weekofyear, verified) + the WoW ratio — LAG
+    over an aggregate-sized series; the ratio is ONE IEEE division of two
+    exact int counts, so it hash-matches SQL bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts")
+        yw = pc.add(
+            pc.multiply(pc.cast(pc.iso_year(ts), pa.int64()), 100),
+            pc.cast(pc.iso_week(ts), pa.int64()),
+        )
+        return (
+            pa.table({"yw": yw})
+            .group_by("yw")
+            .aggregate([([], "count_all")])
+            .rename_columns(["yw", "n"])
+        )
+
+    parts = [
+        pa.Table.from_batches([x]) if isinstance(x, pa.RecordBatch) else x
+        for x in _events(sf_dir, columns=["ts"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow")
+    ]
+    parts = [p for p in parts if p.num_rows]
+    t = pa.concat_tables(parts, promote_options="permissive")
+    agg = (
+        t.group_by("yw")
+        .aggregate([("n", "sum")])
+        .rename_columns(["yw", "n_events"])
+        .sort_by([("yw", "ascending")])
+    )
+    n = agg.column("n_events").to_numpy(zero_copy_only=False).astype(np.int64)
+    ratio = np.full(len(n), np.nan)
+    if len(n) > 1:
+        ratio[1:] = n[1:].astype(np.float64) / n[:-1].astype(np.float64)
+    return pa.table(
+        {
+            "yw": agg.column("yw").cast(pa.int64()),
+            "n_events": agg.column("n_events").cast(pa.int64()),
+            "wow_ratio": pa.array(
+                [None if np.isnan(r) else float(r) for r in ratio],
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def _q_trending_types_hourly(sf_dir: str):
+    """Trending report: top-3 event types per hour by count (row_number
+    tie-break on type) — the distributed part is the tumbling-window
+    count; the rank runs on the aggregate-sized (hour x type) result."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.relational import windowed_counts
+
+    wc = windowed_counts(_events(sf_dir, columns=["ts", "event_type"]), unit="hour")
+    parts = [
+        pa.Table.from_batches([x]) if isinstance(x, pa.RecordBatch) else x
+        for x in wc.iter_batches(batch_format="pyarrow")
+    ]
+    parts = [p for p in parts if p.num_rows]
+    t = pa.concat_tables(parts, promote_options="permissive")
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[
+            ("window_start", "ascending"),
+            ("n_events", "descending"),
+            ("event_type", "ascending"),
+        ],
+    )
+    t = t.take(idx)
+    # null window (null ts) must stay ONE SQL partition — sentinel-fill
+    # before numpy or NaN != NaN splits it per row
+    ws = pc.fill_null(
+        t.column("window_start").cast(pa.int64()), np.iinfo(np.int64).min
+    ).to_numpy(zero_copy_only=False)
+    nrows = len(ws)
+    start = np.ones(nrows, dtype=bool)
+    if nrows > 1:
+        start[1:] = ws[1:] != ws[:-1]
+    si = np.flatnonzero(start)
+    seg_id = np.cumsum(start) - 1
+    rnk = np.arange(nrows) - si[seg_id] + 1
+    t = t.append_column("rnk", pa.array(rnk, type=pa.int64()))
+    return t.filter(pa.array(rnk <= 3)).select(
+        ["window_start", "event_type", "n_events", "rnk"]
+    )
+
 def _q_multimodal_image_tiles_exact(sf_dir: str):
     """REAL PPM decode → 8×8 area-partition tile sums (the exact integer
     form of thumbnail/resize feature extraction): tile boundaries are
@@ -6210,6 +6305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cume_dist": _q_events_cume_dist,
         "page_change_rate_by_host": _q_page_change_rate_by_host,
         "session_size_histogram": _q_session_size_histogram,
+        "events_wow_growth": _q_events_wow_growth,
+        "trending_types_hourly": _q_trending_types_hourly,
         "events_moving_median": _q_events_moving_median,
         "indexed_term_lookup": _q_indexed_term_lookup,
         "events_range_window_sum": _q_events_range_window_sum,
@@ -7193,6 +7290,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(session_events AS BIGINT) AS session_events,
                    CAST(count(*) AS BIGINT) AS n_sessions
             FROM sz GROUP BY 1
+        """,
+        "events_wow_growth": """
+            WITH w AS (
+                SELECT CAST(isoyear(ts) * 100 + weekofyear(ts) AS BIGINT)
+                           AS yw,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1)
+            SELECT yw, n_events,
+                   CAST(n_events AS DOUBLE)
+                       / CAST(lag(n_events) OVER (ORDER BY yw) AS DOUBLE)
+                       AS wow_ratio
+            FROM w
+        """,
+        "trending_types_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS window_start, event_type,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2)
+            SELECT window_start, event_type, n_events,
+                   CAST(row_number() OVER (
+                       PARTITION BY window_start
+                       ORDER BY n_events DESC, event_type) AS BIGINT) AS rnk
+            FROM h QUALIFY rnk <= 3
         """,
         # Repartition must be invisible: the oracle is the plain LWW
         # tombstone snapshot.
