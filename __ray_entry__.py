@@ -180,6 +180,29 @@ def _q_dedup_exact_incremental(sf_dir: str):
     return s1.union(s2)
 
 
+def _plant_copies(ds, id_col: str, modulus: int):
+    """Append an exact copy of every ``modulus``-th row (by ``id_col``)
+    with id +1,000,000 — the planted ground truth the signature-exact
+    dedup oracles check in both directions (copies MUST drop, natural
+    near-dups MUST survive).  Shared by the minhash / ngram-jaccard /
+    embedding-cosine oracle modes."""
+    import pyarrow as pa
+
+    def plant(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        copies = batch.filter(pa.array(ids % modulus == 0))
+        copies = copies.set_column(
+            copies.schema.get_field_index(id_col),
+            id_col,
+            pc.add(copies.column(id_col), pa.scalar(1_000_000, pa.int64())),
+        )
+        return pa.concat_tables([batch, copies])
+
+    return ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
+
+
 def _q_dedup_minhash(sf_dir: str):
     """MinHash+LSH dedup in signature-EXACT mode (verify_threshold=1.0):
     identical signatures share every band, so the full shingle→minhash→
@@ -190,29 +213,9 @@ def _q_dedup_minhash(sf_dir: str):
     near-dups (Jaccard ≥ 0.8 but < 1.0) MUST survive.  The production
     near-dup threshold (0.8) stays pinned by unit tests at known corpus
     counts."""
-    import numpy as np
-    import pyarrow as pa
-
     from airbyte_destination_ray.pipelines.dedup import dedup_minhash_lsh
 
-    def plant(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        copies = batch.filter(pa.array(ids % 20 == 0))
-        copies = copies.set_column(
-            copies.schema.get_field_index("doc_id"),
-            "doc_id",
-            pc_add_int64(copies.column("doc_id"), 1_000_000),
-        )
-        return pa.concat_tables([batch, copies])
-
-    def pc_add_int64(col, n):
-        import pyarrow.compute as pc
-
-        return pc.add(col, pa.scalar(n, type=pa.int64()))
-
-    ds = _documents(sf_dir).map_batches(
-        plant, batch_format="pyarrow", batch_size=None
-    )
+    ds = _plant_copies(_documents(sf_dir), "doc_id", 20)
     # bands=1 → the bucket key is the hash of the FULL signature, so
     # buckets are signature-equality classes and the min-id rep IS the
     # class winner.  (Multi-band buckets would admit near-dup reps that
@@ -234,26 +237,9 @@ def _q_dedup_ngram_jaccard(sf_dir: str):
     doc_id per distinct 3-gram SET over a copy-augmented corpus (every
     15th doc planted at +1,000,000).  The production 0.8 threshold stays
     pinned by unit tests at known corpus counts."""
-    import numpy as np
-    import pyarrow as pa
-
     from airbyte_destination_ray.pipelines.dedup import dedup_ngram_jaccard
 
-    def plant(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        copies = batch.filter(pa.array(ids % 15 == 0))
-        copies = copies.set_column(
-            copies.schema.get_field_index("doc_id"),
-            "doc_id",
-            pc.add(copies.column("doc_id"), pa.scalar(1_000_000, pa.int64())),
-        )
-        return pa.concat_tables([batch, copies])
-
-    ds = _documents(sf_dir).map_batches(
-        plant, batch_format="pyarrow", batch_size=None
-    )
+    ds = _plant_copies(_documents(sf_dir), "doc_id", 15)
     # bands=1: bucket = full-signature hash (see dedup_minhash_documents)
     return dedup_ngram_jaccard(ds, bands=1, threshold=1.0)
 
@@ -268,26 +254,9 @@ def _q_dedup_embedding(sf_dir: str):
     the whole bucket→shuffle→verify→anti-join machinery is hash-checked.
     The production threshold (0.95, int8 transit) stays pinned by unit
     tests."""
-    import numpy as np
-    import pyarrow as pa
-
     from airbyte_destination_ray.pipelines.dedup import dedup_embedding_cosine
 
-    def plant(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        copies = batch.filter(pa.array(ids % 10 == 0))
-        copies = copies.set_column(
-            copies.schema.get_field_index("vec_id"),
-            "vec_id",
-            pc.add(copies.column("vec_id"), pa.scalar(1_000_000, pa.int64())),
-        )
-        return pa.concat_tables([batch, copies])
-
-    ds = _embeddings(sf_dir).map_batches(
-        plant, batch_format="pyarrow", batch_size=None
-    )
+    ds = _plant_copies(_embeddings(sf_dir), "vec_id", 10)
     out = dedup_embedding_cosine(
         ds, threshold=0.999999, num_planes=63, transit="float"
     )
@@ -3217,10 +3186,28 @@ def _q_events_reciprocal_edges(sf_dir: str):
     group filter."""
     from airbyte_destination_ray.pipelines.graph import reciprocal_edges
 
+    import pyarrow as pa
+
     edges = _events(sf_dir, columns=["user_id", "event_id"]).map_batches(
         _interaction_edges_3000, batch_format="pyarrow", batch_size=None
     )
-    return reciprocal_edges(edges)
+    out = reciprocal_edges(edges)
+    # collect to a TYPED table: an all-empty Ray result loses its schema
+    # through map_groups (zero mutual pairs at sf0.001) and the driver
+    # compares column sets — same guard as _q_events_link_prediction
+    parts = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in out.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.concat_tables(parts)
 
 
 def _q_ttr_by_source(sf_dir: str):

@@ -1747,12 +1747,42 @@ def repartition_table(
     pk = meta["pk"]
     pk = pk[0] if isinstance(pk, list) and len(pk) == 1 else pk
     ver = meta["cursor"]
-    published = int(meta["generation"])
+
+    # Crash-resume: a prior repartition_table that died mid-rebuild leaves
+    # the WAP window open with our marker in meta.  Re-enter the SAME
+    # staged generation — per-(generation, epoch, partition) manifest CAS
+    # makes re-merging committed partitions a no-op — instead of raising
+    # "already has a staged generation" forever.  A staged generation
+    # WITHOUT the marker belongs to someone else's WAP: refuse loudly.
+    resume_target = meta.get("repartition_target")
+    resuming = meta.get("published_generation") is not None
+    if resuming:
+        if resume_target is None:
+            raise RuntimeError(
+                f"table {table!r} has a staged generation from an open WAP "
+                "window (not a crashed repartition); publish or abort it "
+                "before repartitioning"
+            )
+        if int(resume_target) != int(new_partitions):
+            raise RuntimeError(
+                f"table {table!r} has a crashed repartition staged at "
+                f"{resume_target} partitions; re-run with that count to "
+                "resume, or `wap abort` to discard the partial rebuild"
+            )
+        published = int(meta["published_generation"])
+    else:
+        published = int(meta["generation"])
     ckpt = store.last_checkpoint(published)
     rebuild_epoch = int(ckpt["epoch"]) if ckpt else 0
 
-    wap_begin(lake_root, table)
+    if not resuming:
+        wap_begin(lake_root, table)
     try:
+        # marker AFTER wap_begin: a hard crash between the two writes
+        # leaves a plain WAP window that `wap abort` cleans, never a
+        # silent resume; a soft exception self-cleans via wap_abort below
+        if not resuming:
+            store.update_meta(repartition_target=int(new_partitions))
         staged = int(store.table_meta()["generation"])
         snap = read_table(
             lake_root, table, include_deleted=True, include_meta=True
@@ -1805,10 +1835,14 @@ def repartition_table(
         )
     except Exception:
         wap_abort(lake_root, table)
+        store.update_meta(repartition_target=None)
         raise
     # ONE metadata write: drop the reader pin AND flip the partition count
+    # (and clear the crash-resume marker)
     store.update_meta(
-        published_generation=None, num_partitions=int(new_partitions)
+        published_generation=None,
+        num_partitions=int(new_partitions),
+        repartition_target=None,
     )
     return {
         "table": table,

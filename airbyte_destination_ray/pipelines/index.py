@@ -419,8 +419,27 @@ def lookup_value_rows(
     )
     if not pks:
         import ray.data
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+        from ..state.manifest import ManifestStore
 
-        # empty but schema-typed: read zero partitions via lookup_rows on
-        # an impossible key would still need a key; return empty Dataset
-        return ray.data.from_items([])
+        # empty but SCHEMA-TYPED: a zero-column from_items([]) breaks any
+        # consumer that compares column sets (the driver gate does) — read
+        # one committed file's footer for the real schema, no data
+        from .cdc import _pin_read_generation
+
+        store = ManifestStore(lake_root, table)
+        meta = _pin_read_generation(store.table_meta())
+        files = store.committed_files(meta["generation"], mode=meta["mode"])
+        if files:
+            sch = pq_.read_schema(Path(lake_root) / files[0])
+            names = columns or [
+                n for n in sch.names if not n.startswith("_")
+            ]
+            return ray.data.from_arrow(
+                pa.table(
+                    {n: pa.array([], type=sch.field(n).type) for n in names}
+                )
+            )
+        return ray.data.from_arrow(pa.table({}))
     return lookup_rows(lake_root, table, pks, columns=columns)

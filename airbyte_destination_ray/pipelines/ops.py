@@ -501,10 +501,13 @@ def target_encode_by_key(
     int64 products, so a SQL oracle spelling the same expression is
     bit-identical (no composed float ops, no libm).
 
-    Two streaming passes: pass 1 folds one ``(Σ, n)`` scalar row per
-    batch driver-side (the global prior); pass 2 is the standard
-    per-key combiner exchange (one row per (key, batch)) with a
-    partition-level vectorized finalize — O(partitions) Python calls.
+    ONE scan of the input: the per-(key, batch) combiner partials are
+    materialized once (aggregate-sized — O(keys × batches) rows), the
+    global prior ``(Σ, n)`` is folded driver-side FROM those partials
+    (it is exactly their sum), and the same materialized partials feed
+    the partition-keyed exchange with a vectorized finalize —
+    O(partitions) Python calls.  A derived input pipeline therefore
+    executes once, not twice (the measured double-execution trap).
     Null keys form their own group (SQL GROUP BY semantics); null
     targets are excluded pairwise.
 
@@ -519,35 +522,29 @@ def target_encode_by_key(
             pa.int64(),
         )
 
-    def global_partial(batch: pa.Table) -> pa.Table:
-        c = pc.drop_null(cents_col(batch))
-        s = pc.sum(c).as_py()
-        return pa.table(
-            {
-                "s": pa.array([0 if s is None else int(s)]),
-                "n": pa.array([len(c)], type=pa.int64()),
-            }
-        )
-
-    rows = [
-        r
-        for b in ds.map_batches(
-            global_partial, batch_format="pyarrow", batch_size=None
-        ).iter_batches(batch_format="pyarrow")
-        for r in b.to_pylist()
-    ]
-    gsum = sum(r["s"] for r in rows)
-    gn = sum(r["n"] for r in rows)
-    if gn == 0:
-        raise ValueError("target_encode_by_key: no non-null target values")
-    m = int(smoothing)
-
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({key: batch.column(key), "_c": cents_col(batch)})
         t = t.filter(t.column("_c").combine_chunks().is_valid())
         g = t.group_by(key).aggregate([("_c", "sum"), ("_c", "count")])
         parts = partition_ids(g.column(key), num_partitions)
         return g.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    # one scan: materialize the aggregate-sized combiner partials, fold
+    # the global prior from them (it is exactly their sum), then exchange
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    gsum = 0
+    gn = 0
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            s = pc.sum(b.column("_c_sum")).as_py()
+            c = pc.sum(b.column("_c_count")).as_py()
+            gsum += 0 if s is None else int(s)
+            gn += 0 if c is None else int(c)
+    if gn == 0:
+        raise ValueError("target_encode_by_key: no non-null target values")
+    m = int(smoothing)
 
     def final(group: pa.Table) -> pa.Table:
         import numpy as np
@@ -573,10 +570,8 @@ def target_encode_by_key(
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("_part")
-        .map_groups(final, batch_format="pyarrow")
+    return partials.groupby("_part").map_groups(
+        final, batch_format="pyarrow"
     )
 
 

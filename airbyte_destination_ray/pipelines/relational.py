@@ -1066,8 +1066,13 @@ def session_size_histogram(
         new_sess = np.ones(n, dtype=bool)
         if n > 1:
             same_key = keys[1:] == keys[:-1]
-            small_gap = (ts[1:] - ts[:-1]) <= gap_us
-            new_sess[1:] = ~(same_key & small_gap)
+            # SQL `ts - prev_ts > gap` on a NULL ts is NULL -> false ->
+            # SAME session; a null ts reaches numpy as NaN (int64-with-
+            # nulls decays to float64), so express "small gap" as NOT
+            # (gap > threshold) — NaN > x is False, keeping SQL parity
+            with np.errstate(invalid="ignore"):
+                big_gap = (ts[1:] - ts[:-1]) > gap_us
+            new_sess[1:] = ~(same_key & ~big_gap)
         starts = np.flatnonzero(new_sess)
         seg_len = np.diff(np.append(starts, n))
         vals, counts = np.unique(seg_len, return_counts=True)
@@ -2939,9 +2944,24 @@ def cume_dist_by_key(
             tie_id = np.cumsum(tie_start) - 1
             tie_end = np.append(ti[1:], n) - 1  # per tie group
             last_pos = tie_end[tie_id]
-            cd = (last_pos - si[seg_id] + 1).astype(np.float64) / seg_len[
+            # SQL cume_dist divides by the FULL partition size: with
+            # NULLS LAST, null-value rows still count in the denominator
+            # (verified against DuckDB) even though their own cd is null
+            denom = seg_len.astype(np.float64)
+            if nulls.num_rows:
+                nk = np.sort(
+                    nulls.column(key)
+                    .combine_chunks()
+                    .to_numpy(zero_copy_only=False)
+                )
+                seg_keys = keys[si]
+                denom = denom + (
+                    np.searchsorted(nk, seg_keys, side="right")
+                    - np.searchsorted(nk, seg_keys, side="left")
+                )
+            cd = (last_pos - si[seg_id] + 1).astype(np.float64) / denom[
                 seg_id
-            ].astype(np.float64)
+            ]
             out_parts.append(
                 pa.table(
                     {

@@ -673,12 +673,12 @@ def kmeans_sizes_exact(
     parts = ds.map_batches(
         bottom_k, batch_format="pyarrow", batch_size=None
     ).take_all()
+    if not parts:  # np.stack([]) would raise an opaque ValueError below
+        raise ValueError("kmeans_sizes_exact: corpus is empty")
     seed_ids = np.asarray([r[id_col] for r in parts], dtype=np.int64)
     seed_vecs = np.stack([np.asarray(r["_q"], dtype=np.int64) for r in parts])
     order = np.argsort(seed_ids, kind="stable")[:k]
     cent = seed_vecs[order]  # (k, d) int64, cluster index = id rank
-    if len(cent) == 0:
-        raise ValueError("kmeans_sizes_exact: corpus is empty")
     k = len(cent)  # corpus smaller than n_clusters → fewer centroids
 
     def _assign(q: np.ndarray, c: np.ndarray) -> np.ndarray:

@@ -371,12 +371,18 @@ def q22_idle_customer_balance(sf_dir: str, *, max_orders: int = 2):
         batch_format="pyarrow",
         batch_size=None,
     )
-    keys = pa.concat_tables(
-        [
-            pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
-            for b in counts.iter_batches(batch_format="pyarrow")
-        ]
-    ).column("o_custkey")
+    key_parts = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in counts.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    # all-empty blocks (no customer over max_orders) yield ZERO batches
+    # from Ray — every customer is "idle", the anti-join set is empty
+    keys = (
+        pa.concat_tables(key_parts).column("o_custkey")
+        if key_parts
+        else pa.array([], type=pa.int64())
+    )
 
     rich = cust.map_batches(
         lambda b: b.filter(
