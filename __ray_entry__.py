@@ -793,6 +793,24 @@ def _q_dedup_jaccard_exact(sf_dir: str):
     )
 
 
+def _q_similar_doc_pairs(sf_dir: str):
+    """All-pairs word-5-gram Jaccard similarity JOIN (AllPairs/PPJoin
+    prefix filtering, exact integer verify — the auditing counterpart of
+    dedup_jaccard_exact: which pairs, with exact inter/union sizes).
+    Exact copies of every 25th doc are planted (+1,000,000 ids) so both
+    planted J=1 pairs and natural near-dups must surface; the oracle
+    recomputes pairwise shingle intersections from scratch in SQL with the
+    same integer predicate 9·c ≥ 4·(na+nb)."""
+    from airbyte_destination_ray.pipelines.linkage import (
+        similarity_join_words,
+    )
+
+    ds = _plant_copies(
+        _documents(sf_dir, columns=["doc_id", "text"]), "doc_id", 25
+    )
+    return similarity_join_words(ds, threshold=0.8, shingle_k=5)
+
+
 def _q_domain_stats(sf_dir: str):
     """Per-host web rollup: deterministic page URLs derived from events
     (the synth url scheme), parsed with the vectorized URL parser, grouped
@@ -6347,6 +6365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mix_by_source": _q_lang_mix_by_source,
         "events_value_share_by_type": _q_events_value_share,
         "order_value_quartiles_by_status": _q_order_value_quartiles_by_status,
+        "similar_doc_pairs": _q_similar_doc_pairs,
         # --- driver-green in r01/r02/r03 ---
         "multimodal_image_stats_exact": _q_multimodal_image_stats_exact,
         "multimodal_audio_stats_exact": _q_multimodal_audio_stats_exact,
@@ -9740,5 +9759,35 @@ def oracle_sql() -> dict[str, str]:
                max(CASE WHEN rn = least(n, greatest(1,
                    CAST(ceil(0.75 * n) AS BIGINT))) THEN v END) AS p75
         FROM r GROUP BY o_orderstatus
+    """
+    sql["similar_doc_pairs"] = """
+        WITH aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents
+            WHERE doc_id % 25 = 0
+        ), w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+            FROM aug WHERE text IS NOT NULL
+        ), s AS (
+            SELECT DISTINCT doc_id,
+                unnest(list_transform(
+                    generate_series(1, greatest(len(ws) - 4, 0)),
+                    i -> array_to_string(list_slice(ws, i, i + 4), ' ')
+                )) AS sh
+            FROM w
+        ), sz AS (
+            SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b, CAST(i.c AS BIGINT) AS inter_words,
+               CAST(za.n + zb.n - i.c AS BIGINT) AS union_words
+        FROM inter i
+        JOIN sz za ON za.doc_id = i.doc_a
+        JOIN sz zb ON zb.doc_id = i.doc_b
+        WHERE 9 * i.c >= 4 * (za.n + zb.n)
     """
     return sql

@@ -279,3 +279,492 @@ def fuzzy_pairs(
         .groupby("_p2")
         .map_groups(verify, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Set-similarity join with prefix filtering (AllPairs / PPJoin family)
+# ---------------------------------------------------------------------------
+
+_SIMJOIN_EMPTY_POSTINGS = pa.table(
+    {
+        "wh": pa.array([], type=pa.uint64()),
+        "id": pa.array([], type=pa.int64()),
+        "sz": pa.array([], type=pa.int64()),
+        "_pw": pa.array([], type=pa.int64()),
+    }
+)
+_SIMJOIN_EMPTY_DF = pa.table(
+    {
+        "wh": pa.array([], type=pa.uint64()),
+        "id": pa.array([], type=pa.int64()),
+        "sz": pa.array([], type=pa.int64()),
+        "df": pa.array([], type=pa.int64()),
+        "_pi": pa.array([], type=pa.int64()),
+    }
+)
+_SIMJOIN_EMPTY_PREFIX = pa.table(
+    {
+        "wh": pa.array([], type=pa.uint64()),
+        "id": pa.array([], type=pa.int64()),
+        "_ps": pa.array([], type=pa.int64()),
+    }
+)
+_SIMJOIN_EMPTY_CAND = pa.table(
+    {
+        "ia": pa.array([], type=pa.int64()),
+        "ib": pa.array([], type=pa.int64()),
+    }
+)
+_SIMJOIN_RESULT_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("inter_words", pa.int64()),
+        ("union_words", pa.int64()),
+    ]
+)
+
+
+def _simjoin_token_postings(batch, text_col, id_col, num_partitions,
+                            shingle_k=1):
+    """Distinct ``(token_hash, id, set_size)`` postings for one batch.
+
+    ``shingle_k=1`` tokens are single words; ``shingle_k>1`` tokens are
+    word-``k``-grams (positional rolling hash combine, same scheme as the
+    dedup inverted index).  NULL text rows are dropped (SQL: a NULL
+    document tokenizes to no rows and can never join);
+    empty/whitespace-only text yields the single empty-string word,
+    matching ``string_split_regex('', '\\s+')``; docs with fewer than
+    ``shingle_k`` words have no tokens and appear in no pairs.
+    """
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    valid = pc.is_valid(texts)
+    if not pc.all(valid).as_py():
+        batch = batch.filter(valid)
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+    if batch.num_rows == 0:
+        return _SIMJOIN_EMPTY_POSTINGS
+    words = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(texts), r"\s+"
+    )
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    word_h = stable_hash_array(flat).astype(np.uint64)
+    if shingle_k == 1:
+        lens = offsets[1:] - offsets[:-1]
+        wh = word_h
+        rows = np.repeat(np.arange(batch.num_rows), lens)
+    else:
+        n_flat = len(word_h)
+        n_valid = n_flat - shingle_k + 1
+        if n_valid <= 0:
+            return _SIMJOIN_EMPTY_POSTINGS
+        mults = np.cumprod(
+            np.full(shingle_k, 0x9E3779B97F4A7C15, dtype=np.uint64)
+        )
+        wh = np.zeros(n_valid, dtype=np.uint64)
+        for j in range(shingle_k):
+            wh += word_h[j : j + n_valid] * mults[j]
+        row_of = np.searchsorted(
+            offsets[1:], np.arange(n_valid), side="right"
+        )
+        ok = np.arange(n_valid) + shingle_k <= offsets[row_of + 1]
+        wh, rows = wh[ok], row_of[ok]
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)[rows]
+    t = pa.table(
+        {"wh": pa.array(wh), "id": pa.array(ids, type=pa.int64())}
+    )
+    g = t.group_by(["id", "wh"], use_threads=False).aggregate([])
+    sizes = g.group_by("id", use_threads=False).aggregate([([], "count_all")])
+    sz_ids = sizes.column("id").to_numpy(zero_copy_only=False)
+    sz_n = sizes.column("count_all").to_numpy(zero_copy_only=False)
+    order = np.argsort(sz_ids)
+    gi = g.column("id").to_numpy(zero_copy_only=False)
+    sz = sz_n[order][np.searchsorted(sz_ids[order], gi)]
+    shv = g.column("wh").to_numpy(zero_copy_only=False).astype(np.uint64)
+    return pa.table(
+        {
+            "wh": g.column("wh"),
+            "id": g.column("id"),
+            "sz": pa.array(sz, type=pa.int64()),
+            "_pw": pa.array(
+                (shv % np.uint64(num_partitions)).astype(np.int64)
+            ),
+        }
+    )
+
+
+def _simjoin_token_lists(batch, text_col, id_col, involved, num_partitions,
+                         shingle_k=1):
+    """Per-doc SORTED token-hash lists for the verify join, restricted to
+    ids in the broadcast ``involved`` set (sorted int64 array)."""
+    ids_all = batch.column(id_col).to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(involved, ids_all)
+    pos[pos >= len(involved)] = 0
+    keep = involved[pos] == ids_all if len(involved) else np.zeros(
+        len(ids_all), dtype=bool
+    )
+    empty = pa.table(
+        {
+            "key": pa.array([], type=pa.int64()),
+            "other": pa.array([], type=pa.int64()),
+            "toks": pa.array([], type=pa.list_(pa.uint64())),
+            "carry": pa.array([], type=pa.list_(pa.uint64())),
+            "_side": pa.array([], type=pa.int8()),
+            "_vp": pa.array([], type=pa.int64()),
+        }
+    )
+    if not keep.any():
+        return empty
+    batch = batch.filter(pa.array(keep))
+    posts = _simjoin_token_postings(batch, text_col, id_col, 1, shingle_k)
+    if posts.num_rows == 0:
+        return empty
+    ids = posts.column("id").to_numpy(zero_copy_only=False)
+    wh = posts.column("wh").to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.lexsort((wh, ids))
+    ids, wh = ids[order], wh[order]
+    starts = np.flatnonzero(
+        np.concatenate(([True], ids[1:] != ids[:-1]))
+    )
+    doc_ids = ids[starts]
+    offs = np.concatenate((starts, [len(ids)])).astype(np.int32)
+    toks = pa.ListArray.from_arrays(
+        pa.array(offs), pa.array(wh, type=pa.uint64())
+    )
+    n = len(doc_ids)
+    return pa.table(
+        {
+            "key": pa.array(doc_ids, type=pa.int64()),
+            "other": pa.nulls(n, type=pa.int64()),
+            "toks": toks,
+            "carry": pa.nulls(n, type=pa.list_(pa.uint64())),
+            "_side": pa.array(np.ones(n, dtype=np.int8)),
+            "_vp": pa.array(doc_ids % np.int64(num_partitions)),
+        }
+    )
+
+
+def similarity_join_words(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 1,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    max_candidate_pairs: int = 50_000_000,
+):
+    """All-pairs word-SET similarity join: every ``(doc_a < doc_b)`` pair
+    with exact Jaccard(token sets) ≥ ``threshold``, plus the exact integer
+    intersection / union sizes.
+
+    The reference engine has no similarity join; a training-data pipeline
+    wants one for near-dup AUDITING (which pairs, how similar — not just
+    which docs to drop, cf. ``pipelines/dedup.py``) and entity resolution.
+    A naive algorithm is the Σc² inverted-index expansion over ALL tokens
+    (intractable under stopwords).  This is the AllPairs / PPJoin prefix
+    filter (Bayardo et al. WWW'07; Xiao et al. WWW'08): under a global
+    token order (ascending document frequency, hash tie-break), two sets
+    with ``J ≥ t`` must share a token among the first
+    ``|x| − ceil(t·|x|) + 1`` tokens of EACH side — because
+    ``o = |x∩y| ≥ t·|x|`` (since ``|y| ≥ o``) and the smallest common
+    token under any total order sits within the first ``|x| − o + 1``
+    positions of both sides.  Only prefix tokens enter the candidate
+    index, so rare tokens (df≈1) generate no pairs and stopwords are
+    excluded from most prefixes; candidates are verified with an exact
+    integer predicate ``c·(p+q) ≥ p·(na+nb)`` for ``t = p/q`` — no float
+    in the decision, so the DuckDB oracle reproduces it bit-for-bit.
+
+    Shape: distinct-posting scan → df annotate (hash exchange on token) →
+    per-doc prefix selection (hash exchange on id) → candidate expansion
+    over prefix postings only (hash exchange on token) → verify join
+    (two co-partition exchanges shipping sorted token-hash lists for
+    CANDIDATE docs only, broadcast id filter).  The candidate set is
+    materialized once (aggregate-sized by the prefix-filter contract;
+    ``max_candidate_pairs`` guards the broadcast id set).  Token-hash
+    equality stands in for token equality (64-bit ``stable_hash``, same
+    documented collision envelope as ``dedup_jaccard_exact``).
+    """
+    from fractions import Fraction
+
+    import ray
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    tp, tq = frac.numerator, frac.denominator
+    if not (0 < tp <= tq):
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    P = num_partitions
+
+    def annotate_df(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _SIMJOIN_EMPTY_DF
+        wh = group.column("wh").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        sz = group.column("sz").to_numpy(zero_copy_only=False)
+        order = np.argsort(wh, kind="stable")
+        wh, ids, sz = wh[order], ids[order], sz[order]
+        new_seg = np.concatenate(([True], wh[1:] != wh[:-1]))
+        seg_id = np.cumsum(new_seg) - 1
+        seg_start = np.flatnonzero(new_seg)
+        seg_len = np.diff(np.append(seg_start, len(wh)))
+        df = seg_len[seg_id]
+        return pa.table(
+            {
+                "wh": pa.array(wh),
+                "id": pa.array(ids, type=pa.int64()),
+                "sz": pa.array(sz, type=pa.int64()),
+                "df": pa.array(df, type=pa.int64()),
+                "_pi": pa.array(ids % np.int64(P)),
+            }
+        )
+
+    def prefix_postings(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _SIMJOIN_EMPTY_PREFIX
+        wh = group.column("wh").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        sz = group.column("sz").to_numpy(zero_copy_only=False)
+        df = group.column("df").to_numpy(zero_copy_only=False)
+        order = np.lexsort((wh, df, ids))
+        wh, ids, sz = wh[order], ids[order], sz[order]
+        new_seg = np.concatenate(([True], ids[1:] != ids[:-1]))
+        seg_start_idx = np.flatnonzero(new_seg)
+        rank = np.arange(len(ids)) - seg_start_idx[np.cumsum(new_seg) - 1]
+        # o >= ceil(t*sz) for any qualifying partner, so the minimal
+        # common token sits within the first sz - ceil(t*sz) + 1 tokens
+        alpha = -((-tp * sz) // tq)
+        keep = rank < (sz - alpha + 1)
+        wh, ids = wh[keep], ids[keep]
+        return pa.table(
+            {
+                "wh": pa.array(wh),
+                "id": pa.array(ids, type=pa.int64()),
+                "_ps": pa.array(
+                    (wh % np.uint64(P)).astype(np.int64)
+                ),
+            }
+        )
+
+    def cand_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _SIMJOIN_EMPTY_CAND
+        wh = group.column("wh").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, wh))
+        wh, ids = wh[order], ids[order]
+        n = len(wh)
+        new_seg = np.concatenate(([True], wh[1:] != wh[:-1]))
+        seg_id = np.cumsum(new_seg) - 1
+        seg_start = np.flatnonzero(new_seg)
+        pos = np.arange(n) - seg_start[seg_id]
+        total = int(pos.sum())
+        if total == 0:
+            return _SIMJOIN_EMPTY_CAND
+        b_idx = np.repeat(np.arange(n), pos)
+        pairs_before = np.concatenate(([0], np.cumsum(pos)[:-1]))
+        a_idx = np.arange(total) + np.repeat(
+            seg_start[seg_id] - pairs_before, pos
+        )
+        t = pa.table(
+            {
+                "ia": pa.array(ids[a_idx], type=pa.int64()),
+                "ib": pa.array(ids[b_idx], type=pa.int64()),
+            }
+        )
+        return t.group_by(["ia", "ib"], use_threads=False).aggregate([])
+
+    cand = (
+        ds.map_batches(
+            lambda b: _simjoin_token_postings(
+                b, text_col, id_col, P, shingle_k
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .groupby("_pw")
+        .map_groups(annotate_df, batch_format="pyarrow")
+        .groupby("_pi")
+        .map_groups(prefix_postings, batch_format="pyarrow")
+        .groupby("_ps")
+        .map_groups(cand_pairs, batch_format="pyarrow")
+    ).materialize()
+
+    # candidate doc ids — aggregate-sized by the prefix-filter contract
+    id_parts = cand.map_batches(
+        lambda b: pa.table(
+            {
+                "id": np.unique(
+                    np.concatenate(
+                        [
+                            b.column("ia").to_numpy(zero_copy_only=False),
+                            b.column("ib").to_numpy(zero_copy_only=False),
+                        ]
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).take_all()
+    if not id_parts:
+        import ray.data as rd
+
+        return rd.from_arrow(_SIMJOIN_RESULT_SCHEMA.empty_table())
+    involved = np.unique(np.array([r["id"] for r in id_parts], dtype=np.int64))
+    if len(involved) > 2 * max_candidate_pairs:
+        raise RuntimeError(
+            f"similarity_join_words: candidate doc set {len(involved)} "
+            f"exceeds the broadcast budget; raise max_candidate_pairs or "
+            f"lower the threshold's prefix selectivity"
+        )
+    involved_ref = ray.put(involved)
+
+    def pairs_env_a(batch: pa.Table) -> pa.Table:
+        ia = batch.column("ia")
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": ia,
+                "other": batch.column("ib"),
+                "toks": pa.nulls(n, type=pa.list_(pa.uint64())),
+                "carry": pa.nulls(n, type=pa.list_(pa.uint64())),
+                "_side": pa.array(np.zeros(n, dtype=np.int8)),
+                "_vp": pa.array(
+                    ia.to_numpy(zero_copy_only=False) % np.int64(P)
+                ),
+            }
+        )
+
+    def lists_stage(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        inv = _ray.get(involved_ref)
+        return _simjoin_token_lists(
+            batch, text_col, id_col, inv, P, shingle_k
+        )
+
+    # one tokenize pass restricted to candidate docs, materialized once and
+    # reused by both verify rounds (candidate-doc-sized by contract)
+    lists_env = ds.map_batches(
+        lists_stage, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    env_a = cand.map_batches(
+        pairs_env_a, batch_format="pyarrow", batch_size=None
+    ).union(lists_env)
+
+    def _attach(group: pa.Table, dedupe: bool):
+        """Split the union envelope, optionally dedupe the pair side
+        (round A only — every copy of pair ``(ia, ib)`` lands in the same
+        ``ia`` partition, so the round-A dedupe is global), and attach the
+        list-side token list of ``key`` to every pair row."""
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        pairs = group.filter(pa.array(side == 0))
+        lists = group.filter(pa.array(side == 1))
+        if pairs.num_rows == 0 or lists.num_rows == 0:
+            return None
+        if dedupe:
+            pairs = pairs.group_by(
+                ["key", "other"], use_threads=False
+            ).aggregate([])
+        lid = lists.column("key").to_numpy(zero_copy_only=False)
+        lorder = np.argsort(lid)
+        lid = lid[lorder]
+        toks = lists.column("toks").combine_chunks().take(pa.array(lorder))
+        pkey = pairs.column("key").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lid, pkey)
+        idx[idx >= len(lid)] = 0
+        ok = lid[idx] == pkey
+        if not ok.all():
+            pairs = pairs.filter(pa.array(ok))
+            idx = idx[ok]
+        if pairs.num_rows == 0:
+            return None
+        return pairs, toks.take(pa.array(idx))
+
+    def attach_a(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "key": pa.array([], type=pa.int64()),
+                "other": pa.array([], type=pa.int64()),
+                "toks": pa.array([], type=pa.list_(pa.uint64())),
+                "carry": pa.array([], type=pa.list_(pa.uint64())),
+                "_side": pa.array([], type=pa.int8()),
+                "_vp": pa.array([], type=pa.int64()),
+            }
+        )
+        got = _attach(group, dedupe=True)
+        if got is None:
+            return empty
+        pairs, toks_a = got
+        other = pairs.column("other").to_numpy(zero_copy_only=False)
+        n = pairs.num_rows
+        # re-envelope keyed on ib for round B; toks_a rides as carry
+        return pa.table(
+            {
+                "key": pa.array(other, type=pa.int64()),
+                "other": pairs.column("key"),
+                "toks": pa.nulls(n, type=pa.list_(pa.uint64())),
+                "carry": toks_a,
+                "_side": pa.array(np.zeros(n, dtype=np.int8)),
+                "_vp": pa.array(other % np.int64(P)),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        got = _attach(group, dedupe=False)
+        if got is None:
+            return _SIMJOIN_RESULT_SCHEMA.empty_table()
+        pairs, toks_b = got
+        toks_a = pairs.column("carry").combine_chunks()
+        npairs = pairs.num_rows
+        fa = toks_a.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        fb = toks_b.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        na = pc.list_value_length(toks_a).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        nb = pc.list_value_length(toks_b).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        pair_idx = np.concatenate(
+            [np.repeat(np.arange(npairs), na), np.repeat(np.arange(npairs), nb)]
+        )
+        tok = np.concatenate([fa, fb])
+        order = np.lexsort((tok, pair_idx))
+        pair_idx, tok = pair_idx[order], tok[order]
+        dup = np.zeros(len(tok), dtype=bool)
+        if len(tok) > 1:
+            dup[1:] = (pair_idx[1:] == pair_idx[:-1]) & (tok[1:] == tok[:-1])
+        c = np.bincount(pair_idx[dup], minlength=npairs).astype(np.int64)
+        keep = c * (tp + tq) >= tp * (na + nb)
+        ib = pairs.column("key").to_numpy(zero_copy_only=False)[keep]
+        ia = pairs.column("other").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "doc_a": pa.array(ia, type=pa.int64()),
+                "doc_b": pa.array(ib, type=pa.int64()),
+                "inter_words": pa.array(c[keep], type=pa.int64()),
+                "union_words": pa.array(
+                    na[keep] + nb[keep] - c[keep], type=pa.int64()
+                ),
+            }
+        )
+
+    env_b = (
+        env_a.groupby("_vp")
+        .map_groups(attach_a, batch_format="pyarrow")
+        .union(lists_env)
+    )
+    return env_b.groupby("_vp").map_groups(verify, batch_format="pyarrow")

@@ -107,3 +107,94 @@ def test_fuzzy_pairs_envelope_and_repeats(ray_session):
     assert {"aaaa", "aaab", "aabb"} <= set(got["word_a"]) | set(
         got["word_b"]
     )
+
+
+def _shingle_set(text: str, k: int):
+    import re
+
+    ws = re.split(r"\s+", text.strip())
+    if k == 1:
+        return set(ws)
+    return {tuple(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+
+@pytest.mark.parametrize(
+    "threshold,tp,tq,k", [(0.8, 4, 5, 1), (0.8, 4, 5, 3), (0.5, 1, 2, 3)]
+)
+def test_similarity_join_words_vs_brute_force(
+    ray_session, threshold, tp, tq, k
+):
+    """Prefix filtering is COMPLETE (no missed pair) and verification is
+    exact (integer inter/union match set arithmetic) — all-pairs brute
+    force over a dense small-vocab corpus where any pruning bug shows."""
+    import itertools
+
+    import ray
+
+    from airbyte_destination_ray.pipelines.linkage import (
+        similarity_join_words,
+    )
+
+    random.seed(23)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(120):
+        n = random.randint(1, 12)
+        rows.append(
+            {
+                "doc_id": i,
+                "text": " ".join(
+                    random.choice(vocab) for _ in range(n)
+                ),
+            }
+        )
+    for i in range(0, 120, 11):  # planted near-copies
+        rows.append(
+            {
+                "doc_id": 1000 + i,
+                "text": rows[i]["text"] + " " + random.choice(vocab),
+            }
+        )
+    rows.append({"doc_id": 5000, "text": None})
+    rows.append({"doc_id": 5001, "text": "   "})
+    rows.append({"doc_id": 5002, "text": ""})
+
+    expected = {}
+    valid = [
+        (r["doc_id"], _shingle_set(r["text"], k))
+        for r in rows
+        if r["text"] is not None
+    ]
+    valid = [(i, s) for i, s in valid if s]
+    for (ia, sa), (ib, sb) in itertools.combinations(sorted(valid), 2):
+        c = len(sa & sb)
+        if c * (tp + tq) >= tp * (len(sa) + len(sb)):
+            expected[(ia, ib)] = (c, len(sa | sb))
+
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter_words"], r["union_words"])
+        for r in similarity_join_words(
+            ds, threshold=threshold, shingle_k=k, num_partitions=8
+        ).take_all()
+    }
+    assert got == expected
+
+
+def test_similarity_join_empty_and_no_pairs(ray_session):
+    import ray
+
+    from airbyte_destination_ray.pipelines.linkage import (
+        similarity_join_words,
+    )
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": ["completely different alpha", "nothing shared beta"],
+            }
+        )
+    )
+    out = similarity_join_words(ds, threshold=0.9, num_partitions=4)
+    assert out.take_all() == []
