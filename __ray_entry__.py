@@ -811,6 +811,18 @@ def _q_similar_doc_pairs(sf_dir: str):
     return similarity_join_words(ds, threshold=0.8, shingle_k=5)
 
 
+def _q_doc_dup_window_stats(sf_dir: str):
+    """Cross-document duplicate-window profile (Lee et al. substring-dedup
+    signal): per doc, distinct word-5-gram windows + how many occur in ≥2
+    distinct docs + the duplicated fraction (single IEEE division).  Two
+    hash exchanges, text never shuffled."""
+    from airbyte_destination_ray.pipelines.corpus import dup_window_stats
+
+    return dup_window_stats(
+        _documents(sf_dir, columns=["doc_id", "text"]), window_k=5
+    )
+
+
 def _q_domain_stats(sf_dir: str):
     """Per-host web rollup: deterministic page URLs derived from events
     (the synth url scheme), parsed with the vectorized URL parser, grouped
@@ -6366,6 +6378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_share_by_type": _q_events_value_share,
         "order_value_quartiles_by_status": _q_order_value_quartiles_by_status,
         "similar_doc_pairs": _q_similar_doc_pairs,
+        "doc_dup_window_stats": _q_doc_dup_window_stats,
         # --- driver-green in r01/r02/r03 ---
         "multimodal_image_stats_exact": _q_multimodal_image_stats_exact,
         "multimodal_audio_stats_exact": _q_multimodal_audio_stats_exact,
@@ -9789,5 +9802,26 @@ def oracle_sql() -> dict[str, str]:
         JOIN sz za ON za.doc_id = i.doc_a
         JOIN sz zb ON zb.doc_id = i.doc_b
         WHERE 9 * i.c >= 4 * (za.n + zb.n)
+    """
+    sql["doc_dup_window_stats"] = """
+        WITH w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents WHERE text IS NOT NULL
+        ), s AS (
+            SELECT DISTINCT doc_id,
+                unnest(list_transform(
+                    generate_series(1, greatest(len(ws) - 4, 0)),
+                    i -> array_to_string(list_slice(ws, i, i + 4), ' ')
+                )) AS sh
+            FROM w
+        ), df AS (
+            SELECT sh, count(*) AS cnt FROM s GROUP BY sh
+        )
+        SELECT s.doc_id, count(*) AS n_windows,
+               CAST(sum(CASE WHEN df.cnt >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_windows,
+               CAST(sum(CASE WHEN df.cnt >= 2 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS dup_frac
+        FROM s JOIN df USING (sh) GROUP BY s.doc_id
     """
     return sql

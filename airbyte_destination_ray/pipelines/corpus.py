@@ -1846,3 +1846,113 @@ def type_token_ratio_by_group(
             "ttr": pa.array(ttr, type=pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate-window profiling (corpus-internal dedup signal)
+# ---------------------------------------------------------------------------
+
+_DUPWIN_EMPTY_FLAGGED = pa.table(
+    {
+        "id": pa.array([], type=pa.int64()),
+        "dup": pa.array([], type=pa.int8()),
+        "_pi": pa.array([], type=pa.int64()),
+    }
+)
+_DUPWIN_EMPTY_RESULT = pa.table(
+    {
+        "doc_id": pa.array([], type=pa.int64()),
+        "n_windows": pa.array([], type=pa.int64()),
+        "n_dup_windows": pa.array([], type=pa.int64()),
+        "dup_frac": pa.array([], type=pa.float64()),
+    }
+)
+
+
+def dup_window_stats(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_k: int = 5,
+    num_partitions: int = 64,
+):
+    """Per-document cross-corpus duplicate-window profile: for each doc,
+    how many of its DISTINCT word-``window_k``-gram windows also occur in
+    at least one OTHER document, and the duplicated fraction.
+
+    The corpus-internal counterpart of ``decontaminate`` (which checks
+    windows against an external benchmark set) and the document-level
+    signal behind substring-dedup policies (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL'22): a doc whose
+    windows are mostly shared verbatim with other docs is boilerplate or
+    a near-copy even when no single pair crosses a Jaccard threshold.
+
+    Shape: distinct ``(window_hash, doc)`` postings (vectorized rolling
+    combine, reused from the similarity-join tokenizer) → ONE hash
+    exchange on window hash (per-window distinct-doc count ``df``; a
+    window is duplicated iff ``df ≥ 2``) → ONE hash exchange of
+    ``(doc, flag)`` pairs → per-doc integer fold.  Text never rides an
+    exchange; ``dup_frac`` is a single IEEE division of two exact ints
+    (hash-safe vs SQL).  Docs with fewer than ``window_k`` words have no
+    windows and are excluded, matching the SQL oracle.
+    """
+    from .linkage import _simjoin_token_postings
+
+    P = num_partitions
+
+    def flag_dups(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _DUPWIN_EMPTY_FLAGGED
+        wh = group.column("wh").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        order = np.argsort(wh, kind="stable")
+        wh, ids = wh[order], ids[order]
+        new_seg = np.concatenate(([True], wh[1:] != wh[:-1]))
+        seg_start = np.flatnonzero(new_seg)
+        seg_len = np.diff(np.append(seg_start, len(wh)))
+        dup = (seg_len >= 2)[np.cumsum(new_seg) - 1]
+        return pa.table(
+            {
+                "id": pa.array(ids, type=pa.int64()),
+                "dup": pa.array(dup.astype(np.int8)),
+                "_pi": pa.array(ids % np.int64(P)),
+            }
+        )
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _DUPWIN_EMPTY_RESULT
+        g = group.group_by("id", use_threads=False).aggregate(
+            [([], "count_all"), ("dup", "sum")]
+        ).rename_columns(["doc_id", "n_windows", "n_dup_windows"])
+        n = g.column("n_windows").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        d = g.column("n_dup_windows").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "n_windows": pa.array(n),
+                "n_dup_windows": pa.array(d),
+                "dup_frac": pa.array(d / n, type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            lambda b: _simjoin_token_postings(
+                b, text_col, id_col, P, window_k
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .groupby("_pw")
+        .map_groups(flag_dups, batch_format="pyarrow")
+        .groupby("_pi")
+        .map_groups(per_doc, batch_format="pyarrow")
+    )

@@ -998,3 +998,55 @@ def test_top_terms_by_group_matches_sql(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_dup_window_stats_vs_brute_force(ray_session):
+    """Cross-doc duplicate-window profile vs an all-pairs python oracle:
+    dup iff the window string occurs in >= 2 distinct docs."""
+    import random
+    import re
+
+    import ray
+
+    from airbyte_destination_ray.pipelines.corpus import dup_window_stats
+
+    random.seed(31)
+    vocab = [f"t{i}" for i in range(12)]
+    rows = []
+    for i in range(80):
+        n = random.randint(2, 20)  # some docs below window_k=4
+        rows.append(
+            {
+                "doc_id": i,
+                "text": " ".join(random.choice(vocab) for _ in range(n)),
+            }
+        )
+    rows.append({"doc_id": 900, "text": rows[3]["text"]})  # exact copy
+    rows.append({"doc_id": 901, "text": None})
+
+    k = 4
+    wins = {}
+    for r in rows:
+        if r["text"] is None:
+            continue
+        ws = re.split(r"\s+", r["text"].strip())
+        s = {tuple(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+        if s:
+            wins[r["doc_id"]] = s
+    from collections import Counter
+
+    df = Counter(w for s in wins.values() for w in s)
+    expected = {
+        d: (
+            len(s),
+            sum(1 for w in s if df[w] >= 2),
+        )
+        for d, s in wins.items()
+    }
+
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = dup_window_stats(ds, window_k=k, num_partitions=8).take_all()
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"]) for r in out}
+    assert got == expected
+    for r in out:
+        assert r["dup_frac"] == r["n_dup_windows"] / r["n_windows"]
