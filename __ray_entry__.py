@@ -3677,6 +3677,36 @@ def _q_incremental_agg(sf_dir: str):
     return read_agg(lake, "user_totals", key_name="user_id")
 
 
+def _q_incremental_join_view(sf_dir: str):
+    """Incrementally-maintained JOIN view (fact LEFT JOIN dim on user_id,
+    both partitioned by the join key so dim deltas apply partition-locally
+    with zero join exchange): events reshaped into interleaved fact/dim
+    binlogs, folded epoch by epoch under manifest CAS; the final view is
+    bit-identical to the one-shot SQL join of the LWW states."""
+    import os as _os
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    from airbyte_destination_ray.pipelines.joinview import (
+        build_fact_dim_binlogs,
+        read_join_view,
+        run_incremental_join_view,
+    )
+
+    tag = f"jv-{_Path(sf_dir).name}-{_os.getpid()}"
+    base = _Path("/tmp/adr_query") / tag
+    _shutil.rmtree(base, ignore_errors=True)
+    build_fact_dim_binlogs(f"{sf_dir}/events.parquet", base / "binlog")
+    lake = str(base / "lake")
+    run_incremental_join_view(
+        lake,
+        str(base / "binlog/fact"),
+        str(base / "binlog/dim"),
+        num_partitions=8,
+    )
+    return read_join_view(lake)
+
+
 def _q_asof_next_click(sf_dir: str):
     """FORWARD as-of join: for each purchase, the user's EARLIEST click at
     or after the purchase timestamp (ties by min event_id) — pandas
@@ -6379,6 +6409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_value_quartiles_by_status": _q_order_value_quartiles_by_status,
         "similar_doc_pairs": _q_similar_doc_pairs,
         "doc_dup_window_stats": _q_doc_dup_window_stats,
+        "incremental_join_view_events": _q_incremental_join_view,
         # --- driver-green in r01/r02/r03 ---
         "multimodal_image_stats_exact": _q_multimodal_image_stats_exact,
         "multimodal_audio_stats_exact": _q_multimodal_audio_stats_exact,
@@ -9823,5 +9854,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN df.cnt >= 2 THEN 1 ELSE 0 END)
                     AS DOUBLE) / count(*) AS dup_frac
         FROM s JOIN df USING (sh) GROUP BY s.doc_id
+    """
+    sql["incremental_join_view_events"] = """
+        WITH f AS (
+            SELECT event_id, ts, user_id, value FROM events
+            WHERE event_type <> 'error' OR event_type IS NULL
+        ), d AS (
+            SELECT user_id, event_type AS last_event_type,
+                   CAST(floor(value * 100) AS BIGINT) AS last_value_cents
+            FROM events QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        )
+        SELECT f.event_id, f.ts, f.user_id, f.value,
+               d.last_event_type, d.last_value_cents
+        FROM f LEFT JOIN d USING (user_id)
     """
     return sql
