@@ -808,7 +808,11 @@ def _q_similar_doc_pairs(sf_dir: str):
     ds = _plant_copies(
         _documents(sf_dir, columns=["doc_id", "text"]), "doc_id", 25
     )
-    return similarity_join_words(ds, threshold=0.8, shingle_k=5)
+    # 16 partitions at sf scale: the 5-exchange chain's per-group sort
+    # overhead dominates at 64 (3.0 s -> 0.84 s at sf0.1, same result)
+    return similarity_join_words(
+        ds, threshold=0.8, shingle_k=5, num_partitions=16
+    )
 
 
 def _q_doc_dup_window_stats(sf_dir: str):
