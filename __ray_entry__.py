@@ -225,9 +225,51 @@ def _q_dedup_minhash(sf_dir: str):
 
 
 def _q_dedup_simhash(sf_dir: str):
-    from airbyte_destination_ray.pipelines.dedup import dedup_simhash
+    """SimHash dedup in fingerprint-EXACT mode (hamming_threshold=0,
+    bands=1 → buckets are full-fingerprint equality classes, same trick
+    as dedup_minhash_documents).  The natural corpus is unusable for an
+    exact oracle: SimHash maps near-dups to IDENTICAL fingerprints by
+    design (measured: 3 cross-multiset Hamming-0 collisions at sf0.01,
+    26 at sf0.1), so the query runs the full tokenize→hash→bit-majority→
+    fingerprint→bucket→verify machinery over a deterministic synthetic
+    corpus keyed on doc_id: 40 shared-vocab tokens ``w{j}_{(id+j)%P_j}``
+    with per-position coprime moduli (CRT ⇒ token tuples injective in id;
+    fingerprints verified pairwise-distinct up to 300k docs), plus exact
+    copies of every 25th doc planted at id+1,000,000.  Closed-form
+    answer: exactly the original doc_ids survive (copies MUST drop,
+    distinct docs MUST all be kept — both directions checked)."""
+    import pyarrow as pa
 
-    return dedup_simhash(_documents(sf_dir))
+    from airbyte_destination_ray.pipelines.dedup import dedup_simhash
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    primes = [1009, 1013, 1019, 1021, 1031, 1033, 1039, 1049]
+
+    def synth(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        cols = []
+        for j in range(40):
+            res = (ids + j) % primes[j % 8]
+            cols.append(
+                pc.binary_join_element_wise(
+                    pa.scalar(f"w{j}_"),
+                    pa.array(res.astype("U"), type=pa.string()),
+                    pa.scalar(""),
+                )
+            )
+        text = pc.binary_join_element_wise(*cols, pa.scalar(" "))
+        return batch.append_column("text", text)
+
+    ds = ds.map_batches(synth, batch_format="pyarrow", batch_size=None)
+    ds = _plant_copies(ds, "doc_id", 25)
+    out = dedup_simhash(ds, hamming_threshold=0, bands=1)
+    return out.select_columns(["doc_id"])
 
 
 def _q_dedup_ngram_jaccard(sf_dir: str):
@@ -6274,64 +6316,18 @@ def _q_order_value_quartiles_by_status(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER matters: the driver's correctness gate checks only the
-    # FIRST 50 entries per round.  Round-4 window = the CDC sentinel +
-    # 49 queries with no driver row across CORRECTNESS_r01-r03 (the
-    # CLAUDE.md rotation list); the remaining never-checked queries sit
-    # directly below for the round-5 rotation.  Entries after those
-    # already have a green driver row from earlier rounds.
+    # FIRST 50 entries per round.  Round-5 window = the CDC sentinel +
+    # pack_documents_2048 (r4 FAIL was an oracle-side HUGEINT typing bug,
+    # fixed; needs a fresh green row) + dedup_simhash_documents (gained an
+    # oracle this round) + the first 47 queries with no driver row across
+    # CORRECTNESS_r01-r04.  The remaining 35 never-checked queries sit
+    # directly below for the round-6 rotation; entries after those already
+    # have a green driver row from earlier rounds.
     return {
-        # --- round-4 driver window (first 50) ---
+        # --- round-5 driver window (first 50) ---
         "cdc_sync_events_full": _q_cdc_sync_events_full,
-        "events_cube_type_day": _q_events_cube_type_day,
-        "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
-        "users_snapshot_diff": _q_users_snapshot_diff,
-        "events_user_zscore": _q_events_user_zscore,
-        "multimodal_audio_dedup": _q_multimodal_audio_dedup,
-        "cdc_partial_updates_users": _q_cdc_partial_updates,
-        "events_scd2_enrich": _q_events_scd2_enrich,
-        "events_moments_by_type": _q_events_moments_by_type,
-        "events_type_paths": _q_events_type_paths,
-        "doc_top_terms_tfidf": _q_doc_top_terms,
         "pack_documents_2048": _q_pack_documents,
-        "events_profile": _q_events_profile,
-        "cdc_time_travel": _q_cdc_time_travel,
-        "cdc_gdpr_delete": _q_cdc_gdpr_delete,
-        "cdc_change_feed": _q_cdc_change_feed,
-        "events_running_distinct": _q_events_running_distinct,
-        "asof_next_click_after_purchase": _q_asof_next_click,
-        "events_pagerank": _q_events_pagerank,
-        "click_purchase_window_join": _q_click_purchase_window_join,
-        "lineitem_unpivot_measures": _q_lineitem_unpivot,
-        "events_ohlc_hourly": _q_events_ohlc,
-        "dedup_normalized_keep_longest": _q_dedup_keep_longest,
-        "incremental_sessions_users": _q_incremental_sessions,
-        "top_bigrams_documents": _q_top_bigrams,
-        "incremental_agg_user_totals": _q_incremental_agg,
-        "lineitem_fk_orphans": _q_lineitem_fk_orphans,
-        "benford_extendedprice": _q_benford_extendedprice,
-        "events_minmax_by_type": _q_events_minmax_by_type,
-        "first_touch_attribution": _q_first_touch_attribution,
-        "clicks_unconverted_1h": _q_clicks_unconverted_1h,
-        "source_vocab_overlap": _q_source_vocab_overlap,
-        "events_hourly_autocorr": _q_events_hourly_autocorr,
-        "priority_late_orders": _q_priority_late_orders,
-        "events_spearman_by_user": _q_events_spearman_by_user,
-        "events_daily_delta": _q_events_daily_delta,
-        "cdc_txn_two_tables": _q_cdc_txn_two_tables,
-        "token_quantiles_by_source": _q_token_quantiles_by_source,
-        "events_k_core": _q_events_k_core,
-        "events_assortativity": _q_events_assortativity,
-        "events_moving_max_by_user": _q_events_moving_max,
-        "events_gini_by_type": _q_events_gini_by_type,
-        "doc_frequency_spectrum": _q_doc_frequency_spectrum,
-        "events_type_dow_chi2": _q_events_type_dow_chi2,
-        "events_ks_drift": _q_events_ks_drift,
-        "nation_trade_by_year": _q_nation_trade_by_year,
-        "market_share_by_year": _q_market_share_by_year,
-        "discount_revenue_q6": _q_discount_revenue_q6,
-        "customer_order_histogram": _q_customer_order_histogram,
-        "small_qty_revenue_q17": _q_small_qty_revenue_q17,
-        # --- round-5 rotation: remaining never-checked queries ---
+        "dedup_simhash_documents": _q_dedup_simhash,
         "cdc_merge_apply": _q_cdc_merge_apply,
         "cdc_repartition": _q_cdc_repartition,
         "indexed_value_lookup": _q_indexed_value_lookup,
@@ -6379,6 +6375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "throttle_events": _q_throttle_events,
         "doc_oov_bigram_fraction": _q_doc_oov_fraction,
         "embedding_covariance": _q_embedding_covariance,
+        # --- round-6 rotation: remaining never-checked queries (35) ---
         "stratified_sample_docs": _q_stratified_sample_docs,
         "consistent_snapshot_cdc": _q_consistent_snapshot_cdc,
         "events_trend_by_type": _q_events_trend_by_type,
@@ -6414,7 +6411,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similar_doc_pairs": _q_similar_doc_pairs,
         "doc_dup_window_stats": _q_doc_dup_window_stats,
         "incremental_join_view_events": _q_incremental_join_view,
-        # --- driver-green in r01/r02/r03 ---
+        # --- driver-green in r01/r02/r03/r04 ---
+        "events_cube_type_day": _q_events_cube_type_day,
+        "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
+        "users_snapshot_diff": _q_users_snapshot_diff,
+        "events_user_zscore": _q_events_user_zscore,
+        "multimodal_audio_dedup": _q_multimodal_audio_dedup,
+        "cdc_partial_updates_users": _q_cdc_partial_updates,
+        "events_scd2_enrich": _q_events_scd2_enrich,
+        "events_moments_by_type": _q_events_moments_by_type,
+        "events_type_paths": _q_events_type_paths,
+        "doc_top_terms_tfidf": _q_doc_top_terms,
+        "events_profile": _q_events_profile,
+        "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_gdpr_delete": _q_cdc_gdpr_delete,
+        "cdc_change_feed": _q_cdc_change_feed,
+        "events_running_distinct": _q_events_running_distinct,
+        "asof_next_click_after_purchase": _q_asof_next_click,
+        "events_pagerank": _q_events_pagerank,
+        "click_purchase_window_join": _q_click_purchase_window_join,
+        "lineitem_unpivot_measures": _q_lineitem_unpivot,
+        "events_ohlc_hourly": _q_events_ohlc,
+        "dedup_normalized_keep_longest": _q_dedup_keep_longest,
+        "incremental_sessions_users": _q_incremental_sessions,
+        "top_bigrams_documents": _q_top_bigrams,
+        "incremental_agg_user_totals": _q_incremental_agg,
+        "lineitem_fk_orphans": _q_lineitem_fk_orphans,
+        "benford_extendedprice": _q_benford_extendedprice,
+        "events_minmax_by_type": _q_events_minmax_by_type,
+        "first_touch_attribution": _q_first_touch_attribution,
+        "clicks_unconverted_1h": _q_clicks_unconverted_1h,
+        "source_vocab_overlap": _q_source_vocab_overlap,
+        "events_hourly_autocorr": _q_events_hourly_autocorr,
+        "priority_late_orders": _q_priority_late_orders,
+        "events_spearman_by_user": _q_events_spearman_by_user,
+        "events_daily_delta": _q_events_daily_delta,
+        "cdc_txn_two_tables": _q_cdc_txn_two_tables,
+        "token_quantiles_by_source": _q_token_quantiles_by_source,
+        "events_k_core": _q_events_k_core,
+        "events_assortativity": _q_events_assortativity,
+        "events_moving_max_by_user": _q_events_moving_max,
+        "events_gini_by_type": _q_events_gini_by_type,
+        "doc_frequency_spectrum": _q_doc_frequency_spectrum,
+        "events_type_dow_chi2": _q_events_type_dow_chi2,
+        "events_ks_drift": _q_events_ks_drift,
+        "nation_trade_by_year": _q_nation_trade_by_year,
+        "market_share_by_year": _q_market_share_by_year,
+        "discount_revenue_q6": _q_discount_revenue_q6,
+        "customer_order_histogram": _q_customer_order_histogram,
+        "small_qty_revenue_q17": _q_small_qty_revenue_q17,
         "multimodal_image_stats_exact": _q_multimodal_image_stats_exact,
         "multimodal_audio_stats_exact": _q_multimodal_audio_stats_exact,
         "multimodal_video_stats_exact": _q_multimodal_video_stats_exact,
@@ -6471,7 +6516,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_hash_documents": _q_dedup_exact_hash,
         "dedup_exact_incremental_documents": _q_dedup_exact_incremental,
         "dedup_minhash_documents": _q_dedup_minhash,
-        "dedup_simhash_documents": _q_dedup_simhash,
         "dedup_ngram_jaccard_documents": _q_dedup_ngram_jaccard,
         "dedup_jaccard_exact_documents": _q_dedup_jaccard_exact,
         "dedup_embedding_cosine": _q_dedup_embedding,
@@ -6624,10 +6668,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE text IS NOT NULL
             )
             SELECT doc_id, n_tokens,
-                COALESCE(SUM(n_tokens) OVER (
+                -- CAST: DuckDB's windowed SUM(BIGINT) yields HUGEINT and
+                -- `//` keeps it; the driver hashes HUGEINT through pandas
+                -- as float64 -> hash mismatch (r4 FAIL).  Same trap as the
+                -- r3 list_sum fix; tests/test_oracle_types.py now guards
+                -- every oracle's output types mechanically.
+                CAST(COALESCE(SUM(n_tokens) OVER (
                     ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                ), 0) // 2048 AS pack_id
+                ), 0) // 2048 AS BIGINT) AS pack_id
             FROM t
         """,
         "cdc_time_travel": """
@@ -7006,6 +7055,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, text, lang, source, n_chars FROM aug
             WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        """,
+        # Fingerprint-exact SimHash dedup over the deterministic synthetic
+        # corpus (see _q_dedup_simhash): fingerprints are pairwise-distinct
+        # across doc_ids (verified to 300k), so the planted +1,000,000
+        # copies are the only duplicates and exactly the original ids
+        # survive.
+        "dedup_simhash_documents": """
+            SELECT doc_id FROM documents
         """,
         # Exact-copy embedding dedup: planted byte-identical copies are
         # the only pairs above the 0.999999 verify threshold (max natural
@@ -9091,9 +9148,9 @@ def oracle_sql() -> dict[str, str]:
                        AND 1 PRECEDING) AS pmax
             FROM iv)
         SELECT user_id,
-               SUM(CASE WHEN pmax IS NULL OR pmax < s THEN e - s
+               CAST(SUM(CASE WHEN pmax IS NULL OR pmax < s THEN e - s
                         WHEN e > pmax THEN e - pmax ELSE 0 END)
-                   AS covered_us
+                   AS BIGINT) AS covered_us
         FROM m GROUP BY user_id
     """
     sql["events_resample_hourly"] = """
