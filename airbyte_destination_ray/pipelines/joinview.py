@@ -161,9 +161,16 @@ def _join_states(facts: pa.Table, dim: pa.Table) -> pa.Table:
     dk = dim.column("user_id").combine_chunks().to_numpy(
         zero_copy_only=False
     ).astype(np.int64) if dim.num_rows else np.zeros(0, dtype=np.int64)
-    idx = np.searchsorted(dk, fk)
-    idx_c = np.minimum(idx, max(len(dk) - 1, 0))
-    hit = valid & (len(dk) > 0) & (dk[idx_c] == fk)
+    # A partition can hold live fact rows but an EMPTY dim state (the dim
+    # key simply never hashed there): indexing dk[idx_c] would raise on
+    # the empty array, so short-circuit to all-miss.
+    if len(dk):
+        idx = np.searchsorted(dk, fk)
+        idx_c = np.minimum(idx, len(dk) - 1)
+        hit = valid & (dk[idx_c] == fk)
+    else:
+        idx_c = np.zeros(len(fk), dtype=np.int64)
+        hit = np.zeros(len(fk), dtype=bool)
     cols = {name: live.column(name) for name in FACT_COLS}
     take_idx = pa.array(
         np.where(hit, idx_c, np.zeros_like(idx_c)), type=pa.int64()

@@ -434,6 +434,12 @@ def _simjoin_token_lists(batch, text_col, id_col, involved, num_partitions,
         np.concatenate(([True], ids[1:] != ids[:-1]))
     )
     doc_ids = ids[starts]
+    if len(ids) >= 2**31:
+        # int32 ListArray offsets would silently wrap into a corrupt array
+        raise RuntimeError(
+            "similarity_join_words: verify partition holds "
+            f"{len(ids)} flat tokens (>= 2^31); raise num_partitions"
+        )
     offs = np.concatenate((starts, [len(ids)])).astype(np.int32)
     toks = pa.ListArray.from_arrays(
         pa.array(offs), pa.array(wh, type=pa.uint64())
@@ -602,8 +608,13 @@ def similarity_join_words(
         .map_groups(cand_pairs, batch_format="pyarrow")
     ).materialize()
 
-    # candidate doc ids — aggregate-sized by the prefix-filter contract
-    id_parts = cand.map_batches(
+    # candidate doc ids — aggregate-sized by the prefix-filter contract.
+    # Streamed with an INCREMENTAL budget check (union1d-compact per
+    # block) so a pathological low-selectivity input raises before the
+    # whole set ever materializes on the driver (ADVICE r4).
+    budget = 2 * max_candidate_pairs
+    involved = np.array([], dtype=np.int64)
+    for b in cand.map_batches(
         lambda b: pa.table(
             {
                 "id": np.unique(
@@ -618,18 +629,21 @@ def similarity_join_words(
         ),
         batch_format="pyarrow",
         batch_size=None,
-    ).take_all()
-    if not id_parts:
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        involved = np.union1d(
+            involved,
+            b.column("id").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        if len(involved) > budget:
+            raise RuntimeError(
+                f"similarity_join_words: candidate doc set {len(involved)} "
+                f"exceeds the broadcast budget; raise max_candidate_pairs "
+                f"or lower the threshold's prefix selectivity"
+            )
+    if len(involved) == 0:
         import ray.data as rd
 
         return rd.from_arrow(_SIMJOIN_RESULT_SCHEMA.empty_table())
-    involved = np.unique(np.array([r["id"] for r in id_parts], dtype=np.int64))
-    if len(involved) > 2 * max_candidate_pairs:
-        raise RuntimeError(
-            f"similarity_join_words: candidate doc set {len(involved)} "
-            f"exceeds the broadcast budget; raise max_candidate_pairs or "
-            f"lower the threshold's prefix selectivity"
-        )
     involved_ref = ray.put(involved)
 
     def pairs_env_a(batch: pa.Table) -> pa.Table:

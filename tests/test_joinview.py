@@ -103,10 +103,19 @@ def test_join_view_time_travel_epoch0(ray_session, tmp_path):
     pd.testing.assert_frame_equal(_norm(got), _norm(exp), check_dtype=False)
 
 
-def test_join_view_dim_update_rewrites_existing_facts(ray_session, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("num_partitions", [4, 8])
+def test_join_view_dim_update_rewrites_existing_facts(
+    ray_session, tmp_path, num_partitions
+):
     """The delta-join property: a later-epoch dim update must retroactively
     change the attrs of facts ingested in EARLIER epochs (partition-local
-    re-join, no scatter)."""
+    re-join, no scatter).  num_partitions=8 splits users 7 and 8 into
+    different partitions, so one partition holds live fact rows with an
+    EMPTY dim state — the ADVICE r4 IndexError repro (_join_states must
+    short-circuit, not index the empty dim key array)."""
     import json
 
     import pyarrow as pa
@@ -162,7 +171,7 @@ def test_join_view_dim_update_rewrites_existing_facts(ray_session, tmp_path):
         )
     run_incremental_join_view(
         str(base / "lake"), str(base / "binlog/fact"),
-        str(base / "binlog/dim"), num_partitions=4,
+        str(base / "binlog/dim"), num_partitions=num_partitions,
     )
     rows = {
         r["event_id"]: r
