@@ -1424,129 +1424,9 @@ def _q_cdc_expectations_quarantine(sf_dir: str):
 
 
 def _q_large_volume_orders(sf_dir: str):
-    """TPC-H Q18-shaped composite (GROUP BY + HAVING semi-join + dim join
-    + top-k): lineitem is scanned ONCE into a per-order integer-cents
-    quantity aggregate (combiner pre-reduce); the HAVING filter bounds the
-    qualifying set, which broadcasts onto orders (zero shuffle) together
-    with the customer dim; global top-100 via local-top-k merge — no
-    global sort, no payload exchange anywhere."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    from airbyte_destination_ray.pipelines.tpch import q18_large_volume_orders
 
-    import ray
-
-    from airbyte_destination_ray.pipelines.ops import grouped_sum, top_k_by
-    from airbyte_destination_ray.sources.parquet import read_parquet_sized
-
-    lineitem = read_parquet_sized(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
-    )
-
-    def to_cents(b: "pa.Table") -> "pa.Table":
-        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "l_orderkey": b.column("l_orderkey"),
-                "cents": pa.array(
-                    np.floor(q * 100).astype(np.int64), type=pa.int64()
-                ),
-            }
-        )
-
-    qty = grouped_sum(
-        lineitem.map_batches(to_cents, batch_format="pyarrow", batch_size=None),
-        key="l_orderkey",
-        value_col="cents",
-        out_col="sum_qty_cents",
-    )
-
-    def having(b: "pa.Table") -> "pa.Table":
-        return b.filter(pc.greater(b.column("sum_qty_cents"), 15000))
-
-    qual_t = pa.concat_tables(
-        list(
-            qty.map_batches(
-                having, batch_format="pyarrow", batch_size=None
-            ).iter_batches(batch_format="pyarrow")
-        )
-    )
-    order_keys = qual_t.column("l_orderkey").to_numpy(zero_copy_only=False)
-    sums = qual_t.column("sum_qty_cents").to_numpy(zero_copy_only=False)
-    srt = np.argsort(order_keys)
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    )
-    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
-    cs = np.argsort(ck)
-    lookup_ref = ray.put(
-        (
-            order_keys[srt],
-            sums[srt],
-            ck[cs],
-            cust.column("c_name").combine_chunks().take(pa.array(cs)),
-        )
-    )
-
-    def enrich(b: "pa.Table") -> "pa.Table":
-        import numpy as np
-
-        okeys, osums, ckeys, cnames = ray.get(lookup_ref)
-        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)
-        if len(okeys) == 0:  # no order passed the HAVING filter
-            hit = np.zeros(len(ok), dtype=bool)
-        else:
-            pos = np.minimum(np.searchsorted(okeys, ok), len(okeys) - 1)
-            hit = okeys[pos] == ok
-        t = b.filter(pa.array(hit))
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "c_name": pa.array([], type=pa.string()),
-                    "o_custkey": pa.array([], type=pa.int64()),
-                    "o_orderkey": pa.array([], type=pa.int64()),
-                    "o_orderdate": pa.array(
-                        [], type=b.schema.field("o_orderdate").type
-                    ),
-                    "o_totalprice": pa.array([], type=pa.float64()),
-                    "sum_qty_cents": pa.array([], type=pa.int64()),
-                }
-            )
-        ok2 = t.column("o_orderkey").to_numpy(zero_copy_only=False)
-        qsum = osums[np.searchsorted(okeys, ok2)]
-        cust_k = t.column("o_custkey").to_numpy(zero_copy_only=False)
-        # clamped + verified lookup: a custkey missing from the dim gets a
-        # NULL name instead of a silently-wrong neighbor (TPC-H FKs always
-        # hit, but an unverified searchsorted is the documented crash class)
-        cpos = np.minimum(np.searchsorted(ckeys, cust_k), len(ckeys) - 1)
-        chit = ckeys[cpos] == cust_k
-        names = pc.if_else(
-            pa.array(chit),
-            cnames.take(pa.array(cpos)),
-            pa.scalar(None, type=pa.string()),
-        )
-        return pa.table(
-            {
-                "c_name": names,
-                "o_custkey": t.column("o_custkey"),
-                "o_orderkey": t.column("o_orderkey"),
-                "o_orderdate": t.column("o_orderdate"),
-                "o_totalprice": t.column("o_totalprice"),
-                "sum_qty_cents": pa.array(qsum, type=pa.int64()),
-            }
-        )
-
-    orders = read_parquet_sized(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
-    )
-    enriched = orders.map_batches(
-        enrich, batch_format="pyarrow", batch_size=None
-    )
-    return top_k_by(
-        enriched, by="o_totalprice", k=100, tie_break="o_orderkey"
-    )
+    return q18_large_volume_orders(sf_dir)
 
 
 def _q_winsorize_event_values(sf_dir: str):
@@ -1667,119 +1547,9 @@ def _q_events_trend_by_type(sf_dir: str):
 
 
 def _q_returned_item_top_customers(sf_dir: str):
-    """TPC-H Q10-shaped composite (returned-item revenue by customer):
-    lineitem pre-aggregates returned revenue to ONE integer-cents row per
-    order (combiner) before the single big×big shuffle join against the
-    date-windowed orders; per-customer sum (partition-level reduce) →
-    global top-20 via local-top-k merge → 20-row dim enrich (customer ⋈
-    nation broadcast).  No payload shuffles, explicit join schemas (the
-    derived-input re-execution trap)."""
-    import datetime as dt
+    from airbyte_destination_ray.pipelines.tpch import q10_returned_item_customers
 
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    from airbyte_destination_ray.pipelines.ops import grouped_sum, top_k_by
-    from airbyte_destination_ray.pipelines.relational import shuffle_join
-    from airbyte_destination_ray.sources.parquet import read_parquet_sized
-
-    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1997, 1, 1)
-
-    def rev_cents(b: "pa.Table") -> "pa.Table":
-        b = b.filter(pc.equal(b.column("l_returnflag"), "R"))
-        cents = pc.cast(
-            pc.floor(
-                pc.multiply(
-                    pc.multiply(
-                        b.column("l_extendedprice"),
-                        pc.subtract(1.0, b.column("l_discount")),
-                    ),
-                    100.0,
-                )
-            ),
-            pa.int64(),
-        )
-        return pa.table(
-            {"l_orderkey": b.column("l_orderkey"), "cents": cents}
-        )
-
-    li = grouped_sum(
-        read_parquet_sized(
-            f"{sf_dir}/lineitem.parquet",
-            columns=[
-                "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount",
-            ],
-        ).map_batches(rev_cents, batch_format="pyarrow", batch_size=None),
-        key="l_orderkey",
-        value_col="cents",
-        out_col="revenue_cents",
-    )
-
-    def window(b: "pa.Table") -> "pa.Table":
-        keep = pc.and_(
-            pc.greater_equal(b.column("o_orderdate"), lo),
-            pc.less(b.column("o_orderdate"), hi),
-        )
-        return b.filter(keep).select(["o_orderkey", "o_custkey"])
-
-    ords = read_parquet_sized(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    ).map_batches(window, batch_format="pyarrow", batch_size=None)
-
-    joined = shuffle_join(
-        li,
-        ords,
-        left_on="l_orderkey",
-        right_on="o_orderkey",
-        select=["o_custkey", "revenue_cents"],
-        hot_keys=None,  # order keys are unique on both sides
-        left_schema=pa.schema(
-            [("l_orderkey", pa.int64()), ("revenue_cents", pa.int64())]
-        ),
-        right_schema=pa.schema(
-            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
-        ),
-    )
-    by_cust = grouped_sum(
-        joined, key="o_custkey", value_col="revenue_cents",
-        out_col="revenue_cents",
-    )
-    top = top_k_by(
-        by_cust, by="revenue_cents", k=20, tie_break="o_custkey"
-    )
-
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
-    ).sort_by("c_custkey")
-    nation = pq.read_table(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    ).sort_by("n_nationkey")
-    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
-    nk = nation.column("n_nationkey").to_numpy(zero_copy_only=False)
-
-    def enrich(b: "pa.Table") -> "pa.Table":
-        import numpy as np
-
-        keys = b.column("o_custkey").to_numpy(zero_copy_only=False)
-        cpos = np.minimum(np.searchsorted(ck, keys), len(ck) - 1)
-        assert (ck[cpos] == keys).all()  # TPC-H FK: every custkey exists
-        nat = cust.column("c_nationkey").to_numpy(zero_copy_only=False)[cpos]
-        npos = np.minimum(np.searchsorted(nk, nat), len(nk) - 1)
-        return pa.table(
-            {
-                "c_custkey": b.column("o_custkey"),
-                "c_name": cust.column("c_name").take(pa.array(cpos)),
-                "n_name": nation.column("n_name").take(pa.array(npos)),
-                "c_acctbal": cust.column("c_acctbal").take(pa.array(cpos)),
-                "revenue_cents": b.column("revenue_cents"),
-            }
-        )
-
-    return top.map_batches(enrich, batch_format="pyarrow", batch_size=None)
+    return q10_returned_item_customers(sf_dir)
 
 
 def _q_median_gap_by_user(sf_dir: str):
@@ -1933,105 +1703,9 @@ def _q_events_clustering_coef(sf_dir: str):
 
 
 def _q_shipping_priority(sf_dir: str):
-    """TPC-H Q3-shaped composite (customer ⋈ orders ⋈ lineitem → revenue
-    per order → global top 10): broadcast semi-join on the dimension side,
-    per-batch integer-cents revenue pre-aggregation so the keyed exchange
-    carries one row per (order, batch), one shuffle join against the
-    filtered orders, local-top-k merge — the dataset is never globally
-    sorted and never materialized."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    from airbyte_destination_ray.pipelines.tpch import q3_shipping_priority
 
-    from airbyte_destination_ray.pipelines.ops import grouped_sum, top_k_by
-    from airbyte_destination_ray.pipelines.relational import (
-        semi_join,
-        shuffle_join,
-    )
-    from airbyte_destination_ray.sources.parquet import read_parquet_sized
-
-    import datetime as dt
-
-    cutoff = dt.datetime(1998, 7, 1)
-
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    building = (
-        cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
-        .column("c_custkey")
-        .to_numpy(zero_copy_only=False)
-    )
-
-    orders = read_parquet_sized(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
-    ).map_batches(
-        lambda b: b.filter(pc.less(b.column("o_orderdate"), cutoff)),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-    orders = semi_join(orders, building, on="o_custkey").map_batches(
-        lambda b: b.select(["o_orderkey", "o_orderdate", "o_orderpriority"]),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-
-    def rev_cents(b: "pa.Table") -> "pa.Table":
-        keep = pc.greater(b.column("l_shipdate"), cutoff)
-        b = b.filter(keep)
-        rev = pc.cast(
-            pc.floor(
-                pc.multiply(
-                    pc.multiply(
-                        b.column("l_extendedprice"),
-                        pc.subtract(1.0, b.column("l_discount")),
-                    ),
-                    100.0,
-                )
-            ),
-            pa.int64(),
-        )
-        return pa.table({"l_orderkey": b.column("l_orderkey"), "_rev": rev})
-
-    lineitem = read_parquet_sized(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
-    ).map_batches(rev_cents, batch_format="pyarrow", batch_size=None)
-    revenue = grouped_sum(
-        lineitem, key="l_orderkey", value_col="_rev", out_col="revenue_cents"
-    )
-
-    ord_schema = pq.read_schema(f"{sf_dir}/orders.parquet")
-    joined = shuffle_join(
-        revenue,
-        orders,
-        left_on="l_orderkey",
-        right_on="o_orderkey",
-        select=["l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority"],
-        hot_keys=None,  # both sides unique per order key
-        # explicit schemas: ds.schema() would EXECUTE the revenue exchange
-        # a second time just to learn two column names (measured ~2×)
-        left_schema=pa.schema(
-            [("l_orderkey", pa.int64()), ("revenue_cents", pa.int64())]
-        ),
-        right_schema=pa.schema(
-            [
-                ("o_orderkey", ord_schema.field("o_orderkey").type),
-                ("o_orderdate", ord_schema.field("o_orderdate").type),
-                ("o_orderpriority", ord_schema.field("o_orderpriority").type),
-            ]
-        ),
-    ).map_batches(
-        lambda b: b.rename_columns(
-            ["o_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority"]
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-    return top_k_by(
-        joined, by="revenue_cents", k=10, tie_break="o_orderkey"
-    )
+    return q3_shipping_priority(sf_dir)
 
 
 def _q_events_cube_type_day(sf_dir: str):
@@ -2342,215 +2016,9 @@ def _q_campaign_event_stats(sf_dir: str):
 
 
 def _q_local_supplier_volume(sf_dir: str):
-    """TPC-H Q5-shaped composite (6-table star: region/nation dims driver-
-    joined + broadcast, customer ⋈ orders through ONE shuffle-join exchange,
-    supplier map broadcast into the lineitem scan with per-batch revenue
-    pre-reduction, second shuffle join on order key, same-nation filter,
-    tiny final rollup).  The two fact tables each cross exactly one
-    exchange; dims ride `ray.put` once.  Supplier is broadcast because
-    TPC-H sizes it at 1% of customers — if it outgrew worker memory the
-    same step becomes a third shuffle_join on l_suppkey."""
-    import datetime as dt
+    from airbyte_destination_ray.pipelines.tpch import q5_local_supplier_volume
 
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-    import ray
-
-    from airbyte_destination_ray.pipelines.ops import grouped_sum
-    from airbyte_destination_ray.pipelines.relational import shuffle_join
-    from airbyte_destination_ray.sources.parquet import read_parquet_sized
-
-    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1997, 1, 1)
-
-    # dims: nation ⋈ region, filtered to one region, driver-side (≤25 rows)
-    nation = pq.read_table(f"{sf_dir}/nation.parquet")
-    region = pq.read_table(f"{sf_dir}/region.parquet")
-    asia = region.filter(pc.equal(region.column("r_name"), "ASIA"))
-    nat = nation.join(
-        asia.select(["r_regionkey"]),
-        keys="n_regionkey",
-        right_keys="r_regionkey",
-        join_type="inner",
-    )
-    nat_keys = np.sort(
-        nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
-    )
-    nat_names = dict(
-        zip(
-            nat.column("n_nationkey").to_pylist(),
-            nat.column("n_name").to_pylist(),
-        )
-    )
-
-    # supplier → nationkey map, pruned to the region, broadcast once
-    sup = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    )
-    s_key = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
-    s_nat = sup.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
-    in_region = np.isin(s_nat, nat_keys)
-    order_idx = np.argsort(s_key[in_region])
-    sup_ref = ray.put((s_key[in_region][order_idx], s_nat[in_region][order_idx]))
-
-    def cust_prep(b: pa.Table) -> pa.Table:
-        nk = pc.cast(b.column("c_nationkey"), pa.int64())
-        keep = np.isin(nk.to_numpy(zero_copy_only=False), nat_keys)
-        return pa.table(
-            {"c_custkey": b.column("c_custkey"), "c_nationkey": nk}
-        ).filter(pa.array(keep))
-
-    customer = read_parquet_sized(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).map_batches(cust_prep, batch_format="pyarrow", batch_size=None)
-
-    orders = read_parquet_sized(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    ).map_batches(
-        lambda b: b.filter(
-            pc.and_(
-                pc.greater_equal(b.column("o_orderdate"), lo),
-                pc.less(b.column("o_orderdate"), hi),
-            )
-        ).select(["o_orderkey", "o_custkey"]),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-
-    import pyarrow.parquet as _pq
-
-    _osch = _pq.read_schema(f"{sf_dir}/orders.parquet")
-    _csch = _pq.read_schema(f"{sf_dir}/customer.parquet")
-    oc = shuffle_join(
-        orders,
-        customer,
-        left_on="o_custkey",
-        right_on="c_custkey",
-        select=["o_orderkey", "c_nationkey"],
-        hot_keys=None,  # uniform TPC-H custkeys
-        left_schema=pa.schema(
-            [
-                ("o_orderkey", _osch.field("o_orderkey").type),
-                ("o_custkey", _osch.field("o_custkey").type),
-            ]
-        ),
-        right_schema=pa.schema(
-            [
-                ("c_custkey", _csch.field("c_custkey").type),
-                ("c_nationkey", pa.int64()),
-            ]
-        ),
-    )
-
-    class _LineRev:
-        """Broadcast supplier lookup + integer-cents revenue pre-reduce:
-        the orderkey exchange carries one row per (order, nation, batch)."""
-
-        def __init__(self):
-            self.s_key, self.s_nat = ray.get(sup_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
-            if len(self.s_key) == 0:
-                ok = np.zeros(len(sk), dtype=bool)
-                pos = np.zeros(len(sk), dtype=np.int64)
-            else:
-                pos = np.searchsorted(self.s_key, sk)
-                ok = pos < len(self.s_key)
-                ok &= self.s_key[np.clip(pos, 0, len(self.s_key) - 1)] == sk
-            b = b.filter(pa.array(ok))
-            if b.num_rows == 0:
-                return pa.table(
-                    {
-                        "l_orderkey": pa.array([], type=pa.int64()),
-                        "s_nationkey": pa.array([], type=pa.int64()),
-                        "_rev": pa.array([], type=pa.int64()),
-                    }
-                )
-            snat = self.s_nat[pos[ok]]
-            rev = pc.cast(
-                pc.floor(
-                    pc.multiply(
-                        pc.multiply(
-                            b.column("l_extendedprice"),
-                            pc.subtract(1.0, b.column("l_discount")),
-                        ),
-                        100.0,
-                    )
-                ),
-                pa.int64(),
-            )
-            t = pa.table(
-                {
-                    "l_orderkey": b.column("l_orderkey"),
-                    "s_nationkey": pa.array(snat),
-                    "_rev": rev,
-                }
-            )
-            agg = t.group_by(["l_orderkey", "s_nationkey"]).aggregate(
-                [("_rev", "sum")]
-            )
-            return agg.rename_columns(["l_orderkey", "s_nationkey", "_rev"])
-
-    lineitem = read_parquet_sized(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(
-        _LineRev, batch_format="pyarrow", batch_size=None, concurrency=(1, 8)
-    )
-
-    joined = shuffle_join(
-        oc,
-        lineitem,
-        left_on="o_orderkey",
-        right_on="l_orderkey",
-        select=["c_nationkey", "s_nationkey", "_rev"],
-        hot_keys=None,  # ≤7 lineitems per order; no skew possible
-        # oc is itself a shuffle-join output: ds.schema() would execute the
-        # whole first exchange again just to list these two columns
-        left_schema=pa.schema(
-            [
-                ("o_orderkey", _osch.field("o_orderkey").type),
-                ("c_nationkey", pa.int64()),
-            ]
-        ),
-        right_schema=pa.schema(
-            [
-                ("l_orderkey", pa.int64()),
-                ("s_nationkey", pa.int64()),
-                ("_rev", pa.int64()),
-            ]
-        ),
-    )
-
-    def same_nation(b: pa.Table) -> pa.Table:
-        keep = pc.equal(b.column("c_nationkey"), b.column("s_nationkey"))
-        b = b.filter(keep)
-        return pa.table(
-            {"n_nationkey": b.column("s_nationkey"), "_rev": b.column("_rev")}
-        )
-
-    per_nation = grouped_sum(
-        joined.map_batches(same_nation, batch_format="pyarrow", batch_size=None),
-        key="n_nationkey",
-        value_col="_rev",
-        out_col="revenue_cents",
-    )
-
-    def name_it(b: pa.Table) -> pa.Table:
-        names = [nat_names[k] for k in b.column("n_nationkey").to_pylist()]
-        return pa.table(
-            {
-                "n_name": pa.array(names, type=pa.string()),
-                "revenue_cents": b.column("revenue_cents"),
-            }
-        )
-
-    return per_nation.map_batches(
-        name_it, batch_format="pyarrow", batch_size=None
-    )
+    return q5_local_supplier_volume(sf_dir)
 
 
 def _q_scd2_user_history(sf_dir: str):
@@ -4199,94 +3667,9 @@ def _q_events_degree_histogram(sf_dir: str):
 
 
 def _q_promo_revenue_ratio(sf_dir: str):
-    """TPC-H Q14-shaped promo-revenue share: date-windowed lineitem scan
-    with the part-type flag broadcast (searchsorted lookup, no join
-    exchange), exact integer-cents partials, ONE division at the end."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    from airbyte_destination_ray.pipelines.tpch import q14_promo_revenue_ratio
 
-    import datetime as dt
-
-    lo = dt.datetime(1996, 1, 1)
-    hi = dt.datetime(1997, 1, 1)
-
-    part = pq.read_table(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
-    )
-    promo_keys = np.sort(
-        part.filter(pc.equal(part.column("p_type"), "PROMO"))
-        .column("p_partkey")
-        .to_numpy(zero_copy_only=False)
-    )
-
-    def partial(b: "pa.Table") -> "pa.Table":
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        keep = pc.and_(
-            pc.greater_equal(b.column("l_shipdate"), lo),
-            pc.less(b.column("l_shipdate"), hi),
-        )
-        b = b.filter(keep)
-        cents = pc.cast(
-            pc.floor(
-                pc.multiply(
-                    pc.multiply(
-                        b.column("l_extendedprice"),
-                        pc.subtract(1.0, b.column("l_discount")),
-                    ),
-                    100.0,
-                )
-            ),
-            pa.int64(),
-        ).to_numpy(zero_copy_only=False)
-        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(promo_keys, pk)
-        pos_c = np.clip(pos, 0, max(0, len(promo_keys) - 1))
-        is_promo = (
-            (promo_keys[pos_c] == pk) if len(promo_keys) else
-            np.zeros(len(pk), dtype=bool)
-        )
-        return pa.table(
-            {
-                "_p": pa.array(
-                    [int(cents[is_promo].sum())], type=pa.int64()
-                ),
-                "_t": pa.array([int(cents.sum())], type=pa.int64()),
-            }
-        )
-
-    from airbyte_destination_ray.sources.parquet import read_parquet_sized
-
-    parts = pa.concat_tables(
-        list(
-            read_parquet_sized(
-                f"{sf_dir}/lineitem.parquet",
-                columns=[
-                    "l_partkey",
-                    "l_extendedprice",
-                    "l_discount",
-                    "l_shipdate",
-                ],
-            )
-            .map_batches(partial, batch_format="pyarrow", batch_size=None)
-            .iter_batches(batch_format="pyarrow")
-        )
-    )
-    promo = int(pc.sum(parts.column("_p")).as_py() or 0)
-    total = int(pc.sum(parts.column("_t")).as_py() or 0)
-    return pa.table(
-        {
-            "promo_cents": pa.array([promo], type=pa.int64()),
-            "total_cents": pa.array([total], type=pa.int64()),
-            "promo_pct": pa.array(
-                [(100.0 * float(promo)) / float(total)], type=pa.float64()
-            ),
-        }
-    )
+    return q14_promo_revenue_ratio(sf_dir)
 
 
 def _q_suppliers_per_brand(sf_dir: str):
@@ -4840,67 +4223,9 @@ def _q_events_hourly_autocorr(sf_dir: str):
 
 
 def _q_priority_late_orders(sf_dir: str):
-    """TPC-H Q4-shaped composite: orders with ANY lineitem shipped more
-    than 60 days after the order date, counted per priority.  EXISTS is
-    rewritten as per-order MAX(shipdate) (partition-level grouped max) →
-    one unique-key shuffle join → vectorized date filter → tiny rollup."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    from airbyte_destination_ray.pipelines.tpch import q4_priority_late_orders
 
-    from airbyte_destination_ray.pipelines.ops import grouped_count, grouped_max
-    from airbyte_destination_ray.pipelines.relational import shuffle_join
-    from airbyte_destination_ray.sources.parquet import read_parquet_sized
-
-    li_max = grouped_max(
-        read_parquet_sized(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_orderkey", "l_shipdate"],
-        ),
-        key="l_orderkey",
-        value_col="l_shipdate",
-        out_col="max_ship",
-    )
-    ords = read_parquet_sized(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
-    )
-    joined = shuffle_join(
-        ords,
-        li_max,
-        left_on="o_orderkey",
-        right_on="l_orderkey",
-        select=["o_orderdate", "o_orderpriority", "max_ship"],
-        hot_keys=None,  # order keys unique on both sides
-        left_schema=pa.schema(
-            [
-                ("o_orderkey", pa.int64()),
-                ("o_orderdate", pa.timestamp("us")),
-                ("o_orderpriority", pa.string()),
-            ]
-        ),
-        right_schema=pa.schema(
-            [("l_orderkey", pa.int64()), ("max_ship", pa.timestamp("us"))]
-        ),
-    )
-
-    def late(b: "pa.Table") -> "pa.Table":
-        keep = pc.fill_null(
-            pc.greater(
-                pc.cast(b.column("max_ship"), pa.int64()),
-                pc.add(
-                    pc.cast(b.column("o_orderdate"), pa.int64()),
-                    60 * 86_400_000_000,
-                ),
-            ),
-            False,
-        )
-        return b.filter(keep).select(["o_orderpriority"])
-
-    return grouped_count(
-        joined.map_batches(late, batch_format="pyarrow", batch_size=None),
-        key="o_orderpriority",
-        out_col="n_orders",
-    )
+    return q4_priority_late_orders(sf_dir)
 
 
 def _q_events_spearman_by_user(sf_dir: str):
@@ -5210,665 +4535,33 @@ def _q_events_ks_drift(sf_dir: str):
 
 
 def _q_nation_trade_by_year(sf_dir: str):
-    """TPC-H Q7-shaped composite (two-nation trade volume by ship year):
-    supplier side resolved with a broadcast tag lookup (supplier is the
-    small dimension), customer side through a shuffle join (customer
-    scales with the fact tables), lineitem pre-aggregated to integer
-    cents per (order, year, supplier-nation) before its exchange, final
-    rollup partition-level over the tiny (pair, year) key space."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    from airbyte_destination_ray.pipelines.tpch import q7_nation_trade_by_year
 
-    from airbyte_destination_ray.pipelines.relational import shuffle_join
-    from airbyte_destination_ray.sources.parquet import read_parquet_sized
-
-    nation = pq.read_table(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    )
-    keys = dict(
-        zip(
-            nation.column("n_name").to_pylist(),
-            nation.column("n_nationkey").to_pylist(),
-        )
-    )
-    nk1, nk2 = keys["NATION_1"], keys["NATION_2"]
-
-    supp = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    )
-    snk = supp.column("s_nationkey").to_numpy(zero_copy_only=False)
-    skeys = supp.column("s_suppkey").to_numpy(zero_copy_only=False)
-    supp1 = pa.array(np.sort(skeys[snk == nk1]), type=pa.int64())
-    supp2 = pa.array(np.sort(skeys[snk == nk2]), type=pa.int64())
-
-    def li_partial(b: "pa.Table") -> "pa.Table":
-        sk = b.column("l_suppkey").combine_chunks()
-        t1 = pc.fill_null(pc.is_in(sk, value_set=supp1), False)
-        t2 = pc.fill_null(pc.is_in(sk, value_set=supp2), False)
-        stag = pc.add(
-            pc.cast(t1, pa.int64()),
-            pc.multiply(pc.cast(t2, pa.int64()), 2),
-        )
-        keep = pc.greater(stag, 0)
-        t = pa.table(
-            {
-                "l_orderkey": b.column("l_orderkey"),
-                "_stag": stag,
-                "_year": pc.cast(pc.year(b.column("l_shipdate")), pa.int64()),
-                "_cents": pc.cast(
-                    pc.floor(
-                        pc.multiply(
-                            pc.multiply(
-                                b.column("l_extendedprice"),
-                                pc.subtract(1.0, b.column("l_discount")),
-                            ),
-                            100.0,
-                        )
-                    ),
-                    pa.int64(),
-                ),
-            }
-        ).filter(keep)
-        return (
-            t.group_by(["l_orderkey", "_stag", "_year"])
-            .aggregate([("_cents", "sum")])
-            .rename_columns(["l_orderkey", "_stag", "_year", "_cents"])
-        )
-
-    li = read_parquet_sized(
-        f"{sf_dir}/lineitem.parquet",
-        columns=[
-            "l_orderkey", "l_suppkey", "l_shipdate",
-            "l_extendedprice", "l_discount",
-        ],
-    ).map_batches(li_partial, batch_format="pyarrow", batch_size=None)
-
-    def cust_tag(b: "pa.Table") -> "pa.Table":
-        nkv = pc.cast(b.column("c_nationkey"), pa.int64())
-        t1 = pc.fill_null(pc.equal(nkv, nk1), False)
-        t2 = pc.fill_null(pc.equal(nkv, nk2), False)
-        ctag = pc.add(
-            pc.cast(t1, pa.int64()),
-            pc.multiply(pc.cast(t2, pa.int64()), 2),
-        )
-        return pa.table(
-            {"c_custkey": b.column("c_custkey"), "_ctag": ctag}
-        ).filter(pc.greater(ctag, 0))
-
-    cust = read_parquet_sized(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).map_batches(cust_tag, batch_format="pyarrow", batch_size=None)
-
-    ords = shuffle_join(
-        read_parquet_sized(
-            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-        ),
-        cust,
-        left_on="o_custkey",
-        right_on="c_custkey",
-        select=["o_orderkey", "_ctag"],
-        hot_keys=None,  # custkeys unique on the right, FK on the left
-        left_schema=pa.schema(
-            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
-        ),
-        right_schema=pa.schema(
-            [("c_custkey", pa.int64()), ("_ctag", pa.int64())]
-        ),
-    )
-
-    joined = shuffle_join(
-        li,
-        ords,
-        left_on="l_orderkey",
-        right_on="o_orderkey",
-        select=["_stag", "_ctag", "_year", "_cents"],
-        hot_keys=None,
-        left_schema=pa.schema(
-            [
-                ("l_orderkey", pa.int64()),
-                ("_stag", pa.int64()),
-                ("_year", pa.int64()),
-                ("_cents", pa.int64()),
-            ]
-        ),
-        right_schema=pa.schema(
-            [("o_orderkey", pa.int64()), ("_ctag", pa.int64())]
-        ),
-    )
-
-    name1, name2 = "NATION_1", "NATION_2"
-
-    def rollup_partial(b: "pa.Table") -> "pa.Table":
-        keep = pc.and_(
-            pc.not_equal(b.column("_stag"), b.column("_ctag")),
-            pc.and_(
-                pc.less_equal(b.column("_stag"), 2),
-                pc.less_equal(b.column("_ctag"), 2),
-            ),
-        )
-        t = b.filter(keep)
-        return (
-            t.group_by(["_stag", "_ctag", "_year"])
-            .aggregate([("_cents", "sum")])
-            .rename_columns(["_stag", "_ctag", "_year", "_cents"])
-        )
-
-    def final(group: "pa.Table") -> "pa.Table":
-        g = (
-            group.drop_columns(["_rpart"])
-            .group_by(["_stag", "_ctag", "_year"])
-            .aggregate([("_cents", "sum")])
-            .rename_columns(["_stag", "_ctag", "_year", "_cents"])
-        )
-        stag = g.column("_stag").to_numpy(zero_copy_only=False)
-        ctag = g.column("_ctag").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "supp_nation": pa.array(
-                    np.where(stag == 1, name1, name2), type=pa.string()
-                ),
-                "cust_nation": pa.array(
-                    np.where(ctag == 1, name1, name2), type=pa.string()
-                ),
-                "l_year": g.column("_year"),
-                "revenue_cents": g.column("_cents").cast(pa.int64()),
-            }
-        )
-
-    def route(b: "pa.Table") -> "pa.Table":
-        from airbyte_destination_ray.functions.hashing import partition_ids
-
-        parts = partition_ids(b.column("_year"), 8)
-        return b.append_column("_rpart", pa.array(parts, type=pa.int64()))
-
-    return (
-        joined.map_batches(rollup_partial, batch_format="pyarrow", batch_size=None)
-        .map_batches(route, batch_format="pyarrow", batch_size=None)
-        .groupby("_rpart")
-        .map_groups(final, batch_format="pyarrow")
-    )
+    return q7_nation_trade_by_year(sf_dir)
 
 
 def _q_market_share_by_year(sf_dir: str):
-    """TPC-H Q8-shaped composite (NATION_3 suppliers' market share of
-    PROMO-part revenue among ASIA customers, by order year): part filter
-    through a streaming shuffle join (part scales with the facts; no
-    bloom — the filtered part side is the SMALL one, so a bloom of the
-    huge lineitem keys would cost more than it prunes), orders enriched
-    with year, ASIA customers through a second
-    shuffle join, supplier nation as a broadcast tag, conditional cents
-    sums per year, ONE IEEE division for the share."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    from airbyte_destination_ray.pipelines.tpch import q8_market_share_by_year
 
-    from airbyte_destination_ray.pipelines.relational import shuffle_join
-    from airbyte_destination_ray.sources.parquet import read_parquet_sized
-
-    nation = pq.read_table(
-        f"{sf_dir}/nation.parquet",
-        columns=["n_nationkey", "n_name", "n_regionkey"],
-    )
-    region = pq.read_table(
-        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
-    )
-    rk_asia = region.column("r_regionkey")[
-        region.column("r_name").to_pylist().index("ASIA")
-    ].as_py()
-    nmap = dict(
-        zip(
-            nation.column("n_name").to_pylist(),
-            nation.column("n_nationkey").to_pylist(),
-        )
-    )
-    nk3 = nmap["NATION_3"]
-    asia_nations = pa.array(
-        sorted(
-            nation.filter(
-                pc.equal(nation.column("n_regionkey"), rk_asia)
-            ).column("n_nationkey").to_pylist()
-        ),
-        type=pa.int64(),
-    )
-    supp = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    )
-    snk = supp.column("s_nationkey").to_numpy(zero_copy_only=False)
-    skeys = supp.column("s_suppkey").to_numpy(zero_copy_only=False)
-    supp3 = pa.array(np.sort(skeys[snk == nk3]), type=pa.int64())
-
-    def li_prep(b: "pa.Table") -> "pa.Table":
-        hit = pc.fill_null(
-            pc.is_in(b.column("l_suppkey").combine_chunks(), value_set=supp3),
-            False,
-        )
-        return pa.table(
-            {
-                "l_partkey": b.column("l_partkey"),
-                "l_orderkey": b.column("l_orderkey"),
-                "_is3": pc.cast(hit, pa.int64()),
-                "_cents": pc.cast(
-                    pc.floor(
-                        pc.multiply(
-                            pc.multiply(
-                                b.column("l_extendedprice"),
-                                pc.subtract(1.0, b.column("l_discount")),
-                            ),
-                            100.0,
-                        )
-                    ),
-                    pa.int64(),
-                ),
-            }
-        )
-
-    li = read_parquet_sized(
-        f"{sf_dir}/lineitem.parquet",
-        columns=[
-            "l_partkey", "l_orderkey", "l_suppkey",
-            "l_extendedprice", "l_discount",
-        ],
-    ).map_batches(li_prep, batch_format="pyarrow", batch_size=None)
-
-    promo = read_parquet_sized(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
-    ).map_batches(
-        lambda b: b.filter(
-            pc.fill_null(pc.equal(b.column("p_type"), "PROMO"), False)
-        ).select(["p_partkey"]),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-
-    li_promo = shuffle_join(
-        li,
-        promo,
-        left_on="l_partkey",
-        right_on="p_partkey",
-        select=["l_orderkey", "_is3", "_cents"],
-        hot_keys=None,
-        left_schema=pa.schema(
-            [
-                ("l_partkey", pa.int64()),
-                ("l_orderkey", pa.int64()),
-                ("_is3", pa.int64()),
-                ("_cents", pa.int64()),
-            ]
-        ),
-        right_schema=pa.schema([("p_partkey", pa.int64())]),
-    )
-
-    def cust_asia(b: "pa.Table") -> "pa.Table":
-        hit = pc.fill_null(
-            pc.is_in(
-                pc.cast(b.column("c_nationkey"), pa.int64()),
-                value_set=asia_nations,
-            ),
-            False,
-        )
-        return b.filter(hit).select(["c_custkey"])
-
-    cust = read_parquet_sized(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).map_batches(cust_asia, batch_format="pyarrow", batch_size=None)
-
-    ords = shuffle_join(
-        read_parquet_sized(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_custkey", "o_orderdate"],
-        ),
-        cust,
-        left_on="o_custkey",
-        right_on="c_custkey",
-        select=["o_orderkey", "o_orderdate"],
-        hot_keys=None,
-        left_schema=pa.schema(
-            [
-                ("o_orderkey", pa.int64()),
-                ("o_custkey", pa.int64()),
-                ("o_orderdate", pa.timestamp("us")),
-            ]
-        ),
-        right_schema=pa.schema([("c_custkey", pa.int64())]),
-    ).map_batches(
-        lambda b: pa.table(
-            {
-                "o_orderkey": b.column("o_orderkey"),
-                "_year": pc.cast(pc.year(b.column("o_orderdate")), pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-
-    joined = shuffle_join(
-        li_promo,
-        ords,
-        left_on="l_orderkey",
-        right_on="o_orderkey",
-        select=["_is3", "_cents", "_year"],
-        hot_keys=None,
-        left_schema=pa.schema(
-            [
-                ("l_orderkey", pa.int64()),
-                ("_is3", pa.int64()),
-                ("_cents", pa.int64()),
-            ]
-        ),
-        right_schema=pa.schema(
-            [("o_orderkey", pa.int64()), ("_year", pa.int64())]
-        ),
-    )
-
-    def partial(b: "pa.Table") -> "pa.Table":
-        t = pa.table(
-            {
-                "_year": b.column("_year"),
-                "_nat": pc.multiply(b.column("_is3"), b.column("_cents")),
-                "_tot": b.column("_cents"),
-            }
-        )
-        return (
-            t.group_by("_year")
-            .aggregate([("_nat", "sum"), ("_tot", "sum")])
-            .rename_columns(["_year", "_nat", "_tot"])
-        )
-
-    def final(group: "pa.Table") -> "pa.Table":
-        g = (
-            group.drop_columns(["_rpart"])
-            .group_by("_year")
-            .aggregate([("_nat", "sum"), ("_tot", "sum")])
-            .rename_columns(["_year", "_nat", "_tot"])
-        )
-        nat = g.column("_nat").to_numpy(zero_copy_only=False).astype(np.int64)
-        tot = g.column("_tot").to_numpy(zero_copy_only=False).astype(np.int64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            share = nat.astype(np.float64) / tot.astype(np.float64)
-        ok = tot != 0
-        return pa.table(
-            {
-                "o_year": g.column("_year"),
-                "nation_cents": pa.array(nat, type=pa.int64()),
-                "total_cents": pa.array(tot, type=pa.int64()),
-                "mkt_share": pa.array(share, type=pa.float64(), mask=~ok),
-            }
-        )
-
-    def route(b: "pa.Table") -> "pa.Table":
-        from airbyte_destination_ray.functions.hashing import partition_ids
-
-        parts = partition_ids(b.column("_year"), 8)
-        return b.append_column("_rpart", pa.array(parts, type=pa.int64()))
-
-    return (
-        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .map_batches(route, batch_format="pyarrow", batch_size=None)
-        .groupby("_rpart")
-        .map_groups(final, batch_format="pyarrow")
-    )
+    return q8_market_share_by_year(sf_dir)
 
 
 def _q_discount_revenue_q6(sf_dir: str):
-    """TPC-H Q6-shaped forecast-revenue scan: pure column-pruned filter +
-    per-batch integer-cents partial sums, ONE tiny fold — the zero-shuffle
-    aggregate baseline."""
-    import datetime as dt
+    from airbyte_destination_ray.pipelines.tpch import q6_discount_revenue
 
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from airbyte_destination_ray.sources.parquet import read_parquet_sized
-
-    lo, hi = dt.datetime(1997, 1, 1), dt.datetime(1998, 1, 1)
-
-    def partial(b: "pa.Table") -> "pa.Table":
-        keep = pc.and_(
-            pc.and_(
-                pc.and_(
-                    pc.greater_equal(b.column("l_shipdate"), lo),
-                    pc.less(b.column("l_shipdate"), hi),
-                ),
-                pc.and_(
-                    pc.greater_equal(b.column("l_discount"), 0.05),
-                    pc.less_equal(b.column("l_discount"), 0.07),
-                ),
-            ),
-            pc.less(b.column("l_quantity"), 24.0),
-        )
-        t = b.filter(pc.fill_null(keep, False))
-        if t.num_rows == 0:
-            # no partial row: SQL SUM over the empty set is NULL, so an
-            # all-miss dataset must fold to a null, not 0
-            return pa.table({"_s": pa.array([], type=pa.int64())})
-        cents = pc.cast(
-            pc.floor(
-                pc.multiply(
-                    pc.multiply(
-                        t.column("l_extendedprice"), t.column("l_discount")
-                    ),
-                    100.0,
-                )
-            ),
-            pa.int64(),
-        )
-        s = pc.sum(cents).as_py()
-        return pa.table({"_s": pa.array([int(s or 0)], type=pa.int64())})
-
-    def final(batch: "pa.Table") -> "pa.Table":
-        if batch.num_rows == 0:
-            return pa.table(
-                {"revenue_cents": pa.array([None], type=pa.int64())}
-            )
-        tot = int(batch.column("_s").to_numpy(zero_copy_only=False).sum())
-        return pa.table(
-            {"revenue_cents": pa.array([tot], type=pa.int64())}
-        )
-
-    return (
-        read_parquet_sized(
-            f"{sf_dir}/lineitem.parquet",
-            columns=[
-                "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
-            ],
-        )
-        .map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .repartition(1)
-        .map_batches(final, batch_format="pyarrow", batch_size=None)
-    )
+    return q6_discount_revenue(sf_dir)
 
 
 def _q_customer_order_histogram(sf_dir: str):
-    """TPC-H Q13-shaped customer order-count distribution (including the
-    zero-order bucket): partition-level per-customer counts, per-batch
-    count histograms, zero bucket from two aggregate scalars — no
-    customer⋈orders join needed (order custkeys are FK-valid, pinned by
-    the fk audit query)."""
-    import numpy as np
-    import pyarrow as pa
+    from airbyte_destination_ray.pipelines.tpch import q13_customer_order_histogram
 
-    from airbyte_destination_ray.pipelines.ops import grouped_count
-    from airbyte_destination_ray.sources.parquet import read_parquet_sized
-
-    counts = grouped_count(
-        read_parquet_sized(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
-        key="o_custkey",
-        out_col="c_count",
-    ).materialize()  # consumed twice: the scalar count + the histogram
-    n_customers = read_parquet_sized(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
-    ).count()
-    n_with_orders = counts.count()
-    n_zero = n_customers - n_with_orders
-
-    def hist_partial(b: "pa.Table") -> "pa.Table":
-        v = b.column("c_count").to_numpy(zero_copy_only=False)
-        vals, cnt = np.unique(v, return_counts=True)
-        return pa.table(
-            {
-                "c_count": pa.array(vals.astype(np.int64), type=pa.int64()),
-                "_n": pa.array(cnt.astype(np.int64), type=pa.int64()),
-            }
-        )
-
-    def final(batch: "pa.Table") -> "pa.Table":
-        g = (
-            batch.group_by("c_count")
-            .aggregate([("_n", "sum")])
-            .rename_columns(["c_count", "n_customers"])
-        )
-        g = pa.table(
-            {
-                "c_count": g.column("c_count"),
-                "n_customers": g.column("n_customers").cast(pa.int64()),
-            }
-        )
-        if n_zero > 0:
-            g = pa.concat_tables(
-                [
-                    g,
-                    pa.table(
-                        {
-                            "c_count": pa.array([0], type=pa.int64()),
-                            "n_customers": pa.array(
-                                [n_zero], type=pa.int64()
-                            ),
-                        }
-                    ),
-                ]
-            )
-        return g
-
-    return (
-        counts.map_batches(hist_partial, batch_format="pyarrow", batch_size=None)
-        .repartition(1)
-        .map_batches(final, batch_format="pyarrow", batch_size=None)
-    )
+    return q13_customer_order_histogram(sf_dir)
 
 
 def _q_small_qty_revenue_q17(sf_dir: str):
-    """TPC-H Q17-shaped small-quantity revenue: Brand#13 lineitems through
-    a streaming shuffle join (both sides stream — see the Q8 bloom note),
-    then ONE partkey exchange whose
-    groups compute the per-part quantity mean AND apply the
-    below-one-fifth filter in place (co-location makes the correlated
-    aggregate local — no second pass, no threshold join)."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    from airbyte_destination_ray.pipelines.tpch import q17_small_qty_revenue
 
-    from airbyte_destination_ray.pipelines.relational import shuffle_join
-    from airbyte_destination_ray.sources.parquet import read_parquet_sized
-
-    def li_prep(b: "pa.Table") -> "pa.Table":
-        return pa.table(
-            {
-                "l_partkey": b.column("l_partkey"),
-                "_qi": pc.cast(
-                    pc.floor(pc.multiply(b.column("l_quantity"), 100.0)),
-                    pa.int64(),
-                ),
-                "_pc": pc.cast(
-                    pc.floor(
-                        pc.multiply(b.column("l_extendedprice"), 100.0)
-                    ),
-                    pa.int64(),
-                ),
-            }
-        )
-
-    li = read_parquet_sized(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_partkey", "l_quantity", "l_extendedprice"],
-    ).map_batches(li_prep, batch_format="pyarrow", batch_size=None)
-
-    brand = read_parquet_sized(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
-    ).map_batches(
-        lambda b: b.filter(
-            pc.fill_null(pc.equal(b.column("p_brand"), "Brand#13"), False)
-        ).select(["p_partkey"]),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-
-    li_brand = shuffle_join(
-        li,
-        brand,
-        left_on="l_partkey",
-        right_on="p_partkey",
-        select=["l_partkey", "_qi", "_pc"],
-        hot_keys=None,
-        left_schema=pa.schema(
-            [
-                ("l_partkey", pa.int64()),
-                ("_qi", pa.int64()),
-                ("_pc", pa.int64()),
-            ]
-        ),
-        right_schema=pa.schema([("p_partkey", pa.int64())]),
-    )
-
-    def route(b: "pa.Table") -> "pa.Table":
-        from airbyte_destination_ray.functions.hashing import partition_ids
-
-        parts = partition_ids(b.column("l_partkey"), 64)
-        return b.append_column("_part", pa.array(parts, type=pa.int64()))
-
-    def group_filter(group: "pa.Table") -> "pa.Table":
-        g = group.drop_columns(["_part"])
-        idx = pc.sort_indices(g, sort_keys=[("l_partkey", "ascending")])
-        g = g.take(idx)
-        n = g.num_rows
-        if n == 0:
-            return pa.table({"_s": pa.array([], type=pa.int64())})
-        keys = g.column("l_partkey").to_numpy(zero_copy_only=False)
-        qi = g.column("_qi").to_numpy(zero_copy_only=False).astype(np.int64)
-        pcv = g.column("_pc").to_numpy(zero_copy_only=False).astype(np.int64)
-        start = np.ones(n, dtype=bool)
-        if n > 1:
-            start[1:] = keys[1:] != keys[:-1]
-        si = np.flatnonzero(start)
-        seg_id = np.cumsum(start) - 1
-        cnt = np.add.reduceat(np.ones(n, dtype=np.int64), si)
-        sq = np.add.reduceat(qi, si)
-        thr = 0.2 * (sq.astype(np.float64) / cnt.astype(np.float64))
-        keep = qi.astype(np.float64) < thr[seg_id]
-        if not keep.any():
-            return pa.table({"_s": pa.array([], type=pa.int64())})
-        return pa.table(
-            {"_s": pa.array([int(pcv[keep].sum())], type=pa.int64())}
-        )
-
-    def final(batch: "pa.Table") -> "pa.Table":
-        if batch.num_rows == 0:
-            # SQL SUM over the empty set is NULL
-            return pa.table(
-                {
-                    "revenue_cents": pa.array([None], type=pa.int64()),
-                    "avg_yearly_cents": pa.array([None], type=pa.float64()),
-                }
-            )
-        tot = int(batch.column("_s").to_numpy(zero_copy_only=False).sum())
-        return pa.table(
-            {
-                "revenue_cents": pa.array([tot], type=pa.int64()),
-                "avg_yearly_cents": pa.array(
-                    [float(tot) / 7.0], type=pa.float64()
-                ),
-            }
-        )
-
-    return (
-        li_brand.map_batches(route, batch_format="pyarrow", batch_size=None)
-        .groupby("_part")
-        .map_groups(group_filter, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(final, batch_format="pyarrow", batch_size=None)
-    )
+    return q17_small_qty_revenue(sf_dir)
 
 
 def _q_indexed_term_lookup(sf_dir: str):
