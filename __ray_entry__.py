@@ -2605,6 +2605,31 @@ def _q_cdc_time_travel(sf_dir: str):
     return time_travel_events_table(sf_dir, as_of_epoch=1)
 
 
+def _q_cdc_rollback(sf_dir: str):
+    """ROLLBACK / RESTORE: sync the 3-epoch events binlog, rewind the lake
+    to epoch 1 via metadata-only manifest surgery (rollback_table), read
+    the CURRENT state — must equal the time-travel read, so the oracle is
+    the LWW fold over the deterministic epoch-≤1 slice."""
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        rollback_events_table,
+    )
+
+    return rollback_events_table(sf_dir, to_epoch=1)
+
+
+def _q_cdc_clone_branch(sf_dir: str):
+    """SHALLOW CLONE branch divergence: zero-copy metadata clone of the
+    synced events table, GDPR-delete a key set in the BRANCH only, read
+    the branch (untouched partitions still read the source's files via
+    the cloned manifests).  Oracle = full LWW snapshot minus the branch
+    keys; the source's own queries pin that it is unaffected."""
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        clone_branch_events_table,
+    )
+
+    return clone_branch_events_table(sf_dir)
+
+
 def _q_cdc_range_scan(sf_dir: str):
     """Zone-map range scan: manifest per-file min/max stats prune the lake
     scan to files that can intersect event_id ∈ [3·max//4, max]; bounds come
@@ -5104,6 +5129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similar_doc_pairs": _q_similar_doc_pairs,
         "doc_dup_window_stats": _q_doc_dup_window_stats,
         "incremental_join_view_events": _q_incremental_join_view,
+        "cdc_rollback": _q_cdc_rollback,
+        "cdc_clone_branch": _q_cdc_clone_branch,
         # --- driver-green in r01/r02/r03/r04 ---
         "events_cube_type_day": _q_events_cube_type_day,
         "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
@@ -5391,6 +5418,30 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
                 AND event_type <> 'error'
                 AND user_id NOT IN (1, 2, 3, 5, 8, 13, 21)
+        """,
+        # rollback-to-epoch-1 must equal the time-travel read: same LWW
+        # fold over the deterministic epoch-<=1 slice as cdc_time_travel.
+        "cdc_rollback": """
+            WITH sub AS (
+                SELECT * FROM events
+                WHERE (event_id * 3) //
+                    (SELECT max(event_id) + 1 FROM events) <= 1
+            )
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM sub
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+                AND event_type <> 'error'
+        """,
+        # branch = full snapshot minus the branch-deleted keys (the
+        # source stays whole — its own queries pin that).
+        "cdc_clone_branch": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+                AND event_type <> 'error'
+                AND user_id NOT IN (4, 6, 9, 25, 49)
         """,
         "cdc_change_feed": """
             WITH old_s AS (

@@ -94,6 +94,23 @@ def main(argv: list[str] | None = None) -> int:
     p_repart.add_argument("--lake", required=True)
     p_repart.add_argument("--table", default="pages")
     p_repart.add_argument("--num-partitions", type=int, required=True)
+    p_rollback = sub.add_parser(
+        "rollback",
+        help="RESTORE analog: rewind the table to a committed checkpoint "
+        "epoch (metadata-only; rewound epochs replay on the next sync)",
+    )
+    p_rollback.add_argument("--lake", required=True)
+    p_rollback.add_argument("--table", default="pages")
+    p_rollback.add_argument("--to-epoch", type=int, required=True)
+    p_rollback.add_argument("--dry-run", action="store_true")
+    p_clone = sub.add_parser(
+        "clone",
+        help="zero-copy shallow clone: branch a table's metadata; the "
+        "clone reads the source's files until it diverges",
+    )
+    p_clone.add_argument("--lake", required=True)
+    p_clone.add_argument("--src", required=True)
+    p_clone.add_argument("--dst", required=True)
     p_vacuum = sub.add_parser("vacuum")
     p_vacuum.add_argument("--lake", required=True)
     p_vacuum.add_argument("--table", default="pages")
@@ -266,6 +283,31 @@ def main(argv: list[str] | None = None) -> int:
                 ManifestStore(args.lake, args.table).vacuum(
                     keep_generations=args.keep_generations
                 ),
+                separators=(",", ":"),
+            )
+        )
+        return 0
+
+    if args.command == "rollback":
+        from .pipelines.cdc import rollback_table
+
+        print(
+            json.dumps(
+                rollback_table(
+                    args.lake, args.table, args.to_epoch,
+                    dry_run=args.dry_run,
+                ),
+                separators=(",", ":"),
+            )
+        )
+        return 0
+
+    if args.command == "clone":
+        from .pipelines.cdc import clone_table
+
+        print(
+            json.dumps(
+                clone_table(args.lake, args.src, args.dst),
                 separators=(",", ":"),
             )
         )

@@ -1239,28 +1239,41 @@ def _read_delta_table(
     )
 
 
-def read_table_arrow(lake_root: str, table: str, **kw) -> pa.Table:
-    """Driver-side full read — tests/small results only."""
+def read_table_arrow(
+    lake_root: str,
+    table: str,
+    *,
+    include_deleted: bool = False,
+    include_meta: bool = False,
+    staging: bool = False,
+    as_of_epoch: int | None = None,
+) -> pa.Table:
+    """Driver-side full read — tests/small results only.
+
+    Keyword-explicit on purpose: an earlier ``**kw`` signature silently
+    ignored unknown options, so ``as_of_epoch=`` returned the FULL state
+    instead of the time-travel snapshot (caught by the rollback_table
+    equivalence test)."""
     import pyarrow.parquet as pq
 
     store = ManifestStore(lake_root, table)
-    meta = _pin_read_generation(
-        store.table_meta(), staging=kw.pop("staging", False)
-    )
+    meta = _pin_read_generation(store.table_meta(), staging=staging)
     if meta.get("merge_strategy") == "delta" and meta["mode"] == "append_dedup":
-        stacks = _delta_partition_stacks(store, meta)
+        stacks = _delta_partition_stacks(store, meta, max_epoch=as_of_epoch)
         if not stacks:
             return pa.table({})
         return pa.concat_tables(
             _compact_stack(
                 lake_root, table, r,
                 pk=meta["pk"], ver=meta["cursor"], columns=None,
-                include_deleted=kw.get("include_deleted", False),
-                include_meta=kw.get("include_meta", False),
+                include_deleted=include_deleted,
+                include_meta=include_meta,
             )
             for r in stacks
         )
-    versioned = store.committed_files_versioned(meta["generation"], mode=meta["mode"])
+    versioned = store.committed_files_versioned(
+        meta["generation"], mode=meta["mode"], max_epoch=as_of_epoch
+    )
     if not versioned:
         return pa.table({})
     schema_store = SchemaStore(lake_root, table)
@@ -1275,10 +1288,9 @@ def read_table_arrow(lake_root: str, table: str, **kw) -> pa.Table:
         )
         for f, v in versioned
     )
-    include_deleted = kw.get("include_deleted", False)
     if not include_deleted and DELETED_COLUMN in t.column_names:
         t = t.filter(pc.fill_null(pc.invert(t.column(DELETED_COLUMN)), True))
-    if not kw.get("include_meta", False):
+    if not include_meta:
         drop = [c for c in (SEQ_COLUMN, DELETED_COLUMN) if c in t.column_names]
         if drop:
             t = t.drop_columns(drop)
@@ -1853,6 +1865,157 @@ def repartition_table(
         "epoch": rebuild_epoch,
         "skipped": False,
         "repartitioned": True,
+    }
+
+
+def rollback_table(
+    lake_root: str,
+    table: str,
+    to_epoch: int,
+    *,
+    dry_run: bool = False,
+) -> dict:
+    """RESTORE analog: rewind a table's ACTIVE generation to its state as
+    of checkpoint ``to_epoch`` (Delta ``RESTORE TO VERSION`` / Iceberg
+    ``rollback_to_snapshot``).
+
+    Pure metadata surgery — O(manifests), no data scan, no exchange:
+    every manifest whose covered source epoch is > ``to_epoch`` is
+    removed (including compaction/GDPR-lane manifests that fold LATER
+    epochs — a post-``to_epoch`` GDPR delete is undone by rollback, by
+    design; re-run ``delete_rows`` afterwards if that matters), along
+    with the later checkpoints, so:
+
+    - ``read_table`` immediately serves the epoch-``to_epoch`` snapshot
+      (identical to ``read_table(as_of_epoch=to_epoch)`` before the
+      rollback — the oracle-checked equivalence);
+    - the next binlog sync resumes from ``to_epoch`` and REPLAYS the
+      rewound epochs (their manifest CAS slots are free again), landing
+      bit-identical to a never-rolled-back sync (test-pinned).
+
+    Data files of rewound epochs stay on disk until ``vacuum`` (they are
+    simply unreferenced), so a rollback is itself reversible up to that
+    point by restoring from the binlog.  Refused while a WAP window is
+    open (the staged generation would dangle) and on ``to_epoch`` values
+    that are not a committed checkpoint (a mid-epoch state never existed
+    transactionally).  ``to_epoch=-1`` rewinds to empty.
+    """
+    store = ManifestStore(lake_root, table)
+    meta = store.table_meta()
+    if meta.get("published_generation") is not None:
+        raise RuntimeError(
+            f"table {table!r} has an open WAP window; publish or abort it "
+            "before rolling back"
+        )
+    gen = int(meta["generation"])
+    to_epoch = int(to_epoch)
+    ckpt = store.last_checkpoint(gen)
+    last = int(ckpt["epoch"]) if ckpt else -1
+    if to_epoch >= last:
+        return {
+            "table": table,
+            "generation": gen,
+            "to_epoch": to_epoch,
+            "last_epoch": last,
+            "removed_manifests": 0,
+            "removed_checkpoints": 0,
+            "skipped": True,
+        }
+    if to_epoch != -1 and not (
+        store.checkpoint_dir / f"g{gen:04d}-e{to_epoch:06d}.json"
+    ).exists():
+        raise ValueError(
+            f"epoch {to_epoch} is not a committed checkpoint of "
+            f"table {table!r} (generation {gen})"
+        )
+    doomed_m = [
+        m for m in store._iter_manifests(gen)
+        if m.effective_epoch > to_epoch
+    ]
+    doomed_c = []
+    if store.checkpoint_dir.exists():
+        prefix = f"g{gen:04d}-e"
+        for p in store.checkpoint_dir.iterdir():
+            if p.name.startswith(prefix) and p.name.endswith(".json"):
+                if int(p.name[len(prefix):-len(".json")]) > to_epoch:
+                    doomed_c.append(p)
+    if not dry_run:
+        for m in doomed_m:
+            (store.manifest_dir / f"{m.key}.json").unlink(missing_ok=True)
+        for p in doomed_c:
+            p.unlink(missing_ok=True)
+    return {
+        "table": table,
+        "generation": gen,
+        "to_epoch": to_epoch,
+        "last_epoch": last,
+        "removed_manifests": len(doomed_m),
+        "removed_checkpoints": len(doomed_c),
+        "skipped": False,
+        "dry_run": dry_run,
+    }
+
+
+def clone_table(lake_root: str, src: str, dst: str) -> dict:
+    """Zero-copy SHALLOW clone (Delta ``SHALLOW CLONE`` analog): a new
+    table whose manifests/checkpoints/schema registry are copies of the
+    source's — O(metadata), no data movement.  Manifests carry
+    lake-root-relative file paths, so the clone's snapshots keep reading
+    the SOURCE's data files; any later sync/merge/compaction on the
+    clone writes under the clone's own ``gen=`` directories and the two
+    tables diverge from that point (copy-on-write at epoch granularity).
+
+    Caveats (the standard shallow-clone contract): ``vacuum`` on the
+    clone never touches source files (it only scans the clone's own
+    generation dirs), but ``vacuum`` on the SOURCE can delete historical
+    files the clone still references — deep-copy or re-sync the clone
+    before vacuuming a shared source.  Open WAP windows and in-flight
+    txn pins are not cloned; the source must be quiescent (no open WAP).
+    """
+    import json
+    import shutil as _sh
+
+    src_store = ManifestStore(lake_root, src)
+    meta = src_store.table_meta()
+    if meta.get("published_generation") is not None:
+        raise RuntimeError(
+            f"table {src!r} has an open WAP window; publish or abort it "
+            "before cloning"
+        )
+    dst_root = Path(lake_root) / dst
+    if dst_root.exists():
+        raise FileExistsError(f"clone target {dst!r} already exists")
+    dst_root.mkdir(parents=True)
+    n_manifests = n_checkpoints = 0
+    # manifests: rewrite the embedded table name, keep file paths (they
+    # point into the source's directories — that's the zero-copy)
+    (dst_root / "_manifests").mkdir()
+    if src_store.manifest_dir.exists():
+        for p in sorted(src_store.manifest_dir.iterdir()):
+            if not p.name.endswith(".json"):
+                continue
+            with open(p) as f:
+                payload = json.load(f)
+            payload["table"] = dst
+            with open(dst_root / "_manifests" / p.name, "w") as f:
+                json.dump(payload, f, sort_keys=True)
+            n_manifests += 1
+    if src_store.checkpoint_dir.exists():
+        _sh.copytree(src_store.checkpoint_dir, dst_root / "_checkpoints")
+        n_checkpoints = len(list((dst_root / "_checkpoints").iterdir()))
+    if (src_store.root / "_schema").exists():
+        _sh.copytree(src_store.root / "_schema", dst_root / "_schema")
+    meta_payload = {
+        k: v for k, v in meta.items() if k != "repartition_target"
+    }
+    with open(dst_root / "_meta.json", "w") as f:
+        json.dump(meta_payload, f, sort_keys=True)
+    return {
+        "src": src,
+        "dst": dst,
+        "generation": int(meta["generation"]),
+        "manifests": n_manifests,
+        "checkpoints": n_checkpoints,
     }
 
 

@@ -327,6 +327,50 @@ def time_travel_events_table(
     return read_table(str(lake), "events_cdc", as_of_epoch=as_of_epoch)
 
 
+def rollback_events_table(
+    sf_dir: str, *, to_epoch: int = 1, workdir: str | Path | None = None
+):
+    """ROLLBACK (RESTORE analog) as a query: sync the 3-epoch events
+    binlog into an isolated lake variant, rewind it to ``to_epoch`` with
+    :func:`cdc.rollback_table` (metadata-only manifest surgery), then
+    read the CURRENT state — which must equal the time-travel read, so
+    the oracle is the same LWW fold over epochs ≤ ``to_epoch``.  Re-runs
+    are deterministic: the resumed sync replays the rewound epochs (their
+    manifest CAS slots are free again) and the rollback rewinds them
+    again."""
+    from .cdc import read_table, rollback_table
+
+    lake = _ensure_events_lake(sf_dir, workdir, variant="-rollback")
+    rollback_table(str(lake), "events_cdc", to_epoch)
+    return read_table(str(lake), "events_cdc")
+
+
+CLONE_DELETE_USER_IDS = [4, 6, 9, 25, 49]
+
+
+def clone_branch_events_table(
+    sf_dir: str, *, workdir: str | Path | None = None
+):
+    """SHALLOW CLONE + branch divergence as a query: clone the synced
+    events table (zero-copy metadata branch), GDPR-delete a key set IN
+    THE BRANCH ONLY, and read the branch.  Touched partitions read the
+    branch's rewritten files; untouched partitions still read the
+    SOURCE's data files through the cloned manifests — the zero-copy
+    contract exercised end to end.  Oracle = the full LWW snapshot minus
+    the branch-deleted keys (the source table's own queries pin that the
+    source is unaffected)."""
+    from .cdc import clone_table, delete_rows, read_table
+
+    lake = _ensure_events_lake(sf_dir, workdir, variant="-clonesrc")
+    branch = "events_cdc_branch"
+    if not (Path(lake) / branch).exists():
+        clone_table(str(lake), "events_cdc", branch)
+    # idempotent (delete of already-deleted keys is a no-op) — always
+    # re-apply so a crash between clone and delete cannot wedge the query
+    delete_rows(str(lake), branch, CLONE_DELETE_USER_IDS)
+    return read_table(str(lake), branch)
+
+
 GDPR_DELETE_USER_IDS = [1, 2, 3, 5, 8, 13, 21]
 
 
