@@ -2605,6 +2605,18 @@ def _q_cdc_time_travel(sf_dir: str):
     return time_travel_events_table(sf_dir, as_of_epoch=1)
 
 
+def _q_doc_lm_score(sf_dir: str):
+    """Bigram-LM cross-entropy proxy per doc (CCNet/KenLM quality-filter
+    stage): corpus top-500 bigram model (count DESC, gram ASC cutoff) →
+    integer score Σ floor(1e6·c(w1w2)/c(w1)) over matched bigrams —
+    integer-exact, so hash-checkable (Σ −log p would hit libm drift)."""
+    from airbyte_destination_ray.pipelines.corpus import doc_lm_score
+
+    return doc_lm_score(
+        _documents(sf_dir, columns=["doc_id", "text"]), top_k=500
+    )
+
+
 def _q_cdc_rollback(sf_dir: str):
     """ROLLBACK / RESTORE: sync the 3-epoch events binlog, rewind the lake
     to epoch 1 via metadata-only manifest surgery (rollback_table), read
@@ -5131,6 +5143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_join_view_events": _q_incremental_join_view,
         "cdc_rollback": _q_cdc_rollback,
         "cdc_clone_branch": _q_cdc_clone_branch,
+        "doc_lm_score": _q_doc_lm_score,
         # --- driver-green in r01/r02/r03/r04 ---
         "events_cube_type_day": _q_events_cube_type_day,
         "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
@@ -5610,6 +5623,42 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rn
                 FROM events WHERE user_id IS NOT NULL
             )
+        """,
+        # Bigram-LM scoring: same filtered-adjacency gram construction as
+        # top_bigrams; top-500 model cutoff by (count DESC, gram ASC);
+        # integer score floor(1e6*c2/c1) summed per doc occurrence.
+        "doc_lm_score": """
+            WITH l AS (
+                SELECT doc_id, list_filter(string_split_regex(
+                    lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+                FROM documents WHERE text IS NOT NULL
+            ), tokocc AS (
+                SELECT unnest(toks) AS tok FROM l
+            ), c1 AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS c1
+                FROM tokocc GROUP BY tok
+            ), g AS (
+                SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS gram
+                FROM l
+            ), c2 AS (
+                SELECT gram, CAST(count(*) AS BIGINT) AS c2
+                FROM g GROUP BY gram
+            ), topk AS (
+                SELECT gram, c2, split_part(gram, ' ', 1) AS left_tok
+                FROM c2
+                QUALIFY row_number() OVER (ORDER BY c2 DESC, gram) <= 500
+            ), sc AS (
+                SELECT t.gram, (1000000 * t.c2) // u.c1 AS s
+                FROM topk t JOIN c1 u ON u.tok = t.left_tok
+            )
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(count(sc.s) AS BIGINT) AS n_matched,
+                   CAST(COALESCE(sum(sc.s), 0) AS BIGINT) AS lm_score
+            FROM g LEFT JOIN sc ON sc.gram = g.gram
+            GROUP BY g.doc_id
         """,
         "top_bigrams_documents": """
             WITH l AS (

@@ -1956,3 +1956,159 @@ def dup_window_stats(
         .groupby("_pi")
         .map_groups(per_doc, batch_format="pyarrow")
     )
+
+
+def doc_lm_score(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 50_000,
+    scale: int = 1_000_000,
+    pattern: str = "[^a-z0-9]+",
+    num_partitions: int = 32,
+):
+    """Bigram-LM cross-entropy proxy per document — the CCNet/KenLM-style
+    corpus-LM quality-filter stage, made integer-EXACT so it is
+    hash-checkable against SQL (libm ``ln`` differs across engines, so the
+    usual Σ −log p is not oracle-safe; the monotone integer surrogate
+    ``Σ floor(scale·c(w1 w2)/c(w1))`` over matched bigrams ranks documents
+    identically for filtering purposes).
+
+    Phase 1 (model build, bounded exchanges): corpus-wide bigram counts →
+    exact global top-``top_k`` (count DESC, gram ASC — the deterministic
+    cutoff); unigram counts filtered to the winners' LEFT tokens (≤ top_k
+    rows collected, never the vocabulary).  Phase 2 (scoring): the
+    (gram → score) table broadcasts via ``ray.put`` and every batch scores
+    zero-exchange with one Arrow hash ``index_in`` + int64 segment sums.
+
+    ``ds`` should be a source read (it is executed three times: bigram
+    counts, unigram counts, scoring);
+    output = one row per document with ≥1 bigram: ``(doc_id, n_bigrams,
+    n_matched, lm_score)``, all int64.  ``scale·c2`` must stay < 2⁶³:
+    at 1e12 corpus bigrams keep ``scale`` ≤ 1e6.
+    """
+
+    def _bigrams(batch: pa.Table):
+        """(grams, parent_row) with adjacency in the FILTERED token
+        sequence — identical construction to top_ngrams/top_bigrams."""
+        arr = batch.column(text_col)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        toks = pc.split_pattern_regex(pc.utf8_lower(arr), pattern)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+        m = len(flat)
+        if m >= 2:
+            starts = np.nonzero(parents[: m - 1] == parents[1:])[0]
+        else:
+            starts = np.array([], dtype=np.int64)
+        if len(starts):
+            grams = pc.binary_join_element_wise(
+                flat.take(pa.array(starts)),
+                flat.take(pa.array(starts + 1)),
+                " ",
+            )
+            rows = parents[starts]
+        else:
+            grams = pa.array([], type=pa.string())
+            rows = np.array([], dtype=np.int64)
+        return grams, rows, flat, parents
+
+    # -- phase 1a: exact global top-k bigrams ------------------------------
+    top = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in top_ngrams(
+            ds, text_col=text_col, n=2, k=top_k, pattern=pattern,
+            num_partitions=num_partitions,
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    grams_k = top.column("gram").combine_chunks()
+    c2 = top.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    left_tok = pc.list_element(pc.split_pattern(grams_k, " "), 0)
+
+    # -- phase 1b: unigram counts of the winners' left tokens --------------
+    left_set_ref = ray.put(pc.unique(left_tok))
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        lset = _ray.get(left_set_ref)
+        arr = batch.column(text_col)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        toks = pc.split_pattern_regex(pc.utf8_lower(arr), pattern)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.is_in(flat, value_set=lset))
+        vc = pc.value_counts(flat)
+        terms, counts = vc.field(0), vc.field(1)
+        part = (
+            stable_hash_array(terms) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "tok": terms,
+                "cnt": counts.cast(pa.int64()),
+                "_part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    def uni_sum(group: pa.Table) -> pa.Table:
+        g = group.group_by("tok", use_threads=False).aggregate([("cnt", "sum")])
+        return pa.table({"tok": g.column("tok"), "cnt": g.column("cnt_sum")})
+
+    uni = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in ds.map_batches(
+            uni_partial, batch_format="pyarrow", batch_size=None
+        )
+        .groupby("_part")
+        .map_groups(uni_sum, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    # driver-side join (≤ top_k rows each side): score = (scale·c2)//c1
+    idx = pc.index_in(left_tok, value_set=uni.column("tok").combine_chunks())
+    c1 = (
+        uni.column("cnt")
+        .combine_chunks()
+        .take(idx)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    score = (np.int64(scale) * c2) // c1
+    grams_ref = ray.put(grams_k)
+    score_ref = ray.put(score)
+
+    # -- phase 2: zero-exchange scoring ------------------------------------
+    def score_batch(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        gk = _ray.get(grams_ref)
+        sc = _ray.get(score_ref)
+        grams, rows, _flat, _parents = _bigrams(batch)
+        n = batch.num_rows
+        hit = pc.index_in(grams, value_set=gk)
+        hit_np = hit.to_numpy(zero_copy_only=False)  # float64 w/ NaN misses
+        matched = ~np.isnan(hit_np)
+        n_big = np.bincount(rows, minlength=n).astype(np.int64)
+        n_match = np.bincount(
+            rows[matched], minlength=n
+        ).astype(np.int64)
+        sums = np.zeros(n, dtype=np.int64)
+        if matched.any():
+            np.add.at(
+                sums, rows[matched],
+                sc[hit_np[matched].astype(np.int64)],
+            )
+        keep = n_big > 0
+        return pa.table(
+            {
+                id_col: batch.column(id_col).filter(pa.array(keep)),
+                "n_bigrams": pa.array(n_big[keep]),
+                "n_matched": pa.array(n_match[keep]),
+                "lm_score": pa.array(sums[keep]),
+            }
+        )
+
+    return ds.map_batches(score_batch, batch_format="pyarrow", batch_size=None)

@@ -1050,3 +1050,60 @@ def test_dup_window_stats_vs_brute_force(ray_session):
     assert got == expected
     for r in out:
         assert r["dup_frac"] == r["n_dup_windows"] / r["n_windows"]
+
+
+def test_doc_lm_score_matches_brute_force_and_batch_invariant(ray_session):
+    """Bigram-LM integer scoring: exact vs a Python brute force (incl. the
+    top-k cutoff tie order) and invariant to input block layout."""
+    import re
+    from collections import Counter
+
+    import ray
+
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    for d in range(30):
+        toks = [words[(d * 7 + j * j) % 5] for j in range(12)]
+        rows.append({"doc_id": d, "text": " ".join(toks) + "  !! "})
+    rows.append({"doc_id": 100, "text": None})
+    rows.append({"doc_id": 101, "text": "solo"})  # 1 token -> no bigrams
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    c1 = Counter(w for r in rows if r["text"] for w in toks(r["text"]))
+    c2 = Counter()
+    per_doc = {}
+    for r in rows:
+        if r["text"] is None:
+            continue
+        ws = toks(r["text"])
+        bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        if bgs:
+            per_doc[r["doc_id"]] = bgs
+        c2.update(bgs)
+    K = 7  # < distinct bigrams -> the cutoff bites
+    top = sorted(c2.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+    score = {g: (1_000_000 * c) // c1[g.split(" ")[0]] for g, c in top}
+    expected = {
+        d: (
+            len(bgs),
+            sum(1 for g in bgs if g in score),
+            sum(score.get(g, 0) for g in bgs),
+        )
+        for d, bgs in per_doc.items()
+    }
+
+    from airbyte_destination_ray.pipelines.corpus import doc_lm_score
+
+    t = pa.Table.from_pylist(rows)
+    for blocks in (1, 5):
+        out = doc_lm_score(
+            ray.data.from_arrow(t).repartition(blocks), top_k=K,
+            num_partitions=4,
+        ).take_all()
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["n_matched"], r["lm_score"])
+            for r in out
+        }
+        assert got == expected
