@@ -2617,6 +2617,19 @@ def _q_doc_lm_score(sf_dir: str):
     )
 
 
+def _q_cooccurrence_pmi(sf_dir: str):
+    """Windowed co-occurrence + integer-exact PMI (word2vec/GloVe prep):
+    top-20 vocab (cutoff bites: corpus has 31 distinct tokens), ordered
+    pairs within distance 3, c_ab >= 2, top-100 by
+    floor(1e6*c_ab*N/(c_a*c_b)) with (pmi DESC, w1, w2) tie order."""
+    from airbyte_destination_ray.pipelines.corpus import cooccurrence_pmi
+
+    return cooccurrence_pmi(
+        _documents(sf_dir, columns=["doc_id", "text"]),
+        window=3, vocab_k=20, min_count=2, top_k=100,
+    )
+
+
 def _q_cdc_rollback(sf_dir: str):
     """ROLLBACK / RESTORE: sync the 3-epoch events binlog, rewind the lake
     to epoch 1 via metadata-only manifest surgery (rollback_table), read
@@ -5144,6 +5157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_rollback": _q_cdc_rollback,
         "cdc_clone_branch": _q_cdc_clone_branch,
         "doc_lm_score": _q_doc_lm_score,
+        "cooccurrence_pmi": _q_cooccurrence_pmi,
         # --- driver-green in r01/r02/r03/r04 ---
         "events_cube_type_day": _q_events_cube_type_day,
         "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
@@ -5623,6 +5637,49 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rn
                 FROM events WHERE user_id IS NOT NULL
             )
+        """,
+        # Windowed co-occurrence PMI: ordered pairs (i, j) with
+        # 1 <= j-i <= 3 over the filtered token list, both words in the
+        # top-20 vocab (count DESC, tok ASC cutoff), integer PMI
+        # floor(1e6*c_ab*N/(c_a*c_b)), top-100 by (pmi DESC, w1, w2).
+        "cooccurrence_pmi": """
+            WITH l AS (
+                SELECT doc_id, list_filter(string_split_regex(
+                    lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+                FROM documents WHERE text IS NOT NULL
+            ), tokocc AS (
+                SELECT unnest(toks) AS tok FROM l
+            ), tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS n FROM tokocc
+            ), c1 AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS c
+                FROM tokocc GROUP BY tok
+            ), vocab AS (
+                SELECT tok, c FROM c1
+                QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 20
+            ), pr AS (
+                SELECT unnest(flatten(list_transform(
+                    generate_series(1, len(toks) - 1),
+                    i -> list_transform(
+                        generate_series(i + 1, least(i + 3, len(toks))),
+                        j -> [toks[i], toks[j]])))) AS p
+                FROM l
+            ), pw AS (
+                SELECT p[1] AS w1, p[2] AS w2 FROM pr
+                WHERE p[1] IN (SELECT tok FROM vocab)
+                  AND p[2] IN (SELECT tok FROM vocab)
+            ), c2 AS (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+                FROM pw GROUP BY w1, w2
+                HAVING count(*) >= 2
+            )
+            SELECT w1, w2, c_ab,
+                   CAST((1000000 * c_ab * (SELECT n FROM tot))
+                        // (va.c * vb.c) AS BIGINT) AS pmi_scaled
+            FROM c2 JOIN vocab va ON va.tok = w1
+                    JOIN vocab vb ON vb.tok = w2
+            QUALIFY row_number() OVER (
+                ORDER BY pmi_scaled DESC, w1, w2) <= 100
         """,
         # Bigram-LM scoring: same filtered-adjacency gram construction as
         # top_bigrams; top-500 model cutoff by (count DESC, gram ASC);

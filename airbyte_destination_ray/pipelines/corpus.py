@@ -2112,3 +2112,200 @@ def doc_lm_score(
         )
 
     return ds.map_batches(score_batch, batch_format="pyarrow", batch_size=None)
+
+
+def cooccurrence_pmi(
+    ds,
+    *,
+    text_col: str = "text",
+    window: int = 3,
+    vocab_k: int = 2000,
+    min_count: int = 3,
+    top_k: int = 500,
+    scale: int = 1_000_000,
+    pattern: str = "[^a-z0-9]+",
+    num_partitions: int = 32,
+):
+    """Windowed word co-occurrence with integer-exact PMI — the
+    word2vec / GloVe / collocation-mining data-prep stage: ORDERED token
+    pairs ``(w_i, w_j)`` with ``1 ≤ j−i ≤ window`` inside a document,
+    restricted to the corpus top-``vocab_k`` vocabulary (the standard
+    fixed-vocab co-occurrence matrix), counted corpus-wide; pairs with
+    ``c_ab ≥ min_count`` score ``floor(scale·c_ab·N / (c_a·c_b))`` — the
+    exp-free PMI surrogate (monotone in pointwise mutual information at
+    fixed scale), kept in EXACT integer arithmetic so the top-``top_k``
+    list (score DESC, pair ASC) is hash-identical to SQL (a float
+    ``log`` ranking would drift across libm implementations).
+
+    Shape: vocab top-k (one hash exchange, local top-k + tiny reduce) →
+    broadcast (word → count) via ``ray.put`` → pair counting with
+    per-batch ``value_counts`` pre-reduce (ONE pair exchange, vocab-
+    filtered so the key space is ≤ vocab_k²) → per-partition exact PMI +
+    local top-k → tiny final reduce.  ``scale·c_ab·N`` must stay < 2⁶³
+    (guarded): beyond ~1e12 tokens lower ``scale``.
+    """
+    top = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in top_terms(
+            ds, text_col=text_col, k=vocab_k, pattern=pattern,
+            num_partitions=num_partitions,
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vocab = top.column("term").combine_chunks()
+    vocab_counts = (
+        top.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    n_total = sum(
+        r["c"]
+        for r in ds.map_batches(
+            lambda b: pa.table({"c": pa.array([
+                int(
+                    pc.sum(
+                        pc.list_value_length(pc.split_pattern_regex(
+                            pc.utf8_lower(b.column(text_col).combine_chunks()),
+                            pattern,
+                        ))
+                    ).as_py() or 0
+                )
+                - int(
+                    pc.sum(pc.cast(pc.equal(
+                        pc.list_flatten(pc.split_pattern_regex(
+                            pc.utf8_lower(b.column(text_col).combine_chunks()),
+                            pattern,
+                        )), ""), pa.int64())).as_py() or 0
+                )
+            ], type=pa.int64())}),
+            batch_format="pyarrow", batch_size=None,
+        ).take_all()
+    )
+    if scale * n_total >= (1 << 62):
+        raise RuntimeError(
+            f"cooccurrence_pmi: scale*N = {scale * n_total} risks int64 "
+            "overflow in the PMI numerator; lower scale"
+        )
+    vocab_ref = ray.put((vocab, vocab_counts))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        v, _vc = _ray.get(vocab_ref)
+        arr = batch.column(text_col)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        toks = pc.split_pattern_regex(pc.utf8_lower(arr), pattern)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+        in_v = pc.is_in(flat, value_set=v).to_numpy(zero_copy_only=False)
+        m = len(flat)
+        pieces = []
+        for d in range(1, window + 1):
+            if m <= d:
+                break
+            ok = (
+                (parents[: m - d] == parents[d:])
+                & in_v[: m - d]
+                & in_v[d:]
+            )
+            starts = np.nonzero(ok)[0]
+            if len(starts):
+                pieces.append(
+                    pc.binary_join_element_wise(
+                        flat.take(pa.array(starts)),
+                        flat.take(pa.array(starts + d)),
+                        " ",
+                    )
+                )
+        if pieces:
+            pairs = pa.concat_arrays(
+                [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+                 for p in pieces]
+            )
+            vc2 = pc.value_counts(pairs)
+            keys, counts = vc2.field(0), vc2.field(1)
+        else:
+            keys = pa.array([], type=pa.string())
+            counts = pa.array([], type=pa.int64())
+        part = (
+            stable_hash_array(keys) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "pair": keys,
+                "c_ab": counts.cast(pa.int64()),
+                "_part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    N = np.int64(n_total)
+
+    def local_pmi_topk(group: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        v, vc = _ray.get(vocab_ref)
+        g = group.group_by("pair", use_threads=False).aggregate(
+            [("c_ab", "sum")]
+        )
+        pairs = g.column("pair").combine_chunks()
+        c_ab = (
+            g.column("c_ab_sum").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ok = c_ab >= min_count
+        pairs = pairs.filter(pa.array(ok))
+        c_ab = c_ab[ok]
+        if len(c_ab) == 0:
+            return pa.table({
+                "w1": pa.array([], type=pa.string()),
+                "w2": pa.array([], type=pa.string()),
+                "c_ab": pa.array([], type=pa.int64()),
+                "pmi_scaled": pa.array([], type=pa.int64()),
+            })
+        split = pc.split_pattern(pairs, " ")
+        w1 = pc.list_element(split, 0)
+        w2 = pc.list_element(split, 1)
+        ca = vc[pc.index_in(w1, value_set=v).to_numpy(zero_copy_only=False)
+                .astype(np.int64)]
+        cb = vc[pc.index_in(w2, value_set=v).to_numpy(zero_copy_only=False)
+                .astype(np.int64)]
+        if float(scale) * float(c_ab.max()) * float(N) < float(1 << 62):
+            pmi = (np.int64(scale) * c_ab * N) // (ca * cb)
+        else:
+            # numerator exceeds int64: exact Python-int fallback (row count
+            # here is bounded by the min_count filter + local top-k input)
+            pmi = np.fromiter(
+                (
+                    (scale * int(a) * int(N)) // (int(x) * int(y))
+                    for a, x, y in zip(c_ab, ca, cb)
+                ),
+                dtype=np.int64,
+                count=len(c_ab),
+            )
+        t = pa.table({
+            "w1": w1, "w2": w2,
+            "c_ab": pa.array(c_ab),
+            "pmi_scaled": pa.array(pmi),
+        })
+        order = pc.sort_indices(t, sort_keys=[
+            ("pmi_scaled", "descending"), ("w1", "ascending"),
+            ("w2", "ascending"),
+        ])
+        return t.take(order[: min(top_k, t.num_rows)])
+
+    def final(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        order = pc.sort_indices(batch, sort_keys=[
+            ("pmi_scaled", "descending"), ("w1", "ascending"),
+            ("w2", "ascending"),
+        ])
+        return batch.take(order[: min(top_k, batch.num_rows)])
+
+    return (
+        ds.map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(local_pmi_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -1107,3 +1107,59 @@ def test_doc_lm_score_matches_brute_force_and_batch_invariant(ray_session):
             for r in out
         }
         assert got == expected
+
+
+def test_cooccurrence_pmi_matches_brute_force_and_batch_invariant(
+    ray_session,
+):
+    """Windowed PMI: exact vs Python brute force (vocab cutoff + ordered
+    window pairs + integer score) and invariant to block layout."""
+    import re
+    from collections import Counter
+
+    import ray
+
+    rows = []
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    for d in range(40):
+        toks = [words[(d * 5 + j * 3 + j * j) % 6] for j in range(10)]
+        rows.append({"doc_id": d, "text": " ".join(toks).upper()})
+    rows.append({"doc_id": 100, "text": None})
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    W, V, MC, K, S = 2, 4, 2, 15, 1_000_000
+    c1 = Counter(w for r in rows if r["text"] for w in toks(r["text"]))
+    n_total = sum(c1.values())
+    vocab = {
+        w for w, _ in sorted(c1.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+    }
+    c2 = Counter()
+    for r in rows:
+        if r["text"] is None:
+            continue
+        ws = toks(r["text"])
+        for i in range(len(ws)):
+            for d in range(1, W + 1):
+                if i + d < len(ws) and ws[i] in vocab and ws[i + d] in vocab:
+                    c2[(ws[i], ws[i + d])] += 1
+    scored = [
+        (w1, w2, c, (S * c * n_total) // (c1[w1] * c1[w2]))
+        for (w1, w2), c in c2.items()
+        if c >= MC
+    ]
+    expected = sorted(scored, key=lambda r: (-r[3], r[0], r[1]))[:K]
+
+    from airbyte_destination_ray.pipelines.corpus import cooccurrence_pmi
+
+    t = pa.Table.from_pylist(rows)
+    for blocks in (1, 6):
+        out = cooccurrence_pmi(
+            ray.data.from_arrow(t).repartition(blocks),
+            window=W, vocab_k=V, min_count=MC, top_k=K, num_partitions=4,
+        ).take_all()
+        got = [
+            (r["w1"], r["w2"], r["c_ab"], r["pmi_scaled"]) for r in out
+        ]
+        assert got == expected
