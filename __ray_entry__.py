@@ -2617,6 +2617,19 @@ def _q_doc_lm_score(sf_dir: str):
     )
 
 
+def _q_cdc_state_agg(sf_dir: str):
+    """Retractable incrementally-maintained aggregate (Materialize/Flink
+    retract-stream analog): event_type -> (n, sum_cents) of the row
+    table's VISIBLE snapshot, maintained across 3 binlog epochs via
+    change-feed retractions; final state == one-shot GROUP BY over the
+    final LWW snapshot (the oracle)."""
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        state_agg_events_table,
+    )
+
+    return state_agg_events_table(sf_dir)
+
+
 def _q_cooccurrence_pmi(sf_dir: str):
     """Windowed co-occurrence + integer-exact PMI (word2vec/GloVe prep):
     top-20 vocab (cutoff bites: corpus has 31 distinct tokens), ordered
@@ -5158,6 +5171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_clone_branch": _q_cdc_clone_branch,
         "doc_lm_score": _q_doc_lm_score,
         "cooccurrence_pmi": _q_cooccurrence_pmi,
+        "cdc_state_agg": _q_cdc_state_agg,
         # --- driver-green in r01/r02/r03/r04 ---
         "events_cube_type_day": _q_events_cube_type_day,
         "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
@@ -5445,6 +5459,25 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
                 AND event_type <> 'error'
                 AND user_id NOT IN (1, 2, 3, 5, 8, 13, 21)
+        """,
+        # Retractable state aggregate: the maintained view must equal the
+        # one-shot GROUP BY over the final LWW snapshot (tombstone
+        # winners excluded; null groups excluded; null values count in n
+        # but not sum_cents).
+        "cdc_state_agg": """
+            WITH w AS (
+                SELECT event_type, value FROM events
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) = 1
+                    AND event_type <> 'error'
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(COALESCE(sum(
+                       CAST(floor(value * 100) AS BIGINT)), 0) AS BIGINT)
+                       AS sum_cents
+            FROM w WHERE event_type IS NOT NULL
+            GROUP BY event_type
         """,
         # rollback-to-epoch-1 must equal the time-travel read: same LWW
         # fold over the deterministic epoch-<=1 slice as cdc_time_travel.

@@ -461,3 +461,215 @@ def run_incremental_sessions(
         store.write_checkpoint(generation, e, {"epoch": e})
         summaries.append({"epoch": e, "partitions": n_parts, "skipped": False})
     return {"table": table, "epochs": summaries}
+
+
+def run_incremental_state_agg(
+    lake_root: str,
+    *,
+    row_table: str,
+    table: str = "state_agg",
+    group_col: str,
+    value_col: str,
+    num_partitions: int = 8,
+    epochs: list[int] | None = None,
+    resume: bool = True,
+) -> dict:
+    """RETRACTABLE incrementally-maintained aggregate over the row
+    table's CURRENT LWW STATE (the Materialize / Flink retract-stream
+    analog, and the half :func:`run_incremental_agg` does not cover —
+    that one folds every change EVENT; this one maintains
+    ``group_col → (n, sum_cents)`` of the visible snapshot, so updates
+    RETRACT their old contribution and deletes subtract).
+
+    Per epoch: :func:`cdc.change_feed` derives the net row changes the
+    lake took at that epoch (changed-partition-pruned local diffs — no
+    exchange on the snapshot path); each 'U'/'D' emits a signed
+    retraction of the OLD row's contribution and each 'I'/'U' a signed
+    addition of the NEW row's, pre-reduced per batch to per-group
+    deltas; ONE tiny group-hash exchange folds them into the persistent
+    state under the same per-(generation, epoch, partition) manifest CAS
+    as the row lake (replay/resume exactly-once; groups whose count
+    reaches 0 drop from the state, matching one-shot ``GROUP BY``).
+
+    The maintained state is bit-identical to the one-shot SQL
+    ``GROUP BY`` over the row table's as-of snapshot at EVERY epoch
+    (integer cents; test-pinned) — the final state is what the oracle
+    checks.  Null groups are excluded (``WHERE group IS NOT NULL``
+    parity); null values count toward ``n`` only.
+    """
+    from .cdc import change_feed
+
+    row_store = ManifestStore(lake_root, row_table)
+    row_meta = row_store.table_meta()
+    if epochs is None:
+        ckpt = row_store.last_checkpoint(int(row_meta["generation"]))
+        last = int(ckpt["epoch"]) if ckpt else -1
+        epochs = list(range(last + 1))
+
+    store = ManifestStore(lake_root, table)
+    store.root.mkdir(parents=True, exist_ok=True)
+    meta = store.init_table(
+        num_partitions=num_partitions,
+        mode="append_dedup",
+        pk=[group_col],
+        cursor=value_col,
+        view="incremental_state_agg",
+    )
+    num_partitions = meta["num_partitions"]
+    generation = meta["generation"]
+    ckpt = store.last_checkpoint(generation) if resume else None
+    start_after = ckpt["epoch"] if ckpt else -1
+
+    go, gn = f"{group_col}_old", f"{group_col}_new"
+    vo, vn = f"{value_col}_old", f"{value_col}_new"
+
+    def _cents(col) -> pa.Array:
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.int64())
+        return pc.fill_null(
+            pc.cast(
+                pc.floor(pc.multiply(pc.cast(col, pa.float64()), 100.0)),
+                pa.int64(),
+            ),
+            0,
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        op = batch.column("op").combine_chunks()
+        retract = pc.is_in(op, value_set=pa.array(["U", "D"]))
+        add = pc.is_in(op, value_set=pa.array(["I", "U"]))
+        olds = batch.filter(retract)
+        news = batch.filter(add)
+        pieces = []
+        for side, g_col, v_col, sign in (
+            (olds, go, vo, -1),
+            (news, gn, vn, 1),
+        ):
+            side = side.filter(
+                side.column(g_col).combine_chunks().is_valid()
+            )
+            if side.num_rows == 0:
+                continue
+            pieces.append(
+                pa.table(
+                    {
+                        "k": side.column(g_col),
+                        "n": pa.array(
+                            np.full(side.num_rows, sign, dtype=np.int64)
+                        ),
+                        "sum_cents": pc.multiply(
+                            _cents(side.column(v_col)), np.int64(sign)
+                        ),
+                    }
+                )
+            )
+        if not pieces:
+            return pa.table(
+                {
+                    "k": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                    "sum_cents": pa.array([], type=pa.int64()),
+                    "_part": pa.array([], type=pa.int64()),
+                }
+            )
+        t = pa.concat_tables(pieces)
+        g = t.group_by("k", use_threads=False).aggregate(
+            [("n", "sum"), ("sum_cents", "sum")]
+        )
+        g = pa.table(
+            {
+                "k": g.column("k"),
+                "n": g.column("n_sum"),
+                "sum_cents": g.column("sum_cents_sum"),
+            }
+        )
+        parts = partition_ids(g.column("k"), num_partitions)
+        return g.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    summaries = []
+    for e in epochs:
+        if e <= start_after:
+            summaries.append({"epoch": e, "skipped": True})
+            continue
+        cf = change_feed(
+            lake_root, row_table, epoch=e,
+            compare_cols=[group_col, value_col],
+        )
+
+        def fold(group: pa.Table, _e=e) -> pa.Table:
+            part = int(group.column("_part")[0].as_py())
+            st = ManifestStore(lake_root, table)
+            existing = st.get(generation, _e, part)
+            if existing is not None:
+                return _stats_row(
+                    table, _e, part,
+                    rows=existing.row_count, nbytes=existing.byte_count,
+                    files=len(existing.files), changes_in=group.num_rows,
+                    skipped=True, digest=existing.digest,
+                )
+            changes = group.drop_columns(["_part"])
+            prev = st.latest_snapshot(generation, part, max_epoch=_e - 1)
+            pieces = [changes]
+            if prev is not None and prev.files:
+                import pyarrow.parquet as pq
+
+                pieces.append(
+                    pa.concat_tables(
+                        pq.read_table(Path(lake_root) / f)
+                        for f in prev.files
+                    )
+                )
+            combined = pa.concat_tables(pieces, promote_options="permissive")
+            merged = combined.group_by("k", use_threads=False).aggregate(
+                [("n", "sum"), ("sum_cents", "sum")]
+            )
+            merged = pa.table(
+                {
+                    "k": merged.column("k"),
+                    "n": merged.column("n_sum"),
+                    "sum_cents": merged.column("sum_cents_sum"),
+                }
+            )
+            # retractions can empty a group: drop n==0 rows (one-shot
+            # GROUP BY has no such group)
+            merged = merged.filter(
+                pc.not_equal(merged.column("n"), 0)
+            )
+            merged = merged.take(
+                pc.sort_indices(merged, sort_keys=[("k", "ascending")])
+            )
+            rel = (
+                f"{table}/gen={generation:04d}/parts/p={part:05d}/"
+                f"e{_e:06d}.parquet"
+            )
+            nbytes = _atomic_write_parquet(merged, Path(lake_root) / rel)
+            m = PartitionManifest(
+                table=table,
+                generation=generation,
+                epoch=_e,
+                partition=part,
+                files=[rel],
+                row_count=merged.num_rows,
+                byte_count=nbytes,
+                max_seq=-1,
+                digest="",
+                mode="append_dedup",
+                schema_version=0,
+            )
+            st.commit(m)
+            return _stats_row(
+                table, _e, part,
+                rows=merged.num_rows, nbytes=nbytes, files=1,
+                changes_in=group.num_rows, skipped=False, digest="",
+            )
+
+        stats = (
+            cf.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("_part")
+            .map_groups(fold, batch_format="pyarrow")
+        )
+        n_parts = stats.count()
+        store.write_checkpoint(generation, e, {"epoch": e})
+        summaries.append({"epoch": e, "partitions": n_parts, "skipped": False})
+    return {"table": table, "epochs": summaries}

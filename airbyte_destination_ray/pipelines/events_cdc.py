@@ -345,6 +345,39 @@ def rollback_events_table(
     return read_table(str(lake), "events_cdc")
 
 
+def state_agg_events_table(
+    sf_dir: str, *, workdir: str | Path | None = None
+):
+    """Retractable incrementally-maintained aggregate as a query: maintain
+    ``event_type → (n, sum_cents)`` of the row table's VISIBLE LWW
+    snapshot across the 3 binlog epochs via change-feed retractions
+    (:func:`aggview.run_incremental_state_agg` — updates retract their
+    old contribution, deletes subtract), then read the final state.
+    Oracle = the one-shot SQL GROUP BY over the final LWW snapshot."""
+    import pyarrow as pa
+
+    from .aggview import run_incremental_state_agg
+    from .cdc import read_table
+
+    lake = _ensure_events_lake(sf_dir, workdir)
+    run_incremental_state_agg(
+        str(lake),
+        row_table="events_cdc",
+        table="events_state_agg",
+        group_col="event_type",
+        value_col="value",
+        num_partitions=8,
+    )
+    ds = read_table(str(lake), "events_state_agg")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["event_type" if c == "k" else c for c in b.column_names]
+        )
+
+    return ds.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
 CLONE_DELETE_USER_IDS = [4, 6, 9, 25, 49]
 
 

@@ -189,3 +189,74 @@ def test_incremental_sessions_boundary_cases(tmp_path, ray_session):
     assert [(r["session_id"], r["session_start"], r["session_end"],
              r["n_events"]) for r in a] == [(1, 0, G, 2), (2, 2 * G + 1, 2 * G + 1, 1)]
     assert [(r["session_id"], r["n_events"]) for r in b_rows] == [(1, 1)]
+
+
+def test_state_agg_retracts_per_epoch_and_resumes(tmp_path, ray_session):
+    """Retractable state aggregate: after EVERY epoch the maintained
+    view equals the one-shot GROUP BY over the row table's as-of LWW
+    snapshot (updates retract old contributions; deletes subtract), and
+    a re-run is a committed no-op."""
+    from airbyte_destination_ray.pipelines.aggview import (
+        run_incremental_state_agg,
+    )
+    from airbyte_destination_ray.pipelines.cdc import (
+        read_table_arrow,
+        run_cdc_sync,
+    )
+    from airbyte_destination_ray.sources.synth import write_custom_binlog
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(900):
+        op = "D" if rng.random() < 0.12 else "U"
+        rows.append(
+            dict(
+                seq=i,
+                epoch=int(i * 3 // 900),
+                op=op,
+                url=f"k{rng.integers(0, 60)}",   # pk: 60 keys -> updates
+                warc_ts=1000 + i,                # ver strictly increasing
+                text="x",
+                lang=f"g{rng.integers(0, 5)}",   # the GROUP column
+            )
+        )
+    blog = tmp_path / "blog"
+    write_custom_binlog(blog, rows)
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, str(blog), num_partitions=4)
+
+    def run(epochs=None):
+        return run_incremental_state_agg(
+            lake,
+            row_table="pages",
+            table="state_agg",
+            group_col="lang",
+            value_col="warc_ts",
+            num_partitions=4,
+            epochs=epochs,
+        )
+
+    for e in (0, 1, 2):
+        run(epochs=[e])
+        got = {
+            (r["k"], r["n"], r["sum_cents"])
+            for r in read_agg(lake, "state_agg").take_all()
+        }
+        snap = read_table_arrow(lake, "pages", as_of_epoch=e)
+        con = duckdb.connect()
+        con.register("snap", snap)
+        exp = {
+            tuple(r)
+            for r in con.sql(
+                """
+                SELECT lang, CAST(count(*) AS BIGINT),
+                       CAST(sum(epoch_us(warc_ts) * 100) AS BIGINT)
+                FROM snap WHERE lang IS NOT NULL GROUP BY lang
+                """
+            ).fetchall()
+        }
+        assert got == exp, f"epoch {e}"
+
+    # full re-run (all epochs committed) is a pure no-op
+    summary = run()
+    assert all(s["skipped"] for s in summary["epochs"])
