@@ -2617,6 +2617,25 @@ def _q_doc_lm_score(sf_dir: str):
     )
 
 
+def _q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split audit: Knuth multiplicative
+    hash of doc_id against 80/10/10 cumulative thresholds; per
+    (source, split) doc counts + char sums.  Zero-exchange partials,
+    aggregate-sized final."""
+    import pyarrow as pa
+
+    from airbyte_destination_ray.pipelines.corpus import split_assign_stats
+
+    ds = split_assign_stats(
+        _documents(sf_dir, columns=["doc_id", "source", "n_chars"])
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["source", "split", "n_docs", "sum_chars"])
+
+    return ds.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
 def _q_cdc_state_agg(sf_dir: str):
     """Retractable incrementally-maintained aggregate (Materialize/Flink
     retract-stream analog): event_type -> (n, sum_cents) of the row
@@ -5172,6 +5191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": _q_doc_lm_score,
         "cooccurrence_pmi": _q_cooccurrence_pmi,
         "cdc_state_agg": _q_cdc_state_agg,
+        "split_assign_documents": _q_split_assign,
         # --- driver-green in r01/r02/r03/r04 ---
         "events_cube_type_day": _q_events_cube_type_day,
         "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
@@ -5459,6 +5479,21 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
                 AND event_type <> 'error'
                 AND user_id NOT IN (1, 2, 3, 5, 8, 13, 21)
+        """,
+        # Knuth multiplicative-hash split assignment: uint64 wraparound in
+        # the engine equals the SQL BIGINT product mod 2^32 exactly
+        # (2^32 | 2^64); thresholds floor(0.8*2^32), floor(0.9*2^32).
+        "split_assign_documents": """
+            SELECT source,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296
+                             < 3435973836 THEN 'train'
+                        WHEN (doc_id * 2654435761) % 4294967296
+                             < 3865470566 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(COALESCE(sum(n_chars), 0) AS BIGINT) AS sum_chars
+            FROM documents
+            GROUP BY source, split
         """,
         # Retractable state aggregate: the maintained view must equal the
         # one-shot GROUP BY over the final LWW snapshot (tombstone

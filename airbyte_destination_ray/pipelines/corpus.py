@@ -2309,3 +2309,71 @@ def cooccurrence_pmi(
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+SPLIT_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32·φ⁻¹)
+
+
+def split_assign_stats(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    weight_col: str = "n_chars",
+    fractions: tuple = (0.8, 0.1, 0.1),
+    names: tuple = ("train", "val", "test"),
+):
+    """Deterministic train/val/test split assignment + audit — the
+    dataset-versioning staple: every row maps to a split by
+    ``(id·2654435761) mod 2³²`` against cumulative fraction thresholds
+    (Knuth multiplicative hashing — stable under reshuffles, resumable,
+    and reproducible in ANY engine with 64-bit ints, which is what makes
+    the oracle exact; uint64 wraparound equals mod 2⁶⁴ and
+    2³² | 2⁶⁴, so the engine's wrapped product is mathematically the
+    same residue SQL computes).  Output: one row per
+    (group, split) with row count and summed weight — zero-exchange
+    per-batch partials, one aggregate-sized final fold.
+    """
+    cuts = []
+    acc = 0.0
+    for f in fractions[:-1]:
+        acc += f
+        cuts.append(int(acc * (1 << 32)))
+    cuts_np = np.array(cuts, dtype=np.uint64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = (
+            batch.column(id_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        h = (ids * np.uint64(SPLIT_KNUTH)) % np.uint64(1 << 32)
+        idx = np.searchsorted(cuts_np, h, side="right")
+        split = pa.array(np.array(names, dtype=object)[idx], type=pa.string())
+        w = pc.fill_null(
+            pc.cast(batch.column(weight_col), pa.int64()), 0
+        )
+        t = pa.table(
+            {
+                "grp": batch.column(group_col),
+                "split": split,
+                "n_docs": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "weight": w,
+            }
+        )
+        g = t.group_by(["grp", "split"], use_threads=False).aggregate(
+            [("n_docs", "sum"), ("weight", "sum")]
+        )
+        return g.rename_columns(["grp", "split", "n_docs", "weight"])
+
+    def final(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["grp", "split"], use_threads=False).aggregate(
+            [("n_docs", "sum"), ("weight", "sum")]
+        )
+        return g.rename_columns(["grp", "split", "n_docs", "weight"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
