@@ -5150,7 +5150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "throttle_events": _q_throttle_events,
         "doc_oov_bigram_fraction": _q_doc_oov_fraction,
         "embedding_covariance": _q_embedding_covariance,
-        # --- round-6 rotation: remaining never-checked queries (35) ---
+        # --- round-6 rotation: never-checked queries (35 from r5 + the
+        #     6 new r5-session queries appended after them = 41) ---
         "stratified_sample_docs": _q_stratified_sample_docs,
         "consistent_snapshot_cdc": _q_consistent_snapshot_cdc,
         "events_trend_by_type": _q_events_trend_by_type,

@@ -565,9 +565,13 @@ def run_incremental_state_agg(
                 )
             )
         if not pieces:
+            # key type from the batch schema, NOT hardcoded string — an
+            # all-null-group block would otherwise emit a mixed-schema
+            # empty table for int/other group columns
+            ktype = batch.schema.field(gn).type
             return pa.table(
                 {
-                    "k": pa.array([], type=pa.string()),
+                    "k": pa.array([], type=ktype),
                     "n": pa.array([], type=pa.int64()),
                     "sum_cents": pa.array([], type=pa.int64()),
                     "_part": pa.array([], type=pa.int64()),

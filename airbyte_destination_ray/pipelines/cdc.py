@@ -1928,10 +1928,32 @@ def rollback_table(
             f"epoch {to_epoch} is not a committed checkpoint of "
             f"table {table!r} (generation {gen})"
         )
-    doomed_m = [
-        m for m in store._iter_manifests(gen)
-        if m.effective_epoch > to_epoch
+    all_m = store._iter_manifests(gen)
+    doomed_m = [m for m in all_m if m.effective_epoch > to_epoch]
+    # vacuum() keeps manifests/checkpoints but reclaims superseded data
+    # files: validate the SURVIVING snapshot's files exist BEFORE
+    # unlinking anything, or a rollback past a vacuum would "succeed"
+    # into an unreadable table.
+    surviving: dict[int, PartitionManifest] = {}
+    for m in all_m:
+        if m.effective_epoch > to_epoch:
+            continue
+        cur = surviving.get(m.partition)
+        if cur is None or m.order_key > cur.order_key:
+            surviving[m.partition] = m
+    missing = [
+        f
+        for m in surviving.values()
+        for f in m.files
+        if not (Path(lake_root) / f).exists()
     ]
+    if missing:
+        raise RuntimeError(
+            f"rollback_table: the epoch-{to_epoch} snapshot of table "
+            f"{table!r} is no longer restorable — vacuum reclaimed "
+            f"{len(missing)} of its files (e.g. {missing[0]!r}); "
+            "restore from the binlog instead"
+        )
     doomed_c = []
     if store.checkpoint_dir.exists():
         prefix = f"g{gen:04d}-e"
@@ -1973,6 +1995,7 @@ def clone_table(lake_root: str, src: str, dst: str) -> dict:
     txn pins are not cloned; the source must be quiescent (no open WAP).
     """
     import json
+    import os
     import shutil as _sh
 
     src_store = ManifestStore(lake_root, src)
@@ -1982,9 +2005,13 @@ def clone_table(lake_root: str, src: str, dst: str) -> dict:
             f"table {src!r} has an open WAP window; publish or abort it "
             "before cloning"
         )
-    dst_root = Path(lake_root) / dst
-    if dst_root.exists():
+    final_root = Path(lake_root) / dst
+    if final_root.exists():
         raise FileExistsError(f"clone target {dst!r} already exists")
+    # build in a scratch dir and publish with ONE rename so a crash
+    # mid-clone can never leave a half-built table at the target name
+    dst_root = Path(lake_root) / f"{dst}.clone-tmp-{os.getpid()}"
+    _sh.rmtree(dst_root, ignore_errors=True)
     dst_root.mkdir(parents=True)
     n_manifests = n_checkpoints = 0
     # manifests: rewrite the embedded table name, keep file paths (they
@@ -2010,6 +2037,11 @@ def clone_table(lake_root: str, src: str, dst: str) -> dict:
     }
     with open(dst_root / "_meta.json", "w") as f:
         json.dump(meta_payload, f, sort_keys=True)
+    try:
+        os.rename(dst_root, final_root)  # the atomic publish
+    except OSError:
+        _sh.rmtree(dst_root, ignore_errors=True)
+        raise FileExistsError(f"clone target {dst!r} already exists")
     return {
         "src": src,
         "dst": dst,

@@ -2155,27 +2155,24 @@ def cooccurrence_pmi(
     vocab_counts = (
         top.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
     )
+    def _tok_count(b: pa.Table) -> pa.Table:
+        # ONE split per batch: total list length minus empty tokens
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(b.column(text_col).combine_chunks()), pattern
+        )
+        total = int(pc.sum(pc.list_value_length(toks)).as_py() or 0)
+        empties = int(
+            pc.sum(
+                pc.cast(pc.equal(pc.list_flatten(toks), ""), pa.int64())
+            ).as_py()
+            or 0
+        )
+        return pa.table({"c": pa.array([total - empties], type=pa.int64())})
+
     n_total = sum(
         r["c"]
         for r in ds.map_batches(
-            lambda b: pa.table({"c": pa.array([
-                int(
-                    pc.sum(
-                        pc.list_value_length(pc.split_pattern_regex(
-                            pc.utf8_lower(b.column(text_col).combine_chunks()),
-                            pattern,
-                        ))
-                    ).as_py() or 0
-                )
-                - int(
-                    pc.sum(pc.cast(pc.equal(
-                        pc.list_flatten(pc.split_pattern_regex(
-                            pc.utf8_lower(b.column(text_col).combine_chunks()),
-                            pattern,
-                        )), ""), pa.int64())).as_py() or 0
-                )
-            ], type=pa.int64())}),
-            batch_format="pyarrow", batch_size=None,
+            _tok_count, batch_format="pyarrow", batch_size=None
         ).take_all()
     )
     if scale * n_total >= (1 << 62):
@@ -2269,7 +2266,13 @@ def cooccurrence_pmi(
                 .astype(np.int64)]
         cb = vc[pc.index_in(w2, value_set=v).to_numpy(zero_copy_only=False)
                 .astype(np.int64)]
-        if float(scale) * float(c_ab.max()) * float(N) < float(1 << 62):
+        # the fast path must bound BOTH products: the numerator
+        # scale*c_ab*N and the denominator ca*cb (two hot vocabulary
+        # words can push ca*cb past 2^63 long before the numerator hits)
+        if (
+            float(scale) * float(c_ab.max()) * float(N) < float(1 << 62)
+            and float(ca.max()) * float(cb.max()) < float(1 << 62)
+        ):
             pmi = (np.int64(scale) * c_ab * N) // (ca * cb)
         else:
             # numerator exceeds int64: exact Python-int fallback (row count
@@ -2342,13 +2345,25 @@ def split_assign_stats(
     cuts_np = np.array(cuts, dtype=np.uint64)
 
     def partial(batch: pa.Table) -> pa.Table:
+        ids_arr = batch.column(id_col).combine_chunks()
+        valid = pc.is_valid(ids_arr).to_numpy(zero_copy_only=False)
         ids = (
-            batch.column(id_col)
+            pc.fill_null(ids_arr, 0)
             .to_numpy(zero_copy_only=False)
-            .astype(np.uint64)
+            .astype(np.int64)
         )
-        h = (ids * np.uint64(SPLIT_KNUTH)) % np.uint64(1 << 32)
+        if (ids < 0).any():
+            # uint64 wraparound of a NEGATIVE product does NOT equal
+            # SQL's signed % — refuse instead of silently diverging
+            raise ValueError(
+                "split_assign_stats requires non-negative ids"
+            )
+        h = (
+            ids.astype(np.uint64) * np.uint64(SPLIT_KNUTH)
+        ) % np.uint64(1 << 32)
         idx = np.searchsorted(cuts_np, h, side="right")
+        # SQL CASE over a NULL product matches no WHEN -> ELSE branch
+        idx[~valid] = len(names) - 1
         split = pa.array(np.array(names, dtype=object)[idx], type=pa.string())
         w = pc.fill_null(
             pc.cast(batch.column(weight_col), pa.int64()), 0

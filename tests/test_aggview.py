@@ -260,3 +260,59 @@ def test_state_agg_retracts_per_epoch_and_resumes(tmp_path, ray_session):
     # full re-run (all epochs committed) is a pure no-op
     summary = run()
     assert all(s["skipped"] for s in summary["epochs"])
+
+
+def test_state_agg_int_group_column(tmp_path, ray_session):
+    """Non-string group columns must survive the delta exchange (the
+    empty-contribution path derives the key type from the batch schema
+    instead of hardcoding string)."""
+    from airbyte_destination_ray.pipelines.aggview import (
+        read_agg,
+        run_incremental_state_agg,
+    )
+    from airbyte_destination_ray.pipelines.cdc import run_cdc_sync
+    from airbyte_destination_ray.sources.synth import write_custom_binlog
+
+    import json
+
+    import pyarrow.parquet as pq
+
+    blog = tmp_path / "blog"
+    blog.mkdir()
+    segs = []
+    for e in range(3):
+        lo, hi = e * 100, (e + 1) * 100
+        t = pa.table({
+            "seq": pa.array(range(lo, hi), pa.int64()),
+            "epoch": pa.array([e] * 100, pa.int32()),
+            "op": pa.array(["U"] * 100),
+            "url": pa.array([f"k{i % 37}" for i in range(lo, hi)]),
+            "warc_ts": pa.array([1000 + i for i in range(lo, hi)],
+                                pa.int64()),
+            "n_words": pa.array([i % 4 for i in range(lo, hi)],
+                                pa.int64()),  # int64 group column
+        })
+        name = f"segment-e{e:05d}-0000.parquet"
+        pq.write_table(t, blog / name)
+        segs.append(name)
+    (blog / "_binlog.json").write_text(
+        json.dumps({"n_epochs": 3, "segments": segs})
+    )
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(
+        lake, str(blog), num_partitions=4,
+        payload_columns=["url", "warc_ts", "n_words"],
+    )
+    run_incremental_state_agg(
+        lake, row_table="pages", table="sa_int",
+        group_col="n_words", value_col="warc_ts", num_partitions=4,
+    )
+    got = {r["k"]: r["n"] for r in read_agg(lake, "sa_int").take_all()}
+    # 37 live keys (LWW winners), grouped by winner id % 4
+    import collections
+
+    winners = {}
+    for i in range(300):
+        winners[f"k{i % 37}"] = i % 4
+    exp = collections.Counter(winners.values())
+    assert got == dict(exp)

@@ -1163,3 +1163,34 @@ def test_cooccurrence_pmi_matches_brute_force_and_batch_invariant(
             (r["w1"], r["w2"], r["c_ab"], r["pmi_scaled"]) for r in out
         ]
         assert got == expected
+
+
+def test_split_assign_null_and_negative_ids(ray_session):
+    """Null ids fall to the ELSE split (SQL CASE parity); negative ids
+    refuse instead of silently diverging from signed SQL %."""
+    import ray
+
+    from airbyte_destination_ray.pipelines.corpus import split_assign_stats
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, None], type=pa.int64()),
+        "source": pa.array(["s", "s", "s"]),
+        "n_chars": pa.array([10, 20, 40], type=pa.int64()),
+    })
+    out = {
+        (r["grp"], r["split"]): (r["n_docs"], r["weight"])
+        for r in split_assign_stats(
+            ray.data.from_arrow(t)
+        ).take_all()
+    }
+    assert out[("s", "test")] == (1, 40)  # the null-id row
+
+    bad = pa.table({
+        "doc_id": pa.array([-5], type=pa.int64()),
+        "source": pa.array(["s"]),
+        "n_chars": pa.array([1], type=pa.int64()),
+    })
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="non-negative"):
+        split_assign_stats(ray.data.from_arrow(bad)).take_all()

@@ -126,3 +126,43 @@ def test_clone_reads_equal_then_diverge(binlog, tmp_path):
     branched = read_table_arrow(lake, "pages_branch").sort_by("url")
     assert branched.equals(full)
     assert _state(lake).equals(src_state)
+
+
+def test_rollback_refuses_after_vacuum_reclaimed_history(binlog, tmp_path):
+    """vacuum() keeps manifests but reclaims superseded snapshot files:
+    rollback past it must REFUSE (not 'succeed' into an unreadable
+    table)."""
+    from airbyte_destination_ray.pipelines.cdc import (
+        rollback_table,
+        run_cdc_sync,
+    )
+    from airbyte_destination_ray.state.manifest import ManifestStore
+
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, binlog, num_partitions=PARTS)
+    ManifestStore(lake, "pages").vacuum()
+    with pytest.raises(RuntimeError, match="no longer restorable"):
+        rollback_table(lake, "pages", 1)
+    # the refused rollback mutated nothing: current state still reads
+    assert _state(lake).num_rows > 0
+
+
+def test_clone_is_atomic_and_ignores_stale_tmp(binlog, tmp_path):
+    """A stale scratch dir from a crashed clone never blocks a retry,
+    and the published clone always has its _meta.json."""
+    import os
+    from pathlib import Path
+
+    from airbyte_destination_ray.pipelines.cdc import (
+        clone_table,
+        run_cdc_sync,
+    )
+
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, binlog, num_partitions=PARTS, epochs=[0])
+    stale = Path(lake) / f"pages_b.clone-tmp-{os.getpid()}"
+    stale.mkdir(parents=True)
+    (stale / "junk").write_text("x")
+    clone_table(lake, "pages", "pages_b")
+    assert (Path(lake) / "pages_b" / "_meta.json").exists()
+    assert not stale.exists()
