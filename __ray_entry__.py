@@ -2617,6 +2617,20 @@ def _q_doc_lm_score(sf_dir: str):
     )
 
 
+def _q_excise_duplicate_spans(sf_dir: str):
+    """Cross-doc EXACT substring dedup (Lee et al. 2022 ExactSubstr):
+    every duplicated 20-token window excised from all but its first
+    (doc_id, pos) occurrence; docs rebuilt from uncovered tokens.  Two
+    exchanges (gram-routed occurrence sets, doc-routed excision)."""
+    from airbyte_destination_ray.pipelines.corpus import (
+        excise_duplicate_spans,
+    )
+
+    return excise_duplicate_spans(
+        _documents(sf_dir, columns=["doc_id", "text"]), window_k=20
+    )
+
+
 def _q_split_assign(sf_dir: str):
     """Deterministic train/val/test split audit: Knuth multiplicative
     hash of doc_id against 80/10/10 cumulative thresholds; per
@@ -5193,6 +5207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_pmi": _q_cooccurrence_pmi,
         "cdc_state_agg": _q_cdc_state_agg,
         "split_assign_documents": _q_split_assign,
+        "excise_duplicate_spans": _q_excise_duplicate_spans,
         # --- driver-green in r01/r02/r03/r04 ---
         "events_cube_type_day": _q_events_cube_type_day,
         "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
@@ -5480,6 +5495,59 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
                 AND event_type <> 'error'
                 AND user_id NOT IN (1, 2, 3, 5, 8, 13, 21)
+        """,
+        # Cross-doc exact substring dedup, keep-first: duplicated
+        # 20-token windows excised from every non-canonical occurrence;
+        # canonical = min(doc_id*2^20 + pos) = lexicographic (doc, pos).
+        "excise_duplicate_spans": """
+            WITH l AS (
+                SELECT doc_id, list_filter(string_split_regex(
+                    lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+                FROM documents WHERE text IS NOT NULL
+            ), occ AS (
+                SELECT doc_id, unnest(generate_series(
+                    1, greatest(len(toks) - 19, 0))) AS start, toks
+                FROM l
+            ), gg AS (
+                SELECT doc_id, start,
+                       array_to_string(
+                           list_slice(toks, start, start + 19), ' ')
+                           AS gram
+                FROM occ
+            ), cstat AS (
+                SELECT gram, count(*) AS c,
+                       min(doc_id * 1048576 + start) AS mkey
+                FROM gg GROUP BY gram
+            ), dup AS (
+                SELECT gg.doc_id, gg.start
+                FROM gg JOIN cstat USING (gram)
+                WHERE cstat.c >= 2
+                  AND gg.doc_id * 1048576 + gg.start <> cstat.mkey
+            ), cov AS (
+                SELECT DISTINCT doc_id,
+                    unnest(generate_series(start, start + 19)) AS pos
+                FROM dup
+            ), tok AS (
+                SELECT doc_id,
+                    unnest(generate_series(1, len(toks))) AS pos, toks
+                FROM l
+            ), kept AS (
+                SELECT t.doc_id, t.pos, t.toks[t.pos] AS tok
+                FROM tok t LEFT JOIN cov c
+                  ON c.doc_id = t.doc_id AND c.pos = t.pos
+                WHERE c.pos IS NULL
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+                       CAST(count(*) AS BIGINT) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT l.doc_id,
+                   COALESCE(agg.text_clean, '') AS text_clean,
+                   CAST(len(l.toks) AS BIGINT) AS n_tokens,
+                   CAST(len(l.toks) - COALESCE(agg.n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM l LEFT JOIN agg ON agg.doc_id = l.doc_id
         """,
         # Knuth multiplicative-hash split assignment: uint64 wraparound in
         # the engine equals the SQL BIGINT product mod 2^32 exactly

@@ -2392,3 +2392,202 @@ def split_assign_stats(
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def excise_duplicate_spans(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_k: int = 20,
+    pattern: str = "[^a-z0-9]+",
+    num_partitions: int = 32,
+    pos_limit: int = 1 << 20,
+):
+    """Cross-document EXACT substring dedup, keep-first (the Lee et al.
+    2022 "Deduplicating Training Data" ExactSubstr technique at token-
+    window granularity): any ``window_k``-token window occurring more
+    than once in the corpus is excised from every occurrence EXCEPT the
+    lexicographically first ``(doc_id, position)`` one; uncovered tokens
+    are kept and docs are rebuilt.  Distinct from
+    :func:`remove_frequent_segments` (line/segment granularity) and
+    :func:`trim_repeated_spans` (WITHIN-doc repeats): this is the
+    arbitrary-span cross-doc variant.
+
+    Two exchanges: (1) gram occurrences ``(gram, doc·P+pos)`` hash-route
+    by gram; per partition each gram's full occurrence set is local, so
+    count + canonical-min select non-canonical duplicate occurrences —
+    only DUPLICATED spans ride further; (2) excision spans tag-union
+    with the docs on a doc-hash exchange, per-doc coverage via a
+    vectorized diff array, token rebuild with list offsets.  Grams ride
+    as strings for oracle-exact identity (hash keys would admit
+    collisions); positions are 1-based and must stay < ``pos_limit``
+    (asserted) so ``doc_id·pos_limit + pos`` is the lexicographic
+    (doc, pos) order in one int64.
+
+    Output: ``(doc_id, text_clean, n_tokens, n_removed)`` for every doc
+    with non-null text (``text_clean`` may be '').
+    """
+    P = np.int64(pos_limit)
+
+    def _tok(batch: pa.Table):
+        arr = batch.column(text_col)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        toks = pc.split_pattern_regex(pc.utf8_lower(arr), pattern)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+        n_rows = batch.num_rows
+        seg_starts = np.searchsorted(parents, np.arange(n_rows), "left")
+        pos = np.arange(len(parents), dtype=np.int64) - seg_starts[parents] + 1
+        return flat, parents, pos, seg_starts
+
+    def gram_occurrences(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            batch.column(text_col).combine_chunks().is_valid()
+        )
+        flat, parents, pos, _ = _tok(batch)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        m = len(flat)
+        if m >= window_k:
+            ok = parents[: m - window_k + 1] == parents[window_k - 1:]
+            starts = np.nonzero(ok)[0]
+        else:
+            starts = np.array([], dtype=np.int64)
+        if len(starts) == 0:
+            return pa.table({
+                "gram": pa.array([], type=pa.string()),
+                "mkey": pa.array([], type=pa.int64()),
+                "_part": pa.array([], type=pa.int64()),
+            })
+        if pos.max() >= pos_limit:
+            raise RuntimeError(
+                "excise_duplicate_spans: document exceeds pos_limit "
+                f"({pos_limit}) tokens; raise pos_limit"
+            )
+        pieces = [flat.take(pa.array(starts + j)) for j in range(window_k)]
+        grams = pc.binary_join_element_wise(*pieces, " ")
+        mkey = ids[parents[starts]] * P + pos[starts]
+        part = (
+            stable_hash_array(grams) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return pa.table({
+            "gram": grams,
+            "mkey": pa.array(mkey, type=pa.int64()),
+            "_part": pa.array(part, type=pa.int64()),
+        })
+
+    def dup_spans(group: pa.Table) -> pa.Table:
+        g = group.group_by("gram", use_threads=False).aggregate(
+            [("mkey", "count"), ("mkey", "min")]
+        )
+        g = g.rename_columns(["gram", "cnt", "mn"])
+        grams = group.column("gram").combine_chunks()
+        idx = pc.index_in(grams, value_set=g.column("gram").combine_chunks())
+        idx_np = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False)[idx_np]
+        mn = g.column("mn").to_numpy(zero_copy_only=False)[idx_np]
+        mkey = group.column("mkey").to_numpy(zero_copy_only=False)
+        mask = (cnt >= 2) & (mkey != mn)
+        mk = mkey[mask]
+        doc = mk // P
+        start = mk % P
+        return pa.table({
+            "doc_id": pa.array(doc, type=pa.int64()),
+            "start": pa.array(start, type=pa.int64()),
+            "_dp": pa.array(
+                (doc.astype(np.uint64) % np.uint64(num_partitions))
+                .astype(np.int64)
+            ),
+        })
+
+    spans = (
+        ds.map_batches(
+            gram_occurrences, batch_format="pyarrow", batch_size=None
+        )
+        .groupby("_part")
+        .map_groups(dup_spans, batch_format="pyarrow")
+    )
+
+    def tag_spans(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "start": b.column("start"),
+            "text": pa.nulls(b.num_rows, type=pa.string()),
+            "_side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+            "_dp": b.column("_dp"),
+        })
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        b = b.filter(b.column(text_col).combine_chunks().is_valid())
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "start": pa.nulls(b.num_rows, type=pa.int64()),
+            "text": b.column(text_col),
+            "_side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+            "_dp": pa.array(
+                (ids.astype(np.uint64) % np.uint64(num_partitions))
+                .astype(np.int64)
+            ),
+        })
+
+    def excise(group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        docs = group.filter(pa.array(side == 1))
+        sp = group.filter(pa.array(side == 0))
+        flat, parents, pos, seg_starts = _tok(
+            pa.table({text_col: docs.column("text")})
+        )
+        n_docs = docs.num_rows
+        ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
+        tok_counts = np.bincount(parents, minlength=n_docs)
+        # coverage diff array over the flat token sequence
+        diff = np.zeros(len(flat) + 1, dtype=np.int64)
+        if sp.num_rows:
+            sdoc = sp.column("doc_id").to_numpy(zero_copy_only=False)
+            sstart = sp.column("start").to_numpy(zero_copy_only=False)
+            row_of = {int(d): i for i, d in enumerate(ids)}
+            srow = np.array([row_of[int(d)] for d in sdoc], dtype=np.int64)
+            a = seg_starts[srow] + sstart - 1
+            b_ = np.minimum(
+                a + window_k, seg_starts[srow] + tok_counts[srow]
+            )
+            np.add.at(diff, a, 1)
+            np.add.at(diff, b_, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        keep = ~covered
+        kept_counts = np.bincount(
+            parents[keep], minlength=n_docs
+        ).astype(np.int64)
+        kept_flat = flat.filter(pa.array(keep))
+        offs = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offs, type=pa.int64()),
+            kept_flat.combine_chunks()
+            if isinstance(kept_flat, pa.ChunkedArray)
+            else kept_flat,
+        )
+        text_clean = pc.binary_join(lists, " ")
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text_clean": pc.cast(text_clean, pa.string()),
+            "n_tokens": pa.array(tok_counts.astype(np.int64)),
+            "n_removed": pa.array(
+                tok_counts.astype(np.int64) - kept_counts
+            ),
+        })
+
+    docs_env = ds.map_batches(
+        tag_docs, batch_format="pyarrow", batch_size=None
+    )
+    spans_env = spans.map_batches(
+        tag_spans, batch_format="pyarrow", batch_size=None
+    )
+    return (
+        docs_env.union(spans_env)
+        .groupby("_dp")
+        .map_groups(excise, batch_format="pyarrow")
+    )

@@ -1194,3 +1194,44 @@ def test_split_assign_null_and_negative_ids(ray_session):
 
     with _pytest.raises(Exception, match="non-negative"):
         split_assign_stats(ray.data.from_arrow(bad)).take_all()
+
+
+def test_excise_duplicate_spans_keep_first_and_overlaps(ray_session):
+    """ExactSubstr semantics: a window duplicated across docs survives
+    only at its lexicographically-first (doc, pos) occurrence; within-doc
+    repeats excise the later copy; overlapping covered windows union;
+    short and empty docs pass through."""
+    import ray
+
+    from airbyte_destination_ray.pipelines.corpus import (
+        excise_duplicate_spans,
+    )
+
+    K = 3
+    span = "aa bb cc"          # the duplicated 3-token window
+    rows = [
+        # canonical first occurrence at doc 1 pos 2
+        {"doc_id": 1, "text": f"x1 {span} y1"},
+        # doc 2: same span at pos 1 -> excised
+        {"doc_id": 2, "text": f"{span} z2 w2"},
+        # doc 3: span twice (pos 1 and pos 4, non-overlapping) -> both
+        # excised (neither is the canonical doc-1 occurrence)
+        {"doc_id": 3, "text": f"{span} {span}"},
+        # doc 4: too short for any window
+        {"doc_id": 4, "text": "a b"},
+        {"doc_id": 5, "text": None},
+        {"doc_id": 6, "text": "   "},
+    ]
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+        for r in excise_duplicate_spans(
+            ray.data.from_arrow(pa.Table.from_pylist(rows)),
+            window_k=K, num_partitions=4,
+        ).take_all()
+    }
+    assert out[1] == (f"x1 {span} y1", 5, 0)       # canonical kept whole
+    assert out[2] == ("z2 w2", 5, 3)
+    assert out[3] == ("", 6, 6)
+    assert out[4] == ("a b", 2, 0)
+    assert 5 not in out                             # null text dropped
+    assert out[6] == ("", 0, 0)
