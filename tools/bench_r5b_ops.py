@@ -204,6 +204,58 @@ def bench_pmi() -> None:
     }))
 
 
+
+
+def bench_excise() -> None:
+    """1M docs + 10k exact copies (every 100th doc re-emitted at
+    id+10M): copies share every 20-token window with their original, so
+    ~ the whole copy body must excise; originals keep-first survive."""
+    from airbyte_destination_ray.pipelines.corpus import (
+        excise_duplicate_spans,
+    )
+
+    n = 1_000_000
+
+    def with_copies(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        copies = batch.filter(pa.array(ids % 100 == 0))
+        copies = copies.set_column(
+            copies.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(copies.column("doc_id"), pa.scalar(10_000_000)),
+        )
+        return pa.concat_tables([batch, copies])
+
+    ds = docs(n).map_batches(
+        with_copies, batch_format="pyarrow", batch_size=None
+    )
+    t0 = time.time()
+    agg = excise_duplicate_spans(
+        ds, window_k=20, num_partitions=64
+    ).map_batches(
+        lambda b: pa.table({
+            "docs": pa.array([b.num_rows], type=pa.int64()),
+            "removed": pa.array(
+                [int(pc.sum(b.column("n_removed")).as_py() or 0)],
+                type=pa.int64()),
+            "excised_docs": pa.array(
+                [int(pc.sum(pc.cast(pc.greater(
+                    b.column("n_removed"), 0), pa.int64())).as_py() or 0)],
+                type=pa.int64()),
+        }),
+        batch_format="pyarrow", batch_size=None,
+    ).take_all()
+    wall = time.time() - t0
+    total = n + n // 100
+    print(json.dumps({
+        "op": "excise_duplicate_spans", "docs": total,
+        "docs_out": sum(r["docs"] for r in agg),
+        "tokens_removed": sum(r["removed"] for r in agg),
+        "docs_excised": sum(r["excised_docs"] for r in agg),
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(total / wall),
+    }))
+
+
 # -- state agg ---------------------------------------------------------------
 
 
@@ -324,7 +376,11 @@ if __name__ == "__main__":
         verify_small()
         verify_sa_small()
     if "--verify-only" not in sys.argv:
-        bench_lm()
-        bench_pmi()
-        bench_sa()
+        if "--excise-only" in sys.argv:
+            bench_excise()
+        else:
+            bench_lm()
+            bench_pmi()
+            bench_sa()
+            bench_excise()
     ray.shutdown()
