@@ -2650,6 +2650,18 @@ def _q_split_assign(sf_dir: str):
     return ds.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
+def _q_cdc_column_audit(sf_dir: str):
+    """Column-level CDC audit: per epoch the change feed's I/U/D counts
+    plus per-column changed-cell counts over 'U' rows (null-safe IS
+    DISTINCT FROM).  Oracle = per-epoch FULL JOIN of deterministic
+    as-of LWW snapshots."""
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        column_audit_events_table,
+    )
+
+    return column_audit_events_table(sf_dir)
+
+
 def _q_cdc_state_agg(sf_dir: str):
     """Retractable incrementally-maintained aggregate (Materialize/Flink
     retract-stream analog): event_type -> (n, sum_cents) of the row
@@ -5208,6 +5220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_state_agg": _q_cdc_state_agg,
         "split_assign_documents": _q_split_assign,
         "excise_duplicate_spans": _q_excise_duplicate_spans,
+        "cdc_column_audit": _q_cdc_column_audit,
         # --- driver-green in r01/r02/r03/r04 ---
         "events_cube_type_day": _q_events_cube_type_day,
         "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
@@ -5563,6 +5576,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(sum(n_chars), 0) AS BIGINT) AS sum_chars
             FROM documents
             GROUP BY source, split
+        """,
+        # Column-level CDC audit: FULL JOIN of consecutive as-of LWW
+        # snapshots (null-pk rows excluded — they have no diff identity);
+        # U rows are net-change keys, changed_<col> counts IS DISTINCT
+        # FROM over them.
+        "cdc_column_audit": """
+            WITH base AS (
+                SELECT *, (event_id * 3) //
+                    (SELECT max(event_id) + 1 FROM events) AS ep
+                FROM events WHERE user_id IS NOT NULL
+            ), states AS (
+                SELECT bound.e AS asof, user_id, ts, event_type, value
+                FROM (VALUES (-1), (0), (1), (2)) bound(e)
+                CROSS JOIN base b
+                WHERE b.ep <= bound.e
+                QUALIFY row_number() OVER (
+                    PARTITION BY bound.e, user_id
+                    ORDER BY ts DESC, event_id DESC) = 1
+                    AND event_type <> 'error'
+            ), d AS (
+                SELECT COALESCE(n.asof, o.asof + 1) AS epoch,
+                       o.user_id AS ou, n.user_id AS nu,
+                       o.ts AS ots, n.ts AS nts,
+                       o.event_type AS oet, n.event_type AS net,
+                       o.value AS ov, n.value AS nv
+                FROM states o FULL JOIN states n
+                  ON o.user_id = n.user_id AND o.asof = n.asof - 1
+                WHERE COALESCE(n.asof, o.asof + 1) BETWEEN 0 AND 2
+            )
+            SELECT CAST(epoch AS BIGINT) AS epoch,
+                CAST(count(*) FILTER (WHERE ou IS NULL) AS BIGINT)
+                    AS n_insert,
+                CAST(count(*) FILTER (WHERE ou IS NOT NULL
+                    AND nu IS NOT NULL AND (ots IS DISTINCT FROM nts
+                    OR oet IS DISTINCT FROM net
+                    OR ov IS DISTINCT FROM nv)) AS BIGINT) AS n_update,
+                CAST(count(*) FILTER (WHERE nu IS NULL) AS BIGINT)
+                    AS n_delete,
+                CAST(count(*) FILTER (WHERE ou IS NOT NULL
+                    AND nu IS NOT NULL AND (ots IS DISTINCT FROM nts
+                    OR oet IS DISTINCT FROM net OR ov IS DISTINCT FROM nv)
+                    AND ots IS DISTINCT FROM nts) AS BIGINT)
+                    AS changed_ts,
+                CAST(count(*) FILTER (WHERE ou IS NOT NULL
+                    AND nu IS NOT NULL AND (ots IS DISTINCT FROM nts
+                    OR oet IS DISTINCT FROM net OR ov IS DISTINCT FROM nv)
+                    AND oet IS DISTINCT FROM net) AS BIGINT)
+                    AS changed_event_type,
+                CAST(count(*) FILTER (WHERE ou IS NOT NULL
+                    AND nu IS NOT NULL AND (ots IS DISTINCT FROM nts
+                    OR oet IS DISTINCT FROM net OR ov IS DISTINCT FROM nv)
+                    AND ov IS DISTINCT FROM nv) AS BIGINT)
+                    AS changed_value
+            FROM d GROUP BY epoch
         """,
         # Retractable state aggregate: the maintained view must equal the
         # one-shot GROUP BY over the final LWW snapshot (tombstone
