@@ -2426,7 +2426,12 @@ def excise_duplicate_spans(
     (doc, pos) order in one int64.
 
     Output: ``(doc_id, text_clean, n_tokens, n_removed)`` for every doc
-    with non-null text (``text_clean`` may be '').
+    with non-null text (``text_clean`` may be '').  ``ds`` is consumed
+    TWICE (gram pass + doc pass) — materialize a DERIVED input first,
+    exactly as :func:`trim_repeated_spans` documents, or the upstream
+    pipeline executes twice (and a nondeterministic upstream would
+    desynchronize spans from docs).  ``id_col`` must be non-null
+    (checked): a null id has no (doc, pos) identity.
     """
     P = np.int64(pos_limit)
 
@@ -2444,12 +2449,23 @@ def excise_duplicate_spans(
         pos = np.arange(len(parents), dtype=np.int64) - seg_starts[parents] + 1
         return flat, parents, pos, seg_starts
 
+    def _ids(batch: pa.Table) -> np.ndarray:
+        col = batch.column(id_col).combine_chunks()
+        if col.null_count:
+            # a null id has no (doc, pos) identity — and the nullable-
+            # int -> float64 numpy path would silently misroute (the
+            # CLAUDE.md stable-hash trap)
+            raise ValueError(
+                "excise_duplicate_spans: null values in id column"
+            )
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
     def gram_occurrences(batch: pa.Table) -> pa.Table:
         batch = batch.filter(
             batch.column(text_col).combine_chunks().is_valid()
         )
         flat, parents, pos, _ = _tok(batch)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ids = _ids(batch)
         m = len(flat)
         if m >= window_k:
             ok = parents[: m - window_k + 1] == parents[window_k - 1:]
@@ -2522,7 +2538,7 @@ def excise_duplicate_spans(
 
     def tag_docs(b: pa.Table) -> pa.Table:
         b = b.filter(b.column(text_col).combine_chunks().is_valid())
-        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        ids = _ids(b)
         return pa.table({
             "doc_id": pa.array(ids, type=pa.int64()),
             "start": pa.nulls(b.num_rows, type=pa.int64()),
@@ -2549,8 +2565,11 @@ def excise_duplicate_spans(
         if sp.num_rows:
             sdoc = sp.column("doc_id").to_numpy(zero_copy_only=False)
             sstart = sp.column("start").to_numpy(zero_copy_only=False)
-            row_of = {int(d): i for i, d in enumerate(ids)}
-            srow = np.array([row_of[int(d)] for d in sdoc], dtype=np.int64)
+            # vectorized id -> row index (a Python dict loop here would
+            # dominate on boilerplate-heavy corpora where span count
+            # approaches token count)
+            order = np.argsort(ids, kind="stable")
+            srow = order[np.searchsorted(ids, sdoc, sorter=order)]
             a = seg_starts[srow] + sstart - 1
             b_ = np.minimum(
                 a + window_k, seg_starts[srow] + tok_counts[srow]

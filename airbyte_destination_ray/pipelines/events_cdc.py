@@ -413,7 +413,10 @@ def column_audit_events_table(
             *[f"changed_{c}" for c in cols],
         ):
             agg[k] = sum(r[k] for r in parts)
-        out_rows.append(agg)
+        # a zero-net-change epoch has no diff rows — the SQL GROUP BY
+        # emits no row for it, so neither do we
+        if agg["n_insert"] + agg["n_update"] + agg["n_delete"] > 0:
+            out_rows.append(agg)
     t = pa.Table.from_pylist(out_rows)
     return t.cast(
         pa.schema([(n, pa.int64()) for n in t.column_names])
