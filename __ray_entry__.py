@@ -2650,6 +2650,18 @@ def _q_split_assign(sf_dir: str):
     return ds.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
+def _q_cdc_quantile_view(sf_dir: str):
+    """Incrementally-maintained approximate quantile view: persistent
+    per-group mergeable digest folded across 3 binlog epochs (refresh =
+    O(groups), never O(history)); exact-until-compression at delta=4096
+    so the final read == quantile_cont (the oracle)."""
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        quantile_view_events_table,
+    )
+
+    return quantile_view_events_table(sf_dir)
+
+
 def _q_cdc_column_audit(sf_dir: str):
     """Column-level CDC audit: per epoch the change feed's I/U/D counts
     plus per-column changed-cell counts over 'U' rows (null-safe IS
@@ -5221,6 +5233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign_documents": _q_split_assign,
         "excise_duplicate_spans": _q_excise_duplicate_spans,
         "cdc_column_audit": _q_cdc_column_audit,
+        "cdc_quantile_view": _q_cdc_quantile_view,
         # --- driver-green in r01/r02/r03/r04 ---
         "events_cube_type_day": _q_events_cube_type_day,
         "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
@@ -5576,6 +5589,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(sum(n_chars), 0) AS BIGINT) AS sum_chars
             FROM documents
             GROUP BY source, split
+        """,
+        # Maintained quantile view: exact-until-compression digest state
+        # folded across epochs == one-shot quantile_cont at driver SF.
+        "cdc_quantile_view": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90
+            FROM events GROUP BY event_type
         """,
         # Column-level CDC audit: FULL JOIN of consecutive as-of LWW
         # snapshots (null-pk rows excluded — they have no diff identity);

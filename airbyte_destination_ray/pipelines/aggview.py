@@ -677,3 +677,201 @@ def run_incremental_state_agg(
         store.write_checkpoint(generation, e, {"epoch": e})
         summaries.append({"epoch": e, "partitions": n_parts, "skipped": False})
     return {"table": table, "epochs": summaries}
+
+
+def run_incremental_quantile_view(
+    lake_root: str,
+    binlog_dir: str,
+    *,
+    table: str = "qview",
+    key: str = "event_type",
+    value_col: str = "value",
+    delta: int = 4096,
+    num_partitions: int = 4,
+    epochs: list[int] | None = None,
+    resume: bool = True,
+) -> dict:
+    """Incrementally-maintained APPROXIMATE quantile view: a persistent
+    per-group mergeable quantile digest (functions/sketches.py — the
+    100 TB path where the exact per-group quantile would shuffle every
+    row every refresh), folded epoch by epoch under the same
+    per-(generation, epoch, partition) manifest CAS as the row lake.
+    Each epoch ships ≤ 2·delta float64 per (group, batch) on the only
+    exchange and rewrites O(groups) state rows — refresh cost is
+    independent of history size.
+
+    Exact-until-compression (DataSketches-style contract): while a
+    group's total value count stays ≤ ``delta``, the maintained digest
+    reproduces ``quantile_cont`` bit-exactly — which is what makes the
+    final read oracle-checkable; past that, accuracy degrades to
+    ~1/delta in q-space (pinned vs the exact operator in the sketch unit
+    tests).  Stream semantics like :func:`run_incremental_agg` (every
+    change event's value folds in; sketches cannot retract)."""
+    from ..functions.sketches import (
+        qdigest_from_values,
+        qdigest_merge,
+        qdigest_pack,
+        qdigest_unpack,
+    )
+
+    store = ManifestStore(lake_root, table)
+    store.root.mkdir(parents=True, exist_ok=True)
+    meta = store.init_table(
+        num_partitions=num_partitions,
+        mode="append_dedup",
+        pk=[key],
+        cursor=value_col,
+        view="incremental_quantile",
+    )
+    num_partitions = meta["num_partitions"]
+    generation = meta["generation"]
+    all_epochs = epochs if epochs is not None else list_epochs(binlog_dir)
+    ckpt = store.last_checkpoint(generation) if resume else None
+    start_after = ckpt["epoch"] if ckpt else -1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).combine_chunks()
+        if pa.types.is_timestamp(v.type):
+            v = v.cast(pa.int64())  # µs since epoch as the numeric value
+        t = pa.table({key: batch.column(key), value_col: v})
+        t = t.filter(t.column(key).combine_chunks().is_valid())
+        t = t.filter(t.column(value_col).combine_chunks().is_valid())
+        idx = pc.sort_indices(t, sort_keys=[(key, "ascending")])
+        t = t.take(idx)
+        karr = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        starts = np.nonzero(
+            np.concatenate(([True], karr[1:] != karr[:-1]))
+        )[0]
+        ends = np.append(starts[1:], len(karr))
+        out_keys, bufs = [], []
+        for s, e in zip(starts, ends):
+            out_keys.append(karr[s])
+            bufs.append(
+                qdigest_pack(qdigest_from_values(vals[s:e], delta))
+            )
+        keys_arr = pa.array(out_keys, type=t.schema.field(key).type)
+        parts = partition_ids(keys_arr, num_partitions)
+        return pa.table(
+            {
+                "k": keys_arr,
+                "_digest": pa.array(bufs, type=pa.binary()),
+                "_part": pa.array(parts, type=pa.int64()),
+            }
+        )
+
+    summaries = []
+    for e in all_epochs:
+        if e <= start_after:
+            summaries.append({"epoch": e, "skipped": True})
+            continue
+        segments = list_segments(binlog_dir, e)
+        if not segments:
+            continue
+        ds = ray.data.read_parquet(
+            segments, override_num_blocks=len(segments)
+        )
+
+        def fold(group: pa.Table, _e=e) -> pa.Table:
+            part = int(group.column("_part")[0].as_py())
+            st = ManifestStore(lake_root, table)
+            existing = st.get(generation, _e, part)
+            if existing is not None:
+                return _stats_row(
+                    table, _e, part,
+                    rows=existing.row_count, nbytes=existing.byte_count,
+                    files=len(existing.files), changes_in=group.num_rows,
+                    skipped=True, digest=existing.digest,
+                )
+            prev = st.latest_snapshot(generation, part, max_epoch=_e - 1)
+            state: dict = {}
+            if prev is not None and prev.files:
+                import pyarrow.parquet as pq
+
+                old = pa.concat_tables(
+                    pq.read_table(Path(lake_root) / f) for f in prev.files
+                )
+                for kk, buf in zip(
+                    old.column("k").to_pylist(),
+                    old.column("_digest").to_pylist(),
+                ):
+                    state[kk] = qdigest_unpack(buf)
+            for kk, buf in zip(
+                group.column("k").to_pylist(),
+                group.column("_digest").to_pylist(),
+            ):
+                d = qdigest_unpack(buf)
+                state[kk] = (
+                    qdigest_merge(state[kk], d, delta)
+                    if kk in state
+                    else d
+                )
+            keys_sorted = sorted(state)
+            merged = pa.table(
+                {
+                    "k": pa.array(
+                        keys_sorted, type=group.schema.field("k").type
+                    ),
+                    "_digest": pa.array(
+                        [qdigest_pack(state[kk]) for kk in keys_sorted],
+                        type=pa.binary(),
+                    ),
+                }
+            )
+            rel = (
+                f"{table}/gen={generation:04d}/parts/p={part:05d}/"
+                f"e{_e:06d}.parquet"
+            )
+            nbytes = _atomic_write_parquet(merged, Path(lake_root) / rel)
+            m = PartitionManifest(
+                table=table, generation=generation, epoch=_e,
+                partition=part, files=[rel], row_count=merged.num_rows,
+                byte_count=nbytes, max_seq=-1, digest="",
+                mode="append_dedup", schema_version=0,
+            )
+            st.commit(m)
+            return _stats_row(
+                table, _e, part,
+                rows=merged.num_rows, nbytes=nbytes, files=1,
+                changes_in=group.num_rows, skipped=False, digest="",
+            )
+
+        stats = (
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("_part")
+            .map_groups(fold, batch_format="pyarrow")
+        )
+        n_parts = stats.count()
+        store.write_checkpoint(generation, e, {"epoch": e})
+        summaries.append({"epoch": e, "partitions": n_parts, "skipped": False})
+    return {"table": table, "epochs": summaries}
+
+
+def read_quantile_view(
+    lake_root: str,
+    table: str = "qview",
+    *,
+    quantiles: tuple = (0.5, 0.9),
+    key_name: str = "k",
+    delta: int = 4096,
+):
+    """Per-group quantile estimates from the maintained digest state
+    (O(groups) rows read; no event data touched)."""
+    from ..functions.sketches import qdigest_quantile, qdigest_unpack
+    from .cdc import read_table
+
+    ds = read_table(lake_root, table, include_meta=False)
+    qcols = [f"p{int(q * 100)}" for q in quantiles]
+
+    def finalize(b: pa.Table) -> pa.Table:
+        out = {key_name: b.column("k")}
+        ests = {name: [] for name in qcols}
+        for buf in b.column("_digest").to_pylist():
+            d = qdigest_unpack(buf)
+            for q, name in zip(quantiles, qcols):
+                ests[name].append(float(qdigest_quantile(d, q)))
+        for name in qcols:
+            out[name] = pa.array(ests[name], type=pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(finalize, batch_format="pyarrow", batch_size=None)

@@ -423,6 +423,36 @@ def column_audit_events_table(
     )
 
 
+def quantile_view_events_table(
+    sf_dir: str, *, workdir: str | Path | None = None
+):
+    """Incrementally-maintained approximate quantile view as a query:
+    fold the 3-epoch events binlog into a persistent per-event_type
+    quantile digest (delta=4096 → exact-until-compression, so the final
+    read reproduces ``quantile_cont`` bit-exactly at driver SF), then
+    read p50/p90 per group.  Refresh cost per epoch is O(groups), not
+    O(history)."""
+    import os
+
+    from .aggview import read_quantile_view, run_incremental_quantile_view
+
+    tag = f"{Path(sf_dir).name}-{os.getpid()}-qview"
+    base = Path(workdir) if workdir else Path("/tmp/adr_query") / tag
+    binlog = base / "binlog"
+    if not (binlog / "_binlog.json").exists():
+        shutil.rmtree(base, ignore_errors=True)
+        build_binlog_from_events(f"{sf_dir}/events.parquet", binlog)
+    run_incremental_quantile_view(
+        str(base / "lake"), str(binlog),
+        table="events_qview", key="event_type", value_col="value",
+        delta=4096, num_partitions=4,
+    )
+    return read_quantile_view(
+        str(base / "lake"), "events_qview",
+        quantiles=(0.5, 0.9), key_name="event_type", delta=4096,
+    )
+
+
 def state_agg_events_table(
     sf_dir: str, *, workdir: str | Path | None = None
 ):

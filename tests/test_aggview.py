@@ -316,3 +316,65 @@ def test_state_agg_int_group_column(tmp_path, ray_session):
         winners[f"k{i % 37}"] = i % 4
     exp = collections.Counter(winners.values())
     assert got == dict(exp)
+
+
+def test_quantile_view_epoch_invariant_and_resumes(tmp_path, ray_session):
+    """Maintained quantile digest: 3-epoch fold == 1-epoch fold == exact
+    quantile_cont while uncompressed; replay is a committed no-op."""
+    from airbyte_destination_ray.pipelines.aggview import (
+        read_quantile_view,
+        run_incremental_quantile_view,
+    )
+    from airbyte_destination_ray.sources.synth import write_custom_binlog
+
+    rng = np.random.default_rng(9)
+    rows = [
+        dict(seq=i, epoch=int(i * 3 // 900), op="U",
+             url=f"k{i % 50}", warc_ts=int(rng.integers(0, 100000)),
+             text="t", lang=f"g{i % 4}")
+        for i in range(900)
+    ]
+    b3, b1 = tmp_path / "b3", tmp_path / "b1"
+    write_custom_binlog(b3, rows)
+    write_custom_binlog(b1, [dict(r, epoch=0) for r in rows])
+
+    def state(lake):
+        return sorted(
+            (r["k"], r["p50"], r["p90"])
+            for r in read_quantile_view(
+                lake, "qv", quantiles=(0.5, 0.9), delta=4096
+            ).take_all()
+        )
+
+    l3, l1 = str(tmp_path / "l3"), str(tmp_path / "l1")
+    for lake, blog in ((l3, b3), (l1, b1)):
+        run_incremental_quantile_view(
+            lake, str(blog), table="qv", key="lang",
+            value_col="warc_ts", delta=4096, num_partitions=3,
+        )
+    got = state(l3)
+    assert got == state(l1)
+
+    con = duckdb.connect()
+    t = pa.table({
+        "lang": pa.array([r["lang"] for r in rows]),
+        # write_custom_binlog types warc_ts as timestamp[us]; the view
+        # folds the int64 µs values
+        "v": pa.array([r["warc_ts"] for r in rows], type=pa.float64()),
+    })
+    con.register("t", t)
+    exp = sorted(
+        tuple(r) for r in con.sql(
+            "SELECT lang, quantile_cont(v, 0.5), quantile_cont(v, 0.9) "
+            "FROM t GROUP BY lang"
+        ).fetchall()
+    )
+    assert got == exp
+
+    # replay: committed no-op
+    s = run_incremental_quantile_view(
+        l3, str(b3), table="qv", key="lang", value_col="warc_ts",
+        delta=4096, num_partitions=3,
+    )
+    assert all(x["skipped"] for x in s["epochs"])
+    assert state(l3) == got
