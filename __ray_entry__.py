@@ -272,6 +272,56 @@ def _q_dedup_simhash(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def _q_dedup_minhash_incremental(sf_dir: str):
+    """Incremental MinHash near-dup dedup vs persistent signature state
+    (the crawl-refresh production shape): three id-ordered increments of
+    the copy-augmented corpus stream through dedup_minhash_incremental
+    in signature-EXACT mode (bands=1, threshold=1.0 — the
+    dedup_minhash_documents reduction); copies (+1,000,000 ids) land in
+    the LAST increment so cross-increment state probing is what drops
+    them.  id-ordered stream ⇒ survivors == one-shot min-id-per-class ⇒
+    the SAME SQL oracle as the one-shot query."""
+    import os
+    import shutil as _sh
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.dedup import (
+        dedup_minhash_incremental,
+    )
+
+    state = f"/tmp/adr_query/{os.path.basename(sf_dir)}-{os.getpid()}-mhinc"
+    _sh.rmtree(state, ignore_errors=True)  # fresh stream per query run
+    aug = _plant_copies(_documents(sf_dir), "doc_id", 20)
+
+    def id_range(lo, hi):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id")
+            return b.filter(pc.and_(
+                pc.greater_equal(ids, pa.scalar(lo, pa.int64())),
+                pc.less(ids, pa.scalar(hi, pa.int64())),
+            ))
+
+        return f
+
+    out = []
+    # id-ordered increments: originals split in two, copies (+1e6) last
+    for lo, hi in ((0, 300), (300, 1_000_000), (1_000_000, 1 << 62)):
+        inc = aug.map_batches(
+            id_range(lo, hi), batch_format="pyarrow", batch_size=None
+        )
+        res = dedup_minhash_incremental(
+            inc, state, bands=1, verify_threshold=1.0,
+            num_partitions=16,
+        )
+        out.append(res.materialize())
+    merged = out[0]
+    for o in out[1:]:
+        merged = merged.union(o)
+    return merged
+
+
 def _q_dedup_ngram_jaccard(sf_dir: str):
     """Word-3-gram Jaccard dedup in signature-EXACT mode (threshold=1.0,
     same reduction as dedup_minhash_documents but with the wider
@@ -5234,6 +5284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "excise_duplicate_spans": _q_excise_duplicate_spans,
         "cdc_column_audit": _q_cdc_column_audit,
         "cdc_quantile_view": _q_cdc_quantile_view,
+        "dedup_minhash_incremental_documents": _q_dedup_minhash_incremental,
         # --- driver-green in r01/r02/r03/r04 ---
         "events_cube_type_day": _q_events_cube_type_day,
         "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
@@ -6144,6 +6195,39 @@ def oracle_sql() -> dict[str, str]:
         # cosine ~0.60), so the surviving set is the original table.
         "dedup_embedding_cosine": """
             SELECT vec_id, label FROM embeddings
+        """,
+        # Incremental MinHash dedup: id-ordered increments against
+        # persistent signature state reduce to the SAME min-id-per-class
+        # answer as the one-shot signature-exact query.
+        "dedup_minhash_incremental_documents": """
+            WITH aug AS (
+                SELECT doc_id, text, lang, source, n_chars FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text, lang, source, n_chars
+                FROM documents WHERE doc_id % 20 = 0
+            ), w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                FROM aug WHERE text IS NOT NULL
+            ), s AS (
+                SELECT DISTINCT doc_id,
+                    unnest(list_transform(
+                        generate_series(1, greatest(len(ws) - 4, 0)),
+                        i -> array_to_string(list_slice(ws, i, i + 4), ' ')
+                    )) AS sh
+                FROM w
+            ), g AS (
+                SELECT doc_id,
+                    array_to_string(list_sort(list(sh)), chr(30)) AS sig
+                FROM s GROUP BY doc_id
+            ), dup AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, row_number() OVER (
+                        PARTITION BY sig ORDER BY doc_id) AS rn
+                    FROM g
+                ) WHERE rn > 1
+            )
+            SELECT doc_id, text, lang, source, n_chars FROM aug
+            WHERE doc_id NOT IN (SELECT doc_id FROM dup)
         """,
         # Signature-exact MinHash dedup: keep min doc_id per distinct
         # word-5-gram SET over the copy-augmented corpus (identical

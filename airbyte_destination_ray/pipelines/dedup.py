@@ -1069,3 +1069,220 @@ def dup_rate_by_group(
         .groupby("_rpart")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def dedup_minhash_incremental(
+    ds,
+    state_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    verify_threshold: float | None = None,
+    filter_mode: str = "auto",
+    num_partitions: int = DEDUP_NUM_PARTITIONS,
+):
+    """MinHash near-dup dedup of an ingest INCREMENT against every
+    previous increment — the near-dup sibling of
+    :func:`dedup_exact_incremental` and the production shape of
+    crawl-refresh dedup: cost is proportional to the increment (plus the
+    touched state partitions), never the corpus.
+
+    State under ``state_dir`` is a per-partition Parquet of ALL
+    previously-seen docs' band-bucket entries WITH their signatures
+    (``part-{p}.parquet``: band, key, id, sig — the same
+    ``mix(band, key) % P`` routing as the one-shot family), so a new
+    doc's buckets probe exactly the partitions its bands hash to.
+
+    Rule (monotone, stream-order): a doc is a duplicate iff a VERIFIED
+    bucket match exists against (a) any doc of an earlier increment —
+    kept or itself removed ("all seen docs", which is what makes the
+    rule independent of partitioning — or (b) a smaller id within its
+    own increment (the one-shot bucket-rep semantics).  When increments
+    arrive in id order this equals the one-shot min-id-per-class dedup —
+    the SQL oracle in signature-exact mode.  Replay is idempotent: a
+    replayed doc finds its OWN band rows in the state (same id →
+    excluded from matching; append skipped), so survivors and state are
+    byte-identical.
+
+    With ``filter_mode="shuffle"`` the candidate pipeline (and the state
+    commit) defer into the returned Dataset — materialize each
+    increment's result before the next call (broadcast resolves
+    eagerly)."""
+    import json
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    sig_type = pa.binary(num_perm * 8)
+    os.makedirs(state_dir, exist_ok=True)
+    meta_path = os.path.join(state_dir, "_meta.json")
+    meta = {
+        "num_partitions": num_partitions,
+        "num_perm": num_perm,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "verify_threshold": verify_threshold,
+    }
+    try:
+        with open(meta_path, "x") as f:
+            json.dump(meta, f)
+    except FileExistsError:
+        with open(meta_path) as f:
+            existing = json.load(f)
+        if existing != meta:
+            raise ValueError(
+                f"minhash state at {state_dir} was written with "
+                f"{existing}; refusing to resume with {meta}"
+            )
+
+    def keys(batch: pa.Table) -> pa.Table:
+        sig = minhash_signatures(
+            batch.column(text_col), num_perm=num_perm, shingle_k=shingle_k
+        )
+        present = sig[:, 0] != np.uint64(0xFFFFFFFFFFFFFFFF)
+        sig = sig[present]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[present]
+        band_idx, key = band_keys(sig, bands=bands)
+        packed = pa.FixedSizeBinaryArray.from_buffers(
+            sig_type,
+            len(sig),
+            [None, pa.py_buffer(np.ascontiguousarray(sig).tobytes())],
+        )
+        out = {
+            "id": pa.array(np.repeat(ids, bands), type=pa.int64()),
+            "band": pa.array(band_idx, type=pa.int64()),
+            "key": pa.array(key, type=pa.uint64()),
+            "sig": packed.take(
+                pa.array(
+                    np.repeat(np.arange(len(sig)), bands), type=pa.int64()
+                )
+            ),
+        }
+        return _route_buckets(pa.table(out), num_partitions)
+
+    def _sigs(col) -> np.ndarray:
+        arr = (
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        )
+        data = np.frombuffer(arr.buffers()[1], dtype=np.uint64).reshape(
+            -1, num_perm
+        )
+        return data[arr.offset : arr.offset + len(arr)]
+
+    def resolve_and_commit(group: pa.Table) -> pa.Table:
+        p = int(group.column("_part")[0].as_py())
+        path = os.path.join(state_dir, f"part-{p:05d}.parquet")
+        inc = group.drop_columns(["_part"])
+        inc_band = inc.column("band").to_numpy(zero_copy_only=False)
+        inc_key = (
+            inc.column("key").to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        inc_id = inc.column("id").to_numpy(zero_copy_only=False)
+        inc_sig = _sigs(inc.column("sig"))
+        dup_mask = np.zeros(len(inc_id), dtype=bool)
+        seen_pairs = None
+        if os.path.exists(path):
+            st = pq.read_table(path)
+            st_band = st.column("band").to_numpy(zero_copy_only=False)
+            st_key = (
+                st.column("key").to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            st_id = st.column("id").to_numpy(zero_copy_only=False)
+            st_sig = _sigs(st.column("sig"))
+            # state is (band, key, id)-sorted on disk; lexicographic
+            # probe over (band, key) via a structured view
+            st_struct = np.empty(
+                len(st_band),
+                dtype=[("b", np.int64), ("k", np.uint64)],
+            )
+            st_struct["b"], st_struct["k"] = st_band, st_key
+            q = np.empty(
+                len(inc_band),
+                dtype=[("b", np.int64), ("k", np.uint64)],
+            )
+            q["b"], q["k"] = inc_band, inc_key
+            lo = np.searchsorted(st_struct, q, side="left")
+            hi = np.searchsorted(st_struct, q, side="right")
+            counts = hi - lo
+            if counts.sum():
+                rows = np.repeat(np.arange(len(inc_band)), counts)
+                flat = np.concatenate(
+                    [np.arange(a, b) for a, b in zip(lo, hi) if b > a]
+                )
+                ok = st_id[flat] != inc_id[rows]
+                if verify_threshold:
+                    est = (
+                        inc_sig[rows] == st_sig[flat]
+                    ).mean(axis=1)
+                    ok &= est >= verify_threshold
+                np.logical_or.at(dup_mask, rows[ok], True)
+            # replay detection: (band, key, id) triple already in state
+            st3 = np.empty(
+                len(st_band),
+                dtype=[("b", np.int64), ("k", np.uint64),
+                       ("i", np.int64)],
+            )
+            st3["b"], st3["k"], st3["i"] = st_band, st_key, st_id
+            st3.sort()
+            q3 = np.empty(
+                len(inc_band),
+                dtype=[("b", np.int64), ("k", np.uint64),
+                       ("i", np.int64)],
+            )
+            q3["b"], q3["k"], q3["i"] = inc_band, inc_key, inc_id
+            if len(st3):
+                pos = np.searchsorted(st3, q3)
+                pos_c = np.minimum(pos, len(st3) - 1)
+                seen_pairs = st3[pos_c] == q3
+            else:
+                seen_pairs = np.zeros(len(q3), dtype=bool)
+        # within-increment: one-shot bucket-rep resolution
+        local = _resolve_buckets_vectorized(
+            inc,
+            (
+                (lambda t, c, r: (
+                    _sigs(t.column("sig"))[c]
+                    == _sigs(t.column("sig"))[r]
+                ).mean(axis=1) >= verify_threshold)
+                if verify_threshold
+                else None
+            ),
+        )
+        # commit: append every NEW (non-replayed) band row, keep the
+        # state (band, key, id)-sorted for the probes above
+        new_rows = (
+            inc if seen_pairs is None
+            else inc.filter(pa.array(~seen_pairs))
+        )
+        if new_rows.num_rows:
+            pieces = [new_rows.select(["band", "key", "id", "sig"])]
+            if os.path.exists(path):
+                pieces.append(pq.read_table(path))
+            combined = pa.concat_tables(pieces)
+            order = pc.sort_indices(
+                combined,
+                sort_keys=[("band", "ascending"), ("key", "ascending"),
+                           ("id", "ascending")],
+            )
+            combined = combined.take(order)
+            tmp = path + f".tmp-{uuid.uuid4().hex}"
+            pq.write_table(combined, tmp)
+            os.replace(tmp, path)
+        state_dups = pa.table(
+            {"dup_id": pa.array(np.unique(inc_id[dup_mask]),
+                                type=pa.int64())}
+        )
+        return pa.concat_tables([state_dups, local])
+
+    candidates = (
+        ds.map_batches(keys, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(resolve_and_commit, batch_format="pyarrow")
+    )
+    return _apply_dup_filter(ds, id_col, candidates, filter_mode)

@@ -107,3 +107,92 @@ def test_partitioning_mismatch_refused(ray_session, tmp_path):
     _df(dedup_exact_incremental(_docs(EPOCH1), str(state), num_partitions=8))
     with pytest.raises(ValueError, match="refusing to resume"):
         dedup_exact_incremental(_docs(EPOCH2), str(state), num_partitions=16)
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_incremental: near-dup dedup vs persistent signature state
+# ---------------------------------------------------------------------------
+
+
+def _mk_corpus(n, seed=13):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(50)]
+    docs = []
+    for d in range(n):
+        toks = [words[rng.integers(0, 50)] for _ in range(25)]
+        docs.append((d, " ".join(toks)))
+    return docs
+
+
+def test_minhash_incremental_matches_one_shot(ray_session, tmp_path):
+    """id-ordered increments == one-shot dedup_minhash_lsh over the full
+    corpus (same params), including near-dups planted ACROSS increments;
+    replaying the last increment is byte-identical and leaves the state
+    unchanged."""
+    from airbyte_destination_ray.pipelines.dedup import (
+        dedup_minhash_incremental,
+        dedup_minhash_lsh,
+    )
+
+    base = _mk_corpus(90)
+    # near-copies across increment boundaries: docs 100..104 copy docs
+    # 5..9 with one word changed (Jaccard high); exact copies 110..112
+    # of docs 10..12
+    def tweak(t):
+        ws = t.split()
+        ws[0] = "zzz"
+        return " ".join(ws)
+
+    extra = [(100 + i, tweak(base[5 + i][1])) for i in range(5)]
+    extra += [(110 + i, base[10 + i][1]) for i in range(3)]
+    full = base + extra
+    full.sort()
+    params = dict(num_perm=64, bands=16, shingle_k=3,
+                  verify_threshold=0.5)
+
+    one_shot = sorted(
+        r["doc_id"]
+        for r in dedup_minhash_lsh(_docs(full), **params).take_all()
+    )
+
+    state = str(tmp_path / "state")
+    incs = [full[:40], full[40:80], full[80:]]
+    got = []
+    for inc in incs:
+        got += [
+            r["doc_id"]
+            for r in dedup_minhash_incremental(
+                _docs(inc), state, num_partitions=8, **params
+            ).take_all()
+        ]
+    assert sorted(got) == one_shot
+
+    # replay of the last increment: identical survivors, unchanged state
+    import hashlib
+    from pathlib import Path
+
+    def state_digest():
+        h = hashlib.sha256()
+        for p in sorted(Path(state).glob("part-*.parquet")):
+            h.update(p.read_bytes())
+        return h.hexdigest()
+
+    before = state_digest()
+    replay = sorted(
+        r["doc_id"]
+        for r in dedup_minhash_incremental(
+            _docs(incs[-1]), state, num_partitions=8, **params
+        ).take_all()
+    )
+    assert replay == sorted(r for r in got if r in
+                            {d for d, _ in incs[-1]})
+    assert state_digest() == before
+
+    # param-mismatch resume refused
+    with pytest.raises(ValueError):
+        dedup_minhash_incremental(
+            _docs(incs[-1]), state, num_partitions=8, num_perm=32,
+            bands=16, shingle_k=3, verify_threshold=0.5,
+        )
