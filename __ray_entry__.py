@@ -2700,6 +2700,16 @@ def _q_split_assign(sf_dir: str):
     return ds.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
+def _q_cdc_gap_audit(sf_dir: str):
+    """Binlog integrity audit: per-epoch count, seq min/max, implied
+    missing-seq count — zero-exchange partials, O(epochs) driver rows."""
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        binlog_gap_audit,
+    )
+
+    return binlog_gap_audit(sf_dir)
+
+
 def _q_cdc_quantile_view(sf_dir: str):
     """Incrementally-maintained approximate quantile view: persistent
     per-group mergeable digest folded across 3 binlog epochs (refresh =
@@ -4491,6 +4501,19 @@ def _interaction_edges_3000(b):
     )
 
 
+def _q_events_reachable_3hop(sf_dir: str):
+    """Bounded-depth reachability (blast radius): min-hop BFS closure
+    within 3 hops of seeds {0,1,2} over the shared sparse interaction
+    graph — frontier-broadcast scans, one per hop, no exchange.  Oracle
+    = unrolled 3-level join chain + min(hop)."""
+    from airbyte_destination_ray.pipelines.graph import k_hop_reachable
+
+    edges = _events(sf_dir, columns=["user_id", "event_id"]).map_batches(
+        _interaction_edges_3000, batch_format="pyarrow", batch_size=None
+    )
+    return k_hop_reachable(edges, [0, 1, 2], hops=3)
+
+
 def _q_events_k_core(sf_dir: str):
     """4-core of the shared sparse interaction graph — iterative
     distributed peeling, converges in ~3 rounds; oracle is the
@@ -5285,6 +5308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_column_audit": _q_cdc_column_audit,
         "cdc_quantile_view": _q_cdc_quantile_view,
         "dedup_minhash_incremental_documents": _q_dedup_minhash_incremental,
+        "events_reachable_3hop": _q_events_reachable_3hop,
+        "cdc_gap_audit": _q_cdc_gap_audit,
         # --- driver-green in r01/r02/r03/r04 ---
         "events_cube_type_day": _q_events_cube_type_day,
         "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
@@ -6195,6 +6220,48 @@ def oracle_sql() -> dict[str, str]:
         # cosine ~0.60), so the surviving set is the original table.
         "dedup_embedding_cosine": """
             SELECT vec_id, label FROM embeddings
+        """,
+        # Binlog gap audit: seq = event_id, epoch = the deterministic
+        # tertile; missing = span length minus count.
+        "cdc_gap_audit": """
+            WITH b AS (
+                SELECT event_id AS seq, (event_id * 3) //
+                    (SELECT max(event_id) + 1 FROM events) AS epoch
+                FROM events
+            )
+            SELECT CAST(epoch AS BIGINT) AS epoch,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(seq) AS BIGINT) AS seq_min,
+                   CAST(max(seq) AS BIGINT) AS seq_max,
+                   CAST(max(seq) - min(seq) + 1 - count(*) AS BIGINT)
+                       AS n_missing
+            FROM b GROUP BY epoch
+        """,
+        # Bounded-depth reachability: unrolled BFS join chain; min(hop)
+        # per node over the union of all levels.
+        "events_reachable_3hop": """
+            WITH e AS (
+                SELECT event_id % 3000 AS src,
+                       (event_id // 7 + user_id * 13) % 3000 AS dst
+                FROM events WHERE user_id IS NOT NULL
+            ), n0 AS (
+                SELECT unnest([0, 1, 2]) AS node, 0 AS hop
+            ), n1 AS (
+                SELECT DISTINCT e.dst AS node, 1 AS hop
+                FROM e JOIN n0 ON e.src = n0.node
+            ), n2 AS (
+                SELECT DISTINCT e.dst AS node, 2 AS hop
+                FROM e JOIN n1 ON e.src = n1.node
+            ), n3 AS (
+                SELECT DISTINCT e.dst AS node, 3 AS hop
+                FROM e JOIN n2 ON e.src = n2.node
+            ), a AS (
+                SELECT * FROM n0 UNION ALL SELECT * FROM n1
+                UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(min(hop) AS BIGINT) AS hop
+            FROM a GROUP BY node
         """,
         # Incremental MinHash dedup: id-ordered increments against
         # persistent signature state reduce to the SAME min-id-per-class

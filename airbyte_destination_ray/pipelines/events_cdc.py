@@ -423,6 +423,69 @@ def column_audit_events_table(
     )
 
 
+def binlog_gap_audit(sf_dir: str, *, workdir: str | Path | None = None):
+    """Binlog integrity audit (source-completeness observability): per
+    epoch, event count, seq min/max, and the implied missing-sequence
+    count ``(max - min + 1) - count`` — the check a CDC operator runs
+    before trusting a replication slot.  Zero-exchange per-batch
+    (epoch → count/min/max) partials; only O(epochs) rows reach the
+    driver."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from ..sources.synth import list_epochs, list_segments
+
+    tag = f"{Path(sf_dir).name}-{os.getpid()}-gapaudit"
+    base = Path(workdir) if workdir else Path("/tmp/adr_query") / tag
+    binlog = base / "binlog"
+    if not (binlog / "_binlog.json").exists():
+        shutil.rmtree(base, ignore_errors=True)
+        build_binlog_from_events(f"{sf_dir}/events.parquet", binlog)
+    segs = [
+        s for e in list_epochs(str(binlog))
+        for s in list_segments(str(binlog), e)
+    ]
+    ds = ray.data.read_parquet(segs, override_num_blocks=len(segs))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["epoch", "seq"])
+            .group_by("epoch", use_threads=False)
+            .aggregate([("seq", "count"), ("seq", "min"), ("seq", "max")])
+        )
+        return g.rename_columns(["epoch", "cnt", "mn", "mx"])
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    agg: dict[int, list] = {}
+    for r in parts:
+        e = int(r["epoch"])
+        cur = agg.get(e)
+        if cur is None:
+            agg[e] = [r["cnt"], r["mn"], r["mx"]]
+        else:
+            cur[0] += r["cnt"]
+            cur[1] = min(cur[1], r["mn"])
+            cur[2] = max(cur[2], r["mx"])
+    rows = [
+        {
+            "epoch": e,
+            "n_events": c,
+            "seq_min": mn,
+            "seq_max": mx,
+            "n_missing": (mx - mn + 1) - c,
+        }
+        for e, (c, mn, mx) in sorted(agg.items())
+    ]
+    t = pa.Table.from_pylist(rows)
+    return t.cast(pa.schema([(n, pa.int64()) for n in t.column_names]))
+
+
 def quantile_view_events_table(
     sf_dir: str, *, workdir: str | Path | None = None
 ):

@@ -1330,3 +1330,64 @@ def reciprocal_edges(
         .groupby("_part")
         .map_groups(mutual, batch_format="pyarrow")
     )
+
+
+def k_hop_reachable(edges, seeds, *, hops: int = 3):
+    """Min-hop BFS closure from a seed set over a DIRECTED edge Dataset
+    (``src``/``dst`` int64 columns): returns ``(node, hop)`` for every
+    node whose shortest distance from any seed is ≤ ``hops`` (seeds at
+    hop 0) — the bounded-depth reachability / blast-radius query.
+
+    Per hop: the frontier broadcasts via ``ray.put`` (sorted array +
+    searchsorted membership — ``np.isin`` re-sorts its test set every
+    batch) and ONE zero-exchange edge scan emits per-block matched
+    destinations (≤ |V| rows per block after the per-block unique).  The
+    node set lives on the driver, so this is for |V|-bounded closures
+    (entity graphs, service maps); for unbounded transitive closure use
+    :func:`connected_components`' exchange-based propagation.  ``edges``
+    is re-scanned once per hop — materialize a derived input first.
+    """
+    import numpy as np
+
+    import ray
+
+    visited: dict[int, int] = {int(s): 0 for s in seeds}
+    frontier = np.array(sorted(visited), dtype=np.int64)
+    for h in range(1, hops + 1):
+        if len(frontier) == 0:
+            break
+        ref = ray.put(frontier)
+
+        def hit(b: pa.Table, _ref=ref) -> pa.Table:
+            import ray as _r
+
+            fr = _r.get(_ref)
+            s = b.column("src").to_numpy(zero_copy_only=False)
+            d = b.column("dst").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(fr, s)
+            idx_c = np.minimum(idx, len(fr) - 1)
+            m = fr[idx_c] == s
+            return pa.table(
+                {"n": pa.array(np.unique(d[m]), type=pa.int64())}
+            )
+
+        parts = edges.map_batches(
+            hit, batch_format="pyarrow", batch_size=None
+        ).take_all()
+        new = sorted(
+            {int(r["n"]) for r in parts} - set(visited)
+        )
+        if not new:
+            break
+        for n in new:
+            visited[n] = h
+        frontier = np.array(new, dtype=np.int64)
+    nodes = sorted(visited)
+    return pa.table(
+        {
+            "node": pa.array(nodes, type=pa.int64()),
+            "hop": pa.array(
+                [visited[n] for n in nodes], type=pa.int64()
+            ),
+        }
+    )
