@@ -740,6 +740,14 @@ def run_incremental_quantile_view(
         t = t.take(idx)
         karr = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
         vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        if len(karr) == 0:
+            # all-null (or empty) block: np.nonzero over the [True]
+            # seed would fabricate a segment and index karr[0]
+            return pa.table({
+                "k": pa.array([], type=t.schema.field(key).type),
+                "_digest": pa.array([], type=pa.binary()),
+                "_part": pa.array([], type=pa.int64()),
+            })
         starts = np.nonzero(
             np.concatenate(([True], karr[1:] != karr[:-1]))
         )[0]
@@ -853,7 +861,6 @@ def read_quantile_view(
     *,
     quantiles: tuple = (0.5, 0.9),
     key_name: str = "k",
-    delta: int = 4096,
 ):
     """Per-group quantile estimates from the maintained digest state
     (O(groups) rows read; no event data touched)."""

@@ -1185,7 +1185,10 @@ def dedup_minhash_incremental(
         inc_id = inc.column("id").to_numpy(zero_copy_only=False)
         inc_sig = _sigs(inc.column("sig"))
         dup_mask = np.zeros(len(inc_id), dtype=bool)
+        # buckets decided by a state rep are EXCLUDED from local resolve
+        state_rep_bucket = np.zeros(len(inc_id), dtype=bool)
         seen_pairs = None
+        st = None
         if os.path.exists(path):
             st = pq.read_table(path)
             st_band = st.column("band").to_numpy(zero_copy_only=False)
@@ -1195,6 +1198,16 @@ def dedup_minhash_incremental(
             )
             st_id = st.column("id").to_numpy(zero_copy_only=False)
             st_sig = _sigs(st.column("sig"))
+            # state rows whose id belongs to the CURRENT increment are
+            # invisible to the probe: a replayed increment must resolve
+            # against earlier increments + its own local rule only, or
+            # replaying an increment with internal duplicates would drop
+            # the WHOLE duplicate class (each doc matching its committed
+            # partner) instead of keeping the winner
+            inc_set = np.unique(inc_id)
+            pos_i = np.searchsorted(inc_set, st_id)
+            pos_i = np.minimum(pos_i, len(inc_set) - 1)
+            st_valid = inc_set[pos_i] != st_id
             # state is (band, key, id)-sorted on disk; lexicographic
             # probe over (band, key) via a structured view
             st_struct = np.empty(
@@ -1215,13 +1228,27 @@ def dedup_minhash_incremental(
                 flat = np.concatenate(
                     [np.arange(a, b) for a, b in zip(lo, hi) if b > a]
                 )
-                ok = st_id[flat] != inc_id[rows]
-                if verify_threshold:
-                    est = (
-                        inc_sig[rows] == st_sig[flat]
-                    ).mean(axis=1)
-                    ok &= est >= verify_threshold
-                np.logical_or.at(dup_mask, rows[ok], True)
+                valid = st_valid[flat]
+                vrows, vflat = rows[valid], flat[valid]
+                if len(vrows):
+                    # one-shot bucket-rep parity: verify ONLY against
+                    # the bucket's min-id state row (ranges are id-
+                    # sorted, so the first valid entry per inc row IS
+                    # the rep); the bucket is then decided — dup if the
+                    # verify passes, kept otherwise — exactly like
+                    # _resolve_buckets_vectorized's rep rule
+                    first = np.ones(len(vrows), dtype=bool)
+                    first[1:] = vrows[1:] != vrows[:-1]
+                    rep_rows = vrows[first]
+                    rep_flat = vflat[first]
+                    ok = np.ones(len(rep_rows), dtype=bool)
+                    if verify_threshold:
+                        est = (
+                            inc_sig[rep_rows] == st_sig[rep_flat]
+                        ).mean(axis=1)
+                        ok = est >= verify_threshold
+                    dup_mask[rep_rows[ok]] = True
+                    state_rep_bucket[rep_rows] = True
             # replay detection: (band, key, id) triple already in state
             st3 = np.empty(
                 len(st_band),
@@ -1242,9 +1269,10 @@ def dedup_minhash_incremental(
                 seen_pairs = st3[pos_c] == q3
             else:
                 seen_pairs = np.zeros(len(q3), dtype=bool)
-        # within-increment: one-shot bucket-rep resolution
+        # within-increment one-shot resolution for buckets WITHOUT a
+        # state rep (state-rep buckets are already fully decided)
         local = _resolve_buckets_vectorized(
-            inc,
+            inc.filter(pa.array(~state_rep_bucket)),
             (
                 (lambda t, c, r: (
                     _sigs(t.column("sig"))[c]
@@ -1262,8 +1290,8 @@ def dedup_minhash_incremental(
         )
         if new_rows.num_rows:
             pieces = [new_rows.select(["band", "key", "id", "sig"])]
-            if os.path.exists(path):
-                pieces.append(pq.read_table(path))
+            if st is not None:
+                pieces.append(st)
             combined = pa.concat_tables(pieces)
             order = pc.sort_indices(
                 combined,

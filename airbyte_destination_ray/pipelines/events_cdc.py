@@ -512,7 +512,7 @@ def quantile_view_events_table(
     )
     return read_quantile_view(
         str(base / "lake"), "events_qview",
-        quantiles=(0.5, 0.9), key_name="event_type", delta=4096,
+        quantiles=(0.5, 0.9), key_name="event_type",
     )
 
 

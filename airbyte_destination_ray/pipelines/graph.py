@@ -1344,13 +1344,17 @@ def k_hop_reachable(edges, seeds, *, hops: int = 3):
     destinations (≤ |V| rows per block after the per-block unique).  The
     node set lives on the driver, so this is for |V|-bounded closures
     (entity graphs, service maps); for unbounded transitive closure use
-    :func:`connected_components`' exchange-based propagation.  ``edges``
-    is re-scanned once per hop — materialize a derived input first.
+    :func:`connected_components`' exchange-based propagation.  A derived
+    ``edges`` input is materialized ONCE internally when scanning more
+    than one hop (the sibling iterative ops' convention — re-executing
+    an upstream pipeline per hop is the CLAUDE.md measured perf trap).
     """
     import numpy as np
 
     import ray
 
+    if hops > 1:
+        edges = edges.materialize()
     visited: dict[int, int] = {int(s): 0 for s in seeds}
     frontier = np.array(sorted(visited), dtype=np.int64)
     for h in range(1, hops + 1):

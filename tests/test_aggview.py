@@ -342,7 +342,7 @@ def test_quantile_view_epoch_invariant_and_resumes(tmp_path, ray_session):
         return sorted(
             (r["k"], r["p50"], r["p90"])
             for r in read_quantile_view(
-                lake, "qv", quantiles=(0.5, 0.9), delta=4096
+                lake, "qv", quantiles=(0.5, 0.9)
             ).take_all()
         )
 

@@ -196,3 +196,45 @@ def test_minhash_incremental_matches_one_shot(ray_session, tmp_path):
             _docs(incs[-1]), state, num_partitions=8, num_perm=32,
             bands=16, shingle_k=3, verify_threshold=0.5,
         )
+
+
+def test_minhash_incremental_replay_with_internal_dups(
+    ray_session, tmp_path
+):
+    """The review-confirmed repro: an increment containing IDENTICAL docs
+    must keep the min id on BOTH the first run and a full replay — the
+    state probe must not let replayed docs match their own increment's
+    committed partners (that dropped the whole duplicate class)."""
+    from airbyte_destination_ray.pipelines.dedup import (
+        dedup_minhash_incremental,
+    )
+
+    text = " ".join(f"t{i}" for i in range(20))
+    inc = [(1, text), (2, text)]
+    state = str(tmp_path / "state")
+    params = dict(num_perm=32, bands=8, shingle_k=3,
+                  verify_threshold=1.0, num_partitions=4)
+
+    first = sorted(
+        r["doc_id"]
+        for r in dedup_minhash_incremental(
+            _docs(inc), state, **params
+        ).take_all()
+    )
+    assert first == [1]
+    replay = sorted(
+        r["doc_id"]
+        for r in dedup_minhash_incremental(
+            _docs(inc), state, **params
+        ).take_all()
+    )
+    assert replay == [1]
+
+    # a LATER increment near-identical to the kept doc still drops
+    later = sorted(
+        r["doc_id"]
+        for r in dedup_minhash_incremental(
+            _docs([(7, text)]), state, **params
+        ).take_all()
+    )
+    assert later == []
