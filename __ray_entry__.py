@@ -2722,6 +2722,18 @@ def _q_cdc_quantile_view(sf_dir: str):
     return quantile_view_events_table(sf_dir)
 
 
+def _q_cdc_quantile_view_merge(sf_dir: str):
+    """Federated sketch merge: two independently-maintained quantile
+    views (epochs 0-1 in lake A, epoch 2 in lake B) merged digest-wise
+    answer for the whole stream — mergeability is what makes sketch
+    state shippable across clusters without event data."""
+    from airbyte_destination_ray.pipelines.events_cdc import (
+        merged_quantile_views_events,
+    )
+
+    return merged_quantile_views_events(sf_dir)
+
+
 def _q_cdc_column_audit(sf_dir: str):
     """Column-level CDC audit: per epoch the change feed's I/U/D counts
     plus per-column changed-cell counts over 'U' rows (null-safe IS
@@ -5310,6 +5322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_incremental_documents": _q_dedup_minhash_incremental,
         "events_reachable_3hop": _q_events_reachable_3hop,
         "cdc_gap_audit": _q_cdc_gap_audit,
+        "cdc_quantile_view_merge": _q_cdc_quantile_view_merge,
         # --- driver-green in r01/r02/r03/r04 ---
         "events_cube_type_day": _q_events_cube_type_day,
         "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
@@ -5665,6 +5678,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(sum(n_chars), 0) AS BIGINT) AS sum_chars
             FROM documents
             GROUP BY source, split
+        """,
+        # Federated merge of two maintained views == the same one-shot
+        # quantile_cont (mergeable-digest contract).
+        "cdc_quantile_view_merge": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90
+            FROM events GROUP BY event_type
         """,
         # Maintained quantile view: exact-until-compression digest state
         # folded across epochs == one-shot quantile_cont at driver SF.

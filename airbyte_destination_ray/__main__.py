@@ -173,6 +173,17 @@ def main(argv: list[str] | None = None) -> int:
         "--as-of-epoch", type=int, default=None,
         help="time travel: read the state as of this committed source epoch",
     )
+    p_emit = sub.add_parser(
+        "emit",
+        help="destination-as-source: emit committed stream state back "
+        "as Airbyte RECORD NDJSON on stdout",
+    )
+    p_emit.add_argument("--config", required=True)
+    p_emit.add_argument("--catalog", required=True)
+    p_emit.add_argument(
+        "--stream", default=None,
+        help="emit only this stream (default: every catalog stream)",
+    )
     args = ap.parse_args(argv)
 
     from .catalog import check as check_config
@@ -312,6 +323,35 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 0
+
+    if args.command == "emit":
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(
+                address="local", include_dashboard=False,
+                logging_level="ERROR",
+            )
+        try:
+            from .pipelines.airbyte_write import emit_records
+
+            cfg = load_config(args.config)
+            catalog = load_catalog(args.catalog)
+            n = 0
+            for stream in catalog.streams:
+                if args.stream and stream.name != args.stream:
+                    continue
+                n += emit_records(cfg.lake_root, stream, sys.stdout)
+            print(
+                json.dumps({"type": "LOG", "log": {
+                    "level": "INFO",
+                    "message": f"emitted {n} records"}},
+                    separators=(",", ":")),
+                file=sys.stderr,
+            )
+            return 0
+        finally:
+            ray.shutdown()
 
     import ray
 

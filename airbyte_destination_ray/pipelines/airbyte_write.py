@@ -613,3 +613,80 @@ def run_write(
     writer.flush_all()
     writer.maybe_full_reset()
     return writer.result
+
+
+def emit_records(
+    lake_root: str,
+    stream: ConfiguredStream,
+    out: TextIO,
+    *,
+    batch_size: int = 4096,
+) -> int:
+    """Destination-as-source (the S5 emitter pointed the OTHER way): the
+    stream's committed lake state back out as Airbyte RECORD NDJSON —
+    data columns reversed through the M7 type mapping (timestamps/dates
+    → ISO strings, json-typed columns re-parsed from their canonical
+    serialization), ``emitted_at`` recovered from
+    ``_airbyte_extracted_at`` millis.  Re-ingesting the emitted stream
+    into a fresh lake reproduces the same visible DATA state
+    (test-pinned; ``_airbyte_raw_id`` regenerates — it encodes the
+    record's position in its sync, by the reference's formula).
+    Returns the number of records emitted.  Streaming: one lake block
+    at a time; per-record serialization is inherent to an NDJSON sink
+    (the reference's writer is the same loop)."""
+    from .cdc import read_table
+
+    props = stream.json_schema.get("properties", {})
+    json_cols = {
+        name
+        for name, prop in props.items()
+        if is_json_property(property_spec_from_json(prop))
+    }
+    n = 0
+    ds = read_table(lake_root, stream.table_name)
+    for batch in ds.iter_batches(
+        batch_format="pyarrow", batch_size=batch_size
+    ):
+        data_cols = [
+            c for c in batch.column_names
+            if c not in (RAW_ID_COLUMN, EXTRACTED_AT_COLUMN)
+        ]
+        pycols = {}
+        for c in data_cols:
+            col = batch.column(c)
+            typ = col.type
+            if pa.types.is_timestamp(typ) or pa.types.is_date(typ):
+                vals = [
+                    None if v is None else v.isoformat()
+                    for v in col.to_pylist()
+                ]
+            elif c in json_cols:
+                vals = [
+                    None if v is None else json.loads(v)
+                    for v in col.to_pylist()
+                ]
+            else:
+                vals = col.to_pylist()
+            pycols[c] = vals
+        emitted_ms = [
+            None if v is None else int(v.timestamp() * 1000)
+            for v in batch.column(EXTRACTED_AT_COLUMN).to_pylist()
+        ]
+        for i in range(batch.num_rows):
+            emit(
+                out,
+                {
+                    "type": "RECORD",
+                    "record": {
+                        "stream": stream.name,
+                        "namespace": stream.namespace,
+                        "emitted_at": emitted_ms[i],
+                        "data": {
+                            c: pycols[c][i] for c in data_cols
+                            if pycols[c][i] is not None
+                        },
+                    },
+                },
+            )
+            n += 1
+    return n

@@ -516,6 +516,68 @@ def quantile_view_events_table(
     )
 
 
+def merged_quantile_views_events(
+    sf_dir: str, *, workdir: str | Path | None = None
+):
+    """FEDERATED sketch merge: two independently-maintained quantile
+    views — lake A folds binlog epochs 0-1, lake B folds epoch 2 — and
+    the merged digests answer for the WHOLE stream (the mergeability
+    contract that makes sketch state shippable across clusters /
+    regions without touching event data).  Exact-until-compression, so
+    merged == one-shot quantile_cont at driver SF (same oracle as
+    cdc_quantile_view, entirely different machinery)."""
+    import os
+
+    import pyarrow as pa
+
+    from ..functions.sketches import (
+        qdigest_merge,
+        qdigest_quantile,
+        qdigest_unpack,
+    )
+    from .aggview import run_incremental_quantile_view
+    from .cdc import read_table_arrow
+
+    tag = f"{Path(sf_dir).name}-{os.getpid()}-qmerge"
+    base = Path(workdir) if workdir else Path("/tmp/adr_query") / tag
+    binlog = base / "binlog"
+    if not (binlog / "_binlog.json").exists():
+        shutil.rmtree(base, ignore_errors=True)
+        build_binlog_from_events(f"{sf_dir}/events.parquet", binlog)
+    run_incremental_quantile_view(
+        str(base / "lakeA"), str(binlog), table="qv",
+        key="event_type", value_col="value", delta=4096,
+        num_partitions=4, epochs=[0, 1],
+    )
+    run_incremental_quantile_view(
+        str(base / "lakeB"), str(binlog), table="qv",
+        key="event_type", value_col="value", delta=4096,
+        num_partitions=4, epochs=[2], resume=False,
+    )
+    merged: dict = {}
+    for lake in (base / "lakeA", base / "lakeB"):
+        t = read_table_arrow(str(lake), "qv")
+        for k, buf in zip(
+            t.column("k").to_pylist(), t.column("_digest").to_pylist()
+        ):
+            d = qdigest_unpack(buf)
+            merged[k] = (
+                qdigest_merge(merged[k], d, 4096) if k in merged else d
+            )
+    ks = sorted(merged)
+    return pa.table(
+        {
+            "event_type": pa.array(ks, type=pa.string()),
+            "p50": pa.array(
+                [float(qdigest_quantile(merged[k], 0.5)) for k in ks]
+            ),
+            "p90": pa.array(
+                [float(qdigest_quantile(merged[k], 0.9)) for k in ks]
+            ),
+        }
+    )
+
+
 def state_agg_events_table(
     sf_dir: str, *, workdir: str | Path | None = None
 ):
