@@ -2667,6 +2667,17 @@ def _q_doc_lm_score(sf_dir: str):
     )
 
 
+def _q_tokenize_ids(sf_dir: str):
+    """Tokenizer-apply stage: corpus top-20 vocab (cutoff bites the
+    31-token vocabulary), token -> frequency-rank id (OOV -> 0); per-doc
+    position-weighted integer checksum witnesses every id assignment."""
+    from airbyte_destination_ray.pipelines.corpus import tokenize_ids
+
+    return tokenize_ids(
+        _documents(sf_dir, columns=["doc_id", "text"]), vocab_k=20
+    )
+
+
 def _q_excise_duplicate_spans(sf_dir: str):
     """Cross-doc EXACT substring dedup (Lee et al. 2022 ExactSubstr):
     every duplicated 20-token window excised from all but its first
@@ -5323,6 +5334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_reachable_3hop": _q_events_reachable_3hop,
         "cdc_gap_audit": _q_cdc_gap_audit,
         "cdc_quantile_view_merge": _q_cdc_quantile_view_merge,
+        "tokenize_ids_documents": _q_tokenize_ids,
         # --- driver-green in r01/r02/r03/r04 ---
         "events_cube_type_day": _q_events_cube_type_day,
         "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
@@ -5610,6 +5622,42 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
                 AND event_type <> 'error'
                 AND user_id NOT IN (1, 2, 3, 5, 8, 13, 21)
+        """,
+        # Tokenizer apply: id = frequency rank (count DESC, term ASC),
+        # OOV -> 0; checksum = sum of 1-based position * id.
+        "tokenize_ids_documents": """
+            WITH l AS (
+                SELECT doc_id, list_filter(string_split_regex(
+                    lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+                FROM documents WHERE text IS NOT NULL
+            ), tokocc AS (
+                SELECT unnest(toks) AS tok FROM l
+            ), c1 AS (
+                SELECT tok, count(*) AS c FROM tokocc GROUP BY tok
+            ), vocab AS (
+                SELECT tok, CAST(row_number() OVER (
+                    ORDER BY c DESC, tok) AS BIGINT) AS tid
+                FROM c1
+                QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 20
+            ), tok AS (
+                SELECT doc_id,
+                    unnest(generate_series(1, len(toks))) AS pos, toks
+                FROM l
+            ), j AS (
+                SELECT t.doc_id, t.pos, COALESCE(v.tid, 0) AS tid,
+                       CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END AS oov
+                FROM tok t LEFT JOIN vocab v ON v.tok = t.toks[t.pos]
+            ), agg AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(oov) AS BIGINT) AS n_oov,
+                       CAST(sum(pos * tid) AS BIGINT) AS ids_checksum
+                FROM j GROUP BY doc_id
+            )
+            SELECT l.doc_id,
+                   COALESCE(agg.n_tokens, 0) AS n_tokens,
+                   COALESCE(agg.n_oov, 0) AS n_oov,
+                   COALESCE(agg.ids_checksum, 0) AS ids_checksum
+            FROM l LEFT JOIN agg ON agg.doc_id = l.doc_id
         """,
         # Cross-doc exact substring dedup, keep-first: duplicated
         # 20-token windows excised from every non-canonical occurrence;

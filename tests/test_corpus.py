@@ -1235,3 +1235,53 @@ def test_excise_duplicate_spans_keep_first_and_overlaps(ray_session):
     assert out[4] == ("a b", 2, 0)
     assert 5 not in out                             # null text dropped
     assert out[6] == ("", 0, 0)
+
+
+def test_tokenize_ids_brute_force(ray_session):
+    """Tokenizer apply: rank ids, OOV bucketing, position-weighted
+    checksum vs Python brute force; null/empty docs pass through."""
+    import re
+    from collections import Counter
+
+    import ray
+
+    from airbyte_destination_ray.pipelines.corpus import tokenize_ids
+
+    rows = [
+        {"doc_id": 1, "text": "Bb aa bb CC dd"},
+        {"doc_id": 2, "text": "aa aa zz!aa"},
+        {"doc_id": 3, "text": None},
+        {"doc_id": 4, "text": " .. "},
+    ]
+    V = 2
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    c = Counter(w for r in rows if r["text"] for w in toks(r["text"]))
+    vocab = {
+        w: i + 1
+        for i, (w, _) in enumerate(
+            sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+        )
+    }
+    expected = {}
+    for r in rows:
+        if r["text"] is None:
+            continue
+        ws = toks(r["text"])
+        ids = [vocab.get(w, 0) for w in ws]
+        expected[r["doc_id"]] = (
+            len(ws),
+            sum(1 for w in ws if w not in vocab),
+            sum((p + 1) * i for p, i in enumerate(ids)),
+        )
+
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["ids_checksum"])
+        for r in tokenize_ids(
+            ray.data.from_arrow(pa.Table.from_pylist(rows)),
+            vocab_k=V, num_partitions=4,
+        ).take_all()
+    }
+    assert out == expected
