@@ -337,9 +337,34 @@ def main(argv: list[str] | None = None) -> int:
 
             cfg = load_config(args.config)
             catalog = load_catalog(args.catalog)
+            if args.stream and args.stream not in {
+                s.name for s in catalog.streams
+            }:
+                print(
+                    f"error: stream {args.stream!r} not in catalog",
+                    file=sys.stderr,
+                )
+                return 1
+            from pathlib import Path as _P
+
             n = 0
             for stream in catalog.streams:
                 if args.stream and stream.name != args.stream:
+                    continue
+                if not (
+                    _P(cfg.lake_root) / stream.table_name / "_meta.json"
+                ).exists():
+                    # a catalog stream never synced into this lake is a
+                    # skip, not a mid-stream traceback after partial
+                    # NDJSON output
+                    print(
+                        json.dumps({"type": "LOG", "log": {
+                            "level": "WARN",
+                            "message": f"stream {stream.name!r} has no "
+                            "committed table in this lake; skipped"}},
+                            separators=(",", ":")),
+                        file=sys.stderr,
+                    )
                     continue
                 n += emit_records(cfg.lake_root, stream, sys.stdout)
             print(

@@ -668,25 +668,36 @@ def emit_records(
             else:
                 vals = col.to_pylist()
             pycols[c] = vals
+        # exact integer µs -> ms: float .timestamp() truncation loses
+        # 1 ms on ~0.6% of values (review-measured)
         emitted_ms = [
-            None if v is None else int(v.timestamp() * 1000)
-            for v in batch.column(EXTRACTED_AT_COLUMN).to_pylist()
+            None if v is None else v // 1000
+            for v in batch.column(EXTRACTED_AT_COLUMN)
+            .cast(pa.int64())
+            .to_pylist()
         ]
+        lines = []
         for i in range(batch.num_rows):
-            emit(
-                out,
-                {
-                    "type": "RECORD",
-                    "record": {
-                        "stream": stream.name,
-                        "namespace": stream.namespace,
-                        "emitted_at": emitted_ms[i],
-                        "data": {
-                            c: pycols[c][i] for c in data_cols
-                            if pycols[c][i] is not None
+            lines.append(
+                json.dumps(
+                    {
+                        "type": "RECORD",
+                        "record": {
+                            "stream": stream.name,
+                            "namespace": stream.namespace,
+                            "emitted_at": emitted_ms[i],
+                            "data": {
+                                c: pycols[c][i] for c in data_cols
+                                if pycols[c][i] is not None
+                            },
                         },
                     },
-                },
+                    separators=(",", ":"),
+                )
             )
             n += 1
+        # one write + flush per BLOCK: emit()'s per-message flush is for
+        # low-rate protocol messages, not a bulk export
+        out.write("\n".join(lines) + "\n")
+        out.flush()
     return n

@@ -2668,13 +2668,20 @@ def tokenize_ids(
             np.arange(len(parents), dtype=np.int64)
             - seg_starts[parents] + 1
         )
+        # parents is sorted -> segment-reduce, not unbuffered scatter-add
+        # (np.add.reduceat is the repo's measured fast path); out-of-range
+        # starts (trailing empty docs) are EXCLUDED, never clamped
         checksum = np.zeros(n, dtype=np.int64)
-        np.add.at(checksum, parents, pos * ids)
+        valid_seg = seg_starts < len(parents)
+        if valid_seg.any():
+            checksum[valid_seg] = np.add.reduceat(
+                pos * ids, seg_starts[valid_seg]
+            )
+        tok_counts = np.bincount(parents, minlength=n).astype(np.int64)
+        checksum[tok_counts == 0] = 0
         return pa.table({
             id_col: batch.column(id_col),
-            "n_tokens": pa.array(
-                np.bincount(parents, minlength=n).astype(np.int64)
-            ),
+            "n_tokens": pa.array(tok_counts),
             "n_oov": pa.array(
                 np.bincount(
                     parents[oov], minlength=n
