@@ -4780,6 +4780,61 @@ def _q_small_qty_revenue_q17(sf_dir: str):
     return q17_small_qty_revenue(sf_dir)
 
 
+def _q_substring_search(sf_dir: str):
+    """pg_trgm-style substring search: documents sync into a lake, a
+    byte-trigram index builds from the change feed, and
+    LIKE '%fast merge%' resolves by posting-list intersection (bucket-
+    pruned probes, AND fold, exact verify on the candidates' lake rows)
+    — never a corpus scan.  Oracle = the plain LIKE scan."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from airbyte_destination_ray.pipelines.cdc import run_cdc_sync
+    from airbyte_destination_ray.pipelines.index import (
+        substring_search,
+        sync_trigram_index,
+    )
+
+    tag = f"trgm-{Path(sf_dir).name}-{os.getpid()}"
+    base = Path("/tmp/adr_query") / tag
+    binlog, lake, idx = base / "binlog", base / "lake", base / "index"
+    if not (binlog / "_binlog.json").exists():
+        shutil.rmtree(base, ignore_errors=True)
+        binlog.mkdir(parents=True)
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        env = pa.table({
+            "seq": t.column("doc_id").cast(pa.int64()),
+            "epoch": pa.array(
+                np.zeros(t.num_rows, dtype=np.int32)
+            ),
+            "op": pa.array(["U"] * t.num_rows),
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "ver": t.column("doc_id").cast(pa.int64()),
+            "text": t.column("text"),
+        })
+        pq.write_table(env, binlog / "segment-e00000-0000.parquet")
+        (binlog / "_binlog.json").write_text(_json.dumps(
+            {"n_epochs": 1, "segments": ["segment-e00000-0000.parquet"]}
+        ))
+    run_cdc_sync(
+        str(lake), str(binlog), table="docs", pk="doc_id", ver="ver",
+        payload_columns=["doc_id", "ver", "text"], num_partitions=16,
+        compute_digest=False,
+    )
+    sync_trigram_index(
+        str(lake), "docs", idx, upto_epoch=0, num_buckets=64
+    )
+    return substring_search(str(lake), "docs", idx, "fast merge")
+
+
 def _q_indexed_term_lookup(sf_dir: str):
     """Incrementally-maintained inverted index as a query: documents sync
     through 3 CDC epochs (base inserts, '... updated' rewrites for
@@ -5335,6 +5390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_gap_audit": _q_cdc_gap_audit,
         "cdc_quantile_view_merge": _q_cdc_quantile_view_merge,
         "tokenize_ids_documents": _q_tokenize_ids,
+        "substring_search_documents": _q_substring_search,
         # --- driver-green in r01/r02/r03/r04 ---
         "events_cube_type_day": _q_events_cube_type_day,
         "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
@@ -5622,6 +5678,12 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
                 AND event_type <> 'error'
                 AND user_id NOT IN (1, 2, 3, 5, 8, 13, 21)
+        """,
+        # Trigram-index substring search == the plain LIKE scan (trigram
+        # prefiltering is complete; verify is exact).
+        "substring_search_documents": """
+            SELECT doc_id FROM documents
+            WHERE lower(text) LIKE '%fast merge%'
         """,
         # Tokenizer apply: id = frequency rank (count DESC, term ASC),
         # OOV -> 0; checksum = sum of 1-based position * id.

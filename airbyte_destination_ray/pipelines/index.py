@@ -443,3 +443,156 @@ def lookup_value_rows(
             )
         return ray.data.from_arrow(pa.table({}))
     return lookup_rows(lake_root, table, pks, columns=columns)
+
+
+def _trigram_terms(texts: pa.Array, pattern: str):
+    """pg_trgm-style tokenizer: DISTINCT byte trigrams of the lowercased
+    text per row (``pattern`` unused — substring identity needs the raw
+    byte stream, spaces included).  Pure numpy over the Arrow string
+    buffer: trigram positions gather into a (n, 3) byte matrix viewed as
+    fixed-width strings — no Python per-row loop."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    low = pc.utf8_lower(texts)
+    if isinstance(low, pa.ChunkedArray):
+        low = low.combine_chunks()
+    off_dtype = (
+        np.int64 if pa.types.is_large_string(low.type) else np.int32
+    )
+    offsets = np.frombuffer(low.buffers()[1], dtype=off_dtype)[
+        low.offset : low.offset + len(low) + 1
+    ]
+    data = np.frombuffer(low.buffers()[2], dtype=np.uint8)
+    starts, ends = offsets[:-1].astype(np.int64), offsets[1:].astype(np.int64)
+    tri_counts = np.maximum(ends - starts - 2, 0)
+    total = int(tri_counts.sum())
+    if total == 0:
+        return (
+            pa.array([], type=pa.string()),
+            pa.array([], type=pa.int64()),
+        )
+    rows = np.repeat(np.arange(len(low), dtype=np.int64), tri_counts)
+    seg_off = np.concatenate(([0], np.cumsum(tri_counts)[:-1]))
+    pos = (
+        np.repeat(starts, tri_counts)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(seg_off, tri_counts)
+    )
+    mat = data[pos[:, None] + np.arange(3)]
+    tri = np.frombuffer(mat.tobytes(), dtype="S3")
+    terms = pa.array(
+        np.char.decode(tri, "latin-1"), type=pa.string()
+    )
+    # distinct (row, trigram)
+    t = (
+        pa.table({"_p": pa.array(rows), "term": terms})
+        .group_by(["_p", "term"])
+        .aggregate([])
+    )
+    return t.column("term"), t.column("_p")
+
+
+def sync_trigram_index(
+    lake_root: str,
+    table: str,
+    index_root: str | Path,
+    *,
+    upto_epoch: int,
+    text_col: str = "text",
+    num_buckets: int | None = None,
+) -> dict:
+    """Substring-search index (pg_trgm analog): the incrementally-
+    maintained text-index machinery with byte-trigram terms, so
+    arbitrary ``LIKE '%needle%'`` probes resolve through posting-list
+    intersection instead of a corpus scan."""
+    return sync_text_index(
+        lake_root, table, index_root,
+        upto_epoch=upto_epoch, text_col=text_col,
+        num_buckets=num_buckets, tokenizer=_trigram_terms,
+    )
+
+
+def substring_search(
+    lake_root: str,
+    table: str,
+    index_root: str | Path,
+    needle: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 16,
+):
+    """``WHERE lower(text) LIKE '%needle%'`` through the trigram index:
+    probe the needle's distinct trigrams (bucket-pruned reads), AND the
+    posting sets (a doc qualifies only if it matches EVERY trigram —
+    one small (term, doc) exchange), then verify the survivors exactly
+    against their CURRENT lake text via the hash-layout point lookup
+    (``lookup_rows`` — O(candidate partitions), never a corpus scan).
+    Trigram filtering is complete for substring search (every length-≥3
+    substring's trigrams are present in any containing text), so
+    verify-only-candidates equals the full LIKE scan — the oracle.
+    Returns ``(doc_id)`` rows; needles shorter than 3 bytes raise (no
+    selective trigram exists — scan instead)."""
+    from .cdc import lookup_rows
+
+    low = needle.lower()
+    raw = low.encode("utf-8")
+    if len(raw) < 3:
+        raise ValueError(
+            "substring_search needs a needle of >= 3 bytes; use a scan"
+        )
+    grams = sorted(
+        {
+            raw[i : i + 3].decode("latin-1")
+            for i in range(len(raw) - 2)
+        }
+    )
+    postings = lookup_term_docs(
+        index_root, grams, num_partitions=num_partitions
+    )
+    n_terms = len(grams)
+
+    def count_part(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import partition_ids
+
+        g = batch.group_by("doc_id", use_threads=False).aggregate(
+            [("term", "count")]
+        )
+        g = g.rename_columns(["doc_id", "n"])
+        parts = partition_ids(g.column("doc_id"), num_partitions)
+        return g.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def and_fold(group: pa.Table) -> pa.Table:
+        g = group.group_by("doc_id", use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["doc_id", "n"])
+        return g.filter(pc.equal(g.column("n"), n_terms)).select(
+            ["doc_id"]
+        )
+
+    cand = (
+        postings.map_batches(
+            count_part, batch_format="pyarrow", batch_size=None
+        )
+        .groupby("_part")
+        .map_groups(and_fold, batch_format="pyarrow")
+    )
+    cand_ids = sorted(
+        r["doc_id"] for r in cand.take_all()
+    )  # candidate-sized by the AND filter
+    if not cand_ids:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], type=pa.int64())})
+        )
+    rows = lookup_rows(lake_root, table, cand_ids)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        hit = pc.match_substring(
+            pc.utf8_lower(batch.column(text_col).combine_chunks()), low
+        )
+        return batch.filter(pc.fill_null(hit, False)).select([id_col])
+
+    return rows.map_batches(verify, batch_format="pyarrow", batch_size=None)

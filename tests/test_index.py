@@ -185,3 +185,80 @@ def test_index_string_pk(tmp_path, ray_session):
     pairs = sorted(zip(got["term"], got["doc_id"]))
     assert pairs == [("hello", "a.com"), ("shared", "a.com"),
                      ("shared", "b.com")]
+
+
+def test_trigram_substring_search_tracks_updates(ray_session, tmp_path):
+    """pg_trgm analog: LIKE-parity on the current state, including an
+    update that REMOVES a match and a delete; probes read only probed
+    buckets."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from airbyte_destination_ray.pipelines.cdc import run_cdc_sync
+    from airbyte_destination_ray.pipelines.index import (
+        probed_files,
+        substring_search,
+        sync_trigram_index,
+    )
+
+    rows = [
+        # epoch 0
+        (0, 0, "U", 1, 0, "alpha needle here"),
+        (1, 0, "U", 2, 1, "no match at all"),
+        (2, 0, "U", 3, 2, "the needle twice needle"),
+        (3, 0, "U", 4, 3, None),
+        # epoch 1: doc 1 loses the needle; doc 3 deleted; doc 5 gains it
+        (4, 1, "U", 1, 4, "alpha thread here"),
+        (5, 1, "D", 3, 5, None),
+        (6, 1, "U", 5, 6, "NEEDLE uppercase"),
+    ]
+    blog = tmp_path / "blog"
+    blog.mkdir()
+    t = pa.table({
+        "seq": pa.array([r[0] for r in rows], pa.int64()),
+        "epoch": pa.array([r[1] for r in rows], pa.int32()),
+        "op": pa.array([r[2] for r in rows]),
+        "doc_id": pa.array([r[3] for r in rows], pa.int64()),
+        "ver": pa.array([r[4] for r in rows], pa.int64()),
+        "text": pa.array([r[5] for r in rows]),
+    })
+    segs = []
+    for e in (0, 1):
+        import pyarrow.compute as pc
+
+        name = f"segment-e{e:05d}-0000.parquet"
+        pq.write_table(t.filter(pc.equal(t.column("epoch"), e)),
+                       blog / name)
+        segs.append(name)
+    (blog / "_binlog.json").write_text(
+        json.dumps({"n_epochs": 2, "segments": segs})
+    )
+    lake = str(tmp_path / "lake")
+    idx = tmp_path / "idx"
+    run_cdc_sync(lake, str(blog), table="docs", pk="doc_id", ver="ver",
+                 payload_columns=["doc_id", "ver", "text"],
+                 num_partitions=4)
+    sync_trigram_index(lake, "docs", idx, upto_epoch=1, num_buckets=16)
+
+    got = sorted(
+        r["doc_id"]
+        for r in substring_search(lake, "docs", idx, "Needle").take_all()
+    )
+    # doc 3 deleted, doc 1 updated away; doc 5 matches (case-folded)
+    assert got == [5], got
+
+    # short needles refuse
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        substring_search(lake, "docs", idx, "ab")
+
+    # bucket prune: the probe reads a strict subset of the delta files
+    all_files = sum(
+        1 for b in idx.glob("bucket=*/epoch-*.parquet")
+    )
+    probed = len(probed_files(idx, ["nee", "eed", "edl", "dle"]))
+    assert 0 < probed <= all_files
