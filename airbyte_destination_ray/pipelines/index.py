@@ -596,3 +596,102 @@ def substring_search(
         return batch.filter(pc.fill_null(hit, False)).select([id_col])
 
     return rows.map_batches(verify, batch_format="pyarrow", batch_size=None)
+
+
+def compact_index(index_root: str | Path) -> dict:
+    """Fold every bucket's delta-file stack into ONE resolved snapshot
+    file — the index's maintenance compaction (same role as the lake's
+    ``compact_table``): per bucket, resolve last-writer-wins per
+    ``(term, doc)`` over epochs ≤ the committed ``last_epoch``, keep the
+    alive postings (``present=1``) re-stamped at ``last_epoch``, and
+    swap them in for the stack.  Lookups resolve identically before and
+    after (test-pinned), later sync epochs append deltas on top (their
+    higher epoch outranks the snapshot), and probe reads drop from
+    O(epochs) files to 1 per bucket.
+
+    Single-writer maintenance op (like ``vacuum``): the bucket swap is
+    write-tmp + ``os.replace`` of the snapshot followed by deletion of
+    the superseded delta files, so a crash mid-bucket leaves either the
+    old stack or snapshot+stack — both resolve correctly (the snapshot
+    re-states the survivors; duplicate (term, doc, epoch) rows tie on
+    epoch with equal present values).  One Ray task per bucket.
+    """
+    import ray.data
+
+    root = Path(index_root)
+    meta = index_meta(root)
+    last = int(meta.get("last_epoch", -1))
+    if last < 0:
+        return {"buckets": 0, "files_removed": 0}
+    buckets = sorted(p.name for p in root.glob("bucket=*") if p.is_dir())
+    if not buckets:
+        return {"buckets": 0, "files_removed": 0}
+
+    def compact_one(batch: pa.Table) -> pa.Table:
+        import os as _os
+        import tempfile as _tf
+
+        out_b, out_rm = [], []
+        for bname in batch.column("bucket").to_pylist():
+            bdir = root / bname
+            files = [
+                f for f in sorted(bdir.glob("epoch-*.parquet"))
+                if int(f.stem.split("-")[1]) <= last
+            ]
+            if len(files) <= 1:
+                out_b.append(0)
+                out_rm.append(0)
+                continue
+            t = pa.concat_tables(pq.read_table(f) for f in files)
+            idx = pc.sort_indices(
+                t,
+                sort_keys=[("term", "ascending"), ("doc", "ascending"),
+                           ("epoch", "descending")],
+            )
+            t = t.take(idx)
+            terms_np = t.column("term").to_numpy(zero_copy_only=False)
+            docs_np = t.column("doc").to_numpy(zero_copy_only=False)
+            first = np.ones(t.num_rows, dtype=bool)
+            if t.num_rows > 1:
+                first[1:] = (terms_np[1:] != terms_np[:-1]) | (
+                    docs_np[1:] != docs_np[:-1]
+                )
+            winners = t.filter(pa.array(first))
+            alive = winners.filter(
+                pc.equal(winners.column("present"), 1)
+            )
+            snap = pa.table({
+                "term": alive.column("term"),
+                "doc": alive.column("doc"),
+                "present": alive.column("present"),
+                "epoch": pa.array(
+                    np.full(alive.num_rows, last, dtype=np.int64)
+                ),
+            })
+            fd, tmp = _tf.mkstemp(dir=bdir, suffix=".tmp")
+            _os.close(fd)
+            pq.write_table(snap, tmp, compression="zstd")
+            _os.replace(tmp, bdir / f"epoch-{last:06d}.parquet")
+            removed = 0
+            for f in files:
+                if f.name != f"epoch-{last:06d}.parquet":
+                    f.unlink(missing_ok=True)
+                    removed += 1
+            out_b.append(1)
+            out_rm.append(removed)
+        return pa.table({
+            "compacted": pa.array(out_b, type=pa.int64()),
+            "removed": pa.array(out_rm, type=pa.int64()),
+        })
+
+    res = (
+        ray.data.from_arrow(
+            pa.table({"bucket": pa.array(buckets)})
+        )
+        .map_batches(compact_one, batch_format="pyarrow", batch_size=4)
+        .take_all()
+    )
+    return {
+        "buckets": int(sum(r["compacted"] for r in res)),
+        "files_removed": int(sum(r["removed"] for r in res)),
+    }

@@ -262,3 +262,85 @@ def test_trigram_substring_search_tracks_updates(ray_session, tmp_path):
     )
     probed = len(probed_files(idx, ["nee", "eed", "edl", "dle"]))
     assert 0 < probed <= all_files
+
+
+def test_compact_index_preserves_lookups_and_later_epochs(
+    ray_session, tmp_path
+):
+    """Index compaction: per-bucket stacks fold to one snapshot; lookups
+    identical pre/post; a LATER epoch's deltas still outrank the
+    snapshot (compact mid-history, then advance, equals a never-
+    compacted index)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from airbyte_destination_ray.pipelines.cdc import run_cdc_sync
+    from airbyte_destination_ray.pipelines.index import (
+        compact_index,
+        lookup_term_docs,
+        sync_text_index,
+    )
+
+    rows = [
+        (0, 0, "U", 1, 0, "apple banana"),
+        (1, 0, "U", 2, 1, "banana cherry"),
+        (2, 1, "U", 1, 2, "apple dates"),      # loses banana
+        (3, 1, "U", 3, 3, "banana"),
+        (4, 2, "D", 2, 4, None),               # cherry+banana doc gone
+        (5, 2, "U", 4, 5, "cherry apple"),
+    ]
+    blog = tmp_path / "blog"
+    blog.mkdir()
+    t = pa.table({
+        "seq": pa.array([r[0] for r in rows], pa.int64()),
+        "epoch": pa.array([r[1] for r in rows], pa.int32()),
+        "op": pa.array([r[2] for r in rows]),
+        "doc_id": pa.array([r[3] for r in rows], pa.int64()),
+        "ver": pa.array([r[4] for r in rows], pa.int64()),
+        "text": pa.array([r[5] for r in rows]),
+    })
+    segs = []
+    for e in (0, 1, 2):
+        name = f"segment-e{e:05d}-0000.parquet"
+        pq.write_table(t.filter(pc.equal(t.column("epoch"), e)),
+                       blog / name)
+        segs.append(name)
+    (blog / "_binlog.json").write_text(
+        json.dumps({"n_epochs": 3, "segments": segs})
+    )
+
+    def postings(idx, terms):
+        return sorted(
+            (r["term"], r["doc_id"])
+            for r in lookup_term_docs(idx, terms).take_all()
+        )
+
+    terms = ["apple", "banana", "cherry", "dates"]
+    lake = str(tmp_path / "lake")
+    run_cdc_sync(lake, str(blog), table="docs", pk="doc_id", ver="ver",
+                 payload_columns=["doc_id", "ver", "text"],
+                 num_partitions=4)
+
+    # compact mid-history, then advance
+    idx = tmp_path / "idx"
+    sync_text_index(lake, "docs", idx, upto_epoch=1, num_buckets=8)
+    pre = postings(idx, terms)
+    res = compact_index(idx)
+    assert res["buckets"] >= 1 and res["files_removed"] >= 1
+    assert postings(idx, terms) == pre
+    # every bucket dir now holds exactly one delta file
+    for b in idx.glob("bucket=*"):
+        assert len(list(b.glob("epoch-*.parquet"))) == 1
+    sync_text_index(lake, "docs", idx, upto_epoch=2)
+
+    # reference: never-compacted full build
+    idx2 = tmp_path / "idx2"
+    sync_text_index(lake, "docs", idx2, upto_epoch=2, num_buckets=8)
+    assert postings(idx, terms) == postings(idx2, terms)
+    assert postings(idx, terms) == [
+        ("apple", 1), ("apple", 4), ("banana", 3),
+        ("cherry", 4), ("dates", 1),
+    ]
