@@ -4801,6 +4801,16 @@ def _q_substring_search(sf_dir: str):
         sync_trigram_index,
     )
 
+    # dead-pid sweep + THIS pid rebuilt unconditionally (the docsidx
+    # convention — a recycled pid must never serve a stale lake/index)
+    for stale in Path("/tmp/adr_query").glob("trgm-*"):
+        try:
+            pid = int(stale.name.rsplit("-", 1)[1])
+            os.kill(pid, 0)
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass
     tag = f"trgm-{Path(sf_dir).name}-{os.getpid()}"
     base = Path("/tmp/adr_query") / tag
     binlog, lake, idx = base / "binlog", base / "lake", base / "index"

@@ -445,25 +445,36 @@ def lookup_value_rows(
     return lookup_rows(lake_root, table, pks, columns=columns)
 
 
+def _tri_hex(raw: bytes) -> list[str]:
+    """All byte-trigrams of ``raw`` as 6-hex-char terms (probe side —
+    must mirror :func:`_trigram_terms` exactly)."""
+    import binascii
+
+    return [
+        binascii.hexlify(raw[i : i + 3]).decode("ascii")
+        for i in range(len(raw) - 2)
+    ]
+
+
 def _trigram_terms(texts: pa.Array, pattern: str):
     """pg_trgm-style tokenizer: DISTINCT byte trigrams of the lowercased
     text per row (``pattern`` unused — substring identity needs the raw
-    byte stream, spaces included).  Pure numpy over the Arrow string
-    buffer: trigram positions gather into a (n, 3) byte matrix viewed as
-    fixed-width strings — no Python per-row loop."""
+    byte stream, spaces included), each term encoded as 6 HEX chars.
+    Hex encoding is load-bearing, not cosmetic: a numpy 'S3' view
+    silently truncates at NUL bytes, and raw trigram bytes can split a
+    multi-byte UTF-8 character (invalid as an Arrow string) — hex terms
+    are pure ASCII, so every byte pattern round-trips.  Buffer access
+    via the designated :func:`functions.text._utf8_view` fast path; the
+    trigram gather is one (n, 3) fancy index + one hexlify — no Python
+    per-row loop."""
+    import binascii
+
+    from ..functions.text import _utf8_view
+
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     low = pc.utf8_lower(texts)
-    if isinstance(low, pa.ChunkedArray):
-        low = low.combine_chunks()
-    off_dtype = (
-        np.int64 if pa.types.is_large_string(low.type) else np.int32
-    )
-    offsets = np.frombuffer(low.buffers()[1], dtype=off_dtype)[
-        low.offset : low.offset + len(low) + 1
-    ]
-    data = np.frombuffer(low.buffers()[2], dtype=np.uint8)
-    starts, ends = offsets[:-1].astype(np.int64), offsets[1:].astype(np.int64)
+    data, starts, ends = _utf8_view(low)
     tri_counts = np.maximum(ends - starts - 2, 0)
     total = int(tri_counts.sum())
     if total == 0:
@@ -479,9 +490,11 @@ def _trigram_terms(texts: pa.Array, pattern: str):
         - np.repeat(seg_off, tri_counts)
     )
     mat = data[pos[:, None] + np.arange(3)]
-    tri = np.frombuffer(mat.tobytes(), dtype="S3")
+    hexed = np.frombuffer(
+        binascii.hexlify(mat.tobytes()), dtype="S6"
+    )
     terms = pa.array(
-        np.char.decode(tri, "latin-1"), type=pa.string()
+        np.char.decode(hexed, "ascii"), type=pa.string()
     )
     # distinct (row, trigram)
     t = (
@@ -535,18 +548,16 @@ def substring_search(
     selective trigram exists — scan instead)."""
     from .cdc import lookup_rows
 
-    low = needle.lower()
+    # lower the needle with the SAME kernel as the index and verify —
+    # Python str.lower() diverges from pc.utf8_lower (Greek final
+    # sigma, U+0130), which would produce false negatives vs LIKE
+    low = pc.utf8_lower(pa.array([needle]))[0].as_py()
     raw = low.encode("utf-8")
     if len(raw) < 3:
         raise ValueError(
             "substring_search needs a needle of >= 3 bytes; use a scan"
         )
-    grams = sorted(
-        {
-            raw[i : i + 3].decode("latin-1")
-            for i in range(len(raw) - 2)
-        }
-    )
+    grams = sorted(set(_tri_hex(raw)))
     postings = lookup_term_docs(
         index_root, grams, num_partitions=num_partitions
     )
@@ -582,10 +593,25 @@ def substring_search(
         r["doc_id"] for r in cand.take_all()
     )  # candidate-sized by the AND filter
     if not cand_ids:
+        # empty but SCHEMA-TYPED from a committed file footer — a
+        # hardcoded int64 id column would flip the schema on string-pk
+        # tables depending on data (the lookup_value_rows convention)
         import ray.data
 
+        from ..state.manifest import ManifestStore
+
+        store = ManifestStore(lake_root, table)
+        meta = store.table_meta()
+        files = store.committed_files(
+            int(meta["generation"]), mode=meta["mode"]
+        )
+        if files:
+            sch = pq.read_schema(Path(lake_root) / files[0])
+            id_type = sch.field(id_col).type
+        else:
+            id_type = pa.int64()
         return ray.data.from_arrow(
-            pa.table({id_col: pa.array([], type=pa.int64())})
+            pa.table({id_col: pa.array([], type=id_type)})
         )
     rows = lookup_rows(lake_root, table, cand_ids)
 
@@ -614,7 +640,11 @@ def compact_index(index_root: str | Path) -> dict:
     the superseded delta files, so a crash mid-bucket leaves either the
     old stack or snapshot+stack — both resolve correctly (the snapshot
     re-states the survivors; duplicate (term, doc, epoch) rows tie on
-    epoch with equal present values).  One Ray task per bucket.
+    epoch with equal present values).  Like ``vacuum``, run it in a
+    maintenance window: an IN-FLIGHT lookup that already listed a
+    bucket's files can race the unlink and fail with FileNotFoundError
+    (it retries cleanly; committed state is never at risk).  One Ray
+    task per bucket.
     """
     import ray.data
 

@@ -344,3 +344,27 @@ def test_compact_index_preserves_lookups_and_later_epochs(
         ("apple", 1), ("apple", 4), ("banana", 3),
         ("cherry", 4), ("dates", 1),
     ]
+
+
+def test_trigram_terms_survive_nul_and_unicode(ray_session):
+    """The hex-term encoding round-trips NUL bytes and multibyte UTF-8
+    (a numpy 'S3' view truncates at NUL; raw trigram bytes can split a
+    character) — review-confirmed repro."""
+    import binascii
+
+    from airbyte_destination_ray.pipelines.index import (
+        _tri_hex,
+        _trigram_terms,
+    )
+
+    texts = pa.array(["ab\x00cd", "héllo", None, "xy"])
+    terms, parents = _trigram_terms(texts, "")
+    got = set(zip(parents.to_pylist(), terms.to_pylist()))
+    raw0 = "ab\x00cd".encode()
+    raw1 = "héllo".lower().encode()
+    exp = {(0, t) for t in _tri_hex(raw0)} | {(1, t) for t in _tri_hex(raw1)}
+    assert got == exp
+    # every term is pure-hex ASCII, NULs preserved inside
+    assert all(
+        len(t) == 6 and binascii.unhexlify(t) for _, t in got
+    )

@@ -197,7 +197,7 @@ if __name__ == "__main__":
         include_dashboard=False,
         logging_level="ERROR",
     )
-    if "--verify" in sys.argv:
+    if "--verify" in sys.argv or "--verify-only" in sys.argv:
         verify_small()
     if "--verify-only" not in sys.argv:
         bench()
