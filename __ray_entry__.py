@@ -2667,6 +2667,16 @@ def _q_doc_lm_score(sf_dir: str):
     )
 
 
+def _q_corpus_report(sf_dir: str):
+    """Dataset-card summary block: doc/text counts, char/token totals,
+    distinct langs/sources — one pass, aggregate-sized partials."""
+    from airbyte_destination_ray.pipelines.corpus import corpus_report
+
+    return corpus_report(
+        _documents(sf_dir, columns=["doc_id", "text", "lang", "source"])
+    )
+
+
 def _q_tokenize_ids(sf_dir: str):
     """Tokenizer-apply stage: corpus top-20 vocab (cutoff bites the
     31-token vocabulary), token -> frequency-rank id (OOV -> 0); per-doc
@@ -5401,6 +5411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_quantile_view_merge": _q_cdc_quantile_view_merge,
         "tokenize_ids_documents": _q_tokenize_ids,
         "substring_search_documents": _q_substring_search,
+        "corpus_report_documents": _q_corpus_report,
         # --- driver-green in r01/r02/r03/r04 ---
         "events_cube_type_day": _q_events_cube_type_day,
         "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
@@ -5688,6 +5699,29 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
                 AND event_type <> 'error'
                 AND user_id NOT IN (1, 2, 3, 5, 8, 13, 21)
+        """,
+        # Dataset-card summary: token rule == the corpus tokenizer.
+        "corpus_report_documents": """
+            WITH l AS (
+                SELECT doc_id, text, lang, source,
+                       CASE WHEN text IS NULL THEN 0 ELSE length(text)
+                       END AS chars,
+                       CASE WHEN text IS NULL THEN 0 ELSE
+                           len(list_filter(string_split_regex(
+                               lower(text), '[^a-z0-9]+'),
+                               x -> x <> ''))
+                       END AS toks
+                FROM documents
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(text) AS BIGINT) AS n_with_text,
+                   CAST(sum(chars) AS BIGINT) AS total_chars,
+                   CAST(sum(toks) AS BIGINT) AS total_tokens,
+                   CAST(count(DISTINCT lang) AS BIGINT)
+                       AS distinct_langs,
+                   CAST(count(DISTINCT source) AS BIGINT)
+                       AS distinct_sources
+            FROM l
         """,
         # Trigram-index substring search == the plain LIKE scan (trigram
         # prefiltering is complete; verify is exact).

@@ -2691,3 +2691,74 @@ def tokenize_ids(
         })
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def corpus_report(
+    ds,
+    *,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    pattern: str = "[^a-z0-9]+",
+):
+    """One-pass corpus datasheet (the dataset-card summary block): doc
+    and non-null-text counts, total characters and tokens, distinct
+    language/source counts — per-batch partials carry six numbers plus
+    two small distinct sets (bounded by the lang/source domains, never
+    rows), folded on the driver.  Returns a one-row Arrow table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col).combine_chunks()
+        n_text = int(pc.sum(pc.cast(txt.is_valid(), pa.int64())).as_py() or 0)
+        chars = int(
+            pc.sum(pc.utf8_length(pc.fill_null(txt, ""))).as_py() or 0
+        )
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(txt, "")), pattern
+        )
+        flat = pc.list_flatten(toks)
+        n_tok = int(
+            pc.sum(
+                pc.cast(pc.not_equal(flat, ""), pa.int64())
+            ).as_py()
+            or 0
+        )
+        langs = pc.unique(
+            pc.drop_null(batch.column(lang_col).combine_chunks())
+        ).to_pylist()
+        sources = pc.unique(
+            pc.drop_null(batch.column(source_col).combine_chunks())
+        ).to_pylist()
+        import json as _json
+
+        return pa.table({
+            "n_docs": pa.array([batch.num_rows], type=pa.int64()),
+            "n_with_text": pa.array([n_text], type=pa.int64()),
+            "total_chars": pa.array([chars], type=pa.int64()),
+            "total_tokens": pa.array([n_tok], type=pa.int64()),
+            "langs": pa.array([_json.dumps(sorted(langs))]),
+            "sources": pa.array([_json.dumps(sorted(sources))]),
+        })
+
+    import json as _json
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    langs: set = set()
+    sources: set = set()
+    for r in parts:
+        langs.update(_json.loads(r["langs"]))
+        sources.update(_json.loads(r["sources"]))
+    return pa.table({
+        "n_docs": pa.array(
+            [sum(r["n_docs"] for r in parts)], type=pa.int64()),
+        "n_with_text": pa.array(
+            [sum(r["n_with_text"] for r in parts)], type=pa.int64()),
+        "total_chars": pa.array(
+            [sum(r["total_chars"] for r in parts)], type=pa.int64()),
+        "total_tokens": pa.array(
+            [sum(r["total_tokens"] for r in parts)], type=pa.int64()),
+        "distinct_langs": pa.array([len(langs)], type=pa.int64()),
+        "distinct_sources": pa.array([len(sources)], type=pa.int64()),
+    })
