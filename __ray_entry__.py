@@ -2667,6 +2667,111 @@ def _q_doc_lm_score(sf_dir: str):
     )
 
 
+def _q_customer_rfm(sf_dir: str):
+    """RFM segmentation (the CRM analytics staple): per-customer
+    recency (max order day) / frequency (order count) / monetary (cents
+    sum) quartile-bucketed by exact discrete quantile bounds (bucket =
+    number of bounds strictly below the value — deterministic ties),
+    rolled up to segment counts.  One custkey exchange for the
+    aggregates; each quantile streams histogram-selection passes; the
+    bucket fold is aggregate-sized (≤64 segments)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from airbyte_destination_ray.pipelines.ops import exact_quantile_disc
+    from airbyte_destination_ray.sources.parquet import read_parquet_sized
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from airbyte_destination_ray.functions.hashing import partition_ids
+
+        days = pc.cast(
+            pc.divide(
+                pc.cast(b.column("o_orderdate"), pa.int64()),
+                86400000000,
+            ),
+            pa.int64(),
+        )
+        cents = pc.cast(
+            pc.floor(pc.multiply(b.column("o_totalprice"), 100.0)),
+            pa.int64(),
+        )
+        t = pa.table({
+            "k": b.column("o_custkey"),
+            "r": days, "f": pa.array(
+                np.ones(b.num_rows, dtype=np.int64)),
+            "m": cents,
+        })
+        g = t.group_by("k", use_threads=False).aggregate(
+            [("r", "max"), ("f", "sum"), ("m", "sum")]
+        ).rename_columns(["k", "r", "f", "m"])
+        parts = partition_ids(g.column("k"), 16)
+        return g.append_column("_part", pa.array(parts, type=pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"]).group_by(
+            "k", use_threads=False
+        ).aggregate([("r", "max"), ("f", "sum"), ("m", "sum")])
+        return g.rename_columns(["k", "r", "f", "m"])
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
+    ).materialize()
+
+    bounds = {
+        c: [
+            float(exact_quantile_disc(agg, value_col=c, q=q))
+            for q in (0.25, 0.5, 0.75)
+        ]
+        for c in ("r", "f", "m")
+    }
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cols = {}
+        for c in ("r", "f", "m"):
+            v = b.column(c).to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            bd = np.array(bounds[c], dtype=np.float64)
+            cols[f"{c}_bucket"] = pa.array(
+                np.searchsorted(bd, v, side="left").astype(np.int64)
+            )
+        cols["n_customers"] = pa.array(
+            np.ones(b.num_rows, dtype=np.int64)
+        )
+        t = pa.table(cols)
+        g = t.group_by(
+            ["r_bucket", "f_bucket", "m_bucket"], use_threads=False
+        ).aggregate([("n_customers", "sum")])
+        return g.rename_columns(
+            ["r_bucket", "f_bucket", "m_bucket", "n_customers"]
+        )
+
+    def reduce_all(b: pa.Table) -> pa.Table:
+        g = b.group_by(
+            ["r_bucket", "f_bucket", "m_bucket"], use_threads=False
+        ).aggregate([("n_customers", "sum")])
+        return g.rename_columns(
+            ["r_bucket", "f_bucket", "m_bucket", "n_customers"]
+        )
+
+    return (
+        agg.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(reduce_all, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def _q_corpus_report(sf_dir: str):
     """Dataset-card summary block: doc/text counts, char/token totals,
     distinct langs/sources — one pass, aggregate-sized partials."""
@@ -5412,6 +5517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_ids_documents": _q_tokenize_ids,
         "substring_search_documents": _q_substring_search,
         "corpus_report_documents": _q_corpus_report,
+        "customer_rfm_segments": _q_customer_rfm,
         # --- driver-green in r01/r02/r03/r04 ---
         "events_cube_type_day": _q_events_cube_type_day,
         "embeddings_kmeans_sizes": _q_embeddings_kmeans_sizes,
@@ -5699,6 +5805,45 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
                 AND event_type <> 'error'
                 AND user_id NOT IN (1, 2, 3, 5, 8, 13, 21)
+        """,
+        # RFM segmentation: quartile bounds via quantile_disc (actual
+        # elements — exact_quantile_disc parity is test-pinned), bucket
+        # = number of bounds strictly below the value.
+        "customer_rfm_segments": """
+            WITH a AS (
+                SELECT o_custkey,
+                       max(epoch_us(o_orderdate) // 86400000000) AS r,
+                       CAST(count(*) AS BIGINT) AS f,
+                       CAST(sum(CAST(floor(o_totalprice * 100)
+                           AS BIGINT)) AS BIGINT) AS m
+                FROM orders GROUP BY o_custkey
+            ), b AS (
+                SELECT quantile_disc(r, 0.25) AS r1,
+                       quantile_disc(r, 0.50) AS r2,
+                       quantile_disc(r, 0.75) AS r3,
+                       quantile_disc(f, 0.25) AS f1,
+                       quantile_disc(f, 0.50) AS f2,
+                       quantile_disc(f, 0.75) AS f3,
+                       quantile_disc(m, 0.25) AS m1,
+                       quantile_disc(m, 0.50) AS m2,
+                       quantile_disc(m, 0.75) AS m3
+                FROM a
+            )
+            SELECT CAST(CASE WHEN r > r1 THEN 1 ELSE 0 END
+                      + CASE WHEN r > r2 THEN 1 ELSE 0 END
+                      + CASE WHEN r > r3 THEN 1 ELSE 0 END AS BIGINT)
+                       AS r_bucket,
+                   CAST(CASE WHEN f > f1 THEN 1 ELSE 0 END
+                      + CASE WHEN f > f2 THEN 1 ELSE 0 END
+                      + CASE WHEN f > f3 THEN 1 ELSE 0 END AS BIGINT)
+                       AS f_bucket,
+                   CAST(CASE WHEN m > m1 THEN 1 ELSE 0 END
+                      + CASE WHEN m > m2 THEN 1 ELSE 0 END
+                      + CASE WHEN m > m3 THEN 1 ELSE 0 END AS BIGINT)
+                       AS m_bucket,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM a, b
+            GROUP BY r_bucket, f_bucket, m_bucket
         """,
         # Dataset-card summary: token rule == the corpus tokenizer.
         "corpus_report_documents": """
