@@ -2726,6 +2726,16 @@ def _q_customer_rfm(sf_dir: str):
         .map_groups(final, batch_format="pyarrow")
     ).materialize()
 
+    import ray.data as _rd
+
+    q1 = exact_quantile_disc(agg, value_col="r", q=0.25)
+    if q1 is None:  # empty orders table: no customers, no segments
+        return _rd.from_arrow(pa.table({
+            "r_bucket": pa.array([], type=pa.int64()),
+            "f_bucket": pa.array([], type=pa.int64()),
+            "m_bucket": pa.array([], type=pa.int64()),
+            "n_customers": pa.array([], type=pa.int64()),
+        }))
     bounds = {
         c: [
             float(exact_quantile_disc(agg, value_col=c, q=q))

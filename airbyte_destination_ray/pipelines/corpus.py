@@ -2704,8 +2704,11 @@ def corpus_report(
     """One-pass corpus datasheet (the dataset-card summary block): doc
     and non-null-text counts, total characters and tokens, distinct
     language/source counts — per-batch partials carry six numbers plus
-    two small distinct sets (bounded by the lang/source domains, never
-    rows), folded on the driver.  Returns a one-row Arrow table."""
+    two distinct sets folded on the driver.  The distinct sets are
+    O(domain cardinality): right for enum-like lang/source columns;
+    point a HIGH-cardinality column (hosts, urls) at
+    :func:`.ops.profile_columns` instead, whose hash-routed distinct
+    counting stays distributed.  Returns a one-row Arrow table."""
 
     def partial(batch: pa.Table) -> pa.Table:
         txt = batch.column(text_col).combine_chunks()
@@ -2729,18 +2732,16 @@ def corpus_report(
         sources = pc.unique(
             pc.drop_null(batch.column(source_col).combine_chunks())
         ).to_pylist()
-        import json as _json
-
         return pa.table({
             "n_docs": pa.array([batch.num_rows], type=pa.int64()),
             "n_with_text": pa.array([n_text], type=pa.int64()),
             "total_chars": pa.array([chars], type=pa.int64()),
             "total_tokens": pa.array([n_tok], type=pa.int64()),
-            "langs": pa.array([_json.dumps(sorted(langs))]),
-            "sources": pa.array([_json.dumps(sorted(sources))]),
+            "langs": pa.array([langs], type=pa.list_(pa.string())),
+            "sources": pa.array(
+                [sources], type=pa.list_(pa.string())
+            ),
         })
-
-    import json as _json
 
     parts = ds.map_batches(
         partial, batch_format="pyarrow", batch_size=None
@@ -2748,8 +2749,8 @@ def corpus_report(
     langs: set = set()
     sources: set = set()
     for r in parts:
-        langs.update(_json.loads(r["langs"]))
-        sources.update(_json.loads(r["sources"]))
+        langs.update(r["langs"])
+        sources.update(r["sources"])
     return pa.table({
         "n_docs": pa.array(
             [sum(r["n_docs"] for r in parts)], type=pa.int64()),
